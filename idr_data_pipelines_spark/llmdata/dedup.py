@@ -1,0 +1,295 @@
+"""Deduplication for training corpora: exact, MinHash-LSH, SimHash,
+n-gram Jaccard.
+
+Design for 100 TB: every near-dup operator is *bucket-then-compare* —
+
+1. signature computation is a pure projection (array expressions over
+   the tokenized text, zero shuffle, whole-stage codegen; no Python);
+2. candidate generation is an equi-join on a band/chunk hash (one
+   shuffle, AQE-handled skew);
+3. exact verification runs only inside buckets.
+
+The full O(n²) comparison never materializes. All hashes are
+``xxhash64`` with explicit integer seeds → deterministic across runs,
+partitions and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- exact
+
+def dedup_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup on normalized text: keep one row (min id order is
+    left to the caller — use dedup_latest_per_key for a policy)."""
+    from idr_data_pipelines_spark.llmdata.text import fingerprint
+
+    return df.withColumn("__fp", fingerprint(text_col)).dropDuplicates(["__fp"]).drop("__fp")
+
+
+def dedup_exact_hash_groups(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact-dup group report: one row per distinct content hash with
+    group size and representative (min id). Hash-groupBy: one shuffle,
+    map-side partial agg."""
+    from idr_data_pipelines_spark.llmdata.text import fingerprint
+
+    return (
+        df.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min(id_col).alias("representative"),
+        )
+    )
+
+
+# -------------------------------------------------------------- shingles
+
+def _tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def word_shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct word k-shingles as an array<string>. Documents shorter
+    than k tokens yield their whole text as one shingle."""
+    toks = _tokens(col)
+    n = F.size(toks)
+    joined = F.array_join(toks, " ")
+    shingled = F.transform(
+        F.sequence(F.lit(0), n - F.lit(k)),
+        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    )
+    return F.when(n < F.lit(k), F.array(joined)).otherwise(F.array_distinct(shingled))
+
+
+# -------------------------------------------------------------- MinHash
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 128,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, signature array<long>[num_perm]) via min of seeded xxhash64
+    over the shingle set. Pure projection — no explode, no shuffle:
+    each permutation is ``array_min(transform(shingles, s ->
+    xxhash64(seed_i, s)))``."""
+    sh = word_shingles(text_col, shingle_k)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+            for i in range(num_perm)
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 3,
+    jaccard_threshold: float | None = 0.8,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH, optionally
+    verified with exact shingle-set Jaccard.
+
+    rows_per_band = num_perm / bands; two docs collide if any band of
+    their signatures matches. Plan: signatures (projection) → explode
+    bands (num_perm stays columnar; only ``bands`` rows per doc) →
+    self-equi-join on (band_idx, band_hash) → distinct pairs → verify.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b; when
+    ``jaccard_threshold`` is None, candidates are returned unverified
+    with jaccard = null.
+    """
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    r = num_perm // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.xxhash64(
+                            *[F.element_at("signature", b * r + j + 1) for j in range(r)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_idx", "band.band_hash")
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    if jaccard_threshold is None:
+        return pairs.withColumn("jaccard", F.lit(None).cast("double"))
+
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, shingle_k).alias("sh")
+    )
+    verified = (
+        pairs.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+# -------------------------------------------------------------- SimHash
+
+def simhash64(col: Column | str) -> Column:
+    """64-bit SimHash of the whitespace-token multiset.
+
+    Entirely array expressions: fold token hashes into 64 signed bit
+    counts (``aggregate`` + ``zip_with``), then pack the sign vector
+    into one long. No explode, no shuffle, no Python.
+    """
+    toks = _tokens(col)
+    bit_idx = F.sequence(F.lit(0), F.lit(63))
+
+    def tok_bits(t: Column) -> Column:
+        h = F.xxhash64(t)
+        return F.transform(
+            bit_idx,
+            lambda i: F.when(F.getbit(h, i) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+
+    counts = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, t: F.zip_with(acc, tok_bits(t), lambda a, b: a + b),
+    )
+    # Pack the 64 sign bits into one long. Literal weights per bit;
+    # bit 63's weight is Long.MIN_VALUE (2^63 as signed two's-complement),
+    # so the sum stays in range under ANSI arithmetic.
+    packed = F.lit(0).cast("long")
+    for i in range(64):
+        weight = (1 << i) if i < 63 else -(1 << 63)
+        packed = packed + F.when(
+            F.element_at(counts, i + 1) > 0, F.lit(weight).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return packed
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    return df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with SimHash Hamming distance ≤ max_hamming.
+
+    Pigeonhole banding: split 64 bits into ``max_hamming + 1`` chunks —
+    any pair within distance k must agree exactly on ≥1 chunk. Join on
+    (chunk_idx, chunk_value), then verify with bit_count(xor).
+    """
+    n_chunks = max_hamming + 1
+    chunk_bits = 64 // n_chunks
+    sigs = simhash_signatures(df, id_col, text_col)
+    chunks = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftrightunsigned(F.col("simhash"), i * chunk_bits)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .alias("chunk_val"),
+                    )
+                    for i in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "simhash", "c.chunk_idx", "c.chunk_val")
+
+    l, r = chunks.alias("l"), chunks.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ------------------------------------------------------ n-gram Jaccard
+
+def ngram_jaccard(a: Column | str, b: Column | str, k: int = 3) -> Column:
+    """Exact word-k-gram Jaccard similarity between two text columns."""
+    sa, sb = word_shingles(a, k), word_shingles(b, k)
+    return (
+        F.size(F.array_intersect(sa, sb)).cast("double")
+        / F.size(F.array_union(sa, sb)).cast("double")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Score given candidate pairs (id_a, id_b) with exact k-gram
+    Jaccard — the verify stage for any candidate generator."""
+    sh = df.select(F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh"))
+    return (
+        pairs.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,150 @@
+"""Multimodal columns: image/audio/video as opaque binary + metadata.
+
+The Spark-side plumbing is real: binary payload columns, typed
+metadata structs, Arrow-batched ``mapInPandas`` decode/feature
+stages with explicit output schemas, and partition-size guidance for
+large blobs. The actual media decoding is STUBBED (this environment
+has no image/audio libraries): ``decode_image_stub`` produces a
+deterministic fake decode so the distributed plumbing is testable;
+swap ``_decode_bytes_stub`` for PIL/librosa/ffmpeg in production.
+
+Scale notes: binary payload rows are large — keep
+``spark.sql.files.maxPartitionBytes`` modest and prefer many small
+tasks; mapInPandas streams Arrow batches so a partition never has to
+fit two copies in memory at once. Metadata-only transforms should
+select away the payload column *before* shuffles (column pruning is
+the whole game with blob columns).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("checksum", StringType()),
+    ]
+)
+
+
+def with_binary_payload(
+    df: DataFrame, src_col: str = "text", media_type: str = "image"
+) -> DataFrame:
+    """Attach an opaque binary payload column (here: utf-8 bytes of a
+    source column, standing in for image/audio blobs) plus its media
+    type tag. In production this is the raw blob column loaded via
+    ``spark.read.format('binaryFile')`` or parquet BYTE_ARRAY."""
+    return df.withColumns(
+        {
+            "payload": F.encode(F.col(src_col), "utf-8"),
+            "media_type": F.lit(media_type),
+        }
+    )
+
+
+def _decode_bytes_stub(payload: bytes) -> tuple[int, int]:
+    """Deterministic fake decode: derives (width, height) from content
+    length. Replace with e.g. ``PIL.Image.open(io.BytesIO(payload)).size``.
+    """
+    n = len(payload)
+    return (n % 640) + 1, (n % 480) + 1
+
+
+def extract_media_meta(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Decode payloads and emit a typed metadata table via mapInPandas.
+
+    Arrow-batched: each batch arrives as a pandas DataFrame; output
+    schema is declared (MEDIA_META_SCHEMA) so downstream plans are
+    fully typed. Only (id, media_type, payload) are read — project
+    before calling so the scan prunes everything else.
+    """
+    import hashlib
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            widths, heights, checksums, sizes = [], [], [], []
+            for payload in pdf[payload_col]:
+                b = bytes(payload)
+                w, h = _decode_bytes_stub(b)
+                widths.append(w)
+                heights.append(h)
+                sizes.append(len(b))
+                checksums.append(hashlib.md5(b).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                    "width": pd.Series(widths, dtype="int64"),
+                    "height": pd.Series(heights, dtype="int64"),
+                    "checksum": checksums,
+                }
+            )
+
+    needed = df.select(id_col, "media_type", payload_col)
+    return needed.mapInPandas(_batches, MEDIA_META_SCHEMA)
+
+
+def decode_image_stub(payload: bytes) -> "object":
+    """Placeholder for a real image decode (PIL not available here)."""
+    raise NotImplementedError(
+        "image decoding requires PIL/opencv, not available in this "
+        "environment; use extract_media_meta's stub path or plug a real "
+        "decoder into _decode_bytes_stub"
+    )
+
+
+def frame_sample_stub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    every_n: int = 10,
+) -> DataFrame:
+    """Video frame-sampling plumbing: explodes each payload into
+    deterministic fake 'frames' (byte slices) via mapInPandas —
+    demonstrates the 1→N row fan-out shape a real ffmpeg sampler has.
+    """
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_idx", LongType()),
+            StructField("frame_bytes", BinaryType()),
+        ]
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                for i, off in enumerate(range(0, max(len(b), 1), every_n)):
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    frames.append(b[off : off + every_n])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int64"),
+                    "frame_bytes": frames,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_batches, schema)

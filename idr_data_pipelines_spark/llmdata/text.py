@@ -1,0 +1,110 @@
+"""Text-analysis operators for training-data curation.
+
+All JVM-side (built-in functions, whole-stage codegen) — no Python in
+the hot path. Operates on a ``documents(doc_id, text, ...)`` table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def token_count(col: Column | str = "text") -> Column:
+    """Whitespace token count. For BPE-ish subword estimates see
+    ``bpe_token_estimate``."""
+    c = F.trim(_c(col))
+    return F.when(F.length(c) == 0, F.lit(0)).otherwise(
+        F.size(F.split(c, r"\s+"))
+    ).cast("long")
+
+
+def bpe_token_estimate(col: Column | str = "text") -> Column:
+    """Rough BPE token estimate: split on word/number/punct boundaries
+    (a GPT-2-style pre-tokenizer regex), count pieces. Heuristic, but
+    deterministic and cheap at scale."""
+    c = _c(col)
+    pieces = F.regexp_extract_all(
+        c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+    )
+    return F.size(pieces).cast("long")
+
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# heuristic language identifier. Real pipelines would plug fastText /
+# CLD3 here via a Pandas UDF; the heuristic keeps the operator
+# dependency-free and fully JVM-side.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "les", "de", "et"],
+    "de": ["der", "die", "das", "und", "ist"],
+}
+
+
+def _word_hits(c: Column, words: list[str]) -> Column:
+    """Number of marker-word occurrences (word-bounded regex count)."""
+    total = F.lit(0)
+    for w in words:
+        total = total + F.size(F.regexp_extract_all(c, F.lit(rf"\b{w}\b"), 0))
+    return total
+
+
+def lang_id(col: Column | str = "text", min_hits: int = 1) -> Column:
+    """Heuristic language ID: highest marker-stopword hit count wins;
+    below ``min_hits`` → 'und' (undetermined)."""
+    c = F.lower(_c(col))
+    scores = {lang: _word_hits(c, words) for lang, words in _LANG_MARKERS.items()}
+    # greatest(score...) then map back to the argmax language.
+    best = F.greatest(*scores.values())
+    expr = None
+    for lang, score in scores.items():  # first max wins: deterministic order
+        cond = (score == best) & (best >= F.lit(min_hits))
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return expr.otherwise(F.lit("und"))
+
+
+def quality_score(
+    text_col: Column | str = "text",
+    stopwords: list[str] | None = None,
+) -> dict[str, Column]:
+    """Quality-signal columns: length, token count, mean word length,
+    punctuation ratio, stopword ratio, alpha ratio. Combine/threshold
+    downstream (C4/Gopher-style filters)."""
+    c = _c(text_col)
+    n_chars = F.length(c).cast("double")
+    n_tokens = token_count(c).cast("double")
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    sw = stopwords or _LANG_MARKERS["en"]
+    sw_hits = _word_hits(F.lower(c), sw).cast("double")
+    safe_tokens = F.when(n_tokens == 0, F.lit(1.0)).otherwise(n_tokens)
+    safe_chars = F.when(n_chars == 0, F.lit(1.0)).otherwise(n_chars)
+    return {
+        "n_chars": n_chars.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "mean_word_len": (n_chars - (n_tokens - 1)) / safe_tokens,
+        "punct_ratio": n_punct.cast("double") / safe_chars,
+        "alpha_ratio": n_alpha.cast("double") / safe_chars,
+        "stopword_ratio": sw_hits / safe_tokens,
+    }
+
+
+def fingerprint(col: Column | str = "text") -> Column:
+    """Document fingerprint: md5 of whitespace-normalized, lowercased
+    text. Stable across engines (md5 is standard), used as the exact-
+    dedup key."""
+    c = F.lower(F.trim(F.regexp_replace(_c(col), r"\s+", " ")))
+    return F.md5(c)
+
+
+def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Convenience: append all text-analysis columns in one projection."""
+    feats = quality_score(text_col)
+    feats["lang_pred"] = lang_id(text_col)
+    feats["fp"] = fingerprint(text_col)
+    return df.withColumns(feats)

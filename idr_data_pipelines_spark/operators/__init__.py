@@ -1,0 +1,45 @@
+"""Relational operator library — composable DataFrame -> DataFrame."""
+
+from idr_data_pipelines_spark.operators.dedup import (
+    dedup_distinct,
+    dedup_groupby_max,
+    dedup_latest_per_key,
+    dedup_join_back_on_max,
+)
+from idr_data_pipelines_spark.operators.project import (
+    project_rename,
+    project_star_plus,
+)
+from idr_data_pipelines_spark.operators.filters import (
+    filter_not_null,
+    filter_eq,
+    filter_derived,
+)
+from idr_data_pipelines_spark.operators.joins import (
+    join_inner_dim_cast,
+    join_left_fact,
+    join_on_keys,
+)
+from idr_data_pipelines_spark.operators.aggregate import (
+    agg_groupby_max_all,
+    agg_max_date,
+    agg_pivot_sum_case,
+)
+
+__all__ = [
+    "dedup_distinct",
+    "dedup_groupby_max",
+    "dedup_latest_per_key",
+    "dedup_join_back_on_max",
+    "project_rename",
+    "project_star_plus",
+    "filter_not_null",
+    "filter_eq",
+    "filter_derived",
+    "join_inner_dim_cast",
+    "join_left_fact",
+    "join_on_keys",
+    "agg_groupby_max_all",
+    "agg_max_date",
+    "agg_pivot_sum_case",
+]

@@ -1,0 +1,53 @@
+"""Aggregation operators.
+
+SURVEY.md §2.5. Spark gives partial (map-side) + final hash aggregation
+for free on every ``groupBy`` — the shuffle carries pre-aggregated
+partials, so these hold up when the group count is large and the input
+is 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def agg_groupby_max_all(df: DataFrame, keys: list[str]) -> DataFrame:
+    """``GROUP BY keys`` with MAX over every other column (mixed types —
+    strings/dates/numerics all orderable), dags/mmd_transforms.py:77-88."""
+    other = [c for c in df.columns if c not in keys]
+    return df.groupBy(*keys).agg(*[F.max(c).alias(c) for c in other])
+
+
+def agg_max_date(
+    df: DataFrame,
+    keys: list[str],
+    date_col: str,
+    alias: str = "latest_date",
+) -> DataFrame:
+    """``SELECT keys, MAX(CAST(d AS DATE)) GROUP BY keys``
+    (``latest_vl_result``, dags/vls_transforms.py:84-97)."""
+    return df.groupBy(*keys).agg(
+        F.max(F.col(date_col).cast("date")).alias(alias)
+    )
+
+
+def agg_pivot_sum_case(
+    df: DataFrame,
+    cases: dict[str, Column],
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """Conditional-count pivot: ``SUM(CASE WHEN cond THEN 1 ELSE 0 END)
+    AS name`` per entry (``HTS_warehouse_summary``,
+    dags/hts_transforms.py:214-232 — global, no GROUP BY).
+
+    A global aggregate still runs distributed: partials per partition,
+    one tiny final reduce.
+    """
+    aggs = [
+        F.sum(F.when(cond, F.lit(1)).otherwise(F.lit(0))).alias(name)
+        for name, cond in cases.items()
+    ]
+    if group_by:
+        return df.groupBy(*group_by).agg(*aggs)
+    return df.agg(*aggs)

@@ -1,0 +1,65 @@
+"""Join operators.
+
+SURVEY.md §2.4: all reference joins are equi-joins — fact⋈dimension
+enrichment (with a cast on the key) and one fact⋈fact left merge.
+
+Physical strategy:
+
+- Dimension joins (``join_inner_dim_cast``): the dim (Master Facility
+  List analogue) is small → ``F.broadcast`` forces a broadcast-hash
+  join, zero shuffle of the fact side. At 100 TB of fact this is the
+  difference between a map-side join and a full shuffle.
+- Fact⋈fact (``join_left_fact``): sort-merge, AQE-selected; skewed keys
+  are split by AQE skew-join handling (enabled in session.py).
+- Key-type normalization: the reference casts on the join key per
+  query (``ON SiteCode = CAST(MFL_code AS INT)``,
+  dags/covid_transforms.py:66). We support that faithfully, but the
+  typed-cast ingest stage should normalize key types once so the cast
+  disappears from the hot join (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def join_inner_dim_cast(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    cast_fact_key_to: str | None = None,
+    broadcast_dim: bool = True,
+    how: str = "inner",
+) -> DataFrame:
+    """Enrichment join against a (small) dimension.
+
+    ``MFL_Codes.SiteCode = CAST(staging.MFL_code AS INT)``
+    (dags/covid_transforms.py:56-74, hts:57-78, mmd:190-212).
+    """
+    left_key = F.col(fact_key)
+    if cast_fact_key_to:
+        left_key = left_key.cast(cast_fact_key_to)
+    right = F.broadcast(dim) if broadcast_dim else dim
+    return fact.join(right, left_key == dim[dim_key], how)
+
+
+def join_left_fact(
+    left: DataFrame,
+    right: DataFrame,
+    cond: Column | list[str],
+) -> DataFrame:
+    """LEFT OUTER fact-to-fact merge (``merge_art_vls``,
+    dags/vls_transforms.py:132-155): left cohort keeps all rows."""
+    return left.join(right, cond, "left")
+
+
+def join_on_keys(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join on shared column names (USING-style, keys emitted once)."""
+    return left.join(right, keys, how)

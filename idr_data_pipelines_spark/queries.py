@@ -1,0 +1,1273 @@
+"""Query catalog: one entry per operator from SURVEY.md §2 (+ llmdata
+extensions), each expressed over the driver's TPC-H-ish testdata with a
+DuckDB oracle.
+
+Every function takes ``(spark, sf_dir)`` and returns a DataFrame; the
+matching entry in ``ORACLES`` is ANSI/DuckDB SQL producing the same
+rows with the SAME column names (the driver hashes values after
+sorting columns by name).
+
+Cross-engine determinism rules used throughout (so value hashes match
+bit-for-bit):
+
+- double aggregation: round the per-row double expression to 2
+  decimals (bit-identical in both engines for these inputs), cast to
+  DECIMAL(18,2) so the SUM is exact and order-independent, cast the
+  final result back to DOUBLE.
+- SUM of integers: DuckDB returns HUGEINT → oracle casts to BIGINT to
+  match Spark's long.
+- timestamps: the events table has nanosecond precision which Spark
+  truncates to micros; queries emit epoch-micro BIGINTs or
+  date_trunc'd values instead of raw ns timestamps.
+- float vectors: cast elements to double *before* arithmetic; dot
+  products are left-fold sums in both engines (Spark ``aggregate``
+  fold ≡ SQL left-associative ``+`` chain).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from idr_data_pipelines_spark.functions import (
+    as_of_date,
+    bq_date_diff,
+    case_bucket,
+    case_flag,
+    case_map,
+    extract_part,
+    format_date,
+    null_default,
+    str_sentinel_decode,
+)
+from idr_data_pipelines_spark.llmdata.dedup import (
+    dedup_exact_hash_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from idr_data_pipelines_spark.llmdata.multimodal import (
+    extract_media_meta,
+    with_binary_payload,
+)
+from idr_data_pipelines_spark.llmdata.similarity import (
+    cosine,
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+    _as_double,
+)
+from idr_data_pipelines_spark.llmdata.text import (
+    fingerprint,
+    quality_score,
+    token_count,
+)
+from idr_data_pipelines_spark.operators import (
+    agg_max_date,
+    agg_pivot_sum_case,
+    dedup_distinct,
+    dedup_groupby_max,
+    dedup_join_back_on_max,
+    dedup_latest_per_key,
+    filter_derived,
+    filter_eq,
+    filter_not_null,
+    join_inner_dim_cast,
+    join_left_fact,
+    project_rename,
+    project_star_plus,
+)
+from idr_data_pipelines_spark.sources import (
+    read_parquet_all_string,
+    read_parquet_dir,
+)
+from idr_data_pipelines_spark.streaming.events import (
+    sessionize,
+    windowed_event_counts,
+)
+
+AS_OF = "2026-01-01"  # injected CURRENT_DATE for deterministic runs
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet_dir(spark, f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load the events table, normalizing nanosecond timestamps.
+
+    The synthetic events parquet stores TIMESTAMP(NANOS) which Spark 4
+    rejects by default; read nanos as long and convert to a
+    microsecond timestamp (truncation — identical to DuckDB's ns→µs
+    behavior, so oracles agree)."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = read_parquet_dir(spark, f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _money_sum(col) -> F.Column:
+    """Cross-engine-exact money sum: convert to integer cents with pure
+    double arithmetic (floor(x*100 + 0.5) — bit-identical in Spark and
+    DuckDB), sum as BIGINT (exact, order-independent), divide at the
+    end. Avoids engine-specific round()/decimal-cast behavior."""
+    cents = F.floor(col * F.lit(100.0) + F.lit(0.5))
+    return F.sum(cents).cast("double") / F.lit(100.0)
+
+
+# ===================================================================
+# §2.1 sources / sinks
+# ===================================================================
+
+def q_src_parquet_dir(spark, sf_dir):
+    """src_parquet_dir: multi-file parquet scan (dags/idr_load.py:83-114)."""
+    df = read_parquet_dir(spark, f"{sf_dir}/lineitem.parquet")
+    return df.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+
+
+def q_src_parquet_concat_str(spark, sf_dir):
+    """src_parquet_concat_str: all-string ingest + distinct + None→null
+    (deps/parquet_solution.py:13-84)."""
+    df = read_parquet_all_string(spark, f"{sf_dir}/documents.parquet")
+    return df.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+def q_sink_table_overwrite(spark, sf_dir):
+    """sink_table_overwrite: WRITE_TRUNCATE round-trip
+    (deps/parquet_solution.py:87-125)."""
+    df = _t(spark, sf_dir, "region")
+    path = f"{tempfile.mkdtemp(prefix='idr_sink_')}/region"
+    df.write.mode("overwrite").parquet(path)
+    df.write.mode("overwrite").parquet(path)  # truncate semantics: second write replaces
+    return spark.read.parquet(path)
+
+
+def q_sink_rows_append(spark, sf_dir):
+    """sink_rows_append: audit append (cf/main.py:34-47) — two appends
+    double the rows."""
+    df = _t(spark, sf_dir, "region")
+    path = f"{tempfile.mkdtemp(prefix='idr_append_')}/audit"
+    df.write.mode("overwrite").parquet(path)
+    df.write.mode("append").parquet(path)
+    return spark.read.parquet(path)
+
+
+def q_src_stream_drain(spark, sf_dir):
+    """src_pubsub_drain: Trigger.AvailableNow drain of available
+    messages (deps/receiver.py:1-36) into a memory sink, returned as a
+    batch DataFrame."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    schema = read_parquet_dir(spark, f"{sf_dir}/events.parquet").schema
+    name = f"drained_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="idr_ckpt_")
+    # The file stream source requires a directory (the "subscription"):
+    # stage the message file into one, as new messages would arrive.
+    import shutil
+
+    inbox = tempfile.mkdtemp(prefix="idr_inbox_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{inbox}/events.parquet")
+    stream = spark.readStream.schema(schema).parquet(inbox)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+# ===================================================================
+# §2.2 dedup
+# ===================================================================
+
+def q_dedup_distinct(spark, sf_dir):
+    """dedup_distinct: SELECT DISTINCT * (dags/covid_transforms.py:41-54)."""
+    df = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_linestatus"
+    )
+    return dedup_distinct(df)
+
+
+def q_dedup_groupby_max(spark, sf_dir):
+    """dedup_groupby_max: GROUP BY key, MAX(all others)
+    (dags/mmd_transforms.py:74-96)."""
+    df = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    return dedup_groupby_max(df, ["o_custkey"])
+
+
+def q_dedup_latest_per_key(spark, sf_dir):
+    """dedup_latest_per_key: window row_number form (SURVEY §2.6) of the
+    greatest-row-per-group (dags/vls_transforms.py:84-117)."""
+    df = _t(spark, sf_dir, "orders")
+    out = dedup_latest_per_key(
+        df, ["o_custkey"], [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()]
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("latest_date"),
+        "o_totalprice",
+    )
+
+
+def q_dedup_join_back_on_max(spark, sf_dir):
+    """dedup_join_back_on_max: reference-exact join-back with tie
+    fan-out (dags/vls_transforms.py:99-117)."""
+    df = _t(spark, sf_dir, "orders")
+    out = dedup_join_back_on_max(df, ["o_custkey"], "o_orderdate")
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("latest_date"),
+        "o_totalprice",
+    )
+
+
+# ===================================================================
+# §2.3 projections / filters
+# ===================================================================
+
+def q_project_rename(spark, sf_dir):
+    """project_rename: wide select-with-renames (dags/hts_transforms.py:60-67)."""
+    df = _t(spark, sf_dir, "customer")
+    return project_rename(
+        df,
+        {
+            "customer_id": "c_custkey",
+            "customer_name": "c_name",
+            "nation_key": "c_nationkey",
+            "account_balance": "c_acctbal",
+            "segment": "c_mktsegment",
+        },
+    )
+
+
+def q_project_star_plus(spark, sf_dir):
+    """project_star_plus: SELECT *, expr AS col (dags/covid_transforms.py:79-83)."""
+    df = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"
+    )
+    return project_star_plus(
+        df,
+        {
+            "revenue": F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+            "charge": (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            * (F.lit(1.0) + F.col("l_tax")),
+        },
+    )
+
+
+def q_filter_not_null(spark, sf_dir):
+    """filter_not_null: compound IS NOT NULL (dags/vls_transforms.py:54-68).
+    Nulls are synthesized via NULLIF so the filter has work to do."""
+    df = _t(spark, sf_dir, "documents").withColumns(
+        {
+            "lang2": F.nullif(F.col("lang"), F.lit("zh")),
+            "source2": F.nullif(F.col("source"), F.lit("src0")),
+        }
+    )
+    return filter_not_null(df, ["lang2", "source2"]).select(
+        "doc_id", "lang2", "source2"
+    )
+
+
+def q_filter_eq(spark, sf_dir):
+    """filter_eq: WHERE col = value (dags/vls_transforms.py:70-82)."""
+    df = _t(spark, sf_dir, "lineitem")
+    return filter_eq(df, "l_returnflag", "R").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+
+
+def q_filter_derived(spark, sf_dir):
+    """filter_derived: compute-then-filter inline-subquery shape
+    (dags/hts_transforms.py:186-212). The CASE has no ELSE → uncovered
+    rows are NULL and get filtered."""
+    df = _t(spark, sf_dir, "orders")
+    bucket = case_bucket(
+        "o_totalprice",
+        [
+            (F.col("o_totalprice") < 50000, F.lit("small")),
+            (F.col("o_totalprice") < 150000, F.lit("medium")),
+        ],
+    )
+    return filter_derived(df, "price_bucket", bucket).select(
+        "o_orderkey", "o_totalprice", "price_bucket"
+    )
+
+
+def q_filter_on_join(spark, sf_dir):
+    """filter_on_join: LEFT JOIN + WHERE equality on the right side →
+    effectively inner (dags/vls_transforms.py:101-110)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    out = join_left_fact(
+        orders, cust, orders.o_custkey == cust.c_custkey
+    ).filter(F.col("c_mktsegment") == "BUILDING")
+    return out.select("o_orderkey", "o_custkey", "c_mktsegment", "o_totalprice")
+
+
+# ===================================================================
+# §2.4 joins
+# ===================================================================
+
+def q_join_inner_dim_cast(spark, sf_dir):
+    """join_inner_dim_cast: cast-on-key broadcast dim enrichment
+    (dags/covid_transforms.py:56-74)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    out = join_inner_dim_cast(
+        cust, nation, fact_key="c_nationkey", dim_key="n_nationkey",
+        cast_fact_key_to="bigint",
+    )
+    return out.select("c_custkey", "c_name", "n_name")
+
+
+def q_join_inner_hub(spark, sf_dir):
+    """join_inner_hub: typed-key broadcast dim join
+    (dags/mmd_transforms.py:234-257)."""
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    out = join_inner_dim_cast(
+        supp, nation, fact_key="s_nationkey", dim_key="n_nationkey"
+    )
+    return out.select("s_suppkey", "s_name", "n_name", "s_acctbal")
+
+
+def q_join_left_fact(spark, sf_dir):
+    """join_left_fact: LEFT OUTER fact merge, left keeps all rows
+    (dags/vls_transforms.py:132-155)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    out = join_left_fact(cust, orders, cust.c_custkey == orders.o_custkey)
+    return out.select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+# ===================================================================
+# §2.5 aggregations
+# ===================================================================
+
+def q_agg_groupby_max_all(spark, sf_dir):
+    """agg_groupby_max_all: MAX over mixed-type columns
+    (dags/mmd_transforms.py:77-88)."""
+    df = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_shipdate").cast("date").alias("l_shipdate"),
+    )
+    return dedup_groupby_max(df, ["l_orderkey"])
+
+
+def q_agg_max_date(spark, sf_dir):
+    """agg_max_date: MAX(CAST(d AS DATE)) per key
+    (dags/vls_transforms.py:84-97)."""
+    df = _t(spark, sf_dir, "orders")
+    return agg_max_date(df, ["o_custkey"], "o_orderdate", alias="latest_date")
+
+
+def q_agg_pivot_sum_case(spark, sf_dir):
+    """agg_pivot_sum_case: global SUM(CASE WHEN ...) pivot
+    (dags/hts_transforms.py:214-232)."""
+    df = _t(spark, sf_dir, "orders")
+    return agg_pivot_sum_case(
+        df,
+        {
+            "n_fulfilled": F.col("o_orderstatus") == "F",
+            "n_open": F.col("o_orderstatus") == "O",
+            "n_pending": F.col("o_orderstatus") == "P",
+            "n_urgent": F.col("o_orderpriority") == "1-URGENT",
+            "n_high": F.col("o_orderpriority") == "2-HIGH",
+            "n_low": F.col("o_orderpriority") == "5-LOW",
+        },
+    )
+
+
+# ===================================================================
+# §2.7 scalar expressions
+# ===================================================================
+
+def q_expr_cast(spark, sf_dir):
+    """expr_cast: typed re-cast stage (dags/mmd_transforms.py:55-63) —
+    int→string, string→bigint round-trip, timestamp→date, failed cast →
+    NULL (SAFE_CAST / try_cast)."""
+    df = _t(spark, sf_dir, "orders")
+    return df.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_custkey").cast("string").cast("bigint").alias("cust_roundtrip"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.col("o_orderpriority").try_cast("bigint").alias("bad_cast"),
+    )
+
+
+def q_expr_case_map(spark, sf_dir):
+    """expr_case_map: value-recode CASE (dags/hts_transforms.py:104-117)."""
+    df = _t(spark, sf_dir, "orders")
+    recode = case_map(
+        "o_orderpriority",
+        {
+            "1-URGENT": "P1",
+            "2-HIGH": "P2",
+            "3-MEDIUM": "P3",
+            "4-NOT SPECIFIED": "P4",
+            "5-LOW": "P5",
+        },
+        default="OTHER",
+    )
+    return df.select("o_orderkey", "o_orderpriority", recode.alias("priority_code"))
+
+
+def q_expr_case_flag(spark, sf_dir):
+    """expr_case_flag: boolean flag CASE, preserving the reference's
+    mixed-case "Yes"/"NO" quirk (dags/mmd_transforms.py:172-175)."""
+    df = _t(spark, sf_dir, "lineitem")
+    flag = case_flag(F.col("l_returnflag") == "R", "Yes", "NO")
+    return df.select(
+        "l_orderkey", "l_linenumber", "l_returnflag", flag.alias("returned_flag")
+    )
+
+
+def q_expr_case_bucket(spark, sf_dir):
+    """expr_case_bucket: range bucketing with NO ELSE — uncovered
+    combos stay NULL (dags/vls_transforms.py:180-191, SURVEY §2.11)."""
+    df = _t(spark, sf_dir, "orders")
+    bucket = case_bucket(
+        "o_totalprice",
+        [
+            (F.col("o_totalprice") < 50000, F.lit("low")),
+            (F.col("o_totalprice") < 150000, F.lit("mid")),
+            (
+                (F.col("o_totalprice") >= 150000) & (F.col("o_orderstatus") == "F"),
+                F.lit("high_final"),
+            ),
+        ],
+    )
+    return df.select(
+        "o_orderkey", "o_totalprice", "o_orderstatus", bucket.alias("price_band")
+    )
+
+
+def q_expr_null_default(spark, sf_dir):
+    """expr_null_default: WHEN NULL THEN 'Unknown'
+    (dags/covid_transforms.py:93-118)."""
+    df = _t(spark, sf_dir, "lineitem")
+    nulled = F.nullif(F.col("l_linestatus"), F.lit("O"))
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        null_default(nulled, "Unknown").alias("status_clean"),
+    )
+
+
+def q_expr_datediff(spark, sf_dir):
+    """expr_datediff: BigQuery DATE_DIFF boundary semantics for
+    DAY/MONTH/YEAR (dags/hts_transforms.py:84, mmd:102-104)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_shipdate").cast("date").alias("ship")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("odate")
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    return j.select(
+        "l_orderkey",
+        "l_linenumber",
+        bq_date_diff("ship", "odate", "DAY").alias("diff_day"),
+        bq_date_diff("ship", "odate", "MONTH").alias("diff_month"),
+        bq_date_diff("ship", "odate", "YEAR").alias("diff_year"),
+    )
+
+
+def q_expr_extract(spark, sf_dir):
+    """expr_extract: EXTRACT(YEAR/QUARTER/MONTH/DAY)
+    (dags/hts_transforms.py:85-90)."""
+    df = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return df.select(
+        "o_orderkey",
+        extract_part(d, "YEAR").alias("y"),
+        extract_part(d, "QUARTER").alias("q"),
+        extract_part(d, "MONTH").alias("m"),
+        extract_part(d, "DAY").alias("d"),
+    )
+
+
+def q_expr_format_date(spark, sf_dir):
+    """expr_format_date: FORMAT_DATETIME("%Y"/"%B")
+    (dags/mmd_transforms.py:218-222)."""
+    df = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return df.select(
+        "o_orderkey",
+        format_date(d, "%Y").alias("year_str"),
+        format_date(d, "%B").alias("month_name"),
+    )
+
+
+def q_expr_current_date(spark, sf_dir):
+    """expr_current_date: injected as-of date for deterministic
+    age-of-record arithmetic (dags/mmd_transforms.py:158)."""
+    df = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return df.select(
+        "o_orderkey",
+        bq_date_diff(as_of_date(AS_OF), d, "DAY").alias("age_days"),
+    )
+
+
+def q_expr_str_sentinel(spark, sf_dir):
+    """expr_str_sentinel: 'LDL'→0 decode then numeric cast
+    (dags/vls_transforms.py:187-190)."""
+    df = _t(spark, sf_dir, "lineitem")
+    raw = F.when(F.col("l_returnflag") == "N", F.lit("LDL")).otherwise(
+        F.col("l_quantity").cast("int").cast("string")
+    )
+    decoded = str_sentinel_decode(raw, {"LDL": 0}, cast_to="decimal(18,2)")
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        decoded.cast("double").alias("result_value"),
+    )
+
+
+def q_expr_null_normalize(spark, sf_dir):
+    """expr_null_normalize: literal 'None' → real NULL
+    (deps/parquet_solution.py:81-82)."""
+    from idr_data_pipelines_spark.functions import null_normalize
+
+    df = _t(spark, sf_dir, "documents").withColumn(
+        "lang_raw", F.when(F.col("lang") == "zh", F.lit("None")).otherwise(F.col("lang"))
+    )
+    out = null_normalize(df, sentinels=("None",), columns=["lang_raw"])
+    return out.select("doc_id", F.col("lang_raw").alias("lang_clean"))
+
+
+# ===================================================================
+# analytics / bench queries
+# ===================================================================
+
+def q_q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary: the flagship scan+agg. Money
+    sums are exact (DECIMAL) then surfaced as DOUBLE."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _money_sum(F.col("l_quantity")).alias("sum_qty"),
+            _money_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _money_sum(disc_price).alias("sum_disc_price"),
+            _money_sum(charge).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_q3_revenue_by_priority(spark, sf_dir):
+    """Join-heavy revenue rollup: segment filter → 3-way join →
+    group agg with count(distinct)."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    return j.groupBy("o_orderpriority").agg(
+        _money_sum(revenue).alias("revenue"),
+        F.countDistinct("o_orderkey").alias("n_orders"),
+    )
+
+
+def q_evt_windowed_counts(spark, sf_dir):
+    """Tumbling-window event counts (streaming-capable definition run
+    in batch; watermark applies on a stream)."""
+    ev = _events(spark, sf_dir)
+    out = windowed_event_counts(ev, "ts", "1 hour", group_cols=["event_type"])
+    return out.select(
+        F.unix_micros(F.col("window_start")).alias("window_start_us"),
+        "event_type",
+        "n_events",
+    )
+
+
+def q_evt_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30 min) via lag + running sum."""
+    ev = _events(spark, sf_dir)
+    out = sessionize(ev, "user_id", "ts", gap_minutes=30)
+    return out.select(
+        "user_id",
+        "session_id",
+        F.unix_micros(F.col("session_start")).alias("start_us"),
+        F.unix_micros(F.col("session_end")).alias("end_us"),
+        "n_events",
+    )
+
+
+def q_evt_pivot_user_counts(spark, sf_dir):
+    """Per-user event-type pivot (groupBy().pivot() — map-side partial
+    agg; explicit value list avoids a discovery pass)."""
+    ev = _events(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+    return out.select(
+        "user_id", *[F.col(t).alias(f"n_{t}") for t in types]
+    )
+
+
+# ===================================================================
+# llmdata: text analysis
+# ===================================================================
+
+def q_text_token_count(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", token_count("text").alias("n_tokens"))
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality signals: chars, tokens, alpha ratio, stopword ratio."""
+    df = _t(spark, sf_dir, "documents")
+    feats = quality_score("text")
+    return df.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["alpha_ratio"].alias("alpha_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+    )
+
+
+def q_text_fingerprint(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", fingerprint("text").alias("fp"))
+
+
+def q_dedup_exact_hash(spark, sf_dir):
+    """Exact-dup groups via content-hash groupBy."""
+    df = _t(spark, sf_dir, "documents")
+    return dedup_exact_hash_groups(df)
+
+
+def q_ngram_jaccard_adjacent(spark, sf_dir):
+    """Exact word-3-gram Jaccard on adjacent-id pairs (deterministic
+    candidate set so the oracle is SQL-expressible)."""
+    df = _t(spark, sf_dir, "documents")
+    ids = df.select(F.col("doc_id").alias("id_a"))
+    pairs = ids.withColumn("id_b", F.col("id_a") + 1).join(
+        df.select(F.col("doc_id").alias("id_b")), "id_b"
+    )
+    return ngram_jaccard_pairs(df, pairs, k=3)
+
+
+# ===================================================================
+# llmdata: near-dup / similarity (hash-based ops: rows-only checks)
+# ===================================================================
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs, verified with exact 3-gram Jaccard
+    ≥ 0.5. xxhash64-seeded → deterministic; no SQL oracle (hash
+    function not portable), driver records rows-only."""
+    df = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        df, num_perm=64, bands=16, shingle_k=3, jaccard_threshold=0.5
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """Per-doc 64-bit SimHash signatures (deterministic; rows-only)."""
+    df = _t(spark, sf_dir, "documents")
+    return simhash_signatures(df)
+
+
+def q_emb_cosine_near_dup(spark, sf_dir):
+    """Embedding near-dup pairs blocked by label, cosine ≥ 0.8 —
+    left-fold double arithmetic matches the SQL oracle bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        F.col("vec_id"), F.col("label"), _as_double("embedding").alias("vec")
+    )
+    l = vecs.alias("l")
+    r = vecs.alias("r")
+    out = (
+        l.join(
+            r,
+            (F.col("l.label") == F.col("r.label"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .withColumn("cos", cosine(F.col("l.vec"), F.col("r.vec")))
+        .filter(F.col("cos") >= 0.8)
+    )
+    return out.select(
+        F.col("l.vec_id").alias("id_a"),
+        F.col("r.vec_id").alias("id_b"),
+        F.round(F.col("cos"), 6).alias("cosine_r"),
+    )
+
+
+def q_ann_topk_bruteforce(spark, sf_dir):
+    """Exact brute-force top-5 cosine neighbors for query vectors
+    (vec_id < 8), broadcast query side."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = cosine_topk_bruteforce(emb, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", F.round(F.col("cosine"), 6).alias("cosine_r"), "rank"
+    )
+
+
+def q_ann_topk_lsh(spark, sf_dir):
+    """Approximate top-5 via sign-LSH buckets (deterministic planes,
+    seed=42). Approximate → rows-only check; recall vs brute force is
+    asserted in tests."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = cosine_topk_lsh(emb, queries, k=5, n_planes=6, dim=64)
+    return out.select(
+        "query_id", "neighbor_id", F.round(F.col("cosine"), 6).alias("cosine_r"), "rank"
+    )
+
+
+# ===================================================================
+# llmdata: multimodal
+# ===================================================================
+
+def q_mm_media_meta(spark, sf_dir):
+    """Multimodal plumbing: binary payload column → Arrow-batched
+    mapInPandas metadata extraction (decode step stubbed
+    deterministically; see llmdata/multimodal.py)."""
+    df = _t(spark, sf_dir, "documents")
+    with_bin = with_binary_payload(df, "text", media_type="image")
+    return extract_media_meta(with_bin)
+
+
+# ===================================================================
+# flagship: the MMD-shaped end-to-end chain (SURVEY §7.4)
+# ===================================================================
+
+def q_flagship_warehouse(spark, sf_dir):
+    """Flagship: dedup → latest-per-key → broadcast dim enrich →
+    as-of datediff → CASE bucket/flag → warehouse projection.
+
+    The Spark re-expression of the reference's MMD chain
+    (dags/mmd_transforms.py:277-278): one lazy plan, one shuffle for
+    the window, broadcast join for the dims, no intermediate
+    materialization."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+
+    latest = dedup_latest_per_key(
+        dedup_distinct(orders),
+        ["o_custkey"],
+        [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()],
+    )
+    enriched = join_inner_dim_cast(
+        latest, F.broadcast(cust), fact_key="o_custkey", dim_key="c_custkey",
+        broadcast_dim=False,
+    ).join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+
+    d = F.col("o_orderdate").cast("date")
+    days = bq_date_diff(as_of_date(AS_OF), d, "DAY")
+    out = enriched.withColumns(
+        {
+            "last_order_date": d,
+            "days_since": days,
+            "recency": case_bucket(
+                days,
+                [
+                    (days <= 365, F.lit("active")),
+                    (days <= 3 * 365, F.lit("lapsing")),
+                ],
+                default="dormant",
+            ),
+            "big_spender": case_flag(F.col("o_totalprice") >= 150000, "Yes", "NO"),
+        }
+    )
+    return out.select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("c_name").alias("customer_name"),
+        F.col("n_name").alias("nation"),
+        "last_order_date",
+        "days_since",
+        "recency",
+        "big_spender",
+        F.col("o_totalprice").alias("last_order_total"),
+    )
+
+
+# ===================================================================
+# registry
+# ===================================================================
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # §2.1 sources/sinks
+    "src_parquet_dir": q_src_parquet_dir,
+    "src_parquet_concat_str": q_src_parquet_concat_str,
+    "sink_table_overwrite": q_sink_table_overwrite,
+    "sink_rows_append": q_sink_rows_append,
+    "src_stream_drain": q_src_stream_drain,
+    # §2.2 dedup
+    "dedup_distinct": q_dedup_distinct,
+    "dedup_groupby_max": q_dedup_groupby_max,
+    "dedup_latest_per_key": q_dedup_latest_per_key,
+    "dedup_join_back_on_max": q_dedup_join_back_on_max,
+    # §2.3 projections/filters
+    "project_rename": q_project_rename,
+    "project_star_plus": q_project_star_plus,
+    "filter_not_null": q_filter_not_null,
+    "filter_eq": q_filter_eq,
+    "filter_derived": q_filter_derived,
+    "filter_on_join": q_filter_on_join,
+    # §2.4 joins
+    "join_inner_dim_cast": q_join_inner_dim_cast,
+    "join_inner_hub": q_join_inner_hub,
+    "join_left_fact": q_join_left_fact,
+    # §2.5 aggregations
+    "agg_groupby_max_all": q_agg_groupby_max_all,
+    "agg_max_date": q_agg_max_date,
+    "agg_pivot_sum_case": q_agg_pivot_sum_case,
+    # §2.7 expressions
+    "expr_cast": q_expr_cast,
+    "expr_case_map": q_expr_case_map,
+    "expr_case_flag": q_expr_case_flag,
+    "expr_case_bucket": q_expr_case_bucket,
+    "expr_null_default": q_expr_null_default,
+    "expr_datediff": q_expr_datediff,
+    "expr_extract": q_expr_extract,
+    "expr_format_date": q_expr_format_date,
+    "expr_current_date": q_expr_current_date,
+    "expr_str_sentinel": q_expr_str_sentinel,
+    "expr_null_normalize": q_expr_null_normalize,
+    # analytics / bench
+    "q1_pricing_summary": q_q1_pricing_summary,
+    "q3_revenue_by_priority": q_q3_revenue_by_priority,
+    "evt_windowed_counts": q_evt_windowed_counts,
+    "evt_sessionize": q_evt_sessionize,
+    "evt_pivot_user_counts": q_evt_pivot_user_counts,
+    # llmdata text
+    "text_token_count": q_text_token_count,
+    "text_quality": q_text_quality,
+    "text_fingerprint": q_text_fingerprint,
+    "dedup_exact_hash": q_dedup_exact_hash,
+    "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
+    # llmdata near-dup / similarity
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "emb_cosine_near_dup": q_emb_cosine_near_dup,
+    "ann_topk_bruteforce": q_ann_topk_bruteforce,
+    "ann_topk_lsh": q_ann_topk_lsh,
+    # multimodal
+    "mm_media_meta": q_mm_media_meta,
+    # flagship
+    "flagship_warehouse": q_flagship_warehouse,
+}
+
+
+# ===================================================================
+# oracles (DuckDB SQL) — same column names as the Spark results
+# ===================================================================
+
+def _dot_sql(a: str, b: str, dim: int = 64) -> str:
+    """Left-associative double dot product — matches Spark's fold."""
+    return "(" + " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE)*CAST({b}[{i}] AS DOUBLE)" for i in range(1, dim + 1)
+    ) + ")"
+
+
+def _norm_sql(a: str, dim: int = 64) -> str:
+    return "sqrt(" + " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE)*CAST({a}[{i}] AS DOUBLE)" for i in range(1, dim + 1)
+    ) + ")"
+
+
+_COS_LR = f"({_dot_sql('l.embedding', 'r.embedding')} / ({_norm_sql('l.embedding')} * {_norm_sql('r.embedding')}))"
+
+_SHINGLES_SQL = """
+    list_distinct(list_transform(
+        range(0, greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')) - 2, 0)),
+        i -> array_to_string(regexp_split_to_array(lower(trim(text)), '\\s+')[i+1:i+3], ' ')
+    ))
+"""
+
+ORACLES: dict[str, str] = {
+    "src_parquet_dir": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+        FROM lineitem
+    """,
+    "src_parquet_concat_str": """
+        SELECT DISTINCT
+            CAST(doc_id AS VARCHAR) AS doc_id,
+            text, lang, source,
+            CAST(n_chars AS VARCHAR) AS n_chars
+        FROM documents
+    """,
+    "sink_table_overwrite": "SELECT * FROM region",
+    "sink_rows_append": "SELECT * FROM region UNION ALL SELECT * FROM region",
+    "src_stream_drain": "SELECT event_id, user_id, event_type, value FROM events",
+    "dedup_distinct": """
+        SELECT DISTINCT l_orderkey, l_returnflag, l_linestatus FROM lineitem
+    """,
+    "dedup_groupby_max": """
+        SELECT o_custkey,
+               MAX(o_orderkey) AS o_orderkey,
+               MAX(o_orderstatus) AS o_orderstatus,
+               MAX(o_totalprice) AS o_totalprice,
+               MAX(CAST(o_orderdate AS DATE)) AS o_orderdate,
+               MAX(o_orderpriority) AS o_orderpriority
+        FROM orders GROUP BY o_custkey
+    """,
+    "dedup_latest_per_key": """
+        SELECT o_custkey, o_orderkey,
+               CAST(o_orderdate AS DATE) AS latest_date,
+               o_totalprice
+        FROM orders
+        QUALIFY row_number() OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+        ) = 1
+    """,
+    "dedup_join_back_on_max": """
+        SELECT o.o_custkey, o.o_orderkey,
+               CAST(o.o_orderdate AS DATE) AS latest_date,
+               o.o_totalprice
+        FROM orders o
+        LEFT JOIN (
+            SELECT o_custkey, MAX(o_orderdate) AS max_date
+            FROM orders GROUP BY o_custkey
+        ) m ON o.o_custkey = m.o_custkey
+        WHERE o.o_orderdate = m.max_date
+    """,
+    "project_rename": """
+        SELECT c_custkey AS customer_id, c_name AS customer_name,
+               c_nationkey AS nation_key, c_acctbal AS account_balance,
+               c_mktsegment AS segment
+        FROM customer
+    """,
+    "project_star_plus": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_tax,
+               l_extendedprice * (1.0 - l_discount) AS revenue,
+               (l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax) AS charge
+        FROM lineitem
+    """,
+    "filter_not_null": """
+        SELECT doc_id, NULLIF(lang, 'zh') AS lang2, NULLIF(source, 'src0') AS source2
+        FROM documents
+        WHERE NULLIF(lang, 'zh') IS NOT NULL AND NULLIF(source, 'src0') IS NOT NULL
+    """,
+    "filter_eq": """
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        FROM lineitem WHERE l_returnflag = 'R'
+    """,
+    "filter_derived": """
+        SELECT o_orderkey, o_totalprice, price_bucket FROM (
+            SELECT *, CASE WHEN o_totalprice < 50000 THEN 'small'
+                           WHEN o_totalprice < 150000 THEN 'medium' END AS price_bucket
+            FROM orders
+        ) WHERE price_bucket IS NOT NULL
+    """,
+    "filter_on_join": """
+        SELECT o_orderkey, o_custkey, c_mktsegment, o_totalprice
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+    """,
+    "join_inner_dim_cast": """
+        SELECT c_custkey, c_name, n_name
+        FROM customer JOIN nation ON n_nationkey = CAST(c_nationkey AS BIGINT)
+    """,
+    "join_inner_hub": """
+        SELECT s_suppkey, s_name, n_name, s_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    """,
+    "join_left_fact": """
+        SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+    "agg_groupby_max_all": """
+        SELECT l_orderkey,
+               MAX(l_quantity) AS l_quantity,
+               MAX(l_extendedprice) AS l_extendedprice,
+               MAX(l_returnflag) AS l_returnflag,
+               MAX(l_linestatus) AS l_linestatus,
+               MAX(CAST(l_shipdate AS DATE)) AS l_shipdate
+        FROM lineitem GROUP BY l_orderkey
+    """,
+    "agg_max_date": """
+        SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS latest_date
+        FROM orders GROUP BY o_custkey
+    """,
+    "agg_pivot_sum_case": """
+        SELECT
+            CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_fulfilled,
+            CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+            CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending,
+            CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+            CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+            CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+        FROM orders
+    """,
+    "expr_cast": """
+        SELECT o_orderkey,
+               CAST(o_orderkey AS VARCHAR) AS key_str,
+               CAST(CAST(o_custkey AS VARCHAR) AS BIGINT) AS cust_roundtrip,
+               CAST(o_orderdate AS DATE) AS order_date,
+               TRY_CAST(o_orderpriority AS BIGINT) AS bad_cast
+        FROM orders
+    """,
+    "expr_case_map": """
+        SELECT o_orderkey, o_orderpriority,
+               CASE o_orderpriority
+                   WHEN '1-URGENT' THEN 'P1' WHEN '2-HIGH' THEN 'P2'
+                   WHEN '3-MEDIUM' THEN 'P3' WHEN '4-NOT SPECIFIED' THEN 'P4'
+                   WHEN '5-LOW' THEN 'P5' ELSE 'OTHER'
+               END AS priority_code
+        FROM orders
+    """,
+    "expr_case_flag": """
+        SELECT l_orderkey, l_linenumber, l_returnflag,
+               CASE WHEN l_returnflag = 'R' THEN 'Yes' ELSE 'NO' END AS returned_flag
+        FROM lineitem
+    """,
+    "expr_case_bucket": """
+        SELECT o_orderkey, o_totalprice, o_orderstatus,
+               CASE WHEN o_totalprice < 50000 THEN 'low'
+                    WHEN o_totalprice < 150000 THEN 'mid'
+                    WHEN o_totalprice >= 150000 AND o_orderstatus = 'F' THEN 'high_final'
+               END AS price_band
+        FROM orders
+    """,
+    "expr_null_default": """
+        SELECT l_orderkey, l_linenumber,
+               COALESCE(NULLIF(l_linestatus, 'O'), 'Unknown') AS status_clean
+        FROM lineitem
+    """,
+    "expr_datediff": """
+        SELECT l_orderkey, l_linenumber,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS INT) AS diff_day,
+               CAST((year(l_shipdate) - year(o_orderdate)) * 12
+                    + (month(l_shipdate) - month(o_orderdate)) AS INT) AS diff_month,
+               CAST(year(l_shipdate) - year(o_orderdate) AS INT) AS diff_year
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    """,
+    "expr_extract": """
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS BIGINT) AS y,
+               CAST(quarter(o_orderdate) AS BIGINT) AS q,
+               CAST(month(o_orderdate) AS BIGINT) AS m,
+               CAST(day(o_orderdate) AS BIGINT) AS d
+        FROM orders
+    """,
+    "expr_format_date": """
+        SELECT o_orderkey,
+               strftime(CAST(o_orderdate AS DATE), '%Y') AS year_str,
+               strftime(CAST(o_orderdate AS DATE), '%B') AS month_name
+        FROM orders
+    """,
+    "expr_current_date": f"""
+        SELECT o_orderkey,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '{AS_OF}') AS INT) AS age_days
+        FROM orders
+    """,
+    "expr_str_sentinel": """
+        SELECT l_orderkey, l_linenumber,
+               CAST(CASE WHEN l_returnflag = 'N' THEN CAST(0 AS DECIMAL(18,2))
+                    ELSE TRY_CAST(CAST(CAST(l_quantity AS INT) AS VARCHAR) AS DECIMAL(18,2))
+               END AS DOUBLE) AS result_value
+        FROM lineitem
+    """,
+    "expr_null_normalize": """
+        SELECT doc_id,
+               NULLIF(CASE WHEN lang = 'zh' THEN 'None' ELSE lang END, 'None') AS lang_clean
+        FROM documents
+    """,
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(FLOOR((l_quantity)*100.0 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS sum_qty,
+               CAST(SUM(CAST(FLOOR((l_extendedprice)*100.0 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS sum_base_price,
+               CAST(SUM(CAST(FLOOR((l_extendedprice * (1.0 - l_discount))*100.0 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS sum_disc_price,
+               CAST(SUM(CAST(FLOOR(((l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax))*100.0 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS sum_charge,
+               COUNT(*) AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q3_revenue_by_priority": """
+        SELECT o_orderpriority,
+               CAST(SUM(CAST(FLOOR((l_extendedprice * (1.0 - l_discount))*100.0 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS revenue,
+               COUNT(DISTINCT o_orderkey) AS n_orders
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderpriority
+    """,
+    "evt_windowed_counts": """
+        SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+               event_type,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "evt_sessionize": """
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sid AS (
+            SELECT user_id, ts,
+                   CAST(SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING
+                   ) + 1 AS BIGINT) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id,
+               epoch_us(MIN(ts)) AS start_us,
+               epoch_us(MAX(ts)) AS end_us,
+               COUNT(*) AS n_events
+        FROM sid GROUP BY user_id, session_id
+    """,
+    "evt_pivot_user_counts": """
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        FROM events GROUP BY user_id
+    """,
+    "text_token_count": """
+        SELECT doc_id,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+        FROM documents
+    """,
+    "text_quality": """
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+               CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                   / CAST(CASE WHEN length(text) = 0 THEN 1.0 ELSE length(text) END AS DOUBLE) AS alpha_ratio,
+               CAST(len(regexp_extract_all(lower(text), '\\bthe\\b'))
+                    + len(regexp_extract_all(lower(text), '\\band\\b'))
+                    + len(regexp_extract_all(lower(text), '\\bof\\b'))
+                    + len(regexp_extract_all(lower(text), '\\bto\\b'))
+                    + len(regexp_extract_all(lower(text), '\\bis\\b')) AS DOUBLE)
+                   / CAST(CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) = 0 THEN 1.0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE) AS stopword_ratio
+        FROM documents
+    """,
+    "text_fingerprint": """
+        SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+        FROM documents
+    """,
+    "dedup_exact_hash": """
+        SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+               COUNT(*) AS group_size,
+               MIN(doc_id) AS representative
+        FROM documents GROUP BY 1
+    """,
+    "ngram_jaccard_adjacent": f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\\s+')) < 3
+                        THEN [array_to_string(regexp_split_to_array(lower(trim(text)), '\\s+'), ' ')]
+                        ELSE {_SHINGLES_SQL}
+                   END AS sh
+            FROM documents
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+        FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """,
+    "emb_cosine_near_dup": f"""
+        SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+               ROUND({_COS_LR}, 6) AS cosine_r
+        FROM embeddings l JOIN embeddings r
+          ON l.label = r.label AND l.vec_id < r.vec_id
+        WHERE {_COS_LR} >= 0.8
+    """,
+    "ann_topk_bruteforce": f"""
+        SELECT l.vec_id AS query_id, r.vec_id AS neighbor_id,
+               ROUND({_COS_LR}, 6) AS cosine_r,
+               CAST(row_number() OVER (
+                   PARTITION BY l.vec_id
+                   ORDER BY {_COS_LR} DESC, r.vec_id ASC
+               ) AS INT) AS rank
+        FROM embeddings l JOIN embeddings r ON l.vec_id != r.vec_id
+        WHERE l.vec_id < 8
+        QUALIFY row_number() OVER (
+            PARTITION BY l.vec_id
+            ORDER BY {_COS_LR} DESC, r.vec_id ASC
+        ) <= 5
+    """,
+    "mm_media_meta": """
+        SELECT doc_id,
+               'image' AS media_type,
+               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+               CAST((octet_length(CAST(text AS BLOB)) % 640) + 1 AS BIGINT) AS width,
+               CAST((octet_length(CAST(text AS BLOB)) % 480) + 1 AS BIGINT) AS height,
+               md5(text) AS checksum
+        FROM documents
+    """,
+    "flagship_warehouse": f"""
+        WITH latest AS (
+            SELECT * FROM (SELECT DISTINCT * FROM orders)
+            QUALIFY row_number() OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+            ) = 1
+        )
+        SELECT o_custkey AS customer_id,
+               c_name AS customer_name,
+               n_name AS nation,
+               CAST(o_orderdate AS DATE) AS last_order_date,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '{AS_OF}') AS INT) AS days_since,
+               CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), DATE '{AS_OF}') <= 365 THEN 'active'
+                    WHEN date_diff('day', CAST(o_orderdate AS DATE), DATE '{AS_OF}') <= 1095 THEN 'lapsing'
+                    ELSE 'dormant' END AS recency,
+               CASE WHEN o_totalprice >= 150000 THEN 'Yes' ELSE 'NO' END AS big_spender,
+               o_totalprice AS last_order_total
+        FROM latest
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+    """,
+}
+
+# Hash-based / approximate operators: no portable SQL equivalent →
+# the driver records a rows-only check (documented in __spark_entry__).
+NO_ORACLE: frozenset[str] = frozenset(
+    {"dedup_minhash_lsh", "dedup_simhash", "ann_topk_lsh"}
+)

@@ -1,0 +1,21 @@
+"""IO layer: parquet directory sources, table sinks, catalog."""
+
+from idr_data_pipelines_spark.sources.parquet import (
+    read_parquet_dir,
+    read_parquet_all_string,
+)
+from idr_data_pipelines_spark.sources.sinks import (
+    sink_table_overwrite,
+    sink_rows_append,
+    sink_parquet_overwrite,
+)
+from idr_data_pipelines_spark.sources.catalog import Catalog
+
+__all__ = [
+    "read_parquet_dir",
+    "read_parquet_all_string",
+    "sink_table_overwrite",
+    "sink_rows_append",
+    "sink_parquet_overwrite",
+    "Catalog",
+]

@@ -1,0 +1,46 @@
+"""A tiny name→location catalog.
+
+The reference addresses every dataset as ``project.dataset.table`` in
+BigQuery (SURVEY.md §1). Locally the analogue is a mapping from logical
+table names to parquet paths (or registered temp views), so pipelines
+can be written against names and pointed at sf0.001/sf0.01/sf0.1 (or a
+production lake) without code changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from idr_data_pipelines_spark.sources.parquet import read_parquet_dir
+
+
+class Catalog:
+    """Resolve logical table names to DataFrames.
+
+    Precedence: explicitly registered DataFrames > parquet files under
+    ``root`` > Spark catalog tables.
+    """
+
+    def __init__(self, spark: SparkSession, root: str | None = None):
+        self.spark = spark
+        self.root = root
+        self._frames: dict[str, DataFrame] = {}
+
+    def register(self, name: str, df: DataFrame) -> None:
+        self._frames[name] = df
+
+    def table(self, name: str) -> DataFrame:
+        if name in self._frames:
+            return self._frames[name]
+        if self.root is not None:
+            path = os.path.join(self.root, f"{name}.parquet")
+            if os.path.exists(path):
+                return read_parquet_dir(self.spark, path)
+        return self.spark.table(name)
+
+    def register_views(self, names: list[str]) -> None:
+        """Expose tables as temp views so ``spark.sql`` can see them."""
+        for name in names:
+            self.table(name).createOrReplaceTempView(name)

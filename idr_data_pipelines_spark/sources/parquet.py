@@ -1,0 +1,77 @@
+"""Parquet directory sources.
+
+Reference parity (cites relative to /root/reference/):
+
+- ``read_parquet_dir`` ≙ the ``GCSToBigQueryOperator`` load with
+  ``source_objects=['*']`` + parquet autodetect
+  (idr_pipeline_from_server/dags/idr_load.py:83-114): read every parquet
+  file under a prefix as one table, schema merged by name.
+- ``read_parquet_all_string`` ≙ the pandas ingest path
+  (idr_pipeline_from_server/dags/dependencies/parquet_solution.py:13-84):
+  read all blobs, cast every column to string, drop exact duplicates,
+  normalize the literal string "None" to null.
+
+Spark-first notes: the pandas path in the reference pulls every blob to
+driver memory; here both paths are a single distributed
+``spark.read.parquet`` scan — multi-file concat is native, the
+all-string cast is a projection inside the scan's codegen stage, and
+dedup is a hash aggregate. Nothing touches the driver.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _glob(path_or_dir: str) -> str:
+    """Accept a directory, a glob, or a single file."""
+    if os.path.isdir(path_or_dir):
+        return os.path.join(path_or_dir, "*.parquet")
+    return path_or_dir
+
+
+def read_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Load all parquet under ``path`` as one DataFrame.
+
+    ``columns`` prunes the scan (pushed into the parquet reader —
+    verify with ``df.explain()`` → ``ReadSchema``). ``merge_schema``
+    reconciles drifting file schemas by name, the analogue of BigQuery
+    autodetect over heterogeneous blobs.
+    """
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(_glob(path))
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def read_parquet_all_string(
+    spark: SparkSession,
+    path: str,
+    deduplicate: bool = True,
+    none_sentinels: tuple[str, ...] = ("None",),
+) -> DataFrame:
+    """All-string staging ingest (parquet_solution.py semantics).
+
+    Every column is cast to string (``astype(str)`` analogue,
+    parquet_solution.py:75), the literal string sentinels (``"None"``,
+    parquet_solution.py:81-82) are normalized to real nulls, and exact
+    duplicate rows are dropped (``drop_duplicates()``,
+    parquet_solution.py:78).
+    """
+    df = read_parquet_dir(spark, path)
+    df = df.select([F.col(c).cast("string").alias(c) for c in df.columns])
+    df = df.na.replace(list(none_sentinels), None)
+    if deduplicate:
+        df = df.distinct()
+    return df

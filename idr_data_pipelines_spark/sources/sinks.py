@@ -1,0 +1,52 @@
+"""Table sinks.
+
+Reference parity:
+
+- ``sink_table_overwrite`` ≙ ``write_disposition='WRITE_TRUNCATE'`` used
+  by every transform task (e.g. idr_pipeline_from_server/dags/
+  covid_transforms.py:48-50) and by the pandas loader's
+  ``LoadJobConfig(write_disposition="WRITE_TRUNCATE")``
+  (dags/dependencies/parquet_solution.py:87-125).
+- ``sink_rows_append`` ≙ the Cloud Function's streaming insert of event
+  payloads into the audit table (cloud_function/main.py:34-47).
+
+Scale note: a full-table overwrite of a 100 TB output is the
+reference's model (full refresh every run). When ``partition_by`` is
+given we write a partitioned table and rely on
+``spark.sql.sources.partitionOverwriteMode=dynamic`` (set in
+session.py) so a run that only produces some partitions replaces only
+those — the honest WRITE_TRUNCATE-at-scale story.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def sink_table_overwrite(
+    df: DataFrame,
+    table: str,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Replace ``table``'s contents with ``df`` (WRITE_TRUNCATE)."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.saveAsTable(table)
+
+
+def sink_rows_append(df: DataFrame, table: str) -> None:
+    """Append rows to ``table`` (audit-insert semantics)."""
+    df.write.mode("append").saveAsTable(table)
+
+
+def sink_parquet_overwrite(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Replace a parquet directory with ``df`` (lake-side TRUNCATE)."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

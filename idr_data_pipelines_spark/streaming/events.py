@@ -1,0 +1,155 @@
+"""Event-stream operators (Structured Streaming).
+
+Reference parity (SURVEY.md §2.8): the reference's streaming surface is
+control-plane only — a Pub/Sub streaming-pull drain with a bounded
+window (dags/dependencies/receiver.py:1-36), republish to a topic
+(dags/dependencies/publisher.py:1-21), and an audit append of event
+payloads (cloud_function/main.py:34-47). The Spark-native equivalents:
+
+- ``drain_available_now`` — ``readStream`` + ``Trigger.AvailableNow``:
+  process everything currently available, then stop. Exactly the
+  reference's "pull for a bounded window, ack, stop" semantics, but
+  with checkpointed exactly-once progress instead of a 10 s timer.
+- ``republish`` — drain + ``foreachBatch`` append to a destination
+  (topic analogue = table/path).
+
+Extensions beyond the reference (north-star brief): watermarked
+tumbling-window aggregation (``windowed_event_counts``) and
+gap-based sessionization (``sessionize``, batch form using window
+functions; the streaming form would use applyInPandasWithState).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def drain_available_now(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    checkpoint_dir: str,
+    sink_table: str,
+    fmt: str = "parquet",
+) -> None:
+    """Drain all currently-available files into ``sink_table`` and stop.
+
+    Streaming-pull analogue: new files under ``path`` are the incoming
+    messages; the checkpoint is the ack ledger (a message is never
+    processed twice, even across restarts — stronger than the
+    reference's at-least-once pull loop).
+    """
+    stream = (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .load(path)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink_table)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def republish(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    checkpoint_dir: str,
+    dest_path: str,
+    fmt: str = "parquet",
+) -> None:
+    """Drain + republish: every available message is appended to the
+    destination (topic analogue), exactly once, then the query stops."""
+    stream = spark.readStream.format(fmt).schema(schema).load(path)
+
+    def _publish(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(dest_path)
+
+    q = (
+        stream.writeStream.foreachBatch(_publish)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols: list[str] | None = None,
+    streaming: bool | None = None,
+) -> DataFrame:
+    """Tumbling-window event counts with late-data handling.
+
+    On a streaming DataFrame the watermark bounds state: windows older
+    than ``watermark`` are finalized and dropped from the state store —
+    this is what makes the aggregation runnable forever on an unbounded
+    stream. On a batch DataFrame the same code runs without state
+    (watermark is a no-op), so one definition serves both.
+    """
+    if streaming is None:
+        streaming = events.isStreaming
+    if streaming:
+        events = events.withWatermark(ts_col, watermark)
+    keys = [F.window(F.col(ts_col), window_duration).alias("win")] + [
+        F.col(c) for c in (group_cols or [])
+    ]
+    out = events.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_events"))
+    return out.select(
+        F.col("win.start").alias("window_start"),
+        *[F.col(c) for c in (group_cols or [])],
+        "n_events",
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionization (batch form).
+
+    A new session starts when the gap to the previous event of the
+    same user exceeds ``gap_minutes``. Classic lag + cumulative-sum
+    over a per-user window: one shuffle on ``user_col``, sort within
+    partitions — scales as long as a single user's history fits a
+    partition (true for event data keyed by real users; a pathological
+    hot user would be salted by session day first).
+
+    Returns one row per session: user, session_id (1-based per user),
+    start/end timestamps and event count.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap_us = gap_minutes * 60 * 1_000_000
+    ts_us = F.unix_micros(F.col(ts_col))
+    with_flag = events.withColumn(
+        "__new_session",
+        F.when(ts_us - F.lag(ts_us).over(w) > F.lit(gap_us), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    with_sid = with_flag.withColumn(
+        "session_id",
+        (F.sum("__new_session").over(
+            Window.partitionBy(user_col).orderBy(ts_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ) + F.lit(1)).cast("long"),
+    )
+    return (
+        with_sid.groupBy(user_col, "session_id")
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -1,0 +1,43 @@
+"""Differential tests: every oracle-backed query must match DuckDB
+exactly (row count + schema + order-insensitive values) at sf0.001.
+
+This mirrors the driver's t2 correctness gate; any failure here would
+fail CORRECTNESS_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from idr_data_pipelines_spark.queries import NO_ORACLE, ORACLES, QUERIES
+
+from .oracle_harness import compare, duck_connection
+
+ORACLE_KEYS = sorted(ORACLES)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duck_connection(sf_dir)
+    yield con
+    con.close()
+
+
+def test_registry_consistency():
+    assert set(ORACLES) | NO_ORACLE == set(QUERIES)
+    assert not (set(ORACLES) & NO_ORACLE)
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_oracle_match(name, spark, sf_dir, duck):
+    df = QUERIES[name](spark, sf_dir)
+    res = compare(df, duck, ORACLES[name])
+    assert res["rowcount_match"], f"{name}: rows {res['rows_spark']} vs {res['rows_oracle']}"
+    assert res["schema_match"], f"{name}: cols {res['cols_spark']} vs {res['cols_oracle']}"
+    assert res["values_match"], f"{name}: first diff {res['first_diff']}"
+
+
+@pytest.mark.parametrize("name", sorted(NO_ORACLE))
+def test_rows_only_queries_run(name, spark, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
