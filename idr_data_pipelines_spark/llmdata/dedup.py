@@ -55,6 +55,18 @@ def _tokens(col: Column | str) -> Column:
     return F.split(F.lower(F.trim(c)), r"\s+")
 
 
+def _let(expr: Column, fn) -> Column:
+    """Let-binding for array expressions: evaluate ``expr`` once and
+    reference it as a lambda variable inside ``fn``.
+
+    Catalyst's projection collapsing inlines aliased expressions into
+    every use site, so an expensive array expression referenced 64
+    times is *computed* 64 times. ``transform(array(e), x -> body)[1]``
+    binds e to a lambda variable — one evaluation, many references.
+    """
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def word_shingles(col: Column | str, k: int = 3) -> Column:
     """Distinct word k-shingles as an array<string>. Documents shorter
     than k tokens yield their whole text as one shingle."""
@@ -70,6 +82,79 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
 
 # -------------------------------------------------------------- MinHash
 
+_MASK32 = (1 << 32) - 1
+
+
+def shingle_hashes(text_col: Column | str, k: int = 3) -> Column:
+    """Distinct word-k-shingle hash pairs as array<struct<hf,h2>>.
+
+    String shingle materialization (slice + join per shingle) is the
+    hot cost at scale, so shingles are never built as strings: tokens
+    are hashed once (one xxhash64 per token), then each shingle's
+    identity is ``xxhash64(th[i], ..., th[i+k-1])`` over the token
+    hashes — pure long arithmetic. ``hf`` is the full 64-bit shingle
+    hash (used as the set element for Jaccard), ``h2`` an independent
+    32-bit-masked second hash for the permutation family. Documents
+    shorter than k tokens hash their whole token sequence as one
+    shingle.
+    """
+    toks = _tokens(text_col)
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def build(hs: Column) -> Column:
+        n = F.size(hs)
+
+        def sh(i: Column) -> Column:
+            args = [F.element_at(hs, (i + j + 1).cast("int")) for j in range(k)]
+            return F.struct(
+                F.xxhash64(*args).alias("hf"),
+                F.xxhash64(F.lit(1), *args)
+                .bitwiseAND(F.lit(_MASK32))
+                .alias("h2"),
+            )
+
+        shingled = F.transform(F.sequence(F.lit(0), n - F.lit(k)), sh)
+        whole = F.aggregate(
+            hs, F.lit(0).cast("long"), lambda a, x: F.xxhash64(a, x)
+        )
+        whole_pair = F.array(
+            F.struct(
+                whole.alias("hf"),
+                F.xxhash64(F.lit(1), whole)
+                .bitwiseAND(F.lit(_MASK32))
+                .alias("h2"),
+            )
+        )
+        return F.when(n < F.lit(k), whole_pair).otherwise(
+            F.array_distinct(shingled)
+        )
+
+    return _let(th, build)
+
+
+def minhash_signature_expr(text_col: Column | str, num_perm: int, shingle_k: int) -> Column:
+    """array<long>[num_perm] MinHash signature expression.
+
+    Permutation family: ``perm_i(s) = (hf(s) & mask32) + i * h2(s)``
+    with hf/h2 independent xxhash64 values (32-bit masked products stay
+    far below 2^63, so ANSI arithmetic can't overflow). Two hash
+    evaluations per shingle total — per-permutation work is one
+    multiply-add. Pure projection: no explode, no shuffle, no Python.
+    """
+    return _let(
+        shingle_hashes(text_col, shingle_k),
+        lambda hp: F.transform(
+            F.sequence(F.lit(0), F.lit(num_perm - 1)),
+            lambda i: F.array_min(
+                F.transform(
+                    hp,
+                    lambda p: p["hf"].bitwiseAND(F.lit(_MASK32)) + i * p["h2"],
+                )
+            ),
+        ),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -77,17 +162,8 @@ def minhash_signatures(
     num_perm: int = 128,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """(id, signature array<long>[num_perm]) via min of seeded xxhash64
-    over the shingle set. Pure projection — no explode, no shuffle:
-    each permutation is ``array_min(transform(shingles, s ->
-    xxhash64(seed_i, s)))``."""
-    sh = word_shingles(text_col, shingle_k)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
-            for i in range(num_perm)
-        ]
-    )
+    """(id, signature array<long>[num_perm]) — see minhash_signature_expr."""
+    sig = minhash_signature_expr(text_col, num_perm, shingle_k)
     return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
 
 
@@ -115,22 +191,26 @@ def minhash_lsh_pairs(
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
     r = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k)
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.xxhash64(
-                            *[F.element_at("signature", b * r + j + 1) for j in range(r)]
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
+    # Band hashes are computed inside the same let-bound expression as
+    # the signature, so the signature is evaluated exactly once per row
+    # (a separate select would be inlined per reference by
+    # CollapseProject).
+    band_structs = _let(
+        minhash_signature_expr(text_col, num_perm, shingle_k),
+        lambda sig: F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.xxhash64(
+                        *[F.element_at(sig, b * r + j + 1) for j in range(r)]
+                    ).alias("band_hash"),
+                )
+                for b in range(bands)
+            ]
+        ),
+    )
+    banded = df.select(
+        F.col(id_col).alias("id"), F.explode(band_structs).alias("band")
     ).select("id", "band.band_idx", "band.band_hash")
 
     left = banded.alias("l")
@@ -148,8 +228,12 @@ def minhash_lsh_pairs(
     if jaccard_threshold is None:
         return pairs.withColumn("jaccard", F.lit(None).cast("double"))
 
+    # Verify with exact Jaccard over the hashed shingle sets (64-bit
+    # hashes: collision probability is negligible, and long-array set
+    # ops are far cheaper than string-array ones at scale).
     sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, shingle_k).alias("sh")
+        F.col(id_col).alias("id"),
+        F.transform(shingle_hashes(text_col, shingle_k), lambda p: p["hf"]).alias("sh"),
     )
     verified = (
         pairs.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
@@ -178,10 +262,13 @@ def simhash64(col: Column | str) -> Column:
     bit_idx = F.sequence(F.lit(0), F.lit(63))
 
     def tok_bits(t: Column) -> Column:
-        h = F.xxhash64(t)
-        return F.transform(
-            bit_idx,
-            lambda i: F.when(F.getbit(h, i) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        # bind the token hash once; 64 getbit references are then cheap
+        return _let(
+            F.xxhash64(t),
+            lambda h: F.transform(
+                bit_idx,
+                lambda i: F.when(F.getbit(h, i) == 1, F.lit(1)).otherwise(F.lit(-1)),
+            ),
         )
 
     counts = F.aggregate(
@@ -189,16 +276,21 @@ def simhash64(col: Column | str) -> Column:
         F.array_repeat(F.lit(0), 64),
         lambda acc, t: F.zip_with(acc, tok_bits(t), lambda a, b: a + b),
     )
-    # Pack the 64 sign bits into one long. Literal weights per bit;
-    # bit 63's weight is Long.MIN_VALUE (2^63 as signed two's-complement),
-    # so the sum stays in range under ANSI arithmetic.
-    packed = F.lit(0).cast("long")
-    for i in range(64):
-        weight = (1 << i) if i < 63 else -(1 << 63)
-        packed = packed + F.when(
-            F.element_at(counts, i + 1) > 0, F.lit(weight).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return packed
+
+    def pack(cnt: Column) -> Column:
+        # Literal weights per bit; bit 63's weight is Long.MIN_VALUE
+        # (2^63 as signed two's-complement), so the sum stays in range
+        # under ANSI arithmetic.
+        packed = F.lit(0).cast("long")
+        for i in range(64):
+            weight = (1 << i) if i < 63 else -(1 << 63)
+            packed = packed + F.when(
+                F.element_at(cnt, i + 1) > 0, F.lit(weight).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        return packed
+
+    # bind counts once — pack references it 64 times
+    return _let(counts, pack)
 
 
 def simhash_signatures(
@@ -221,24 +313,26 @@ def simhash_near_dup_pairs(
     """
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
-    sigs = simhash_signatures(df, id_col, text_col)
-    chunks = sigs.select(
-        "id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("chunk_idx"),
-                        F.shiftrightunsigned(F.col("simhash"), i * chunk_bits)
-                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-                        .alias("chunk_val"),
-                    )
-                    for i in range(n_chunks)
-                ]
-            )
-        ).alias("c"),
-    ).select("id", "simhash", "c.chunk_idx", "c.chunk_val")
+    # One let-bound simhash evaluation per row; chunks carry the full
+    # signature so the verify stage needs no second join.
+    chunk_structs = _let(
+        simhash64(text_col),
+        lambda s: F.array(
+            *[
+                F.struct(
+                    s.alias("simhash"),
+                    F.lit(i).alias("chunk_idx"),
+                    F.shiftrightunsigned(s, i * chunk_bits)
+                    .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                    .alias("chunk_val"),
+                )
+                for i in range(n_chunks)
+            ]
+        ),
+    )
+    chunks = df.select(
+        F.col(id_col).alias("id"), F.explode(chunk_structs).alias("c")
+    ).select("id", "c.simhash", "c.chunk_idx", "c.chunk_val")
 
     l, r = chunks.alias("l"), chunks.alias("r")
     return (
