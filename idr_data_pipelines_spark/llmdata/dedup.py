@@ -86,17 +86,14 @@ _MASK32 = (1 << 32) - 1
 
 
 def shingle_hashes(text_col: Column | str, k: int = 3) -> Column:
-    """Distinct word-k-shingle hash pairs as array<struct<hf,h2>>.
+    """Distinct word-k-shingle hashes as array<long>.
 
     String shingle materialization (slice + join per shingle) is the
     hot cost at scale, so shingles are never built as strings: tokens
     are hashed once (one xxhash64 per token), then each shingle's
     identity is ``xxhash64(th[i], ..., th[i+k-1])`` over the token
-    hashes — pure long arithmetic. ``hf`` is the full 64-bit shingle
-    hash (used as the set element for Jaccard), ``h2`` an independent
-    32-bit-masked second hash for the permutation family. Documents
-    shorter than k tokens hash their whole token sequence as one
-    shingle.
+    hashes — pure long arithmetic. Documents shorter than k tokens
+    hash their whole token sequence as one shingle.
     """
     toks = _tokens(text_col)
     th = F.transform(toks, lambda t: F.xxhash64(t))
@@ -106,41 +103,54 @@ def shingle_hashes(text_col: Column | str, k: int = 3) -> Column:
 
         def sh(i: Column) -> Column:
             args = [F.element_at(hs, (i + j + 1).cast("int")) for j in range(k)]
-            return F.struct(
-                F.xxhash64(*args).alias("hf"),
-                F.xxhash64(F.lit(1), *args)
-                .bitwiseAND(F.lit(_MASK32))
-                .alias("h2"),
-            )
+            return F.xxhash64(*args)
 
         shingled = F.transform(F.sequence(F.lit(0), n - F.lit(k)), sh)
         whole = F.aggregate(
             hs, F.lit(0).cast("long"), lambda a, x: F.xxhash64(a, x)
         )
-        whole_pair = F.array(
-            F.struct(
-                whole.alias("hf"),
-                F.xxhash64(F.lit(1), whole)
-                .bitwiseAND(F.lit(_MASK32))
-                .alias("h2"),
-            )
-        )
-        return F.when(n < F.lit(k), whole_pair).otherwise(
+        return F.when(n < F.lit(k), F.array(whole)).otherwise(
             F.array_distinct(shingled)
         )
 
     return _let(th, build)
 
 
+# Universal-hash permutation family for MinHash: perm_i(s) =
+# (a_i * (h(s) & mask32) + b_i) mod P, with P the smallest prime above
+# 2^32 (the datasketch choice) and fixed pseudo-random 31-bit
+# coefficients. a_i < 2^31 and h < 2^32 keep the product below 2^63,
+# so ANSI long arithmetic cannot overflow. A prior design without the
+# modulus (h + i*h2) degenerated for large i — i*h2 dominates, every
+# high-index permutation picks the min-h2 shingle, and LSH bands
+# become correlated, destroying recall.
+_MERSENNE_P = 4294967311
+
+
+def _perm_coefficients(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs — a fixed-seed MT stream, identical
+    across runs, partitions and cluster sizes."""
+    import random
+
+    rng = random.Random(0x5EED_CAFE)
+    return [
+        (rng.randrange(1, 1 << 31), rng.randrange(0, 1 << 31))
+        for _ in range(num_perm)
+    ]
+
+
 def minhash_signature_expr(text_col: Column | str, num_perm: int, shingle_k: int) -> Column:
     """array<long>[num_perm] MinHash signature expression.
 
-    Permutation family: ``perm_i(s) = (hf(s) & mask32) + i * h2(s)``
-    with hf/h2 independent xxhash64 values (32-bit masked products stay
-    far below 2^63, so ANSI arithmetic can't overflow). Two hash
-    evaluations per shingle total — per-permutation work is one
-    multiply-add. Pure projection: no explode, no shuffle, no Python.
+    One xxhash64 per shingle, then one multiply-add-mod per
+    permutation over the 32-bit-masked shingle hash. Pure projection:
+    no explode, no shuffle, no Python. Coefficient vectors are array
+    literals indexed by the permutation's lambda variable, keeping the
+    expression tree O(num_perm) small.
     """
+    coeffs = _perm_coefficients(num_perm)
+    a_arr = F.array(*[F.lit(a) for a, _ in coeffs])
+    b_arr = F.array(*[F.lit(b) for _, b in coeffs])
     return _let(
         shingle_hashes(text_col, shingle_k),
         lambda hp: F.transform(
@@ -148,7 +158,12 @@ def minhash_signature_expr(text_col: Column | str, num_perm: int, shingle_k: int
             lambda i: F.array_min(
                 F.transform(
                     hp,
-                    lambda p: p["hf"].bitwiseAND(F.lit(_MASK32)) + i * p["h2"],
+                    lambda h: (
+                        F.element_at(a_arr, (i + 1).cast("int"))
+                        * h.bitwiseAND(F.lit(_MASK32))
+                        + F.element_at(b_arr, (i + 1).cast("int"))
+                    )
+                    % F.lit(_MERSENNE_P),
                 )
             ),
         ),
@@ -233,7 +248,7 @@ def minhash_lsh_pairs(
     # ops are far cheaper than string-array ones at scale).
     sh = df.select(
         F.col(id_col).alias("id"),
-        F.transform(shingle_hashes(text_col, shingle_k), lambda p: p["hf"]).alias("sh"),
+        shingle_hashes(text_col, shingle_k).alias("sh"),
     )
     verified = (
         pairs.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")

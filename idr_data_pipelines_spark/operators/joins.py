@@ -38,7 +38,7 @@ def join_inner_dim_cast(
     ``MFL_Codes.SiteCode = CAST(staging.MFL_code AS INT)``
     (dags/covid_transforms.py:56-74, hts:57-78, mmd:190-212).
     """
-    left_key = F.col(fact_key)
+    left_key = fact[fact_key]
     if cast_fact_key_to:
         left_key = left_key.cast(cast_fact_key_to)
     right = F.broadcast(dim) if broadcast_dim else dim

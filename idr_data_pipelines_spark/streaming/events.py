@@ -46,14 +46,30 @@ def drain_available_now(
         .schema(schema)
         .load(path)
     )
+    # foreachBatch (not the memory sink) because only it supports
+    # resuming from an existing checkpoint — the ack-ledger semantics
+    # this operator exists for. Batches are appended to a per-drain
+    # staging directory (foreachBatch runs on a cloned session, so a
+    # temp view registered inside the callback would be invisible to
+    # the caller), then exposed as a temp view over that directory.
+    out_dir = f"{checkpoint_dir.rstrip('/')}__out/{sink_table}"
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
     q = (
-        stream.writeStream.format("memory")
-        .queryName(sink_table)
+        stream.writeStream.foreachBatch(_sink)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+    try:
+        out = spark.read.schema(schema).parquet(out_dir)
+        out.head(1)  # raises if no batch ever wrote the directory
+    except Exception:
+        out = spark.createDataFrame([], schema)
+    out.createOrReplaceTempView(sink_table)
 
 
 def republish(

@@ -1,0 +1,111 @@
+"""Structured Streaming surface: AvailableNow drain semantics
+(exactly-once via checkpoint), republish, windowed counts, sessions."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from idr_data_pipelines_spark.streaming import (
+    drain_available_now,
+    republish,
+    sessionize,
+    windowed_event_counts,
+)
+
+
+def _write_messages(spark, path, start, n):
+    (
+        spark.range(start, start + n)
+        .select(
+            F.col("id").alias("event_id"),
+            F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+            (F.col("id") % 3).alias("user_id"),
+            F.lit("click").alias("event_type"),
+        )
+        .write.mode("append")
+        .parquet(path)
+    )
+
+
+def test_drain_available_now_exactly_once(spark, tmp_path):
+    inbox = str(tmp_path / "inbox")
+    ckpt = str(tmp_path / "ckpt")
+    _write_messages(spark, inbox, 0, 10)
+    schema = spark.read.parquet(inbox).schema
+
+    drain_available_now(spark, inbox, schema, ckpt, "drain_t1")
+    assert spark.table("drain_t1").count() == 10
+
+    # second drain with the SAME checkpoint: no new files → nothing new
+    drain_available_now(spark, inbox, schema, ckpt, "drain_t2")
+    assert spark.table("drain_t2").count() == 0
+
+    # new messages arrive → only they are drained (the ack ledger)
+    _write_messages(spark, inbox, 100, 5)
+    drain_available_now(spark, inbox, schema, ckpt, "drain_t3")
+    assert spark.table("drain_t3").count() == 5
+
+
+def test_republish_appends_to_destination(spark, tmp_path):
+    inbox = str(tmp_path / "inbox")
+    ckpt = str(tmp_path / "ckpt")
+    dest = str(tmp_path / "topic")
+    _write_messages(spark, inbox, 0, 7)
+    schema = spark.read.parquet(inbox).schema
+    republish(spark, inbox, schema, ckpt, dest)
+    assert spark.read.parquet(dest).count() == 7
+    # idempotent on re-run with same checkpoint
+    republish(spark, inbox, schema, ckpt, dest)
+    assert spark.read.parquet(dest).count() == 7
+
+
+def test_windowed_counts_streaming_with_watermark(spark, tmp_path):
+    """Run the SAME aggregation definition as a real stream with a
+    watermark (AvailableNow) and check it matches the batch result."""
+    inbox = str(tmp_path / "inbox")
+    _write_messages(spark, inbox, 0, 7200)  # 2 hours of 1-second events
+    schema = spark.read.parquet(inbox).schema
+
+    stream = spark.readStream.schema(schema).parquet(inbox)
+    agg = windowed_event_counts(stream, "ts", "1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["window_start_us"] if "window_start_us" in r else r["window_start"]: r["n_events"]
+        for r in spark.table("win_counts").collect()
+    }
+    batch = windowed_event_counts(spark.read.parquet(inbox), "ts", "1 hour")
+    want = {r["window_start"]: r["n_events"] for r in batch.collect()}
+    assert {str(k): v for k, v in got.items()} == {str(k): v for k, v in want.items()}
+    assert sum(want.values()) == 7200
+
+
+def test_sessionize_gap_splits(spark):
+    rows = [
+        (1, "2024-01-01 10:00:00"),
+        (1, "2024-01-01 10:10:00"),   # same session (10 min)
+        (1, "2024-01-01 11:00:00"),   # gap 50 min → new session
+        (2, "2024-01-01 09:00:00"),   # other user
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts_str"]).withColumn(
+        "ts", F.to_timestamp("ts_str")
+    )
+    out = {(r["user_id"], r["session_id"]): r for r in sessionize(df).collect()}
+    assert (1, 1) in out and (1, 2) in out and (2, 1) in out
+    assert out[(1, 1)]["n_events"] == 2
+    assert out[(1, 2)]["n_events"] == 1
+    # exactly-30-min gap does NOT split (strictly greater)
+    rows2 = [(9, "2024-01-01 10:00:00"), (9, "2024-01-01 10:30:00")]
+    df2 = spark.createDataFrame(rows2, ["user_id", "ts_str"]).withColumn(
+        "ts", F.to_timestamp("ts_str")
+    )
+    assert sessionize(df2).count() == 1
