@@ -50,9 +50,17 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/codegen paths so timings measure the queries, not
-    # session startup (the driver compares steady-state throughput).
+    # Warm the JVM/codegen paths AND the Python/Arrow UDF workers so
+    # timings measure the queries, not session or worker startup (the
+    # driver compares steady-state throughput).
     QUERIES["q1_pricing_summary"](spark, sf_dir).collect()
+    from pyspark.sql import functions as F
+    from idr_data_pipelines_spark.llmdata.dedup import minhash_signatures
+
+    warm = spark.range(int(cpus) * 4).selectExpr("cast(id as string) as text", "id as doc_id")
+    minhash_signatures(warm.repartition(int(cpus)), num_perm=8).agg(
+        F.count(F.lit(1))
+    ).collect()
 
     timings: dict[str, float] = {}
     total = 0.0

@@ -176,10 +176,78 @@ def minhash_signatures(
     text_col: str = "text",
     num_perm: int = 128,
     shingle_k: int = 3,
+    impl: str = "arrow",
 ) -> DataFrame:
-    """(id, signature array<long>[num_perm]) — see minhash_signature_expr."""
-    sig = minhash_signature_expr(text_col, num_perm, shingle_k)
-    return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
+    """(id, signature array<long>[num_perm]).
+
+    ``impl="arrow"`` (default) hashes shingles JVM-side then runs the
+    O(S×num_perm) permutation-min inner loop in numpy via
+    ``mapInPandas`` — identical hash family to the pure-expression
+    form (same coefficients, masking, modulus; int64 never overflows,
+    see _MERSENNE_P note) but ~50× faster, because Catalyst evaluates
+    higher-order array lambdas interpreted, outside whole-stage
+    codegen. mapInPandas (not a scalar Pandas UDF) so the computation
+    is a dedicated plan node: scalar Python UDFs can be inlined by
+    CollapseProject under Generate or left un-extracted on the rebuilt
+    branch of a self-join, both of which fail at runtime.
+
+    ``impl="expr"`` stays pure-Catalyst — same results bit-for-bit.
+    """
+    if impl == "expr":
+        sig = minhash_signature_expr(text_col, num_perm, shingle_k)
+        return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    coeffs = _perm_coefficients(num_perm)
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
+
+    def compute(batches):
+        # Vectorized across rows: flatten each chunk's shingle arrays,
+        # one (num_perm × total_shingles) multiply-add-mod, then
+        # per-document segment minima via minimum.reduceat — no
+        # per-row numpy-call overhead. Chunked to bound the
+        # intermediate at ~num_perm × CH × avg_shingles × 8 bytes.
+        CH = 1024
+        for pdf in batches:
+            hs_list = pdf["__sh"].tolist()
+            out = []
+            for s in range(0, len(hs_list), CH):
+                chunk = hs_list[s : s + CH]
+                lens = np.fromiter(
+                    (len(h) for h in chunk), dtype=np.int64, count=len(chunk)
+                )
+                flat = np.concatenate(
+                    [np.asarray(h, dtype=np.int64) for h in chunk]
+                )
+                h32 = flat & _MASK32
+                perms = (A * h32[None, :] + B) % _MERSENNE_P
+                offs = np.zeros(len(chunk), dtype=np.int64)
+                np.cumsum(lens[:-1], out=offs[1:])
+                out.extend(np.minimum.reduceat(perms, offs, axis=1).T)
+            yield pd.DataFrame({"id": pdf["id"], "signature": out})
+
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        shingle_hashes(text_col, shingle_k).alias("__sh"),
+    )
+    # A tiny/compacted input (e.g. one parquet file) would serialize
+    # the numpy stage onto one core; rebalance only when input
+    # parallelism is far below the cluster's — at real scale inputs
+    # already have many partitions and this is a no-op (no shuffle).
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if shingled.rdd.getNumPartitions() < max(2, target // 2):
+        shingled = shingled.repartition(target)
+    out_schema = StructType(
+        [
+            StructField("id", df.schema[id_col].dataType),
+            StructField("signature", ArrayType(LongType())),
+        ]
+    )
+    return shingled.mapInPandas(compute, out_schema)
 
 
 def minhash_lsh_pairs(
@@ -190,12 +258,14 @@ def minhash_lsh_pairs(
     bands: int = 32,
     shingle_k: int = 3,
     jaccard_threshold: float | None = 0.8,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH, optionally
     verified with exact shingle-set Jaccard.
 
     rows_per_band = num_perm / bands; two docs collide if any band of
-    their signatures matches. Plan: signatures (projection) → explode
+    their signatures matches. Plan: signatures (projection; Arrow UDF
+    or pure-expression hot loop, see minhash_signatures) → explode
     bands (num_perm stays columnar; only ``bands`` rows per doc) →
     self-equi-join on (band_idx, band_hash) → distinct pairs → verify.
 
@@ -206,13 +276,10 @@ def minhash_lsh_pairs(
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
     r = num_perm // bands
-    # Band hashes are computed inside the same let-bound expression as
-    # the signature, so the signature is evaluated exactly once per row
-    # (a separate select would be inlined per reference by
-    # CollapseProject).
-    band_structs = _let(
-        minhash_signature_expr(text_col, num_perm, shingle_k),
-        lambda sig: F.array(
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k, impl)
+
+    def band_array(sig: Column) -> Column:
+        return F.array(
             *[
                 F.struct(
                     F.lit(b).alias("band_idx"),
@@ -222,11 +289,26 @@ def minhash_lsh_pairs(
                 )
                 for b in range(bands)
             ]
-        ),
-    )
-    banded = df.select(
-        F.col(id_col).alias("id"), F.explode(band_structs).alias("band")
-    ).select("id", "band.band_idx", "band.band_hash")
+        )
+
+    if impl == "expr":
+        # CollapseProject would inline the signature expression into
+        # every band-hash reference — re-bind with _let: one eval.
+        band_structs = _let(F.col("signature"), band_array)
+    else:
+        # Python UDF: must stay a plain column reference (a UDF inside
+        # a higher-order-function lambda is unevaluable). All identical
+        # references collapse into one ArrowEvalPython stage.
+        band_structs = band_array(F.col("signature"))
+    # persist: the band table feeds both sides of the self-join —
+    # without it the signature pipeline (the expensive stage) runs
+    # twice, and Spark's self-join attribute dedup can leave the
+    # Python UDF un-extracted on the rebuilt right branch
+    # (uneval-able at runtime). Compact: one (id, int, long) row per
+    # band. At cluster scale use MEMORY_AND_DISK — the default here.
+    banded = sigs.select(
+        "id", F.explode(band_structs).alias("band")
+    ).select("id", "band.band_idx", "band.band_hash").persist()
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -246,10 +328,12 @@ def minhash_lsh_pairs(
     # Verify with exact Jaccard over the hashed shingle sets (64-bit
     # hashes: collision probability is negligible, and long-array set
     # ops are far cheaper than string-array ones at scale).
+    # persisted: joined twice (id_a side and id_b side) — one
+    # tokenize+hash pass instead of two.
     sh = df.select(
         F.col(id_col).alias("id"),
         shingle_hashes(text_col, shingle_k).alias("sh"),
-    )
+    ).persist()
     verified = (
         pairs.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
