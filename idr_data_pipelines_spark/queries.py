@@ -713,27 +713,19 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def q_emb_cosine_near_dup(spark, sf_dir):
-    """Embedding near-dup pairs blocked by label, cosine ≥ 0.8 —
-    left-fold double arithmetic matches the SQL oracle bit-for-bit."""
-    emb = _t(spark, sf_dir, "embeddings")
-    vecs = emb.select(
-        F.col("vec_id"), F.col("label"), _as_double("embedding").alias("vec")
+    """Embedding near-dup pairs blocked by label, cosine ≥ 0.25 —
+    the applyInPandas block operator accumulates dimension-by-dimension,
+    reproducing the SQL left-fold double arithmetic bit-for-bit."""
+    from idr_data_pipelines_spark.llmdata.similarity import (
+        embedding_near_dup_pairs_grouped,
     )
-    l = vecs.alias("l")
-    r = vecs.alias("r")
-    out = (
-        l.join(
-            r,
-            (F.col("l.label") == F.col("r.label"))
-            & (F.col("l.vec_id") < F.col("r.vec_id")),
-        )
-        .withColumn("cos", cosine(F.col("l.vec"), F.col("r.vec")))
-        .filter(F.col("cos") >= 0.8)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_near_dup_pairs_grouped(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.25, block_col="label"
     )
     return out.select(
-        F.col("l.vec_id").alias("id_a"),
-        F.col("r.vec_id").alias("id_b"),
-        F.round(F.col("cos"), 6).alias("cosine_r"),
+        "id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine_r")
     )
 
 
@@ -1218,7 +1210,7 @@ ORACLES: dict[str, str] = {
                ROUND({_COS_LR}, 6) AS cosine_r
         FROM embeddings l JOIN embeddings r
           ON l.label = r.label AND l.vec_id < r.vec_id
-        WHERE {_COS_LR} >= 0.8
+        WHERE {_COS_LR} >= 0.25
     """,
     "ann_topk_bruteforce": f"""
         SELECT l.vec_id AS query_id, r.vec_id AS neighbor_id,
