@@ -85,8 +85,10 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
 _MASK32 = (1 << 32) - 1
 
 
-def shingle_hashes(text_col: Column | str, k: int = 3) -> Column:
-    """Distinct word-k-shingle hashes as array<long>.
+def shingle_hashes_positional(text_col: Column | str, k: int = 3) -> Column:
+    """Ordered word-k-shingle hashes (duplicates kept) as array<long> —
+    position i is the hash of the k-gram starting at token i, the
+    "rolling hash" sequence that window algorithms (winnowing) consume.
 
     String shingle materialization (slice + join per shingle) is the
     hot cost at scale, so shingles are never built as strings: tokens
@@ -109,11 +111,15 @@ def shingle_hashes(text_col: Column | str, k: int = 3) -> Column:
         whole = F.aggregate(
             hs, F.lit(0).cast("long"), lambda a, x: F.xxhash64(a, x)
         )
-        return F.when(n < F.lit(k), F.array(whole)).otherwise(
-            F.array_distinct(shingled)
-        )
+        return F.when(n < F.lit(k), F.array(whole)).otherwise(shingled)
 
     return _let(th, build)
+
+
+def shingle_hashes(text_col: Column | str, k: int = 3) -> Column:
+    """Distinct word-k-shingle hashes as array<long> — the set form
+    used for Jaccard/MinHash (see shingle_hashes_positional)."""
+    return F.array_distinct(shingle_hashes_positional(text_col, k))
 
 
 # Universal-hash permutation family for MinHash: perm_i(s) =

@@ -102,6 +102,47 @@ def fingerprint(col: Column | str = "text") -> Column:
     return F.md5(c)
 
 
+def winnow_fingerprints(
+    col: Column | str = "text", k: int = 4, window: int = 4
+) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): rolling word-k-gram hashes, then the minimum of every
+    ``window`` consecutive hashes, deduplicated — array<long>.
+
+    Guarantee: two documents sharing any run of ≥ window+k-1 tokens
+    share at least one fingerprint, while only ~2/(window+1) of all
+    k-gram hashes are kept. The k-gram "rolling hash" is the integer
+    shingle pipeline from ``dedup.shingle_hashes`` (tokens hashed
+    once, k-gram identity hashed from token hashes — pure long
+    arithmetic, no string materialization, no shuffle).
+    """
+    from idr_data_pipelines_spark.llmdata.dedup import _let, shingle_hashes_positional
+
+    def pick(hs: Column) -> Column:
+        n = F.size(hs)
+        mins = F.transform(
+            F.sequence(F.lit(0), F.greatest(n - F.lit(window), F.lit(0))),
+            lambda i: F.array_min(F.slice(hs, i + 1, window)),
+        )
+        return F.array_distinct(mins)
+
+    return _let(shingle_hashes_positional(col, k), pick)
+
+
+def winnow_fingerprint_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    window: int = 4,
+) -> DataFrame:
+    """(id, fingerprints array<long>) — see winnow_fingerprints."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        winnow_fingerprints(text_col, k, window).alias("fingerprints"),
+    )
+
+
 def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: append all text-analysis columns in one projection."""
     feats = quality_score(text_col)

@@ -632,6 +632,40 @@ def q_evt_sessionize(spark, sf_dir):
     )
 
 
+def q_evt_sessionize_stream(spark, sf_dir):
+    """Stateful streaming sessionization (applyInPandasWithState) run
+    as a real stream over the events table with Trigger.AvailableNow.
+    Emits closed sessions only — deterministically "all sessions except
+    each user's open/last one", so the stateful operator still has an
+    exact SQL oracle."""
+    import shutil
+
+    from idr_data_pipelines_spark.streaming.events import sessionize_stream
+
+    ev = _events(spark, sf_dir)  # sets nanosAsLong for the stream read
+    inbox = tempfile.mkdtemp(prefix="idr_sess_inbox_")
+    ckpt = tempfile.mkdtemp(prefix="idr_sess_ckpt_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{inbox}/events.parquet")
+    raw_schema = spark.read.parquet(inbox).schema
+    stream = spark.readStream.schema(raw_schema).parquet(inbox)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = sessionize_stream(stream, "user_id", "ts", gap_minutes=30)
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id", "session_id", "start_us", "end_us", "n_events"
+    )
+
+
 def q_evt_pivot_user_counts(spark, sf_dir):
     """Per-user event-type pivot (groupBy().pivot() — map-side partial
     agg; explicit value list avoids a discovery pass)."""
@@ -673,6 +707,22 @@ def q_text_quality(spark, sf_dir):
 def q_text_fingerprint(spark, sf_dir):
     df = _t(spark, sf_dir, "documents")
     return df.select("doc_id", fingerprint("text").alias("fp"))
+
+
+def q_text_winnow_fingerprint(spark, sf_dir):
+    """Winnowing fingerprints (rolling k-gram hash + window minima,
+    SIGMOD'03). xxhash64-based → no portable SQL oracle; rows-only.
+    Guarantees + overlap properties are asserted in tests."""
+    from idr_data_pipelines_spark.llmdata.text import winnow_fingerprint_table
+
+    df = _t(spark, sf_dir, "documents")
+    out = winnow_fingerprint_table(df, k=4, window=4)
+    return out.select(
+        "id",
+        F.size("fingerprints").alias("n_fingerprints"),
+        F.array_min("fingerprints").alias("fp_min"),
+        F.array_max("fingerprints").alias("fp_max"),
+    )
 
 
 def q_dedup_exact_hash(spark, sf_dir):
@@ -868,11 +918,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q3_revenue_by_priority": q_q3_revenue_by_priority,
     "evt_windowed_counts": q_evt_windowed_counts,
     "evt_sessionize": q_evt_sessionize,
+    "evt_sessionize_stream": q_evt_sessionize_stream,
     "evt_pivot_user_counts": q_evt_pivot_user_counts,
     # llmdata text
     "text_token_count": q_text_token_count,
     "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,
+    "text_winnow_fingerprint": q_text_winnow_fingerprint,
     "dedup_exact_hash": q_dedup_exact_hash,
     "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
     # llmdata near-dup / similarity
@@ -1151,6 +1203,31 @@ ORACLES: dict[str, str] = {
                COUNT(*) AS n_events
         FROM sid GROUP BY user_id, session_id
     """,
+    "evt_sessionize_stream": """
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sid AS (
+            SELECT user_id, ts,
+                   CAST(SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING
+                   ) + 1 AS BIGINT) AS session_id
+            FROM flagged
+        ), sess AS (
+            SELECT user_id, session_id,
+                   epoch_us(MIN(ts)) AS start_us,
+                   epoch_us(MAX(ts)) AS end_us,
+                   COUNT(*) AS n_events
+            FROM sid GROUP BY user_id, session_id
+        )
+        SELECT user_id, session_id, start_us, end_us, n_events
+        FROM sess
+        QUALIFY session_id < MAX(session_id) OVER (PARTITION BY user_id)
+    """,
     "evt_pivot_user_counts": """
         SELECT user_id,
                CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
@@ -1261,5 +1338,5 @@ ORACLES: dict[str, str] = {
 # Hash-based / approximate operators: no portable SQL equivalent →
 # the driver records a rows-only check (documented in __spark_entry__).
 NO_ORACLE: frozenset[str] = frozenset(
-    {"dedup_minhash_lsh", "dedup_simhash", "ann_topk_lsh"}
+    {"dedup_minhash_lsh", "dedup_simhash", "ann_topk_lsh", "text_winnow_fingerprint"}
 )

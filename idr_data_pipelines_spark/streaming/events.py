@@ -127,6 +127,88 @@ def windowed_event_counts(
     )
 
 
+def sessionize_stream(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Streaming gap-based sessionization — the stateful form of
+    ``sessionize`` (applyInPandasWithState).
+
+    Per-user state holds the one *open* session (start, last event
+    time, event count, session sequence number); a micro-batch's
+    events are folded into it in timestamp order, and every session
+    *closed* by a later event is emitted. The open session stays in
+    state across micro-batches — exactly-once session emission without
+    re-reading history, which is what makes this run forever on an
+    unbounded stream (state size = O(active users), not O(events)).
+
+    Determinism contract: the emitted rows are precisely "every session
+    except each user's currently-open (last) one", with the same
+    numbering as batch ``sessionize`` — so a SQL oracle exists even
+    though the operator is stateful.
+
+    Returns (user, session_id, start_us, end_us, n_events) with
+    timestamps as epoch-microsecond BIGINTs.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    user_type = events.schema[user_col].dataType
+    out_schema = StructType(
+        [
+            StructField(user_col, user_type),
+            StructField("session_id", LongType()),
+            StructField("start_us", LongType()),
+            StructField("end_us", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_us", LongType()),
+            StructField("start_us", LongType()),
+            StructField("n", LongType()),
+            StructField("seq", LongType()),
+        ]
+    )
+
+    def fold(key, pdfs, state: "GroupState"):
+        ts = []
+        for pdf in pdfs:
+            ts.extend(pdf["__ts_us"].tolist())
+        ts.sort()
+        if state.exists:
+            last, start, n, seq = state.get
+        else:
+            last, start, n, seq = None, None, 0, 0
+        closed = []
+        for t in ts:
+            if last is None:
+                seq, start, n = seq + 1, t, 1
+            elif t - last > gap_us:
+                closed.append((key[0], seq, start, last, n))
+                seq, start, n = seq + 1, t, 1
+            else:
+                n += 1
+            last = t
+        state.update((last, start, n, seq))
+        yield pd.DataFrame(
+            closed,
+            columns=[user_col, "session_id", "start_us", "end_us", "n_events"],
+        )
+
+    prepped = events.select(
+        F.col(user_col), F.unix_micros(F.col(ts_col)).alias("__ts_us")
+    )
+    return prepped.groupBy(user_col).applyInPandasWithState(
+        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def sessionize(
     events: DataFrame,
     user_col: str = "user_id",

@@ -172,6 +172,35 @@ def test_multimodal_meta_and_frames(spark):
     assert bytes(sorted(by_doc[1], key=lambda r: r["frame_idx"])[0]["frame_bytes"]) == b"hello worl"
 
 
+def test_winnow_fingerprints(spark):
+    """Winnowing guarantee (SIGMOD'03): documents sharing a run of
+    ≥ window+k-1 tokens share ≥1 fingerprint; identical docs share all;
+    a local edit preserves most fingerprints."""
+    from idr_data_pipelines_spark.llmdata.text import winnow_fingerprint_table
+
+    shared_run = " ".join(f"common{i}" for i in range(40))  # ≥ w+k-1 = 7 tokens
+    rows = [
+        (1, "alpha beta gamma " + shared_run + " delta epsilon"),
+        (2, "totally different prefix words " + shared_run),
+        (3, "alpha beta gamma " + shared_run + " delta epsilon"),  # == doc 1
+        (4, "unrelated content with no overlap at all whatsoever here"),
+        (5, "alpha beta gamma " + shared_run.replace("common5", "EDITED") + " delta epsilon"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = {
+        r["id"]: set(r["fingerprints"])
+        for r in winnow_fingerprint_table(df, k=4, window=4).collect()
+    }
+    assert fps[1] == fps[3]                       # identical text
+    assert fps[1] & fps[2]                        # shared run ≥ w+k-1
+    assert not (fps[1] & fps[4])                  # no overlap
+    overlap = len(fps[1] & fps[5]) / len(fps[1] | fps[5])
+    assert overlap > 0.5                          # local edit → most kept
+    # compression: far fewer fingerprints than k-grams
+    n_tokens = len(rows[0][1].split())
+    assert 0 < len(fps[1]) < n_tokens - 4 + 1
+
+
 def test_groupby_max_one_row_per_key(spark):
     """Property: group-max dedup yields exactly one row per key and is
     idempotent (SURVEY §5)."""

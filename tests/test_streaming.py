@@ -11,6 +11,7 @@ from idr_data_pipelines_spark.streaming import (
     drain_available_now,
     republish,
     sessionize,
+    sessionize_stream,
     windowed_event_counts,
 )
 
@@ -87,6 +88,83 @@ def test_windowed_counts_streaming_with_watermark(spark, tmp_path):
     want = {r["window_start"]: r["n_events"] for r in batch.collect()}
     assert {str(k): v for k, v in got.items()} == {str(k): v for k, v in want.items()}
     assert sum(want.values()) == 7200
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """Stateful streaming sessionization across multiple micro-batches
+    (state carries the open session between them) emits exactly the
+    batch sessions minus each user's open/last one, same numbering."""
+    import time as _time
+    import os
+
+    inbox = str(tmp_path / "inbox")
+    os.makedirs(inbox)
+    # 3 files = 3 micro-batches (maxFilesPerTrigger=1); timestamps
+    # interleave users, with gaps inside and across file boundaries
+    def write_file(idx, rows):
+        df = spark.createDataFrame(rows, ["user_id", "ts_str"]).select(
+            "user_id", F.to_timestamp("ts_str").alias("ts")
+        )
+        df.coalesce(1).write.mode("append").parquet(inbox)
+        _time.sleep(1.1)  # distinct mtimes → deterministic file order
+
+    write_file(0, [
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:10:00"),
+        (2, "2024-01-01 09:00:00"),
+    ])
+    write_file(1, [
+        (1, "2024-01-01 11:00:00"),          # >30min gap → closes s1
+        (2, "2024-01-01 09:20:00"),          # same session for user 2
+    ])
+    write_file(2, [
+        (1, "2024-01-01 11:10:00"),          # continues session 2
+        (1, "2024-01-01 13:00:00"),          # closes session 2, opens 3
+        (2, "2024-01-01 12:00:00"),          # closes user2 s1, opens 2
+    ])
+
+    schema = spark.read.parquet(inbox).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inbox)
+    )
+    out = sessionize_stream(stream, "user_id", "ts", gap_minutes=30)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_id"]): (r["start_us"], r["end_us"], r["n_events"])
+        for r in spark.table("sess_stream").collect()
+    }
+
+    batch = sessionize(spark.read.parquet(inbox), "user_id", "ts", gap_minutes=30)
+    rows = batch.collect()
+    last_per_user = {}
+    for r in rows:
+        last_per_user[r["user_id"]] = max(
+            last_per_user.get(r["user_id"], 0), r["session_id"]
+        )
+    want = {
+        (r["user_id"], r["session_id"]): (
+            r["session_start"], r["session_end"], r["n_events"]
+        )
+        for r in rows
+        if r["session_id"] != last_per_user[r["user_id"]]
+    }
+    assert set(got) == set(want)
+    for k, (s_us, e_us, n) in got.items():
+        ws, we, wn = want[k]
+        assert (s_us, e_us, n) == (
+            int(ws.timestamp() * 1_000_000), int(we.timestamp() * 1_000_000), wn
+        )
+    # user 1: sessions 1 and 2 closed; user 2: session 1 closed
+    assert set(got) == {(1, 1), (1, 2), (2, 1)}
 
 
 def test_sessionize_gap_splits(spark):
