@@ -8,6 +8,7 @@ from idr_data_pipelines_spark.sources.sinks import (
     sink_table_overwrite,
     sink_rows_append,
     sink_parquet_overwrite,
+    sink_table_bucketed,
 )
 from idr_data_pipelines_spark.sources.catalog import Catalog
 
@@ -17,5 +18,6 @@ __all__ = [
     "sink_table_overwrite",
     "sink_rows_append",
     "sink_parquet_overwrite",
+    "sink_table_bucketed",
     "Catalog",
 ]

@@ -40,6 +40,30 @@ def sink_rows_append(df: DataFrame, table: str) -> None:
     df.write.mode("append").saveAsTable(table)
 
 
+def sink_table_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Write ``table`` bucketed (and optionally sorted) by the join/agg
+    key — the co-located-join path.
+
+    Two tables bucketed by the same key with the same bucket count
+    join WITHOUT a shuffle: each task reads matching bucket files from
+    both sides. At 100 TB this turns the fact⋈fact merge (the
+    reference's ART⋈VLS join, dags/vls_transforms.py:132-155) from a
+    full two-sided exchange into a local join; sortBy additionally
+    removes the sort for sort-merge. Bucket count should be chosen so
+    a single bucket ≲ a few hundred MB at the target scale.
+    """
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table)
+
+
 def sink_parquet_overwrite(
     df: DataFrame,
     path: str,
