@@ -399,9 +399,73 @@ def simhash64(col: Column | str) -> Column:
 
 
 def simhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    impl: str = "arrow",
 ) -> DataFrame:
-    return df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("simhash"))
+    """(id, simhash long).
+
+    ``impl="arrow"`` (default): tokens hashed JVM-side (xxhash64), the
+    64-bit ±1 vote accumulation vectorized in numpy via mapInPandas —
+    unpackbits over the flattened token-hash bytes, per-document
+    segment sums (add.reduceat), packbits of the sign vector back to
+    one int64. Bit-identical to the pure-expression form (little-endian
+    bit i == getbit(h, i); two's-complement packing == the ±2^i weight
+    sum), ~10× faster — Catalyst evaluates the 64-lambda fold
+    interpreted. ``impl="expr"`` stays pure-Catalyst.
+    """
+    if impl == "expr":
+        return df.select(
+            F.col(id_col).alias("id"), simhash64(text_col).alias("simhash")
+        )
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    def compute(batches):
+        for pdf in batches:
+            th_list = pdf["__th"].tolist()
+            out = np.empty(len(th_list), dtype=np.int64)
+            if th_list:
+                lens = np.fromiter(
+                    (len(t) for t in th_list), dtype=np.int64, count=len(th_list)
+                )
+                flat = np.concatenate(
+                    [np.asarray(t, dtype=np.int64) for t in th_list]
+                )
+                # bit j of each token hash, LSB-first == getbit(h, j)
+                bits = np.unpackbits(
+                    flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+                ).astype(np.int32)
+                offs = np.zeros(len(th_list), dtype=np.int64)
+                np.cumsum(lens[:-1], out=offs[1:])
+                counts = np.add.reduceat(bits, offs, axis=0)  # (docs, 64)
+                # sign vote: bit set where count(1) > count(-1) ⇔ 2*ones > n
+                sign = (2 * counts > lens[:, None]).astype(np.uint8)
+                out = (
+                    np.packbits(sign, axis=1, bitorder="little")
+                    .view(np.int64)
+                    .ravel()
+                )
+            yield pd.DataFrame({"id": pdf["id"], "simhash": out})
+
+    toks = _tokens(text_col)
+    prepped = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("__th"),
+    )
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if prepped.rdd.getNumPartitions() < max(2, target // 2):
+        prepped = prepped.repartition(target)
+    out_schema = StructType(
+        [
+            StructField("id", df.schema[id_col].dataType),
+            StructField("simhash", LongType()),
+        ]
+    )
+    return prepped.mapInPandas(compute, out_schema)
 
 
 def simhash_near_dup_pairs(
@@ -409,6 +473,7 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance ≤ max_hamming.
 
@@ -418,26 +483,26 @@ def simhash_near_dup_pairs(
     """
     n_chunks = max_hamming + 1
     chunk_bits = 64 // n_chunks
-    # One let-bound simhash evaluation per row; chunks carry the full
-    # signature so the verify stage needs no second join.
-    chunk_structs = _let(
-        simhash64(text_col),
-        lambda s: F.array(
-            *[
-                F.struct(
-                    s.alias("simhash"),
-                    F.lit(i).alias("chunk_idx"),
-                    F.shiftrightunsigned(s, i * chunk_bits)
-                    .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-                    .alias("chunk_val"),
-                )
-                for i in range(n_chunks)
-            ]
-        ),
+    sigs = simhash_signatures(df, id_col, text_col, impl)
+    # chunks carry the full signature so the verify stage needs no
+    # second join; persisted — the chunk table feeds both sides of the
+    # self-join (see minhash_lsh_pairs for why this is load-bearing).
+    s = F.col("simhash")
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                s.alias("simhash"),
+                F.lit(i).alias("chunk_idx"),
+                F.shiftrightunsigned(s, i * chunk_bits)
+                .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                .alias("chunk_val"),
+            )
+            for i in range(n_chunks)
+        ]
     )
-    chunks = df.select(
-        F.col(id_col).alias("id"), F.explode(chunk_structs).alias("c")
-    ).select("id", "c.simhash", "c.chunk_idx", "c.chunk_val")
+    chunks = sigs.select(
+        "id", F.explode(chunk_structs).alias("c")
+    ).select("id", "c.simhash", "c.chunk_idx", "c.chunk_val").persist()
 
     l, r = chunks.alias("l"), chunks.alias("r")
     return (
