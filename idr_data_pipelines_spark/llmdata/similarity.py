@@ -151,6 +151,168 @@ def cosine_topk_lsh(
     )
 
 
+def _assign_centroids(
+    df: DataFrame,
+    centroids: "np.ndarray",
+    id_col: str,
+    vec_col: str,
+    nprobe: int = 1,
+) -> DataFrame:
+    """(id, vec, centroid_id) — each vector assigned to its ``nprobe``
+    nearest centroids by cosine (mapInPandas; the centroid matrix is a
+    closure constant, broadcast with the task)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    Cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__vec"]])
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+            sims = Vn @ Cn.T                        # (rows, n_centroids)
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy().repeat(nprobe),
+                    "__vec": [v for v in V for _ in range(nprobe)],
+                    "centroid_id": top.ravel().astype("int32"),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("id", df.schema[id_col].dataType),
+            StructField("__vec", ArrayType(DoubleType())),
+            StructField("centroid_id", IntegerType()),
+        ]
+    )
+    prepped = df.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("__vec")
+    )
+    return prepped.mapInPandas(assign, schema)
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 2,
+) -> "np.ndarray":
+    """Deterministic coarse quantizer: seed centroids are the
+    ``n_centroids`` rows with smallest ``xxhash64(id)`` (a seeded
+    sample, stable across runs/partitionings), refined with ``iters``
+    Lloyd steps. Each step assigns vectors (mapInPandas matmul) and
+    recomputes per-centroid means with applyInPandas (rows sorted by
+    id before summing → deterministic floats); the centroid matrix is
+    tiny and lives on the driver."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType, IntegerType, StructField, StructType
+
+    seed_rows = (
+        corpus.select(
+            _as_double(vec_col).alias("v"),
+            F.xxhash64(F.col(id_col).cast("string")).alias("h"),
+        )
+        .orderBy("h")
+        .limit(n_centroids)
+        .collect()
+    )
+    C = np.array([r["v"] for r in seed_rows], dtype=np.float64)
+
+    mean_schema = StructType(
+        [
+            StructField("centroid_id", IntegerType()),
+            StructField("mean_vec", ArrayType(DoubleType())),
+            StructField("n", IntegerType()),
+        ]
+    )
+
+    def centroid_mean(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("id")
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__vec"]])
+        return pd.DataFrame(
+            {
+                "centroid_id": [int(pdf["centroid_id"].iloc[0])],
+                "mean_vec": [V.sum(axis=0) / len(V)],
+                "n": [len(V)],
+            }
+        )
+
+    for _ in range(iters):
+        assigned = _assign_centroids(corpus, C, id_col, vec_col, nprobe=1)
+        means = (
+            assigned.groupBy("centroid_id")
+            .applyInPandas(centroid_mean, mean_schema)
+            .collect()
+        )
+        newC = C.copy()  # empty clusters keep their old centroid
+        for r in means:
+            newC[r["centroid_id"]] = np.asarray(r["mean_vec"])
+        C = newC
+    return C
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    iters: int = 2,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: corpus
+    vectors are partitioned into ``n_centroids`` coarse cells; each
+    query probes its ``nprobe`` nearest cells and re-ranks candidates
+    with exact cosine.
+
+    This is the classic ANN scale path: at 100 TB the assignment table
+    is written partitioned/bucketed by ``centroid_id`` so a probe scans
+    ~nprobe/n_centroids of the corpus (partition pruning), instead of
+    all of it. Recall rises with nprobe; nprobe = n_centroids recovers
+    brute force.
+    """
+    C = ivf_centroids(corpus, id_col, vec_col, n_centroids, iters)
+    inv = _assign_centroids(corpus, C, id_col, vec_col, nprobe=1).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("__vec").alias("cvec"),
+        "centroid_id",
+    ).withColumn("cnrm", norm(F.col("cvec")))
+    probes = _assign_centroids(queries, C, id_col, vec_col, nprobe=nprobe).select(
+        F.col("id").alias("query_id"),
+        F.col("__vec").alias("qvec"),
+        "centroid_id",
+    ).withColumn("qnrm", norm(F.col("qvec")))
+    scored = (
+        inv.join(
+            F.broadcast(probes),
+            (inv.centroid_id == probes.centroid_id)
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .withColumn(
+            "cosine",
+            dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def embedding_near_dup_pairs_grouped(
     df: DataFrame,
     id_col: str = "vec_id",

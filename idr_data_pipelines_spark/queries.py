@@ -806,6 +806,20 @@ def q_ann_topk_lsh(spark, sf_dir):
 # llmdata: multimodal
 # ===================================================================
 
+def q_ann_topk_ivf(spark, sf_dir):
+    """Approximate top-5 via an IVF coarse quantizer (deterministic
+    hash-seeded centroids + 2 Lloyd steps, nprobe=2 of 8 cells).
+    Approximate → rows-only; recall vs brute force asserted in tests."""
+    from idr_data_pipelines_spark.llmdata.similarity import cosine_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = cosine_topk_ivf(emb, queries, k=5, n_centroids=8, nprobe=2, iters=2)
+    return out.select(
+        "query_id", "neighbor_id", F.round(F.col("cosine"), 6).alias("cosine_r"), "rank"
+    )
+
+
 def q_mm_media_meta(spark, sf_dir):
     """Multimodal plumbing: binary payload column → Arrow-batched
     mapInPandas metadata extraction (decode step stubbed
@@ -933,6 +947,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_cosine_near_dup": q_emb_cosine_near_dup,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "ann_topk_ivf": q_ann_topk_ivf,
     # multimodal
     "mm_media_meta": q_mm_media_meta,
     # flagship
@@ -1338,5 +1353,11 @@ ORACLES: dict[str, str] = {
 # Hash-based / approximate operators: no portable SQL equivalent →
 # the driver records a rows-only check (documented in __spark_entry__).
 NO_ORACLE: frozenset[str] = frozenset(
-    {"dedup_minhash_lsh", "dedup_simhash", "ann_topk_lsh", "text_winnow_fingerprint"}
+    {
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "ann_topk_lsh",
+        "ann_topk_ivf",
+        "text_winnow_fingerprint",
+    }
 )

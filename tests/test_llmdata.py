@@ -142,6 +142,30 @@ def test_cosine_lsh_recall(spark):
     assert len(a & e) / len(e) >= 0.6  # bucketed recall
 
 
+def test_cosine_ivf_recall(spark):
+    """IVF with nprobe=2 of 5 cells recovers most true neighbors on
+    clustered data; nprobe = n_centroids recovers brute force exactly."""
+    from idr_data_pipelines_spark.llmdata.similarity import cosine_topk_ivf
+
+    rng = np.random.RandomState(23)
+    centers = rng.randn(5, 16) * 3
+    vecs = np.vstack([c + rng.randn(40, 16) * 0.3 for c in centers]).astype("float32")
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(len(vecs))], ["vec_id", "embedding"]
+    )
+    queries = df.filter(F.col("vec_id") < 5)
+    exact = cosine_topk_bruteforce(df, queries, k=5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+
+    approx = cosine_topk_ivf(df, queries, k=5, n_centroids=5, nprobe=2, iters=2)
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(a & e) / len(e) >= 0.8
+
+    full = cosine_topk_ivf(df, queries, k=5, n_centroids=5, nprobe=5, iters=1)
+    f = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+    assert f == e  # probing every cell == brute force
+
+
 def test_text_features(spark):
     df = spark.createDataFrame(
         [(1, "The cat and the dog."), (2, "el la de que y el la")],
