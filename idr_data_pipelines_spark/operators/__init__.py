@@ -19,6 +19,7 @@ from idr_data_pipelines_spark.operators.joins import (
     join_inner_dim_cast,
     join_left_fact,
     join_on_keys,
+    join_salted,
 )
 from idr_data_pipelines_spark.operators.aggregate import (
     agg_groupby_max_all,
@@ -39,6 +40,7 @@ __all__ = [
     "join_inner_dim_cast",
     "join_left_fact",
     "join_on_keys",
+    "join_salted",
     "agg_groupby_max_all",
     "agg_max_date",
     "agg_pivot_sum_case",

@@ -63,3 +63,42 @@ def join_on_keys(
 ) -> DataFrame:
     """Equi-join on shared column names (USING-style, keys emitted once)."""
     return left.join(right, keys, how)
+
+
+def join_salted(
+    skewed: DataFrame,
+    other: DataFrame,
+    skewed_key: str,
+    other_key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the skewed side gets a deterministic
+    salt ∈ [0, n_salts) (hash of its whole row — stable, no rand()),
+    the other side is replicated across every salt, and the join runs
+    on (key, salt) — a hot key's rows spread over n_salts partitions
+    instead of melting one reducer.
+
+    Use when the non-skewed side is too big to broadcast but small
+    enough to replicate n_salts×; otherwise prefer AQE skew-join
+    splitting (on by default in session.py), which handles skew without
+    replication. Results are identical to a plain equi-join (salt
+    columns are internal and dropped).
+
+    Health-facility data is the reference's skew case: a handful of
+    large sites dominate (SiteCode keys, SURVEY.md §4).
+    """
+    salted = skewed.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.struct(*skewed.columns)), F.lit(n_salts)).cast("int"),
+    )
+    replicated = other.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = salted.join(
+        replicated,
+        (salted[skewed_key] == replicated[other_key])
+        & (salted["__salt"] == replicated["__salt"]),
+        how,
+    )
+    return out.drop(salted["__salt"]).drop(replicated["__salt"])

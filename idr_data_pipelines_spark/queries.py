@@ -366,6 +366,19 @@ def q_join_left_fact(spark, sf_dir):
     return out.select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
 
 
+def q_join_salted(spark, sf_dir):
+    """join_salted: skew-resistant salted equi-join — results must be
+    identical to the plain join (the oracle IS the plain join)."""
+    from idr_data_pipelines_spark.operators import join_salted
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    out = join_salted(orders, cust, "o_custkey", "c_custkey", n_salts=8)
+    return out.select("o_orderkey", "o_custkey", "c_name", "c_mktsegment")
+
+
 # ===================================================================
 # §2.5 aggregations
 # ===================================================================
@@ -682,6 +695,50 @@ def q_evt_pivot_user_counts(spark, sf_dir):
     )
 
 
+def q_q5_revenue_by_nation(spark, sf_dir):
+    """Multi-join rollup: lineitem⋈orders⋈customer⋈nation, revenue per
+    nation — the deep-join shape (dims broadcast, facts shuffle once)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return j.groupBy("n_name").agg(
+        _money_sum(revenue).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_topk_per_group(spark, sf_dir):
+    """Top-3 orders per priority by total price (window top-k — the
+    per-partition top-k pattern; ties broken by key for determinism)."""
+    df = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
+    )
+
+
+def q_agg_having(spark, sf_dir):
+    """GROUP BY + HAVING (post-aggregation filter): customers with >20
+    orders."""
+    df = _t(spark, sf_dir, "orders")
+    return (
+        df.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") > 20)
+    )
+
+
 # ===================================================================
 # llmdata: text analysis
 # ===================================================================
@@ -911,6 +968,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_inner_dim_cast": q_join_inner_dim_cast,
     "join_inner_hub": q_join_inner_hub,
     "join_left_fact": q_join_left_fact,
+    "join_salted": q_join_salted,
     # §2.5 aggregations
     "agg_groupby_max_all": q_agg_groupby_max_all,
     "agg_max_date": q_agg_max_date,
@@ -930,6 +988,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # analytics / bench
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_revenue_by_priority": q_q3_revenue_by_priority,
+    "q5_revenue_by_nation": q_q5_revenue_by_nation,
+    "topk_per_group": q_topk_per_group,
+    "agg_having": q_agg_having,
     "evt_windowed_counts": q_evt_windowed_counts,
     "evt_sessionize": q_evt_sessionize,
     "evt_sessionize_stream": q_evt_sessionize_stream,
@@ -1073,6 +1134,10 @@ ORACLES: dict[str, str] = {
         SELECT c_custkey, c_name, o_orderkey, o_totalprice
         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     """,
+    "join_salted": """
+        SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
     "agg_groupby_max_all": """
         SELECT l_orderkey,
                MAX(l_quantity) AS l_quantity,
@@ -1189,6 +1254,29 @@ ORACLES: dict[str, str] = {
         JOIN customer ON o_custkey = c_custkey
         WHERE c_mktsegment = 'BUILDING'
         GROUP BY o_orderpriority
+    """,
+    "q5_revenue_by_nation": """
+        SELECT n_name,
+               CAST(SUM(CAST(FLOOR((l_extendedprice * (1.0 - l_discount))*100.0 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "topk_per_group": """
+        SELECT o_orderpriority,
+               CAST(row_number() OVER w AS INT) AS rank,
+               o_orderkey, o_totalprice
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC, o_orderkey ASC)
+        QUALIFY row_number() OVER w <= 3
+    """,
+    "agg_having": """
+        SELECT o_custkey, COUNT(*) AS n_orders
+        FROM orders GROUP BY o_custkey HAVING COUNT(*) > 20
     """,
     "evt_windowed_counts": """
         SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
