@@ -192,6 +192,30 @@ def q_src_stream_drain(spark, sf_dir):
     )
 
 
+def q_sink_stream_republish(spark, sf_dir):
+    """sink_pubsub_publish: drain + republish every available message
+    to the destination (deps/publisher.py:1-21), exactly once; the
+    oracle is the full events table."""
+    import shutil
+
+    from idr_data_pipelines_spark.streaming.events import republish
+
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    inbox = tempfile.mkdtemp(prefix="idr_rep_inbox_")
+    ckpt = tempfile.mkdtemp(prefix="idr_rep_ckpt_")
+    dest = f"{tempfile.mkdtemp(prefix='idr_rep_dest_')}/topic"
+    shutil.copy(f"{sf_dir}/events.parquet", f"{inbox}/events.parquet")
+    schema = spark.read.parquet(inbox).schema
+    republish(spark, inbox, schema, ckpt, dest)
+    republish(spark, inbox, schema, ckpt, dest)  # idempotent re-drain
+    return spark.read.parquet(dest).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
 # ===================================================================
 # §2.2 dedup
 # ===================================================================
@@ -952,6 +976,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sink_table_overwrite": q_sink_table_overwrite,
     "sink_rows_append": q_sink_rows_append,
     "src_stream_drain": q_src_stream_drain,
+    "sink_stream_republish": q_sink_stream_republish,
     # §2.2 dedup
     "dedup_distinct": q_dedup_distinct,
     "dedup_groupby_max": q_dedup_groupby_max,
@@ -1057,6 +1082,7 @@ ORACLES: dict[str, str] = {
     "sink_table_overwrite": "SELECT * FROM region",
     "sink_rows_append": "SELECT * FROM region UNION ALL SELECT * FROM region",
     "src_stream_drain": "SELECT event_id, user_id, event_type, value FROM events",
+    "sink_stream_republish": "SELECT event_id, user_id, event_type, value FROM events",
     "dedup_distinct": """
         SELECT DISTINCT l_orderkey, l_returnflag, l_linestatus FROM lineitem
     """,

@@ -3,6 +3,7 @@ stateful sessionization."""
 
 from idr_data_pipelines_spark.streaming.events import (
     drain_available_now,
+    handle_event,
     republish,
     sessionize,
     sessionize_stream,
@@ -11,6 +12,7 @@ from idr_data_pipelines_spark.streaming.events import (
 
 __all__ = [
     "drain_available_now",
+    "handle_event",
     "republish",
     "sessionize",
     "sessionize_stream",

@@ -96,6 +96,47 @@ def republish(
     q.awaitTermination()
 
 
+def handle_event(
+    spark: SparkSession,
+    payload_b64: str,
+    audit_table: str,
+    runner=None,
+    pipelines=None,
+    event_time: str | None = None,
+) -> dict:
+    """Event-trigger handler — the Cloud-Function analogue
+    (cloud_function/main.py:22-47 + composer2_airflow_rest_api.py:40-67):
+    base64-decode the event payload, parse it (literal_eval semantics,
+    falling back to a raw wrapper), append it to the audit table, then
+    trigger the dependent pipelines via the runner (the REST
+    ``trigger_dag`` analogue).
+
+    ``event_time`` is injected for determinism (the reference stamps
+    wall-clock server-side). Returns the parsed event dict.
+    """
+    import ast
+    import base64
+    import json
+
+    raw = base64.b64decode(payload_b64).decode("utf-8")
+    try:
+        event = ast.literal_eval(raw)
+        if not isinstance(event, dict):
+            event = {"raw": raw}
+    except (ValueError, SyntaxError):
+        event = {"raw": raw}
+
+    audit = spark.createDataFrame(
+        [(json.dumps(event, sort_keys=True), event_time)],
+        "payload string, event_time string",
+    )
+    audit.write.mode("append").saveAsTable(audit_table)
+
+    if runner is not None and pipelines:
+        runner.run(spark, pipelines)
+    return event
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",

@@ -167,6 +167,41 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     assert set(got) == {(1, 1), (1, 2), (2, 1)}
 
 
+def test_handle_event_audits_and_triggers(spark):
+    """Cloud-Function analogue: base64 payload → parsed event, audit
+    row appended, dependent pipeline triggered."""
+    import base64
+
+    from idr_data_pipelines_spark.plans.pipeline import Pipeline, PipelineRunner
+    from idr_data_pipelines_spark.streaming import handle_event
+
+    spark.sql("DROP TABLE IF EXISTS evt_audit")
+    payload = base64.b64encode(
+        b"{'bucket': 'idr-lake', 'name': 'mmd/2024-01-01.parquet'}"
+    ).decode()
+
+    ran = []
+    pipe = Pipeline("on_event", source=lambda s: s.range(3))
+    pipe.stage("mark", lambda df: (ran.append(1), df)[1])
+    event = handle_event(
+        spark, payload, "evt_audit",
+        runner=PipelineRunner(retries=0), pipelines=[pipe],
+        event_time="2024-01-01T04:00:00Z",
+    )
+    assert event == {"bucket": "idr-lake", "name": "mmd/2024-01-01.parquet"}
+    assert ran  # pipeline triggered
+    audit = spark.table("evt_audit").collect()
+    assert len(audit) == 1
+    assert "idr-lake" in audit[0]["payload"]
+    assert audit[0]["event_time"] == "2024-01-01T04:00:00Z"
+
+    # second event appends (audit is append-only) even if unparseable
+    handle_event(spark, base64.b64encode(b"not a dict").decode(), "evt_audit")
+    rows = spark.table("evt_audit").collect()
+    assert len(rows) == 2
+    spark.sql("DROP TABLE IF EXISTS evt_audit")
+
+
 def test_sessionize_gap_splits(spark):
     rows = [
         (1, "2024-01-01 10:00:00"),
