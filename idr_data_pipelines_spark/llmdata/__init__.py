@@ -13,25 +13,34 @@ from idr_data_pipelines_spark.llmdata.dedup import (
     dedup_exact_hash_groups,
     minhash_signatures,
     minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingle_hashes,
+    shingle_hashes_positional,
     simhash_signatures,
     simhash_near_dup_pairs,
-    ngram_jaccard_pairs,
 )
 from idr_data_pipelines_spark.llmdata.similarity import (
     cosine_topk_bruteforce,
+    cosine_topk_ivf,
     cosine_topk_lsh,
     embedding_near_dup_pairs,
+    embedding_near_dup_pairs_grouped,
+    ivf_centroids,
 )
 from idr_data_pipelines_spark.llmdata.text import (
-    token_count,
-    quality_score,
-    lang_id,
+    bpe_token_estimate,
     fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+    winnow_fingerprint_table,
+    winnow_fingerprints,
 )
 from idr_data_pipelines_spark.llmdata.multimodal import (
-    with_binary_payload,
-    extract_media_meta,
     decode_image_stub,
+    extract_media_meta,
+    frame_sample_stub,
+    with_binary_payload,
 )
 
 __all__ = [
@@ -39,17 +48,26 @@ __all__ = [
     "dedup_exact_hash_groups",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "shingle_hashes",
+    "shingle_hashes_positional",
     "simhash_signatures",
     "simhash_near_dup_pairs",
-    "ngram_jaccard_pairs",
     "cosine_topk_bruteforce",
+    "cosine_topk_ivf",
     "cosine_topk_lsh",
     "embedding_near_dup_pairs",
-    "token_count",
-    "quality_score",
-    "lang_id",
+    "embedding_near_dup_pairs_grouped",
+    "ivf_centroids",
+    "bpe_token_estimate",
     "fingerprint",
-    "with_binary_payload",
-    "extract_media_meta",
+    "lang_id",
+    "quality_score",
+    "token_count",
+    "winnow_fingerprint_table",
+    "winnow_fingerprints",
     "decode_image_stub",
+    "extract_media_meta",
+    "frame_sample_stub",
+    "with_binary_payload",
 ]
