@@ -32,6 +32,9 @@ _DEFAULTS = {
     # Read side: keep scan tasks well-sized (default 128m is fine at
     # scale; explicit so it is visible/tunable).
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # Write side: zstd ≈ snappy decode speed at ~30% better ratio —
+    # at 100 TB of parquet that is tens of TB of storage and scan IO.
+    "spark.sql.parquet.compression.codec": "zstd",
     "spark.sql.session.timeZone": "UTC",
 }
 

@@ -167,6 +167,66 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     assert set(got) == {(1, 1), (1, 2), (2, 1)}
 
 
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Append-mode windowed aggregation with a watermark: a window is
+    finalized once the watermark passes it, and an event arriving after
+    that is dropped — the bounded-state behavior that lets the
+    aggregation run forever."""
+    import os
+    import time as _time
+
+    inbox = str(tmp_path / "inbox")
+    os.makedirs(inbox)
+
+    def write_file(rows):
+        spark.createDataFrame(rows, ["user_id", "ts_str"]).select(
+            "user_id", F.to_timestamp("ts_str").alias("ts")
+        ).coalesce(1).write.mode("append").parquet(inbox)
+        _time.sleep(1.1)
+
+    # hour-10 events; then two batches that advance the watermark past
+    # hour 10 (13:30 → wm 12:30 at the NEXT batch, which finalizes and
+    # emits the hour-10 window); then a straggler for hour 10, which
+    # arrives after eviction and must be dropped, not re-emitted.
+    write_file([(1, "2024-01-01 10:05:00"), (1, "2024-01-01 10:20:00")])
+    write_file([(1, "2024-01-01 13:30:00")])
+    write_file([(1, "2024-01-01 14:30:00")])
+    write_file([(1, "2024-01-01 10:45:00")])
+
+    schema = spark.read.parquet(inbox).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inbox)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_counts")
+        .outputMode("append")   # append emits only finalized windows
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("late_counts").collect()
+    got = [(str(r["ws"]), r["n"]) for r in rows]
+    # hour-10 emitted exactly once, with only the pre-watermark events;
+    # the straggler was dropped (bounded state, no duplicate emission)
+    assert got.count(("2024-01-01 10:00:00", 2)) == 1
+    assert sum(1 for ws, _ in got if ws.startswith("2024-01-01 10")) == 1
+    dropped = sum(
+        (p["stateOperators"][0]["numRowsDroppedByWatermark"] if p["stateOperators"] else 0)
+        for p in q.recentProgress
+    )
+    assert dropped == 1
+
+
 def test_handle_event_audits_and_triggers(spark):
     """Cloud-Function analogue: base64 payload → parsed event, audit
     row appended, dependent pipeline triggered."""
