@@ -1,0 +1,105 @@
+"""Unit tests for the scalar expression layer: BigQuery-compat casts
+(strict vs SAFE), CASE builders (incl. the no-ELSE NULL contract),
+sentinel decodes, format_date directives, null normalization."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.utils import PythonException
+
+from idr_data_pipelines_spark.functions import (
+    bq_cast,
+    case_bucket,
+    case_flag,
+    case_map,
+    format_date,
+    null_default,
+    null_normalize,
+    safe_cast,
+    str_sentinel_decode,
+)
+
+
+def test_safe_cast_null_on_error_and_type_map(spark):
+    df = spark.createDataFrame([("12", "x")], ["good", "bad"])
+    row = df.select(
+        safe_cast("good", "INT").alias("g"),
+        safe_cast("bad", "INT64").alias("b"),
+        safe_cast(F.lit("3.25"), "NUMERIC").alias("n"),
+    ).first()
+    assert row["g"] == 12 and row["b"] is None
+    assert str(row["n"]) == "3.250000000"
+    assert dict(
+        df.select(safe_cast("good", "INT").alias("g")).dtypes
+    )["g"] == "bigint"  # BQ INT is INT64
+
+
+def test_bq_cast_strict_raises_on_malformed(spark):
+    df = spark.createDataFrame([("notanumber",)], ["v"])
+    with pytest.raises(Exception) as exc:
+        df.select(bq_cast("v", "INT")).collect()
+    assert "bq_cast to INT failed" in str(exc.value)
+    # nulls pass through without raising (BQ CAST(NULL) is NULL)
+    df2 = spark.createDataFrame([(None,)], "v string")
+    assert df2.select(bq_cast("v", "INT").alias("o")).first()["o"] is None
+
+
+def test_case_builders_contracts(spark):
+    df = spark.createDataFrame(
+        [("a", 5), ("b", 50), ("zz", 500)], ["k", "n"]
+    )
+    out = df.select(
+        "k",
+        case_map("k", {"a": "A", "b": "B"}).alias("no_else"),
+        case_map("k", {"a": "A"}, default="other").alias("with_default"),
+        case_map("k", {"a": "A"}, default_to_input=True).alias("passthrough"),
+        case_flag(F.col("n") > 10, "Yes", "NO").alias("flag"),
+        case_bucket(
+            "n",
+            [(F.col("n") < 10, F.lit("small")), (F.col("n") < 100, F.lit("mid"))],
+        ).alias("bucket_no_else"),
+    ).collect()
+    rows = {r["k"]: r for r in out}
+    assert rows["zz"]["no_else"] is None          # CASE without ELSE → NULL
+    assert rows["zz"]["with_default"] == "other"
+    assert rows["zz"]["passthrough"] == "zz"
+    assert rows["a"]["flag"] == "NO" and rows["b"]["flag"] == "Yes"
+    assert rows["zz"]["bucket_no_else"] is None   # uncovered combo stays NULL
+
+
+def test_sentinel_decode_and_null_default(spark):
+    df = spark.createDataFrame([("LDL",), ("850",), ("junk",), (None,)], "v string")
+    out = [
+        (r["d"], r["nd"])
+        for r in df.select(
+            str_sentinel_decode("v", {"LDL": 0}, cast_to="decimal(18,2)").alias("d"),
+            null_default("v", "Unknown").alias("nd"),
+        ).collect()
+    ]
+    vals = [float(d) if d is not None else None for d, _ in out]
+    assert vals == [0.0, 850.0, None, None]
+    assert [nd for _, nd in out] == ["LDL", "850", "junk", "Unknown"]
+
+
+def test_format_date_directives(spark):
+    df = spark.range(1).select(F.to_date(F.lit("2022-01-05")).alias("d"))
+    row = df.select(
+        format_date("d", "%Y").alias("y"),
+        format_date("d", "%B").alias("bm"),
+        format_date("d", "%Y-%m-%d").alias("iso"),
+        format_date("d", "%A").alias("dow"),
+    ).first()
+    assert row["y"] == "2022"
+    assert row["bm"] == "January"
+    assert row["iso"] == "2022-01-05"
+    assert row["dow"] == "Wednesday"
+
+
+def test_null_normalize_only_touches_string_columns(spark):
+    df = spark.createDataFrame(
+        [("None", 1), ("ok", 2), ("", 3)], ["s", "n"]
+    )
+    out = null_normalize(df).collect()
+    assert [r["s"] for r in out] == [None, "ok", None]
+    assert [r["n"] for r in out] == [1, 2, 3]  # non-string untouched
