@@ -200,7 +200,12 @@ def minhash_signatures(
     ``impl="expr"`` stays pure-Catalyst — same results bit-for-bit.
     """
     if impl == "expr":
-        sig = minhash_signature_expr(text_col, num_perm, shingle_k)
+        # null text → null signature (without the guard the outer
+        # transform over sequence() yields an array of nulls instead)
+        sig = F.when(
+            _tokens(text_col).isNotNull(),
+            minhash_signature_expr(text_col, num_perm, shingle_k),
+        )
         return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
 
     import numpy as np
@@ -219,21 +224,34 @@ def minhash_signatures(
         # intermediate at ~num_perm × CH × avg_shingles × 8 bytes.
         CH = 1024
         for pdf in batches:
-            hs_list = pdf["__sh"].tolist()
-            out = []
+            # null text → null shingle array → null signature, matching
+            # the expression impl (which propagates null through the
+            # whole projection) instead of crashing on len(None)
+            hs_list = [
+                h if h is not None and len(h) else None
+                for h in pdf["__sh"].tolist()
+            ]
+            out: list = []
             for s in range(0, len(hs_list), CH):
-                chunk = hs_list[s : s + CH]
-                lens = np.fromiter(
-                    (len(h) for h in chunk), dtype=np.int64, count=len(chunk)
+                chunk = [h for h in hs_list[s : s + CH] if h is not None]
+                if chunk:
+                    lens = np.fromiter(
+                        (len(h) for h in chunk), dtype=np.int64, count=len(chunk)
+                    )
+                    flat = np.concatenate(
+                        [np.asarray(h, dtype=np.int64) for h in chunk]
+                    )
+                    h32 = flat & _MASK32
+                    perms = (A * h32[None, :] + B) % _MERSENNE_P
+                    offs = np.zeros(len(chunk), dtype=np.int64)
+                    np.cumsum(lens[:-1], out=offs[1:])
+                    mins = iter(np.minimum.reduceat(perms, offs, axis=1).T)
+                else:
+                    mins = iter(())
+                out.extend(
+                    None if h is None else next(mins)
+                    for h in hs_list[s : s + CH]
                 )
-                flat = np.concatenate(
-                    [np.asarray(h, dtype=np.int64) for h in chunk]
-                )
-                h32 = flat & _MASK32
-                perms = (A * h32[None, :] + B) % _MERSENNE_P
-                offs = np.zeros(len(chunk), dtype=np.int64)
-                np.cumsum(lens[:-1], out=offs[1:])
-                out.extend(np.minimum.reduceat(perms, offs, axis=1).T)
             yield pd.DataFrame({"id": pdf["id"], "signature": out})
 
     shingled = df.select(
@@ -278,11 +296,20 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b; when
     ``jaccard_threshold`` is None, candidates are returned unverified
     with jaccard = null.
+
+    Note: the band and shingle intermediates are ``persist()``-ed (each
+    feeds both sides of a self-join) and stay cached for the session;
+    long-lived sessions calling this repeatedly should
+    ``spark.catalog.clearCache()`` between corpora.
     """
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
     r = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k, impl)
+    # null-text docs have no signature and can't be near-dups — filter
+    # before banding so they don't all collide on degenerate hashes
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_perm, shingle_k, impl
+    ).filter(F.col("signature").isNotNull())
 
     def band_array(sig: Column) -> Column:
         return F.array(
@@ -416,9 +443,10 @@ def simhash_signatures(
     interpreted. ``impl="expr"`` stays pure-Catalyst.
     """
     if impl == "expr":
-        return df.select(
-            F.col(id_col).alias("id"), simhash64(text_col).alias("simhash")
-        )
+        # null text → null simhash (the raw fold would yield 0: every
+        # per-bit comparison against a null count is null → otherwise(0))
+        sig = F.when(_tokens(text_col).isNotNull(), simhash64(text_col))
+        return df.select(F.col(id_col).alias("id"), sig.alias("simhash"))
 
     import numpy as np
     import pandas as pd
@@ -426,7 +454,10 @@ def simhash_signatures(
 
     def compute(batches):
         for pdf in batches:
-            th_list = pdf["__th"].tolist()
+            # null text → null token array → null simhash (the
+            # expression impl propagates null the same way)
+            raw = pdf["__th"].tolist()
+            th_list = [t for t in raw if t is not None and len(t)]
             out = np.empty(len(th_list), dtype=np.int64)
             if th_list:
                 lens = np.fromiter(
@@ -449,7 +480,13 @@ def simhash_signatures(
                     .view(np.int64)
                     .ravel()
                 )
-            yield pd.DataFrame({"id": pdf["id"], "simhash": out})
+            vals = iter(out)
+            full = [
+                None if (t is None or not len(t)) else next(vals) for t in raw
+            ]
+            yield pd.DataFrame(
+                {"id": pdf["id"], "simhash": pd.array(full, dtype="Int64")}
+            )
 
     toks = _tokens(text_col)
     prepped = df.select(
@@ -482,20 +519,34 @@ def simhash_near_dup_pairs(
     (chunk_idx, chunk_value), then verify with bit_count(xor).
     """
     n_chunks = max_hamming + 1
-    chunk_bits = 64 // n_chunks
-    sigs = simhash_signatures(df, id_col, text_col, impl)
+    if not 1 <= n_chunks <= 64:
+        raise ValueError("max_hamming must be in [0, 63]")
+    # Distribute all 64 bits across the chunks (sizes differ by at most
+    # one) — a plain 64 // n_chunks would leave the top 64 % n_chunks
+    # bits out of every chunk, weakening the pigeonhole bucketing.
+    base, extra = divmod(64, n_chunks)
+    sizes = [base + (1 if i < extra else 0) for i in range(n_chunks)]
+    offsets = [sum(sizes[:i]) for i in range(n_chunks)]
+    sigs = simhash_signatures(df, id_col, text_col, impl).filter(
+        F.col("simhash").isNotNull()
+    )
     # chunks carry the full signature so the verify stage needs no
     # second join; persisted — the chunk table feeds both sides of the
     # self-join (see minhash_lsh_pairs for why this is load-bearing).
     s = F.col("simhash")
+
+    def chunk_val(off: int, bits: int) -> Column:
+        shifted = F.shiftrightunsigned(s, off)
+        if bits >= 64:  # single chunk: the whole signature (a 64-bit
+            return shifted  # mask literal would not fit LongType)
+        return shifted.bitwiseAND(F.lit((1 << bits) - 1))
+
     chunk_structs = F.array(
         *[
             F.struct(
                 s.alias("simhash"),
                 F.lit(i).alias("chunk_idx"),
-                F.shiftrightunsigned(s, i * chunk_bits)
-                .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-                .alias("chunk_val"),
+                chunk_val(offsets[i], sizes[i]).alias("chunk_val"),
             )
             for i in range(n_chunks)
         ]

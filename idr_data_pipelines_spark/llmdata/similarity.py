@@ -431,13 +431,18 @@ def embedding_near_dup_pairs(
     Blocking: either a caller-supplied column (e.g. a cluster/label
     id) or sign-LSH buckets — the self-join runs inside blocks only.
     """
-    vecs = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("vec"))
     if block_col is not None:
-        vecs = vecs.join(
-            df.select(F.col(id_col).alias("id"), F.col(block_col).alias("block")),
-            "id",
+        # same projection — a join back on id would add a shuffle (and
+        # fan out on duplicate ids) for a column that's already there
+        vecs = df.select(
+            F.col(id_col).alias("id"),
+            _as_double(vec_col).alias("vec"),
+            F.col(block_col).alias("block"),
         )
     else:
+        vecs = df.select(
+            F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
+        )
         dim = len(df.select(vec_col).first()[0])
         planes = _hyperplanes(dim, n_planes, seed)
         vecs = vecs.withColumn("block", lsh_bucket(F.col("vec"), planes))

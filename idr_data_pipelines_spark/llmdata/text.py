@@ -84,10 +84,14 @@ def quality_score(
     sw_hits = _word_hits(F.lower(c), sw).cast("double")
     safe_tokens = F.when(n_tokens == 0, F.lit(1.0)).otherwise(n_tokens)
     safe_chars = F.when(n_chars == 0, F.lit(1.0)).otherwise(n_chars)
+    # mean word length from the non-whitespace characters themselves —
+    # robust to multi-space runs and leading/trailing padding; 0 for
+    # empty/whitespace-only text
+    n_word_chars = F.length(F.regexp_replace(F.trim(c), r"\s+", "")).cast("double")
     return {
         "n_chars": n_chars.cast("long"),
         "n_tokens": n_tokens.cast("long"),
-        "mean_word_len": (n_chars - (n_tokens - 1)) / safe_tokens,
+        "mean_word_len": n_word_chars / safe_tokens,
         "punct_ratio": n_punct.cast("double") / safe_chars,
         "alpha_ratio": n_alpha.cast("double") / safe_chars,
         "stopword_ratio": sw_hits / safe_tokens,

@@ -21,6 +21,8 @@ functions; the streaming form would use applyInPandasWithState).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
@@ -48,14 +50,18 @@ def drain_available_now(
     )
     # foreachBatch (not the memory sink) because only it supports
     # resuming from an existing checkpoint — the ack-ledger semantics
-    # this operator exists for. Batches are appended to a per-drain
-    # staging directory (foreachBatch runs on a cloned session, so a
-    # temp view registered inside the callback would be invisible to
-    # the caller), then exposed as a temp view over that directory.
+    # this operator exists for. Batches land in a per-drain staging
+    # directory (foreachBatch runs on a cloned session, so a temp view
+    # registered inside the callback would be invisible to the
+    # caller), then surface as a temp view over that directory.
+    # Exactly-once across crash-restarts: each batch OVERWRITES its
+    # own batch_id-deterministic subdirectory, so a batch replayed
+    # after a failure between the write and the checkpoint commit
+    # replaces its previous output instead of appending a duplicate.
     out_dir = f"{checkpoint_dir.rstrip('/')}__out/{sink_table}"
 
-    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_dir)
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 
     q = (
         stream.writeStream.foreachBatch(_sink)
@@ -64,10 +70,15 @@ def drain_available_now(
         .start()
     )
     q.awaitTermination()
-    try:
-        out = spark.read.schema(schema).parquet(out_dir)
-        out.head(1)  # raises if no batch ever wrote the directory
-    except Exception:
+    if os.path.isdir(out_dir):
+        # recursive read of the batch=N subdirs; real read errors
+        # propagate — only "never wrote anything" yields the empty view
+        out = (
+            spark.read.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(out_dir)
+        )
+    else:
         out = spark.createDataFrame([], schema)
     out.createOrReplaceTempView(sink_table)
 
@@ -80,12 +91,17 @@ def republish(
     dest_path: str,
     fmt: str = "parquet",
 ) -> None:
-    """Drain + republish: every available message is appended to the
-    destination (topic analogue), exactly once, then the query stops."""
+    """Drain + republish: every available message is published to the
+    destination (topic analogue), exactly once, then the query stops.
+
+    Idempotent across crash-restarts: each batch overwrites its own
+    batch_id-deterministic subdirectory of ``dest_path``, so a batch
+    replayed after a failure between write and checkpoint commit
+    replaces its previous output rather than appending a duplicate."""
     stream = spark.readStream.format(fmt).schema(schema).load(path)
 
-    def _publish(batch_df: DataFrame, _batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(dest_path)
+    def _publish(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{dest_path}/batch={batch_id}")
 
     q = (
         stream.writeStream.foreachBatch(_publish)
@@ -126,8 +142,12 @@ def handle_event(
     except (ValueError, SyntaxError):
         event = {"raw": raw}
 
+    try:
+        payload_json = json.dumps(event, sort_keys=True, default=repr)
+    except TypeError:  # e.g. unsortable mixed-type keys
+        payload_json = repr(event)
     audit = spark.createDataFrame(
-        [(json.dumps(event, sort_keys=True), event_time)],
+        [(payload_json, event_time)],
         "payload string, event_time string",
     )
     audit.write.mode("append").saveAsTable(audit_table)
@@ -220,7 +240,10 @@ def sessionize_stream(
     def fold(key, pdfs, state: "GroupState"):
         ts = []
         for pdf in pdfs:
-            ts.extend(pdf["__ts_us"].tolist())
+            # null timestamps carry no event-time information — skip
+            # them (batch sessionize's window functions sort them
+            # first, which is equally arbitrary)
+            ts.extend(t for t in pdf["__ts_us"].tolist() if t is not None)
         ts.sort()
         if state.exists:
             last, start, n, seq = state.get
@@ -235,7 +258,14 @@ def sessionize_stream(
                 seq, start, n = seq + 1, t, 1
             else:
                 n += 1
-            last = t
+            # max(): an out-of-order event from a later micro-batch
+            # that falls inside the open session joins it without
+            # dragging its end time backwards (matching what batch
+            # sessionize computes for the same rows); events earlier
+            # than the open session's start are merged rather than
+            # retroactively re-splitting history — bound this with an
+            # upstream watermark if stragglers can be arbitrarily old.
+            last = t if last is None else max(last, t)
         state.update((last, start, n, seq))
         yield pd.DataFrame(
             closed,

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from idr_data_pipelines_spark.llmdata.dedup import (
     dedup_exact,
     minhash_lsh_pairs,
+    minhash_signatures,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
     simhash_signatures,
@@ -194,6 +195,39 @@ def test_multimodal_meta_and_frames(spark):
     assert len(by_doc[1]) == 2   # 11 bytes / 10
     assert len(by_doc[2]) == 10  # 100 bytes / 10
     assert bytes(sorted(by_doc[1], key=lambda r: r["frame_idx"])[0]["frame_bytes"]) == b"hello worl"
+
+
+def test_null_text_yields_null_signatures(spark):
+    """Null documents must produce null signatures in BOTH impls (the
+    arrow path used to crash on len(None))."""
+    df = spark.createDataFrame(
+        [(1, "some real text here"), (2, None), (3, "other words entirely")],
+        "doc_id long, text string",
+    )
+    for impl in ("arrow", "expr"):
+        sigs = {r["id"]: r["signature"]
+                for r in minhash_signatures(df, num_perm=16, impl=impl).collect()}
+        assert sigs[2] is None and sigs[1] is not None, impl
+        sims = {r["id"]: r["simhash"]
+                for r in simhash_signatures(df, impl=impl).collect()}
+        assert sims[2] is None and sims[1] is not None, impl
+
+
+def test_simhash_near_dup_edge_hamming(spark):
+    """max_hamming=0 (exact-dup detection) must work — the 64-bit
+    single-chunk case used to overflow LongType; and chunk sizes must
+    cover all 64 bits when n_chunks doesn't divide 64."""
+    df = spark.createDataFrame(
+        [(1, "aa bb cc dd"), (2, "aa bb cc dd"), (3, "totally different words")],
+        ["doc_id", "text"],
+    )
+    got = {(r["id_a"], r["id_b"]) for r in
+           simhash_near_dup_pairs(df, max_hamming=0).collect()}
+    assert got == {(1, 2)}
+    # non-dividing chunk count (max_hamming=2 → 3 chunks over 64 bits)
+    got2 = {(r["id_a"], r["id_b"]) for r in
+            simhash_near_dup_pairs(df, max_hamming=2).collect()}
+    assert (1, 2) in got2
 
 
 def test_winnow_fingerprints(spark):
