@@ -100,5 +100,6 @@ def str_sentinel_decode(
     for k, v in sentinels.items():
         cond = c == k
         expr = F.when(cond, F.lit(v).cast(cast_to)) if expr is None else expr.when(cond, F.lit(v).cast(cast_to))
-    assert expr is not None
+    if expr is None:
+        raise ValueError("empty sentinels")
     return expr.otherwise(c.try_cast(cast_to))

@@ -87,11 +87,45 @@ _FMT_MAP = {
 def format_date(col: Column | str, fmt: str) -> Column:
     """BigQuery ``FORMAT_DATETIME(fmt, d)`` for the directives the
     reference uses ("%Y" → "2022", "%B" → "January";
-    dags/mmd_transforms.py:218-222) plus the common ones."""
-    jvm_fmt = fmt
-    for bq, jvm in _FMT_MAP.items():
-        jvm_fmt = jvm_fmt.replace(bq, jvm)
-    return F.date_format(_c(col), jvm_fmt)
+    dags/mmd_transforms.py:218-222) plus the common ones.
+
+    In strftime, non-% characters are literals; in the JVM pattern
+    language, bare letters are pattern letters — so literal runs
+    containing letters are single-quoted (e.g. ``%H:%M:%ST%d`` keeps
+    the ``T`` literal instead of hitting an unsupported pattern).
+    """
+    import re as _re
+
+    parts: list[str] = []
+    i = 0
+    literal = ""
+
+    def flush() -> None:
+        nonlocal literal
+        if literal:
+            if _re.search(r"[A-Za-z']", literal):
+                parts.append("'" + literal.replace("'", "''") + "'")
+            else:
+                parts.append(literal)
+            literal = ""
+
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            directive = fmt[i : i + 2]
+            if directive == "%%":
+                literal += "%"
+                i += 2
+                continue
+            if directive not in _FMT_MAP:
+                raise ValueError(f"unsupported FORMAT_DATETIME directive: {directive}")
+            flush()
+            parts.append(_FMT_MAP[directive])
+            i += 2
+        else:
+            literal += fmt[i]
+            i += 1
+    flush()
+    return F.date_format(_c(col), "".join(parts))
 
 
 def as_of_date(value: str | _dt.date | None = None) -> Column:

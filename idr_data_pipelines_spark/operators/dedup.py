@@ -42,9 +42,13 @@ def dedup_groupby_max(df: DataFrame, keys: list[str]) -> DataFrame:
     dates, numerics. The reference wraps the GROUP BY in an outer
     ``SELECT DISTINCT *``, a no-op after grouping; we keep the single
     aggregate. One shuffle, map-side partial max first.
+
+    The dedup-flavored name for ``agg_groupby_max_all`` — one
+    implementation, two §2 inventory entries (SURVEY §2.2 vs §2.5).
     """
-    other = [c for c in df.columns if c not in keys]
-    return df.groupBy(*keys).agg(*[F.max(c).alias(c) for c in other])
+    from idr_data_pipelines_spark.operators.aggregate import agg_groupby_max_all
+
+    return agg_groupby_max_all(df, keys)
 
 
 def dedup_latest_per_key(

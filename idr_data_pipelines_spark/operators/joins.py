@@ -83,11 +83,18 @@ def join_salted(
     enough to replicate n_salts×; otherwise prefer AQE skew-join
     splitting (on by default in session.py), which handles skew without
     replication. Results are identical to a plain equi-join (salt
-    columns are internal and dropped).
+    columns are internal and dropped). Only ``inner`` and ``left`` are
+    supported: a right/full outer join would emit every unmatched
+    replicated right row n_salts times.
 
     Health-facility data is the reference's skew case: a handful of
     large sites dominate (SiteCode keys, SURVEY.md §4).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "join_salted supports how='inner'|'left' — outer joins would "
+            "fan out unmatched rows of the replicated side"
+        )
     salted = skewed.withColumn(
         "__salt",
         F.pmod(F.xxhash64(F.struct(*skewed.columns)), F.lit(n_salts)).cast("int"),

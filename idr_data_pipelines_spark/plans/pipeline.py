@@ -118,6 +118,7 @@ class PipelineRunner:
     results: dict[str, DataFrame] = field(default_factory=dict)
 
     def run(self, spark, pipelines: list[Pipeline], **kwargs) -> dict[str, DataFrame]:
+        self.results = {}  # fresh per run — never return a prior run's frames
         done: set[str] = set()
         remaining = {p.name: p for p in pipelines}
         known = set(remaining)

@@ -20,16 +20,17 @@ dedup is a hash aggregate. Nothing touches the driver.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
 def _glob(path_or_dir: str) -> str:
-    """Accept a directory, a glob, or a single file."""
-    if os.path.isdir(path_or_dir):
-        return os.path.join(path_or_dir, "*.parquet")
+    """Accept a directory, a glob, or a single file — passed through
+    verbatim: ``spark.read.parquet`` already handles flat directories,
+    Hive-partitioned layouts (partition discovery over ``k=v``
+    subdirectories) and metadata files. Rewriting a directory to
+    ``dir/*.parquet`` would break partitioned datasets, whose files
+    live in subdirectories."""
     return path_or_dir
 
 

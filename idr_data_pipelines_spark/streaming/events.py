@@ -21,8 +21,6 @@ functions; the streaming form would use applyInPandasWithState).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
@@ -70,9 +68,13 @@ def drain_available_now(
         .start()
     )
     q.awaitTermination()
-    if os.path.isdir(out_dir):
-        # recursive read of the batch=N subdirs; real read errors
-        # propagate — only "never wrote anything" yields the empty view
+    # existence check through the Hadoop FileSystem API so it works on
+    # any scheme (s3://, hdfs://, file:), not just the driver's local
+    # disk; real read errors then propagate — only "never wrote
+    # anything" yields the empty view
+    hpath = spark._jvm.org.apache.hadoop.fs.Path(out_dir)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
         out = (
             spark.read.schema(schema)
             .option("recursiveFileLookup", "true")
@@ -205,10 +207,17 @@ def sessionize_stream(
     re-reading history, which is what makes this run forever on an
     unbounded stream (state size = O(active users), not O(events)).
 
-    Determinism contract: the emitted rows are precisely "every session
-    except each user's currently-open (last) one", with the same
-    numbering as batch ``sessionize`` — so a SQL oracle exists even
-    though the operator is stateful.
+    Determinism contract: when events arrive in event-time order
+    ACROSS micro-batches (within a batch any order is fine — the fold
+    sorts), the emitted rows are precisely "every session except each
+    user's currently-open (last) one", with the same numbering as
+    batch ``sessionize`` — so a SQL oracle exists even though the
+    operator is stateful. A cross-batch straggler that lands within
+    ``gap_minutes`` of the open session's max joins it (end time never
+    moves backwards); one older than that is treated as session-less
+    history and merged rather than re-splitting already-emitted
+    sessions — bound straggler age upstream (e.g. drop rows older than
+    a watermark before calling) if that matters.
 
     Returns (user, session_id, start_us, end_us, n_events) with
     timestamps as epoch-microsecond BIGINTs.
@@ -241,9 +250,14 @@ def sessionize_stream(
         ts = []
         for pdf in pdfs:
             # null timestamps carry no event-time information — skip
-            # them (batch sessionize's window functions sort them
-            # first, which is equally arbitrary)
-            ts.extend(t for t in pdf["__ts_us"].tolist() if t is not None)
+            # them. Arrow surfaces a nullable long column as float64
+            # with NaN, so guard both None and NaN (t == t), and cast
+            # back to int so state stays LongType-clean.
+            ts.extend(
+                int(t)
+                for t in pdf["__ts_us"].tolist()
+                if t is not None and t == t
+            )
         ts.sort()
         if state.exists:
             last, start, n, seq = state.get

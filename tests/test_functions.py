@@ -96,6 +96,37 @@ def test_format_date_directives(spark):
     assert row["dow"] == "Wednesday"
 
 
+def test_format_date_quotes_literal_letters(spark):
+    """strftime non-% chars are literals; JVM bare letters are pattern
+    letters — literal runs must be quoted."""
+    df = spark.range(1).select(
+        F.to_timestamp(F.lit("2022-01-05 07:09:11")).alias("d")
+    )
+    row = df.select(
+        format_date("d", "%Y-%m-%dT%H:%M:%S").alias("iso_t"),
+        format_date("d", "Week %d").alias("wk"),
+        format_date("d", "100%% %Y").alias("pct"),
+    ).first()
+    assert row["iso_t"] == "2022-01-05T07:09:11"
+    assert row["wk"] == "Week 05"
+    assert row["pct"] == "100% 2022"
+    with pytest.raises(ValueError):
+        format_date("d", "%Q")
+
+
+def test_join_salted_rejects_outer(spark):
+    from idr_data_pipelines_spark.operators import join_salted
+
+    df = spark.range(3).withColumnRenamed("id", "k")
+    other = spark.range(3).withColumnRenamed("id", "j")
+    with pytest.raises(ValueError):
+        join_salted(df, other, "k", "j", how="full")
+    # left join: unmatched left rows appear exactly once
+    left = spark.createDataFrame([(1,), (99,)], ["k"])
+    out = join_salted(left, other, "k", "j", n_salts=4, how="left").collect()
+    assert sorted((r["k"], r["j"]) for r in out) == [(1, 1), (99, None)]
+
+
 def test_null_normalize_only_touches_string_columns(spark):
     df = spark.createDataFrame(
         [("None", 1), ("ok", 2), ("", 3)], ["s", "n"]

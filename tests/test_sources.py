@@ -25,6 +25,20 @@ def test_read_parquet_dir_unions_all_files(spark, sf_dir, tmp_path):
     assert df.schema == orders.schema
 
 
+def test_read_parquet_dir_handles_partitioned_layout(spark, tmp_path):
+    """Hive-partitioned datasets (files in k=v subdirectories) must
+    read with partition discovery — a dir/*.parquet glob would miss
+    them entirely."""
+    lake = str(tmp_path / "plake")
+    df = spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, "b", "2024-01-02")], ["k", "v", "dt"]
+    )
+    df.write.partitionBy("dt").parquet(lake)
+    back = read_parquet_dir(spark, lake)
+    assert back.count() == 2
+    assert "dt" in back.columns  # partition column discovered
+
+
 def test_all_string_staging_and_null_normalize(spark, tmp_path):
     """The pandas-loader parity path: every column stringified, exact
     dups dropped, literal 'None' → real NULL
