@@ -1,5 +1,7 @@
 """The four reference extract pipelines (COVID/HTS/MMD/VLS) rebuilt
-over the operator library, plus a loader pipeline.
+over the operator library. The reference's loader DAG (idr_load) maps
+to the sources layer (read_parquet_dir / read_parquet_all_string +
+sinks); the extract chains reference it via ``depends_on=["idr_load"]``.
 
 Each builder takes a :class:`~idr_data_pipelines_spark.sources.Catalog`
 holding the staging + dimension tables (FIXTURES.md shapes) and an

@@ -157,7 +157,7 @@ def _join_mfl(catalog: Catalog):
             cast_fact_key_to="bigint",
         )
         passthrough = [
-            "DOB", "Gender", "PatientPK", "weight", "height", "AgeEnrollment",
+            "PatientPK", "weight", "height", "AgeEnrollment",
             "AgeARTStart", "AgeLastVisit", "FacilityName", "RegistrationDate",
             "PatientSource", "PreviousARTStartDate", "StartARTAtThisFAcility",
             "StartARTDate", "PreviousARTUse", "PreviousARTPurpose",
@@ -176,6 +176,8 @@ def _join_mfl(catalog: Catalog):
             "ward_name",
             "lat",
             "long",
+            "DOB",
+            "Gender",
             F.col("CCC").alias("PatientID"),
             *passthrough,
         )
@@ -215,9 +217,19 @@ def _join_hub(catalog: Catalog):
 
 
 def build_mmd_pipeline(catalog: Catalog, as_of: str | None = None) -> Pipeline:
+    # "None"→NULL happens in the reference's *loader* (the pandas path
+    # stringifies real nulls to "None" then replaces them,
+    # deps/parquet_solution.py:81-82), i.e. before staging lands — so
+    # it belongs on the source read, not as an MMD DAG stage. Without
+    # it every untyped string column would carry the literal "None"
+    # into the warehouse where the reference has NULL.
+    from idr_data_pipelines_spark.functions import null_normalize
+
     p = Pipeline(
         "mmd",
-        source=lambda spark: catalog.table("mmd_staging"),
+        source=lambda spark: null_normalize(
+            catalog.table("mmd_staging"), sentinels=("None",)
+        ),
         depends_on=["idr_load"],
     )
     p.stage("assign_appropriate_data_types", _assign_types)
@@ -232,4 +244,8 @@ def build_mmd_pipeline(catalog: Catalog, as_of: str | None = None) -> Pipeline:
     p.stage("hub_details", _join_hub(catalog))
     p.stage("ART_MMD_data_warehouse", dedup_distinct)
     p.stage("finish_pipeline")
+    # Publish the warehouse under the name downstream pipelines consume
+    # (VLS's merge reads catalog.table("art_mmd")); depends_on only
+    # orders execution — this sink is the data edge.
+    p.sink = lambda df: catalog.register("art_mmd", df)
     return p

@@ -55,10 +55,8 @@ from idr_data_pipelines_spark.llmdata.multimodal import (
     with_binary_payload,
 )
 from idr_data_pipelines_spark.llmdata.similarity import (
-    cosine,
     cosine_topk_bruteforce,
     cosine_topk_lsh,
-    _as_double,
 )
 from idr_data_pipelines_spark.llmdata.text import (
     fingerprint,
@@ -161,23 +159,29 @@ def q_sink_rows_append(spark, sf_dir):
     return spark.read.parquet(path)
 
 
-def q_src_stream_drain(spark, sf_dir):
-    """src_pubsub_drain: Trigger.AvailableNow drain of available
-    messages (deps/receiver.py:1-36) into a memory sink, returned as a
-    batch DataFrame."""
+def _stage_event_stream(spark, sf_dir, prefix):
+    """Stage events.parquet into a fresh inbox directory (the file
+    stream source needs a directory — the "subscription") and return
+    (inbox, checkpoint_dir, schema). Sets the nanos conf the events
+    table needs."""
+    import shutil
+
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    schema = read_parquet_dir(spark, f"{sf_dir}/events.parquet").schema
-    name = f"drained_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="idr_ckpt_")
-    # The file stream source requires a directory (the "subscription"):
-    # stage the message file into one, as new messages would arrive.
-    import shutil
-
-    inbox = tempfile.mkdtemp(prefix="idr_inbox_")
+    inbox = tempfile.mkdtemp(prefix=f"idr_{prefix}_inbox_")
+    ckpt = tempfile.mkdtemp(prefix=f"idr_{prefix}_ckpt_")
     shutil.copy(f"{sf_dir}/events.parquet", f"{inbox}/events.parquet")
+    return inbox, ckpt, spark.read.parquet(inbox).schema
+
+
+def q_src_stream_drain(spark, sf_dir):
+    """src_pubsub_drain: Trigger.AvailableNow drain of available
+    messages (deps/receiver.py:1-36) into a memory sink, returned as a
+    batch DataFrame."""
+    inbox, ckpt, schema = _stage_event_stream(spark, sf_dir, "drain")
+    name = f"drained_{uuid.uuid4().hex[:8]}"
     stream = spark.readStream.schema(schema).parquet(inbox)
     q = (
         stream.writeStream.format("memory")
@@ -196,19 +200,10 @@ def q_sink_stream_republish(spark, sf_dir):
     """sink_pubsub_publish: drain + republish every available message
     to the destination (deps/publisher.py:1-21), exactly once; the
     oracle is the full events table."""
-    import shutil
-
     from idr_data_pipelines_spark.streaming.events import republish
 
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
-    inbox = tempfile.mkdtemp(prefix="idr_rep_inbox_")
-    ckpt = tempfile.mkdtemp(prefix="idr_rep_ckpt_")
+    inbox, ckpt, schema = _stage_event_stream(spark, sf_dir, "rep")
     dest = f"{tempfile.mkdtemp(prefix='idr_rep_dest_')}/topic"
-    shutil.copy(f"{sf_dir}/events.parquet", f"{inbox}/events.parquet")
-    schema = spark.read.parquet(inbox).schema
     republish(spark, inbox, schema, ckpt, dest)
     republish(spark, inbox, schema, ckpt, dest)  # idempotent re-drain
     return spark.read.parquet(dest).select(
@@ -675,15 +670,9 @@ def q_evt_sessionize_stream(spark, sf_dir):
     Emits closed sessions only — deterministically "all sessions except
     each user's open/last one", so the stateful operator still has an
     exact SQL oracle."""
-    import shutil
-
     from idr_data_pipelines_spark.streaming.events import sessionize_stream
 
-    ev = _events(spark, sf_dir)  # sets nanosAsLong for the stream read
-    inbox = tempfile.mkdtemp(prefix="idr_sess_inbox_")
-    ckpt = tempfile.mkdtemp(prefix="idr_sess_ckpt_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{inbox}/events.parquet")
-    raw_schema = spark.read.parquet(inbox).schema
+    inbox, ckpt, raw_schema = _stage_event_stream(spark, sf_dir, "sess")
     stream = spark.readStream.schema(raw_schema).parquet(inbox)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -1375,7 +1364,8 @@ ORACLES: dict[str, str] = {
     "text_quality": """
         SELECT doc_id,
                CAST(length(text) AS BIGINT) AS n_chars,
-               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
                CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
                    / CAST(CASE WHEN length(text) = 0 THEN 1.0 ELSE length(text) END AS DOUBLE) AS alpha_ratio,
                CAST(len(regexp_extract_all(lower(text), '\\bthe\\b'))
