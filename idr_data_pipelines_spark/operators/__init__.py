@@ -18,8 +18,10 @@ from idr_data_pipelines_spark.operators.filters import (
 from idr_data_pipelines_spark.operators.joins import (
     join_inner_dim_cast,
     join_left_fact,
+    join_anti,
     join_on_keys,
     join_salted,
+    join_semi,
 )
 from idr_data_pipelines_spark.operators.aggregate import (
     agg_groupby_max_all,
@@ -39,8 +41,10 @@ __all__ = [
     "filter_derived",
     "join_inner_dim_cast",
     "join_left_fact",
+    "join_anti",
     "join_on_keys",
     "join_salted",
+    "join_semi",
     "agg_groupby_max_all",
     "agg_max_date",
     "agg_pivot_sum_case",

@@ -65,6 +65,27 @@ def join_on_keys(
     return left.join(right, keys, how)
 
 
+def join_semi(
+    left: DataFrame,
+    right: DataFrame,
+    cond: Column | list[str],
+) -> DataFrame:
+    """EXISTS filter: left rows with ≥1 match on the right, emitted
+    once, left columns only (``left_semi``). The build side carries
+    only the join keys — far cheaper than inner-join + distinct."""
+    return left.join(right, cond, "left_semi")
+
+
+def join_anti(
+    left: DataFrame,
+    right: DataFrame,
+    cond: Column | list[str],
+) -> DataFrame:
+    """NOT EXISTS filter: left rows with no match on the right
+    (``left_anti``) — the orphan/violation finder."""
+    return left.join(right, cond, "left_anti")
+
+
 def join_salted(
     skewed: DataFrame,
     other: DataFrame,

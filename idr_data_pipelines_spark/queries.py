@@ -398,6 +398,33 @@ def q_join_salted(spark, sf_dir):
     return out.select("o_orderkey", "o_custkey", "c_name", "c_mktsegment")
 
 
+def q_join_semi(spark, sf_dir):
+    """join_semi: EXISTS — customers with at least one urgent order,
+    emitted once, left columns only."""
+    from idr_data_pipelines_spark.operators import join_semi
+
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    out = join_semi(cust, urgent, cust.c_custkey == urgent.o_custkey)
+    return out.select("c_custkey", "c_name", "c_mktsegment")
+
+
+def q_join_anti(spark, sf_dir):
+    """join_anti: NOT EXISTS — customers with no urgent order (the
+    all-orders variant is empty on this synthetic data, which would
+    make the oracle check vacuous)."""
+    from idr_data_pipelines_spark.operators import join_anti
+
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    out = join_anti(cust, urgent, cust.c_custkey == urgent.o_custkey)
+    return out.select("c_custkey", "c_name", "c_acctbal")
+
+
 # ===================================================================
 # §2.5 aggregations
 # ===================================================================
@@ -983,6 +1010,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_inner_hub": q_join_inner_hub,
     "join_left_fact": q_join_left_fact,
     "join_salted": q_join_salted,
+    "join_semi": q_join_semi,
+    "join_anti": q_join_anti,
     # §2.5 aggregations
     "agg_groupby_max_all": q_agg_groupby_max_all,
     "agg_max_date": q_agg_max_date,
@@ -1148,6 +1177,20 @@ ORACLES: dict[str, str] = {
     "join_left_fact": """
         SELECT c_custkey, c_name, o_orderkey, o_totalprice
         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    """,
+    "join_semi": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+    "join_anti": """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
     """,
     "join_salted": """
         SELECT o_orderkey, o_custkey, c_name, c_mktsegment

@@ -2,6 +2,7 @@
 stateful sessionization."""
 
 from idr_data_pipelines_spark.streaming.events import (
+    dedup_stream_exact,
     drain_available_now,
     handle_event,
     republish,
@@ -11,6 +12,7 @@ from idr_data_pipelines_spark.streaming.events import (
 )
 
 __all__ = [
+    "dedup_stream_exact",
     "drain_available_now",
     "handle_event",
     "republish",

@@ -190,6 +190,29 @@ def windowed_event_counts(
     )
 
 
+def dedup_stream_exact(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication on ``key_cols`` with bounded state.
+
+    ``dropDuplicatesWithinWatermark``: a duplicate arriving within the
+    watermark of the first occurrence is dropped; state for a key is
+    released once the watermark passes it, so state size is
+    O(keys per watermark window), not O(all keys ever) — the property
+    that makes at-least-once sources (the reference's Pub/Sub redelivery,
+    deps/receiver.py) safe to consume forever. On a batch DataFrame
+    falls back to plain dropDuplicates (no watermark semantics needed).
+    """
+    if not events.isStreaming:
+        return events.dropDuplicates(key_cols)
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def sessionize_stream(
     events: DataFrame,
     user_col: str = "user_id",

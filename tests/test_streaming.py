@@ -8,6 +8,7 @@ import shutil
 from pyspark.sql import functions as F
 
 from idr_data_pipelines_spark.streaming import (
+    dedup_stream_exact,
     drain_available_now,
     republish,
     sessionize,
@@ -165,6 +166,50 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
         )
     # user 1: sessions 1 and 2 closed; user 2: session 1 closed
     assert set(got) == {(1, 1), (1, 2), (2, 1)}
+
+
+def test_dedup_stream_exact_across_batches(spark, tmp_path):
+    """Streaming dedup with bounded state: a redelivered message in a
+    later micro-batch (within the watermark) is dropped; batch input
+    falls back to plain dropDuplicates."""
+    import os
+    import time as _time
+
+    inbox = str(tmp_path / "inbox")
+    os.makedirs(inbox)
+
+    def write_file(rows):
+        spark.createDataFrame(rows, ["event_id", "ts_str"]).select(
+            "event_id", F.to_timestamp("ts_str").alias("ts")
+        ).coalesce(1).write.mode("append").parquet(inbox)
+        _time.sleep(1.1)
+
+    write_file([(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:01:00")])
+    # batch 2 redelivers event 1 (at-least-once source) + a new event
+    write_file([(1, "2024-01-01 10:00:00"), (3, "2024-01-01 10:02:00")])
+
+    schema = spark.read.parquet(inbox).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(inbox)
+    )
+    out = dedup_stream_exact(stream, ["event_id"], "ts", watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r["event_id"] for r in spark.table("dedup_stream").collect())
+    assert got == [1, 2, 3]  # the redelivery was dropped
+
+    # batch fallback
+    bdf = spark.read.parquet(inbox)
+    assert dedup_stream_exact(bdf, ["event_id"]).count() == 3
 
 
 def test_watermark_drops_late_events(spark, tmp_path):
