@@ -24,7 +24,9 @@ from idr_data_pipelines_spark.operators.joins import (
     join_semi,
 )
 from idr_data_pipelines_spark.operators.aggregate import (
+    agg_cube,
     agg_groupby_max_all,
+    agg_rollup,
     agg_max_date,
     agg_pivot_sum_case,
 )
@@ -45,7 +47,9 @@ __all__ = [
     "join_on_keys",
     "join_salted",
     "join_semi",
+    "agg_cube",
     "agg_groupby_max_all",
+    "agg_rollup",
     "agg_max_date",
     "agg_pivot_sum_case",
 ]

@@ -51,3 +51,23 @@ def agg_pivot_sum_case(
     if group_by:
         return df.groupBy(*group_by).agg(*aggs)
     return df.agg(*aggs)
+
+
+def agg_rollup(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list[Column],
+) -> DataFrame:
+    """``GROUP BY ROLLUP(keys)`` — subtotals at every key prefix plus a
+    grand total (NULL marks the rolled-up levels, as in SQL). One
+    shuffle; Spark expands the grouping sets map-side."""
+    return df.rollup(*keys).agg(*aggs)
+
+
+def agg_cube(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list[Column],
+) -> DataFrame:
+    """``GROUP BY CUBE(keys)`` — aggregates for every key subset."""
+    return df.cube(*keys).agg(*aggs)

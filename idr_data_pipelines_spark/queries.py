@@ -467,6 +467,37 @@ def q_agg_pivot_sum_case(spark, sf_dir):
     )
 
 
+def q_agg_rollup(spark, sf_dir):
+    """GROUP BY ROLLUP: per-(status, priority) counts plus subtotals
+    per status and a grand total (NULL marks rolled-up levels)."""
+    from idr_data_pipelines_spark.operators import agg_rollup
+
+    df = _t(spark, sf_dir, "orders")
+    return agg_rollup(
+        df,
+        ["o_orderstatus", "o_orderpriority"],
+        [
+            F.count(F.lit(1)).alias("n_orders"),
+            _money_sum(F.col("o_totalprice")).alias("total_price"),
+        ],
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    """Set operations: (urgent ∪ high) ∩ fulfilled \ low-value — the
+    UNION/INTERSECT/EXCEPT surface over order-key sets."""
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    high = orders.filter(F.col("o_orderpriority") == "2-HIGH").select("o_orderkey")
+    fulfilled = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    cheap = orders.filter(F.col("o_totalprice") < 50000).select("o_orderkey")
+    return (
+        urgent.union(high).distinct()
+        .intersect(fulfilled)
+        .exceptAll(cheap)
+    )
+
+
 # ===================================================================
 # §2.7 scalar expressions
 # ===================================================================
@@ -625,6 +656,21 @@ def q_expr_null_normalize(spark, sf_dir):
     )
     out = null_normalize(df, sentinels=("None",), columns=["lang_raw"])
     return out.select("doc_id", F.col("lang_raw").alias("lang_clean"))
+
+
+def q_expr_string_funcs(spark, sf_dir):
+    """String function surface: case-folding, substring, concat,
+    length, replace, regexp_extract."""
+    df = _t(spark, sf_dir, "customer")
+    return df.select(
+        "c_custkey",
+        F.upper(F.col("c_mktsegment")).alias("seg_upper"),
+        F.lower(F.col("c_name")).alias("name_lower"),
+        F.substring(F.col("c_name"), 1, 8).alias("name_prefix"),
+        F.concat_ws("-", F.col("c_mktsegment"), F.col("c_custkey").cast("string")).alias("seg_key"),
+        F.length(F.col("c_name")).cast("long").alias("name_len"),
+        F.regexp_extract(F.col("c_name"), r"(\d+)$", 1).alias("name_digits"),
+    )
 
 
 # ===================================================================
@@ -1016,8 +1062,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_groupby_max_all": q_agg_groupby_max_all,
     "agg_max_date": q_agg_max_date,
     "agg_pivot_sum_case": q_agg_pivot_sum_case,
+    "agg_rollup": q_agg_rollup,
+    "set_ops": q_set_ops,
     # §2.7 expressions
     "expr_cast": q_expr_cast,
+    "expr_string_funcs": q_expr_string_funcs,
     "expr_case_map": q_expr_case_map,
     "expr_case_flag": q_expr_case_flag,
     "expr_case_bucket": q_expr_case_bucket,
@@ -1218,6 +1267,32 @@ ORACLES: dict[str, str] = {
             CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
             CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_low
         FROM orders
+    """,
+    "agg_rollup": """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(FLOOR((o_totalprice)*100.0 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS total_price
+        FROM orders
+        GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    "set_ops": """
+        SELECT o_orderkey FROM (
+            SELECT DISTINCT o_orderkey FROM orders WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+            INTERSECT
+            SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+        )
+        EXCEPT ALL
+        SELECT o_orderkey FROM orders WHERE o_totalprice < 50000
+    """,
+    "expr_string_funcs": """
+        SELECT c_custkey,
+               upper(c_mktsegment) AS seg_upper,
+               lower(c_name) AS name_lower,
+               substring(c_name, 1, 8) AS name_prefix,
+               concat_ws('-', c_mktsegment, CAST(c_custkey AS VARCHAR)) AS seg_key,
+               CAST(length(c_name) AS BIGINT) AS name_len,
+               regexp_extract(c_name, '(\\d+)$', 1) AS name_digits
+        FROM customer
     """,
     "expr_cast": """
         SELECT o_orderkey,
