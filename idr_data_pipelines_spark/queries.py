@@ -825,6 +825,35 @@ def q_agg_having(spark, sf_dir):
     )
 
 
+def q_window_running(spark, sf_dir):
+    """Window-function surface: lag, running sum and rank per customer
+    over order history (frame-accurate running totals)."""
+    df = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+    return df.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("order_seq"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+        (F.sum(cents).over(wsum).cast("double") / F.lit(100.0)).alias("running_total"),
+    )
+
+
+def q_expr_json(spark, sf_dir):
+    """JSON surface: serialize columns to a JSON string and extract
+    fields back out (to_json / get_json_object)."""
+    df = _t(spark, sf_dir, "region")
+    j = F.to_json(F.struct(F.col("r_regionkey").alias("k"), F.col("r_name").alias("n")))
+    return df.select(
+        "r_regionkey",
+        j.alias("payload"),
+        F.get_json_object(j, "$.n").alias("name_back"),
+        F.get_json_object(j, "$.k").cast("bigint").alias("key_back"),
+    )
+
+
 # ===================================================================
 # llmdata: text analysis
 # ===================================================================
@@ -1083,6 +1112,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q5_revenue_by_nation": q_q5_revenue_by_nation,
     "topk_per_group": q_topk_per_group,
     "agg_having": q_agg_having,
+    "window_running": q_window_running,
+    "expr_json": q_expr_json,
     "evt_windowed_counts": q_evt_windowed_counts,
     "evt_sessionize": q_evt_sessionize,
     "evt_sessionize_stream": q_evt_sessionize_stream,
@@ -1410,6 +1441,23 @@ ORACLES: dict[str, str] = {
     "agg_having": """
         SELECT o_custkey, COUNT(*) AS n_orders
         FROM orders GROUP BY o_custkey HAVING COUNT(*) > 20
+    """,
+    "window_running": """
+        SELECT o_custkey, o_orderkey,
+               CAST(row_number() OVER w AS INT) AS order_seq,
+               lag(o_orderkey) OVER w AS prev_orderkey,
+               CAST(SUM(CAST(FLOOR(o_totalprice*100.0 + 0.5) AS BIGINT))
+                    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE)/100.0 AS running_total
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "expr_json": """
+        SELECT r_regionkey,
+               json_object('k', r_regionkey, 'n', r_name) AS payload,
+               r_name AS name_back,
+               CAST(r_regionkey AS BIGINT) AS key_back
+        FROM region
     """,
     "evt_windowed_counts": """
         SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
