@@ -259,6 +259,21 @@ def test_winnow_fingerprints(spark):
     assert 0 < len(fps[1]) < n_tokens - 4 + 1
 
 
+def test_signatures_invariant_to_partitioning(spark, docs):
+    """Signatures must be identical regardless of how the input is
+    partitioned — the determinism-across-cluster-sizes claim."""
+    a = {r["id"]: list(r["signature"]) for r in
+         minhash_signatures(docs.repartition(1), num_perm=32).collect()}
+    b = {r["id"]: list(r["signature"]) for r in
+         minhash_signatures(docs.repartition(7), num_perm=32).collect()}
+    assert a == b
+    sa = {r["id"]: r["simhash"] for r in
+          simhash_signatures(docs.repartition(1)).collect()}
+    sb = {r["id"]: r["simhash"] for r in
+          simhash_signatures(docs.repartition(7)).collect()}
+    assert sa == sb
+
+
 def test_groupby_max_one_row_per_key(spark):
     """Property: group-max dedup yields exactly one row per key and is
     idempotent (SURVEY §5)."""
