@@ -484,7 +484,7 @@ def q_agg_rollup(spark, sf_dir):
 
 
 def q_set_ops(spark, sf_dir):
-    """Set operations: (urgent ∪ high) ∩ fulfilled \ low-value — the
+    r"""Set operations: (urgent ∪ high) ∩ fulfilled \ low-value — the
     UNION/INTERSECT/EXCEPT surface over order-key sets."""
     orders = _t(spark, sf_dir, "orders")
     urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
@@ -733,6 +733,37 @@ def q_evt_sessionize(spark, sf_dir):
         "session_id",
         F.unix_micros(F.col("session_start")).alias("start_us"),
         F.unix_micros(F.col("session_end")).alias("end_us"),
+        "n_events",
+    )
+
+
+def q_evt_windowed_counts_stream(spark, sf_dir):
+    """The windowed-count aggregation run as a REAL watermarked stream
+    (Trigger.AvailableNow, complete mode): one definition serves batch
+    and stream, and the stream's final state must equal the batch
+    aggregation — which is exactly what the oracle checks."""
+    from idr_data_pipelines_spark.streaming.events import windowed_event_counts
+
+    inbox, ckpt, raw_schema = _stage_event_stream(spark, sf_dir, "winstream")
+    stream = spark.readStream.schema(raw_schema).parquet(inbox)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = windowed_event_counts(
+        stream, "ts", "1 hour", watermark="2 hours", group_cols=["event_type"]
+    )
+    name = f"winstream_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.unix_micros(F.col("window_start")).alias("window_start_us"),
+        "event_type",
         "n_events",
     )
 
@@ -1115,6 +1146,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_running": q_window_running,
     "expr_json": q_expr_json,
     "evt_windowed_counts": q_evt_windowed_counts,
+    "evt_windowed_counts_stream": q_evt_windowed_counts_stream,
     "evt_sessionize": q_evt_sessionize,
     "evt_sessionize_stream": q_evt_sessionize_stream,
     "evt_pivot_user_counts": q_evt_pivot_user_counts,
@@ -1460,6 +1492,13 @@ ORACLES: dict[str, str] = {
         FROM region
     """,
     "evt_windowed_counts": """
+        SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+               event_type,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "evt_windowed_counts_stream": """
         SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
                event_type,
                COUNT(*) AS n_events
