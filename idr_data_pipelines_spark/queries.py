@@ -768,6 +768,35 @@ def q_evt_windowed_counts_stream(spark, sf_dir):
     )
 
 
+def q_dedup_stream_watermark(spark, sf_dir):
+    """Streaming exact dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` over (user_id, event_type, ts)
+    behind an event-time watermark. At cluster scale the watermark lets
+    Spark expire dedup state instead of holding every key forever; here
+    the delay spans the whole dataset, so the streamed result must
+    equal batch DISTINCT — which is what the oracle checks."""
+    inbox, ckpt, raw_schema = _stage_event_stream(spark, sf_dir, "wmdedup")
+    stream = spark.readStream.schema(raw_schema).parquet(inbox)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    deduped = stream.withWatermark("ts", "3650 days").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "ts"]
+    )
+    name = f"wmdedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+
+
 def q_evt_sessionize_stream(spark, sf_dir):
     """Stateful streaming sessionization (applyInPandasWithState) run
     as a real stream over the events table with Trigger.AvailableNow.
@@ -828,6 +857,305 @@ def q_q5_revenue_by_nation(spark, sf_dir):
     return j.groupBy("n_name").agg(
         _money_sum(revenue).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_q4_priority_exists(spark, sf_dir):
+    """Correlated-EXISTS shape (TPC-H Q4 adapted to this schema): Q1-1996
+    orders having at least one line item shipped >90 days after the order
+    date, counted per priority. Spark expresses the EXISTS as a LEFT SEMI
+    join with a compound non-equi condition; the equi half
+    (o_orderkey = l_orderkey) still drives a hash join, the interval
+    predicate is applied as a join residual."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (orders.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_q7_volume_shipping(spark, sf_dir):
+    """Two-role dimension join (TPC-H Q7 shape): trade volume between
+    distinct (supplier-nation, customer-nation) pairs per ship year.
+    The nation dim joins twice under different aliases — both sides
+    broadcast so the fact table shuffles only for the final group-by."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    volume = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    j = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+    ).agg(_money_sum(volume).alias("volume"))
+
+
+def q_q8_market_share(spark, sf_dir):
+    """Conditional-share aggregation (TPC-H Q8 shape): NATION_1's share
+    of ECONOMY-part revenue per order year. Numerator and denominator
+    are exact integer-cent sums; the share is a single double division
+    so both engines agree bit-for-bit."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    nation = _t(spark, sf_dir, "nation")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(100.0)
+        + F.lit(0.5)
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_1", cents).otherwise(F.lit(0)))
+            .cast("double")
+            .alias("_num"),
+            F.sum(cents).cast("double").alias("_den"),
+        )
+        .select("o_year", (F.col("_num") / F.col("_den")).alias("mkt_share"))
+    )
+
+
+def q_q10_returned_items(spark, sf_dir):
+    """Returned-item revenue report (TPC-H Q10 shape): top-20 customers
+    by revenue lost to returns in Q4-1996. Deterministic LIMIT — exact
+    money sums break revenue ties via c_custkey."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(_money_sum(revenue).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_q13_order_count_distribution(spark, sf_dir):
+    """Distribution-of-counts (TPC-H Q13 shape): how many customers
+    placed N non-urgent orders, including zero (LEFT OUTER join keeps
+    orderless customers; COUNT of a nullable column skips the nulls)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q_q14_promo_effect(spark, sf_dir):
+    """Conditional-ratio aggregate (TPC-H Q14 shape): PROMO parts' share
+    of March-1996 revenue as a single percentage row, computed from
+    exact cent sums."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(100.0)
+        + F.lit(0.5)
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0))).cast(
+                "double"
+            )
+            / F.sum(cents).cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+def q_q16_supplier_part_count(spark, sf_dir):
+    """Distinct-count with exclusion anti-join (TPC-H Q16 shape, partsupp
+    replaced by observed lineitem pairs): distinct suppliers per part
+    brand/type, excluding suppliers in arrears. The exclusion list is
+    tiny → broadcast anti-join before the shuffle-heavy distinct."""
+    bad_supp = (
+        _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    )
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_type")
+    return (
+        pairs.join(F.broadcast(part), pairs.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_q18_large_volume(spark, sf_dir):
+    """Having-then-join-back (TPC-H Q18 shape): orders whose total
+    quantity exceeds 250, joined back to order/customer detail. The
+    aggregate side is small after the HAVING filter → broadcast it into
+    the fact join."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250.0)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
+def q_q19_disjunctive(spark, sf_dir):
+    """Disjunctive multi-clause predicate (TPC-H Q19 shape): three OR'd
+    brand/size/quantity envelopes evaluated after an equi-join. Catalyst
+    extracts the common p_partkey equi-condition; the OR residual stays
+    a post-join filter, and the common sub-predicates are pushed to both
+    scans where possible."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    clause1 = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(1.0, 20.0)
+    )
+    clause2 = (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(1, 20)
+        & F.col("l_quantity").between(10.0, 30.0)
+    )
+    clause3 = (
+        (F.col("p_type") == "PROMO")
+        & F.col("p_size").between(1, 15)
+        & (F.col("l_quantity") >= 20.0)
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return j.filter(clause1 | clause2 | clause3).agg(
+        _money_sum(revenue).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_q21_waiting_supplier(spark, sf_dir):
+    """EXISTS + NOT-EXISTS on the same relation (TPC-H Q21 shape):
+    suppliers who were the sole late shipper on failed multi-supplier
+    orders ("late" = shipped >60 days after order date). The two
+    correlated subqueries become a LEFT SEMI then LEFT ANTI self-join
+    against the lineitem table."""
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    l1 = late.join(
+        others,
+        (F.col("l_orderkey") == F.col("o2_orderkey"))
+        & (F.col("l_suppkey") != F.col("o2_suppkey")),
+        "left_semi",
+    ).join(
+        late_others,
+        (F.col("l_orderkey") == F.col("o3_orderkey"))
+        & (F.col("l_suppkey") != F.col("o3_suppkey")),
+        "left_anti",
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        l1.join(F.broadcast(sup), l1.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+def q_q22_idle_rich_customers(spark, sf_dir):
+    """Scalar-subquery threshold + anti-join (TPC-H Q22 shape):
+    customers above the average positive balance with no orders since
+    2000, rolled up by market segment. The average is an exact
+    cent-sum / count double, broadcast as a 1-row frame (no collect);
+    the anti-join's date filter is pushed to the orders scan."""
+    cust = _t(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * F.lit(100.0) + F.lit(0.5)).cast("bigint")
+    avg_df = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg((F.sum(cents).cast("double") / F.count(F.lit(1))).alias("avg_cents"))
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(avg_df))
+        .filter(cents.cast("double") > F.col("avg_cents"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    )
+    return rich.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        _money_sum(F.col("c_acctbal")).alias("total_bal"),
     )
 
 
@@ -1141,6 +1469,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_revenue_by_priority": q_q3_revenue_by_priority,
     "q5_revenue_by_nation": q_q5_revenue_by_nation,
+    "q4_priority_exists": q_q4_priority_exists,
+    "q7_volume_shipping": q_q7_volume_shipping,
+    "q8_market_share": q_q8_market_share,
+    "q10_returned_items": q_q10_returned_items,
+    "q13_order_count_distribution": q_q13_order_count_distribution,
+    "q14_promo_effect": q_q14_promo_effect,
+    "q16_supplier_part_count": q_q16_supplier_part_count,
+    "q18_large_volume": q_q18_large_volume,
+    "q19_disjunctive": q_q19_disjunctive,
+    "q21_waiting_supplier": q_q21_waiting_supplier,
+    "q22_idle_rich_customers": q_q22_idle_rich_customers,
     "topk_per_group": q_topk_per_group,
     "agg_having": q_agg_having,
     "window_running": q_window_running,
@@ -1149,6 +1488,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "evt_windowed_counts_stream": q_evt_windowed_counts_stream,
     "evt_sessionize": q_evt_sessionize,
     "evt_sessionize_stream": q_evt_sessionize_stream,
+    "dedup_stream_watermark": q_dedup_stream_watermark,
     "evt_pivot_user_counts": q_evt_pivot_user_counts,
     # llmdata text
     "text_token_count": q_text_token_count,
@@ -1461,6 +1801,158 @@ ORACLES: dict[str, str] = {
         JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
     """,
+    "q4_priority_exists": """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+          )
+        GROUP BY o_orderpriority
+    """,
+    "q7_volume_shipping": """
+        SELECT sn.n_name AS supp_nation,
+               cn.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS BIGINT) AS l_year,
+               CAST(SUM(CAST(FLOOR((l_extendedprice * (1.0 - l_discount))*100.0 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS volume
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND sn.n_name <> cn.n_name
+        GROUP BY 1, 2, 3
+    """,
+    "q8_market_share": """
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM(CASE WHEN sn.n_name = 'NATION_1'
+                             THEN CAST(FLOOR((l_extendedprice * (1.0 - l_discount))*100.0 + 0.5) AS BIGINT)
+                             ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(CAST(FLOOR((l_extendedprice * (1.0 - l_discount))*100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               AS mkt_share
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE p_type = 'ECONOMY'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    """,
+    "q10_returned_items": """
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               CAST(SUM(CAST(FLOOR((l_extendedprice * (1.0 - l_discount))*100.0 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2, 3, 4
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
+    "q13_order_count_distribution": """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer
+            LEFT JOIN orders ON c_custkey = o_custkey
+                            AND o_orderpriority <> '1-URGENT'
+            GROUP BY c_custkey
+        )
+        GROUP BY c_count
+    """,
+    "q14_promo_effect": """
+        SELECT 100.0
+               * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                               THEN CAST(FLOOR((l_extendedprice * (1.0 - l_discount))*100.0 + 0.5) AS BIGINT)
+                               ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(CAST(FLOOR((l_extendedprice * (1.0 - l_discount))*100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               AS promo_revenue_pct
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+          AND l_shipdate <  TIMESTAMP '1996-04-01'
+    """,
+    "q16_supplier_part_count": """
+        SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+        )
+        GROUP BY 1, 2
+    """,
+    "q18_large_volume": """
+        SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+        FROM orders
+        JOIN (
+            SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(l_quantity) > 250.0
+        ) big ON o_orderkey = big.l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """,
+    "q19_disjunctive": """
+        SELECT CAST(SUM(CAST(FLOOR((l_extendedprice * (1.0 - l_discount))*100.0 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 1.0 AND 20.0)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+               AND l_quantity BETWEEN 10.0 AND 30.0)
+           OR (p_type = 'PROMO' AND p_size BETWEEN 1 AND 15
+               AND l_quantity >= 20.0)
+    """,
+    "q21_waiting_supplier": """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM lineitem l1
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        JOIN supplier ON s_suppkey = l1.l_suppkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY s_name
+    """,
+    "q22_idle_rich_customers": """
+        WITH avg_bal AS (
+            SELECT CAST(SUM(CAST(FLOOR(c_acctbal*100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / COUNT(*) AS avg_cents
+            FROM customer WHERE c_acctbal > 0.0
+        )
+        SELECT c_mktsegment,
+               COUNT(*) AS n_cust,
+               CAST(SUM(CAST(FLOOR(c_acctbal*100.0 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS total_bal
+        FROM customer, avg_bal
+        WHERE CAST(CAST(FLOOR(c_acctbal*100.0 + 0.5) AS BIGINT) AS DOUBLE) > avg_cents
+          AND NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '2000-01-01'
+          )
+        GROUP BY c_mktsegment
+    """,
     "topk_per_group": """
         SELECT o_orderpriority,
                CAST(row_number() OVER w AS INT) AS rank,
@@ -1504,6 +1996,10 @@ ORACLES: dict[str, str] = {
                COUNT(*) AS n_events
         FROM events
         GROUP BY 1, 2
+    """,
+    "dedup_stream_watermark": """
+        SELECT DISTINCT user_id, event_type, epoch_us(ts) AS ts_us
+        FROM events
     """,
     "evt_sessionize": """
         WITH flagged AS (
