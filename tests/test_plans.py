@@ -1,0 +1,88 @@
+"""Physical-plan audits for the headline queries.
+
+Correctness is the oracle harness's job; these tests pin the SHAPE of
+the plan — the properties that decide whether a query survives a 100×
+scale-up: dimension joins must broadcast (no shuffle of the fact
+table for a 25-row nation dim), date/segment filters must reach the
+parquet scan as pushed filters, scans must prune to the referenced
+columns, and EXISTS/NOT-EXISTS shapes must lower to semi/anti hash
+joins rather than cartesian fallbacks.
+
+The plan string is taken from ``queryExecution().executedPlan()``
+before any action runs: with AQE enabled this is the initial plan,
+which is exactly the statically-chosen strategy we want to pin (AQE
+may only improve on it at runtime).
+"""
+
+from __future__ import annotations
+
+import re
+
+from idr_data_pipelines_spark.queries import QUERIES
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _n_shuffles(plan: str) -> int:
+    # count shuffle exchanges only; broadcast exchanges are cheap by design
+    return len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", plan))
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    """Deep-join rollups must broadcast every dimension: the fact table
+    is shuffled once for the final aggregate, never for a dim join."""
+    for name in ("q5_revenue_by_nation", "q7_volume_shipping", "q10_returned_items"):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join\n{plan}"
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """Date-range and flag predicates must appear as PushedFilters on
+    the parquet scan, not as post-scan Filter-only evaluation."""
+    plan = _plan(QUERIES["q10_returned_items"](spark, sf_dir))
+    assert re.search(r"PushedFilters: \[[^\]]*EqualTo\(l_returnflag,R\)", plan), plan
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    """A two-column projection must read a two-column schema — a scan
+    that drags all 11 lineitem columns through a 100 TB read is wrong."""
+    plan = _plan(QUERIES["q13_order_count_distribution"](spark, sf_dir))
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, plan
+    for s in schemas:
+        cols = [c.split(":")[0] for c in s.split(",") if c]
+        assert len(cols) <= 3, f"unpruned scan: {cols}\n{plan}"
+
+
+def test_exists_shapes_lower_to_semi_anti(spark, sf_dir):
+    """Correlated EXISTS / NOT-EXISTS must become hash semi/anti joins."""
+    plan4 = _plan(QUERIES["q4_priority_exists"](spark, sf_dir))
+    assert "LeftSemi" in plan4, plan4
+    plan21 = _plan(QUERIES["q21_waiting_supplier"](spark, sf_dir))
+    assert "LeftSemi" in plan21 and "LeftAnti" in plan21, plan21
+    assert "CartesianProduct" not in plan21, plan21
+
+
+def test_broadcast_only_pipeline_shuffles_once(spark, sf_dir):
+    """q19: scan → broadcast join → filter → global agg. The only
+    shuffle allowed is the SinglePartition exchange for the final
+    1-row aggregate."""
+    plan = _plan(QUERIES["q19_disjunctive"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert _n_shuffles(plan) <= 1, plan
+
+
+def test_q18_join_back_broadcasts_aggregate(spark, sf_dir):
+    """The HAVING-filtered aggregate side is small → it must broadcast
+    into the orders join instead of shuffling the fact table."""
+    plan = _plan(QUERIES["q18_large_volume"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_flagship_has_bounded_shuffles(spark, sf_dir):
+    """The flagship multi-join query must not shuffle more than twice
+    (fact co-partitioning + final agg); dims ride broadcasts."""
+    plan = _plan(QUERIES["q5_revenue_by_nation"](spark, sf_dir))
+    assert _n_shuffles(plan) <= 3, plan
