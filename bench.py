@@ -56,15 +56,22 @@ def main() -> None:
 
     # Warm the JVM/codegen paths AND the Python/Arrow UDF workers so
     # timings measure the queries, not session or worker startup (the
-    # driver compares steady-state throughput).
-    QUERIES["q1_pricing_summary"](spark, sf_dir).collect()
-    from pyspark.sql import functions as F
-    from idr_data_pipelines_spark.llmdata.dedup import minhash_signatures
-
-    warm = spark.range(int(cpus) * 4).selectExpr("cast(id as string) as text", "id as doc_id")
-    minhash_signatures(warm.repartition(int(cpus)), num_perm=8).agg(
-        F.count(F.lit(1))
-    ).collect()
+    # driver compares steady-state throughput). Running every headline
+    # query once at sf0.001 JITs the exact expression trees / codegen
+    # shapes that get timed (a num_perm=8 toy warm leaves the
+    # num_perm=128 minhash codegen cold and was worth ~1s of run-to-run
+    # noise on dedup_minhash_lsh alone).
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in HEADLINE:
+        try:
+            QUERIES[name](spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as exc:  # warm-up must never fail the bench
+            print(f"# warm {name} failed: {exc}", file=sys.stderr)
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     total = 0.0

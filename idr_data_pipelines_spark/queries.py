@@ -797,6 +797,54 @@ def q_dedup_stream_watermark(spark, sf_dir):
     )
 
 
+def q_evt_stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream interval join: views joined to the
+    same user's purchases within the following hour. Both sides carry
+    event-time watermarks and the join condition bounds the time range,
+    so Spark can expire join state — the pattern that keeps a
+    stream-stream join's memory bounded on an unbounded feed. With the
+    whole dataset inside the watermark the emitted matches must equal
+    the batch interval self-join, which is what the oracle checks."""
+    inbox, ckpt, raw_schema = _stage_event_stream(spark, sf_dir, "ssjoin")
+
+    def _side(event_type: str, prefix: str) -> DataFrame:
+        s = spark.readStream.schema(raw_schema).parquet(inbox)
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return (
+            s.filter(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "30 days")
+        )
+
+    views = _side("view", "v")
+    buys = _side("purchase", "b")
+    joined = views.join(
+        buys,
+        (F.col("v_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("v_ts"))
+        & (F.col("b_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    name = f"ssjoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("v_user").alias("user_id"),
+        F.unix_micros(F.col("v_ts")).alias("view_ts_us"),
+        F.unix_micros(F.col("b_ts")).alias("buy_ts_us"),
+    )
+
+
 def q_evt_sessionize_stream(spark, sf_dir):
     """Stateful streaming sessionization (applyInPandasWithState) run
     as a real stream over the events table with Trigger.AvailableNow.
@@ -1489,6 +1537,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "evt_sessionize": q_evt_sessionize,
     "evt_sessionize_stream": q_evt_sessionize_stream,
     "dedup_stream_watermark": q_dedup_stream_watermark,
+    "evt_stream_stream_join": q_evt_stream_stream_join,
     "evt_pivot_user_counts": q_evt_pivot_user_counts,
     # llmdata text
     "text_token_count": q_text_token_count,
@@ -2000,6 +2049,18 @@ ORACLES: dict[str, str] = {
     "dedup_stream_watermark": """
         SELECT DISTINCT user_id, event_type, epoch_us(ts) AS ts_us
         FROM events
+    """,
+    "evt_stream_stream_join": """
+        SELECT v.user_id,
+               epoch_us(v.ts) AS view_ts_us,
+               epoch_us(p.ts) AS buy_ts_us
+        FROM events v
+        JOIN events p
+          ON v.user_id = p.user_id
+         AND p.ts >= v.ts
+         AND p.ts <= v.ts + INTERVAL 1 HOUR
+        WHERE v.event_type = 'view'
+          AND p.event_type = 'purchase'
     """,
     "evt_sessionize": """
         WITH flagged AS (
