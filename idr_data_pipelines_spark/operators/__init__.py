@@ -20,6 +20,7 @@ from idr_data_pipelines_spark.operators.joins import (
     join_left_fact,
     join_anti,
     join_on_keys,
+    join_asof,
     join_salted,
     join_semi,
 )
@@ -45,6 +46,7 @@ __all__ = [
     "join_left_fact",
     "join_anti",
     "join_on_keys",
+    "join_asof",
     "join_salted",
     "join_semi",
     "agg_cube",

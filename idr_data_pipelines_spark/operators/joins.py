@@ -130,3 +130,89 @@ def join_salted(
         how,
     )
     return out.drop(salted["__salt"]).drop(replicated["__salt"])
+
+
+def join_asof(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: enrich each left row with ``right_cols`` from the
+    temporally closest right row of the same key (``backward`` = most
+    recent right row with right_ts <= left_ts, inclusive; ``forward``
+    = earliest with right_ts >= left_ts). Unmatched left rows keep
+    nulls (left-join semantics).
+
+    Spark has no native as-of join, and expressing it as a range join
+    + argmax explodes (every left row matches every earlier right
+    row before the aggregate prunes them). Instead: co-partition both
+    sides by key with ``groupBy(...).cogroup`` and run pandas
+    ``merge_asof`` per key group — one shuffle of each input, zero
+    row explosion, Arrow-batched. This is the standard scalable plan:
+    state per task is one key group's rows, so at cluster scale it
+    holds as long as single-key history fits in a task (salt the key
+    with a coarse time bucket if it doesn't).
+
+    Tie semantics: among right rows sharing the boundary timestamp,
+    pandas keeps the last after a stable sort — callers needing
+    engine-portable results should either ensure (key, ts) is unique
+    on the right or project only tie-invariant columns (e.g. the
+    timestamp itself).
+    """
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType
+
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    rsel_cols = [right_key, right_ts] + [
+        c for c in right_cols if c not in (right_key, right_ts)
+    ]
+    rsel = right.select(*rsel_cols)
+    out_names = list(left.columns) + list(right_cols)
+    rfields = {f.name: f for f in rsel.schema.fields}
+    schema = StructType(
+        list(left.schema.fields)
+        + [StructField(c, rfields[c].dataType, True) for c in right_cols]
+    )
+
+    def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        if l_pdf.empty:
+            return pd.DataFrame(columns=out_names)
+        l_sorted = l_pdf.sort_values(left_ts, kind="mergesort")
+        if r_pdf.empty:
+            out = l_sorted.copy()
+            for c in right_cols:
+                out[c] = None
+            return out[out_names]
+        r_sorted = r_pdf.drop(columns=[right_key]).sort_values(
+            right_ts, kind="mergesort"
+        )
+        # merge_asof needs identical temporal dtypes on both on-keys
+        l_sorted = l_sorted.assign(
+            **{left_ts: l_sorted[left_ts].astype("datetime64[us]")}
+        )
+        r_sorted = r_sorted.assign(
+            **{right_ts: r_sorted[right_ts].astype("datetime64[us]")}
+        )
+        merged = pd.merge_asof(
+            l_sorted,
+            r_sorted,
+            left_on=left_ts,
+            right_on=right_ts,
+            direction=direction,
+            suffixes=("", "__r"),
+        )
+        if right_ts in right_cols and right_ts in l_pdf.columns:
+            merged[right_ts] = merged[f"{right_ts}__r"]
+        return merged[out_names]
+
+    return (
+        left.groupBy(left_key)
+        .cogroup(rsel.groupBy(right_key))
+        .applyInPandas(merge, schema)
+    )

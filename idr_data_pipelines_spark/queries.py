@@ -768,6 +768,36 @@ def q_evt_windowed_counts_stream(spark, sf_dir):
     )
 
 
+def q_join_asof(spark, sf_dir):
+    """As-of join: each event enriched with the date of that user's
+    most recent order at event time (cogrouped pandas merge_asof —
+    one co-partitioning shuffle per side, no range-join explosion).
+    Projects only the matched timestamp, which is tie-invariant, so
+    the result is engine-portable; the oracle is DuckDB's native
+    ASOF LEFT JOIN."""
+    from idr_data_pipelines_spark.operators import join_asof
+
+    events = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    joined = join_asof(
+        events,
+        orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderdate"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        # o_orderdate is TIMESTAMP_NTZ; the session TZ is pinned UTC so
+        # this cast is the same instant DuckDB's epoch_us sees
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("last_order_us"),
+    )
+
+
 def q_dedup_stream_watermark(spark, sf_dir):
     """Streaming exact dedup with bounded state:
     ``dropDuplicatesWithinWatermark`` over (user_id, event_type, ts)
@@ -1538,6 +1568,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "evt_sessionize_stream": q_evt_sessionize_stream,
     "dedup_stream_watermark": q_dedup_stream_watermark,
     "evt_stream_stream_join": q_evt_stream_stream_join,
+    "join_asof": q_join_asof,
     "evt_pivot_user_counts": q_evt_pivot_user_counts,
     # llmdata text
     "text_token_count": q_text_token_count,
@@ -2049,6 +2080,15 @@ ORACLES: dict[str, str] = {
     "dedup_stream_watermark": """
         SELECT DISTINCT user_id, event_type, epoch_us(ts) AS ts_us
         FROM events
+    """,
+    "join_asof": """
+        SELECT e.event_id,
+               e.user_id,
+               epoch_us(e.ts) AS ts_us,
+               epoch_us(o.o_orderdate) AS last_order_us
+        FROM events e
+        ASOF LEFT JOIN orders o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
     """,
     "evt_stream_stream_join": """
         SELECT v.user_id,

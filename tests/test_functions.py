@@ -134,3 +134,54 @@ def test_null_normalize_only_touches_string_columns(spark):
     out = null_normalize(df).collect()
     assert [r["s"] for r in out] == [None, "ok", None]
     assert [r["n"] for r in out] == [1, 2, 3]  # non-string untouched
+
+
+def test_join_asof_backward_forward_and_unmatched(spark):
+    from datetime import datetime
+
+    from idr_data_pipelines_spark.operators import join_asof
+
+    ts = datetime
+    left = spark.createDataFrame(
+        [
+            (1, ts(2020, 1, 10), "a"),   # matches k1@Jan5 backward, k1@Jan20 forward
+            (1, ts(2020, 1, 5), "b"),    # exact-match boundary: inclusive
+            (2, ts(2020, 1, 1), "c"),    # key 2 has no right rows at all
+            (3, ts(2020, 1, 1), "d"),    # key 3 exists right but only later rows
+        ],
+        ["k", "ts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts(2020, 1, 5), 50.0),
+            (1, ts(2020, 1, 20), 200.0),
+            (3, ts(2020, 2, 1), 99.0),
+        ],
+        ["rk", "rts", "price"],
+    )
+    back = {
+        r["tag"]: r["price"]
+        for r in join_asof(left, right, "k", "rk", "ts", "rts", ["price"]).collect()
+    }
+    assert back == {"a": 50.0, "b": 50.0, "c": None, "d": None}
+    fwd = {
+        r["tag"]: r["price"]
+        for r in join_asof(
+            left, right, "k", "rk", "ts", "rts", ["price"], direction="forward"
+        ).collect()
+    }
+    assert fwd == {"a": 200.0, "b": 50.0, "c": None, "d": 99.0}
+
+
+def test_join_asof_right_ts_projection(spark):
+    """right_ts itself can be requested as a value column."""
+    from datetime import datetime
+
+    from idr_data_pipelines_spark.operators import join_asof
+
+    left = spark.createDataFrame([(1, datetime(2021, 6, 1))], ["k", "ts"])
+    right = spark.createDataFrame(
+        [(1, datetime(2021, 5, 1)), (1, datetime(2021, 7, 1))], ["rk", "rts"]
+    )
+    out = join_asof(left, right, "k", "rk", "ts", "rts", ["rts"]).collect()
+    assert len(out) == 1 and out[0]["rts"] == datetime(2021, 5, 1)
