@@ -21,6 +21,7 @@ from idr_data_pipelines_spark.operators.joins import (
     join_anti,
     join_on_keys,
     join_asof,
+    join_range,
     join_salted,
     join_semi,
 )
@@ -47,6 +48,7 @@ __all__ = [
     "join_anti",
     "join_on_keys",
     "join_asof",
+    "join_range",
     "join_salted",
     "join_semi",
     "agg_cube",

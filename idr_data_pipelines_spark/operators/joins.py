@@ -216,3 +216,51 @@ def join_asof(
         .cogroup(rsel.groupBy(right_key))
         .applyInPandas(merge, schema)
     )
+
+
+def join_range(
+    fact: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_size: float,
+    broadcast_bands: bool = True,
+) -> DataFrame:
+    """Range join (fact.value ∈ [band.lo, band.hi)) via bucketing.
+
+    A naive range join has no equi-condition, so Spark falls back to
+    broadcast-nested-loop — O(|fact|·|bands|) comparisons, hopeless at
+    100 TB. Bucketing restores an equi-key: each band row is exploded
+    to every ``bucket_size``-wide bucket its interval overlaps, each
+    fact row computes its single bucket, the join runs hash-equi on
+    the bucket, and the original interval predicate remains as a
+    residual filter. Comparisons drop to |fact| × (avg bands per
+    bucket). Pick ``bucket_size`` near the typical band width — the
+    same tuning knob as Databricks' range-join bin size hint.
+
+    Bands overlapping several buckets appear once per bucket; the
+    residual keeps results exact, and a fact row joins its bucket
+    exactly once, so no dedup is needed. Inner join only.
+    """
+    fb = fact.withColumn(
+        "__bucket", F.floor(F.col(value_col) / F.lit(bucket_size)).cast("long")
+    )
+    bb = bands.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bucket_size)).cast("long"),
+                F.floor(F.col(hi_col) / F.lit(bucket_size)).cast("long"),
+            )
+        ),
+    )
+    if broadcast_bands:
+        bb = F.broadcast(bb)
+    out = fb.join(
+        bb,
+        (fb["__bucket"] == bb["__bucket"])
+        & (F.col(value_col) >= F.col(lo_col))
+        & (F.col(value_col) < F.col(hi_col)),
+    )
+    return out.drop(fb["__bucket"]).drop(bb["__bucket"])

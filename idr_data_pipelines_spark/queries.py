@@ -798,6 +798,30 @@ def q_join_asof(spark, sf_dir):
     )
 
 
+def q_join_range(spark, sf_dir):
+    """Range join: orders bucketed into price bands ([lo, hi)
+    intervals). join_range turns the interval predicate into a
+    hash-equi join on a bucket key (+ residual filter) instead of the
+    O(N·M) broadcast-nested-loop Spark would otherwise pick."""
+    from idr_data_pipelines_spark.operators import join_range
+
+    orders = _t(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [
+            ("budget", 0.0, 50000.0),
+            ("mid", 50000.0, 150000.0),
+            ("high", 150000.0, 300000.0),
+            ("premium", 300000.0, 500000.0),
+        ],
+        ["label", "lo", "hi"],
+    )
+    j = join_range(orders, bands, "o_totalprice", "lo", "hi", bucket_size=50000.0)
+    return j.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _money_sum(F.col("o_totalprice")).alias("total_rev"),
+    )
+
+
 def q_dedup_stream_watermark(spark, sf_dir):
     """Streaming exact dedup with bounded state:
     ``dropDuplicatesWithinWatermark`` over (user_id, event_type, ts)
@@ -1569,6 +1593,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_stream_watermark": q_dedup_stream_watermark,
     "evt_stream_stream_join": q_evt_stream_stream_join,
     "join_asof": q_join_asof,
+    "join_range": q_join_range,
     "evt_pivot_user_counts": q_evt_pivot_user_counts,
     # llmdata text
     "text_token_count": q_text_token_count,
@@ -2089,6 +2114,18 @@ ORACLES: dict[str, str] = {
         FROM events e
         ASOF LEFT JOIN orders o
           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    "join_range": """
+        SELECT label,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice*100.0 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS total_rev
+        FROM orders
+        JOIN (VALUES ('budget', 0.0, 50000.0),
+                     ('mid', 50000.0, 150000.0),
+                     ('high', 150000.0, 300000.0),
+                     ('premium', 300000.0, 500000.0)) AS bands(label, lo, hi)
+          ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY label
     """,
     "evt_stream_stream_join": """
         SELECT v.user_id,

@@ -185,3 +185,26 @@ def test_join_asof_right_ts_projection(spark):
     )
     out = join_asof(left, right, "k", "rk", "ts", "rts", ["rts"]).collect()
     assert len(out) == 1 and out[0]["rts"] == datetime(2021, 5, 1)
+
+
+def test_join_range_matches_naive_and_hash_joins(spark):
+    from idr_data_pipelines_spark.operators import join_range
+
+    fact = spark.range(1000).select((F.col("id") * 7 % 530).cast("double").alias("v"))
+    # bands of uneven width, one spanning many buckets, deliberately
+    # mismatched with bucket_size=50
+    bands = spark.createDataFrame(
+        [("a", 0.0, 30.0), ("b", 30.0, 260.0), ("c", 400.0, 520.0)],
+        ["label", "lo", "hi"],
+    )
+    got = join_range(fact, bands, "v", "lo", "hi", bucket_size=50.0)
+    naive = fact.join(
+        bands, (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi"))
+    )
+    assert sorted((r["v"], r["label"]) for r in got.collect()) == sorted(
+        (r["v"], r["label"]) for r in naive.collect()
+    )
+    # the point of bucketing: a hash join, not broadcast-nested-loop
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "HashJoin" in plan, plan
