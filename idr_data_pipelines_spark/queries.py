@@ -822,6 +822,78 @@ def q_join_range(spark, sf_dir):
     )
 
 
+def q_evt_rollup_daily(spark, sf_dir):
+    """Continuous-aggregate rollup (hypertable pattern): daily totals
+    derived by RE-AGGREGATING the hourly aggregate, not the raw events.
+    At scale the hourly frame is ~1/1000th of raw, so downstream
+    resolutions are nearly free; counts and exact cent sums re-aggregate
+    losslessly. The oracle computes daily directly from raw — equality
+    proves the rollup is lossless."""
+    ev = _events(spark, sf_dir)
+    cents = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("bigint")
+    hourly = ev.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("cents"),
+    )
+    return (
+        hourly.groupBy(
+            F.unix_micros(F.date_trunc("day", F.col("w.start"))).alias("day_us"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            (F.sum("cents").cast("double") / F.lit(100.0)).alias("total_value"),
+        )
+    )
+
+
+def q_text_top_terms(spark, sf_dir):
+    """Corpus-level term frequency: explode whitespace tokens, count,
+    take the deterministic top-20 (ties broken by token). The shuffle
+    carries (token, partial count) thanks to map-side combine — never
+    the exploded token stream."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(20)
+    )
+
+
+def q_sketch_approx_distinct(spark, sf_dir):
+    """HyperLogLog++ distinct-user sketch per event type
+    (approx_count_distinct, rsd=2%). The sketch is O(1) memory per
+    group vs O(n_distinct) for exact — the only viable form at 100 TB.
+    No SQL oracle (HLL implementations differ across engines); the
+    accuracy bound is pinned by a unit test against the exact count."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+
+
+def q_sketch_quantiles(spark, sf_dir):
+    """Approximate quantiles of order value per priority
+    (percentile_approx / GK sketch, accuracy 10000). Mergeable across
+    partitions — one pass, no sort. No SQL oracle (sketch
+    implementations differ); rank-error bound pinned by a unit test."""
+    orders = _t(spark, sf_dir, "orders")
+    q = F.percentile_approx(
+        F.col("o_totalprice"), F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10000
+    )
+    return orders.groupBy("o_orderpriority").agg(
+        q.getItem(0).alias("p50"),
+        q.getItem(1).alias("p95"),
+        q.getItem(2).alias("p99"),
+    )
+
+
 def q_dedup_stream_watermark(spark, sf_dir):
     """Streaming exact dedup with bounded state:
     ``dropDuplicatesWithinWatermark`` over (user_id, event_type, ts)
@@ -1594,6 +1666,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "evt_stream_stream_join": q_evt_stream_stream_join,
     "join_asof": q_join_asof,
     "join_range": q_join_range,
+    "evt_rollup_daily": q_evt_rollup_daily,
+    "text_top_terms": q_text_top_terms,
+    "sketch_approx_distinct": q_sketch_approx_distinct,
+    "sketch_quantiles": q_sketch_quantiles,
     "evt_pivot_user_counts": q_evt_pivot_user_counts,
     # llmdata text
     "text_token_count": q_text_token_count,
@@ -2115,6 +2191,26 @@ ORACLES: dict[str, str] = {
         ASOF LEFT JOIN orders o
           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
     """,
+    "evt_rollup_daily": """
+        SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(FLOOR(value*100.0 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "text_top_terms": """
+        SELECT token, COUNT(*) AS cnt
+        FROM (
+            SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+            FROM documents
+            WHERE text IS NOT NULL
+        )
+        WHERE token <> ''
+        GROUP BY token
+        ORDER BY cnt DESC, token ASC
+        LIMIT 20
+    """,
     "join_range": """
         SELECT label,
                COUNT(*) AS n_orders,
@@ -2302,5 +2398,7 @@ NO_ORACLE: frozenset[str] = frozenset(
         "ann_topk_lsh",
         "ann_topk_ivf",
         "text_winnow_fingerprint",
+        "sketch_approx_distinct",
+        "sketch_quantiles",
     }
 )

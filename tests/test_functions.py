@@ -208,3 +208,44 @@ def test_join_range_matches_naive_and_hash_joins(spark):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "HashJoin" in plan, plan
+
+
+def test_sketch_queries_accuracy_bounds(spark, sf_dir):
+    """The sketch queries have no SQL oracle; pin their accuracy
+    against exact computations instead."""
+    from idr_data_pipelines_spark.queries import QUERIES, _events, _t
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["sketch_approx_distinct"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(2, 0.05 * n), (et, approx[et], n)
+
+    qs = {
+        r["o_orderpriority"]: (r["p50"], r["p95"], r["p99"])
+        for r in QUERIES["sketch_quantiles"](spark, sf_dir).collect()
+    }
+    orders = _t(spark, sf_dir, "orders")
+    for prio, (p50, p95, p99) in qs.items():
+        vals = sorted(
+            r["o_totalprice"]
+            for r in orders.filter(F.col("o_orderpriority") == prio).collect()
+        )
+        n = len(vals)
+        for q, got in ((0.5, p50), (0.95, p95), (0.99, p99)):
+            # rank-error bound: the approx quantile's true rank must be
+            # within 1% of the requested rank (accuracy=10000 → ~1e-4,
+            # use a loose bound to stay deterministic across versions)
+            import bisect
+
+            rank = bisect.bisect_right(vals, got)
+            assert abs(rank - q * n) <= max(2, 0.01 * n), (prio, q, got, rank, n)
