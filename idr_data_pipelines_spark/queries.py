@@ -1534,6 +1534,19 @@ def q_mm_media_meta(spark, sf_dir):
     return extract_media_meta(with_bin)
 
 
+def q_mm_frame_sample(spark, sf_dir):
+    """Multimodal 1→N fan-out plumbing: each binary payload explodes
+    into fixed-stride 'frames' via mapInPandas (the shape a real
+    ffmpeg/PIL sampler has — batch in, multi-row batch out, typed
+    binary column). The deterministic stub slices bytes, so the DuckDB
+    oracle reproduces frames exactly with blob substring."""
+    from idr_data_pipelines_spark.llmdata.multimodal import frame_sample_stub
+
+    df = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    with_bin = with_binary_payload(df, "text", media_type="video")
+    return frame_sample_stub(with_bin, every_n=10)
+
+
 # ===================================================================
 # flagship: the MMD-shaped end-to-end chain (SURVEY §7.4)
 # ===================================================================
@@ -1687,6 +1700,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_ivf": q_ann_topk_ivf,
     # multimodal
     "mm_media_meta": q_mm_media_meta,
+    "mm_frame_sample": q_mm_frame_sample,
     # flagship
     "flagship_warehouse": q_flagship_warehouse,
 }
@@ -2365,6 +2379,24 @@ ORACLES: dict[str, str] = {
                CAST((octet_length(CAST(text AS BLOB)) % 480) + 1 AS BIGINT) AS height,
                md5(text) AS checksum
         FROM documents
+    """,
+    "mm_frame_sample": """
+        -- DuckDB can't substring BLOBs; the corpus is pure ASCII
+        -- (octet_length == length for every row), so character
+        -- substring == byte slice and the CAST back to BLOB matches
+        -- Spark's binary frames exactly.
+        WITH nums AS (SELECT i FROM generate_series(0, 99999) AS t(i)),
+        d AS (
+            SELECT doc_id,
+                   text AS t,
+                   CAST(CEIL(GREATEST(octet_length(CAST(text AS BLOB)), 1)/10.0) AS BIGINT) AS nf
+            FROM documents
+            WHERE text IS NOT NULL
+        )
+        SELECT d.doc_id,
+               CAST(n.i AS BIGINT) AS frame_idx,
+               CAST(substring(d.t, CAST(n.i*10 + 1 AS BIGINT), 10) AS BLOB) AS frame_bytes
+        FROM d JOIN nums n ON n.i < d.nf
     """,
     "flagship_warehouse": f"""
         WITH latest AS (
