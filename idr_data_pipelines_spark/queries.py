@@ -1525,6 +1525,20 @@ def q_ann_topk_ivf(spark, sf_dir):
     )
 
 
+def q_text_lang_bpe(spark, sf_dir):
+    """Language-ID (marker-stopword argmax heuristic, fully JVM-side)
+    and BPE-style subword token estimate (GPT-2-ish pre-tokenizer
+    regex) per document — both pure projections, no shuffle."""
+    from idr_data_pipelines_spark.llmdata.text import bpe_token_estimate, lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        lang_id("text").alias("lang_pred"),
+        bpe_token_estimate("text").alias("bpe_tokens"),
+    )
+
+
 def q_mm_media_meta(spark, sf_dir):
     """Multimodal plumbing: binary payload column → Arrow-batched
     mapInPandas metadata extraction (decode step stubbed
@@ -1681,6 +1695,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_range": q_join_range,
     "evt_rollup_daily": q_evt_rollup_daily,
     "text_top_terms": q_text_top_terms,
+    "text_lang_bpe": q_text_lang_bpe,
     "sketch_approx_distinct": q_sketch_approx_distinct,
     "sketch_quantiles": q_sketch_quantiles,
     "evt_pivot_user_counts": q_evt_pivot_user_counts,
@@ -2379,6 +2394,25 @@ ORACLES: dict[str, str] = {
                CAST((octet_length(CAST(text AS BLOB)) % 480) + 1 AS BIGINT) AS height,
                md5(text) AS checksum
         FROM documents
+    """,
+    "text_lang_bpe": """
+        WITH s AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(lower(text), '\\b(?:the|and|of|to|is)\\b')) AS sc_en,
+                   len(regexp_extract_all(lower(text), '\\b(?:el|la|de|que|y)\\b')) AS sc_es,
+                   len(regexp_extract_all(lower(text), '\\b(?:le|la|les|de|et)\\b')) AS sc_fr,
+                   len(regexp_extract_all(lower(text), '\\b(?:der|die|das|und|ist)\\b')) AS sc_de,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN sc_en = greatest(sc_en, sc_es, sc_fr, sc_de) AND greatest(sc_en, sc_es, sc_fr, sc_de) >= 1 THEN 'en'
+                    WHEN sc_es = greatest(sc_en, sc_es, sc_fr, sc_de) AND greatest(sc_en, sc_es, sc_fr, sc_de) >= 1 THEN 'es'
+                    WHEN sc_fr = greatest(sc_en, sc_es, sc_fr, sc_de) AND greatest(sc_en, sc_es, sc_fr, sc_de) >= 1 THEN 'fr'
+                    WHEN sc_de = greatest(sc_en, sc_es, sc_fr, sc_de) AND greatest(sc_en, sc_es, sc_fr, sc_de) >= 1 THEN 'de'
+                    ELSE 'und' END AS lang_pred,
+               CAST(bpe AS BIGINT) AS bpe_tokens
+        FROM s
     """,
     "mm_frame_sample": """
         -- DuckDB can't substring BLOBs; the corpus is pure ASCII
