@@ -1333,6 +1333,103 @@ def q_q22_idle_rich_customers(spark, sf_dir):
     )
 
 
+def q_q6_forecast_revenue(spark, sf_dir):
+    """Pure scan-aggregate (TPC-H Q6 shape): one-row revenue delta from
+    tightly-filtered lineitems. Every predicate is scan-pushable; the
+    plan is scan → partial agg → single-partition final agg, the
+    cheapest possible shape at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24.0)
+    )
+    return f.agg(
+        _money_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_q15_top_supplier(spark, sf_dir):
+    """Scalar-max subquery + join-back (TPC-H Q15 shape): supplier(s)
+    whose half-year revenue equals the maximum. The revenue aggregate
+    is computed once and reused for both the max and the match (Spark
+    reuses the exchange; exact cent sums make the equality portable)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice")
+                * (F.lit(1.0) - F.col("l_discount"))
+                * F.lit(100.0)
+                + F.lit(0.5)
+            ).cast("bigint")
+        ).alias("rev_cents")
+    )
+    best = rev.agg(F.max("rev_cents").alias("max_cents"))
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(best), rev.rev_cents == best.max_cents)
+        .join(F.broadcast(sup), rev.l_suppkey == sup.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_cents").cast("double") / F.lit(100.0)).alias("total_rev"),
+        )
+    )
+
+
+def q_q17_small_quantity(spark, sf_dir):
+    """Correlated per-group average threshold (TPC-H Q17 shape):
+    revenue from Brand#1 lineitems below 20% of their part's average
+    quantity. The per-part average joins back broadcast (it shrinks to
+    one row per part); the average is exact-integer sum / count so the
+    0.2× threshold is bit-identical across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select(
+        "p_partkey"
+    )
+    branded = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    avg_q = branded.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(F.col("l_quantity").cast("bigint")).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("qty_threshold")
+    )
+    small = branded.join(
+        F.broadcast(avg_q), branded.l_partkey == avg_q.ap_key
+    ).filter(F.col("l_quantity") < F.col("qty_threshold"))
+    return small.agg(
+        _money_sum(F.col("l_extendedprice")).alias("total_price"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS: order counts at (status, priority),
+    (status) and () granularities in one pass — the multi-granularity
+    report shape (finer than ROLLUP/CUBE, no unwanted combinations)."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice*100.0 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS total_price
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
 def q_topk_per_group(spark, sf_dir):
     """Top-3 orders per priority by total price (window top-k — the
     per-partition top-k pattern; ties broken by key for determinism)."""
@@ -1681,6 +1778,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q19_disjunctive": q_q19_disjunctive,
     "q21_waiting_supplier": q_q21_waiting_supplier,
     "q22_idle_rich_customers": q_q22_idle_rich_customers,
+    "q6_forecast_revenue": q_q6_forecast_revenue,
+    "q15_top_supplier": q_q15_top_supplier,
+    "q17_small_quantity": q_q17_small_quantity,
+    "agg_grouping_sets": q_agg_grouping_sets,
     "topk_per_group": q_topk_per_group,
     "agg_having": q_agg_having,
     "window_running": q_window_running,
@@ -2162,6 +2263,56 @@ ORACLES: dict[str, str] = {
                 AND o_orderdate >= TIMESTAMP '2000-01-01'
           )
         GROUP BY c_mktsegment
+    """,
+    "q6_forecast_revenue": """
+        SELECT CAST(SUM(CAST(FLOOR((l_extendedprice * l_discount)*100.0 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24.0
+    """,
+    "q15_top_supplier": """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   SUM(CAST(FLOOR((l_extendedprice * (1.0 - l_discount))*100.0 + 0.5) AS BIGINT)) AS rev_cents
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1996-07-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name,
+               CAST(rev_cents AS DOUBLE)/100.0 AS total_rev
+        FROM rev
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE rev_cents = (SELECT MAX(rev_cents) FROM rev)
+    """,
+    "q17_small_quantity": """
+        WITH branded AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#1'
+        ),
+        avg_q AS (
+            SELECT l_partkey AS ap_key,
+                   0.2 * (CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / COUNT(*)) AS qty_threshold
+            FROM branded
+            GROUP BY l_partkey
+        )
+        SELECT CAST(SUM(CAST(FLOOR(l_extendedprice*100.0 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS total_price,
+               COUNT(*) AS n_items
+        FROM branded
+        JOIN avg_q ON l_partkey = ap_key
+        WHERE l_quantity < qty_threshold
+    """,
+    "agg_grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice*100.0 + 0.5) AS BIGINT)) AS DOUBLE)/100.0 AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
     """,
     "topk_per_group": """
         SELECT o_orderpriority,
