@@ -1636,6 +1636,37 @@ def q_text_lang_bpe(spark, sf_dir):
     )
 
 
+def q_flagship_corpus_clean(spark, sf_dir):
+    """End-to-end training-data cleaning pipeline: ingest → quality
+    filter (token floor) → normalization-aware exact dedup (md5 of
+    lowercased whitespace-collapsed text, min-id survivor) → per-doc
+    token stats. The corpus is the documents table unioned with
+    deterministic case/whitespace-mangled copies, so the dedup stage
+    provably collapses real near-identical pairs (the raw table has no
+    exact dups). One lazy plan: the only shuffle is the dedup groupBy;
+    filters and projections fuse into the scans."""
+    from idr_data_pipelines_spark.llmdata.text import fingerprint, token_count
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mangled = docs.select(
+        (F.col("doc_id") + F.lit(100000)).alias("doc_id"),
+        F.upper(F.regexp_replace("text", " ", "  ")).alias("text"),
+    )
+    corpus = docs.unionByName(mangled)
+    quality = corpus.withColumn("n_tokens", token_count("text")).filter(
+        F.col("n_tokens") >= 30
+    )
+    return (
+        quality.withColumn("fp", fingerprint("text"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("n_tokens").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
 def q_mm_media_meta(spark, sf_dir):
     """Multimodal plumbing: binary payload column → Arrow-batched
     mapInPandas metadata extraction (decode step stubbed
@@ -1819,6 +1850,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_frame_sample": q_mm_frame_sample,
     # flagship
     "flagship_warehouse": q_flagship_warehouse,
+    "flagship_corpus_clean": q_flagship_corpus_clean,
 }
 
 
@@ -2582,6 +2614,27 @@ ORACLES: dict[str, str] = {
                CAST(n.i AS BIGINT) AS frame_idx,
                CAST(substring(d.t, CAST(n.i*10 + 1 AS BIGINT), 10) AS BLOB) AS frame_bytes
         FROM d JOIN nums n ON n.i < d.nf
+    """,
+    "flagship_corpus_clean": """
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000 AS doc_id, upper(replace(text, ' ', '  ')) AS text
+            FROM documents
+        ),
+        quality AS (
+            SELECT doc_id, text,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+            FROM corpus
+        )
+        SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+               MIN(doc_id) AS doc_id,
+               MIN(n_tokens) AS n_tokens,
+               COUNT(*) AS n_dups
+        FROM quality
+        WHERE n_tokens >= 30
+        GROUP BY 1
     """,
     "flagship_warehouse": f"""
         WITH latest AS (
