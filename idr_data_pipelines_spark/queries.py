@@ -943,7 +943,11 @@ def q_evt_stream_stream_join(spark, sf_dir):
                 F.col("user_id").alias(f"{prefix}_user"),
                 F.col("ts").alias(f"{prefix}_ts"),
             )
-            .withWatermark(f"{prefix}_ts", "30 days")
+            # must exceed the staged dataset's full event-time span:
+            # the inbox is one file (one availableNow batch) today, but
+            # a multi-file inbox would advance the watermark between
+            # batches and silently drop out-of-order rows otherwise
+            .withWatermark(f"{prefix}_ts", "3650 days")
         )
 
     views = _side("view", "v")
