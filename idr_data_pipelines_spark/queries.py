@@ -1337,6 +1337,38 @@ def q_q22_idle_rich_customers(spark, sf_dir):
     )
 
 
+def q_window_analytics(spark, sf_dir):
+    """Extended window-function surface: quartile bucket (ntile),
+    percent_rank, cume_dist, and first/last order value per customer
+    over a fully-deterministic ordering (date + key tiebreak). One
+    shuffle on the partition key serves all five functions."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.first("o_totalprice").over(wall).alias("first_price"),
+        F.last("o_totalprice").over(wall).alias("last_price"),
+    )
+
+
+def q_agg_percentiles_exact(spark, sf_dir):
+    """Exact interpolated percentiles per priority (Spark
+    ``percentile`` ≡ SQL ``quantile_cont``: linear interpolation at
+    rank p·(n-1)). Exact percentiles need the group's values together
+    — fine for bounded group counts; use sketch_quantiles when
+    cardinality is unbounded."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.percentile(F.col("o_totalprice"), F.lit(0.5)).alias("p50"),
+        F.percentile(F.col("o_totalprice"), F.lit(0.9)).alias("p90"),
+    )
+
+
 def q_q6_forecast_revenue(spark, sf_dir):
     """Pure scan-aggregate (TPC-H Q6 shape): one-row revenue delta from
     tightly-filtered lineitems. Every predicate is scan-pushable; the
@@ -1817,6 +1849,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q15_top_supplier": q_q15_top_supplier,
     "q17_small_quantity": q_q17_small_quantity,
     "agg_grouping_sets": q_agg_grouping_sets,
+    "window_analytics": q_window_analytics,
+    "agg_percentiles_exact": q_agg_percentiles_exact,
     "topk_per_group": q_topk_per_group,
     "agg_having": q_agg_having,
     "window_running": q_window_running,
@@ -2342,6 +2376,26 @@ ORACLES: dict[str, str] = {
         FROM branded
         JOIN avg_q ON l_partkey = ap_key
         WHERE l_quantity < qty_threshold
+    """,
+    "window_analytics": """
+        SELECT o_custkey,
+               o_orderkey,
+               CAST(ntile(4) OVER w AS INT) AS quartile,
+               percent_rank() OVER w AS pr,
+               cume_dist() OVER w AS cd,
+               first_value(o_totalprice) OVER wall AS first_price,
+               last_value(o_totalprice) OVER wall AS last_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               wall AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    "agg_percentiles_exact": """
+        SELECT o_orderpriority,
+               quantile_cont(o_totalprice, 0.5) AS p50,
+               quantile_cont(o_totalprice, 0.9) AS p90
+        FROM orders
+        GROUP BY o_orderpriority
     """,
     "agg_grouping_sets": """
         SELECT o_orderstatus, o_orderpriority,
