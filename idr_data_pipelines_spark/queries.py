@@ -1672,6 +1672,34 @@ def q_text_lang_bpe(spark, sf_dir):
     )
 
 
+def q_udtf_split_sentences(spark, sf_dir):
+    """Python UDTF surface (Spark 4): a table function exploding each
+    document into numbered sentence rows via LATERAL join. UDTFs are
+    the row-to-table API corner; for hot paths prefer mapInPandas
+    (Arrow-batched) — this exists to pin the API and its lateral-join
+    semantics against a SQL oracle."""
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx: bigint, sentence: string")
+    class SplitSentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, s in enumerate(_re.split(r"\.\s+", text)):
+                yield i, s
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """
+        SELECT doc_id, s.sent_idx, s.sentence
+        FROM docs_udtf, LATERAL split_sentences(text) s
+        """
+    )
+
+
 def q_flagship_corpus_clean(spark, sf_dir):
     """End-to-end training-data cleaning pipeline: ingest → quality
     filter (token floor) → normalization-aware exact dedup (md5 of
@@ -1888,6 +1916,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_frame_sample": q_mm_frame_sample,
     # flagship
     "flagship_warehouse": q_flagship_warehouse,
+    "udtf_split_sentences": q_udtf_split_sentences,
     "flagship_corpus_clean": q_flagship_corpus_clean,
 }
 
@@ -2672,6 +2701,18 @@ ORACLES: dict[str, str] = {
                CAST(n.i AS BIGINT) AS frame_idx,
                CAST(substring(d.t, CAST(n.i*10 + 1 AS BIGINT), 10) AS BLOB) AS frame_bytes
         FROM d JOIN nums n ON n.i < d.nf
+    """,
+    "udtf_split_sentences": """
+        WITH d AS (
+            SELECT doc_id, regexp_split_to_array(text, '\\.\\s+') AS parts
+            FROM documents
+            WHERE text IS NOT NULL
+        ),
+        nums AS (SELECT i FROM generate_series(0, 99999) AS t(i))
+        SELECT d.doc_id,
+               CAST(n.i AS BIGINT) AS sent_idx,
+               d.parts[n.i + 1] AS sentence
+        FROM d JOIN nums n ON n.i < len(d.parts)
     """,
     "flagship_corpus_clean": """
         WITH corpus AS (
