@@ -1712,8 +1712,12 @@ def q_flagship_corpus_clean(spark, sf_dir):
     from idr_data_pipelines_spark.llmdata.text import fingerprint, token_count
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # mangled-copy ids are negated (-id-1): disjoint from the real
+    # non-negative id space at ANY scale factor (an additive offset
+    # would collide once documents outgrows it), and max-survivor
+    # selection always keeps the real document
     mangled = docs.select(
-        (F.col("doc_id") + F.lit(100000)).alias("doc_id"),
+        (-F.col("doc_id") - F.lit(1)).alias("doc_id"),
         F.upper(F.regexp_replace("text", " ", "  ")).alias("text"),
     )
     corpus = docs.unionByName(mangled)
@@ -1724,8 +1728,8 @@ def q_flagship_corpus_clean(spark, sf_dir):
         quality.withColumn("fp", fingerprint("text"))
         .groupBy("fp")
         .agg(
-            F.min("doc_id").alias("doc_id"),
-            F.min("n_tokens").alias("n_tokens"),
+            F.max("doc_id").alias("doc_id"),
+            F.max("n_tokens").alias("n_tokens"),
             F.count(F.lit(1)).alias("n_dups"),
         )
     )
@@ -2718,7 +2722,7 @@ ORACLES: dict[str, str] = {
         WITH corpus AS (
             SELECT doc_id, text FROM documents
             UNION ALL
-            SELECT doc_id + 100000 AS doc_id, upper(replace(text, ' ', '  ')) AS text
+            SELECT -doc_id - 1 AS doc_id, upper(replace(text, ' ', '  ')) AS text
             FROM documents
         ),
         quality AS (
@@ -2728,8 +2732,8 @@ ORACLES: dict[str, str] = {
             FROM corpus
         )
         SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
-               MIN(doc_id) AS doc_id,
-               MIN(n_tokens) AS n_tokens,
+               MAX(doc_id) AS doc_id,
+               MAX(n_tokens) AS n_tokens,
                COUNT(*) AS n_dups
         FROM quality
         WHERE n_tokens >= 30
