@@ -91,10 +91,17 @@ def str_sentinel_decode(
     col: Column | str,
     sentinels: dict[str, object],
     cast_to: str = "decimal(38,9)",
+    strict: bool = False,
 ) -> Column:
     """Special-value decode then numeric cast: ``CASE WHEN col = 'LDL'
     THEN 0 ELSE CAST(col AS DECIMAL) END`` (dags/vls_transforms.py:
-    187-190). Non-sentinel unparseable strings become NULL (try_cast)."""
+    187-190).
+
+    ``strict=True`` mirrors BigQuery ``CAST`` — a non-sentinel,
+    non-null, unparseable string fails the job loudly (the reference's
+    behavior: a bad ``vl_test_result`` kills the BQ load rather than
+    silently nulling a viral-load reading). ``strict=False`` is
+    ``SAFE_CAST`` tolerance: unparseable → NULL (try_cast)."""
     c = _c(col)
     expr: Column | None = None
     for k, v in sentinels.items():
@@ -102,4 +109,15 @@ def str_sentinel_decode(
         expr = F.when(cond, F.lit(v).cast(cast_to)) if expr is None else expr.when(cond, F.lit(v).cast(cast_to))
     if expr is None:
         raise ValueError("empty sentinels")
-    return expr.otherwise(c.try_cast(cast_to))
+    tried = c.try_cast(cast_to)
+    if strict:
+        return expr.when(
+            c.isNotNull() & tried.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"str_sentinel_decode: cast to {cast_to} failed for value: "),
+                    c,
+                )
+            ).cast(cast_to),
+        ).otherwise(tried)
+    return expr.otherwise(tried)

@@ -283,6 +283,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
     jaccard_threshold: float | None = 0.8,
     impl: str = "arrow",
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH, optionally
     verified with exact shingle-set Jaccard.
@@ -297,10 +298,14 @@ def minhash_lsh_pairs(
     ``jaccard_threshold`` is None, candidates are returned unverified
     with jaccard = null.
 
-    Note: the band and shingle intermediates are ``persist()``-ed (each
-    feeds both sides of a self-join) and stay cached for the session;
-    long-lived sessions calling this repeatedly should
-    ``spark.catalog.clearCache()`` between corpora.
+    The band and shingle intermediates must be ``persist()``-ed while
+    the self-join runs (each feeds both sides). With ``materialize=True``
+    (default) the near-dup pair set — tiny relative to the corpus — is
+    computed once via ``localCheckpoint(eager=True)`` and the heavy
+    intermediates are ``unpersist()``-ed before returning, so repeated
+    calls in a long-lived session accumulate no executor storage.
+    ``materialize=False`` keeps the fully-lazy plan; the caller then
+    owns cache hygiene (``spark.catalog.clearCache()`` between corpora).
     """
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
@@ -343,42 +348,53 @@ def minhash_lsh_pairs(
         "id", F.explode(band_structs).alias("band")
     ).select("id", "band.band_idx", "band.band_hash").persist()
 
-    left = banded.alias("l")
-    right = banded.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.id") < F.col("r.id")),
+    sh = None
+    try:
+        left = banded.alias("l")
+        right = banded.alias("r")
+        pairs = (
+            left.join(
+                right,
+                (F.col("l.band_idx") == F.col("r.band_idx"))
+                & (F.col("l.band_hash") == F.col("r.band_hash"))
+                & (F.col("l.id") < F.col("r.id")),
+            )
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .distinct()
         )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
-    )
-    if jaccard_threshold is None:
-        return pairs.withColumn("jaccard", F.lit(None).cast("double"))
-
-    # Verify with exact Jaccard over the hashed shingle sets (64-bit
-    # hashes: collision probability is negligible, and long-array set
-    # ops are far cheaper than string-array ones at scale).
-    # persisted: joined twice (id_a side and id_b side) — one
-    # tokenize+hash pass instead of two.
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        shingle_hashes(text_col, shingle_k).alias("sh"),
-    ).persist()
-    verified = (
-        pairs.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
-        )
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
-    return verified
+        if jaccard_threshold is None:
+            result = pairs.withColumn("jaccard", F.lit(None).cast("double"))
+        else:
+            # Verify with exact Jaccard over the hashed shingle sets
+            # (64-bit hashes: collision probability is negligible, and
+            # long-array set ops are far cheaper than string-array ones
+            # at scale). persisted: joined twice (id_a side and id_b
+            # side) — one tokenize+hash pass instead of two.
+            sh = df.select(
+                F.col(id_col).alias("id"),
+                shingle_hashes(text_col, shingle_k).alias("sh"),
+            ).persist()
+            result = (
+                pairs.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+                .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+                .withColumn(
+                    "jaccard",
+                    F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                    / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                )
+                .filter(F.col("jaccard") >= jaccard_threshold)
+                .select("id_a", "id_b", "jaccard")
+            )
+        if not materialize:
+            return result
+        # Pair set is sparse (near-dups only) — compute it once, cut
+        # the lineage, and free the band/shingle caches immediately.
+        return result.localCheckpoint(eager=True)
+    finally:
+        if materialize:
+            banded.unpersist()
+            if sh is not None:
+                sh.unpersist()
 
 
 # -------------------------------------------------------------- SimHash
@@ -511,12 +527,17 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     impl: str = "arrow",
+    materialize: bool = True,
 ) -> DataFrame:
     """Pairs with SimHash Hamming distance ≤ max_hamming.
 
     Pigeonhole banding: split 64 bits into ``max_hamming + 1`` chunks —
     any pair within distance k must agree exactly on ≥1 chunk. Join on
     (chunk_idx, chunk_value), then verify with bit_count(xor).
+
+    ``materialize=True`` (default) eagerly computes the sparse pair set
+    (``localCheckpoint``) and releases the persisted chunk table — see
+    ``minhash_lsh_pairs`` for the cache-hygiene rationale.
     """
     n_chunks = max_hamming + 1
     if not 1 <= n_chunks <= 64:
@@ -555,24 +576,31 @@ def simhash_near_dup_pairs(
         "id", F.explode(chunk_structs).alias("c")
     ).select("id", "c.simhash", "c.chunk_idx", "c.chunk_val").persist()
 
-    l, r = chunks.alias("l"), chunks.alias("r")
-    return (
-        l.join(
-            r,
-            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
-            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
-            & (F.col("l.id") < F.col("r.id")),
+    try:
+        l, r = chunks.alias("l"), chunks.alias("r")
+        result = (
+            l.join(
+                r,
+                (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
+                & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+                & (F.col("l.id") < F.col("r.id")),
+            )
+            .select(
+                F.col("l.id").alias("id_a"),
+                F.col("r.id").alias("id_b"),
+                F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias(
+                    "hamming"
+                ),
+            )
+            .distinct()
+            .filter(F.col("hamming") <= max_hamming)
         )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias(
-                "hamming"
-            ),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
-    )
+        if not materialize:
+            return result
+        return result.localCheckpoint(eager=True)
+    finally:
+        if materialize:
+            chunks.unpersist()
 
 
 # ------------------------------------------------------ n-gram Jaccard

@@ -110,24 +110,38 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
 
 def _lsh_bucket_table(
     df: DataFrame,
-    planes: list[list[float]],
     id_col: str,
     vec_col: str,
+    n_planes: int,
+    seed: int,
 ) -> DataFrame:
     """(id, __vec array<double>, bucket long) — sign-LSH buckets via a
     per-batch matmul in mapInPandas. Sign convention matches
-    ``lsh_bucket`` (bit i set iff plane_i · v > 0)."""
+    ``lsh_bucket`` (bit i set iff plane_i · v > 0).
+
+    The hyperplane matrix is generated *inside* the worker from
+    (n_planes, seed, dim) the first time a batch reveals the embedding
+    dimension — deterministic (seeded RandomState), identical across
+    workers and across the corpus/query sides, and requiring no
+    driver-side ``.first()`` action to sniff the dim (an extra Spark
+    job per invocation and a crash on empty input)."""
     import pandas as pd
     from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
 
-    P = np.asarray(planes, dtype=np.float64)          # (n_planes, dim)
-    weights = (1 << np.arange(len(planes))).astype(np.int64)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    planes_by_dim: dict[int, "np.ndarray"] = {}
 
     def assign(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__vec"]])
+            dim = V.shape[1]
+            P = planes_by_dim.get(dim)
+            if P is None:                              # (n_planes, dim)
+                P = planes_by_dim.setdefault(
+                    dim, np.asarray(_hyperplanes(dim, n_planes, seed))
+                )
             bits = (V @ P.T) > 0                       # (rows, n_planes)
             buckets = (bits.astype(np.int64) * weights[None, :]).sum(axis=1)
             yield pd.DataFrame(
@@ -152,7 +166,6 @@ def cosine_topk_lsh(
     vec_col: str = "embedding",
     k: int = 5,
     n_planes: int = 8,
-    dim: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's LSH bucket,
@@ -160,20 +173,18 @@ def cosine_topk_lsh(
     buckets); 8 planes → 256 buckets. At scale, persist the corpus
     bucketed by this id (``.write.bucketBy``) so probes are
     partition-pruned instead of joined."""
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes, seed)
     # bucket = packed sign bits of V @ planesᵀ — computed as one
     # BLAS matmul per Arrow batch (mapInPandas), not n_planes
     # interpreted array folds per row; at corpus scale this is the
     # difference between a vectorized projection and ~50× slower
-    # interpreted expression evaluation.
-    c = _lsh_bucket_table(corpus, planes, id_col, vec_col).select(
+    # interpreted expression evaluation. Hyperplanes are generated
+    # lazily in-worker from (n_planes, seed, dim) — no driver action.
+    c = _lsh_bucket_table(corpus, id_col, vec_col, n_planes, seed).select(
         F.col("id").alias("neighbor_id"),
         F.col("__vec").alias("cvec"),
         "bucket",
     ).withColumn("cnrm", norm(F.col("cvec")))
-    q = _lsh_bucket_table(queries, planes, id_col, vec_col).select(
+    q = _lsh_bucket_table(queries, id_col, vec_col, n_planes, seed).select(
         F.col("id").alias("query_id"),
         F.col("__vec").alias("qvec"),
         "bucket",
@@ -440,12 +451,11 @@ def embedding_near_dup_pairs(
             F.col(block_col).alias("block"),
         )
     else:
-        vecs = df.select(
-            F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
+        # sign-LSH blocks assigned in-worker (lazy hyperplanes keyed on
+        # the observed dim) — no driver-side .first() to sniff the dim
+        vecs = _lsh_bucket_table(df, id_col, vec_col, n_planes, seed).select(
+            "id", F.col("__vec").alias("vec"), F.col("bucket").alias("block")
         )
-        dim = len(df.select(vec_col).first()[0])
-        planes = _hyperplanes(dim, n_planes, seed)
-        vecs = vecs.withColumn("block", lsh_bucket(F.col("vec"), planes))
     # per-vector norm computed once, not per pair (see cosine_topk_*)
     vecs = vecs.withColumn("nrm", norm(F.col("vec")))
     l, r = vecs.alias("l"), vecs.alias("r")

@@ -151,9 +151,15 @@ def _vl_suppression(df: DataFrame) -> DataFrame:
     """viral_load_suppression (vls_transforms.py:180-191): LDL→0 decode
     to DECIMAL, then the (intentionally gap-ridden) suppression CASE —
     no ELSE, uncovered combos stay NULL."""
+    # strict=True: the reference's BQ CAST fails the job loudly on a
+    # malformed (non-'LDL', non-null) result string
+    # (dags/vls_transforms.py:189) — silently nulling a viral-load
+    # reading would flip patients to 'Unknown' suppression.
     with_load = df.withColumn(
         "load_numbers",
-        str_sentinel_decode("vl_test_result", {"LDL": 0}, cast_to="decimal(38,9)"),
+        str_sentinel_decode(
+            "vl_test_result", {"LDL": 0}, cast_to="decimal(38,9)", strict=True
+        ),
     )
     load = F.col("load_numbers")
     return with_load.withColumn(

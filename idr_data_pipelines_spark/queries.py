@@ -1634,7 +1634,7 @@ def q_ann_topk_lsh(spark, sf_dir):
     asserted in tests."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    out = cosine_topk_lsh(emb, queries, k=5, n_planes=6, dim=64)
+    out = cosine_topk_lsh(emb, queries, k=5, n_planes=6)
     return out.select(
         "query_id", "neighbor_id", F.round(F.col("cosine"), 6).alias("cosine_r"), "rank"
     )
@@ -1703,7 +1703,7 @@ def q_udtf_split_sentences(spark, sf_dir):
 def q_flagship_corpus_clean(spark, sf_dir):
     """End-to-end training-data cleaning pipeline: ingest → quality
     filter (token floor) → normalization-aware exact dedup (md5 of
-    lowercased whitespace-collapsed text, min-id survivor) → per-doc
+    lowercased whitespace-collapsed text, max-id survivor) → per-doc
     token stats. The corpus is the documents table unioned with
     deterministic case/whitespace-mangled copies, so the dedup stage
     provably collapses real near-identical pairs (the raw table has no

@@ -68,19 +68,24 @@ def drain_available_now(
         .start()
     )
     q.awaitTermination()
-    # existence check through the Hadoop FileSystem API so it works on
-    # any scheme (s3://, hdfs://, file:), not just the driver's local
-    # disk; real read errors then propagate — only "never wrote
-    # anything" yields the empty view
-    hpath = spark._jvm.org.apache.hadoop.fs.Path(out_dir)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(hpath):
+    # "never wrote anything" (an inbox with zero messages) must yield
+    # the empty view; any other read error propagates. Probed by
+    # attempting the read and catching PATH_NOT_FOUND — public API
+    # only, so it works on any scheme (s3://, hdfs://, file:) AND
+    # under Spark Connect, where the private `_jvm`/`_jsc` gateway
+    # this used previously does not exist.
+    from pyspark.errors import AnalysisException
+
+    try:
         out = (
             spark.read.schema(schema)
             .option("recursiveFileLookup", "true")
             .parquet(out_dir)
         )
-    else:
+        out.schema  # force datasource resolution (path listing) now
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" not in str(exc):
+            raise
         out = spark.createDataFrame([], schema)
     out.createOrReplaceTempView(sink_table)
 
@@ -141,7 +146,11 @@ def handle_event(
         event = ast.literal_eval(raw)
         if not isinstance(event, dict):
             event = {"raw": raw}
-    except (ValueError, SyntaxError):
+    except (ValueError, TypeError, SyntaxError, MemoryError, RecursionError):
+        # literal_eval's documented failure modes plus the undocumented
+        # ones hostile payloads can reach: deeply-nested literals raise
+        # RecursionError, huge ones MemoryError — a malformed event must
+        # degrade to the raw-wrapper audit row, never crash the handler.
         event = {"raw": raw}
 
     try:

@@ -82,6 +82,28 @@ def test_sentinel_decode_and_null_default(spark):
     assert [nd for _, nd in out] == ["LDL", "850", "junk", "Unknown"]
 
 
+def test_sentinel_decode_strict_raises_like_bq_cast(spark):
+    """strict=True mirrors BigQuery CAST: malformed non-sentinel,
+    non-null input fails the job loudly (dags/vls_transforms.py:189);
+    sentinel, parseable and NULL rows still succeed."""
+    import pytest
+
+    ok = spark.createDataFrame([("LDL",), ("850",), (None,)], "v string")
+    got = [
+        r["d"]
+        for r in ok.select(
+            str_sentinel_decode("v", {"LDL": 0}, "decimal(18,2)", strict=True).alias("d")
+        ).collect()
+    ]
+    assert [float(d) if d is not None else None for d in got] == [0.0, 850.0, None]
+
+    bad = spark.createDataFrame([("junk",)], "v string")
+    with pytest.raises(Exception, match="str_sentinel_decode"):
+        bad.select(
+            str_sentinel_decode("v", {"LDL": 0}, "decimal(18,2)", strict=True).alias("d")
+        ).collect()
+
+
 def test_format_date_directives(spark):
     df = spark.range(1).select(F.to_date(F.lit("2022-01-05")).alias("d"))
     row = df.select(

@@ -137,7 +137,7 @@ def test_cosine_lsh_recall(spark):
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
     queries = df.filter(F.col("vec_id") < 5)
     exact = cosine_topk_bruteforce(df, queries, k=5)
-    approx = cosine_topk_lsh(df, queries, k=5, n_planes=4, dim=16)
+    approx = cosine_topk_lsh(df, queries, k=5, n_planes=4)
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     assert len(a & e) / len(e) >= 0.6  # bucketed recall
