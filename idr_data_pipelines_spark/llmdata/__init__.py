@@ -42,6 +42,11 @@ from idr_data_pipelines_spark.llmdata.multimodal import (
     frame_sample_stub,
     with_binary_payload,
 )
+from idr_data_pipelines_spark.llmdata.sketches import (
+    count_min_build,
+    count_min_estimate,
+    count_min_topk,
+)
 
 __all__ = [
     "dedup_exact",
@@ -70,4 +75,7 @@ __all__ = [
     "extract_media_meta",
     "frame_sample_stub",
     "with_binary_payload",
+    "count_min_build",
+    "count_min_estimate",
+    "count_min_topk",
 ]

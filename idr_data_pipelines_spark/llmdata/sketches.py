@@ -1,0 +1,121 @@
+"""Count-min sketch: sublinear frequency estimation over a key column.
+
+The streaming/approximate counterpart to an exact ``groupBy(key)
+.count()`` — the sketch is a ``depth × width`` counter matrix whose
+size is independent of both row count and key cardinality. Point
+queries overestimate only: ``est(k) = min_d M[d][h_d(k)]`` is ≥ the
+true count always, and ≤ true + ε·N with probability 1−δ for
+``width = ⌈e/ε⌉``, ``depth = ⌈ln 1/δ⌉`` (Cormode & Muthukrishnan 2005).
+
+100 TB design: the build is a single ``groupBy`` over exploded
+(row → depth (d, bucket) probes). Partial (map-side) aggregation
+collapses every partition to at most ``depth·width`` rows before the
+shuffle, so shuffle volume is O(partitions · depth · width) — constant
+in data size. Estimation broadcasts the finished sketch (≤ depth·width
+rows) — no second shuffle of the keys. The hash family is seeded
+``xxhash64`` (the seed argument *is* the row index d), deterministic
+across runs and engines that share xxhash64.
+
+Complements the built-in sketches already surfaced in queries.py
+(``approx_count_distinct`` = HyperLogLog++, ``percentile_approx`` =
+KLL): HLL answers "how many distinct", count-min answers "how often
+does each" without materializing the key space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket(key: F.Column, d: int, width: int) -> F.Column:
+    """Row-d hash bucket: seeded xxhash64 mod width (pmod: non-negative)."""
+    return F.pmod(F.xxhash64(key, F.lit(d)), F.lit(width))
+
+
+def count_min_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Build the sketch: (d, bucket, cnt), at most depth·width rows.
+
+    Nulls are skipped (a null key has no frequency), matching
+    ``groupBy(key).count()`` semantics under a not-null filter.
+    """
+    key = F.col(key_col)
+    probes = df.filter(key.isNotNull()).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _bucket(key, d, width).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("p")
+    )
+    return probes.groupBy(
+        F.col("p.d").alias("d"), F.col("p.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query the sketch for every row of ``keys``:
+    (key_col, est_count). ``depth``/``width`` must match the build.
+
+    The sketch side is broadcast (≤ depth·width rows); an empty bucket
+    never seen at build time counts as 0 (left join + coalesce), so
+    ``min`` over rows stays an upper bound on the true frequency.
+    """
+    key = F.col(key_col)
+    probes = keys.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _bucket(key, d, width).alias("bucket"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select(key_col, "p.d", "p.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("est_count"))
+    )
+
+
+def count_min_topk(
+    df: DataFrame,
+    key_col: str,
+    k: int = 20,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Heavy hitters by estimated frequency: (key, est_count) top-k,
+    ties broken by key for determinism.
+
+    Candidate keys are the distinct keys present (exact top-k over the
+    estimates); in a true streaming setting the candidate set would be
+    a bounded heap maintained alongside the sketch — here distinct-keys
+    keeps the operator a pure DataFrame composition.
+    """
+    sketch = count_min_build(df, key_col, depth, width)
+    keys = df.select(key_col).filter(F.col(key_col).isNotNull()).distinct()
+    est = count_min_estimate(sketch, keys, key_col, depth, width)
+    return est.orderBy(F.desc("est_count"), F.asc(key_col)).limit(k)

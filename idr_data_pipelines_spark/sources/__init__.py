@@ -4,6 +4,11 @@ from idr_data_pipelines_spark.sources.parquet import (
     read_parquet_dir,
     read_parquet_all_string,
 )
+from idr_data_pipelines_spark.sources.text_formats import (
+    read_csv_dir,
+    read_csv_all_string,
+    read_json_dir,
+)
 from idr_data_pipelines_spark.sources.sinks import (
     sink_table_overwrite,
     sink_rows_append,
@@ -15,6 +20,9 @@ from idr_data_pipelines_spark.sources.catalog import Catalog
 __all__ = [
     "read_parquet_dir",
     "read_parquet_all_string",
+    "read_csv_dir",
+    "read_csv_all_string",
+    "read_json_dir",
     "sink_table_overwrite",
     "sink_rows_append",
     "sink_parquet_overwrite",

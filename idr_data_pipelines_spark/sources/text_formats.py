@@ -1,0 +1,110 @@
+"""CSV / JSON-lines directory sources.
+
+Reference parity (cites relative to /root/reference/): the reference's
+load operator passes BigQuery CSV options even for parquet loads —
+``skip_leading_rows=1`` and ``allow_quoted_newlines=True``
+(idr_pipeline_from_server/dags/idr_load.py:90-91) — so a user pointing
+the pipeline at CSV extracts hits this surface immediately. The
+BigQuery options map onto the Spark CSV datasource:
+
+- ``skip_leading_rows=1`` + autodetect ≙ ``header=true`` (the skipped
+  row names the columns); ``0`` ≙ ``header=false``.
+- ``allow_quoted_newlines`` ≙ ``multiLine=true`` (fields may contain
+  embedded record delimiters inside quotes).
+- BigQuery autodetect ≙ ``inferSchema=true`` (or an explicit schema).
+
+``read_csv_all_string`` mirrors the reference's pandas staging path
+(deps/parquet_solution.py:13-84) for CSV: every column lands as string
+(the CSV reader's native behavior without inference), the literal
+``"None"`` sentinel is normalized to null, and exact duplicates can be
+dropped — all distributed, nothing on the driver.
+
+Scale notes: CSV with ``multiLine=true`` is NOT splittable (a file is
+one partition — quoted newlines make record boundaries ambiguous at
+arbitrary offsets); many medium files parallelize, one huge file does
+not. Plain ``multiLine=false`` CSV and JSON-lines are splittable.
+Schema inference is an extra full pass over the data — always pass an
+explicit schema at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_csv_dir(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    skip_leading_rows: int = 1,
+    allow_quoted_newlines: bool = True,
+    field_delimiter: str = ",",
+    quote: str = '"',
+    escape: str = '"',
+    infer_schema: bool = False,
+) -> DataFrame:
+    """Load all CSV under ``path`` as one DataFrame, BigQuery-option
+    parlance (dags/idr_load.py:90-91).
+
+    Defaults are RFC 4180: ``"``-quoted fields, quotes doubled inside
+    quoted fields (``escape='"'``). With neither ``schema`` nor
+    ``infer_schema`` every column is a string — the staging-table
+    shape the reference loads into.
+    """
+    if skip_leading_rows not in (0, 1):
+        # BigQuery allows skipping arbitrary preamble rows; the Spark
+        # CSV reader only distinguishes header/no-header. Supporting
+        # N>1 would need a per-file line filter — out of scope until a
+        # pipeline needs it.
+        raise ValueError("skip_leading_rows must be 0 or 1")
+    reader = (
+        spark.read.option("header", skip_leading_rows == 1)
+        .option("multiLine", allow_quoted_newlines)
+        .option("sep", field_delimiter)
+        .option("quote", quote)
+        .option("escape", escape)
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer_schema:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_csv_all_string(
+    spark: SparkSession,
+    path: str,
+    deduplicate: bool = True,
+    none_sentinels: tuple[str, ...] = ("None",),
+    **csv_options,
+) -> DataFrame:
+    """All-string CSV staging ingest — the parquet_solution.py
+    semantics (astype(str) + drop_duplicates + "None"→null) applied to
+    the CSV surface. Columns are already strings off the reader; the
+    sentinel normalize is a projection, the dedup a hash aggregate."""
+    df = read_csv_dir(spark, path, schema=None, infer_schema=False, **csv_options)
+    df = df.na.replace(list(none_sentinels), None)
+    if deduplicate:
+        df = df.distinct()
+    return df
+
+
+def read_json_dir(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str | None = None,
+    multiline: bool = False,
+) -> DataFrame:
+    """Load all JSON under ``path`` as one DataFrame.
+
+    ``multiline=False`` (default) is JSON-lines — one record per line,
+    splittable, the only JSON layout that scales; ``multiline=True``
+    parses whole-file JSON documents (one partition per file). Without
+    an explicit ``schema``, inference costs an extra full pass.
+    """
+    reader = spark.read.option("multiLine", multiline)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

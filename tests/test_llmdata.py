@@ -286,3 +286,48 @@ def test_groupby_max_one_row_per_key(spark):
     assert once.groupBy("k").count().filter(F.col("count") > 1).count() == 0
     twice = dedup_groupby_max(once, ["k"])
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+# --------------------------------------------------------- count-min
+
+def test_count_min_upper_bound_and_exactness(spark):
+    """CMS guarantees: est(k) ≥ true(k) always; with width far above
+    the key cardinality (no collisions for this fixed seed) the
+    estimate is exact; narrow width stays within the ε·N Cormode bound
+    for every key (deterministic given the seeded hash family)."""
+    import math
+
+    from idr_data_pipelines_spark.llmdata.sketches import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    # zipf-ish skew: key i appears (20 - i)^2 times, 20 keys
+    rows = [(f"k{i:02d}",) for i in range(20) for _ in range((20 - i) ** 2)]
+    df = spark.createDataFrame(rows, ["key"])
+    exact = {r["key"]: r["n"] for r in df.groupBy("key").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_total = sum(exact.values())
+    keys = df.select("key").distinct()
+
+    for depth, width in [(4, 8), (4, 1024)]:
+        sketch = count_min_build(df, "key", depth=depth, width=width)
+        est = {
+            r["key"]: r["est_count"]
+            for r in count_min_estimate(sketch, keys, "key", depth=depth, width=width).collect()
+        }
+        assert set(est) == set(exact)
+        for k in exact:
+            assert est[k] >= exact[k], (depth, width, k)
+            assert est[k] <= exact[k] + math.ceil(math.e / width * n_total)
+    # wide sketch: no collisions at 20 keys / 1024 buckets (fixed seed)
+    assert est == exact
+
+
+def test_count_min_topk_finds_heavy_hitters(spark):
+    from idr_data_pipelines_spark.llmdata.sketches import count_min_topk
+
+    rows = [(f"k{i:02d}",) for i in range(20) for _ in range((20 - i) ** 2)]
+    df = spark.createDataFrame(rows, ["key"])
+    top = count_min_topk(df, "key", k=3, depth=4, width=1024).collect()
+    assert [r["key"] for r in top] == ["k00", "k01", "k02"]
+    assert top[0]["est_count"] == 400

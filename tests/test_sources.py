@@ -1,11 +1,16 @@
 """Source-layer tests: multi-file directory reads (the reference's
-``source_objects=['*']``), all-string staging, and null normalization."""
+``source_objects=['*']``), all-string staging, null normalization, and
+the CSV/JSON surfaces (BQ load-option parity, dags/idr_load.py:90-91)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from idr_data_pipelines_spark.sources import (
+    read_csv_all_string,
+    read_csv_dir,
+    read_json_dir,
     read_parquet_all_string,
     read_parquet_dir,
 )
@@ -52,3 +57,74 @@ def test_all_string_staging_and_null_normalize(spark, tmp_path):
     # dedup dropped the duplicate; "None" (from the source string and
     # from stringified NULL) normalized back to NULL
     assert got == [("1", "a", None), ("2", None, "3.5")]
+
+
+# ------------------------------------------------------------ CSV/JSON
+
+def _write_csv(spark, df, path):
+    # the CSV *writer* trims field whitespace by default
+    # (ignoreLeading/TrailingWhiteSpace=true on write) — disable for a
+    # byte-faithful roundtrip
+    (
+        df.coalesce(1)
+        .write.option("header", True)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .mode("overwrite")
+        .csv(path)
+    )
+
+
+def test_csv_quoted_newlines_roundtrip(spark, tmp_path):
+    """allow_quoted_newlines (BQ) ≙ multiLine (Spark): fields with
+    embedded record delimiters, quotes and commas survive the
+    write→parse roundtrip (dags/idr_load.py:91)."""
+    rows = [
+        (1, "plain"),
+        (2, "two\nlines"),
+        (3, 'has "quotes" and, commas'),
+        (4, "trailing\n"),
+    ]
+    df = spark.createDataFrame(rows, ["k", "s"])
+    path = str(tmp_path / "csv_nl")
+    _write_csv(spark, df, path)
+    back = read_csv_dir(spark, path, schema="k int, s string")
+    assert sorted(tuple(r) for r in back.collect()) == sorted(rows)
+
+
+def test_csv_skip_leading_rows_zero_reads_header_as_data(spark, tmp_path):
+    """skip_leading_rows=0 ≙ no header: the first line is data
+    (BQ semantics; header row surfaces as a record)."""
+    path = tmp_path / "raw"
+    path.mkdir()
+    (path / "part.csv").write_text("a,b\n1,2\n")
+    with_header = read_csv_dir(spark, str(path), skip_leading_rows=1)
+    no_header = read_csv_dir(spark, str(path), skip_leading_rows=0)
+    assert with_header.count() == 1 and with_header.columns == ["a", "b"]
+    assert no_header.count() == 2
+    with pytest.raises(ValueError):
+        read_csv_dir(spark, str(path), skip_leading_rows=3)
+
+
+def test_csv_all_string_staging(spark, tmp_path):
+    """CSV variant of the all-string staging path: strings off the
+    reader, 'None' sentinel → NULL, exact dups dropped."""
+    path = tmp_path / "stage"
+    path.mkdir()
+    (path / "part.csv").write_text("k,s\n1,None\n1,None\n2,x\n")
+    df = read_csv_all_string(spark, str(path))
+    assert dict(df.dtypes) == {"k": "string", "s": "string"}
+    assert sorted(tuple(r) for r in df.collect()) == [("1", None), ("2", "x")]
+
+
+def test_json_lines_roundtrip_with_schema(spark, sf_dir, tmp_path):
+    """JSON-lines write→read with an explicit schema reproduces the
+    source table exactly (no inference pass, no type drift)."""
+    region = read_parquet_dir(spark, f"{sf_dir}/region.parquet")
+    path = str(tmp_path / "jsonl")
+    region.write.mode("overwrite").json(path)
+    back = read_json_dir(spark, path, schema=region.schema)
+    assert back.schema == region.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, region.collect()))
