@@ -47,6 +47,13 @@ from idr_data_pipelines_spark.llmdata.sketches import (
     count_min_estimate,
     count_min_topk,
 )
+from idr_data_pipelines_spark.llmdata.sampling import (
+    hash_bucket,
+    mix_weighted,
+    pack_sequences,
+    sample_hash_mod,
+    split_train_holdout,
+)
 
 __all__ = [
     "dedup_exact",
@@ -78,4 +85,9 @@ __all__ = [
     "count_min_build",
     "count_min_estimate",
     "count_min_topk",
+    "hash_bucket",
+    "mix_weighted",
+    "pack_sequences",
+    "sample_hash_mod",
+    "split_train_holdout",
 ]

@@ -1,0 +1,161 @@
+"""Deterministic corpus sampling, splitting, mixing and packing.
+
+The reproducibility layer of a training-data pipeline: which rows land
+in a sample, a holdout split, or a mixed corpus must be a pure function
+of the row's *key* — never of partitioning, cluster size, or execution
+order. Spark's ``df.sample``/``randomSplit`` are seeded per-partition,
+so adding an executor (or a repartition) reshuffles the sample; every
+operator here instead derives a uniform bucket from ``md5(salt ‖ key)``
+and filters on it, which is:
+
+- **stable**: same key + salt → same decision on any cluster, any run,
+  any engine (md5 is everywhere — the DuckDB oracles replay these
+  operators exactly, to the bit);
+- **a pure projection filter**: no shuffle, no state; Catalyst pushes
+  it into the scan like any other predicate;
+- **compositional**: a 10% sample of a 50% split is itself
+  deterministic (different salts decorrelate the two decisions).
+
+``pack_sequences`` is the LLM-training sequence packer: assign each
+document a (pack_id, offset) in fixed-size token windows via a
+running-sum window function. Pack per shard (``shard_col``) at scale —
+a global packing forces a single-partition window sort, which is fine
+for a small curated corpus and a deliberate bottleneck otherwise
+(documented below).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 15 hex chars = 60 bits: fits a BIGINT exactly in both Spark
+# (conv(_,16,10)) and DuckDB (CAST('0x'||_ AS BIGINT)), so the bucket
+# arithmetic is portable bit-for-bit.
+_HEX_CHARS = 15
+
+
+def hash_bucket(key: Column | str, buckets: int = 1_000_000, salt: str = "") -> Column:
+    """Uniform deterministic bucket in [0, buckets) from md5(salt‖key).
+
+    The SQL-portable twin (DuckDB oracle form):
+    ``CAST(('0x' || substring(md5(salt || key), 1, 15)) AS BIGINT)
+    % buckets``.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.md5(F.concat(F.lit(salt), c.cast("string")))
+    return F.pmod(
+        F.conv(F.substring(h, 1, _HEX_CHARS), 16, 10).cast("bigint"),
+        F.lit(buckets),
+    )
+
+
+def sample_hash_mod(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    salt: str = "",
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, decided per key hash — reproducible
+    across runs, clusters and engines, unlike ``df.sample`` (whose
+    per-partition seeding changes the sample when partitioning does).
+    A pure filter: pushes down, no shuffle."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    threshold = int(fraction * buckets)
+    return df.filter(hash_bucket(key_col, buckets, salt) < threshold)
+
+
+def split_train_holdout(
+    df: DataFrame,
+    key_col: str,
+    holdout_fraction: float = 0.1,
+    salt: str = "split",
+    split_col: str = "split",
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Label every row ``train``/``holdout`` by key hash.
+
+    The property that matters for training pipelines: a document's
+    split NEVER changes as the corpus grows, shrinks, or is
+    reprocessed — no train/test leakage across runs. (A fresh salt
+    defines a fresh, decorrelated split.)"""
+    threshold = int(holdout_fraction * buckets)
+    return df.withColumn(
+        split_col,
+        F.when(hash_bucket(key_col, buckets, salt) < threshold, F.lit("holdout"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def mix_weighted(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    weights: dict[str, float],
+    salt: str = "mix",
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Weighted source mixing: keep a row from source s with
+    probability ``weights[s]`` (sources absent from ``weights`` keep
+    0). The down-sampling decision is per-key-hash — deterministic,
+    engine-portable, and a pure filter (broadcast-free: the weight
+    table becomes a CASE expression, one codegen'd predicate).
+
+    This is the corpus-mixing step of LLM data recipes ("2 parts web,
+    1 part books, 0.1 part code") expressed as subsampling to the
+    target ratios."""
+    if not weights:
+        raise ValueError("empty weights")
+    src = F.col(source_col)
+    thresh: Column | None = None
+    for s, w in weights.items():
+        if not 0.0 <= w <= 1.0:
+            raise ValueError(f"weight for {s!r} must be in [0, 1]")
+        t = F.lit(int(w * buckets))
+        thresh = F.when(src == s, t) if thresh is None else thresh.when(src == s, t)
+    thresh = thresh.otherwise(F.lit(0))
+    return df.filter(hash_bucket(key_col, buckets, salt) < thresh)
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    order_col: str,
+    max_tokens: int,
+    shard_col: str | None = None,
+    pack_id_col: str = "pack_id",
+    offset_col: str = "pack_offset",
+) -> DataFrame:
+    """Contiguous greedy sequence packing: lay documents end-to-end in
+    ``order_col`` order and cut every ``max_tokens`` tokens; each row
+    gets the window it *starts* in (``pack_id``) and its token offset
+    within that window (long documents straddle cuts — the trainer's
+    chunker handles the tail, as in GPT-style contiguous packing).
+
+    Exactly SQL-expressible (running SUM window), hence oracle-able:
+    ``pack_id = floor(cum_tokens_before / max_tokens)``.
+
+    Scale: pass ``shard_col`` (e.g. language, source, or a hash bucket)
+    so the running sum partitions by shard — each shard's window sorts
+    independently after one hash shuffle. ``shard_col=None`` is a
+    GLOBAL ordering: Spark must funnel everything through one
+    partition for the unbounded window — acceptable for a small
+    curated corpus, a deliberate error at 100 TB (pack per shard and
+    interleave shards at read time instead).
+    """
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    part = Window.partitionBy(shard_col) if shard_col else Window.partitionBy()
+    w = (
+        part.orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0)).cast("bigint")
+    return df.withColumns(
+        {
+            pack_id_col: F.floor(cum_before / F.lit(max_tokens)),
+            offset_col: F.pmod(cum_before, F.lit(max_tokens)),
+        }
+    )

@@ -1607,6 +1607,69 @@ def q_text_token_count(spark, sf_dir):
     return df.select("doc_id", token_count("text").alias("n_tokens"))
 
 
+# ===================================================================
+# llmdata: deterministic sampling / splitting / mixing / packing
+# (llmdata/sampling.py — md5-keyed, so the oracles replay them exactly)
+# ===================================================================
+
+def q_sample_hash_mod(spark, sf_dir):
+    """~10% deterministic sample of documents keyed on md5(doc_id) —
+    stable across runs/cluster sizes (unlike df.sample's per-partition
+    seeding); a pure pushed-down filter. md5 is engine-portable, so
+    the oracle reproduces the sample membership bit-for-bit."""
+    from idr_data_pipelines_spark.llmdata.sampling import sample_hash_mod
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sample_hash_mod(docs, "doc_id", 0.10, salt="s1")
+    return out.select("doc_id", "lang", "source")
+
+
+def q_split_train_holdout(spark, sf_dir):
+    """Deterministic 80/20 train/holdout labeling by key hash — a
+    document's split never changes as the corpus is reprocessed (no
+    train/test leakage across runs)."""
+    from idr_data_pipelines_spark.llmdata.sampling import split_train_holdout
+
+    docs = _t(spark, sf_dir, "documents")
+    return split_train_holdout(docs, "doc_id", holdout_fraction=0.2).select(
+        "doc_id", "split"
+    )
+
+
+def q_mix_weighted(spark, sf_dir):
+    """Weighted corpus mixing ("2 parts src0, 1 part src1, …"):
+    per-source down-sampling to target ratios, decided per key hash —
+    one codegen'd CASE predicate, no shuffle, no weight-table join."""
+    from idr_data_pipelines_spark.llmdata.sampling import mix_weighted
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mix_weighted(
+        docs,
+        "source",
+        "doc_id",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0},
+        salt="mix",
+    )
+    return out.select("doc_id", "source")
+
+
+def q_pack_sequences(spark, sf_dir):
+    """LLM sequence packing: documents laid end-to-end per language
+    shard (one hash shuffle, per-shard window sort — the scale path;
+    global packing would funnel through one partition) and cut into
+    512-token windows; each doc gets (pack_id, pack_offset). Running
+    SUM window ⇒ exactly SQL-expressible."""
+    from idr_data_pipelines_spark.llmdata.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count("text").alias("n_tokens")
+    )
+    return pack_sequences(
+        docs, token_col="n_tokens", order_col="doc_id", max_tokens=512,
+        shard_col="lang",
+    )
+
+
 def q_text_quality(spark, sf_dir):
     """Quality signals: chars, tokens, alpha ratio, stopword ratio."""
     df = _t(spark, sf_dir, "documents")
@@ -1961,18 +2024,22 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "evt_sessionize_stream": q_evt_sessionize_stream,
     "dedup_stream_watermark": q_dedup_stream_watermark,
     "evt_stream_stream_join": q_evt_stream_stream_join,
-    # -- driver window fillers (twice-green; keep one scan + one dedup
-    #    representative inside the window)
-    "src_parquet_dir": q_src_parquet_dir,
-    "dedup_distinct": q_dedup_distinct,
+    # -- driver window: deterministic sampling / packing (new)
+    "sample_hash_mod": q_sample_hash_mod,
+    "pack_sequences": q_pack_sequences,
     # ================= end of 50-entry driver window =================
+    # sampling surface continued (window candidates for next round)
+    "split_train_holdout": q_split_train_holdout,
+    "mix_weighted": q_mix_weighted,
     # §2.1 sources/sinks (green r01+r02)
+    "src_parquet_dir": q_src_parquet_dir,
     "src_parquet_concat_str": q_src_parquet_concat_str,
     "sink_table_overwrite": q_sink_table_overwrite,
     "sink_rows_append": q_sink_rows_append,
     "src_stream_drain": q_src_stream_drain,
     "sink_stream_republish": q_sink_stream_republish,
     # §2.2 dedup (green r01+r02)
+    "dedup_distinct": q_dedup_distinct,
     "dedup_groupby_max": q_dedup_groupby_max,
     "dedup_latest_per_key": q_dedup_latest_per_key,
     "dedup_join_back_on_max": q_dedup_join_back_on_max,
@@ -2714,6 +2781,49 @@ ORACLES: dict[str, str] = {
                CAST(CASE WHEN length(trim(text)) = 0 THEN 0
                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
         FROM documents
+    """,
+    # hash_bucket(key, buckets, salt) ≡ 60-bit md5 prefix mod buckets —
+    # md5 + hex-parse exist in both engines, so sample membership,
+    # split labels and mix decisions replay bit-for-bit
+    "sample_hash_mod": """
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE CAST(('0x' || substring(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 1000000 < 100000
+    """,
+    "split_train_holdout": """
+        SELECT doc_id,
+               CASE WHEN CAST(('0x' || substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                         % 1000000 < 200000
+                    THEN 'holdout' ELSE 'train' END AS split
+        FROM documents
+    """,
+    "mix_weighted": """
+        SELECT doc_id, source
+        FROM documents
+        WHERE CAST(('0x' || substring(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+              % 1000000
+              < CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 500000
+                            WHEN 'src2' THEN 250000 ELSE 0 END
+    """,
+    "pack_sequences": """
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+            FROM documents
+        ), cum AS (
+            SELECT doc_id, lang, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_before
+            FROM toks
+        )
+        SELECT doc_id, lang, n_tokens,
+               CAST(floor(cum_before / 512) AS BIGINT) AS pack_id,
+               cum_before % 512 AS pack_offset
+        FROM cum
     """,
     "text_quality": """
         SELECT doc_id,

@@ -126,13 +126,26 @@ def handle_event(
     runner=None,
     pipelines=None,
     event_time: str | None = None,
+    trigger=None,
 ) -> dict:
     """Event-trigger handler — the Cloud-Function analogue
     (cloud_function/main.py:22-47 + composer2_airflow_rest_api.py:40-67):
     base64-decode the event payload, parse it (literal_eval semantics,
     falling back to a raw wrapper), append it to the audit table, then
-    trigger the dependent pipelines via the runner (the REST
-    ``trigger_dag`` analogue).
+    trigger the dependent pipelines.
+
+    Two trigger transports, mirroring the reference's split between
+    the Cloud Function and the Composer REST client:
+
+    - ``runner`` + ``pipelines`` — in-process: the PipelineRunner
+      executes the dependent pipelines on this SparkSession.
+    - ``trigger`` — out-of-process seam: a callable
+      ``trigger(pipeline_name, event_dict)`` invoked once per entry of
+      ``pipelines`` (or once with ``None`` if no pipelines are named).
+      This is where the reference's authenticated ``trigger_dag`` POST
+      (composer2_airflow_rest_api.py:40-67) plugs in — an Airflow/
+      Databricks-Jobs/cron client supplied by the deployment, kept out
+      of the engine so the library has no HTTP/auth dependency.
 
     ``event_time`` is injected for determinism (the reference stamps
     wall-clock server-side). Returns the parsed event dict.
@@ -165,6 +178,9 @@ def handle_event(
 
     if runner is not None and pipelines:
         runner.run(spark, pipelines)
+    if trigger is not None:
+        for name in (pipelines or [None]):
+            trigger(getattr(name, "name", name), event)
     return event
 
 

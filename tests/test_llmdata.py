@@ -331,3 +331,67 @@ def test_count_min_topk_finds_heavy_hitters(spark):
     top = count_min_topk(df, "key", k=3, depth=4, width=1024).collect()
     assert [r["key"] for r in top] == ["k00", "k01", "k02"]
     assert top[0]["est_count"] == 400
+
+
+# ---------------------------------------------- deterministic sampling
+
+def test_sample_hash_mod_stable_under_partitioning(spark):
+    """The property df.sample lacks: membership is a pure function of
+    the key, so repartitioning (≙ changing cluster size) and rerunning
+    yield the identical sample."""
+    from idr_data_pipelines_spark.llmdata.sampling import sample_hash_mod
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = {r["k"] for r in sample_hash_mod(df.repartition(1), "k", 0.3).collect()}
+    b = {r["k"] for r in sample_hash_mod(df.repartition(13), "k", 0.3).collect()}
+    assert a == b
+    # roughly the requested fraction (hash-uniform; fixed data ⇒ fixed count)
+    assert 0.25 < len(a) / 2000 < 0.35
+
+
+def test_split_train_holdout_stable_as_corpus_grows(spark):
+    """A document's split never changes when the corpus is extended —
+    the no-leakage-across-runs property."""
+    from idr_data_pipelines_spark.llmdata.sampling import split_train_holdout
+
+    small = spark.range(0, 500).withColumnRenamed("id", "k")
+    big = spark.range(0, 1500).withColumnRenamed("id", "k")
+    s = {r["k"]: r["split"] for r in split_train_holdout(small, "k", 0.2).collect()}
+    g = {r["k"]: r["split"] for r in split_train_holdout(big, "k", 0.2).collect()}
+    assert all(g[k] == v for k, v in s.items())
+    assert set(g.values()) == {"train", "holdout"}
+    frac = sum(1 for v in g.values() if v == "holdout") / len(g)
+    assert 0.15 < frac < 0.25
+
+
+def test_mix_weighted_ratios_and_determinism(spark):
+    from idr_data_pipelines_spark.llmdata.sampling import mix_weighted
+
+    rows = [(i, ["web", "books", "code"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["k", "src"])
+    out = mix_weighted(df, "src", "k", {"web": 1.0, "books": 0.5, "code": 0.0})
+    counts = {r["src"]: r["n"] for r in out.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["web"] == 1000          # weight 1.0 keeps everything
+    assert 400 < counts.get("books", 0) < 600
+    assert "code" not in counts           # weight 0 and absent sources drop
+
+
+def test_pack_sequences_contiguous_windows(spark):
+    """Greedy contiguous packing: offset ∈ [0, max), pack boundaries
+    fall exactly every max_tokens laid end-to-end, per shard."""
+    from idr_data_pipelines_spark.llmdata.sampling import pack_sequences
+
+    rows = [(i, "s" + str(i % 2), 30 + (i * 7) % 50) for i in range(40)]
+    df = spark.createDataFrame(rows, ["k", "shard", "toks"])
+    out = pack_sequences(df, "toks", "k", max_tokens=100, shard_col="shard").collect()
+    by_shard: dict[str, list] = {}
+    for r in sorted(out, key=lambda r: (r["shard"], r["k"])):
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, docs in by_shard.items():
+        cum = 0
+        for r in docs:
+            assert r["pack_id"] == cum // 100
+            assert r["pack_offset"] == cum % 100
+            cum += r["toks"]
+        # every pack id up to the last is hit by some doc start or straddle
+        assert docs[0]["pack_id"] == 0

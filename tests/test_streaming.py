@@ -307,6 +307,37 @@ def test_handle_event_audits_and_triggers(spark):
     spark.sql("DROP TABLE IF EXISTS evt_audit")
 
 
+def test_handle_event_out_of_process_trigger_seam(spark):
+    """The remote-trigger transport seam (composer2_airflow_rest_api.py
+    trigger_dag analogue): a supplied callable receives one call per
+    dependent pipeline with the parsed event — no in-process runner."""
+    import base64
+
+    from idr_data_pipelines_spark.plans.pipeline import Pipeline
+    from idr_data_pipelines_spark.streaming import handle_event
+
+    spark.sql("DROP TABLE IF EXISTS evt_audit_seam")
+    payload = base64.b64encode(b"{'table': 'mmd'}").decode()
+    calls = []
+    pipes = [Pipeline("mmd_refresh", source=lambda s: s.range(1)),
+             Pipeline("vls_refresh", source=lambda s: s.range(1))]
+    event = handle_event(
+        spark, payload, "evt_audit_seam",
+        pipelines=pipes,
+        trigger=lambda name, evt: calls.append((name, evt)),
+        event_time="2024-01-01T00:00:00Z",
+    )
+    assert calls == [("mmd_refresh", event), ("vls_refresh", event)]
+    # no pipelines named: transport still pinged once (broadcast-style)
+    calls.clear()
+    handle_event(
+        spark, payload, "evt_audit_seam",
+        trigger=lambda name, evt: calls.append((name, evt)),
+    )
+    assert calls == [(None, event)]
+    spark.sql("DROP TABLE IF EXISTS evt_audit_seam")
+
+
 def test_sessionize_gap_splits(spark):
     rows = [
         (1, "2024-01-01 10:00:00"),
