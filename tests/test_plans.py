@@ -86,3 +86,36 @@ def test_flagship_has_bounded_shuffles(spark, sf_dir):
     (fact co-partitioning + final agg); dims ride broadcasts."""
     plan = _plan(QUERIES["q5_revenue_by_nation"](spark, sf_dir))
     assert _n_shuffles(plan) <= 3, plan
+
+
+def test_hash_sampling_is_pure_pushed_filter(spark, sf_dir):
+    """sample_hash_mod / mix_weighted must compile to a single
+    codegen'd Filter over a pruned scan — zero exchanges. (The whole
+    point of hash sampling vs df.sample: a projection-level decision,
+    no state, no shuffle.)"""
+    for name in ("sample_hash_mod", "mix_weighted"):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert _n_shuffles(plan) == 0, f"{name} shuffles:\n{plan}"
+        assert "Filter" in plan, plan
+        assert "md5" in plan, plan
+
+
+def test_pack_sequences_single_shard_shuffle(spark, sf_dir):
+    """Per-shard packing: exactly one hash exchange (by shard) feeding
+    the running-sum window — the plan that scales; a global sort or a
+    SinglePartition exchange here would be the 100 TB trap."""
+    plan = _plan(QUERIES["pack_sequences"](spark, sf_dir))
+    assert _n_shuffles(plan) == 1, plan
+    assert "hashpartitioning(lang" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_count_min_sketch_broadcasts_and_partial_aggs(spark, sf_dir):
+    """The sketch (≤ depth·width rows) must ride broadcasts into the
+    estimate join, and the build must partial-aggregate map-side
+    (partial_count before the exchange) so shuffle volume is capped at
+    partitions·depth·width regardless of input size."""
+    plan = _plan(QUERIES["sketch_count_min"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_count" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
