@@ -9,6 +9,8 @@ buckets) so the quadratic comparison never touches the full corpus.
 """
 
 from idr_data_pipelines_spark.llmdata.dedup import (
+    connected_components,
+    dedup_cluster_collapse,
     dedup_exact,
     dedup_exact_hash_groups,
     minhash_signatures,
@@ -56,6 +58,8 @@ from idr_data_pipelines_spark.llmdata.sampling import (
 )
 
 __all__ = [
+    "connected_components",
+    "dedup_cluster_collapse",
     "dedup_exact",
     "dedup_exact_hash_groups",
     "minhash_signatures",

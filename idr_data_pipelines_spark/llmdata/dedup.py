@@ -636,3 +636,97 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+# -------------------------------------------- cluster collapse (CC)
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component) for every vertex in ``edges``; component = the
+    minimum vertex id reachable through any chain of near-dup pairs.
+
+    This is the step that turns pairwise dedup output into dedup
+    *groups*: near-duplication is not transitive (A≈B, B≈C, A≉C), so
+    collapsing a corpus needs the transitive closure of the candidate
+    pairs, then one survivor per component.
+
+    Algorithm: min-label propagation with pointer doubling — each
+    iteration (a) lowers every vertex's label to the minimum over its
+    neighbors' labels, then (b) shortcuts ``label ← label[label]``.
+    Doubling makes convergence O(log diameter) iterations instead of
+    O(diameter) — the difference between ~40 and ~1e12 joins on a
+    100 TB corpus with chain-shaped dup runs. Each iteration is two
+    shuffles (neighbor-min aggregate, shortcut self-join); the label
+    frame is ``localCheckpoint``-ed per round to cut the growing
+    lineage, and convergence is detected with a single-row sum action
+    (labels only decrease, so the sum strictly decreases iff anything
+    changed).
+
+    An iterative driver loop — NOT expressible as one Catalyst plan —
+    but each step is a distributed DataFrame op; the driver only ever
+    sees the 1-row convergence aggregate.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("id")).distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("component")).first()[0]
+    if prev_sum is None:  # no edges → no vertices
+        return labels
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        prop = labels.join(nbr_min, labels["id"] == nbr_min["a"], "left").select(
+            labels["id"],
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+            ).alias("component"),
+        )
+        # pointer doubling: label ← label[label]. Labels only decrease
+        # and component ≤ id, so the looked-up label is always ≤ ours.
+        l, r = prop.alias("l"), prop.alias("r")
+        doubled = l.join(r, F.col("l.component") == F.col("r.id"), "left").select(
+            F.col("l.id").alias("id"),
+            F.coalesce(F.col("r.component"), F.col("l.component")).alias("component"),
+        )
+        labels = doubled.localCheckpoint(eager=True)
+        new_sum = labels.agg(F.sum("component")).first()[0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels
+
+
+def dedup_cluster_collapse(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    keep: str = "min",
+) -> DataFrame:
+    """Collapse a corpus by near-dup clusters: assign every document
+    its component (its own id when unpaired), keep one survivor per
+    component (min or max id). The pairwise stage (minhash/simhash/
+    embedding) finds the edges; this finds the groups and applies the
+    survival policy."""
+    comp = connected_components(pairs)
+    assigned = df.join(
+        comp.withColumnRenamed("id", id_col), id_col, "left"
+    ).withColumn("cluster_id", F.coalesce(F.col("component"), F.col(id_col))).drop(
+        "component"
+    )
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    survivors = assigned.groupBy("cluster_id").agg(agg.alias(id_col))
+    return assigned.join(survivors, [id_col, "cluster_id"], "left_semi")

@@ -15,6 +15,9 @@ from idr_data_pipelines_spark.operators.filters import (
     filter_eq,
     filter_derived,
 )
+from idr_data_pipelines_spark.operators.scd import (
+    scd2_from_events,
+)
 from idr_data_pipelines_spark.operators.joins import (
     join_inner_dim_cast,
     join_left_fact,
@@ -48,6 +51,7 @@ __all__ = [
     "join_anti",
     "join_on_keys",
     "join_asof",
+    "scd2_from_events",
     "join_range",
     "join_salted",
     "join_semi",

@@ -972,6 +972,46 @@ def q_sketch_count_min(spark, sf_dir):
     return est.join(exact, "user_id").select("user_id", "est_count", "exact_count")
 
 
+def q_sketch_hll_union(spark, sf_dir):
+    """Mergeable distinct-count sketches (Apache DataSketches HLL,
+    Spark 3.5+): per-event-type user sketches via hll_sketch_agg,
+    merged into the overall estimate with hll_union_agg — the
+    re-aggregatable form a 100 TB rollup needs (union sketches across
+    days/partitions instead of recounting raw data). Sketch bytes are
+    engine-specific → rows-only; the ±5% accuracy vs exact distinct is
+    pinned in tests."""
+    ev = _events(spark, sf_dir)
+    per = ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    per_est = per.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+    )
+    merged = per.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("ALL").alias("event_type"),
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+    )
+    return per_est.unionByName(merged)
+
+
+def q_scd2_history(spark, sf_dir):
+    """SCD type-2 history built from the orders event log: per
+    customer, one row per order-status run with
+    valid_from/valid_to/is_current — the inverse of the reference's
+    latest-state tables, as one window composition (single hash
+    shuffle on the business key; operators/scd.py)."""
+    from idr_data_pipelines_spark.operators.scd import scd2_from_events
+
+    orders = _t(spark, sf_dir, "orders")
+    src = orders.select(
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_orderdate").cast("date").alias("odate"),
+    )
+    return scd2_from_events(
+        src, key_cols=["o_custkey"], attr_cols=["o_orderstatus"], ts_col="odate"
+    )
+
+
 def q_dedup_stream_watermark(spark, sf_dir):
     """Streaming exact dedup with bounded state:
     ``dropDuplicatesWithinWatermark`` over (user_id, event_type, ts)
@@ -1710,6 +1750,37 @@ def q_dedup_exact_hash(spark, sf_dir):
     return dedup_exact_hash_groups(df)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive closure of a pairwise candidate set → dedup groups:
+    every document labeled with the min doc_id reachable through the
+    pair graph (its own id when unpaired). The edge rule here is
+    deterministic and SQL-expressible (consecutive ids whose n_chars
+    sum ≡ 0 mod 3 — produces genuine multi-hop chains), so the DuckDB
+    oracle replays the closure with a recursive CTE; the Spark side is
+    pointer-doubling min-label propagation (O(log diameter)
+    iterations), the same code path a minhash/simhash pair set feeds
+    in production (dedup_cluster_collapse)."""
+    from idr_data_pipelines_spark.llmdata.dedup import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("n_chars").alias("nc_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("n_chars").alias("nc_b"))
+    edges = (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .filter(((F.col("nc_a") + F.col("nc_b")) % 3) == 0)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(edges)
+    return (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+
+
 def q_ngram_jaccard_adjacent(spark, sf_dir):
     """Exact word-3-gram Jaccard on adjacent-id pairs (deterministic
     candidate set so the oracle is SQL-expressible)."""
@@ -2028,9 +2099,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_hash_mod": q_sample_hash_mod,
     "pack_sequences": q_pack_sequences,
     # ================= end of 50-entry driver window =================
-    # sampling surface continued (window candidates for next round)
+    # round-3 additions beyond the window (window candidates for next
+    # round; all locally oracle-swept)
     "split_train_holdout": q_split_train_holdout,
     "mix_weighted": q_mix_weighted,
+    "dedup_clusters": q_dedup_clusters,
+    "scd2_history": q_scd2_history,
+    "sketch_hll_union": q_sketch_hll_union,
     # §2.1 sources/sinks (green r01+r02)
     "src_parquet_dir": q_src_parquet_dir,
     "src_parquet_concat_str": q_src_parquet_concat_str,
@@ -2806,6 +2881,54 @@ ORACLES: dict[str, str] = {
               < CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 500000
                             WHEN 'src2' THEN 250000 ELSE 0 END
     """,
+    # transitive closure of the deterministic pair set via recursive
+    # CTE — min reachable id ≡ the Spark side's label-propagation fixpoint
+    "dedup_clusters": """
+        WITH RECURSIVE pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+            WHERE (a.n_chars + b.n_chars) % 3 = 0
+        ), edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL
+            SELECT id_b AS a, id_a AS b FROM pairs
+        ), reach(id, r) AS (
+            SELECT a, a FROM edges GROUP BY a
+            UNION
+            SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+        )
+        SELECT d.doc_id,
+               COALESCE(MIN(reach.r), d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN reach ON reach.id = d.doc_id
+        GROUP BY d.doc_id
+    """,
+    "scd2_history": """
+        WITH src AS (
+            SELECT o_custkey, o_orderstatus, CAST(o_orderdate AS DATE) AS odate
+            FROM orders
+        ), marked AS (
+            SELECT o_custkey, o_orderstatus, odate,
+                   CASE WHEN ROW_NUMBER() OVER w = 1
+                             OR (o_orderstatus IS DISTINCT FROM LAG(o_orderstatus) OVER w)
+                        THEN 1 ELSE 0 END AS new_run
+            FROM src
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY odate ASC, o_orderstatus ASC)
+        ), runs AS (
+            SELECT o_custkey, o_orderstatus, odate,
+                   SUM(new_run) OVER w AS run_id
+            FROM marked
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY odate ASC, o_orderstatus ASC)
+        ), per_run AS (
+            SELECT o_custkey, run_id, o_orderstatus,
+                   MIN(odate) AS valid_from
+            FROM runs GROUP BY o_custkey, run_id, o_orderstatus
+        )
+        SELECT o_custkey, o_orderstatus, valid_from,
+               LEAD(valid_from) OVER w2 AS valid_to,
+               (LEAD(valid_from) OVER w2 IS NULL) AS is_current
+        FROM per_run
+        WINDOW w2 AS (PARTITION BY o_custkey ORDER BY run_id ASC)
+    """,
     "pack_sequences": """
         WITH toks AS (
             SELECT doc_id, lang,
@@ -3002,5 +3125,8 @@ NO_ORACLE: frozenset[str] = frozenset(
         # seeded xxhash64 isn't portable SQL; ≥-bound + ε·N bound
         # pinned in tests/test_llmdata.py instead
         "sketch_count_min",
+        # DataSketches HLL bytes are engine-specific; ±5% accuracy
+        # vs exact distinct pinned in tests
+        "sketch_hll_union",
     }
 )

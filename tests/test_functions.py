@@ -271,3 +271,39 @@ def test_sketch_queries_accuracy_bounds(spark, sf_dir):
 
             rank = bisect.bisect_right(vals, got)
             assert abs(rank - q * n) <= max(2, 0.01 * n), (prio, q, got, rank, n)
+
+
+def test_scd2_from_events_runs_and_validity(spark):
+    """SCD2 from an event log: consecutive same-state rows collapse
+    into one run; NULL→value transitions count as changes (eqNullSafe);
+    validity intervals chain and exactly one current row per key."""
+    from idr_data_pipelines_spark.operators.scd import scd2_from_events
+
+    rows = [
+        ("k1", "A", "2024-01-01"),
+        ("k1", "A", "2024-02-01"),   # same state → same run
+        ("k1", "B", "2024-03-01"),   # change
+        ("k1", "A", "2024-04-01"),   # back to A → NEW run (not merged)
+        ("k2", None, "2024-01-15"),  # null initial state opens a run
+        ("k2", "X", "2024-02-15"),   # null→value is a change
+    ]
+    df = spark.createDataFrame(rows, ["k", "state", "d"]).withColumn(
+        "d", F.to_date("d")
+    )
+    out = scd2_from_events(df, ["k"], ["state"], "d").collect()
+    hist = {}
+    for r in sorted(out, key=lambda r: (r["k"], r["valid_from"])):
+        hist.setdefault(r["k"], []).append(
+            (r["state"], str(r["valid_from"]), r["valid_to"] and str(r["valid_to"]), r["is_current"])
+        )
+    assert hist["k1"] == [
+        ("A", "2024-01-01", "2024-03-01", False),
+        ("B", "2024-03-01", "2024-04-01", False),
+        ("A", "2024-04-01", None, True),
+    ]
+    assert hist["k2"] == [
+        (None, "2024-01-15", "2024-02-15", False),
+        ("X", "2024-02-15", None, True),
+    ]
+    for runs in hist.values():
+        assert sum(1 for *_, cur in runs if cur) == 1

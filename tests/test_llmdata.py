@@ -395,3 +395,51 @@ def test_pack_sequences_contiguous_windows(spark):
             cum += r["toks"]
         # every pack id up to the last is hit by some doc start or straddle
         assert docs[0]["pack_id"] == 0
+
+
+# ------------------------------------------------- connected components
+
+def test_connected_components_chains_and_islands(spark):
+    """Multi-hop chains collapse to one component; disjoint islands
+    stay apart; a 120-node path converges well inside the iteration
+    cap (pointer doubling ⇒ O(log n) rounds, ~7 here)."""
+    from idr_data_pipelines_spark.llmdata.dedup import connected_components
+
+    # path 0-1-2-...-119 plus island {500,501}, {600}
+    edges = [(i, i + 1) for i in range(119)] + [(500, 501)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    comp = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert all(comp[i] == 0 for i in range(120))
+    assert comp[500] == comp[501] == 500
+    assert 600 not in comp  # isolated vertices aren't in the edge set
+
+
+def test_dedup_cluster_collapse_survivor_policy(spark):
+    from idr_data_pipelines_spark.llmdata.dedup import dedup_cluster_collapse
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], ["id_a", "id_b"])
+    kept_min = sorted(
+        r["doc_id"] for r in dedup_cluster_collapse(docs, pairs, keep="min").collect()
+    )
+    kept_max = sorted(
+        r["doc_id"] for r in dedup_cluster_collapse(docs, pairs, keep="max").collect()
+    )
+    assert kept_min == [0, 3, 4]   # {0,1,2}→0, {3}→3, {4,5}→4
+    assert kept_max == [2, 3, 5]
+
+
+def test_hll_union_accuracy(spark, sf_dir):
+    """DataSketches HLL: per-type sketches merged via hll_union_agg
+    must estimate overall distinct users within 5% of exact."""
+    from idr_data_pipelines_spark.queries import QUERIES, _events
+
+    rows = {r["event_type"]: r["approx_users"]
+            for r in QUERIES["sketch_hll_union"](spark, sf_dir).collect()}
+    ev = _events(spark, sf_dir)
+    exact = ev.select("user_id").distinct().count()
+    assert abs(rows["ALL"] - exact) / exact < 0.05
+    # per-type estimates can't exceed the union's support meaningfully
+    assert all(v <= rows["ALL"] * 1.05 for k, v in rows.items() if k != "ALL")
