@@ -56,6 +56,24 @@ from idr_data_pipelines_spark.llmdata.sampling import (
     sample_hash_mod,
     split_train_holdout,
 )
+from idr_data_pipelines_spark.llmdata.decontaminate import (
+    benchmark_ngrams,
+    contamination_scores,
+    decontaminate,
+)
+from idr_data_pipelines_spark.llmdata.filters import (
+    add_repetition_features,
+    dup_line_fraction,
+    dup_word_fraction,
+    gopher_repetition_pass,
+    repetition_metrics,
+    top_ngram_fraction,
+)
+from idr_data_pipelines_spark.llmdata.redact import (
+    pii_counts,
+    redact_pii,
+    scrub_documents,
+)
 
 __all__ = [
     "connected_components",
@@ -94,4 +112,16 @@ __all__ = [
     "pack_sequences",
     "sample_hash_mod",
     "split_train_holdout",
+    "benchmark_ngrams",
+    "contamination_scores",
+    "decontaminate",
+    "add_repetition_features",
+    "dup_line_fraction",
+    "dup_word_fraction",
+    "gopher_repetition_pass",
+    "repetition_metrics",
+    "top_ngram_fraction",
+    "pii_counts",
+    "redact_pii",
+    "scrub_documents",
 ]

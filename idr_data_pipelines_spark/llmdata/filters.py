@@ -1,0 +1,104 @@
+"""Repetition / quality filters for training-data curation
+(Gopher-style, Rae et al. 2021 §A1.1; C4, Raffel et al. 2020 §2.2).
+
+Repetitious documents (boilerplate, scraped navigation, generated
+spam) are the classic low-quality signal. All metrics here are
+computed per document with array higher-order functions inside one
+JVM projection — **no shuffle, no Python**: at 100 TB this stage is a
+pure map over the corpus scan, pipelined with whatever filter
+consumes the flags.
+
+The per-document mode computation (``top k-gram count``) is O(d·n)
+array work per doc (d = distinct k-grams); documents are bounded
+(split upstream), so this beats the explode → groupBy → window
+alternative, which would shuffle the whole exploded corpus twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from idr_data_pipelines_spark.llmdata.dedup import _let, _tokens
+
+
+def _dup_frac(arr: Column) -> Column:
+    """1 - distinct/total over a non-empty array; 0.0 for empty/size-1."""
+    n = F.size(arr)
+    return F.when(n <= 1, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(arr)).cast("double") / n.cast("double")
+    )
+
+
+def dup_word_fraction(col: Column | str = "text") -> Column:
+    """Fraction of word occurrences that are repeats of an earlier
+    word: ``1 - distinct_words / words``."""
+    return _dup_frac(_tokens(col))
+
+
+def dup_line_fraction(col: Column | str = "text") -> Column:
+    """Fraction of duplicate lines (Gopher: drop if > 0.30). Lines are
+    verbatim ``\\n`` splits — no normalization, matching the paper."""
+    c = F.col(col) if isinstance(col, str) else col
+    return _dup_frac(F.split(c, r"\n"))
+
+
+def top_ngram_fraction(col: Column | str = "text", k: int = 2) -> Column:
+    """Fraction of k-gram occurrences taken by the single most common
+    k-gram (Gopher: drop if top-2-gram fraction > 0.20). Documents
+    with < k tokens score 0.0."""
+
+    def frac(toks: Column) -> Column:
+        n = F.size(toks)
+        grams = F.transform(
+            F.sequence(F.lit(0), n - F.lit(k)),
+            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+        )
+
+        def top_count(g: Column) -> Column:
+            return F.array_max(
+                F.transform(
+                    F.array_distinct(g),
+                    lambda x: F.size(F.filter(g, lambda y: y == x)),
+                )
+            )
+
+        return F.when(n < F.lit(k), F.lit(0.0)).otherwise(
+            _let(grams, lambda g: top_count(g).cast("double") / F.size(g).cast("double"))
+        )
+
+    return _let(_tokens(col), frac)
+
+
+def repetition_metrics(text_col: Column | str = "text") -> dict[str, Column]:
+    """All repetition signals as named columns (compose with
+    ``text.quality_score`` for the full Gopher filter set)."""
+    return {
+        "dup_word_frac": dup_word_fraction(text_col),
+        "dup_line_frac": dup_line_fraction(text_col),
+        "top_bigram_frac": top_ngram_fraction(text_col, 2),
+        "top_trigram_frac": top_ngram_fraction(text_col, 3),
+    }
+
+
+def gopher_repetition_pass(
+    text_col: Column | str = "text",
+    max_dup_line_frac: float = 0.30,
+    max_top_bigram_frac: float = 0.20,
+    max_top_trigram_frac: float = 0.18,
+) -> Column:
+    """Boolean pass flag for the Gopher repetition rules (thresholds
+    from Rae et al. 2021 table A1; tune per corpus)."""
+    m = repetition_metrics(text_col)
+    return (
+        (m["dup_line_frac"] <= F.lit(max_dup_line_frac))
+        & (m["top_bigram_frac"] <= F.lit(max_top_bigram_frac))
+        & (m["top_trigram_frac"] <= F.lit(max_top_trigram_frac))
+    )
+
+
+def add_repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append every repetition metric plus the Gopher pass flag."""
+    feats = repetition_metrics(text_col)
+    feats["gopher_rep_pass"] = gopher_repetition_pass(text_col)
+    return df.withColumns(feats)

@@ -1744,6 +1744,86 @@ def q_text_winnow_fingerprint(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix C): documents with
+    ``doc_id % 97 == 0`` act as the held-out benchmark; every other
+    document is scored by the fraction of its distinct word 3-grams
+    that appear anywhere in the benchmark. Plan: benchmark n-grams
+    deduped once and broadcast; corpus side is one projection + explode
+    + broadcast join + per-doc count — single small shuffle."""
+    from idr_data_pipelines_spark.llmdata.decontaminate import contamination_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    sc = contamination_scores(corpus, bench, k=3)
+    return sc.select(
+        "doc_id",
+        F.col("n_ngrams").cast("long").alias("n_ngrams"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+        "contam_ratio",
+    )
+
+
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition metrics (Rae et al. 2021 §A1.1):
+    duplicate-word fraction, duplicate-line fraction, top-bigram /
+    top-trigram occupancy, plus a pass flag thresholded to split this
+    corpus (0.05 / 0.04). All array HOFs in one JVM projection — zero
+    shuffles at any scale."""
+    from idr_data_pipelines_spark.llmdata.filters import (
+        gopher_repetition_pass,
+        repetition_metrics,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    m = repetition_metrics("text")
+    return docs.select(
+        "doc_id",
+        m["dup_word_frac"].alias("dup_word_frac"),
+        m["dup_line_frac"].alias("dup_line_frac"),
+        m["top_bigram_frac"].alias("top_bigram_frac"),
+        m["top_trigram_frac"].alias("top_trigram_frac"),
+        gopher_repetition_pass(
+            "text", max_top_bigram_frac=0.05, max_top_trigram_frac=0.04
+        ).alias("rep_pass"),
+    )
+
+
+def q_text_redact_pii(spark, sf_dir):
+    """PII scrub audit: deterministic synthetic PII (email/IPv4/phone
+    derived from doc_id — the corpus itself is PII-free) appended to
+    each document, then redacted with typed placeholders and counted
+    per class. Pure regexp_replace/extract_all projection — zero
+    shuffles; patterns restricted to the Java∩RE2 regex subset so the
+    DuckDB oracle replays them exactly."""
+    from idr_data_pipelines_spark.llmdata.redact import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from "),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.0.1 call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit("-1234"),
+        ).alias("text"),
+    )
+    counts = pii_counts("text")
+    return seeded.select(
+        "doc_id",
+        redact_pii("text").alias("redacted"),
+        counts["n_email"].alias("n_email"),
+        counts["n_ipv4"].alias("n_ipv4"),
+        counts["n_ssn"].alias("n_ssn"),
+        counts["n_phone"].alias("n_phone"),
+    )
+
+
 def q_dedup_exact_hash(spark, sf_dir):
     """Exact-dup groups via content-hash groupBy."""
     df = _t(spark, sf_dir, "documents")
@@ -2106,6 +2186,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "scd2_history": q_scd2_history,
     "sketch_hll_union": q_sketch_hll_union,
+    "decontaminate": q_decontaminate,
+    "text_repetition": q_text_repetition,
+    "text_redact_pii": q_text_redact_pii,
     # §2.1 sources/sinks (green r01+r02)
     "src_parquet_dir": q_src_parquet_dir,
     "src_parquet_concat_str": q_src_parquet_concat_str,
@@ -2928,6 +3011,115 @@ ORACLES: dict[str, str] = {
                (LEAD(valid_from) OVER w2 IS NULL) AS is_current
         FROM per_run
         WINDOW w2 AS (PARTITION BY o_custkey ORDER BY run_id ASC)
+    """,
+    # word-3-gram overlap vs the %97 benchmark slice; mirrors
+    # word_shingles semantics (lower+trim, \s+ split, whole text as
+    # one "gram" when < 3 tokens, distinct per doc)
+    "decontaminate": """
+        WITH nums AS (SELECT CAST(i AS BIGINT) AS i FROM generate_series(1, 4096) t(i)),
+        toks AS (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ), grams AS (
+            SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+            FROM toks JOIN nums ON i <= len(t) - 2
+            WHERE len(t) >= 3
+            UNION ALL
+            SELECT doc_id, array_to_string(t, ' ') AS g FROM toks WHERE len(t) < 3
+        ), bench AS (
+            SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+        ), cg AS (
+            SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0
+        ), tot AS (
+            SELECT doc_id, COUNT(*) AS n_ngrams FROM cg GROUP BY doc_id
+        ), mt AS (
+            SELECT cg.doc_id, COUNT(*) AS n_matched
+            FROM cg JOIN bench USING (g) GROUP BY cg.doc_id
+        )
+        SELECT tot.doc_id,
+               CAST(n_ngrams AS BIGINT) AS n_ngrams,
+               CAST(COALESCE(n_matched, 0) AS BIGINT) AS n_matched,
+               CAST(COALESCE(n_matched, 0) AS DOUBLE) / CAST(n_ngrams AS DOUBLE)
+                   AS contam_ratio
+        FROM tot LEFT JOIN mt ON tot.doc_id = mt.doc_id
+    """,
+    # per-doc repetition metrics; k-gram mode via groupBy+max (the SQL
+    # form of the Spark side's in-array mode computation)
+    "text_repetition": """
+        WITH nums AS (SELECT CAST(i AS BIGINT) AS i FROM generate_series(1, 4096) t(i)),
+        toks AS (
+            SELECT doc_id, text,
+                   string_split_regex(lower(trim(text)), '\\s+') AS t,
+                   string_split(text, chr(10)) AS lines
+            FROM documents
+        ), base AS (
+            SELECT doc_id,
+                   CASE WHEN len(t) <= 1 THEN 0.0
+                        ELSE 1.0 - CAST(len(list_distinct(t)) AS DOUBLE)
+                                   / CAST(len(t) AS DOUBLE) END AS dup_word_frac,
+                   CASE WHEN len(lines) <= 1 THEN 0.0
+                        ELSE 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+                                   / CAST(len(lines) AS DOUBLE) END AS dup_line_frac
+            FROM toks
+        ), bg AS (
+            SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+            FROM toks JOIN nums ON i <= len(t) - 1 WHERE len(t) >= 2
+        ), bgtop AS (
+            SELECT doc_id, MAX(c) AS topc, SUM(c) AS nbg
+            FROM (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g)
+            GROUP BY doc_id
+        ), tg AS (
+            SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+            FROM toks JOIN nums ON i <= len(t) - 2 WHERE len(t) >= 3
+        ), tgtop AS (
+            SELECT doc_id, MAX(c) AS topc, SUM(c) AS ntg
+            FROM (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY doc_id, g)
+            GROUP BY doc_id
+        )
+        SELECT base.doc_id, dup_word_frac, dup_line_frac,
+               COALESCE(CAST(bgtop.topc AS DOUBLE) / CAST(bgtop.nbg AS DOUBLE), 0.0)
+                   AS top_bigram_frac,
+               COALESCE(CAST(tgtop.topc AS DOUBLE) / CAST(tgtop.ntg AS DOUBLE), 0.0)
+                   AS top_trigram_frac,
+               (dup_line_frac <= 0.30
+                AND COALESCE(CAST(bgtop.topc AS DOUBLE) / CAST(bgtop.nbg AS DOUBLE), 0.0) <= 0.05
+                AND COALESCE(CAST(tgtop.topc AS DOUBLE) / CAST(tgtop.ntg AS DOUBLE), 0.0) <= 0.04)
+                   AS rep_pass
+        FROM base
+        LEFT JOIN bgtop ON base.doc_id = bgtop.doc_id
+        LEFT JOIN tgtop ON base.doc_id = tgtop.doc_id
+    """,
+    # same seeded PII injection, same Java∩RE2 patterns, same
+    # replacement order (email → ipv4 → ssn → phone)
+    "text_redact_pii": """
+        WITH seeded AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com from ' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.0.0.1 call 555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        || '-1234' AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IPV4>', 'g'),
+                   '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+                 '\\b\\+?\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}\\b', '<PHONE>', 'g')
+                   AS redacted,
+               CAST(len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(text,
+                   '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+               CAST(len(regexp_extract_all(text,
+                   '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssn,
+               CAST(len(regexp_extract_all(text,
+                   '\\b\\+?\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}\\b')) AS BIGINT) AS n_phone
+        FROM seeded
     """,
     "pack_sequences": """
         WITH toks AS (

@@ -443,3 +443,76 @@ def test_hll_union_accuracy(spark, sf_dir):
     assert abs(rows["ALL"] - exact) / exact < 0.05
     # per-type estimates can't exceed the union's support meaningfully
     assert all(v <= rows["ALL"] * 1.05 for k, v in rows.items() if k != "ALL")
+
+
+# ------------------------------------------- decontaminate / filters / redact
+
+def test_decontaminate_flags_and_drops_leaked_docs(spark):
+    """A training doc embedding a benchmark passage is fully flagged;
+    clean docs survive decontaminate() untouched."""
+    from idr_data_pipelines_spark.llmdata.decontaminate import (
+        contamination_scores,
+        decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "quick brown fox jumps over the lazy"),      # pure subset → 1.0
+            (2, "totally unrelated words about spark jobs"), # clean → 0.0
+            (3, "prefix words then quick brown fox suffix"), # partial overlap
+        ],
+        ["doc_id", "text"],
+    )
+    sc = {r["doc_id"]: r for r in
+          contamination_scores(corpus, bench, k=3).collect()}
+    assert sc[1]["contam_ratio"] == 1.0
+    assert sc[2]["contam_ratio"] == 0.0
+    assert 0.0 < sc[3]["contam_ratio"] < 1.0
+    kept = sorted(r["doc_id"]
+                  for r in decontaminate(corpus, bench, k=3, max_ratio=0.5).collect())
+    assert kept == [2, 3]
+
+
+def test_repetition_metrics_semantics(spark):
+    """Known-answer repetition fractions, including newline dup-line
+    handling and short-doc guards."""
+    from idr_data_pipelines_spark.llmdata.filters import repetition_metrics
+
+    rows = [
+        (1, "a b a b a b"),              # toks=6 distinct=2; bigrams: ab×3,ba×2 → top 3/5
+        (2, "x\ny\nx\nz"),               # 4 lines, 3 distinct → dup_line 0.25
+        (3, "single"),                   # 1 token → all zeros
+        (4, "all words here are unique"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    m = repetition_metrics("text")
+    got = {r["doc_id"]: r for r in
+           df.select("doc_id", *[v.alias(k) for k, v in m.items()]).collect()}
+    assert abs(got[1]["dup_word_frac"] - (1 - 2 / 6)) < 1e-12
+    assert abs(got[1]["top_bigram_frac"] - 3 / 5) < 1e-12
+    assert abs(got[2]["dup_line_frac"] - 0.25) < 1e-12
+    assert got[3]["dup_word_frac"] == 0.0
+    assert got[3]["top_bigram_frac"] == 0.0
+    assert got[4]["dup_word_frac"] == 0.0
+    assert got[4]["top_trigram_frac"] == 1 / 3  # 3 distinct trigrams, top=1
+
+
+def test_redact_pii_classes_and_order(spark):
+    """Every PII class redacts to its typed token; IPv4 is not eaten
+    by the phone pattern; counts audit the raw text."""
+    from idr_data_pipelines_spark.llmdata.redact import scrub_documents
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@d-e.org, ip 10.20.30.40, ssn 123-45-6789, "
+             "call 555-123-4567 twice 555 1234 5678")],
+        ["doc_id", "text"],
+    )
+    r = scrub_documents(df).collect()[0]
+    assert "<EMAIL>" in r["text"] and "@" not in r["text"]
+    assert "<IPV4>" in r["text"] and "10.20.30.40" not in r["text"]
+    assert "<SSN>" in r["text"]
+    assert r["text"].count("<PHONE>") == 2
+    assert (r["n_email"], r["n_ipv4"], r["n_ssn"], r["n_phone"]) == (1, 1, 1, 2)

@@ -119,3 +119,22 @@ def test_count_min_sketch_broadcasts_and_partial_aggs(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "partial_count" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark n-gram set must broadcast — the corpus side's
+    exploded n-grams must never shuffle on the n-gram key."""
+    plan = _plan(QUERIES["decontaminate"](spark, sf_dir))
+    # corpus n-grams enter the join via broadcast hash, not shuffle
+    assert re.search(r"BroadcastHashJoin \[ngram#", plan), plan
+    # exactly one ngram-keyed shuffle: the benchmark side's distinct()
+    # (small by construction); a second would mean the corpus shuffled
+    assert len(re.findall(r"Exchange hashpartitioning\(ngram", plan)) == 1, plan
+
+
+def test_text_map_stages_have_zero_shuffles(spark, sf_dir):
+    """Repetition metrics and PII redaction are pure projections —
+    any shuffle in these plans is a bug at every scale."""
+    for name in ("text_repetition", "text_redact_pii"):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert _n_shuffles(plan) == 0, f"{name}\n{plan}"
