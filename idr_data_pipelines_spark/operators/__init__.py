@@ -17,6 +17,7 @@ from idr_data_pipelines_spark.operators.filters import (
 )
 from idr_data_pipelines_spark.operators.scd import (
     scd2_from_events,
+    scd2_merge,
 )
 from idr_data_pipelines_spark.operators.joins import (
     join_inner_dim_cast,
@@ -52,6 +53,7 @@ __all__ = [
     "join_on_keys",
     "join_asof",
     "scd2_from_events",
+    "scd2_merge",
     "join_range",
     "join_salted",
     "join_semi",

@@ -1012,6 +1012,39 @@ def q_scd2_history(spark, sf_dir):
     )
 
 
+def q_scd2_merge_batch(spark, sf_dir):
+    """Incremental SCD2 load: history built from orders up to
+    1995-01-01 (scd2_from_events), then one batch of updates — the
+    latest post-cutoff status per customer — merged in with
+    ``scd2_merge``. One full-outer hash join on the business key; the
+    keep/close/open row classes are emitted in a single pass via a
+    filtered struct-array explode (no per-class join recompute)."""
+    from idr_data_pipelines_spark.operators.scd import scd2_from_events, scd2_merge
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_orderdate").cast("date").alias("odate"),
+    )
+    cutoff = F.lit("1995-01-01").cast("date")
+    hist = scd2_from_events(
+        orders.filter(F.col("odate") <= cutoff),
+        key_cols=["o_custkey"],
+        attr_cols=["o_orderstatus"],
+        ts_col="odate",
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("odate").desc(), F.col("o_orderstatus").desc()
+    )
+    upd = (
+        orders.filter(F.col("odate") > cutoff)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return scd2_merge(hist, upd, ["o_custkey"], ["o_orderstatus"], "odate")
+
+
 def q_dedup_stream_watermark(spark, sf_dir):
     """Streaming exact dedup with bounded state:
     ``dropDuplicatesWithinWatermark`` over (user_id, event_type, ts)
@@ -2189,6 +2222,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "text_repetition": q_text_repetition,
     "text_redact_pii": q_text_redact_pii,
+    "scd2_merge_batch": q_scd2_merge_batch,
     # §2.1 sources/sinks (green r01+r02)
     "src_parquet_dir": q_src_parquet_dir,
     "src_parquet_concat_str": q_src_parquet_concat_str,
@@ -3011,6 +3045,65 @@ ORACLES: dict[str, str] = {
                (LEAD(valid_from) OVER w2 IS NULL) AS is_current
         FROM per_run
         WINDOW w2 AS (PARTITION BY o_custkey ORDER BY run_id ASC)
+    """,
+    # replay: history from pre-cutoff orders (same SQL as
+    # scd2_history), latest post-cutoff status per customer as the
+    # update batch, then the keep/close/open merge as a 4-way union
+    "scd2_merge_batch": """
+        WITH src AS (
+            SELECT o_custkey, o_orderstatus, CAST(o_orderdate AS DATE) AS odate
+            FROM orders WHERE CAST(o_orderdate AS DATE) <= DATE '1995-01-01'
+        ), marked AS (
+            SELECT o_custkey, o_orderstatus, odate,
+                   CASE WHEN ROW_NUMBER() OVER w = 1
+                             OR (o_orderstatus IS DISTINCT FROM LAG(o_orderstatus) OVER w)
+                        THEN 1 ELSE 0 END AS new_run
+            FROM src
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY odate ASC, o_orderstatus ASC)
+        ), runs AS (
+            SELECT o_custkey, o_orderstatus, odate,
+                   SUM(new_run) OVER w AS run_id
+            FROM marked
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY odate ASC, o_orderstatus ASC)
+        ), per_run AS (
+            SELECT o_custkey, run_id, o_orderstatus, MIN(odate) AS valid_from
+            FROM runs GROUP BY o_custkey, run_id, o_orderstatus
+        ), hist AS (
+            SELECT o_custkey, o_orderstatus, valid_from,
+                   LEAD(valid_from) OVER w2 AS valid_to,
+                   (LEAD(valid_from) OVER w2 IS NULL) AS is_current
+            FROM per_run
+            WINDOW w2 AS (PARTITION BY o_custkey ORDER BY run_id ASC)
+        ), upd AS (
+            SELECT o_custkey, new_status, eff FROM (
+                SELECT o_custkey, o_orderstatus AS new_status,
+                       CAST(o_orderdate AS DATE) AS eff,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                           ORDER BY CAST(o_orderdate AS DATE) DESC,
+                                    o_orderstatus DESC) AS rn
+                FROM orders WHERE CAST(o_orderdate AS DATE) > DATE '1995-01-01'
+            ) WHERE rn = 1
+        ), cur AS (SELECT * FROM hist WHERE is_current),
+        old AS (SELECT * FROM hist WHERE NOT is_current),
+        j AS (
+            SELECT COALESCE(cur.o_custkey, upd.o_custkey) AS o_custkey,
+                   cur.o_orderstatus AS cur_status, cur.valid_from,
+                   upd.new_status, upd.eff,
+                   (cur.valid_from IS NOT NULL) AS cur_present,
+                   (upd.eff IS NOT NULL) AS upd_present,
+                   (cur.o_orderstatus IS DISTINCT FROM upd.new_status) AS changed
+            FROM cur FULL OUTER JOIN upd ON cur.o_custkey = upd.o_custkey
+        )
+        SELECT o_custkey, o_orderstatus, valid_from, valid_to, is_current FROM old
+        UNION ALL
+        SELECT o_custkey, cur_status, valid_from, NULL, TRUE
+        FROM j WHERE cur_present AND (NOT upd_present OR NOT changed)
+        UNION ALL
+        SELECT o_custkey, cur_status, valid_from, eff, FALSE
+        FROM j WHERE cur_present AND upd_present AND changed
+        UNION ALL
+        SELECT o_custkey, new_status, eff, NULL, TRUE
+        FROM j WHERE upd_present AND (NOT cur_present OR changed)
     """,
     # word-3-gram overlap vs the %97 benchmark slice; mirrors
     # word_shingles semantics (lower+trim, \s+ split, whole text as

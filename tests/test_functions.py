@@ -307,3 +307,41 @@ def test_scd2_from_events_runs_and_validity(spark):
     ]
     for runs in hist.values():
         assert sum(1 for *_, cur in runs if cur) == 1
+
+
+def test_scd2_merge_keep_close_open_semantics(spark):
+    """One merge batch exercises all four row classes: close+open on
+    change (incl. NULL→value), pass-through on no-op update or absent
+    update, open for a brand-new key; history rows untouched."""
+    import datetime as dt
+
+    from idr_data_pipelines_spark.operators.scd import scd2_merge
+
+    hist = spark.createDataFrame(
+        [("k1", "A", dt.date(2024, 1, 1), dt.date(2024, 3, 1), False),
+         ("k1", "B", dt.date(2024, 3, 1), None, True),
+         ("k2", "X", dt.date(2024, 1, 1), None, True),
+         ("k3", None, dt.date(2024, 1, 1), None, True)],
+        "k string, state string, valid_from date, valid_to date, is_current boolean",
+    )
+    upd = spark.createDataFrame(
+        [("k1", "C", dt.date(2024, 5, 1)),   # change → close B, open C
+         ("k2", "X", dt.date(2024, 5, 1)),   # unchanged → pass through
+         ("k3", "Y", dt.date(2024, 5, 1)),   # NULL→Y is a change
+         ("k4", "Z", dt.date(2024, 5, 1))],  # new key
+        "k string, state string, eff date",
+    )
+    got = sorted(
+        (tuple(r) for r in scd2_merge(hist, upd, ["k"], ["state"], "eff").collect()),
+        key=lambda t: (t[0], str(t[2])),
+    )
+    d = dt.date
+    assert got == [
+        ("k1", "A", d(2024, 1, 1), d(2024, 3, 1), False),
+        ("k1", "B", d(2024, 3, 1), d(2024, 5, 1), False),
+        ("k1", "C", d(2024, 5, 1), None, True),
+        ("k2", "X", d(2024, 1, 1), None, True),
+        ("k3", None, d(2024, 1, 1), d(2024, 5, 1), False),
+        ("k3", "Y", d(2024, 5, 1), None, True),
+        ("k4", "Z", d(2024, 5, 1), None, True),
+    ]
