@@ -19,6 +19,10 @@ from idr_data_pipelines_spark.operators.scd import (
     scd2_from_events,
     scd2_merge,
 )
+from idr_data_pipelines_spark.operators.validate import (
+    referential_integrity,
+    validate,
+)
 from idr_data_pipelines_spark.operators.joins import (
     join_inner_dim_cast,
     join_left_fact,
@@ -54,6 +58,8 @@ __all__ = [
     "join_asof",
     "scd2_from_events",
     "scd2_merge",
+    "referential_integrity",
+    "validate",
     "join_range",
     "join_salted",
     "join_semi",

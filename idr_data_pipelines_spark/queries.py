@@ -1012,6 +1012,54 @@ def q_scd2_history(spark, sf_dir):
     )
 
 
+def q_validate_warehouse(spark, sf_dir):
+    """Declarative QA gate over the warehouse load: null-fraction,
+    uniqueness, set-membership, range, and row-count expectations on
+    orders/lineitem — every per-table rule compiled into ONE
+    conditional aggregate (one scan per table, one 1-row-per-partition
+    shuffle) — plus a lazy broadcast referential-integrity check
+    (lineitem.l_orderkey → orders.o_orderkey). Thresholds chosen so
+    the report contains both passing and failing rows."""
+    from idr_data_pipelines_spark.operators.validate import (
+        col_max,
+        col_min,
+        custom,
+        in_set,
+        not_null,
+        referential_integrity,
+        row_count_min,
+        unique,
+        validate,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    rep_orders = validate(
+        orders,
+        [
+            not_null("o_custkey"),
+            unique("o_orderkey"),
+            in_set("o_orderstatus", ["F", "O"]),  # 'P' exists → fails
+            col_min("o_totalprice", 0.0),
+            row_count_min(10_000_000),  # fails at test SFs
+        ],
+        table="orders",
+    )
+    rep_lineitem = validate(
+        lineitem,
+        [
+            not_null("l_orderkey"),
+            custom("qty_positive", F.col("l_quantity") > 0),
+            col_max("l_discount", 0.11),
+        ],
+        table="lineitem",
+    )
+    rep_ref = referential_integrity(
+        lineitem, orders, "l_orderkey", "o_orderkey", table="lineitem"
+    )
+    return rep_orders.unionByName(rep_lineitem).unionByName(rep_ref)
+
+
 def q_scd2_merge_batch(spark, sf_dir):
     """Incremental SCD2 load: history built from orders up to
     1995-01-01 (scd2_from_events), then one batch of updates — the
@@ -2223,6 +2271,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": q_text_repetition,
     "text_redact_pii": q_text_redact_pii,
     "scd2_merge_batch": q_scd2_merge_batch,
+    "validate_warehouse": q_validate_warehouse,
     # §2.1 sources/sinks (green r01+r02)
     "src_parquet_dir": q_src_parquet_dir,
     "src_parquet_concat_str": q_src_parquet_concat_str,
@@ -3045,6 +3094,56 @@ ORACLES: dict[str, str] = {
                (LEAD(valid_from) OVER w2 IS NULL) AS is_current
         FROM per_run
         WINDOW w2 AS (PARTITION BY o_custkey ORDER BY run_id ASC)
+    """,
+    # every rule replayed as a one-row aggregate select; passed =
+    # the same metric-vs-threshold comparison
+    "validate_warehouse": """
+        SELECT 'orders' AS "table", 'not_null(o_custkey)' AS rule,
+               'o_custkey' AS "column", metric, 0.0 AS threshold,
+               metric <= 0.0 AS passed
+        FROM (SELECT CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(GREATEST(COUNT(*), 1) AS DOUBLE) AS metric FROM orders)
+        UNION ALL
+        SELECT 'orders', 'unique(o_orderkey)', 'o_orderkey', metric, 0.0,
+               metric <= 0.0
+        FROM (SELECT CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS DOUBLE)
+                     AS metric FROM orders)
+        UNION ALL
+        SELECT 'orders', 'in_set(o_orderstatus)', 'o_orderstatus', metric, 0.0,
+               metric <= 0.0
+        FROM (SELECT CAST(SUM(CASE WHEN COALESCE(NOT (o_orderstatus IN ('F','O')), TRUE)
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(GREATEST(COUNT(*), 1) AS DOUBLE) AS metric FROM orders)
+        UNION ALL
+        SELECT 'orders', 'min(o_totalprice)', 'o_totalprice', metric, 0.0,
+               metric >= 0.0
+        FROM (SELECT CAST(MIN(o_totalprice) AS DOUBLE) AS metric FROM orders)
+        UNION ALL
+        SELECT 'orders', 'row_count_min(*)', NULL, metric, 10000000.0,
+               metric >= 10000000.0
+        FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS metric FROM orders)
+        UNION ALL
+        SELECT 'lineitem', 'not_null(l_orderkey)', 'l_orderkey', metric, 0.0,
+               metric <= 0.0
+        FROM (SELECT CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(GREATEST(COUNT(*), 1) AS DOUBLE) AS metric FROM lineitem)
+        UNION ALL
+        SELECT 'lineitem', 'qty_positive', NULL, metric, 0.0,
+               metric <= 0.0
+        FROM (SELECT CAST(SUM(CASE WHEN COALESCE(NOT (l_quantity > 0), TRUE)
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(GREATEST(COUNT(*), 1) AS DOUBLE) AS metric FROM lineitem)
+        UNION ALL
+        SELECT 'lineitem', 'max(l_discount)', 'l_discount', metric, 0.11,
+               metric <= 0.11
+        FROM (SELECT CAST(MAX(l_discount) AS DOUBLE) AS metric FROM lineitem)
+        UNION ALL
+        SELECT 'lineitem', 'ref_integrity(l_orderkey)', 'l_orderkey', metric, 0.0,
+               metric <= 0.0
+        FROM (SELECT CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(GREATEST(COUNT(*), 1) AS DOUBLE) AS metric
+              FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+              ON l.l_orderkey = o.o_orderkey)
     """,
     # replay: history from pre-cutoff orders (same SQL as
     # scd2_history), latest post-cutoff status per customer as the

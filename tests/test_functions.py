@@ -345,3 +345,51 @@ def test_scd2_merge_keep_close_open_semantics(spark):
         ("k3", "Y", d(2024, 5, 1), None, True),
         ("k4", "Z", d(2024, 5, 1), None, True),
     ]
+
+
+def test_validate_rules_and_single_pass(spark):
+    """Known-answer expectations on crafted bad data, and the scale
+    property: all per-table rules compile into ONE aggregate (exactly
+    one scan of the input in the plan)."""
+    from idr_data_pipelines_spark.operators.validate import (
+        col_max,
+        custom,
+        in_set,
+        not_null,
+        referential_integrity,
+        row_count_min,
+        unique,
+        validate,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 50.0), (2, None, -1.0), (4, "z", 3.0)],
+        "id long, cat string, val double",
+    )
+    rows = validate(df, [
+        not_null("cat"),                      # 1/4 null → fail at 0.0
+        not_null("cat", max_null_frac=0.5),   # pass
+        unique("id"),                         # dup id=2 → fail
+        in_set("cat", ["a", "b"]),            # 'z' + NULL → 2/4 fail
+        col_max("val", 10.0),                 # 50 → fail
+        row_count_min(3),                     # 4 rows → pass
+        custom("val_positive", F.col("val") > 0),  # -1 → fail
+    ], table="t").collect()
+    rep = {(r["rule"], r["threshold"]): r for r in rows}
+    assert rep[("not_null(cat)", 0.0)]["metric"] == 0.25
+    assert not rep[("not_null(cat)", 0.0)]["passed"]
+    assert rep[("not_null(cat)", 0.5)]["passed"]
+    rep = {r["rule"]: r for r in rows if r["threshold"] != 0.5}
+    assert rep["unique(id)"]["metric"] == 1.0 and not rep["unique(id)"]["passed"]
+    assert rep["in_set(cat)"]["metric"] == 0.5
+    assert not rep["max(val)"]["passed"]
+    assert rep["row_count_min(*)"]["passed"]
+    assert not rep["val_positive"]["passed"]
+
+    plan = validate(df, [not_null("cat"), unique("id"), col_max("val", 1.0)])._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") + plan.count("LocalTableScan") == 1, plan
+
+    dim = spark.createDataFrame([(1,), (2,)], "k long")
+    ref = referential_integrity(df, dim, "id", "k", table="t").collect()[0]
+    assert ref["metric"] == 0.25 and not ref["passed"]  # id=4 orphan
