@@ -54,6 +54,8 @@ from idr_data_pipelines_spark.llmdata.sampling import (
     mix_weighted,
     pack_sequences,
     sample_hash_mod,
+    sample_stratified,
+    sample_token_budget,
     split_train_holdout,
 )
 from idr_data_pipelines_spark.llmdata.decontaminate import (
@@ -111,6 +113,8 @@ __all__ = [
     "mix_weighted",
     "pack_sequences",
     "sample_hash_mod",
+    "sample_stratified",
+    "sample_token_budget",
     "split_train_holdout",
     "benchmark_ngrams",
     "contamination_scores",

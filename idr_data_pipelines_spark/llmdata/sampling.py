@@ -159,3 +159,69 @@ def pack_sequences(
             offset_col: F.pmod(cum_before, F.lit(max_tokens)),
         }
     )
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    key_col: str,
+    salt: str = "strat",
+    buckets: int = 1_000_000,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Exact-size per-stratum sample: the ``n_per_stratum`` rows of
+    each stratum whose key hashes lowest (ties broken by the key
+    itself — fully deterministic, engine-portable).
+
+    Unlike fraction-based sampling this guarantees the per-stratum
+    COUNT — the "equal representation" sampling mode (eval sets,
+    per-language probes). Cost: one hash shuffle on the strata +
+    a per-stratum sort for row_number — the same plan as any
+    latest-per-key dedup; no global sort.
+    """
+    if n_per_stratum <= 0:
+        raise ValueError("n_per_stratum must be positive")
+    w = Window.partitionBy(*strata_cols).orderBy(
+        hash_bucket(key_col, buckets, salt).asc(), F.col(key_col).asc()
+    )
+    out = df.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") <= n_per_stratum
+    )
+    if rank_col:
+        return out.withColumnRenamed("__rk", rank_col)
+    return out.drop("__rk")
+
+
+def sample_token_budget(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    key_col: str,
+    group_col: str | None = None,
+    salt: str = "budget",
+    buckets: int = 1_000_000,
+    cum_col: str | None = None,
+) -> DataFrame:
+    """Greedy token-budget prefix sample: order each group's rows by
+    key hash (deterministic) and keep rows while the tokens BEFORE the
+    row total < ``budget`` — i.e. the last kept row may overshoot the
+    budget, matching how training recipes fill a per-source token
+    quota ("take 10B tokens of code").
+
+    Same running-sum window as ``pack_sequences``: one hash shuffle on
+    the group, per-group sort, no global ordering (``group_col=None``
+    funnels through one partition — small-corpus-only, as with global
+    packing).
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    part = Window.partitionBy(group_col) if group_col else Window.partitionBy()
+    w = part.orderBy(
+        hash_bucket(key_col, buckets, salt).asc(), F.col(key_col).asc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    cum_before = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0)).cast("bigint")
+    out = df.withColumn("__cum", cum_before).filter(F.col("__cum") < F.lit(budget))
+    if cum_col:
+        return out.withColumnRenamed("__cum", cum_col)
+    return out.drop("__cum")

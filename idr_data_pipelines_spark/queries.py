@@ -1012,6 +1012,38 @@ def q_scd2_history(spark, sf_dir):
     )
 
 
+def q_sample_stratified(spark, sf_dir):
+    """Exact-count stratified sample: the 40 lowest-hashing docs per
+    language (md5-keyed → portable, deterministic). One hash shuffle
+    on the stratum + per-stratum sort — the latest-per-key plan
+    shape; no global sort."""
+    from idr_data_pipelines_spark.llmdata.sampling import sample_stratified
+
+    docs = _t(spark, sf_dir, "documents")
+    out = sample_stratified(
+        docs.select("doc_id", "lang"), ["lang"], 40, "doc_id", rank_col="rk"
+    )
+    return out.select("doc_id", "lang", F.col("rk").cast("long").alias("rk"))
+
+
+def q_sample_token_budget(spark, sf_dir):
+    """Per-source token-budget prefix sample: fill a 20k-char quota
+    per source in deterministic hash order (the "take N tokens of
+    source X" step of a training-data recipe); the last kept doc may
+    straddle the budget. Running-sum window per source — one shuffle."""
+    from idr_data_pipelines_spark.llmdata.sampling import sample_token_budget
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_token_budget(
+        docs.select("doc_id", "source", "n_chars"),
+        token_col="n_chars",
+        budget=20_000,
+        key_col="doc_id",
+        group_col="source",
+        cum_col="cum_before",
+    )
+
+
 def q_validate_warehouse(spark, sf_dir):
     """Declarative QA gate over the warehouse load: null-fraction,
     uniqueness, set-membership, range, and row-count expectations on
@@ -2272,6 +2304,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_redact_pii": q_text_redact_pii,
     "scd2_merge_batch": q_scd2_merge_batch,
     "validate_warehouse": q_validate_warehouse,
+    "sample_stratified": q_sample_stratified,
+    "sample_token_budget": q_sample_token_budget,
     # §2.1 sources/sinks (green r01+r02)
     "src_parquet_dir": q_src_parquet_dir,
     "src_parquet_concat_str": q_src_parquet_concat_str,
@@ -3031,6 +3065,28 @@ ORACLES: dict[str, str] = {
         FROM documents
         WHERE CAST(('0x' || substring(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
               % 1000000 < 100000
+    """,
+    "sample_stratified": """
+        SELECT doc_id, lang, rk FROM (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+                       CAST(('0x' || substring(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                           % 1000000 ASC,
+                       doc_id ASC) AS rk
+            FROM documents)
+        WHERE rk <= 40
+    """,
+    "sample_token_budget": """
+        SELECT doc_id, source, n_chars, cum_before FROM (
+            SELECT doc_id, source, n_chars,
+                   CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY
+                       CAST(('0x' || substring(md5('budget' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                           % 1000000 ASC,
+                       doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                       AS cum_before
+            FROM documents)
+        WHERE cum_before < 20000
     """,
     "split_train_holdout": """
         SELECT doc_id,

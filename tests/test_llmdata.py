@@ -516,3 +516,43 @@ def test_redact_pii_classes_and_order(spark):
     assert "<SSN>" in r["text"]
     assert r["text"].count("<PHONE>") == 2
     assert (r["n_email"], r["n_ipv4"], r["n_ssn"], r["n_phone"]) == (1, 1, 1, 2)
+
+
+# ---------------------------------------------- stratified / budget sampling
+
+def test_sample_stratified_exact_counts_and_stability(spark, sf_dir):
+    """Every stratum yields exactly min(n, stratum_size) rows, and the
+    selection is stable under repartitioning (pure function of key)."""
+    from idr_data_pipelines_spark.llmdata.sampling import sample_stratified
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang")
+    out = sample_stratified(docs, ["lang"], 40, "doc_id")
+    sizes = {r["lang"]: r["n"] for r in
+             docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got == {l: min(40, n) for l, n in sizes.items()}
+    again = sample_stratified(docs.repartition(7), ["lang"], 40, "doc_id")
+    assert sorted(r["doc_id"] for r in again.collect()) == \
+           sorted(r["doc_id"] for r in out.collect())
+
+
+def test_sample_token_budget_greedy_prefix(spark, sf_dir):
+    """Kept rows' tokens-before < budget everywhere; per group either
+    the budget is reached-or-straddled, or the whole group was kept."""
+    from idr_data_pipelines_spark.llmdata.sampling import sample_token_budget
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "n_chars")
+    budget = 20_000
+    out = sample_token_budget(docs, "n_chars", budget, "doc_id",
+                              group_col="source", cum_col="cum")
+    rows = out.collect()
+    assert all(r["cum"] < budget for r in rows)
+    kept_sum = {}
+    for r in rows:
+        kept_sum[r["source"]] = kept_sum.get(r["source"], 0) + r["n_chars"]
+    total = {r["source"]: r["s"] for r in
+             docs.groupBy("source").agg(F.sum("n_chars").alias("s")).collect()}
+    for src, s in kept_sum.items():
+        assert s >= budget or s == total[src], (src, s)
