@@ -24,6 +24,7 @@ from idr_data_pipelines_spark.operators.validate import (
     validate,
 )
 from idr_data_pipelines_spark.operators.joins import (
+    join_fuzzy_blocked,
     join_inner_dim_cast,
     join_left_fact,
     join_anti,
@@ -56,6 +57,7 @@ __all__ = [
     "join_anti",
     "join_on_keys",
     "join_asof",
+    "join_fuzzy_blocked",
     "scd2_from_events",
     "scd2_merge",
     "referential_integrity",

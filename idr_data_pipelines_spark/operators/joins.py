@@ -264,3 +264,42 @@ def join_range(
         & (F.col(value_col) < F.col(hi_col)),
     )
     return out.drop(fb["__bucket"]).drop(bb["__bucket"])
+
+
+def join_fuzzy_blocked(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    block_fn,
+    max_distance: int,
+    dist_col: str = "dist",
+) -> DataFrame:
+    """Approximate string join: pairs whose Levenshtein distance is at
+    most ``max_distance``, with candidate generation by a blocking key.
+
+    ``block_fn(col) -> Column`` maps each string to a block (first
+    token, soundex, length bucket, a q-gram LSH band...); only pairs
+    sharing a block are compared. This is the standard entity-
+    resolution shape and the only one that scales: the edit-distance
+    filter runs inside equi-join buckets (one shuffle on the block
+    key), never over the cross product. Recall is bounded by the
+    blocking choice — e.g. first-token blocking misses pairs that
+    differ in token 1; pick the block to match the error model.
+
+    The distance column uses Spark's bounded Levenshtein
+    (``levenshtein(l, r, threshold)``), which early-exits the DP once
+    the bound is exceeded (returns -1) — O(d·min(m,n)) instead of
+    O(m·n) per pair, a real constant-factor win inside large blocks.
+    """
+    if max_distance < 0:
+        raise ValueError("max_distance must be >= 0")
+    l = left.withColumn("__blk", block_fn(F.col(left_col)))
+    r = right.withColumn("__blk", block_fn(F.col(right_col)))
+    d = F.levenshtein(F.col(left_col), F.col(right_col), max_distance)
+    return (
+        l.join(r, "__blk")
+        .drop("__blk")
+        .withColumn(dist_col, d)
+        .filter((F.col(dist_col) >= 0) & (F.col(dist_col) <= max_distance))
+    )

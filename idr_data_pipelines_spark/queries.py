@@ -1012,6 +1012,25 @@ def q_scd2_history(spark, sf_dir):
     )
 
 
+def q_join_fuzzy_names(spark, sf_dir):
+    """Blocked fuzzy self-join (entity resolution shape): distinct
+    part names within Levenshtein distance 3, candidates blocked on
+    the first token so the edit-distance filter runs inside equi-join
+    buckets — never the cross product. Bounded levenshtein(l, r, d)
+    early-exits the DP per pair."""
+    from idr_data_pipelines_spark.operators.joins import join_fuzzy_blocked
+
+    part = _t(spark, sf_dir, "part")
+    names = part.select(F.col("p_name")).distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    first_tok = lambda c: F.split(c, " ").getItem(0)  # noqa: E731
+    out = join_fuzzy_blocked(a, b, "name_a", "name_b", first_tok, 3)
+    return out.filter(F.col("name_a") < F.col("name_b")).select(
+        "name_a", "name_b", F.col("dist").cast("long").alias("dist")
+    )
+
+
 def q_sample_stratified(spark, sf_dir):
     """Exact-count stratified sample: the 40 lowest-hashing docs per
     language (md5-keyed → portable, deterministic). One hash shuffle
@@ -2306,6 +2325,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "validate_warehouse": q_validate_warehouse,
     "sample_stratified": q_sample_stratified,
     "sample_token_budget": q_sample_token_budget,
+    "join_fuzzy_names": q_join_fuzzy_names,
     # §2.1 sources/sinks (green r01+r02)
     "src_parquet_dir": q_src_parquet_dir,
     "src_parquet_concat_str": q_src_parquet_concat_str,
@@ -3065,6 +3085,15 @@ ORACLES: dict[str, str] = {
         FROM documents
         WHERE CAST(('0x' || substring(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
               % 1000000 < 100000
+    """,
+    "join_fuzzy_names": """
+        WITH n AS (SELECT DISTINCT p_name FROM part)
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        FROM n a JOIN n b
+          ON string_split(a.p_name, ' ')[1] = string_split(b.p_name, ' ')[1]
+         AND a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= 3
     """,
     "sample_stratified": """
         SELECT doc_id, lang, rk FROM (

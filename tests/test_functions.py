@@ -393,3 +393,30 @@ def test_validate_rules_and_single_pass(spark):
     dim = spark.createDataFrame([(1,), (2,)], "k long")
     ref = referential_integrity(df, dim, "id", "k", table="t").collect()[0]
     assert ref["metric"] == 0.25 and not ref["passed"]  # id=4 orphan
+
+
+def test_join_fuzzy_blocked_semantics(spark):
+    """Within-block pairs match up to the bound; near pairs in
+    different blocks are (by design) not candidates; distances are
+    exact for kept pairs despite the early-exit bound."""
+    from idr_data_pipelines_spark.operators.joins import join_fuzzy_blocked
+
+    rows = [("red widget",), ("red widgets",), ("red wagon",),
+            ("blue widget",), ("blue widgem",)]
+    a = spark.createDataFrame(rows, ["name_a"])
+    b = spark.createDataFrame(rows, ["name_b"])
+    first = lambda c: F.split(c, " ").getItem(0)  # noqa: E731
+    out = join_fuzzy_blocked(a, b, "name_a", "name_b", first, 2)
+    pairs = {(r["name_a"], r["name_b"]): r["dist"]
+             for r in out.filter(F.col("name_a") < F.col("name_b")).collect()}
+    assert pairs == {
+        ("red widget", "red widgets"): 1,
+        ("blue widgem", "blue widget"): 1,
+    }
+    # "red widget" vs "blue widget" is distance 3 but cross-block:
+    # absent even with a larger bound
+    out4 = join_fuzzy_blocked(a, b, "name_a", "name_b", first, 4)
+    keys = {(r["name_a"], r["name_b"])
+            for r in out4.filter(F.col("name_a") < F.col("name_b")).collect()}
+    assert ("blue widget", "red widget") not in keys
+    assert ("red wagon", "red widget") in keys  # dist 4, same block
