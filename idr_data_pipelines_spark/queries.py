@@ -780,6 +780,39 @@ def q_evt_windowed_counts(spark, sf_dir):
     )
 
 
+def q_evt_funnel(spark, sf_dir):
+    """Ordered conversion funnel view → click → purchase: users
+    counted at each step they reached, each step strictly after the
+    previous one (greedy first-match ≡ recursive min-after, which the
+    oracle replays step-by-step). One shuffle on user_id; the per-user
+    sequence fold is a JVM array aggregate."""
+    from idr_data_pipelines_spark.streaming.events import funnel_depth
+
+    ev = _events(spark, sf_dir)
+    steps = ["view", "click", "purchase"]
+    depth = funnel_depth(ev, "user_id", "ts", "event_type", steps)
+    agg = depth.agg(
+        *[
+            F.sum((F.col("depth") >= i + 1).cast("long")).alias(f"__s{i}")
+            for i in range(len(steps))
+        ]
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).cast("long").alias("step_idx"),
+                        F.lit(s).alias("step"),
+                        F.col(f"__s{i}").alias("n_users"),
+                    )
+                    for i, s in enumerate(steps)
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+
+
 def q_evt_sessionize(spark, sf_dir):
     """Gap-based sessionization (30 min) via lag + running sum."""
     ev = _events(spark, sf_dir)
@@ -2326,6 +2359,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": q_sample_stratified,
     "sample_token_budget": q_sample_token_budget,
     "join_fuzzy_names": q_join_fuzzy_names,
+    "evt_funnel": q_evt_funnel,
     # §2.1 sources/sinks (green r01+r02)
     "src_parquet_dir": q_src_parquet_dir,
     "src_parquet_concat_str": q_src_parquet_concat_str,
@@ -3085,6 +3119,34 @@ ORACLES: dict[str, str] = {
         FROM documents
         WHERE CAST(('0x' || substring(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
               % 1000000 < 100000
+    """,
+    # recursive min-after-prev-step definition ≡ the Spark side's
+    # greedy sorted-array fold (both engines compare micro-truncated
+    # timestamps: DuckDB converts TIMESTAMP(NANOS) to micros on read,
+    # Spark uses timestamp_micros(nanos div 1000))
+    "evt_funnel": """
+        WITH u1 AS (
+            SELECT user_id, MIN(ts) FILTER (WHERE event_type = 'view') AS s1
+            FROM events GROUP BY user_id
+        ), u2 AS (
+            SELECT e.user_id, MIN(e.ts) AS s2
+            FROM events e JOIN u1 USING (user_id)
+            WHERE e.event_type = 'click' AND u1.s1 IS NOT NULL AND e.ts > u1.s1
+            GROUP BY e.user_id
+        ), u3 AS (
+            SELECT e.user_id, MIN(e.ts) AS s3
+            FROM events e JOIN u2 USING (user_id)
+            WHERE e.event_type = 'purchase' AND e.ts > u2.s2
+            GROUP BY e.user_id
+        )
+        SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+               CAST((SELECT COUNT(s1) FROM u1) AS BIGINT) AS n_users
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'click',
+               CAST((SELECT COUNT(*) FROM u2) AS BIGINT)
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), 'purchase',
+               CAST((SELECT COUNT(*) FROM u3) AS BIGINT)
     """,
     "join_fuzzy_names": """
         WITH n AS (SELECT DISTINCT p_name FROM part)

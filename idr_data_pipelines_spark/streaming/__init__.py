@@ -6,6 +6,7 @@ from idr_data_pipelines_spark.streaming.events import (
     drain_available_now,
     handle_event,
     republish,
+    funnel_depth,
     sessionize,
     sessionize_stream,
     windowed_event_counts,
@@ -16,6 +17,7 @@ __all__ = [
     "drain_available_now",
     "handle_event",
     "republish",
+    "funnel_depth",
     "sessionize",
     "sessionize_stream",
     "windowed_event_counts",

@@ -384,3 +384,69 @@ def sessionize(
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+def funnel_depth(
+    df,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    depth_col: str = "depth",
+):
+    """Ordered-funnel depth per user: how many of ``steps`` the user
+    completed in sequence, each step strictly after the previous
+    step's event (the ClickHouse ``windowFunnel``-style semantics,
+    unbounded window).
+
+    Greedy first-match fold ≡ the recursive definition
+    ``s_k = min ts of step_k with ts > s_{k-1}`` — which is what the
+    SQL oracle replays.
+
+    Scale shape: events are FILTERED to the funnel's types before the
+    one hash shuffle on the user, then each user's (ts, type) pairs
+    are folded in a single JVM ``aggregate`` over the sorted array —
+    no Python, no per-step join chain (k steps would otherwise cost k
+    aggregate+join rounds over the full event table). Per-user funnel
+    event counts are assumed executor-bounded (the usual case; heavy
+    hitters would need per-window pre-truncation).
+    """
+    from pyspark.sql import functions as F
+
+    n = len(steps)
+    if n == 0:
+        raise ValueError("steps must be non-empty")
+    lit_steps = F.array(*[F.lit(s) for s in steps])
+    ev = df.filter(F.col(type_col).isin(steps)).select(
+        F.col(user_col),
+        F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("t")).alias("e"),
+    )
+    arr = F.array_sort(F.collect_list("e"))
+    init = F.struct(
+        F.lit(0).alias("stage"), F.lit(None).cast("timestamp").alias("ts")
+    )
+
+    def step_fn(acc, e):
+        advance = (
+            (acc.getField("stage") < F.lit(n))
+            & (e.getField("t") == F.element_at(lit_steps, acc.getField("stage") + 1))
+            & ((acc.getField("stage") == 0) | (e.getField("ts") > acc.getField("ts")))
+        )
+        return F.when(
+            advance,
+            F.struct(
+                (acc.getField("stage") + 1).alias("stage"),
+                e.getField("ts").alias("ts"),
+            ),
+        ).otherwise(acc)
+
+    return (
+        ev.groupBy(user_col)
+        .agg(arr.alias("__evs"))
+        .select(
+            user_col,
+            F.aggregate(F.col("__evs"), init, step_fn)
+            .getField("stage")
+            .alias(depth_col),
+        )
+    )

@@ -358,3 +358,33 @@ def test_sessionize_gap_splits(spark):
         "ts", F.to_timestamp("ts_str")
     )
     assert sessionize(df2).count() == 1
+
+
+def test_funnel_depth_order_sensitivity(spark):
+    """Steps must occur in order, each strictly after the previous:
+    purchase-before-click doesn't advance; equal timestamps don't
+    advance; repeated steps are idempotent."""
+    from datetime import datetime as ts
+
+    from idr_data_pipelines_spark.streaming.events import funnel_depth
+
+    rows = [
+        # u1: perfect funnel
+        (1, ts(2024, 1, 1, 10), "view"), (1, ts(2024, 1, 1, 11), "click"),
+        (1, ts(2024, 1, 1, 12), "purchase"),
+        # u2: purchase BEFORE click → depth 1 only... then later click → 2
+        (2, ts(2024, 1, 1, 10), "view"), (2, ts(2024, 1, 1, 11), "purchase"),
+        (2, ts(2024, 1, 1, 12), "click"),
+        # u3: click at the SAME instant as view → not strictly after
+        (3, ts(2024, 1, 1, 10), "view"), (3, ts(2024, 1, 1, 10), "click"),
+        # u4: no view at all → depth 0
+        (4, ts(2024, 1, 1, 10), "click"), (4, ts(2024, 1, 1, 11), "purchase"),
+        # u5: duplicate views then full funnel
+        (5, ts(2024, 1, 1, 9), "view"), (5, ts(2024, 1, 1, 10), "view"),
+        (5, ts(2024, 1, 1, 11), "click"), (5, ts(2024, 1, 1, 12), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    depth = {r["user_id"]: r["depth"] for r in funnel_depth(
+        df, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    ).collect()}
+    assert depth == {1: 3, 2: 2, 3: 1, 4: 0, 5: 3}
