@@ -16,6 +16,7 @@ from idr_data_pipelines_spark.operators.filters import (
     filter_derived,
 )
 from idr_data_pipelines_spark.operators.scd import (
+    scd1_upsert,
     scd2_from_events,
     scd2_merge,
 )
@@ -58,6 +59,7 @@ __all__ = [
     "join_on_keys",
     "join_asof",
     "join_fuzzy_blocked",
+    "scd1_upsert",
     "scd2_from_events",
     "scd2_merge",
     "referential_integrity",

@@ -151,3 +151,19 @@ def scd2_merge(
     rows = F.filter(F.array(keep_s, closed_s, new_s), lambda x: x.isNotNull())
     merged = j.select(F.explode(rows).alias("r")).select("r.*")
     return old.select(*out_cols).unionByName(merged)
+
+
+def scd1_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> DataFrame:
+    """SCD type-1 merge (keyed upsert, no history): update rows replace
+    base rows with the same key, unmatched base rows pass through —
+    ``MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT`` for
+    a full-refresh write path. One anti join (hash, broadcast when
+    updates is small) + a shuffle-free union; columns taken from
+    ``base``'s schema order."""
+    cols = base.columns
+    kept = base.join(updates.select(*key_cols), key_cols, "left_anti")
+    return kept.select(*cols).unionByName(updates.select(*cols))

@@ -197,6 +197,62 @@ def q_src_json_dir(spark, sf_dir):
     return read_json_dir(spark, path, schema=region.schema)
 
 
+def q_src_orc_roundtrip(spark, sf_dir):
+    """ORC source surface: stage region to ORC (Spark's second
+    columnar built-in — splittable, predicate-pushdown-capable like
+    parquet), read it back; the oracle is the original parquet table,
+    so the value hash proves the write→read roundtrip is lossless."""
+    region = _t(spark, sf_dir, "region")
+    path = f"{tempfile.mkdtemp(prefix='idr_orc_')}/region"
+    region.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
+def q_scd1_upsert(spark, sf_dir):
+    """SCD type-1 keyed upsert (MERGE INTO semantics, no history):
+    latest pre-cutoff status per customer as the base table, latest
+    post-cutoff status as the update batch; updates replace matching
+    keys, unmatched base rows pass through. One anti join + union."""
+    from idr_data_pipelines_spark.operators.scd import scd1_upsert
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_orderdate").cast("date").alias("odate"),
+    )
+    cutoff = F.lit("1995-01-01").cast("date")
+
+    def latest(df):
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.col("odate").desc(), F.col("o_orderstatus").desc()
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    base = latest(orders.filter(F.col("odate") <= cutoff))
+    upd = latest(orders.filter(F.col("odate") > cutoff))
+    return scd1_upsert(base, upd, ["o_custkey"])
+
+
+def q_agg_histogram(spark, sf_dir):
+    """Fixed-width histogram of order totals: bucket index, count,
+    bucket min/max — the profile-a-column primitive. Pure groupBy —
+    one partial-agged shuffle of n_buckets rows."""
+    orders = _t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / F.lit(20000.0)).cast("long")
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
 def q_evt_trigger_audit(spark, sf_dir):
     """evt_trigger end-to-end, driver-visible (§2.8 first half): replay
     a fixed base64 event payload through handle_event
@@ -2360,6 +2416,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_token_budget": q_sample_token_budget,
     "join_fuzzy_names": q_join_fuzzy_names,
     "evt_funnel": q_evt_funnel,
+    "src_orc_roundtrip": q_src_orc_roundtrip,
+    "scd1_upsert": q_scd1_upsert,
+    "agg_histogram": q_agg_histogram,
     # §2.1 sources/sinks (green r01+r02)
     "src_parquet_dir": q_src_parquet_dir,
     "src_parquet_concat_str": q_src_parquet_concat_str,
@@ -3119,6 +3178,37 @@ ORACLES: dict[str, str] = {
         FROM documents
         WHERE CAST(('0x' || substring(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
               % 1000000 < 100000
+    """,
+    "src_orc_roundtrip": """
+        SELECT * FROM region
+    """,
+    "scd1_upsert": """
+        WITH o AS (
+            SELECT o_custkey, o_orderstatus, CAST(o_orderdate AS DATE) AS odate
+            FROM orders
+        ), base AS (
+            SELECT o_custkey, o_orderstatus, odate FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY odate DESC, o_orderstatus DESC) AS rn
+                FROM o WHERE odate <= DATE '1995-01-01') WHERE rn = 1
+        ), upd AS (
+            SELECT o_custkey, o_orderstatus, odate FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY odate DESC, o_orderstatus DESC) AS rn
+                FROM o WHERE odate > DATE '1995-01-01') WHERE rn = 1
+        )
+        SELECT b.* FROM base b
+        WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_custkey = b.o_custkey)
+        UNION ALL
+        SELECT * FROM upd
+    """,
+    "agg_histogram": """
+        SELECT CAST(FLOOR(o_totalprice / 20000.0) AS BIGINT) AS bucket,
+               COUNT(*) AS n,
+               MIN(o_totalprice) AS lo,
+               MAX(o_totalprice) AS hi
+        FROM orders
+        GROUP BY 1
     """,
     # recursive min-after-prev-step definition ≡ the Spark side's
     # greedy sorted-array fold (both engines compare micro-truncated

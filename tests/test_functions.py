@@ -420,3 +420,16 @@ def test_join_fuzzy_blocked_semantics(spark):
             for r in out4.filter(F.col("name_a") < F.col("name_b")).collect()}
     assert ("blue widget", "red widget") not in keys
     assert ("red wagon", "red widget") in keys  # dist 4, same block
+
+
+def test_scd1_upsert_replaces_and_passes_through(spark):
+    from idr_data_pipelines_spark.operators.scd import scd1_upsert
+
+    base = spark.createDataFrame(
+        [("k1", "old", 1), ("k2", "keep", 2)], ["k", "v", "n"]
+    )
+    upd = spark.createDataFrame(
+        [("k1", "new", 10), ("k3", "ins", 30)], ["k", "v", "n"]
+    )
+    got = sorted(tuple(r) for r in scd1_upsert(base, upd, ["k"]).collect())
+    assert got == [("k1", "new", 10), ("k2", "keep", 2), ("k3", "ins", 30)]
