@@ -1,5 +1,19 @@
 """Pipeline composition: named stages, dependencies, retries, hooks."""
 
 from idr_data_pipelines_spark.plans.pipeline import Pipeline, PipelineRunner, Stage
+from idr_data_pipelines_spark.plans.lint import (
+    PlanFinding,
+    assert_scalable,
+    count_shuffles,
+    lint_plan,
+)
 
-__all__ = ["Pipeline", "PipelineRunner", "Stage"]
+__all__ = [
+    "Pipeline",
+    "PipelineRunner",
+    "Stage",
+    "PlanFinding",
+    "assert_scalable",
+    "count_shuffles",
+    "lint_plan",
+]

@@ -1,0 +1,164 @@
+"""Physical-plan linting: the "would this survive 100 TB?" check as
+code.
+
+Every scale rule this repo applies by hand — broadcast the small side,
+keep Python out of the row path, prune scans, bound the shuffle count
+— is mechanical to check on the *executed plan string*, so this module
+makes them assertable: in tests (``tests/test_plans.py`` pins shapes
+with it), in CI gates before a pipeline ships, or interactively while
+developing a query.
+
+The linter reads ``queryExecution().executedPlan()`` — with AQE this
+is the statically chosen plan, i.e. the strategy Catalyst committed to
+before runtime re-optimization, which is exactly what you want to
+review: AQE can only improve on it.
+
+Findings are data (``PlanFinding``), not prints — callers decide
+whether a finding is fatal (``assert_scalable``) or advisory
+(``lint_plan``).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+# severity: "fatal" findings are scale-killers on any cluster;
+# "warn" findings are budget/heuristic violations worth a look.
+_FATAL = "fatal"
+_WARN = "warn"
+
+
+@dataclass(frozen=True)
+class PlanFinding:
+    rule: str
+    severity: str
+    detail: str
+
+
+def _plan_str(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def count_shuffles(df: DataFrame) -> int:
+    """Shuffle exchanges only (broadcast exchanges are cheap by
+    design and not counted)."""
+    return len(
+        re.findall(
+            r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)",
+            _plan_str(df),
+        )
+    )
+
+
+def lint_plan(
+    df: DataFrame,
+    max_shuffles: int | None = None,
+    max_scan_columns: int | None = None,
+    allow_single_partition: bool = True,
+) -> list[PlanFinding]:
+    """Inspect the executed plan and return findings, worst first.
+
+    Checks:
+    - **cartesian-product** (fatal): ``CartesianProduct`` /
+      ``BroadcastNestedLoopJoin`` — O(n·m) compare; at scale this is
+      the difference between an hour and a decade. Usually means a
+      join lost its equi-condition (type mismatch, wrong column).
+    - **python-row-udf** (fatal): ``BatchEvalPython`` — a
+      row-at-a-time Python UDF in the plan; 10-100× slower than the
+      Arrow path. Use built-ins or ``mapInPandas``/``pandas_udf``
+      (which show as ArrowEvalPython / MapInPandas instead).
+    - **single-partition-funnel** (warn, opt-in fatal): ``Exchange
+      SinglePartition`` outside a final small aggregate — a global
+      sort/window that funnels the data through one task.
+    - **shuffle-budget** (warn): more shuffle exchanges than
+      ``max_shuffles``.
+    - **scan-width** (warn): a parquet scan reading more than
+      ``max_scan_columns`` columns — column pruning didn't reach the
+      scan (select earlier / drop unused columns).
+    """
+    plan = _plan_str(df)
+    findings: list[PlanFinding] = []
+
+    for node in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        if node in plan:
+            findings.append(
+                PlanFinding(
+                    "cartesian-product",
+                    _FATAL,
+                    f"{node} in plan — join lost its equi-condition?",
+                )
+            )
+    if "BatchEvalPython" in plan:
+        findings.append(
+            PlanFinding(
+                "python-row-udf",
+                _FATAL,
+                "row-at-a-time Python UDF (BatchEvalPython); use built-ins "
+                "or Arrow-batched pandas UDFs",
+            )
+        )
+    n_single = len(re.findall(r"Exchange SinglePartition", plan))
+    if n_single:
+        findings.append(
+            PlanFinding(
+                "single-partition-funnel",
+                _WARN if allow_single_partition else _FATAL,
+                f"{n_single} SinglePartition exchange(s) — global "
+                "sort/window/aggregate funnels through one task",
+            )
+        )
+    if max_shuffles is not None:
+        n = len(
+            re.findall(
+                r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)",
+                plan,
+            )
+        )
+        if n > max_shuffles:
+            findings.append(
+                PlanFinding(
+                    "shuffle-budget",
+                    _WARN,
+                    f"{n} shuffle exchanges > budget {max_shuffles}",
+                )
+            )
+    if max_scan_columns is not None:
+        for schema in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+            cols = [c for c in schema.split(",") if ":" in c]
+            if len(cols) > max_scan_columns:
+                findings.append(
+                    PlanFinding(
+                        "scan-width",
+                        _WARN,
+                        f"scan reads {len(cols)} columns "
+                        f"({','.join(c.split(':')[0] for c in cols[:6])}…) — "
+                        "pruning didn't reach the scan",
+                    )
+                )
+    order = {_FATAL: 0, _WARN: 1}
+    return sorted(findings, key=lambda f: order[f.severity])
+
+
+def assert_scalable(
+    df: DataFrame,
+    max_shuffles: int | None = None,
+    max_scan_columns: int | None = None,
+    allow_single_partition: bool = True,
+) -> None:
+    """Raise ``AssertionError`` listing every fatal finding plus every
+    violation of a budget you explicitly set (``max_shuffles`` /
+    ``max_scan_columns``). Advisory warns (the single-partition
+    heuristic, unless ``allow_single_partition=False``) are reported
+    by ``lint_plan`` but don't fail the gate. The CI-gate form of
+    ``lint_plan``."""
+    findings = [
+        f
+        for f in lint_plan(df, max_shuffles, max_scan_columns, allow_single_partition)
+        if f.severity == _FATAL or f.rule in ("shuffle-budget", "scan-width")
+    ]
+    if findings:
+        lines = "\n".join(f"  [{f.severity}] {f.rule}: {f.detail}" for f in findings)
+        raise AssertionError(f"plan lint failed:\n{lines}")

@@ -138,3 +138,51 @@ def test_text_map_stages_have_zero_shuffles(spark, sf_dir):
     for name in ("text_repetition", "text_redact_pii"):
         plan = _plan(QUERIES[name](spark, sf_dir))
         assert _n_shuffles(plan) == 0, f"{name}\n{plan}"
+
+
+def test_plan_linter_flags_scale_killers(spark, sf_dir):
+    """The linter must catch a genuine cartesian product and a
+    row-at-a-time Python UDF, and stay quiet on a clean broadcast
+    pipeline."""
+    import pyspark.sql.functions as F
+    import pytest
+    from pyspark.sql.types import LongType
+
+    from idr_data_pipelines_spark.plans import assert_scalable, lint_plan
+
+    a = spark.range(10)
+    b = spark.range(10).withColumnRenamed("id", "jd")
+    cross = a.crossJoin(b)
+    rules = {f.rule for f in lint_plan(cross)}
+    assert "cartesian-product" in rules
+    with pytest.raises(AssertionError, match="cartesian-product"):
+        assert_scalable(cross)
+
+    slow = a.withColumn("x", F.udf(lambda v: v + 1, LongType())("id"))
+    assert "python-row-udf" in {f.rule for f in lint_plan(slow)}
+
+    clean = QUERIES["q5_revenue_by_nation"](spark, sf_dir)
+    fatal = [f for f in lint_plan(clean, max_scan_columns=6) if f.severity == "fatal"]
+    assert fatal == []
+
+
+def test_plan_linter_sweep_headline_queries(spark, sf_dir):
+    """No fatal finding in any headline/flagship batch plan; shuffle
+    budgets hold. (q22's 1-row broadcast-nested-loop scalar subquery
+    is the documented exception — asserted separately as *detected*.)"""
+    from idr_data_pipelines_spark.plans import assert_scalable, lint_plan
+
+    for name in (
+        "flagship_warehouse", "q1_pricing_summary", "q3_revenue_by_priority",
+        "dedup_groupby_max", "dedup_latest_per_key", "agg_pivot_sum_case",
+        "text_quality", "dedup_exact_hash", "decontaminate",
+        "text_repetition", "text_redact_pii", "scd2_merge_batch",
+        "validate_warehouse", "sample_stratified", "sample_token_budget",
+        "join_fuzzy_names", "evt_funnel", "agg_histogram", "scd1_upsert",
+    ):
+        assert_scalable(QUERIES[name](spark, sf_dir), max_shuffles=12)
+
+    # the scalar-subquery broadcast IS a nested-loop join of a 1-row
+    # side — the linter reports it; humans waive it knowingly
+    q22 = QUERIES["q22_idle_rich_customers"](spark, sf_dir)
+    assert "cartesian-product" in {f.rule for f in lint_plan(q22)}
