@@ -25,6 +25,8 @@ from idr_data_pipelines_spark.llmdata.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_ivf,
     cosine_topk_lsh,
+    cosine_topk_quantized,
+    quantize_unit_vec,
     embedding_near_dup_pairs,
     embedding_near_dup_pairs_grouped,
     ivf_centroids,
@@ -92,6 +94,8 @@ __all__ = [
     "cosine_topk_bruteforce",
     "cosine_topk_ivf",
     "cosine_topk_lsh",
+    "cosine_topk_quantized",
+    "quantize_unit_vec",
     "embedding_near_dup_pairs",
     "embedding_near_dup_pairs_grouped",
     "ivf_centroids",

@@ -476,3 +476,86 @@ def embedding_near_dup_pairs(
             "cosine",
         )
     )
+
+
+# ------------------------------------------------- int8 quantized ANN
+
+def quantize_unit_vec(vec: Column, bits: int = 7) -> Column:
+    """L2-normalize then quantize each component to a signed integer in
+    [-(2^bits - 1), 2^bits - 1] (127 for int8). The quantized corpus is
+    4× smaller than float32 (16× vs float64) — at 100 TB of embeddings
+    that is the difference between an in-memory scan and a disk-bound
+    one; bandwidth, not FLOPs, bounds brute-force ANN."""
+    scale = float((1 << bits) - 1)
+    n = norm(vec)
+    return F.transform(
+        vec,
+        lambda x: F.round(x.cast("double") / n * F.lit(scale)).cast("int"),
+    )
+
+
+def cosine_topk_quantized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    oversample: int = 4,
+    bits: int = 7,
+) -> DataFrame:
+    """Two-stage quantized ANN: (1) scan the int8-quantized corpus and
+    keep ``oversample·k`` candidates per query by integer dot product
+    (∝ cosine, both sides unit-normalized before quantization); (2)
+    re-rank ONLY the candidates with exact float cosine by joining
+    back to the float corpus by id — the storage-honest shape: floats
+    are fetched per candidate, never scanned.
+
+    Same output contract as ``cosine_topk_bruteforce``
+    (query_id, neighbor_id, cosine, rank). Approximate: quantization
+    error can evict a true neighbor from the candidate set — recall vs
+    brute force is pinned in tests; raise ``oversample`` to trade scan
+    cost for recall.
+    """
+    cq = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        quantize_unit_vec(F.col(vec_col), bits).alias("cvec_q"),
+    )
+    qq = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize_unit_vec(F.col(vec_col), bits).alias("qvec_q"),
+    )
+    iscore = F.aggregate(
+        F.zip_with(F.col("qvec_q"), F.col("cvec_q"), lambda x, y: (x * y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w_c = Window.partitionBy("query_id").orderBy(
+        F.desc("iscore"), F.asc("neighbor_id")
+    )
+    cand = (
+        cq.join(F.broadcast(qq), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("iscore", iscore)
+        .withColumn("__r", F.row_number().over(w_c))
+        .filter(F.col("__r") <= oversample * k)
+        .select("query_id", "neighbor_id")
+    )
+    cf = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cvec")
+    ).withColumn("cnrm", norm(F.col("cvec")))
+    qf = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qvec")
+    ).withColumn("qnrm", norm(F.col("qvec")))
+    rer = (
+        cand.join(cf, "neighbor_id")
+        .join(F.broadcast(qf), "query_id")
+        .withColumn(
+            "cosine",
+            dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

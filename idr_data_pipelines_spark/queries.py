@@ -2141,6 +2141,22 @@ def q_ann_topk_bruteforce(spark, sf_dir):
     )
 
 
+def q_ann_topk_quantized(spark, sf_dir):
+    """Two-stage int8-quantized ANN (4× scan-size reduction; the
+    bandwidth-bound scale path): integer-dot candidate scan with 4×
+    oversampling, exact float re-rank of candidates only. Rows-only
+    (quantization rounding isn't portably SQL-expressible); recall vs
+    brute force pinned in tests."""
+    from idr_data_pipelines_spark.llmdata.similarity import cosine_topk_quantized
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = cosine_topk_quantized(emb, queries, k=5, oversample=4)
+    return out.select(
+        "query_id", "neighbor_id", F.round(F.col("cosine"), 6).alias("cosine_r"), "rank"
+    )
+
+
 def q_ann_topk_lsh(spark, sf_dir):
     """Approximate top-5 via sign-LSH buckets (deterministic planes,
     seed=42). Approximate → rows-only check; recall vs brute force is
@@ -2419,6 +2435,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "src_orc_roundtrip": q_src_orc_roundtrip,
     "scd1_upsert": q_scd1_upsert,
     "agg_histogram": q_agg_histogram,
+    "ann_topk_quantized": q_ann_topk_quantized,
     # §2.1 sources/sinks (green r01+r02)
     "src_parquet_dir": q_src_parquet_dir,
     "src_parquet_concat_str": q_src_parquet_concat_str,
@@ -3749,5 +3766,8 @@ NO_ORACLE: frozenset[str] = frozenset(
         # DataSketches HLL bytes are engine-specific; ±5% accuracy
         # vs exact distinct pinned in tests
         "sketch_hll_union",
+        # int8 rounding + candidate-set membership aren't portably
+        # SQL-expressible; recall vs brute force pinned in tests
+        "ann_topk_quantized",
     }
 )

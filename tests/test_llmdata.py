@@ -556,3 +556,24 @@ def test_sample_token_budget_greedy_prefix(spark, sf_dir):
              docs.groupBy("source").agg(F.sum("n_chars").alias("s")).collect()}
     for src, s in kept_sum.items():
         assert s >= budget or s == total[src], (src, s)
+
+
+def test_cosine_quantized_recall_and_exact_scores(spark):
+    """int8 two-stage ANN: high recall vs brute force at 4× oversample,
+    and the REPORTED cosine of any agreeing pair is the exact float
+    value (re-rank stage), not the quantized approximation."""
+    from idr_data_pipelines_spark.llmdata.similarity import cosine_topk_quantized
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(150, 16).astype("float32")
+    rows = [(i, vecs[i].tolist()) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.filter(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+             for r in cosine_topk_bruteforce(df, queries, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+              for r in cosine_topk_quantized(df, queries, k=5, oversample=4).collect()}
+    hits = set(exact) & set(approx)
+    assert len(hits) / len(exact) >= 0.9
+    for key in hits:
+        assert abs(exact[key] - approx[key]) < 1e-12  # exact re-rank
