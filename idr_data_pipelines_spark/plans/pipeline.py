@@ -76,12 +76,26 @@ class Pipeline:
     # ``pipeline >> stage_fn`` sugar is intentionally omitted: explicit
     # named stages keep lineage debuggable and match the task_id model.
 
-    def build(self, spark, materialize: str | None = None, workdir: str | None = None) -> DataFrame:
+    def build(
+        self,
+        spark,
+        materialize: str | None = None,
+        workdir: str | None = None,
+        lint: bool = False,
+        max_shuffles: int | None = None,
+    ) -> DataFrame:
         """Compose all stages into one lazy DataFrame.
 
         ``materialize="parquet"`` checkpoints each stage under
         ``workdir/<pipeline>/<stage>`` (write-then-swap read-back) —
         the WRITE_TRUNCATE parity mode; default is fully lazy.
+
+        ``lint=True`` runs the physical-plan linter on the composed
+        plan before returning — a cartesian product or row-at-a-time
+        Python UDF introduced by any stage fails the build here, at
+        author time, instead of on the cluster at 2am
+        (``plans.lint.assert_scalable``; ``max_shuffles`` adds a
+        shuffle budget).
         """
         df = self.source(spark)
         for st in self.stages:
@@ -96,6 +110,10 @@ class Pipeline:
                 tbl = f"{self.name}__{st.name}"
                 df.write.mode("overwrite").saveAsTable(tbl)
                 df = spark.table(tbl)
+        if lint:
+            from idr_data_pipelines_spark.plans.lint import assert_scalable
+
+            assert_scalable(df, max_shuffles=max_shuffles)
         return df
 
     def run(self, spark, **kwargs) -> DataFrame:

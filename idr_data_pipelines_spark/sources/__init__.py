@@ -12,6 +12,7 @@ from idr_data_pipelines_spark.sources.text_formats import (
 from idr_data_pipelines_spark.sources.sinks import (
     sink_table_overwrite,
     sink_rows_append,
+    compact_parquet_dir,
     sink_parquet_overwrite,
     sink_table_bucketed,
 )
@@ -25,6 +26,7 @@ __all__ = [
     "read_json_dir",
     "sink_table_overwrite",
     "sink_rows_append",
+    "compact_parquet_dir",
     "sink_parquet_overwrite",
     "sink_table_bucketed",
     "Catalog",

@@ -74,3 +74,43 @@ def sink_parquet_overwrite(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def compact_parquet_dir(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 1,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ⌈total_bytes / target_file_bytes⌉ files (HDFS/S3 list + open
+    overhead makes thousands of KB-sized files a real scan bottleneck;
+    streaming sinks and per-stage materialization produce exactly
+    that).
+
+    Sizing reads the file listing only (no data scan); the rewrite is
+    one job with a write-to-temp-then-swap so a failed compaction never
+    corrupts the directory. Returns the output file count.
+
+    At warehouse scale run this per partition directory (compact the
+    partitions the last load touched, not the whole table).
+    """
+    import math
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    total = fs.getContentSummary(p).getLength()
+    n_files = max(min_files, math.ceil(total / max(target_file_bytes, 1)))
+
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
+    bak = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_bak")
+    fs.rename(p, bak)
+    fs.rename(tmp_p, p)
+    fs.delete(bak, True)
+    out = [f for f in fs.listStatus(p) if f.getPath().getName().endswith(".parquet")]
+    return len(out)

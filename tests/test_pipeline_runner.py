@@ -95,3 +95,23 @@ def test_pipeline_sink_called(spark):
     p.stage("id")
     p.run(spark)
     assert captured["n"] == 5
+
+
+def test_pipeline_build_lint_gate(spark):
+    """lint=True fails the build when a stage introduces a cartesian
+    product, and passes a clean pipeline."""
+    import pytest
+
+    from idr_data_pipelines_spark.plans import Pipeline
+
+    other = spark.range(5).withColumnRenamed("id", "j")
+    bad = Pipeline("bad", source=lambda s: s.range(5)).stage(
+        "explode_pairs", lambda df: df.crossJoin(other)
+    )
+    with pytest.raises(AssertionError, match="cartesian-product"):
+        bad.build(spark, lint=True)
+
+    good = Pipeline("good", source=lambda s: s.range(5)).stage(
+        "double", lambda df: df.withColumn("x", df.id * 2)
+    )
+    assert good.build(spark, lint=True, max_shuffles=0).count() == 5

@@ -128,3 +128,22 @@ def test_json_lines_roundtrip_with_schema(spark, sf_dir, tmp_path):
     back = read_json_dir(spark, path, schema=region.schema)
     assert back.schema == region.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, region.collect()))
+
+
+def test_compact_parquet_dir_merges_small_files(spark, tmp_path):
+    """64 tiny files compact to the computed target count; rows and
+    values survive the swap byte-for-byte."""
+    from idr_data_pipelines_spark.sources.sinks import compact_parquet_dir
+
+    path = str(tmp_path / "frag")
+    df = spark.range(10_000).withColumnRenamed("id", "k")
+    df.repartition(64).write.mode("overwrite").parquet(path)
+    before = sorted(r["k"] for r in spark.read.parquet(path).collect())
+    import glob
+    assert len(glob.glob(path + "/*.parquet")) == 64
+
+    n = compact_parquet_dir(spark, path, target_file_bytes=1 << 40)
+    assert n == 1
+    assert len(glob.glob(path + "/*.parquet")) == 1
+    after = sorted(r["k"] for r in spark.read.parquet(path).collect())
+    assert after == before
