@@ -1846,6 +1846,33 @@ def q_window_running(spark, sf_dir):
     )
 
 
+def q_window_gap_islands(spark, sf_dir):
+    """Gaps-and-islands: collapse each customer's consecutive order
+    months into contiguous runs (island = month − row_number, the
+    classic trick over DISTINCT months) — one row per run with
+    start/end/length. Detects activity streaks and coverage gaps; one
+    hash shuffle + per-customer sort, same plan family as
+    latest-per-key."""
+    orders = _t(spark, sf_dir, "orders")
+    months = orders.select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("m"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("m")
+    g = months.withColumn("grp", F.col("m") - F.row_number().over(w))
+    return (
+        g.groupBy("o_custkey", "grp")
+        .agg(
+            F.min("m").alias("start_m"),
+            F.max("m").alias("end_m"),
+            F.count("*").alias("n_months"),
+        )
+        .drop("grp")
+    )
+
+
 def q_expr_json(spark, sf_dir):
     """JSON surface: serialize columns to a JSON string and extract
     fields back out (to_json / get_json_object)."""
@@ -2436,6 +2463,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd1_upsert": q_scd1_upsert,
     "agg_histogram": q_agg_histogram,
     "ann_topk_quantized": q_ann_topk_quantized,
+    "window_gap_islands": q_window_gap_islands,
     # §2.1 sources/sinks (green r01+r02)
     "src_parquet_dir": q_src_parquet_dir,
     "src_parquet_concat_str": q_src_parquet_concat_str,
@@ -3198,6 +3226,20 @@ ORACLES: dict[str, str] = {
     """,
     "src_orc_roundtrip": """
         SELECT * FROM region
+    """,
+    "window_gap_islands": """
+        WITH m AS (
+            SELECT DISTINCT o_custkey,
+                   CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m
+            FROM orders
+        ), g AS (
+            SELECT o_custkey, m,
+                   m - ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY m) AS grp
+            FROM m
+        )
+        SELECT o_custkey, MIN(m) AS start_m, MAX(m) AS end_m,
+               COUNT(*) AS n_months
+        FROM g GROUP BY o_custkey, grp
     """,
     "scd1_upsert": """
         WITH o AS (
