@@ -1846,6 +1846,21 @@ def q_window_running(spark, sf_dir):
     )
 
 
+def q_agg_collect_sorted(spark, sf_dir):
+    """Array-aggregation surface: per region, the sorted array of
+    nation names plus its cardinality (collect_list is
+    order-nondeterministic under parallelism — array_sort makes the
+    result reproducible on any cluster, which is what lets the value
+    hash check it)."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    j = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return j.groupBy("r_name").agg(
+        F.array_sort(F.collect_list("n_name")).alias("nations"),
+        F.count("*").alias("n_nations"),
+    )
+
+
 def q_window_gap_islands(spark, sf_dir):
     """Gaps-and-islands: collapse each customer's consecutive order
     months into contiguous runs (island = month − row_number, the
@@ -2464,6 +2479,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_histogram": q_agg_histogram,
     "ann_topk_quantized": q_ann_topk_quantized,
     "window_gap_islands": q_window_gap_islands,
+    "agg_collect_sorted": q_agg_collect_sorted,
     # §2.1 sources/sinks (green r01+r02)
     "src_parquet_dir": q_src_parquet_dir,
     "src_parquet_concat_str": q_src_parquet_concat_str,
@@ -3226,6 +3242,13 @@ ORACLES: dict[str, str] = {
     """,
     "src_orc_roundtrip": """
         SELECT * FROM region
+    """,
+    "agg_collect_sorted": """
+        SELECT r.r_name,
+               list_sort(list(n.n_name)) AS nations,
+               COUNT(*) AS n_nations
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
     """,
     "window_gap_islands": """
         WITH m AS (
