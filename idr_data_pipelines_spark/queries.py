@@ -1861,6 +1861,61 @@ def q_agg_collect_sorted(spark, sf_dir):
     )
 
 
+def q_flagship_data_recipe(spark, sf_dir):
+    """Third flagship: the full training-data recipe composed from the
+    round-3 operator set, end to end in ONE lazy plan —
+
+      benchmark decontamination (3-gram broadcast overlap, ratio ≤ .05)
+      → repetition filter (top-bigram ≤ .05, top-trigram ≤ .04)
+      → length floor (≥ 30 tokens) → PII redaction → exact dedup
+      (min-id survivor per normalized-text fingerprint) → per-source
+      token-budget sample (15k chars, deterministic md5 order)
+      → per-source corpus stats.
+
+    Every stage is individually oracled elsewhere; this query proves
+    they COMPOSE — the DuckDB oracle replays the entire chain and the
+    value hash must survive all six stages."""
+    from idr_data_pipelines_spark.llmdata.decontaminate import contamination_scores
+    from idr_data_pipelines_spark.llmdata.filters import repetition_metrics
+    from idr_data_pipelines_spark.llmdata.redact import redact_pii
+    from idr_data_pipelines_spark.llmdata.sampling import sample_token_budget
+    from idr_data_pipelines_spark.llmdata.text import fingerprint, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+
+    bad = (
+        contamination_scores(corpus, bench, k=3)
+        .filter(F.col("contam_ratio") > 0.05)
+        .select("doc_id")
+    )
+    clean = corpus.join(F.broadcast(bad), "doc_id", "left_anti")
+
+    m = repetition_metrics("text")
+    kept = clean.filter(
+        (m["top_bigram_frac"] <= 0.05)
+        & (m["top_trigram_frac"] <= 0.04)
+        & (token_count("text") >= 30)
+    )
+    red = kept.withColumn("text", redact_pii("text"))
+    fp = red.withColumn("fp", fingerprint("text"))
+    reps = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    deduped = fp.join(reps, ["fp", "doc_id"], "left_semi")
+    sampled = sample_token_budget(
+        deduped.select("doc_id", "source", "lang", "n_chars"),
+        token_col="n_chars",
+        budget=15_000,
+        key_col="doc_id",
+        group_col="source",
+    )
+    return sampled.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+
+
 def q_window_gap_islands(spark, sf_dir):
     """Gaps-and-islands: collapse each customer's consecutive order
     months into contiguous runs (island = month − row_number, the
@@ -2480,6 +2535,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_quantized": q_ann_topk_quantized,
     "window_gap_islands": q_window_gap_islands,
     "agg_collect_sorted": q_agg_collect_sorted,
+    "flagship_data_recipe": q_flagship_data_recipe,
     # §2.1 sources/sinks (green r01+r02)
     "src_parquet_dir": q_src_parquet_dir,
     "src_parquet_concat_str": q_src_parquet_concat_str,
@@ -3242,6 +3298,93 @@ ORACLES: dict[str, str] = {
     """,
     "src_orc_roundtrip": """
         SELECT * FROM region
+    """,
+    # the full six-stage recipe replayed as one CTE chain; each stage's
+    # SQL form is the same fragment its standalone oracle uses
+    "flagship_data_recipe": """
+        WITH nums AS (SELECT CAST(i AS BIGINT) AS i FROM generate_series(1, 4096) t(i)),
+        toks AS (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ), grams AS (
+            SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+            FROM toks JOIN nums ON i <= len(t) - 2
+            WHERE len(t) >= 3
+            UNION ALL
+            SELECT doc_id, array_to_string(t, ' ') AS g FROM toks WHERE len(t) < 3
+        ), bench AS (
+            SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+        ), cg AS (
+            SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0
+        ), tot AS (
+            SELECT doc_id, COUNT(*) AS n_ngrams FROM cg GROUP BY doc_id
+        ), mt AS (
+            SELECT cg.doc_id, COUNT(*) AS n_matched
+            FROM cg JOIN bench USING (g) GROUP BY cg.doc_id
+        ), contam AS (
+            SELECT tot.doc_id FROM tot LEFT JOIN mt ON tot.doc_id = mt.doc_id
+            WHERE CAST(COALESCE(n_matched, 0) AS DOUBLE)
+                  / CAST(n_ngrams AS DOUBLE) > 0.05
+        ), bg AS (
+            SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+            FROM toks JOIN nums ON i <= len(t) - 1 WHERE len(t) >= 2
+        ), bgtop AS (
+            SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS frac
+            FROM (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g)
+            GROUP BY doc_id
+        ), tg AS (
+            SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+            FROM toks JOIN nums ON i <= len(t) - 2 WHERE len(t) >= 3
+        ), tgtop AS (
+            SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS frac
+            FROM (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY doc_id, g)
+            GROUP BY doc_id
+        ), kept AS (
+            SELECT c.doc_id, c.text, c.lang, c.source, c.n_chars
+            FROM documents c
+            LEFT JOIN contam ON c.doc_id = contam.doc_id
+            LEFT JOIN bgtop ON c.doc_id = bgtop.doc_id
+            LEFT JOIN tgtop ON c.doc_id = tgtop.doc_id
+            WHERE c.doc_id % 97 <> 0
+              AND contam.doc_id IS NULL
+              AND COALESCE(bgtop.frac, 0.0) <= 0.05
+              AND COALESCE(tgtop.frac, 0.0) <= 0.04
+              AND (CASE WHEN length(trim(c.text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(c.text), '\\s+')) END) >= 30
+        ), red AS (
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                         '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IPV4>', 'g'),
+                       '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+                     '\\b\\+?\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}\\b', '<PHONE>', 'g') AS text,
+                   lang, source, n_chars
+            FROM kept
+        ), fp AS (
+            SELECT *, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+            FROM red
+        ), reps AS (
+            SELECT f, MIN(doc_id) AS doc_id FROM fp GROUP BY f
+        ), deduped AS (
+            SELECT fp.doc_id, fp.source, fp.lang, fp.n_chars
+            FROM fp JOIN reps ON fp.f = reps.f AND fp.doc_id = reps.doc_id
+        ), budget AS (
+            SELECT doc_id, source, lang, n_chars,
+                   COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY
+                       CAST(('0x' || substring(md5('budget' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                           % 1000000 ASC,
+                       doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+            FROM deduped
+        )
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM budget WHERE cum < 15000
+        GROUP BY source
     """,
     "agg_collect_sorted": """
         SELECT r.r_name,
