@@ -1200,6 +1200,44 @@ def q_validate_warehouse(spark, sf_dir):
     return rep_orders.unionByName(rep_lineitem).unionByName(rep_ref)
 
 
+def q_evt_cdc_upsert_stream(spark, sf_dir):
+    """Streaming CDC dimension maintenance run as a REAL multi-batch
+    stream: order-status updates staged as 4 files, drained 2 files
+    per micro-batch (so ≥2 genuine batches), each batch merging
+    latest-per-key over (dim ∪ batch) — an associative merge, so the
+    final dimension equals the single-window batch answer regardless
+    of batching, which is exactly what the oracle checks."""
+    import os
+    import shutil
+
+    from idr_data_pipelines_spark.streaming.events import cdc_upsert_drain
+
+    upd = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_orderdate").cast("date").alias("odate"),
+    )
+    base = tempfile.mkdtemp(prefix="idr_cdc_")
+    inbox, ckpt, dim = f"{base}/in", f"{base}/ckpt", f"{base}/dim"
+    upd.repartition(4).write.mode("overwrite").parquet(inbox)
+    for f in os.listdir(inbox):  # the stream source lists data files only
+        if not f.endswith(".parquet"):
+            os.remove(os.path.join(inbox, f))
+    out = cdc_upsert_drain(
+        spark,
+        inbox,
+        upd.schema,
+        ckpt,
+        dim,
+        key_cols=["o_custkey"],
+        order_cols=["odate", "o_orderstatus"],
+        max_files_per_trigger=2,
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def q_scd2_merge_batch(spark, sf_dir):
     """Incremental SCD2 load: history built from orders up to
     1995-01-01 (scd2_from_events), then one batch of updates — the
@@ -2536,6 +2574,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_gap_islands": q_window_gap_islands,
     "agg_collect_sorted": q_agg_collect_sorted,
     "flagship_data_recipe": q_flagship_data_recipe,
+    "evt_cdc_upsert_stream": q_evt_cdc_upsert_stream,
     # §2.1 sources/sinks (green r01+r02)
     "src_parquet_dir": q_src_parquet_dir,
     "src_parquet_concat_str": q_src_parquet_concat_str,
@@ -3406,6 +3445,18 @@ ORACLES: dict[str, str] = {
         SELECT o_custkey, MIN(m) AS start_m, MAX(m) AS end_m,
                COUNT(*) AS n_months
         FROM g GROUP BY o_custkey, grp
+    """,
+    # the stream's multi-batch associative merge must converge to the
+    # single-window latest-per-key answer
+    "evt_cdc_upsert_stream": """
+        SELECT o_custkey, o_orderstatus, odate FROM (
+            SELECT o_custkey, o_orderstatus,
+                   CAST(o_orderdate AS DATE) AS odate,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                       ORDER BY CAST(o_orderdate AS DATE) DESC,
+                                o_orderstatus DESC) AS rn
+            FROM orders
+        ) WHERE rn = 1
     """,
     "scd1_upsert": """
         WITH o AS (

@@ -6,6 +6,7 @@ from idr_data_pipelines_spark.streaming.events import (
     drain_available_now,
     handle_event,
     republish,
+    cdc_upsert_drain,
     funnel_depth,
     sessionize,
     sessionize_stream,
@@ -17,6 +18,7 @@ __all__ = [
     "drain_available_now",
     "handle_event",
     "republish",
+    "cdc_upsert_drain",
     "funnel_depth",
     "sessionize",
     "sessionize_stream",

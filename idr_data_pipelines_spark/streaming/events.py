@@ -450,3 +450,77 @@ def funnel_depth(
             .alias(depth_col),
         )
     )
+
+
+def cdc_upsert_drain(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    checkpoint_dir: str,
+    dim_dir: str,
+    key_cols: list[str],
+    order_cols: list[str],
+    max_files_per_trigger: int | None = None,
+) -> "DataFrame":
+    """Streaming CDC → dimension maintenance: drain all available
+    update files and maintain a latest-per-key dimension at
+    ``dim_dir``; returns the final dimension.
+
+    Each micro-batch merges via **latest-per-key over (existing dim ∪
+    batch)**, ordering by ``order_cols`` (descending, ties broken by
+    the last column) — an associative, commutative merge, so the final
+    dimension is identical whatever the batching: one availableNow
+    batch, file-by-file trickle, or crash-and-resume from the
+    checkpoint ledger all converge to the same table (which is what
+    makes the operator exactly oracle-able as a single batch window
+    query). A blind "replace matching keys" upsert would NOT have this
+    property — a late-arriving old update would clobber newer state.
+
+    The dim is rewritten per batch (read → merge → write-tmp → swap):
+    correct for dimension-sized state (the usual CDC target); a
+    fact-sized target wants a storage layer with row-level merge
+    instead.
+    """
+    from pyspark.sql import Window
+
+    def _latest(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    cols = [f.name for f in schema.fields]
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        merged = _latest(batch_df.select(*cols))
+        try:
+            existing = s.read.schema(schema).parquet(dim_dir)
+            existing.schema
+            # pin the pre-overwrite state: the swap below rewrites the
+            # directory this frame reads from
+            merged = _latest(existing.localCheckpoint(eager=True).unionByName(merged))
+        except Exception as exc:  # first batch: no dim yet
+            if "PATH_NOT_FOUND" not in str(exc):
+                raise
+        merged.write.mode("overwrite").parquet(dim_dir)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # force genuinely multiple micro-batches under availableNow —
+        # exercises (and the oracle then proves) the merge's
+        # batching-independence
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.parquet(path)
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(schema).parquet(dim_dir)

@@ -388,3 +388,34 @@ def test_funnel_depth_order_sensitivity(spark):
         df, "user_id", "ts", "event_type", ["view", "click", "purchase"]
     ).collect()}
     assert depth == {1: 3, 2: 2, 3: 1, 4: 0, 5: 3}
+
+
+def test_cdc_upsert_drain_old_updates_never_clobber(spark, tmp_path):
+    """Two drains (separate streams, shared dim): the second delivers
+    an OLDER update for k1 and a new key k2 — k1 must keep its newer
+    state (associative latest-per-key merge, not blind replace)."""
+    import datetime as dt
+
+    from idr_data_pipelines_spark.streaming.events import cdc_upsert_drain
+
+    schema = "k string, v string, ts date"
+    dim = str(tmp_path / "dim")
+
+    def drain(tag, rows):
+        inbox = str(tmp_path / f"in_{tag}")
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(inbox)
+        import os
+        for f in os.listdir(inbox):
+            if not f.endswith(".parquet"):
+                os.remove(os.path.join(inbox, f))
+        return cdc_upsert_drain(
+            spark, inbox, df.schema, str(tmp_path / f"ck_{tag}"), dim,
+            key_cols=["k"], order_cols=["ts", "v"],
+        )
+
+    drain("a", [("k1", "new", dt.date(2024, 6, 1))])
+    out = drain("b", [("k1", "old", dt.date(2024, 1, 1)),
+                      ("k2", "x", dt.date(2024, 2, 1))])
+    got = {r["k"]: (r["v"], str(r["ts"])) for r in out.collect()}
+    assert got == {"k1": ("new", "2024-06-01"), "k2": ("x", "2024-02-01")}
