@@ -54,6 +54,7 @@ from idr_data_pipelines_spark.llmdata.sketches import (
 from idr_data_pipelines_spark.llmdata.sampling import (
     hash_bucket,
     mix_weighted,
+    mix_weighted_repeat,
     pack_sequences,
     sample_hash_mod,
     sample_stratified,
@@ -115,6 +116,7 @@ __all__ = [
     "count_min_topk",
     "hash_bucket",
     "mix_weighted",
+    "mix_weighted_repeat",
     "pack_sequences",
     "sample_hash_mod",
     "sample_stratified",

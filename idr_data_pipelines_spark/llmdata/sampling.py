@@ -225,3 +225,44 @@ def sample_token_budget(
     if cum_col:
         return out.withColumnRenamed("__cum", cum_col)
     return out.drop("__cum")
+
+
+def mix_weighted_repeat(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    weights: dict[str, float],
+    salt: str = "mixrep",
+    buckets: int = 1_000_000,
+    repeat_col: str = "repeat_idx",
+) -> DataFrame:
+    """Weighted mixing with UPsampling: a source with weight 2.5 emits
+    every row twice plus a deterministic half of the rows a third time
+    (floor(w) full epochs + the fractional epoch chosen by key hash).
+    ``mix_weighted`` covers w ≤ 1; this is the "repeat the good data"
+    half of an LLM mixing recipe (books ×3, web ×0.5).
+
+    ``repeat_col`` numbers the copies (1..n) so downstream shuffling/
+    packing can treat epochs distinctly. Pure projection + explode of
+    a ≤⌈w⌉-element sequence — no shuffle, no join, deterministic and
+    engine-portable (same md5 bucket arithmetic as the other samplers).
+    """
+    if not weights:
+        raise ValueError("empty weights")
+    src = F.col(source_col)
+    h = hash_bucket(key_col, buckets, salt)
+    copies: Column | None = None
+    for s, w in weights.items():
+        if w < 0:
+            raise ValueError(f"weight for {s!r} must be >= 0")
+        base = int(w)
+        frac_thresh = int((w - base) * buckets)
+        c = F.lit(base) + F.when(h < F.lit(frac_thresh), 1).otherwise(0)
+        copies = F.when(src == s, c) if copies is None else copies.when(src == s, c)
+    copies = copies.otherwise(F.lit(0))
+    return (
+        df.withColumn("__copies", copies)
+        .filter(F.col("__copies") > 0)
+        .withColumn(repeat_col, F.explode(F.sequence(F.lit(1), F.col("__copies"))))
+        .drop("__copies")
+    )

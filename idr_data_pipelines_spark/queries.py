@@ -1899,6 +1899,23 @@ def q_agg_collect_sorted(spark, sf_dir):
     )
 
 
+def q_mix_weighted_repeat(spark, sf_dir):
+    """Upsampling corpus mix: src0 ×2.5, src1 ×1.25, src2 ×0.5,
+    src3 ×1 (others dropped) — floor(w) full epochs per row plus the
+    fractional epoch decided by portable md5 key hash; repeat_idx
+    numbers the copies. Zero-shuffle projection + bounded explode."""
+    from idr_data_pipelines_spark.llmdata.sampling import mix_weighted_repeat
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mix_weighted_repeat(
+        docs.select("doc_id", "source"),
+        "source",
+        "doc_id",
+        {"src0": 2.5, "src1": 1.25, "src2": 0.5, "src3": 1.0},
+    )
+    return out.select("doc_id", "source", F.col("repeat_idx").cast("long").alias("repeat_idx"))
+
+
 def q_flagship_data_recipe(spark, sf_dir):
     """Third flagship: the full training-data recipe composed from the
     round-3 operator set, end to end in ONE lazy plan —
@@ -2575,6 +2592,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_collect_sorted": q_agg_collect_sorted,
     "flagship_data_recipe": q_flagship_data_recipe,
     "evt_cdc_upsert_stream": q_evt_cdc_upsert_stream,
+    "mix_weighted_repeat": q_mix_weighted_repeat,
     # §2.1 sources/sinks (green r01+r02)
     "src_parquet_dir": q_src_parquet_dir,
     "src_parquet_concat_str": q_src_parquet_concat_str,
@@ -3551,6 +3569,28 @@ ORACLES: dict[str, str] = {
                          % 1000000 < 200000
                     THEN 'holdout' ELSE 'train' END AS split
         FROM documents
+    """,
+    "mix_weighted_repeat": """
+        WITH nums AS (SELECT CAST(i AS BIGINT) AS i FROM generate_series(1, 16) t(i)),
+        d AS (
+            SELECT doc_id, source,
+                   CASE source
+                     WHEN 'src0' THEN 2 + CASE WHEN
+                       CAST(('0x' || substring(md5('mixrep' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                           % 1000000 < 500000 THEN 1 ELSE 0 END
+                     WHEN 'src1' THEN 1 + CASE WHEN
+                       CAST(('0x' || substring(md5('mixrep' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                           % 1000000 < 250000 THEN 1 ELSE 0 END
+                     WHEN 'src2' THEN 0 + CASE WHEN
+                       CAST(('0x' || substring(md5('mixrep' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                           % 1000000 < 500000 THEN 1 ELSE 0 END
+                     WHEN 'src3' THEN 1
+                     ELSE 0 END AS c
+            FROM documents
+        )
+        SELECT doc_id, source, i AS repeat_idx
+        FROM d JOIN nums ON i <= c
+        WHERE c > 0
     """,
     "mix_weighted": """
         SELECT doc_id, source

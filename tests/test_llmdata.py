@@ -577,3 +577,24 @@ def test_cosine_quantized_recall_and_exact_scores(spark):
     assert len(hits) / len(exact) >= 0.9
     for key in hits:
         assert abs(exact[key] - approx[key]) < 1e-12  # exact re-rank
+
+
+def test_mix_weighted_repeat_epochs(spark):
+    """w=2.5 → every row 2 or 3 times, ~half tripled; w=1 → exactly
+    once; w=0/absent → dropped; repeat_idx numbers copies from 1."""
+    from idr_data_pipelines_spark.llmdata.sampling import mix_weighted_repeat
+
+    rows = [(i, f"s{i % 3}") for i in range(3000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = mix_weighted_repeat(df, "source", "doc_id", {"s0": 2.5, "s1": 1.0}).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault((r["source"], r["doc_id"]), []).append(r["repeat_idx"])
+    assert all(s != "s2" for s, _ in per_doc)
+    s0_counts = [len(v) for (s, _), v in per_doc.items() if s == "s0"]
+    assert set(s0_counts) <= {2, 3}
+    frac3 = sum(1 for c in s0_counts if c == 3) / len(s0_counts)
+    assert 0.4 < frac3 < 0.6
+    assert all(len(v) == 1 for (s, _), v in per_doc.items() if s == "s1")
+    for v in per_doc.values():
+        assert sorted(v) == list(range(1, len(v) + 1))
