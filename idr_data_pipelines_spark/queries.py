@@ -836,6 +836,24 @@ def q_evt_windowed_counts(spark, sf_dir):
     )
 
 
+def q_evt_retention_cohorts(spark, sf_dir):
+    """Retention cohort matrix: users grouped by first-active day
+    (cohort), counted by days-since-cohort (age) — the standard
+    product-analytics triangle, at day grain because the synthetic
+    event stream spans one month. Two aggregations over distinct
+    (user, day) activity + one join back to the per-user cohort;
+    every shuffle is on user_id or (cohort, age), both low-card."""
+    ev = _events(spark, sf_dir)
+    day = F.unix_date(F.to_date("ts")).cast("long")
+    active = ev.select("user_id", day.alias("m")).distinct()
+    cohort = active.groupBy("user_id").agg(F.min("m").alias("cohort_m"))
+    return (
+        active.join(cohort, "user_id")
+        .groupBy("cohort_m", (F.col("m") - F.col("cohort_m")).alias("age"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
 def q_evt_funnel(spark, sf_dir):
     """Ordered conversion funnel view → click → purchase: users
     counted at each step they reached, each step strictly after the
@@ -2593,6 +2611,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_data_recipe": q_flagship_data_recipe,
     "evt_cdc_upsert_stream": q_evt_cdc_upsert_stream,
     "mix_weighted_repeat": q_mix_weighted_repeat,
+    "evt_retention_cohorts": q_evt_retention_cohorts,
     # §2.1 sources/sinks (green r01+r02)
     "src_parquet_dir": q_src_parquet_dir,
     "src_parquet_concat_str": q_src_parquet_concat_str,
@@ -3503,6 +3522,19 @@ ORACLES: dict[str, str] = {
                MAX(o_totalprice) AS hi
         FROM orders
         GROUP BY 1
+    """,
+    "evt_retention_cohorts": """
+        WITH active AS (
+            SELECT DISTINCT user_id,
+                   CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS m
+            FROM events
+        ), cohort AS (
+            SELECT user_id, MIN(m) AS cohort_m FROM active GROUP BY user_id
+        )
+        SELECT c.cohort_m, a.m - c.cohort_m AS age,
+               COUNT(DISTINCT a.user_id) AS n_users
+        FROM active a JOIN cohort c ON a.user_id = c.user_id
+        GROUP BY c.cohort_m, a.m - c.cohort_m
     """,
     # recursive min-after-prev-step definition ≡ the Spark side's
     # greedy sorted-array fold (both engines compare micro-truncated
