@@ -186,3 +186,16 @@ def test_plan_linter_sweep_headline_queries(spark, sf_dir):
     # side — the linter reports it; humans waive it knowingly
     q22 = QUERIES["q22_idle_rich_customers"](spark, sf_dir)
     assert "cartesian-product" in {f.rule for f in lint_plan(q22)}
+
+
+def test_new_event_analytics_plan_shapes(spark, sf_dir):
+    """Funnel: single user-key shuffle for the fold (plus the final
+    1-row aggregate); retention: shuffles only on user/cohort keys;
+    upsampling mixer: zero shuffles (projection + bounded explode)."""
+    plan = _plan(QUERIES["evt_funnel"](spark, sf_dir))
+    assert "hashpartitioning(user_id" in plan, plan
+    plan = _plan(QUERIES["mix_weighted_repeat"](spark, sf_dir))
+    assert _n_shuffles(plan) == 0, plan
+    assert "Generate explode" in plan, plan
+    plan = _plan(QUERIES["evt_retention_cohorts"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan, plan
