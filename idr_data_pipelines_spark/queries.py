@@ -1256,6 +1256,40 @@ def q_evt_cdc_upsert_stream(spark, sf_dir):
     return out
 
 
+def q_evt_topk_stream(spark, sf_dir):
+    """Streaming heavy hitters run as a REAL multi-batch stream: events
+    staged as 4 files, drained 2 per micro-batch (≥2 genuine batches),
+    each batch's partial counts summed into running state — an
+    associative merge, so the final exact top-25 users equal the
+    single-window batch answer regardless of batching, which is
+    exactly what the oracle checks."""
+    import os
+    import shutil
+
+    from idr_data_pipelines_spark.streaming.events import topk_stream_drain
+
+    ev = _events(spark, sf_dir).select("user_id", "event_type")
+    base = tempfile.mkdtemp(prefix="idr_topk_")
+    inbox, ckpt, state = f"{base}/in", f"{base}/ckpt", f"{base}/state"
+    ev.repartition(4).write.mode("overwrite").parquet(inbox)
+    for f in os.listdir(inbox):  # the stream source lists data files only
+        if not f.endswith(".parquet"):
+            os.remove(os.path.join(inbox, f))
+    out = topk_stream_drain(
+        spark,
+        inbox,
+        ev.schema,
+        ckpt,
+        state,
+        key_cols=["user_id"],
+        k=25,
+        max_files_per_trigger=2,
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def q_scd2_merge_batch(spark, sf_dir):
     """Incremental SCD2 load: history built from orders up to
     1995-01-01 (scd2_from_events), then one batch of updates — the
@@ -2612,6 +2646,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "evt_cdc_upsert_stream": q_evt_cdc_upsert_stream,
     "mix_weighted_repeat": q_mix_weighted_repeat,
     "evt_retention_cohorts": q_evt_retention_cohorts,
+    "evt_topk_stream": q_evt_topk_stream,
     # §2.1 sources/sinks (green r01+r02)
     "src_parquet_dir": q_src_parquet_dir,
     "src_parquet_concat_str": q_src_parquet_concat_str,
@@ -3494,6 +3529,13 @@ ORACLES: dict[str, str] = {
                                 o_orderstatus DESC) AS rn
             FROM orders
         ) WHERE rn = 1
+    """,
+    "evt_topk_stream": """
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events
+        GROUP BY user_id
+        ORDER BY cnt DESC, user_id ASC
+        LIMIT 25
     """,
     "scd1_upsert": """
         WITH o AS (

@@ -524,3 +524,76 @@ def cdc_upsert_drain(
     )
     q.awaitTermination()
     return spark.read.schema(schema).parquet(dim_dir)
+
+
+def topk_stream_drain(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    checkpoint_dir: str,
+    state_dir: str,
+    key_cols: list[str],
+    k: int = 20,
+    max_files_per_trigger: int | None = None,
+) -> "DataFrame":
+    """Streaming heavy hitters: drain all available event files and
+    maintain a running per-key count table at ``state_dir``; return the
+    final EXACT top-k by (count desc, keys asc).
+
+    Each micro-batch contributes a partial ``groupBy(keys).count()``
+    that is merged into the state by key-wise SUM — addition is
+    associative and commutative, so the final counts are identical
+    whatever the batching (one availableNow window, file-by-file
+    trickle, or crash-and-resume), which makes the operator exactly
+    oracle-able as a plain batch GROUP BY + ORDER BY LIMIT.
+
+    100 TB design: the per-batch partial agg collapses each batch to
+    ≤ |distinct keys in batch| rows before touching state, and the
+    state table is key-cardinality-sized, not stream-sized. For key
+    spaces too large to materialize, pair the count-min sketch with a
+    candidate heap instead (``llmdata/sketches.py``) — this operator is
+    the exact path for executor-bounded key spaces (users, pages,
+    status codes), which is the common monitoring case.
+    """
+    from pyspark.sql.types import LongType, StructField
+
+    state_schema = StructType(
+        [StructField(c, schema[c].dataType) for c in key_cols]
+        + [StructField("cnt", LongType())]
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        partial = batch_df.groupBy(*key_cols).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        try:
+            existing = s.read.schema(state_schema).parquet(state_dir)
+            # pin pre-overwrite state: the write below replaces the
+            # directory this frame reads from
+            partial = (
+                existing.localCheckpoint(eager=True)
+                .unionByName(partial)
+                .groupBy(*key_cols)
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        except Exception as exc:  # first batch: no state yet
+            if "PATH_NOT_FOUND" not in str(exc):
+                raise
+        partial.write.mode("overwrite").parquet(state_dir)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.parquet(path)
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    counts = spark.read.schema(state_schema).parquet(state_dir)
+    return counts.orderBy(
+        F.desc("cnt"), *[F.asc(c) for c in key_cols]
+    ).limit(k)
