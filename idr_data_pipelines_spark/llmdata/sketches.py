@@ -119,3 +119,79 @@ def count_min_topk(
     keys = df.select(key_col).filter(F.col(key_col).isNotNull()).distinct()
     est = count_min_estimate(sketch, keys, key_col, depth, width)
     return est.orderBy(F.desc("est_count"), F.asc(key_col)).limit(k)
+
+
+def _mg_add(counters: dict, key, w: int, m: int) -> None:
+    """Fold one weighted item into a Misra-Gries summary of ≤ m-1
+    entries: add, then if over capacity subtract the smallest count
+    that evicts enough entries (the batched form of MG's decrement-all
+    step; total subtracted weight stays ≤ N/m overall)."""
+    counters[key] = counters.get(key, 0) + w
+    if len(counters) > m - 1:
+        cnts = sorted(counters.values())
+        d = cnts[len(counters) - (m - 1) - 1]
+        for k2 in list(counters):
+            c = counters[k2] - d
+            if c > 0:
+                counters[k2] = c
+            else:
+                del counters[k2]
+
+
+def misra_gries_topk(
+    df: DataFrame,
+    key_col: str,
+    m: int = 64,
+    k: int = 20,
+) -> DataFrame:
+    """Bounded-state heavy hitters (Misra-Gries 1982, mergeable form of
+    Agarwal et al. 2012): (key, est_count) for the top-k summary
+    entries, ``est_count`` an UNDER-estimate with
+    ``true − N/m ≤ est ≤ true``, so every key with true frequency
+    > N/m is guaranteed present. State is ≤ m−1 counters per partition
+    — independent of both stream length and key cardinality, the
+    bounded-memory alternative to ``topk_stream_drain``'s exact
+    key-cardinality state (streaming/events.py).
+
+    100 TB design: pass 1 folds each partition into an m−1-entry
+    summary (mapInPandas, one sequential scan, no shuffle); pass 2
+    merges the ≤ partitions·(m−1) summary rows — a few KB regardless of
+    input size — by key-sum plus one final MG reduction on a single
+    task. Summaries are fold-order-deterministic, so reruns on the same
+    file layout reproduce bit-identical estimates.
+    """
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(key_col, df.schema[key_col].dataType),
+            StructField("est_count", LongType()),
+        ]
+    )
+
+    def partition_mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            vc = pdf[key_col].dropna().value_counts(sort=False)
+            # sort for fold-order determinism across equal-content runs
+            for key in sorted(vc.index.tolist()):
+                _mg_add(counters, key, int(vc[key]), m)
+        yield pd.DataFrame(
+            {key_col: list(counters.keys()), "est_count": list(counters.values())}
+        )
+
+    def merge_mg(batches):
+        counters: dict = {}
+        rows = pd.concat(list(batches), ignore_index=True)
+        if len(rows):
+            summed = rows.groupby(key_col, sort=True)["est_count"].sum()
+            for key in summed.index.tolist():
+                _mg_add(counters, key, int(summed[key]), m)
+        yield pd.DataFrame(
+            {key_col: list(counters.keys()), "est_count": list(counters.values())}
+        )
+
+    partials = df.select(key_col).mapInPandas(partition_mg, out_schema)
+    merged = partials.repartition(1).mapInPandas(merge_mg, out_schema)
+    return merged.orderBy(F.desc("est_count"), F.asc(key_col)).limit(k)

@@ -1079,6 +1079,21 @@ def q_sketch_count_min(spark, sf_dir):
     return est.join(exact, "user_id").select("user_id", "est_count", "exact_count")
 
 
+def q_sketch_topk_mg(spark, sf_dir):
+    """Bounded-state heavy hitters (Misra-Gries): top-20 users by
+    summary estimate with m=64 counters per partition — state is
+    independent of stream length AND key cardinality, the
+    bounded-memory counterpart to ``evt_topk_stream``'s exact
+    key-cardinality state. Estimates are fold-order dependent (not
+    SQL-expressible) → rows-only driver check; the true−N/m ≤ est ≤
+    true bound and the all-hitters-present guarantee are pinned in
+    tests/test_llmdata.py."""
+    from idr_data_pipelines_spark.llmdata.sketches import misra_gries_topk
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    return misra_gries_topk(ev, "user_id", m=64, k=20)
+
+
 def q_sketch_hll_union(spark, sf_dir):
     """Mergeable distinct-count sketches (Apache DataSketches HLL,
     Spark 3.5+): per-event-type user sketches via hll_sketch_agg,
@@ -2647,6 +2662,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mix_weighted_repeat": q_mix_weighted_repeat,
     "evt_retention_cohorts": q_evt_retention_cohorts,
     "evt_topk_stream": q_evt_topk_stream,
+    "sketch_topk_mg": q_sketch_topk_mg,
     # §2.1 sources/sinks (green r01+r02)
     "src_parquet_dir": q_src_parquet_dir,
     "src_parquet_concat_str": q_src_parquet_concat_str,
@@ -4142,5 +4158,8 @@ NO_ORACLE: frozenset[str] = frozenset(
         # int8 rounding + candidate-set membership aren't portably
         # SQL-expressible; recall vs brute force pinned in tests
         "ann_topk_quantized",
+        # Misra-Gries estimates depend on partition fold order (not
+        # SQL-expressible); N/m under-estimate bound pinned in tests
+        "sketch_topk_mg",
     }
 )

@@ -333,6 +333,41 @@ def test_count_min_topk_finds_heavy_hitters(spark):
     assert top[0]["est_count"] == 400
 
 
+def test_misra_gries_bounds_and_hitters(spark):
+    """MG guarantees: every estimate is an under-estimate within N/m of
+    the true count, every key with true count > N/m survives into the
+    merged summary, and state never exceeds m-1 entries. m=8 over a
+    zipf-ish 20-key stream forces heavy eviction."""
+    from idr_data_pipelines_spark.llmdata.sketches import misra_gries_topk
+
+    rows = [(f"k{i:02d}",) for i in range(20) for _ in range((20 - i) ** 2)]
+    df = spark.createDataFrame(rows, ["key"]).repartition(4)
+    exact = {
+        r["key"]: r["n"]
+        for r in df.groupBy("key").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = sum(exact.values())
+    m = 8
+    # k=m so the final limit never trims the summary (summary ≤ m-1)
+    summary = {
+        r["key"]: r["est_count"]
+        for r in misra_gries_topk(df, "key", m=m, k=m).collect()
+    }
+    assert len(summary) <= m - 1
+    for key, est in summary.items():
+        assert est <= exact[key], key
+        assert exact[key] - est <= n_total / m, key
+    for key, true in exact.items():
+        if true > n_total / m:
+            assert key in summary, (key, true, n_total / m)
+    # exactness when state is never pressured: m above cardinality
+    wide = {
+        r["key"]: r["est_count"]
+        for r in misra_gries_topk(df, "key", m=64, k=64).collect()
+    }
+    assert wide == exact
+
+
 # ---------------------------------------------- deterministic sampling
 
 def test_sample_hash_mod_stable_under_partitioning(spark):
