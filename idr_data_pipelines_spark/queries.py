@@ -208,6 +208,44 @@ def q_src_orc_roundtrip(spark, sf_dir):
     return spark.read.orc(path)
 
 
+def q_src_partitioned_prune(spark, sf_dir):
+    """Hive-partitioned lake layout + partition pruning: events are
+    written partitioned by event date (the standard directory layout
+    for a 100 TB fact table), then read back with a one-week filter.
+    Catalyst resolves the predicate against the directory listing
+    (PartitionFilters) before any file is opened, so only 7 of the 30
+    day-directories are scanned — at warehouse scale the difference
+    between reading 100 TB and ~3 TB. tests/test_sources.py pins
+    ``inputFiles()`` to exactly the matching directories. The result
+    aggregates per (day, event_type) so the oracle replays the same
+    filter on the raw table."""
+    import shutil
+
+    from idr_data_pipelines_spark.sources.sinks import sink_parquet_overwrite
+
+    ev = _events(spark, sf_dir).withColumn("event_date", F.col("ts").cast("date"))
+    base = tempfile.mkdtemp(prefix="idr_part_")
+    lake = f"{base}/events_by_day"
+    sink_parquet_overwrite(
+        ev.select("event_id", "user_id", "event_type", "event_date"),
+        lake,
+        partition_by=["event_date"],
+    )
+    out = (
+        spark.read.parquet(lake)
+        .filter(
+            F.col("event_date").between(
+                F.lit("2024-01-08").cast("date"), F.lit("2024-01-14").cast("date")
+            )
+        )
+        .groupBy("event_date", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def q_scd1_upsert(spark, sf_dir):
     """SCD type-1 keyed upsert (MERGE INTO semantics, no history):
     latest pre-cutoff status per customer as the base table, latest
@@ -2663,6 +2701,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "evt_retention_cohorts": q_evt_retention_cohorts,
     "evt_topk_stream": q_evt_topk_stream,
     "sketch_topk_mg": q_sketch_topk_mg,
+    "src_partitioned_prune": q_src_partitioned_prune,
     # §2.1 sources/sinks (green r01+r02)
     "src_parquet_dir": q_src_parquet_dir,
     "src_parquet_concat_str": q_src_parquet_concat_str,
@@ -3425,6 +3464,13 @@ ORACLES: dict[str, str] = {
     """,
     "src_orc_roundtrip": """
         SELECT * FROM region
+    """,
+    "src_partitioned_prune": """
+        SELECT CAST(ts AS DATE) AS event_date, event_type,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events
+        WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+        GROUP BY 1, 2
     """,
     # the full six-stage recipe replayed as one CTE chain; each stage's
     # SQL form is the same fragment its standalone oracle uses

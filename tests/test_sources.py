@@ -130,6 +130,43 @@ def test_json_lines_roundtrip_with_schema(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, region.collect()))
 
 
+def test_partition_pruned_scan_reads_only_matching_dirs(spark, sf_dir, tmp_path):
+    """A date filter on a hive-partitioned layout must prune at the
+    directory level: inputFiles() of the filtered frame may only name
+    the 7 matching event_date=... directories (partition pruning, not
+    row filtering — the other 23 days' files are never opened)."""
+    from idr_data_pipelines_spark.queries import _events
+    from idr_data_pipelines_spark.sources.sinks import sink_parquet_overwrite
+
+    lake = str(tmp_path / "events_by_day")
+    ev = _events(spark, sf_dir).withColumn("event_date", F.col("ts").cast("date"))
+    sink_parquet_overwrite(
+        ev.select("event_id", "event_type", "event_date"),
+        lake,
+        partition_by=["event_date"],
+    )
+    lo, hi = "2024-01-08", "2024-01-14"
+    filtered = spark.read.parquet(lake).filter(
+        F.col("event_date").between(
+            F.lit(lo).cast("date"), F.lit(hi).cast("date")
+        )
+    )
+    # the scan must carry both date bounds as PartitionFilters —
+    # resolved against the directory listing, before any file opens
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    pf = next(
+        (ln for ln in plan.splitlines() if "PartitionFilters" in ln), ""
+    )
+    assert "event_date" in pf and ">=" in pf and "<=" in pf, plan
+    # listing-time proof: force the scan's partition selection and read
+    # its own metric — 7 of the 30 day-directories selected (pruned at
+    # the file-index level, not filtered row-wise after reading)
+    scan = filtered._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    scan.selectedPartitions()
+    assert scan.metrics().apply("numPartitions").value() == 7
+    assert filtered.count() > 0
+
+
 def test_compact_parquet_dir_merges_small_files(spark, tmp_path):
     """64 tiny files compact to the computed target count; rows and
     values survive the swap byte-for-byte."""
