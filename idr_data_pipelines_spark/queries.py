@@ -2021,6 +2021,19 @@ def q_mix_weighted_repeat(spark, sf_dir):
     return out.select("doc_id", "source", F.col("repeat_idx").cast("long").alias("repeat_idx"))
 
 
+def q_ids_global_contiguous(spark, sf_dir):
+    """Contiguous global example ids 0..N−1 in doc_id order — range
+    repartition + per-partition sequence + broadcast prefix-sum
+    offsets, NOT a single-partition row_number window and NOT sparse
+    monotonically_increasing_id. The one table shuffle is shared by
+    the data and counts branches via ReuseExchange
+    (llmdata/sampling.py assign_global_ids)."""
+    from idr_data_pipelines_spark.llmdata.sampling import assign_global_ids
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return assign_global_ids(docs, "doc_id")
+
+
 def q_flagship_data_recipe(spark, sf_dir):
     """Third flagship: the full training-data recipe composed from the
     round-3 operator set, end to end in ONE lazy plan —
@@ -2702,6 +2715,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "evt_topk_stream": q_evt_topk_stream,
     "sketch_topk_mg": q_sketch_topk_mg,
     "src_partitioned_prune": q_src_partitioned_prune,
+    "ids_global_contiguous": q_ids_global_contiguous,
     # §2.1 sources/sinks (green r01+r02)
     "src_parquet_dir": q_src_parquet_dir,
     "src_parquet_concat_str": q_src_parquet_concat_str,
@@ -3727,6 +3741,11 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, source, i AS repeat_idx
         FROM d JOIN nums ON i <= c
         WHERE c > 0
+    """,
+    "ids_global_contiguous": """
+        SELECT doc_id, source,
+               CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS global_id
+        FROM documents
     """,
     "mix_weighted": """
         SELECT doc_id, source

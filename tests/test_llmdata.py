@@ -333,6 +333,27 @@ def test_count_min_topk_finds_heavy_hitters(spark):
     assert top[0]["est_count"] == 400
 
 
+def test_assign_global_ids_contiguous_and_partition_invariant(spark):
+    """Ids are exactly 0..N−1, ordered by the key, and identical
+    whatever the input partitioning; the table is range-shuffled once
+    (the counts branch reuses the data branch's exchange)."""
+    from idr_data_pipelines_spark.llmdata.sampling import assign_global_ids
+
+    df = spark.range(0, 5000).select((F.col("id") * 7 % 10007).alias("k"))
+    out = assign_global_ids(df, "k", num_partitions=8)
+    rows = out.collect()
+    assert sorted(r["global_id"] for r in rows) == list(range(5000))
+    by_key = sorted(rows, key=lambda r: r["k"])
+    assert [r["global_id"] for r in by_key] == list(range(5000))
+    out2 = assign_global_ids(df.repartition(13), "k", num_partitions=8)
+    assert sorted(map(tuple, out2.collect())) == sorted(map(tuple, rows))
+    # one table shuffle: the counts branch's range exchange must be a
+    # runtime ReusedExchange of the data branch's (AQE stage reuse)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "ReusedExchange" in final, final
+
+
 def test_misra_gries_bounds_and_hitters(spark):
     """MG guarantees: every estimate is an under-estimate within N/m of
     the true count, every key with true count > N/m survives into the
