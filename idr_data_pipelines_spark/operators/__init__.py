@@ -38,6 +38,7 @@ from idr_data_pipelines_spark.operators.joins import (
 from idr_data_pipelines_spark.operators.aggregate import (
     agg_cube,
     agg_groupby_max_all,
+    agg_mode,
     agg_rollup,
     agg_max_date,
     agg_pivot_sum_case,
@@ -69,6 +70,7 @@ __all__ = [
     "join_semi",
     "agg_cube",
     "agg_groupby_max_all",
+    "agg_mode",
     "agg_rollup",
     "agg_max_date",
     "agg_pivot_sum_case",

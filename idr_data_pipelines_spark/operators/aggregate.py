@@ -8,7 +8,7 @@ is 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -71,3 +71,41 @@ def agg_cube(
 ) -> DataFrame:
     """``GROUP BY CUBE(keys)`` — aggregates for every key subset."""
     return df.cube(*keys).agg(*aggs)
+
+
+def agg_mode(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    mode_col: str = "mode_value",
+    count_col: str = "mode_count",
+) -> DataFrame:
+    """Deterministic per-group mode: the most frequent ``value_col``
+    per group, ties broken by smallest value — unlike the built-in
+    ``F.mode`` whose tie winner is arbitrary (and therefore neither
+    reproducible nor oracle-able).
+
+    Two-level aggregation: count per (group, value) — the heavy
+    shuffle, with map-side combine, cardinality |groups × values| —
+    then a row_number window per group over those counts (second
+    shuffle over the already-collapsed frame). Skew-safe: a hot group
+    spreads across partitions in the first agg and only its distinct
+    values meet in the window.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc("__cnt"), F.asc(value_col)
+    )
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, value_col)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    return (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *group_cols,
+            F.col(value_col).alias(mode_col),
+            F.col("__cnt").alias(count_col),
+        )
+    )

@@ -291,6 +291,28 @@ def q_agg_histogram(spark, sf_dir):
     )
 
 
+def q_agg_mode(spark, sf_dir):
+    """Deterministic per-group mode: the most common order priority per
+    customer market segment (ties → smallest value, unlike the
+    built-in ``F.mode`` whose tie winner is arbitrary). Fact⋈dim hash
+    join, two-level count + per-group row_number over the collapsed
+    (segment, priority) frame (operators/aggregate.py agg_mode)."""
+    from idr_data_pipelines_spark.operators import agg_mode
+
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    return agg_mode(
+        joined,
+        ["c_mktsegment"],
+        "o_orderpriority",
+        mode_col="top_priority",
+        count_col="n_orders",
+    )
+
+
 def q_evt_trigger_audit(spark, sf_dir):
     """evt_trigger end-to-end, driver-visible (§2.8 first half): replay
     a fixed base64 event payload through handle_event
@@ -2716,6 +2738,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_topk_mg": q_sketch_topk_mg,
     "src_partitioned_prune": q_src_partitioned_prune,
     "ids_global_contiguous": q_ids_global_contiguous,
+    "agg_mode": q_agg_mode,
     # §2.1 sources/sinks (green r01+r02)
     "src_parquet_dir": q_src_parquet_dir,
     "src_parquet_concat_str": q_src_parquet_concat_str,
@@ -3640,6 +3663,22 @@ ORACLES: dict[str, str] = {
                MAX(o_totalprice) AS hi
         FROM orders
         GROUP BY 1
+    """,
+    "agg_mode": """
+        WITH counts AS (
+            SELECT c_mktsegment, o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2
+        )
+        SELECT c_mktsegment, o_orderpriority AS top_priority,
+               cnt AS n_orders
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY c_mktsegment
+                ORDER BY cnt DESC, o_orderpriority ASC) AS rn
+            FROM counts
+        ) WHERE rn = 1
     """,
     "evt_retention_cohorts": """
         WITH active AS (
