@@ -2011,6 +2011,77 @@ def q_window_running(spark, sf_dir):
     )
 
 
+def q_window_rolling_sum(spark, sf_dir):
+    """Trailing-frame time series: daily event counts per type, the
+    7-row trailing sum, and an integer spike flag (7·today > 2·rolling
+    ⟺ today > 2× the trailing daily average — integer arithmetic, so
+    the oracle comparison is exact). Bounded ROWS frame over a grouped
+    daily series: the frame never buffers more than 7 rows per
+    partition, the scale-safe form of rolling statistics (an
+    unbounded RANGE frame would buffer whole partitions)."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-6, 0)
+    rolling = F.sum("cnt").over(w)
+    return daily.select(
+        "d",
+        "event_type",
+        "cnt",
+        rolling.alias("rolling7"),
+        (F.col("cnt") * F.lit(7) > F.lit(2) * rolling).alias("spike"),
+    )
+
+
+def q_join_interval_overlap(spark, sf_dir):
+    """Interval×interval overlap join: pairs of 31-day order
+    fulfillment windows ([o_orderdate, +30d]) of the SAME customer
+    that overlap in time (k1 < k2 to emit each pair once), with the
+    overlap length in days. The customer key co-partitions both sides
+    — one hash shuffle, overlap predicate evaluated inside the join,
+    no cartesian. Intervals with NO shared key would instead bucket
+    into fixed time chunks and equi-join on chunk — join_range's band
+    trick generalized to interval×interval."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("s"),
+    )
+    a = o.select(
+        F.col("o_custkey").alias("ck1"),
+        F.col("o_orderkey").alias("k1"),
+        F.col("s").alias("s1"),
+        F.date_add("s", 30).alias("e1"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("ck2"),
+        F.col("o_orderkey").alias("k2"),
+        F.col("s").alias("s2"),
+        F.date_add("s", 30).alias("e2"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("ck1") == F.col("ck2"))
+            & (F.col("k1") < F.col("k2"))
+            & (F.col("s1") <= F.col("e2"))
+            & (F.col("s2") <= F.col("e1")),
+        )
+        .select(
+            F.col("ck1").alias("o_custkey"),
+            "k1",
+            "k2",
+            (
+                F.datediff(
+                    F.least("e1", "e2"), F.greatest("s1", "s2")
+                )
+                + F.lit(1)
+            ).cast("long").alias("overlap_days"),
+        )
+    )
+
+
 def q_agg_collect_sorted(spark, sf_dir):
     """Array-aggregation surface: per region, the sorted array of
     nation names plus its cardinality (collect_list is
@@ -2739,6 +2810,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "src_partitioned_prune": q_src_partitioned_prune,
     "ids_global_contiguous": q_ids_global_contiguous,
     "agg_mode": q_agg_mode,
+    "window_rolling_sum": q_window_rolling_sum,
+    "join_interval_overlap": q_join_interval_overlap,
     # §2.1 sources/sinks (green r01+r02)
     "src_parquet_dir": q_src_parquet_dir,
     "src_parquet_concat_str": q_src_parquet_concat_str,
@@ -3663,6 +3736,34 @@ ORACLES: dict[str, str] = {
                MAX(o_totalprice) AS hi
         FROM orders
         GROUP BY 1
+    """,
+    "window_rolling_sum": """
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        )
+        SELECT d, event_type, cnt,
+               CAST(SUM(cnt) OVER w AS BIGINT) AS rolling7,
+               (cnt * 7 > 2 * SUM(cnt) OVER w) AS spike
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY d
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    "join_interval_overlap": """
+        WITH o AS (
+            SELECT o_custkey, o_orderkey,
+                   CAST(o_orderdate AS DATE) AS s,
+                   CAST(o_orderdate AS DATE) + 30 AS e
+            FROM orders
+        )
+        SELECT a.o_custkey, a.o_orderkey AS k1, b.o_orderkey AS k2,
+               CAST(DATE_DIFF('day', GREATEST(a.s, b.s),
+                              LEAST(a.e, b.e)) + 1 AS BIGINT) AS overlap_days
+        FROM o a JOIN o b
+          ON a.o_custkey = b.o_custkey
+         AND a.o_orderkey < b.o_orderkey
+         AND a.s <= b.e AND b.s <= a.e
     """,
     "agg_mode": """
         WITH counts AS (
