@@ -1365,6 +1365,42 @@ def q_evt_topk_stream(spark, sf_dir):
     return out
 
 
+def q_evt_distinct_stream(spark, sf_dir):
+    """Streaming approximate distinct users per event type, run as a
+    REAL multi-batch stream (4 files, 2 per micro-batch): per-batch
+    HLL sketches merged into state with hll_union_agg — register-max
+    is associative AND idempotent, so the streamed sketch equals the
+    one-shot batch sketch exactly (pinned in tests/test_streaming.py)
+    and a replayed batch cannot inflate the count. DataSketches bytes
+    aren't portable SQL → rows-only driver check; ±5% accuracy vs
+    exact distinct is asserted in tests."""
+    import os
+    import shutil
+
+    from idr_data_pipelines_spark.streaming.events import distinct_stream_drain
+
+    ev = _events(spark, sf_dir).select("user_id", "event_type")
+    base = tempfile.mkdtemp(prefix="idr_dist_")
+    inbox, ckpt, state = f"{base}/in", f"{base}/ckpt", f"{base}/state"
+    ev.repartition(4).write.mode("overwrite").parquet(inbox)
+    for f in os.listdir(inbox):  # the stream source lists data files only
+        if not f.endswith(".parquet"):
+            os.remove(os.path.join(inbox, f))
+    out = distinct_stream_drain(
+        spark,
+        inbox,
+        ev.schema,
+        ckpt,
+        state,
+        key_col="user_id",
+        group_col="event_type",
+        max_files_per_trigger=2,
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def q_scd2_merge_batch(spark, sf_dir):
     """Incremental SCD2 load: history built from orders up to
     1995-01-01 (scd2_from_events), then one batch of updates — the
@@ -2812,6 +2848,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_mode": q_agg_mode,
     "window_rolling_sum": q_window_rolling_sum,
     "join_interval_overlap": q_join_interval_overlap,
+    "evt_distinct_stream": q_evt_distinct_stream,
     # §2.1 sources/sinks (green r01+r02)
     "src_parquet_dir": q_src_parquet_dir,
     "src_parquet_concat_str": q_src_parquet_concat_str,
@@ -4366,5 +4403,8 @@ NO_ORACLE: frozenset[str] = frozenset(
         # Misra-Gries estimates depend on partition fold order (not
         # SQL-expressible); N/m under-estimate bound pinned in tests
         "sketch_topk_mg",
+        # DataSketches HLL bytes aren't portable SQL; streamed==batch
+        # equality + ±5% accuracy pinned in tests/test_streaming.py
+        "evt_distinct_stream",
     }
 )

@@ -597,3 +597,75 @@ def topk_stream_drain(
     return counts.orderBy(
         F.desc("cnt"), *[F.asc(c) for c in key_cols]
     ).limit(k)
+
+
+def distinct_stream_drain(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    checkpoint_dir: str,
+    state_dir: str,
+    key_col: str,
+    group_col: str,
+    max_files_per_trigger: int | None = None,
+) -> "DataFrame":
+    """Streaming approximate distinct-count: drain all available event
+    files, maintaining one DataSketches HLL sketch per ``group_col``
+    value at ``state_dir``; return (group, approx_distinct).
+
+    Each micro-batch builds per-group sketches (``hll_sketch_agg``)
+    and merges them into state with ``hll_union_agg`` — register-max
+    is associative, commutative AND idempotent, so the final sketch is
+    byte-identical to the one-shot batch sketch whatever the batching
+    (tests assert streamed estimate == batch estimate exactly).
+    Idempotence matters specifically for streams: a replayed batch
+    (crash between state write and checkpoint commit) cannot inflate
+    the count, unlike the SUM merge in ``topk_stream_drain``.
+
+    100 TB design: state is |groups| sketches of fixed size (~KB at
+    lgK=12) — independent of both stream length and key cardinality;
+    per-batch work collapses map-side to |batch groups| rows before
+    touching state.
+    """
+    from pyspark.sql.types import BinaryType, StructField
+
+    state_schema = StructType(
+        [
+            StructField(group_col, schema[group_col].dataType),
+            StructField("sk", BinaryType()),
+        ]
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        partial = batch_df.groupBy(group_col).agg(
+            F.hll_sketch_agg(key_col).alias("sk")
+        )
+        try:
+            existing = s.read.schema(state_schema).parquet(state_dir)
+            partial = (
+                existing.localCheckpoint(eager=True)
+                .unionByName(partial)
+                .groupBy(group_col)
+                .agg(F.hll_union_agg("sk").alias("sk"))
+            )
+        except Exception as exc:  # first batch: no state yet
+            if "PATH_NOT_FOUND" not in str(exc):
+                raise
+        partial.write.mode("overwrite").parquet(state_dir)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.parquet(path)
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = spark.read.schema(state_schema).parquet(state_dir)
+    return state.select(
+        group_col, F.hll_sketch_estimate("sk").alias("approx_distinct")
+    )

@@ -419,3 +419,43 @@ def test_cdc_upsert_drain_old_updates_never_clobber(spark, tmp_path):
                       ("k2", "x", dt.date(2024, 2, 1))])
     got = {r["k"]: (r["v"], str(r["ts"])) for r in out.collect()}
     assert got == {"k1": ("new", "2024-06-01"), "k2": ("x", "2024-02-01")}
+
+
+def test_distinct_stream_matches_batch_sketch_exactly(spark, sf_dir, tmp_path):
+    """The multi-batch streamed HLL estimate must EQUAL the one-shot
+    batch hll_sketch_agg estimate (register-max merge is associative
+    and idempotent), and sit within ±5% of the exact distinct count."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from idr_data_pipelines_spark.queries import _events
+    from idr_data_pipelines_spark.streaming.events import distinct_stream_drain
+
+    ev = _events(spark, sf_dir).select("user_id", "event_type")
+    inbox = str(tmp_path / "in")
+    ev.repartition(4).write.mode("overwrite").parquet(inbox)
+    for f in os.listdir(inbox):
+        if not f.endswith(".parquet"):
+            os.remove(os.path.join(inbox, f))
+
+    streamed = distinct_stream_drain(
+        spark, inbox, ev.schema, str(tmp_path / "ck"), str(tmp_path / "st"),
+        key_col="user_id", group_col="event_type", max_files_per_trigger=2,
+    )
+    got = {r["event_type"]: r["approx_distinct"] for r in streamed.collect()}
+
+    batch = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e")
+    )
+    want = {r["event_type"]: r["e"] for r in batch.collect()}
+    assert got == want  # byte-identical registers → identical estimate
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, est in got.items():
+        assert abs(est - exact[et]) <= 0.05 * exact[et], (et, est, exact[et])
