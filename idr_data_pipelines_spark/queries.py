@@ -1194,6 +1194,48 @@ def q_scd2_history(spark, sf_dir):
     )
 
 
+def q_join_scd2_asof(spark, sf_dir):
+    """Temporal dimension lookup — the warehouse query SCD2 history
+    exists FOR: each order joins the status run valid at its date
+    (equi-join on the business key + half-open interval predicate
+    [valid_from, valid_to) evaluated inside the hash join — both
+    sides co-partition on the key, no range explosion, exactly one
+    match per fact because the runs partition the timeline). Ties
+    where a new run starts mid-date resolve to the newer run, the
+    same answer the SQL replay gives."""
+    from idr_data_pipelines_spark.operators.scd import scd2_from_events
+
+    orders = _t(spark, sf_dir, "orders")
+    src = orders.select(
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_orderdate").cast("date").alias("odate"),
+    )
+    hist = scd2_from_events(
+        src, key_cols=["o_custkey"], attr_cols=["o_orderstatus"], ts_col="odate"
+    )
+    facts = orders.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("__ck"),
+        F.col("o_orderdate").cast("date").alias("odate"),
+    )
+    return (
+        facts.join(
+            hist,
+            (F.col("__ck") == hist.o_custkey)
+            & (F.col("odate") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("odate") < F.col("valid_to"))),
+        )
+        .select(
+            "o_orderkey",
+            F.col("__ck").alias("o_custkey"),
+            "odate",
+            F.col("o_orderstatus").alias("status_at_order"),
+            F.col("valid_from").alias("status_since"),
+        )
+    )
+
+
 def q_join_fuzzy_names(spark, sf_dir):
     """Blocked fuzzy self-join (entity resolution shape): distinct
     part names within Levenshtein distance 3, candidates blocked on
@@ -2849,6 +2891,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_rolling_sum": q_window_rolling_sum,
     "join_interval_overlap": q_join_interval_overlap,
     "evt_distinct_stream": q_evt_distinct_stream,
+    "join_scd2_asof": q_join_scd2_asof,
     # §2.1 sources/sinks (green r01+r02)
     "src_parquet_dir": q_src_parquet_dir,
     "src_parquet_concat_str": q_src_parquet_concat_str,
@@ -3979,6 +4022,41 @@ ORACLES: dict[str, str] = {
                (LEAD(valid_from) OVER w2 IS NULL) AS is_current
         FROM per_run
         WINDOW w2 AS (PARTITION BY o_custkey ORDER BY run_id ASC)
+    """,
+    "join_scd2_asof": """
+        WITH src AS (
+            SELECT o_custkey, o_orderstatus, CAST(o_orderdate AS DATE) AS odate
+            FROM orders
+        ), marked AS (
+            SELECT o_custkey, o_orderstatus, odate,
+                   CASE WHEN ROW_NUMBER() OVER w = 1
+                             OR (o_orderstatus IS DISTINCT FROM LAG(o_orderstatus) OVER w)
+                        THEN 1 ELSE 0 END AS new_run
+            FROM src
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY odate ASC, o_orderstatus ASC)
+        ), runs AS (
+            SELECT o_custkey, o_orderstatus, odate,
+                   SUM(new_run) OVER w AS run_id
+            FROM marked
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY odate ASC, o_orderstatus ASC)
+        ), per_run AS (
+            SELECT o_custkey, run_id, o_orderstatus,
+                   MIN(odate) AS valid_from
+            FROM runs GROUP BY o_custkey, run_id, o_orderstatus
+        ), hist AS (
+            SELECT o_custkey, o_orderstatus, valid_from,
+                   LEAD(valid_from) OVER w2 AS valid_to
+            FROM per_run
+            WINDOW w2 AS (PARTITION BY o_custkey ORDER BY run_id ASC)
+        )
+        SELECT o.o_orderkey, o.o_custkey,
+               CAST(o.o_orderdate AS DATE) AS odate,
+               h.o_orderstatus AS status_at_order,
+               h.valid_from AS status_since
+        FROM orders o JOIN hist h
+          ON o.o_custkey = h.o_custkey
+         AND CAST(o.o_orderdate AS DATE) >= h.valid_from
+         AND (h.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < h.valid_to)
     """,
     # every rule replayed as a one-row aggregate select; passed =
     # the same metric-vs-threshold comparison

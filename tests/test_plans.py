@@ -199,3 +199,24 @@ def test_new_event_analytics_plan_shapes(spark, sf_dir):
     assert "Generate explode" in plan, plan
     plan = _plan(QUERIES["evt_retention_cohorts"](spark, sf_dir))
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_round3_additions_plan_shapes(spark, sf_dir):
+    """agg_mode: hash joins + two shuffles (count agg, mode window) —
+    never a cartesian; window_rolling_sum: one data shuffle feeding
+    both the daily agg and the bounded-frame window; interval-overlap
+    and SCD2-as-of joins: hash joins on the shared key with the
+    interval predicate inside — no nested-loop fallback."""
+    plan = _plan(QUERIES["agg_mode"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert _n_shuffles(plan) <= 2, plan
+
+    plan = _plan(QUERIES["window_rolling_sum"](spark, sf_dir))
+    assert _n_shuffles(plan) <= 2, plan  # agg + window reuse the grain
+    assert "Window" in plan, plan
+
+    for name in ("join_interval_overlap", "join_scd2_asof"):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, f"{name}\n{plan}"
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}\n{plan}"
+        assert "Join" in plan, f"{name}\n{plan}"
