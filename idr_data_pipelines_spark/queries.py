@@ -1089,6 +1089,58 @@ def q_text_top_terms(spark, sf_dir):
     )
 
 
+def q_text_collocations(spark, sf_dir):
+    """Corpus collocation mining: the top-50 bigrams by frequency,
+    each scored against independence with an EXACT integer lift test —
+    ``2·n_xy·N > 3·n_x·n_y`` ⟺ P(xy) > 1.5·P(x)·P(y) — instead of
+    float PMI, so the oracle comparison stays bit-exact. Bigrams via a
+    zero-shuffle array transform over the token split; one map-side
+    combined count shuffle each for bigrams and unigrams; the two
+    unigram lookups join on the already-collapsed top-50, and the
+    token total broadcasts as a 1-row frame (no collect)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = docs.select(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("w")
+    )
+    bigrams = words.select(
+        F.explode(
+            F.expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))")
+        ).alias("bigram")
+    ).filter(~F.col("bigram").startswith(" ") & ~F.col("bigram").endswith(" "))
+    top = (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .orderBy(F.desc("n_xy"), F.asc("bigram"))
+        .limit(50)
+    )
+    uni = (
+        words.select(F.explode("w").alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = uni.agg(F.sum("n").alias("n_total"))
+    w1 = F.split(F.col("bigram"), " ").getItem(0)
+    w2 = F.split(F.col("bigram"), " ").getItem(1)
+    u1 = uni.select(F.col("token").alias("__t1"), F.col("n").alias("n_x"))
+    u2 = uni.select(F.col("token").alias("__t2"), F.col("n").alias("n_y"))
+    return (
+        top.join(u1, w1 == F.col("__t1"))
+        .join(u2, w2 == F.col("__t2"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bigram",
+            "n_xy",
+            "n_x",
+            "n_y",
+            (
+                F.lit(2) * F.col("n_xy") * F.col("n_total")
+                > F.lit(3) * F.col("n_x") * F.col("n_y")
+            ).alias("is_collocation"),
+        )
+    )
+
+
 def q_sketch_approx_distinct(spark, sf_dir):
     """HyperLogLog++ distinct-user sketch per event type
     (approx_count_distinct, rsd=2%). The sketch is O(1) memory per
@@ -2192,6 +2244,50 @@ def q_mix_weighted_repeat(spark, sf_dir):
     return out.select("doc_id", "source", F.col("repeat_idx").cast("long").alias("repeat_idx"))
 
 
+def q_flagship_event_analytics(spark, sf_dir):
+    """Fourth flagship: the event-analytics surface composed end to
+    end in ONE lazy plan — gap sessionization (30-min), ordered
+    funnel depth (view→click→purchase within 72 h of the first view,
+    the windowFunnel form — the time bound is what makes depth
+    discriminate), and per-user activity facts are each built from
+    the raw event log, joined on the shared user key (all three
+    branches shuffle on user_id once each, then co-partitioned
+    joins), and rolled up per funnel stage. Every output is an
+    integer, so the composed DuckDB oracle — the sessionize, funnel
+    and activity oracles chained as CTEs — must match bit-for-bit,
+    proving the operators compose, not just pass in isolation."""
+    from idr_data_pipelines_spark.streaming.events import funnel_depth, sessionize
+
+    ev = _events(spark, sf_dir)
+    sess = sessionize(ev)
+    per_user = sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    )
+    depth = funnel_depth(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        ["view", "click", "purchase"],
+        window_seconds=72 * 3600,
+    )
+    activity = ev.groupBy("user_id").agg(
+        F.count_distinct(F.col("ts").cast("date")).alias("active_days")
+    )
+    users = (
+        per_user.join(activity, "user_id")
+        .join(depth, "user_id", "left")
+        .withColumn("depth", F.coalesce(F.col("depth"), F.lit(0)).cast("long"))
+    )
+    return users.groupBy("depth").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_sessions").cast("long").alias("total_sessions"),
+        F.sum("active_days").cast("long").alias("total_active_days"),
+        F.sum("n_events").cast("long").alias("total_events"),
+    )
+
+
 def q_ids_global_contiguous(spark, sf_dir):
     """Contiguous global example ids 0..N−1 in doc_id order — range
     repartition + per-partition sequence + broadcast prefix-sum
@@ -2892,6 +2988,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_interval_overlap": q_join_interval_overlap,
     "evt_distinct_stream": q_evt_distinct_stream,
     "join_scd2_asof": q_join_scd2_asof,
+    "flagship_event_analytics": q_flagship_event_analytics,
+    "text_collocations": q_text_collocations,
     # §2.1 sources/sinks (green r01+r02)
     "src_parquet_dir": q_src_parquet_dir,
     "src_parquet_concat_str": q_src_parquet_concat_str,
@@ -3816,6 +3914,89 @@ ORACLES: dict[str, str] = {
                MAX(o_totalprice) AS hi
         FROM orders
         GROUP BY 1
+    """,
+    "text_collocations": """
+        WITH words AS (
+            SELECT string_split_regex(trim(lower(text)), '\\s+') AS w
+            FROM documents WHERE text IS NOT NULL
+        ), bg AS (
+            SELECT unnest(list_transform(generate_series(1, len(w)-1),
+                          i -> w[i] || ' ' || w[i+1])) AS bigram
+            FROM words
+        ), top AS (
+            SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_xy
+            FROM bg GROUP BY bigram ORDER BY n_xy DESC, bigram ASC LIMIT 50
+        ), uni AS (
+            SELECT unnest(w) AS token FROM words
+        ), un AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+            FROM uni WHERE token <> '' GROUP BY token
+        ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total FROM un)
+        SELECT t.bigram, t.n_xy, a.n AS n_x, b.n AS n_y,
+               (2 * t.n_xy * n_total > 3 * a.n * b.n) AS is_collocation
+        FROM top t
+        JOIN un a ON a.token = string_split(t.bigram, ' ')[1]
+        JOIN un b ON b.token = string_split(t.bigram, ' ')[2]
+        CROSS JOIN tot
+    """,
+    "flagship_event_analytics": """
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30*60*1000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sid AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING
+                   ) + 1 AS session_id
+            FROM flagged
+        ), sess AS (
+            SELECT user_id, session_id, COUNT(*) AS n_ev
+            FROM sid GROUP BY user_id, session_id
+        ), per_user AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(SUM(n_ev) AS BIGINT) AS n_events
+            FROM sess GROUP BY user_id
+        ), u1 AS (
+            SELECT user_id, MIN(ts) FILTER (WHERE event_type = 'view') AS s1
+            FROM events GROUP BY user_id
+        ), u2 AS (
+            SELECT e.user_id, MIN(e.ts) AS s2
+            FROM events e JOIN u1 USING (user_id)
+            WHERE e.event_type = 'click' AND u1.s1 IS NOT NULL
+              AND e.ts > u1.s1 AND e.ts <= u1.s1 + INTERVAL 72 HOURS
+            GROUP BY e.user_id
+        ), u3 AS (
+            SELECT e.user_id, MIN(e.ts) AS s3
+            FROM events e JOIN u2 USING (user_id) JOIN u1 USING (user_id)
+            WHERE e.event_type = 'purchase'
+              AND e.ts > u2.s2 AND e.ts <= u1.s1 + INTERVAL 72 HOURS
+            GROUP BY e.user_id
+        ), depth AS (
+            SELECT u1.user_id,
+                   CAST(CASE WHEN u3.s3 IS NOT NULL THEN 3
+                             WHEN u2.s2 IS NOT NULL THEN 2
+                             WHEN u1.s1 IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS depth
+            FROM u1 LEFT JOIN u2 USING (user_id) LEFT JOIN u3 USING (user_id)
+        ), activity AS (
+            SELECT user_id,
+                   CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days
+            FROM events GROUP BY user_id
+        )
+        SELECT d.depth,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(p.n_sessions) AS BIGINT) AS total_sessions,
+               CAST(SUM(a.active_days) AS BIGINT) AS total_active_days,
+               CAST(SUM(p.n_events) AS BIGINT) AS total_events
+        FROM per_user p
+        JOIN activity a USING (user_id)
+        JOIN depth d USING (user_id)
+        GROUP BY d.depth
     """,
     "window_rolling_sum": """
         WITH daily AS (

@@ -393,15 +393,19 @@ def funnel_depth(
     type_col: str,
     steps: list[str],
     depth_col: str = "depth",
+    window_seconds: int | None = None,
 ):
     """Ordered-funnel depth per user: how many of ``steps`` the user
     completed in sequence, each step strictly after the previous
-    step's event (the ClickHouse ``windowFunnel``-style semantics,
-    unbounded window).
+    step's event (the ClickHouse ``windowFunnel``-style semantics).
+    With ``window_seconds`` every later step must also fall within
+    that many seconds of the FIRST matched step (the chain is
+    anchored at the first step-1 event — greedy-first-chain, not
+    max-over-all-chains; the recursive oracle replays exactly this).
 
     Greedy first-match fold ≡ the recursive definition
-    ``s_k = min ts of step_k with ts > s_{k-1}`` — which is what the
-    SQL oracle replays.
+    ``s_k = min ts of step_k with ts > s_{k-1} (and ≤ s_1 + W)`` —
+    which is what the SQL oracle replays.
 
     Scale shape: events are FILTERED to the funnel's types before the
     one hash shuffle on the user, then each user's (ts, type) pairs
@@ -423,20 +427,38 @@ def funnel_depth(
     )
     arr = F.array_sort(F.collect_list("e"))
     init = F.struct(
-        F.lit(0).alias("stage"), F.lit(None).cast("timestamp").alias("ts")
+        F.lit(0).alias("stage"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(None).cast("timestamp").alias("t0"),
     )
 
     def step_fn(acc, e):
+        stage = acc.getField("stage")
+        in_window = (
+            F.lit(True)
+            if window_seconds is None
+            else (
+                F.unix_micros(e.getField("ts"))
+                <= F.unix_micros(acc.getField("t0"))
+                + F.lit(int(window_seconds) * 1_000_000)
+            )
+        )
         advance = (
-            (acc.getField("stage") < F.lit(n))
-            & (e.getField("t") == F.element_at(lit_steps, acc.getField("stage") + 1))
-            & ((acc.getField("stage") == 0) | (e.getField("ts") > acc.getField("ts")))
+            (stage < F.lit(n))
+            & (e.getField("t") == F.element_at(lit_steps, stage + 1))
+            & (
+                (stage == 0)
+                | ((e.getField("ts") > acc.getField("ts")) & in_window)
+            )
         )
         return F.when(
             advance,
             F.struct(
-                (acc.getField("stage") + 1).alias("stage"),
+                (stage + 1).alias("stage"),
                 e.getField("ts").alias("ts"),
+                F.when(stage == 0, e.getField("ts"))
+                .otherwise(acc.getField("t0"))
+                .alias("t0"),
             ),
         ).otherwise(acc)
 
