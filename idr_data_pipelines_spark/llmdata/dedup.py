@@ -683,6 +683,7 @@ def connected_components(
     prev_sum = labels.agg(F.sum("component")).first()[0]
     if prev_sum is None:  # no edges → no vertices
         return labels
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["b"] == labels["id"])
@@ -705,8 +706,18 @@ def connected_components(
         labels = doubled.localCheckpoint(eager=True)
         new_sum = labels.agg(F.sum("component")).first()[0]
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # partially-propagated labels would silently split true
+        # clusters into multiple survivors downstream — refuse to
+        # ship them (pointer doubling converges in O(log diameter),
+        # so hitting this means max_iter is badly undersized)
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations; raise max_iter (labels were still changing)"
+        )
     return labels
 
 

@@ -73,9 +73,16 @@ def custom(name: str, predicate: Column, max_fail_frac: float = 0.0) -> Rule:
 
 
 def _frac(cond: Column) -> Column:
-    """Fraction of rows violating ``cond`` (NULL-safe: NULL = violate)."""
+    """Fraction of rows violating ``cond`` (NULL-safe: NULL = violate).
+
+    SUM over zero rows is NULL, so the violation sum is coalesced to 0:
+    an empty table scores 0.0 and the report row passes/fails
+    deterministically instead of emitting metric=NULL / passed=NULL
+    (emptiness itself is ``row_count_min``'s job to catch)."""
     n = F.count(F.lit(1))
-    bad = F.sum(F.when(F.coalesce(cond, F.lit(True)), 1).otherwise(0))
+    bad = F.coalesce(
+        F.sum(F.when(F.coalesce(cond, F.lit(True)), 1).otherwise(0)), F.lit(0)
+    )
     return bad.cast("double") / F.greatest(n, F.lit(1)).cast("double")
 
 

@@ -8,10 +8,12 @@ makes them assertable: in tests (``tests/test_plans.py`` pins shapes
 with it), in CI gates before a pipeline ships, or interactively while
 developing a query.
 
-The linter reads ``queryExecution().executedPlan()`` — with AQE this
-is the statically chosen plan, i.e. the strategy Catalyst committed to
-before runtime re-optimization, which is exactly what you want to
-review: AQE can only improve on it.
+The linter reads the physical plan via the public ``df.explain()``
+output (captured, not the private ``_jdf`` gateway, so it also works
+under Spark Connect) — with AQE this is the statically chosen plan,
+i.e. the strategy Catalyst committed to before runtime
+re-optimization, which is exactly what you want to review: AQE can
+only improve on it.
 
 Findings are data (``PlanFinding``), not prints — callers decide
 whether a finding is fatal (``assert_scalable``) or advisory
@@ -39,7 +41,16 @@ class PlanFinding:
 
 
 def _plan_str(df: DataFrame) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
+    """Physical-plan text via the public explain surface (captured
+    stdout), identical node strings to executedPlan().toString() but
+    without reaching through ``_jdf`` — Spark Connect compatible."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="simple")
+    return buf.getvalue()
 
 
 def count_shuffles(df: DataFrame) -> int:

@@ -96,21 +96,41 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet_dir(spark, f"{sf_dir}/{name}.parquet")
 
 
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Load the events table, normalizing nanosecond timestamps.
+def _ts_utc(df: DataFrame) -> DataFrame:
+    """Normalize the events ``ts`` column to TIMESTAMP (a UTC instant).
 
-    The synthetic events parquet stores TIMESTAMP(NANOS) which Spark 4
-    rejects by default; read nanos as long and convert to a
-    microsecond timestamp (truncation — identical to DuckDB's ns→µs
-    behavior, so oracles agree)."""
+    The synthetic events parquet has shipped as both TIMESTAMP(NANOS)
+    (read as bigint under ``nanosAsLong``) and TIMESTAMP_NTZ(µs);
+    either way the stored wall-clock IS the UTC instant. Convert with
+    pure wall-clock arithmetic (``timestampdiff`` from the NTZ epoch)
+    rather than a cast, so the result is independent of
+    ``spark.sql.session.timeZone`` — watermarks and ``unix_micros``
+    then agree with DuckDB's naive-as-UTC reading in any timezone."""
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":  # TIMESTAMP(NANOS) read as long nanos
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                )
+            ),
+        )
+    return df
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load the events table with ``ts`` normalized to TIMESTAMP
+    (see ``_ts_utc``); ``nanosAsLong`` is set first so a NANOS file
+    reads as long instead of erroring on Spark 4."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    df = read_parquet_dir(spark, f"{sf_dir}/events.parquet")
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return _ts_utc(read_parquet_dir(spark, f"{sf_dir}/events.parquet"))
 
 
 def _money_sum(col) -> F.Column:
@@ -969,8 +989,7 @@ def q_evt_windowed_counts_stream(spark, sf_dir):
 
     inbox, ckpt, raw_schema = _stage_event_stream(spark, sf_dir, "winstream")
     stream = spark.readStream.schema(raw_schema).parquet(inbox)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _ts_utc(stream)
     agg = windowed_event_counts(
         stream, "ts", "1 hour", watermark="2 hours", group_cols=["event_type"]
     )
@@ -1537,8 +1556,7 @@ def q_dedup_stream_watermark(spark, sf_dir):
     equal batch DISTINCT — which is what the oracle checks."""
     inbox, ckpt, raw_schema = _stage_event_stream(spark, sf_dir, "wmdedup")
     stream = spark.readStream.schema(raw_schema).parquet(inbox)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _ts_utc(stream)
     deduped = stream.withWatermark("ts", "3650 days").dropDuplicatesWithinWatermark(
         ["user_id", "event_type", "ts"]
     )
@@ -1569,8 +1587,7 @@ def q_evt_stream_stream_join(spark, sf_dir):
 
     def _side(event_type: str, prefix: str) -> DataFrame:
         s = spark.readStream.schema(raw_schema).parquet(inbox)
-        if dict(s.dtypes).get("ts") == "bigint":
-            s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        s = _ts_utc(s)
         return (
             s.filter(F.col("event_type") == event_type)
             .select(
@@ -1619,8 +1636,7 @@ def q_evt_sessionize_stream(spark, sf_dir):
 
     inbox, ckpt, raw_schema = _stage_event_stream(spark, sf_dir, "sess")
     stream = spark.readStream.schema(raw_schema).parquet(inbox)
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _ts_utc(stream)
     out = sessionize_stream(stream, "user_id", "ts", gap_minutes=30)
     name = f"sess_{uuid.uuid4().hex[:8]}"
     q = (

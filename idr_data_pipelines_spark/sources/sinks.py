@@ -94,6 +94,9 @@ def compact_parquet_dir(
 
     At warehouse scale run this per partition directory (compact the
     partitions the last load touched, not the whole table).
+
+    Classic-deployment-only: the swap needs Hadoop FileSystem rename
+    via the JVM gateway, which Spark Connect does not expose.
     """
     import math
 
@@ -104,13 +107,28 @@ def compact_parquet_dir(
     total = fs.getContentSummary(p).getLength()
     n_files = max(min_files, math.ceil(total / max(target_file_bytes, 1)))
 
-    df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__compact_tmp"
-    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
     tmp_p = jvm.org.apache.hadoop.fs.Path(tmp)
     bak = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_bak")
-    fs.rename(p, bak)
-    fs.rename(tmp_p, p)
+    # fail fast on leftovers from a previously crashed compaction:
+    # FileSystem.rename returns false (not raises) on conflict, so a
+    # stale bak/tmp would otherwise make the swap silently no-op
+    if fs.exists(bak):
+        raise RuntimeError(
+            f"stale backup {bak} exists — a prior compaction crashed "
+            "mid-swap; recover it (rename back or delete) before compacting"
+        )
+    if fs.exists(tmp_p):
+        fs.delete(tmp_p, True)  # orphaned temp output is safe to drop
+
+    df = spark.read.parquet(path)
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    if not fs.rename(p, bak):
+        raise RuntimeError(f"compaction swap failed: rename {p} -> {bak}")
+    if not fs.rename(tmp_p, p):
+        # restore the original before failing so the directory is intact
+        fs.rename(bak, p)
+        raise RuntimeError(f"compaction swap failed: rename {tmp_p} -> {p}")
     fs.delete(bak, True)
     out = [f for f in fs.listStatus(p) if f.getPath().getName().endswith(".parquet")]
     return len(out)

@@ -548,6 +548,63 @@ def cdc_upsert_drain(
     return spark.read.schema(schema).parquet(dim_dir)
 
 
+def _topk_state_schema(schema: StructType, key_cols: list[str]) -> StructType:
+    from pyspark.sql.types import LongType, StructField
+
+    return StructType(
+        [StructField(c, schema[c].dataType) for c in key_cols]
+        + [StructField("cnt", LongType()), StructField("last_batch_id", LongType())]
+    )
+
+
+def _topk_merge_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    state_schema: StructType,
+    key_cols: list[str],
+) -> None:
+    """Merge one micro-batch's partial counts into the ``state_dir``
+    table, fenced by batch id so a replayed batch is a no-op.
+
+    The key-wise SUM merge is associative+commutative but NOT
+    idempotent, so at-least-once delivery (a crash between the state
+    overwrite and the checkpoint commit replays the batch on resume)
+    would double-count without fencing. The state carries the
+    last-applied ``batch_id`` in the same parquet overwrite that
+    commits the merge, so the guard is consistent with whatever state
+    actually survived a crash: replayed ``batch_id <= last_batch_id``
+    is skipped. Batch ids are stable under checkpointed resume, which
+    is exactly the replay case the fence exists for (a deleted
+    checkpoint restarts ids at 0 — pair state_dir and checkpoint_dir
+    lifetimes).
+    """
+    s = batch_df.sparkSession
+    partial = batch_df.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    try:
+        existing = s.read.schema(state_schema).parquet(state_dir)
+        applied = existing.select(F.max("last_batch_id")).first()[0]
+        if applied is not None and applied >= batch_id:
+            return  # replayed batch: merge already committed
+        # pin pre-overwrite state: the write below replaces the
+        # directory this frame reads from
+        partial = (
+            existing.localCheckpoint(eager=True)
+            .drop("last_batch_id")
+            .unionByName(partial)
+            .groupBy(*key_cols)
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+    except Exception as exc:  # first batch: no state yet
+        if "PATH_NOT_FOUND" not in str(exc):
+            raise
+    partial.withColumn(
+        "last_batch_id", F.lit(batch_id).cast("long")
+    ).write.mode("overwrite").parquet(state_dir)
+
+
 def topk_stream_drain(
     spark: SparkSession,
     path: str,
@@ -563,46 +620,30 @@ def topk_stream_drain(
     final EXACT top-k by (count desc, keys asc).
 
     Each micro-batch contributes a partial ``groupBy(keys).count()``
-    that is merged into the state by key-wise SUM — addition is
-    associative and commutative, so the final counts are identical
-    whatever the batching (one availableNow window, file-by-file
-    trickle, or crash-and-resume), which makes the operator exactly
-    oracle-able as a plain batch GROUP BY + ORDER BY LIMIT.
+    that is merged into the state by key-wise SUM. Addition is
+    associative and commutative, so the final counts are
+    batching-independent; it is NOT idempotent, so crash-and-resume
+    safety comes from batch-id fencing in ``_topk_merge_batch``: the
+    last-applied batch id is committed atomically with the state, and
+    a replayed batch is skipped. Together the operator converges to
+    the plain batch GROUP BY + ORDER BY LIMIT answer under any
+    batching or crash schedule, which makes it exactly oracle-able.
 
     100 TB design: the per-batch partial agg collapses each batch to
     ≤ |distinct keys in batch| rows before touching state, and the
-    state table is key-cardinality-sized, not stream-sized. For key
-    spaces too large to materialize, pair the count-min sketch with a
-    candidate heap instead (``llmdata/sketches.py``) — this operator is
-    the exact path for executor-bounded key spaces (users, pages,
-    status codes), which is the common monitoring case.
+    state table is key-cardinality-sized, not stream-sized — EXACT
+    counts are therefore unbounded state when the key space is
+    unbounded (e.g. free-text keys at corpus scale). For those, use
+    the bounded-state Misra-Gries alternative ``sketch_topk_mg``
+    (``llmdata/sketches.py``, error ≤ N/m with m counters) or pair the
+    count-min sketch with a candidate heap; this operator is the exact
+    path for executor-bounded key spaces (users, pages, status codes),
+    which is the common monitoring case.
     """
-    from pyspark.sql.types import LongType, StructField
-
-    state_schema = StructType(
-        [StructField(c, schema[c].dataType) for c in key_cols]
-        + [StructField("cnt", LongType())]
-    )
+    state_schema = _topk_state_schema(schema, key_cols)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        s = batch_df.sparkSession
-        partial = batch_df.groupBy(*key_cols).agg(
-            F.count(F.lit(1)).cast("long").alias("cnt")
-        )
-        try:
-            existing = s.read.schema(state_schema).parquet(state_dir)
-            # pin pre-overwrite state: the write below replaces the
-            # directory this frame reads from
-            partial = (
-                existing.localCheckpoint(eager=True)
-                .unionByName(partial)
-                .groupBy(*key_cols)
-                .agg(F.sum("cnt").alias("cnt"))
-            )
-        except Exception as exc:  # first batch: no state yet
-            if "PATH_NOT_FOUND" not in str(exc):
-                raise
-        partial.write.mode("overwrite").parquet(state_dir)
+        _topk_merge_batch(batch_df, batch_id, state_dir, state_schema, key_cols)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -616,7 +657,7 @@ def topk_stream_drain(
     )
     q.awaitTermination()
     counts = spark.read.schema(state_schema).parquet(state_dir)
-    return counts.orderBy(
+    return counts.drop("last_batch_id").orderBy(
         F.desc("cnt"), *[F.asc(c) for c in key_cols]
     ).limit(k)
 
@@ -642,7 +683,8 @@ def distinct_stream_drain(
     (tests assert streamed estimate == batch estimate exactly).
     Idempotence matters specifically for streams: a replayed batch
     (crash between state write and checkpoint commit) cannot inflate
-    the count, unlike the SUM merge in ``topk_stream_drain``.
+    the count — no fencing needed, unlike the non-idempotent SUM merge
+    in ``topk_stream_drain``, which carries a batch-id fence instead.
 
     100 TB design: state is |groups| sketches of fixed size (~KB at
     lgK=12) — independent of both stream length and key cardinality;

@@ -459,3 +459,66 @@ def test_distinct_stream_matches_batch_sketch_exactly(spark, sf_dir, tmp_path):
     }
     for et, est in got.items():
         assert abs(est - exact[et]) <= 0.05 * exact[et], (et, est, exact[et])
+
+
+def test_topk_merge_replay_is_fenced(spark, tmp_path):
+    """At-least-once replay safety: re-applying the SAME batch_id must
+    be a no-op (the SUM merge is not idempotent, so the batch-id fence
+    is what prevents double-counting on crash-and-resume)."""
+    from idr_data_pipelines_spark.streaming.events import (
+        _topk_merge_batch,
+        _topk_state_schema,
+    )
+
+    ev = spark.createDataFrame(
+        [("a",), ("a",), ("b",)], "event_type string"
+    )
+    state_dir = str(tmp_path / "state")
+    st_schema = _topk_state_schema(ev.schema, ["event_type"])
+
+    def counts():
+        return {
+            r["event_type"]: r["cnt"]
+            for r in spark.read.schema(st_schema).parquet(state_dir).collect()
+        }
+
+    _topk_merge_batch(ev, 0, state_dir, st_schema, ["event_type"])
+    assert counts() == {"a": 2, "b": 1}
+
+    # replayed batch (crash between state overwrite and checkpoint
+    # commit): same batch_id, same data → must not double-count
+    _topk_merge_batch(ev, 0, state_dir, st_schema, ["event_type"])
+    assert counts() == {"a": 2, "b": 1}
+
+    # genuinely new batch still merges
+    _topk_merge_batch(ev, 1, state_dir, st_schema, ["event_type"])
+    assert counts() == {"a": 4, "b": 2}
+
+    # stale batch id (< last applied) is also fenced
+    _topk_merge_batch(ev, 0, state_dir, st_schema, ["event_type"])
+    assert counts() == {"a": 4, "b": 2}
+
+
+def test_topk_stream_drain_matches_batch(spark, tmp_path):
+    """End-to-end drain with multi-batch trickle equals the one-shot
+    batch GROUP BY answer, with fencing active."""
+    import os
+
+    from idr_data_pipelines_spark.streaming.events import topk_stream_drain
+
+    inbox = str(tmp_path / "in")
+    _write_messages(spark, inbox, 0, 30)
+    _write_messages(spark, inbox, 30, 30)
+    ev = spark.read.parquet(inbox)
+
+    got = topk_stream_drain(
+        spark, inbox, ev.schema, str(tmp_path / "ck"), str(tmp_path / "st"),
+        key_cols=["user_id"], k=3, max_files_per_trigger=1,
+    ).collect()
+    want = (
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("user_id")).limit(3).collect()
+    )
+    assert [(r["user_id"], r["cnt"]) for r in got] == [
+        (r["user_id"], r["cnt"]) for r in want
+    ]
