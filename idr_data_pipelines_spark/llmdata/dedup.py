@@ -684,7 +684,11 @@ def connected_components(
     if prev_sum is None:  # no edges → no vertices
         return labels
     converged = False
-    for _ in range(max_iter):
+    # max_iter bounds the label-CHANGING iterations; convergence is
+    # only observable as a no-change iteration, so run one extra
+    # confirmation pass — otherwise a run whose last change lands
+    # exactly on iteration max_iter would raise despite being final.
+    for _ in range(max_iter + 1):
         nbr_min = (
             sym.join(labels, sym["b"] == labels["id"])
             .groupBy("a")
@@ -716,7 +720,8 @@ def connected_components(
         # so hitting this means max_iter is badly undersized)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
-            "iterations; raise max_iter (labels were still changing)"
+            "label-changing iterations (+1 confirmation pass); raise "
+            "max_iter (labels were still changing on the final pass)"
         )
     return labels
 

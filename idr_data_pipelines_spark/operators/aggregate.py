@@ -73,6 +73,27 @@ def agg_cube(
     return df.cube(*keys).agg(*aggs)
 
 
+def collect_sorted_array(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    alias: str = "values",
+) -> DataFrame:
+    """Per-group sorted array of ``value_col`` plus its cardinality.
+
+    ``collect_list`` is order-nondeterministic under parallelism;
+    ``array_sort`` canonicalizes the result so it is reproducible on
+    any cluster / partition count. One shuffle with map-side partial
+    collection. Returns the typed ``array`` column — callers feeding a
+    hash-based comparator should project it to a scalar (e.g.
+    ``concat_ws`` / ``to_json``) themselves.
+    """
+    return df.groupBy(*keys).agg(
+        F.array_sort(F.collect_list(value_col)).alias(alias),
+        F.count(F.lit(1)).alias("n_" + alias),
+    )
+
+
 def agg_mode(
     df: DataFrame,
     group_cols: list[str],

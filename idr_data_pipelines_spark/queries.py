@@ -2233,12 +2233,15 @@ def q_agg_collect_sorted(spark, sf_dir):
     nation names plus its cardinality (collect_list is
     order-nondeterministic under parallelism — array_sort makes the
     result reproducible on any cluster, which is what lets the value
-    hash check it)."""
+    hash check it). The driver-facing projection pipe-joins the array
+    (the driver's pandas canonicalizer cannot hash list cells — same
+    class of fix as q_mm_frame_sample's hex projection); library users
+    wanting the typed array call collect_sorted_array directly."""
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
     j = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     return j.groupBy("r_name").agg(
-        F.array_sort(F.collect_list("n_name")).alias("nations"),
+        F.concat_ws("|", F.array_sort(F.collect_list("n_name"))).alias("nations"),
         F.count("*").alias("n_nations"),
     )
 
@@ -3879,7 +3882,7 @@ ORACLES: dict[str, str] = {
     """,
     "agg_collect_sorted": """
         SELECT r.r_name,
-               list_sort(list(n.n_name)) AS nations,
+               array_to_string(list_sort(list(n.n_name)), '|') AS nations,
                COUNT(*) AS n_nations
         FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
         GROUP BY r.r_name

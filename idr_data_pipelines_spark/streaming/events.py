@@ -474,6 +474,63 @@ def funnel_depth(
     )
 
 
+# ---------------------------------------------------------------------------
+# Versioned state commit — shared by the stateful drains below.
+#
+# A bare ``mode("overwrite").parquet(state_dir)`` is delete-then-write:
+# a crash mid-overwrite loses (or tears) ALL prior state, and the
+# resumed batch sees a missing path. The drains instead commit state in
+# two phases: (1) write the merged state to an immutable per-version
+# directory ``{state_dir}/v{batch_id}``, then (2) flip a one-line
+# pointer file via a single-file rename — atomic on POSIX — so readers
+# only ever observe the last fully-written version. A crash between the
+# phases leaves the old pointer (old state) committed; the replayed
+# batch simply overwrites the orphaned version directory and re-flips.
+#
+# Pointer ops use the local filesystem API, matching the local[...]
+# deployment this repo tests on. On HDFS swap ``os.replace`` for
+# FileContext.rename(OVERWRITE); on S3 use a conditional PUT or a
+# commit log (the version-directory layout itself needs no change).
+# ---------------------------------------------------------------------------
+
+_STATE_POINTER = "CURRENT"
+
+
+def _state_read(
+    spark: SparkSession, state_dir: str, schema: StructType
+) -> DataFrame | None:
+    """Read the last committed state version; None before any commit."""
+    import os
+
+    pointer = os.path.join(state_dir, _STATE_POINTER)
+    try:
+        with open(pointer) as fh:
+            version_name = fh.read().strip()
+    except FileNotFoundError:
+        return None
+    return spark.read.schema(schema).parquet(
+        os.path.join(state_dir, version_name)
+    )
+
+
+def _state_commit(df: DataFrame, state_dir: str, version: int) -> None:
+    """Write ``df`` as state version ``version`` and atomically flip the
+    pointer to it; garbage-collect superseded version directories."""
+    import os
+    import shutil
+
+    version_name = f"v{version}"
+    df.write.mode("overwrite").parquet(os.path.join(state_dir, version_name))
+    tmp = os.path.join(state_dir, f".{_STATE_POINTER}.tmp")
+    with open(tmp, "w") as fh:
+        fh.write(version_name)
+    os.replace(tmp, os.path.join(state_dir, _STATE_POINTER))
+    # Best-effort GC: a crash here orphans old version dirs, never state.
+    for name in os.listdir(state_dir):
+        if name.startswith("v") and name != version_name:
+            shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
+
+
 def cdc_upsert_drain(
     spark: SparkSession,
     path: str,
@@ -498,10 +555,15 @@ def cdc_upsert_drain(
     query). A blind "replace matching keys" upsert would NOT have this
     property — a late-arriving old update would clobber newer state.
 
-    The dim is rewritten per batch (read → merge → write-tmp → swap):
-    correct for dimension-sized state (the usual CDC target); a
-    fact-sized target wants a storage layer with row-level merge
-    instead.
+    The dim is rewritten per batch through the versioned two-phase
+    state commit (``_state_commit``): merge reads the old version, the
+    new version lands in its own directory, and a pointer flip
+    publishes it — a crash at any point leaves the previous committed
+    dim intact. No batch-id fence is needed here because the
+    latest-per-key merge is idempotent (replaying a batch re-derives
+    the same winners). Correct for dimension-sized state (the usual
+    CDC target); a fact-sized target wants a storage layer with
+    row-level merge instead.
     """
     from pyspark.sql import Window
 
@@ -520,16 +582,13 @@ def cdc_upsert_drain(
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
         merged = _latest(batch_df.select(*cols))
-        try:
-            existing = s.read.schema(schema).parquet(dim_dir)
-            existing.schema
-            # pin the pre-overwrite state: the swap below rewrites the
-            # directory this frame reads from
-            merged = _latest(existing.localCheckpoint(eager=True).unionByName(merged))
-        except Exception as exc:  # first batch: no dim yet
-            if "PATH_NOT_FOUND" not in str(exc):
-                raise
-        merged.write.mode("overwrite").parquet(dim_dir)
+        existing = _state_read(s, dim_dir, schema)
+        if existing is not None:
+            # old version dir is immutable — the merge can read it
+            # lazily while the new version writes elsewhere (no
+            # localCheckpoint pin needed, unlike a self-overwrite)
+            merged = _latest(existing.unionByName(merged))
+        _state_commit(merged, dim_dir, batch_id)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -545,7 +604,10 @@ def cdc_upsert_drain(
         .start()
     )
     q.awaitTermination()
-    return spark.read.schema(schema).parquet(dim_dir)
+    out = _state_read(spark, dim_dir, schema)
+    if out is None:  # zero-message inbox: empty dimension
+        return spark.createDataFrame([], schema)
+    return out
 
 
 def _topk_state_schema(schema: StructType, key_cols: list[str]) -> StructType:
@@ -569,13 +631,15 @@ def _topk_merge_batch(
 
     The key-wise SUM merge is associative+commutative but NOT
     idempotent, so at-least-once delivery (a crash between the state
-    overwrite and the checkpoint commit replays the batch on resume)
+    commit and the checkpoint commit replays the batch on resume)
     would double-count without fencing. The state carries the
-    last-applied ``batch_id`` in the same parquet overwrite that
-    commits the merge, so the guard is consistent with whatever state
-    actually survived a crash: replayed ``batch_id <= last_batch_id``
-    is skipped. Batch ids are stable under checkpointed resume, which
-    is exactly the replay case the fence exists for (a deleted
+    last-applied ``batch_id`` inside the same versioned state commit
+    (``_state_commit``: immutable version dir + pointer flip), so the
+    guard is always consistent with whatever state a reader can
+    observe: replayed ``batch_id <= last_batch_id`` is skipped, and a
+    crash mid-commit leaves the previous version committed rather than
+    losing state. Batch ids are stable under checkpointed resume,
+    which is exactly the replay case the fence exists for (a deleted
     checkpoint restarts ids at 0 — pair state_dir and checkpoint_dir
     lifetimes).
     """
@@ -583,26 +647,22 @@ def _topk_merge_batch(
     partial = batch_df.groupBy(*key_cols).agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
-    try:
-        existing = s.read.schema(state_schema).parquet(state_dir)
+    existing = _state_read(s, state_dir, state_schema)
+    if existing is not None:
         applied = existing.select(F.max("last_batch_id")).first()[0]
         if applied is not None and applied >= batch_id:
             return  # replayed batch: merge already committed
-        # pin pre-overwrite state: the write below replaces the
-        # directory this frame reads from
         partial = (
-            existing.localCheckpoint(eager=True)
-            .drop("last_batch_id")
+            existing.drop("last_batch_id")
             .unionByName(partial)
             .groupBy(*key_cols)
             .agg(F.sum("cnt").alias("cnt"))
         )
-    except Exception as exc:  # first batch: no state yet
-        if "PATH_NOT_FOUND" not in str(exc):
-            raise
-    partial.withColumn(
-        "last_batch_id", F.lit(batch_id).cast("long")
-    ).write.mode("overwrite").parquet(state_dir)
+    _state_commit(
+        partial.withColumn("last_batch_id", F.lit(batch_id).cast("long")),
+        state_dir,
+        batch_id,
+    )
 
 
 def topk_stream_drain(
@@ -656,7 +716,9 @@ def topk_stream_drain(
         .start()
     )
     q.awaitTermination()
-    counts = spark.read.schema(state_schema).parquet(state_dir)
+    counts = _state_read(spark, state_dir, state_schema)
+    if counts is None:  # zero-message inbox
+        counts = spark.createDataFrame([], state_schema)
     return counts.drop("last_batch_id").orderBy(
         F.desc("cnt"), *[F.asc(c) for c in key_cols]
     ).limit(k)
@@ -705,18 +767,14 @@ def distinct_stream_drain(
         partial = batch_df.groupBy(group_col).agg(
             F.hll_sketch_agg(key_col).alias("sk")
         )
-        try:
-            existing = s.read.schema(state_schema).parquet(state_dir)
+        existing = _state_read(s, state_dir, state_schema)
+        if existing is not None:
             partial = (
-                existing.localCheckpoint(eager=True)
-                .unionByName(partial)
+                existing.unionByName(partial)
                 .groupBy(group_col)
                 .agg(F.hll_union_agg("sk").alias("sk"))
             )
-        except Exception as exc:  # first batch: no state yet
-            if "PATH_NOT_FOUND" not in str(exc):
-                raise
-        partial.write.mode("overwrite").parquet(state_dir)
+        _state_commit(partial, state_dir, batch_id)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -729,7 +787,9 @@ def distinct_stream_drain(
         .start()
     )
     q.awaitTermination()
-    state = spark.read.schema(state_schema).parquet(state_dir)
+    state = _state_read(spark, state_dir, state_schema)
+    if state is None:  # zero-message inbox
+        state = spark.createDataFrame([], state_schema)
     return state.select(
         group_col, F.hll_sketch_estimate("sk").alias("approx_distinct")
     )

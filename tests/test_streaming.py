@@ -466,6 +466,7 @@ def test_topk_merge_replay_is_fenced(spark, tmp_path):
     be a no-op (the SUM merge is not idempotent, so the batch-id fence
     is what prevents double-counting on crash-and-resume)."""
     from idr_data_pipelines_spark.streaming.events import (
+        _state_read,
         _topk_merge_batch,
         _topk_state_schema,
     )
@@ -479,7 +480,7 @@ def test_topk_merge_replay_is_fenced(spark, tmp_path):
     def counts():
         return {
             r["event_type"]: r["cnt"]
-            for r in spark.read.schema(st_schema).parquet(state_dir).collect()
+            for r in _state_read(spark, state_dir, st_schema).collect()
         }
 
     _topk_merge_batch(ev, 0, state_dir, st_schema, ["event_type"])
@@ -497,6 +498,48 @@ def test_topk_merge_replay_is_fenced(spark, tmp_path):
     # stale batch id (< last applied) is also fenced
     _topk_merge_batch(ev, 0, state_dir, st_schema, ["event_type"])
     assert counts() == {"a": 4, "b": 2}
+
+
+def test_state_commit_survives_crash_before_pointer_flip(spark, tmp_path):
+    """A crash BETWEEN the version-dir write and the pointer flip must
+    leave the previous committed state readable (the old overwrite
+    layout lost all state at this point), and the replayed batch must
+    overwrite the orphan and commit cleanly."""
+    import os
+    import shutil
+
+    from idr_data_pipelines_spark.streaming.events import (
+        _state_read,
+        _topk_merge_batch,
+        _topk_state_schema,
+    )
+
+    ev = spark.createDataFrame([("a",), ("a",), ("b",)], "event_type string")
+    state_dir = str(tmp_path / "state")
+    st_schema = _topk_state_schema(ev.schema, ["event_type"])
+
+    _topk_merge_batch(ev, 0, state_dir, st_schema, ["event_type"])
+
+    # simulate the torn commit: batch 1's version dir fully written
+    # (copy v0's parquet as a stand-in) but the pointer never flipped
+    shutil.copytree(os.path.join(state_dir, "v0"), os.path.join(state_dir, "v1"))
+    got = {
+        r["event_type"]: r["cnt"]
+        for r in _state_read(spark, state_dir, st_schema).collect()
+    }
+    assert got == {"a": 2, "b": 1}  # old state intact, orphan invisible
+
+    # resume: batch 1 replays, overwrites the orphan, flips the pointer
+    _topk_merge_batch(ev, 1, state_dir, st_schema, ["event_type"])
+    got = {
+        r["event_type"]: r["cnt"]
+        for r in _state_read(spark, state_dir, st_schema).collect()
+    }
+    assert got == {"a": 4, "b": 2}
+    # GC removed the superseded version; only v1 + pointer remain
+    assert sorted(
+        n for n in os.listdir(state_dir) if not n.startswith("_")
+    ) == ["CURRENT", "v1"]
 
 
 def test_topk_stream_drain_matches_batch(spark, tmp_path):
