@@ -73,19 +73,24 @@ def main() -> None:
             print(f"# warm {name} failed: {exc}", file=sys.stderr)
     spark.catalog.clearCache()
 
-    # Median-of-3 with the raw runs in the artifact: this sandbox shows
-    # 7.9–16.1 s total on IDENTICAL code across runs, so a single
-    # sample (or min-of-2) makes round-over-round deltas unattributable.
-    # The median damps one-off stalls both ways; the raw values let a
-    # reader judge whether a delta exceeds the run-to-run spread.
-    N_RUNS = 3
+    # Median-of-3 after one discarded priming run, raw runs in the
+    # artifact: this sandbox shows 7.9–16.1 s total on IDENTICAL code
+    # across runs, so a single sample (or min-of-2) makes round-over-
+    # round deltas unattributable. The sf0.001 warmup above JITs the
+    # codegen shapes but r03/r04 first runs at sf0.1 still decayed
+    # monotonically (file-listing + parquet-footer + page-cache cold
+    # start at the bench scale), so run 0 at sf_dir is a discarded
+    # primer and the median is over the steady-state runs 1-3. The
+    # median damps one-off stalls both ways; the raw values (primer
+    # first) let a reader judge whether a delta exceeds the spread.
+    N_TIMED = 3
     timings: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
     total = 0.0
     for name in HEADLINE:
         fn = QUERIES[name]
         runs: list[float] = []
-        for _ in range(N_RUNS):
+        for _ in range(1 + N_TIMED):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
@@ -94,11 +99,15 @@ def main() -> None:
             # work and under-measure pure-projection queries.
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
-        med = sorted(runs)[len(runs) // 2]
+        timed = runs[1:]
+        med = sorted(timed)[len(timed) // 2]
         timings[name] = round(med, 3)
         raw_runs[name] = [round(r, 3) for r in runs]
         total += med
-        print(f"# {name}: median {med:.3f}s of {raw_runs[name]}", file=sys.stderr)
+        print(
+            f"# {name}: median {med:.3f}s of {raw_runs[name]} (run 0 = primer)",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(
@@ -108,7 +117,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "runs": raw_runs,
-                "aggregation": f"median_of_{N_RUNS}",
+                "aggregation": f"median_of_{N_TIMED}_after_1_priming_discard",
                 "sf": sf,
             }
         )

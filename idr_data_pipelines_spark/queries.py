@@ -2246,6 +2246,33 @@ def q_agg_collect_sorted(spark, sf_dir):
     )
 
 
+def q_graph_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (3 steps, d=0.85) over the symmetrized
+    customer–supplier order graph: nodes are prefixed customer/supplier
+    keys, an undirected edge per distinct (custkey, suppkey) pair that
+    co-occurs in an order. Symmetrizing makes the graph dangling-free
+    (the operator's contract). Ranks rounded to 6 decimals: the
+    contribution SUM order is partitioning-dependent, so engines agree
+    to ~1e-15 relative, not bit-for-bit."""
+    from idr_data_pipelines_spark.operators.graph import pagerank
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    r = pagerank(edges, iterations=3, damping=0.85)
+    return r.select("id", F.round("rank", 6).alias("rank"))
+
+
 def q_mix_weighted_repeat(spark, sf_dir):
     """Upsampling corpus mix: src0 ×2.5, src1 ×1.25, src2 ×0.5,
     src3 ×1 (others dropped) — floor(w) full epochs per row plus the
@@ -2958,6 +2985,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "validate_warehouse": q_validate_warehouse,
     "agg_histogram": q_agg_histogram,
     "agg_collect_sorted": q_agg_collect_sorted,
+    "graph_pagerank": q_graph_pagerank,
     "agg_mode": q_agg_mode,
     "window_gap_islands": q_window_gap_islands,
     "window_rolling_sum": q_window_rolling_sum,
@@ -3879,6 +3907,64 @@ ORACLES: dict[str, str] = {
                CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
         FROM budget WHERE cum < 15000
         GROUP BY source
+    """,
+    # 3 unrolled power-method steps; `CAST(... AS DOUBLE)` everywhere so
+    # both engines run IEEE double arithmetic (DuckDB's bare 0.85 / 1.0
+    # literals are DECIMALs), and `1 - 0.85` written as an expression so
+    # both carry the identical 0.15000000000000002 representation.
+    "graph_pagerank": """
+        WITH pairs AS (
+            SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS c,
+                            's' || CAST(l.l_suppkey AS VARCHAR) AS s
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        ), edges AS (
+            SELECT c AS src, s AS dst FROM pairs
+            UNION ALL
+            SELECT s AS src, c AS dst FROM pairs
+        ), deg AS (
+            SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+        ), nodes AS (
+            SELECT src AS id FROM deg
+        ), nn AS (
+            SELECT COUNT(*) AS n FROM nodes
+        ), r0 AS (
+            SELECT id, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank
+            FROM nodes
+        ), r1 AS (
+            SELECT nodes.id,
+                   (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                       / (SELECT n FROM nn)
+                   + CAST(0.85 AS DOUBLE)
+                       * COALESCE(SUM(r0.rank / deg.outdeg), 0) AS rank
+            FROM nodes
+            LEFT JOIN edges ON edges.dst = nodes.id
+            LEFT JOIN deg ON deg.src = edges.src
+            LEFT JOIN r0 ON r0.id = edges.src
+            GROUP BY nodes.id
+        ), r2 AS (
+            SELECT nodes.id,
+                   (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                       / (SELECT n FROM nn)
+                   + CAST(0.85 AS DOUBLE)
+                       * COALESCE(SUM(r1.rank / deg.outdeg), 0) AS rank
+            FROM nodes
+            LEFT JOIN edges ON edges.dst = nodes.id
+            LEFT JOIN deg ON deg.src = edges.src
+            LEFT JOIN r1 ON r1.id = edges.src
+            GROUP BY nodes.id
+        ), r3 AS (
+            SELECT nodes.id,
+                   (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                       / (SELECT n FROM nn)
+                   + CAST(0.85 AS DOUBLE)
+                       * COALESCE(SUM(r2.rank / deg.outdeg), 0) AS rank
+            FROM nodes
+            LEFT JOIN edges ON edges.dst = nodes.id
+            LEFT JOIN deg ON deg.src = edges.src
+            LEFT JOIN r2 ON r2.id = edges.src
+            GROUP BY nodes.id
+        )
+        SELECT id, ROUND(rank, 6) AS rank FROM r3
     """,
     "agg_collect_sorted": """
         SELECT r.r_name,
