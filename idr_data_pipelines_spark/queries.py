@@ -2295,38 +2295,38 @@ def q_flagship_event_analytics(spark, sf_dir):
     end in ONE lazy plan — gap sessionization (30-min), ordered
     funnel depth (view→click→purchase within 72 h of the first view,
     the windowFunnel form — the time bound is what makes depth
-    discriminate), and per-user activity facts are each built from
-    the raw event log, joined on the shared user key (all three
-    branches shuffle on user_id once each, then co-partitioned
-    joins), and rolled up per funnel stage. Every output is an
-    integer, so the composed DuckDB oracle — the sessionize, funnel
-    and activity oracles chained as CTEs — must match bit-for-bit,
-    proving the operators compose, not just pass in isolation."""
-    from idr_data_pipelines_spark.streaming.events import funnel_depth, sessionize
+    discriminate), and per-user activity facts, rolled up per funnel
+    stage. Composed from the event-level operator surface:
+    ``assign_sessions`` shuffles the log on the user key ONCE (the
+    session window), then session counts, event counts, active days
+    and the ``funnel_fold`` depth all come out of a single per-user
+    aggregation that reuses that partitioning — the original
+    formulation joined three independently-shuffled branches, i.e. 4
+    full-log user exchanges instead of 1 (the difference that matters
+    at 100 TB; the plan shape is pinned in tests/test_plans.py).
+    Every output is an integer, so the composed DuckDB oracle — the
+    sessionize, funnel and activity oracles chained as CTEs — must
+    match bit-for-bit, proving the operators compose, not just pass
+    in isolation."""
+    from idr_data_pipelines_spark.streaming.events import assign_sessions, funnel_fold
 
-    ev = _events(spark, sf_dir)
-    sess = sessionize(ev)
-    per_user = sess.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_sessions"),
-        F.sum("n_events").alias("n_events"),
+    steps = ["view", "click", "purchase"]
+    evs = assign_sessions(_events(spark, sf_dir))
+    funnel_e = F.when(
+        F.col("event_type").isin(steps),
+        F.struct(F.col("ts").alias("ts"), F.col("event_type").alias("t")),
     )
-    depth = funnel_depth(
-        ev,
-        "user_id",
-        "ts",
-        "event_type",
-        ["view", "click", "purchase"],
-        window_seconds=72 * 3600,
+    per_user = evs.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct(F.col("ts").cast("date")).alias("active_days"),
+        funnel_fold(
+            F.array_sort(F.collect_list(funnel_e)),
+            steps,
+            window_seconds=72 * 3600,
+        ).cast("long").alias("depth"),
     )
-    activity = ev.groupBy("user_id").agg(
-        F.count_distinct(F.col("ts").cast("date")).alias("active_days")
-    )
-    users = (
-        per_user.join(activity, "user_id")
-        .join(depth, "user_id", "left")
-        .withColumn("depth", F.coalesce(F.col("depth"), F.lit(0)).cast("long"))
-    )
-    return users.groupBy("depth").agg(
+    return per_user.groupBy("depth").agg(
         F.count(F.lit(1)).alias("n_users"),
         F.sum("n_sessions").cast("long").alias("total_sessions"),
         F.sum("active_days").cast("long").alias("total_active_days"),

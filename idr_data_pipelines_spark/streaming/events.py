@@ -342,13 +342,14 @@ def sessionize_stream(
     )
 
 
-def sessionize(
+def assign_sessions(
     events: DataFrame,
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_minutes: int = 30,
 ) -> DataFrame:
-    """Gap-based sessionization (batch form).
+    """Event-level gap sessionization: every input row plus its
+    1-based per-user ``session_id``.
 
     A new session starts when the gap to the previous event of the
     same user exceeds ``gap_minutes``. Classic lag + cumulative-sum
@@ -357,8 +358,12 @@ def sessionize(
     partition (true for event data keyed by real users; a pathological
     hot user would be salted by session day first).
 
-    Returns one row per session: user, session_id (1-based per user),
-    start/end timestamps and event count.
+    ``sessionize`` aggregates this to session grain; composed
+    analytics (``flagship_event_analytics``) instead take the
+    event-level frame so session stats, activity facts and funnel
+    folds all ride this ONE user shuffle — a per-branch re-shuffle of
+    the raw log is the difference between 1 and 4 full-log exchanges
+    at 100 TB.
     """
     w = Window.partitionBy(user_col).orderBy(ts_col)
     gap_us = gap_minutes * 60 * 1_000_000
@@ -369,15 +374,28 @@ def sessionize(
             F.lit(0)
         ),
     )
-    with_sid = with_flag.withColumn(
+    return with_flag.withColumn(
         "session_id",
         (F.sum("__new_session").over(
             Window.partitionBy(user_col).orderBy(ts_col)
             .rowsBetween(Window.unboundedPreceding, 0)
         ) + F.lit(1)).cast("long"),
-    )
+    ).drop("__new_session")
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionization (batch form): one row per session —
+    user, session_id (1-based per user), start/end timestamps and
+    event count. ``assign_sessions`` + a session-grain aggregate that
+    reuses its user partitioning (no second shuffle)."""
     return (
-        with_sid.groupBy(user_col, "session_id")
+        assign_sessions(events, user_col, ts_col, gap_minutes)
+        .groupBy(user_col, "session_id")
         .agg(
             F.min(ts_col).alias("session_start"),
             F.max(ts_col).alias("session_end"),
@@ -415,17 +433,37 @@ def funnel_depth(
     event counts are assumed executor-bounded (the usual case; heavy
     hitters would need per-window pre-truncation).
     """
-    from pyspark.sql import functions as F
-
-    n = len(steps)
-    if n == 0:
-        raise ValueError("steps must be non-empty")
-    lit_steps = F.array(*[F.lit(s) for s in steps])
     ev = df.filter(F.col(type_col).isin(steps)).select(
         F.col(user_col),
         F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("t")).alias("e"),
     )
     arr = F.array_sort(F.collect_list("e"))
+    return (
+        ev.groupBy(user_col)
+        .agg(arr.alias("__evs"))
+        .select(
+            user_col,
+            funnel_fold(F.col("__evs"), steps, window_seconds).alias(depth_col),
+        )
+    )
+
+
+def funnel_fold(events_array, steps: list[str], window_seconds: int | None = None):
+    """The funnel-depth fold as a reusable Column expression: given a
+    SORTED ``array<struct<ts:timestamp, t:string>>``, return the
+    greedy-first-chain funnel stage reached (see ``funnel_depth`` for
+    the semantics). Pure JVM higher-order ``aggregate`` — usable
+    inside any aggregation (e.g. a combined per-user rollup that
+    computes session counts, activity facts and funnel depth in ONE
+    pass: collect the funnel events with
+    ``array_sort(collect_list(when(type.isin(steps), struct(ts, t))))``
+    — ``collect_list`` skips the non-funnel nulls — and apply this
+    fold), so composed analytics don't pay a separate shuffle per
+    funnel."""
+    n = len(steps)
+    if n == 0:
+        raise ValueError("steps must be non-empty")
+    lit_steps = F.array(*[F.lit(s) for s in steps])
     init = F.struct(
         F.lit(0).alias("stage"),
         F.lit(None).cast("timestamp").alias("ts"),
@@ -462,16 +500,7 @@ def funnel_depth(
             ),
         ).otherwise(acc)
 
-    return (
-        ev.groupBy(user_col)
-        .agg(arr.alias("__evs"))
-        .select(
-            user_col,
-            F.aggregate(F.col("__evs"), init, step_fn)
-            .getField("stage")
-            .alias(depth_col),
-        )
-    )
+    return F.aggregate(events_array, init, step_fn).getField("stage")
 
 
 # ---------------------------------------------------------------------------

@@ -201,6 +201,21 @@ def test_new_event_analytics_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan, plan
 
 
+def test_flagship_event_analytics_plan_shape(spark, sf_dir):
+    """The composed sessionize → per-user rollup → funnel-fold →
+    cohort plan must ride exactly ONE full-log user shuffle (the
+    session window; the combined per-user aggregate — session count,
+    event count, active days, funnel depth — reuses that partitioning)
+    plus the final depth aggregate over the already user-sized frame.
+    Nothing falls back to cartesian or Python eval."""
+    plan = _plan(QUERIES["flagship_event_analytics"](spark, sf_dir))
+    assert _n_shuffles(plan) <= 2, plan
+    assert len(re.findall(r"Exchange hashpartitioning\(user_id", plan)) == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "Window" in plan, plan  # the session window is the shuffle owner
+
+
 def test_round3_additions_plan_shapes(spark, sf_dir):
     """agg_mode: hash joins + two shuffles (count agg, mode window) —
     never a cartesian; window_rolling_sum: one data shuffle feeding
