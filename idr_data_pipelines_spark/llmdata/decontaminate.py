@@ -59,24 +59,34 @@ def contamination_scores(
     a single "n-gram" (same convention as ``word_shingles``), so every
     document gets a score; zero-match documents appear with
     ``n_matched = 0``.
+
+    Single corpus pass: totals and matches ride the same explode —
+    each n-gram row carries its document's ``n_ngrams``, the broadcast
+    LEFT join marks benchmark hits, and one doc-keyed aggregation
+    (map-side combined) counts the marks. The earlier formulation
+    computed totals and matches as separate branches re-joined on the
+    id — two corpus scans and an extra join, pure waste at 100 TB.
     """
-    ngrams = benchmark_ngrams(bench, text_col, k)
+    ngrams = benchmark_ngrams(bench, text_col, k).withColumn(
+        "__hit", F.lit(1)
+    )
     if broadcast_bench:
         ngrams = F.broadcast(ngrams)
 
-    docs = corpus.select(
+    exploded = corpus.select(
         F.col(id_col), word_shingles(text_col, k).alias("__ngrams")
-    )
-    totals = docs.select(id_col, F.size("__ngrams").alias("n_ngrams"))
-    matched = (
-        docs.select(id_col, F.explode("__ngrams").alias("ngram"))
-        .join(ngrams, "ngram")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("n_matched"))
+    ).select(
+        id_col,
+        F.size("__ngrams").alias("n_ngrams"),
+        F.explode_outer("__ngrams").alias("ngram"),
     )
     return (
-        totals.join(matched, id_col, "left")
-        .withColumn("n_matched", F.coalesce("n_matched", F.lit(0)))
+        exploded.join(ngrams, "ngram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.max("n_ngrams").alias("n_ngrams"),
+            F.count("__hit").alias("n_matched"),
+        )
         .withColumn(
             "contam_ratio",
             F.col("n_matched").cast("double") / F.col("n_ngrams").cast("double"),

@@ -2386,8 +2386,16 @@ def q_flagship_data_recipe(spark, sf_dir):
     )
     red = kept.withColumn("text", redact_pii("text"))
     fp = red.withColumn("fp", fingerprint("text"))
-    reps = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    deduped = fp.join(reps, ["fp", "doc_id"], "left_semi")
+    # min-id survivor via row_number, NOT groupBy(min)+semi-join: the
+    # self-join form duplicates the whole upstream chain (two corpus
+    # scans, the repetition metrics and PII regexes evaluated twice);
+    # the window is one shuffle over a single pass.
+    w_fp = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        fp.withColumn("__rn", F.row_number().over(w_fp))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
     sampled = sample_token_budget(
         deduped.select("doc_id", "source", "lang", "n_chars"),
         token_col="n_chars",

@@ -216,6 +216,25 @@ def test_flagship_event_analytics_plan_shape(spark, sf_dir):
     assert "Window" in plan, plan  # the session window is the shuffle owner
 
 
+def test_data_recipe_plan_shape(spark, sf_dir):
+    """The six-stage recipe must stay single-pass per stage: 3 scans
+    total (bench split, corpus scoring pass, corpus anti-join pass —
+    NOT the 8 scans the self-join dedup formulation produced) and ≤4
+    shuffles (benchmark n-gram distinct, contamination agg, fp-dedup
+    window, token-budget window share the final agg's grain). The
+    decontamination score is one corpus pass: totals and benchmark
+    hits ride the same explode."""
+    plan = _plan(QUERIES["flagship_data_recipe"](spark, sf_dir))
+    assert len(re.findall(r"FileScan parquet", plan)) <= 3, plan
+    assert _n_shuffles(plan) <= 5, plan
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan, plan
+
+    plan = _plan(QUERIES["decontaminate"](spark, sf_dir))
+    assert len(re.findall(r"FileScan parquet", plan)) <= 2, plan
+    assert _n_shuffles(plan) <= 2, plan
+    assert "BroadcastHashJoin" in plan, plan  # bench n-grams broadcast
+
+
 def test_round3_additions_plan_shapes(spark, sf_dir):
     """agg_mode: hash joins + two shuffles (count agg, mode window) —
     never a cartesian; window_rolling_sum: one data shuffle feeding
