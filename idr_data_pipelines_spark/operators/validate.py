@@ -67,9 +67,17 @@ def row_count_min(bound: int) -> Rule:
     return Rule("row_count_min", None, float(bound))
 
 
-def custom(name: str, predicate: Column, max_fail_frac: float = 0.0) -> Rule:
-    """Arbitrary boolean predicate over the row; NULL counts as fail."""
-    return Rule("custom", None, max_fail_frac, predicate=predicate, name=name)
+def custom(
+    name: str,
+    predicate: Column,
+    max_fail_frac: float = 0.0,
+    column: str | None = None,
+) -> Rule:
+    """Arbitrary boolean predicate over the row; NULL counts as fail.
+    ``column`` only labels the report row (the predicate may span any
+    columns) — e.g. a referential-integrity rule over a pre-joined hit
+    marker labels the fact key it checks."""
+    return Rule("custom", column, max_fail_frac, predicate=predicate, name=name)
 
 
 def _frac(cond: Column) -> Column:

@@ -920,15 +920,29 @@ def q_evt_retention_cohorts(spark, sf_dir):
     """Retention cohort matrix: users grouped by first-active day
     (cohort), counted by days-since-cohort (age) — the standard
     product-analytics triangle, at day grain because the synthetic
-    event stream spans one month. Two aggregations over distinct
-    (user, day) activity + one join back to the per-user cohort;
-    every shuffle is on user_id or (cohort, age), both low-card."""
+    event stream spans one month.
+
+    One full-log shuffle: collect each user's distinct active-day set
+    (map-side partial sets, bounded by the calendar — ≤31 elements
+    here), derive the cohort as ``array_min`` instead of a second
+    aggregation + join-back, explode to (cohort, age) rows and count.
+    The exploded frame is still user-partitioned, so the distinct
+    phase of the final count reuses it; only the tiny (cohort, age)
+    matrix re-shuffles. The join formulation cost 4 shuffles and 2
+    event scans."""
     ev = _events(spark, sf_dir)
     day = F.unix_date(F.to_date("ts")).cast("long")
-    active = ev.select("user_id", day.alias("m")).distinct()
-    cohort = active.groupBy("user_id").agg(F.min("m").alias("cohort_m"))
+    per_user = (
+        ev.select("user_id", day.alias("m"))
+        .groupBy("user_id")
+        .agg(F.collect_set("m").alias("days"))
+    )
     return (
-        active.join(cohort, "user_id")
+        per_user.select(
+            "user_id",
+            F.array_min("days").alias("cohort_m"),
+            F.explode("days").alias("m"),
+        )
         .groupBy("cohort_m", (F.col("m") - F.col("cohort_m")).alias("age"))
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
@@ -1112,31 +1126,59 @@ def q_text_collocations(spark, sf_dir):
     """Corpus collocation mining: the top-50 bigrams by frequency,
     each scored against independence with an EXACT integer lift test —
     ``2·n_xy·N > 3·n_x·n_y`` ⟺ P(xy) > 1.5·P(x)·P(y) — instead of
-    float PMI, so the oracle comparison stays bit-exact. Bigrams via a
-    zero-shuffle array transform over the token split; one map-side
-    combined count shuffle each for bigrams and unigrams; the two
-    unigram lookups join on the already-collapsed top-50, and the
-    token total broadcasts as a 1-row frame (no collect)."""
+    float PMI, so the oracle comparison stays bit-exact.
+
+    Single corpus pass: each document emits its unigrams (kind 0) and
+    bigrams (kind 1) as one tagged array — pure JVM array HOFs over
+    one token split — through ONE explode into ONE map-side combined
+    count shuffle. Unigram lookups for both bigram positions read the
+    same collapsed count frame (identical subtree → ReuseExchange, no
+    recompute), the top-50 side broadcasts into them, and the token
+    total broadcasts as a 1-row frame (no collect; its
+    BroadcastNestedLoopJoin is the waived 1-row scalar pattern, as in
+    q22). The earlier formulation counted unigrams and bigrams as
+    separate branches: 4 corpus scans and 4 token-split evaluations
+    where one of each suffices."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     words = docs.select(
         F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("w")
     )
-    bigrams = words.select(
+    terms = words.select(
         F.explode(
-            F.expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))")
-        ).alias("bigram")
-    ).filter(~F.col("bigram").startswith(" ") & ~F.col("bigram").endswith(" "))
+            F.concat(
+                F.expr(
+                    "transform(filter(w, t -> t != ''),"
+                    " t -> struct(0 as kind, t as term))"
+                ),
+                F.expr(
+                    "transform(filter("
+                    "  transform(sequence(0, size(w) - 2),"
+                    "            i -> concat(w[i], ' ', w[i+1])),"
+                    "  b -> NOT startswith(b, ' ') AND NOT endswith(b, ' ')),"
+                    " b -> struct(1 as kind, b as term))"
+                ),
+            )
+        ).alias("e")
+    ).select(F.col("e.kind").alias("kind"), F.col("e.term").alias("term"))
+    # Materialization barrier on the collapsed (vocab-sized, not
+    # corpus-sized) count frame: four consumers follow (top-50, the
+    # two unigram lookups, the total), and without the barrier each
+    # re-derives the corpus scan + explode + count — Catalyst pushes
+    # the diverging kind filters below the aggregate, so subtree reuse
+    # cannot kick in. One corpus pass, guaranteed.
+    counts = (
+        terms.groupBy("kind", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     top = (
-        bigrams.groupBy("bigram")
-        .agg(F.count(F.lit(1)).alias("n_xy"))
+        counts.filter(F.col("kind") == 1)
+        .select(F.col("term").alias("bigram"), F.col("n").alias("n_xy"))
         .orderBy(F.desc("n_xy"), F.asc("bigram"))
         .limit(50)
     )
-    uni = (
-        words.select(F.explode("w").alias("token"))
-        .filter(F.col("token") != "")
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("n"))
+    uni = counts.filter(F.col("kind") == 0).select(
+        F.col("term").alias("token"), "n"
     )
     total = uni.agg(F.sum("n").alias("n_total"))
     w1 = F.split(F.col("bigram"), " ").getItem(0)
@@ -1363,16 +1405,19 @@ def q_validate_warehouse(spark, sf_dir):
     uniqueness, set-membership, range, and row-count expectations on
     orders/lineitem — every per-table rule compiled into ONE
     conditional aggregate (one scan per table, one 1-row-per-partition
-    shuffle) — plus a lazy broadcast referential-integrity check
-    (lineitem.l_orderkey → orders.o_orderkey). Thresholds chosen so
-    the report contains both passing and failing rows."""
+    shuffle). The referential-integrity check (lineitem.l_orderkey →
+    orders.o_orderkey) rides lineitem's SAME pass: the broadcast key
+    set is pre-joined as a hit marker and the orphan fraction is just
+    another custom rule in the aggregate — a standalone
+    referential_integrity() call would scan the fact a second time.
+    Thresholds chosen so the report contains both passing and failing
+    rows."""
     from idr_data_pipelines_spark.operators.validate import (
         col_max,
         col_min,
         custom,
         in_set,
         not_null,
-        referential_integrity,
         row_count_min,
         unique,
         validate,
@@ -1391,19 +1436,26 @@ def q_validate_warehouse(spark, sf_dir):
         ],
         table="orders",
     )
+    ref_keys = F.broadcast(
+        orders.select(F.col("o_orderkey").alias("l_orderkey"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
     rep_lineitem = validate(
-        lineitem,
+        lineitem.join(ref_keys, "l_orderkey", "left"),
         [
             not_null("l_orderkey"),
             custom("qty_positive", F.col("l_quantity") > 0),
             col_max("l_discount", 0.11),
+            custom(
+                "ref_integrity(l_orderkey)",
+                F.col("__hit").isNotNull(),
+                column="l_orderkey",
+            ),
         ],
         table="lineitem",
     )
-    rep_ref = referential_integrity(
-        lineitem, orders, "l_orderkey", "o_orderkey", table="lineitem"
-    )
-    return rep_orders.unionByName(rep_lineitem).unionByName(rep_ref)
+    return rep_orders.unionByName(rep_lineitem)
 
 
 def q_evt_cdc_upsert_stream(spark, sf_dir):
@@ -1922,34 +1974,43 @@ def q_q19_disjunctive(spark, sf_dir):
 def q_q21_waiting_supplier(spark, sf_dir):
     """EXISTS + NOT-EXISTS on the same relation (TPC-H Q21 shape):
     suppliers who were the sole late shipper on failed multi-supplier
-    orders ("late" = shipped >60 days after order date). The two
-    correlated subqueries become a LEFT SEMI then LEFT ANTI self-join
-    against the lineitem table."""
+    orders ("late" = shipped >60 days after order date).
+
+    The correlated subqueries are per-order set conditions, so instead
+    of the textbook LEFT SEMI + LEFT ANTI self-joins (three lineitem
+    scans, each self-join a full fact-fact shuffle) they evaluate as
+    two distinct-supplier counts over one order-keyed window: a late
+    row survives iff its order has ≥2 suppliers and exactly 1 late
+    supplier. One lineitem scan, one order-key shuffle (the window
+    rides the join's partitioning), identical row-level semantics —
+    the self-join keyspace IS the window partition."""
     orders = (
         _t(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
         .select("o_orderkey", "o_orderdate")
     )
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
-    late = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    w = Window.partitionBy("l_orderkey")
+    flagged = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .withColumn(
+            "__late",
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            "__late",
+            F.size(F.collect_set("l_suppkey").over(w)).alias("__n_supp"),
+            F.size(
+                F.collect_set(
+                    F.when(F.col("__late"), F.col("l_suppkey"))
+                ).over(w)
+            ).alias("__n_late_supp"),
+        )
     )
-    others = li.select(
-        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
-    )
-    late_others = late.select(
-        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
-    )
-    l1 = late.join(
-        others,
-        (F.col("l_orderkey") == F.col("o2_orderkey"))
-        & (F.col("l_suppkey") != F.col("o2_suppkey")),
-        "left_semi",
-    ).join(
-        late_others,
-        (F.col("l_orderkey") == F.col("o3_orderkey"))
-        & (F.col("l_suppkey") != F.col("o3_suppkey")),
-        "left_anti",
+    l1 = flagged.filter(
+        F.col("__late") & (F.col("__n_supp") > 1) & (F.col("__n_late_supp") == 1)
     )
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
