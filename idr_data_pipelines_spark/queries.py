@@ -2101,9 +2101,12 @@ def q_q6_forecast_revenue(spark, sf_dir):
 
 def q_q15_top_supplier(spark, sf_dir):
     """Scalar-max subquery + join-back (TPC-H Q15 shape): supplier(s)
-    whose half-year revenue equals the maximum. The revenue aggregate
-    is computed once and reused for both the max and the match (Spark
-    reuses the exchange; exact cent sums make the equality portable)."""
+    whose half-year revenue equals the maximum; exact cent sums make
+    the equality portable. The supplier-sized revenue aggregate gets a
+    materialization barrier before fanning out to the max and match
+    branches — measured: AQE does NOT reuse the aggregation stage
+    across them (the join's null-filter perturbs the canonical
+    subtree), so the lazy form re-scans lineitem for the 1-row max."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
@@ -2117,7 +2120,7 @@ def q_q15_top_supplier(spark, sf_dir):
                 + F.lit(0.5)
             ).cast("bigint")
         ).alias("rev_cents")
-    )
+    ).localCheckpoint(eager=True)
     best = rev.agg(F.max("rev_cents").alias("max_cents"))
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
@@ -2134,26 +2137,24 @@ def q_q15_top_supplier(spark, sf_dir):
 def q_q17_small_quantity(spark, sf_dir):
     """Correlated per-group average threshold (TPC-H Q17 shape):
     revenue from Brand#1 lineitems below 20% of their part's average
-    quantity. The per-part average joins back broadcast (it shrinks to
-    one row per part); the average is exact-integer sum / count so the
-    0.2× threshold is bit-identical across engines."""
+    quantity. The per-part average is a window over the SAME
+    brand-filtered pass that gets filtered — the aggregate-then-
+    join-back form scans lineitem twice for identical arithmetic
+    (exact-integer sum / count, so the 0.2× threshold is
+    bit-identical across engines either way)."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select(
         "p_partkey"
     )
     branded = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-    avg_q = branded.groupBy(F.col("l_partkey").alias("ap_key")).agg(
-        (
-            F.lit(0.2)
-            * (
-                F.sum(F.col("l_quantity").cast("bigint")).cast("double")
-                / F.count(F.lit(1))
-            )
-        ).alias("qty_threshold")
+    w = Window.partitionBy("l_partkey")
+    threshold = F.lit(0.2) * (
+        F.sum(F.col("l_quantity").cast("bigint")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
     )
-    small = branded.join(
-        F.broadcast(avg_q), branded.l_partkey == avg_q.ap_key
-    ).filter(F.col("l_quantity") < F.col("qty_threshold"))
+    small = branded.withColumn("qty_threshold", threshold).filter(
+        F.col("l_quantity") < F.col("qty_threshold")
+    )
     return small.agg(
         _money_sum(F.col("l_extendedprice")).alias("total_price"),
         F.count(F.lit(1)).alias("n_items"),
