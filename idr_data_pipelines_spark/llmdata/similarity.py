@@ -559,3 +559,28 @@ def cosine_topk_quantized(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Per-label mean embedding in long form: one row per
+    ``(label, pos)`` with the component mean — corpus-drift /
+    source-similarity analytics over an embedding column.
+
+    ``posexplode`` + a (label, pos)-keyed average: the explode is a
+    dim× row fan-out but the aggregation partially combines map-side,
+    so the shuffle carries at most |labels|·dim rows per input
+    partition — the scalable shape for billion-vector corpora (an
+    elementwise fold over ``collect_list`` would concentrate each
+    label's vectors on one task instead). Float components cast to
+    double BEFORE averaging; the mean's summation order is
+    partitioning-dependent, so comparators should round (the catalog
+    query rounds to 6 decimals).
+    """
+    ex = df.select(F.col(label_col), F.posexplode(emb_col).alias("pos", "v"))
+    return ex.groupBy(label_col, "pos").agg(
+        F.avg(F.col("v").cast("double")).alias("centroid_val")
+    )

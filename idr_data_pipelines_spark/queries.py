@@ -2335,6 +2335,23 @@ def q_graph_pagerank(spark, sf_dir):
     return r.select("id", F.round("rank", 6).alias("rank"))
 
 
+def q_emb_label_centroids(spark, sf_dir):
+    """Per-label mean embedding (long form: label, pos, centroid_val)
+    — the corpus-drift analytics surface over the embeddings table.
+    Means rounded to 6 decimals: summation order is
+    partitioning-dependent, so engines agree to ~1e-13, not
+    bit-for-bit."""
+    from idr_data_pipelines_spark.llmdata.similarity import label_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    c = label_centroids(emb, "label", "embedding")
+    return c.select(
+        "label",
+        "pos",
+        F.round("centroid_val", 6).alias("centroid_val"),
+    )
+
+
 def q_mix_weighted_repeat(spark, sf_dir):
     """Upsampling corpus mix: src0 ×2.5, src1 ×1.25, src2 ×0.5,
     src3 ×1 (others dropped) — floor(w) full epochs per row plus the
@@ -3056,6 +3073,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_histogram": q_agg_histogram,
     "agg_collect_sorted": q_agg_collect_sorted,
     "graph_pagerank": q_graph_pagerank,
+    "emb_label_centroids": q_emb_label_centroids,
     "agg_mode": q_agg_mode,
     "window_gap_islands": q_window_gap_islands,
     "window_rolling_sum": q_window_rolling_sum,
@@ -3977,6 +3995,20 @@ ORACLES: dict[str, str] = {
                CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
         FROM budget WHERE cum < 15000
         GROUP BY source
+    """,
+    # indexed list_transform pairs each component with its position
+    # (DuckDB lambda index is 1-based), so the long-form unnest needs
+    # no lateral series; means rounded to 6 dp (summation order).
+    "emb_label_centroids": """
+        SELECT label, u.pos AS pos,
+               ROUND(AVG(CAST(u.v AS DOUBLE)), 6) AS centroid_val
+        FROM (
+            SELECT label,
+                   unnest(list_transform(embedding,
+                          (x, i) -> struct_pack(pos := i - 1, v := x))) AS u
+            FROM embeddings
+        )
+        GROUP BY label, u.pos
     """,
     # 3 unrolled power-method steps; `CAST(... AS DOUBLE)` everywhere so
     # both engines run IEEE double arithmetic (DuckDB's bare 0.85 / 1.0

@@ -654,3 +654,24 @@ def test_mix_weighted_repeat_epochs(spark):
     assert all(len(v) == 1 for (s, _), v in per_doc.items() if s == "s1")
     for v in per_doc.values():
         assert sorted(v) == list(range(1, len(v) + 1))
+
+
+def test_label_centroids_known_vectors(spark):
+    """Exact means on hand-checkable vectors; one row per (label, pos);
+    float components promoted to double before averaging."""
+    from idr_data_pipelines_spark.llmdata.similarity import label_centroids
+
+    rows = [
+        (0, [1.0, 2.0, 3.0]),
+        (0, [3.0, 2.0, 1.0]),
+        (1, [10.0, 0.0, -10.0]),
+    ]
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    got = {
+        (r["label"], r["pos"]): r["centroid_val"]
+        for r in label_centroids(df).collect()
+    }
+    assert got == {
+        (0, 0): 2.0, (0, 1): 2.0, (0, 2): 2.0,
+        (1, 0): 10.0, (1, 1): 0.0, (1, 2): -10.0,
+    }
