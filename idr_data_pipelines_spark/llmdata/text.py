@@ -153,3 +153,48 @@ def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     feats["lang_pred"] = lang_id(text_col)
     feats["fp"] = fingerprint(text_col)
     return df.withColumns(feats)
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-self-trained unigram-LM scoring (the CCNet-style quality
+    signal): per document, the mean negative log2 probability of its
+    tokens under the corpus's own unigram distribution — low = bland
+    high-frequency text, high = rare-token-heavy text; both tails are
+    the usual filter targets.
+
+    One corpus pass builds the (vocab-sized) token-count table, which
+    takes a materialization barrier — two consumers follow (the 1-row
+    total and the scoring probe) and Catalyst will not reuse the
+    aggregation subtree across them. Scoring is then a broadcast hash
+    probe of the vocab against the same exploded tokens and one
+    doc-keyed average: the corpus never shuffles on the token key.
+    ``-log2 p(t) = log2(N) - log2(n_t)`` keeps the constant out of the
+    per-token path. Mean summation order is partitioning-dependent —
+    comparators round (the catalog query rounds to 6 decimals).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+        .localCheckpoint(eager=True)
+    )
+    total = vocab.agg(F.sum("n_tok").alias("n_total"))
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.avg(
+                F.log2(F.col("n_total").cast("double"))
+                - F.log2(F.col("n_tok").cast("double"))
+            ).alias("mean_neg_log2p"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )

@@ -2352,6 +2352,22 @@ def q_emb_label_centroids(spark, sf_dir):
     )
 
 
+def q_text_perplexity_unigram(spark, sf_dir):
+    """Unigram-LM quality scores (CCNet-style): per document, the mean
+    -log2 token probability under the corpus's own unigram
+    distribution, plus the token count. Rounded to 6 decimals (mean
+    summation order + libm log ulp differ across engines)."""
+    from idr_data_pipelines_spark.llmdata.text import unigram_logprob_scores
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    s = unigram_logprob_scores(docs)
+    return s.select(
+        "doc_id",
+        F.round("mean_neg_log2p", 6).alias("mean_neg_log2p"),
+        "n_tokens",
+    )
+
+
 def q_mix_weighted_repeat(spark, sf_dir):
     """Upsampling corpus mix: src0 ×2.5, src1 ×1.25, src2 ×0.5,
     src3 ×1 (others dropped) — floor(w) full epochs per row plus the
@@ -3074,6 +3090,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_collect_sorted": q_agg_collect_sorted,
     "graph_pagerank": q_graph_pagerank,
     "emb_label_centroids": q_emb_label_centroids,
+    "text_perplexity_unigram": q_text_perplexity_unigram,
     "agg_mode": q_agg_mode,
     "window_gap_islands": q_window_gap_islands,
     "window_rolling_sum": q_window_rolling_sum,
@@ -3999,6 +4016,30 @@ ORACLES: dict[str, str] = {
     # indexed list_transform pairs each component with its position
     # (DuckDB lambda index is 1-based), so the long-form unnest needs
     # no lateral series; means rounded to 6 dp (summation order).
+    # log2(N)-log2(n) mirrors the Spark expression exactly; rounding
+    # absorbs libm ulp + mean-order differences.
+    "text_perplexity_unigram": """
+        WITH toks AS (
+            SELECT doc_id, t.tok
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+                FROM documents WHERE text IS NOT NULL
+            ) AS t
+            WHERE t.tok <> ''
+        ), vocab AS (
+            SELECT tok, COUNT(*) AS n_tok FROM toks GROUP BY tok
+        ), tot AS (
+            SELECT CAST(SUM(n_tok) AS DOUBLE) AS n_total FROM vocab
+        )
+        SELECT toks.doc_id,
+               ROUND(AVG(log2((SELECT n_total FROM tot))
+                         - log2(CAST(vocab.n_tok AS DOUBLE))), 6)
+                   AS mean_neg_log2p,
+               COUNT(*) AS n_tokens
+        FROM toks JOIN vocab ON toks.tok = vocab.tok
+        GROUP BY toks.doc_id
+    """,
     "emb_label_centroids": """
         SELECT label, u.pos AS pos,
                ROUND(AVG(CAST(u.v AS DOUBLE)), 6) AS centroid_val

@@ -675,3 +675,25 @@ def test_label_centroids_known_vectors(spark):
         (0, 0): 2.0, (0, 1): 2.0, (0, 2): 2.0,
         (1, 0): 10.0, (1, 1): 0.0, (1, 2): -10.0,
     }
+
+
+def test_unigram_logprob_scores_exact(spark):
+    """Hand-computed -log2 p means on a 4-token corpus: p(a)=3/6,
+    p(b)=2/6, p(c)=1/6."""
+    import math
+
+    from idr_data_pipelines_spark.llmdata.text import unigram_logprob_scores
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c a")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["mean_neg_log2p"], r["n_tokens"])
+        for r in unigram_logprob_scores(df).collect()
+    }
+    lp = lambda n: math.log2(6.0) - math.log2(float(n))
+    want1 = (lp(3) + lp(3) + lp(2)) / 3
+    want2 = (lp(2) + lp(1) + lp(3)) / 3
+    assert got[1][1] == 3 and got[2][1] == 3
+    assert abs(got[1][0] - want1) < 1e-12
+    assert abs(got[2][0] - want2) < 1e-12
