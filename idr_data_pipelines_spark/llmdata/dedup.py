@@ -30,6 +30,44 @@ def dedup_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("__fp", fingerprint(text_col)).dropDuplicates(["__fp"]).drop("__fp")
 
 
+def dedup_incremental(
+    new_docs: DataFrame,
+    seen_fps: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Incremental exact dedup: drop from ``new_docs`` every document
+    whose normalized-text fingerprint already exists in ``seen_fps``
+    (one ``fp`` column — the index maintained from prior runs), then
+    keep one min-id survivor per fingerprint WITHIN the batch.
+
+    The production shape for a growing corpus: each ingest run
+    fingerprints only the NEW batch and anti-joins the accumulated
+    index — the old corpus is never rescanned, and the run's output
+    fingerprints are appended to the index for the next run. Batch ≪
+    index, so the batch side shuffles on the fingerprint key and the
+    index side shuffles once per run (or not at all if the index is
+    stored bucketed by ``fp`` — see sinks.sink_table_bucketed); the
+    within-batch survivor pass is one row_number window over the
+    already-filtered batch.
+    """
+    from idr_data_pipelines_spark.llmdata.text import fingerprint
+
+    from pyspark.sql import Window
+
+    fresh = (
+        new_docs.withColumn(fp_col, fingerprint(text_col))
+        .join(seen_fps.select(fp_col).distinct(), fp_col, "left_anti")
+    )
+    w = Window.partitionBy(fp_col).orderBy(id_col)
+    return (
+        fresh.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", fp_col)
+    )
+
+
 def dedup_exact_hash_groups(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -2368,6 +2368,25 @@ def q_text_perplexity_unigram(spark, sf_dir):
     )
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental exact dedup: the ingest-run shape — docs with
+    doc_id % 3 == 0 play the accumulated corpus (only their
+    fingerprints are consulted), the rest are the new batch; drop
+    batch docs whose fingerprint is already indexed, keep one min-id
+    survivor per fingerprint within the batch."""
+    from idr_data_pipelines_spark.llmdata.dedup import dedup_incremental
+    from idr_data_pipelines_spark.llmdata.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    seen = docs.filter(F.col("doc_id") % 3 == 0).select(
+        fingerprint("text").alias("fp")
+    )
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    return dedup_incremental(new, seen).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
 def q_mix_weighted_repeat(spark, sf_dir):
     """Upsampling corpus mix: src0 ×2.5, src1 ×1.25, src2 ×0.5,
     src3 ×1 (others dropped) — floor(w) full epochs per row plus the
@@ -3091,6 +3110,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_pagerank": q_graph_pagerank,
     "emb_label_centroids": q_emb_label_centroids,
     "text_perplexity_unigram": q_text_perplexity_unigram,
+    "dedup_incremental": q_dedup_incremental,
     "agg_mode": q_agg_mode,
     "window_gap_islands": q_window_gap_islands,
     "window_rolling_sum": q_window_rolling_sum,
@@ -4016,6 +4036,24 @@ ORACLES: dict[str, str] = {
     # indexed list_transform pairs each component with its position
     # (DuckDB lambda index is 1-based), so the long-form unnest needs
     # no lateral series; means rounded to 6 dp (summation order).
+    "dedup_incremental": """
+        WITH docs AS (
+            SELECT doc_id, source, lang, n_chars,
+                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+            FROM documents WHERE text IS NOT NULL
+        ), seen AS (
+            SELECT DISTINCT fp FROM docs WHERE doc_id % 3 = 0
+        ), fresh AS (
+            SELECT d.* FROM docs d
+            WHERE d.doc_id % 3 <> 0
+              AND NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = d.fp)
+        )
+        SELECT doc_id, source, lang, n_chars
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM fresh
+        ) WHERE rn = 1
+    """,
     # log2(N)-log2(n) mirrors the Spark expression exactly; rounding
     # absorbs libm ulp + mean-order differences.
     "text_perplexity_unigram": """

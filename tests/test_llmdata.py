@@ -697,3 +697,27 @@ def test_unigram_logprob_scores_exact(spark):
     assert got[1][1] == 3 and got[2][1] == 3
     assert abs(got[1][0] - want1) < 1e-12
     assert abs(got[2][0] - want2) < 1e-12
+
+
+def test_dedup_incremental_batch_vs_index(spark):
+    """Docs already in the index are dropped; within-batch dups keep
+    the min id; normalization (case/whitespace) applies before
+    matching."""
+    from idr_data_pipelines_spark.llmdata.dedup import dedup_incremental
+    from idr_data_pipelines_spark.llmdata.text import fingerprint
+
+    seen_docs = spark.createDataFrame(
+        [(100, "already seen text")], ["doc_id", "text"]
+    )
+    seen = seen_docs.select(fingerprint("text").alias("fp"))
+    batch = spark.createDataFrame(
+        [
+            (1, "Already   SEEN text"),   # dup of index after normalize
+            (2, "fresh one"),
+            (3, "fresh  ONE"),            # within-batch dup of 2
+            (4, "another fresh"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = sorted(r["doc_id"] for r in dedup_incremental(batch, seen).collect())
+    assert got == [2, 4]
