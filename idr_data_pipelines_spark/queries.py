@@ -3111,6 +3111,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_label_centroids": q_emb_label_centroids,
     "text_perplexity_unigram": q_text_perplexity_unigram,
     "dedup_incremental": q_dedup_incremental,
+    # re-verify: implementations changed in round 5 (window/barrier
+    # rewrites), so they re-enter the 50-entry driver window
+    "q21_waiting_supplier": q_q21_waiting_supplier,
+    "q15_top_supplier": q_q15_top_supplier,
+    "q17_small_quantity": q_q17_small_quantity,
+    "evt_sessionize": q_evt_sessionize,
     "agg_mode": q_agg_mode,
     "window_gap_islands": q_window_gap_islands,
     "window_rolling_sum": q_window_rolling_sum,
@@ -3170,17 +3176,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_running": q_window_running,
     "expr_json": q_expr_json,
     "q19_disjunctive": q_q19_disjunctive,
-    "q21_waiting_supplier": q_q21_waiting_supplier,
     "q22_idle_rich_customers": q_q22_idle_rich_customers,
     "q6_forecast_revenue": q_q6_forecast_revenue,
-    "q15_top_supplier": q_q15_top_supplier,
-    "q17_small_quantity": q_q17_small_quantity,
     "join_asof": q_join_asof,
     "join_range": q_join_range,
     "udtf_split_sentences": q_udtf_split_sentences,
     "evt_trigger_audit": q_evt_trigger_audit,
     "evt_windowed_counts": q_evt_windowed_counts,
-    "evt_sessionize": q_evt_sessionize,
     "evt_pivot_user_counts": q_evt_pivot_user_counts,
     "evt_rollup_daily": q_evt_rollup_daily,
     "evt_windowed_counts_stream": q_evt_windowed_counts_stream,
