@@ -132,3 +132,45 @@ def compact_parquet_dir(
     fs.delete(bak, True)
     out = [f for f in fs.listStatus(p) if f.getPath().getName().endswith(".parquet")]
     return len(out)
+
+
+def sink_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    order_col: str,
+    id_col: str = "example_id",
+) -> None:
+    """Export a training corpus as ``n_shards`` balanced parquet shards
+    with contiguous global example ids in a deterministic order.
+
+    Ids come from ``assign_global_ids`` (range shuffle + broadcast
+    prefix sums — no global window); shard = id % n_shards, so shard
+    sizes balance to ±1 AND every shard is a uniform round-robin slice
+    of the global order (each shard an unbiased sample — what data
+    loaders assume when they stripe shards across workers). One file
+    per shard via a shard-keyed repartition feeding a partitioned
+    write. For shuffled training order, pass a deterministic hash
+    column (e.g. ``md5(doc_id)``) as ``order_col``; re-runs then
+    reproduce byte-identical shards.
+
+    100 TB shape: the only data movements are the one range shuffle
+    inside the id assignment and the shard repartition; n_shards
+    should be chosen so one shard ≈ a few hundred MB.
+    """
+    from pyspark.sql import functions as F
+
+    from idr_data_pipelines_spark.llmdata.sampling import assign_global_ids
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    ids = assign_global_ids(df, order_col, id_col=id_col)
+    sharded = ids.withColumn(
+        "shard", (F.col(id_col) % n_shards).cast("int")
+    )
+    (
+        sharded.repartition(n_shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

@@ -65,3 +65,42 @@ def test_dynamic_partition_overwrite(spark, sf_dir, tmp_path):
     assert {r["status"] for r in after.select("status").distinct().collect()} == statuses
     f_rows = after.filter(F.col("status") == "F").collect()
     assert len(f_rows) == 1 and f_rows[0]["o_comment"] == "REWRITTEN"
+
+
+def test_training_shards_balanced_contiguous_deterministic(spark, tmp_path):
+    """Shard sizes balance to ±1, ids are exactly 0..N-1 striped
+    round-robin (shard == id % n), order within a shard follows the
+    order column, and a re-run reproduces identical shards."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from idr_data_pipelines_spark.sources.sinks import sink_training_shards
+
+    df = spark.range(0, 1001).select(
+        (F.col("id") * 37 % 10007).alias("k"), F.col("id").alias("payload")
+    )
+    out = str(tmp_path / "shards")
+    sink_training_shards(df, out, n_shards=7, order_col="k")
+
+    back = spark.read.parquet(out)
+    rows = back.collect()
+    assert sorted(r["example_id"] for r in rows) == list(range(1001))
+    sizes = {}
+    for r in rows:
+        assert r["shard"] == r["example_id"] % 7
+        sizes[r["shard"]] = sizes.get(r["shard"], 0) + 1
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # global order: example_id ascending == k ascending
+    by_k = sorted(rows, key=lambda r: r["k"])
+    assert [r["example_id"] for r in by_k] == list(range(1001))
+    # one data file per shard dir
+    for d in os.listdir(out):
+        if d.startswith("shard="):
+            files = [f for f in os.listdir(os.path.join(out, d))
+                     if f.endswith(".parquet")]
+            assert len(files) == 1, (d, files)
+    # deterministic re-run
+    sink_training_shards(df, str(tmp_path / "shards2"), n_shards=7, order_col="k")
+    again = spark.read.parquet(str(tmp_path / "shards2")).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
