@@ -184,3 +184,52 @@ def test_compact_parquet_dir_merges_small_files(spark, tmp_path):
     assert len(glob.glob(path + "/*.parquet")) == 1
     after = sorted(r["k"] for r in spark.read.parquet(path).collect())
     assert after == before
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
+    """Joining a date-partitioned fact to a dimension filtered on a
+    NON-partition column must inject a runtime dynamicpruning
+    subquery into the fact scan (DPP): the partition list is decided
+    by the dim filter's result at execution time, not statically — at
+    100 TB this prunes the fact read without the user repeating the
+    date predicate on the fact side.
+
+    Two conditions are load-bearing (both found by measurement):
+    the dim filter must be a *likely-selective* predicate (an
+    equality — a bare boolean column does NOT qualify for Spark's
+    isLikelySelective), and the dim must be a sized relation that
+    plans broadcast (DPP defaults to reuseBroadcastOnly)."""
+    from idr_data_pipelines_spark.queries import _events
+    from idr_data_pipelines_spark.sources.sinks import sink_parquet_overwrite
+
+    ev = _events(spark, str(sf_dir)).withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    lake = str(tmp_path / "events_by_day")
+    sink_parquet_overwrite(
+        ev.select("event_id", "user_id", "event_type", "event_date"),
+        lake,
+        partition_by=["event_date"],
+    )
+    fact = spark.read.parquet(lake)
+
+    all_days = [r["event_date"] for r in fact.select("event_date").distinct().collect()]
+    holidays = {d for d in all_days if d.toordinal() % 5 == 0}
+    dim_path = str(tmp_path / "date_dim")
+    spark.createDataFrame(
+        [(d, "holiday" if d in holidays else "workday") for d in all_days],
+        "event_date date, kind string",
+    ).write.parquet(dim_path)
+    dim = spark.read.parquet(dim_path)
+
+    j = fact.join(dim.filter(F.col("kind") == "holiday"), "event_date")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+
+    got = {r["event_date"]: r["count"] for r in j.groupBy("event_date").count().collect()}
+    want = {
+        r["event_date"]: r["count"]
+        for r in ev.groupBy("event_date").count().collect()
+        if r["event_date"] in holidays
+    }
+    assert got == want
