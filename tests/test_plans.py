@@ -260,3 +260,51 @@ def test_round3_additions_plan_shapes(spark, sf_dir):
         assert "CartesianProduct" not in plan, f"{name}\n{plan}"
         assert "BroadcastNestedLoopJoin" not in plan, f"{name}\n{plan}"
         assert "Join" in plan, f"{name}\n{plan}"
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """A hot join key must trigger AQE's skew-join split at runtime —
+    the final adaptive plan's SortMergeJoin carries skew=true, meaning
+    the oversized partition was divided instead of serializing one
+    straggler task (the 100 TB failure mode manual salting guards
+    against; join_salted remains the static fallback). Thresholds are
+    lowered to make a local-scale partition count as skewed; the final
+    plan must be read from the SAME QueryExecution that ran (AQE
+    finalizes per-execution, not per-DataFrame-build)."""
+    import pyspark.sql.functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32768"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        pad = F.concat_ws(
+            "", F.array(*[F.md5(F.col("id").cast("string")) for _ in range(4)])
+        )
+        left = spark.range(120000).select(
+            F.when(F.col("id") % 4 != 0, F.lit(7))
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            pad.alias("pad"),
+        )
+        right = spark.range(100).select(
+            F.col("id").alias("k"), F.lit("x").alias("tag")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 120000  # every left row matches
+        final = _plan(j)
+        assert "skew=true" in final, final
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
