@@ -141,12 +141,17 @@ def join_asof(
     right_ts: str,
     right_cols: list[str],
     direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """As-of join: enrich each left row with ``right_cols`` from the
     temporally closest right row of the same key (``backward`` = most
     recent right row with right_ts <= left_ts, inclusive; ``forward``
     = earliest with right_ts >= left_ts). Unmatched left rows keep
-    nulls (left-join semantics).
+    nulls (left-join semantics). ``tolerance_seconds`` bounds the
+    match window (pandas merge_asof tolerance): a boundary row farther
+    than the tolerance from the left timestamp is treated as no
+    match — the usual guard against enriching from a stale dimension
+    row hours old.
 
     Spark has no native as-of join, and expressing it as a range join
     + argmax explodes (every left row matches every earlier right
@@ -206,6 +211,11 @@ def join_asof(
             right_on=right_ts,
             direction=direction,
             suffixes=("", "__r"),
+            tolerance=(
+                None
+                if tolerance_seconds is None
+                else pd.Timedelta(seconds=tolerance_seconds)
+            ),
         )
         if right_ts in right_cols and right_ts in l_pdf.columns:
             merged[right_ts] = merged[f"{right_ts}__r"]

@@ -193,6 +193,16 @@ def test_join_asof_backward_forward_and_unmatched(spark):
         ).collect()
     }
     assert fwd == {"a": 200.0, "b": 50.0, "c": None, "d": 99.0}
+    # tolerance: a 2-day window rejects the 5-day-old Jan5 match for
+    # row "a" but keeps the exact-boundary match for "b"
+    tol = {
+        r["tag"]: r["price"]
+        for r in join_asof(
+            left, right, "k", "rk", "ts", "rts", ["price"],
+            tolerance_seconds=2 * 86400.0,
+        ).collect()
+    }
+    assert tol == {"a": None, "b": 50.0, "c": None, "d": None}
 
 
 def test_join_asof_right_ts_projection(spark):
