@@ -68,6 +68,7 @@ class Pipeline:
         self.depends_on = depends_on or []
         self.sink = sink
         self.stages: list[Stage] = []
+        self._observations: dict[str, object] = {}
 
     def stage(self, name: str, fn: StageFn | None = None) -> "Pipeline":
         self.stages.append(Stage(name, fn))
@@ -83,6 +84,7 @@ class Pipeline:
         workdir: str | None = None,
         lint: bool = False,
         max_shuffles: int | None = None,
+        observe: bool = False,
     ) -> DataFrame:
         """Compose all stages into one lazy DataFrame.
 
@@ -96,10 +98,25 @@ class Pipeline:
         author time, instead of on the cluster at 2am
         (``plans.lint.assert_scalable``; ``max_shuffles`` adds a
         shuffle budget).
+
+        ``observe=True`` attaches a ``CollectMetrics`` row counter to
+        every stage boundary (Spark's Observation API): per-stage row
+        counts come FREE with the one action that executes the plan —
+        no second pass, unlike a ``.count()`` audit per stage, which
+        would re-run the upstream chain N times. Read them with
+        ``stage_metrics()`` after an action.
         """
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        self._observations = {}
         df = self.source(spark)
         for st in self.stages:
             df = st.apply(df)
+            if observe:
+                obs = Observation(f"{self.name}.{st.name}")
+                df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+                self._observations[st.name] = obs
             if materialize == "parquet":
                 if workdir is None:
                     raise ValueError("workdir required for materialize='parquet'")
@@ -121,6 +138,15 @@ class Pipeline:
         if self.sink is not None:
             self.sink(df)
         return df
+
+    def stage_metrics(self) -> dict[str, int]:
+        """Per-stage row counts from ``build(observe=True)``. Call
+        AFTER an action has executed the built frame — each
+        ``Observation.get`` blocks until its metrics arrive (forever
+        if no action ever runs the plan)."""
+        return {
+            name: obs.get["rows"] for name, obs in self._observations.items()
+        }
 
 
 @dataclass

@@ -115,3 +115,19 @@ def test_pipeline_build_lint_gate(spark):
         "double", lambda df: df.withColumn("x", df.id * 2)
     )
     assert good.build(spark, lint=True, max_shuffles=0).count() == 5
+
+
+def test_stage_metrics_via_observe(spark):
+    """observe=True yields per-stage row counts from the ONE action
+    that executes the plan (CollectMetrics piggyback, no re-runs):
+    each stage boundary reports the rows that crossed it."""
+    from pyspark.sql import functions as F
+
+    from idr_data_pipelines_spark.plans.pipeline import Pipeline
+
+    p = Pipeline("metrics_demo", source=lambda s: s.range(100))
+    p.stage("keep_even", lambda df: df.filter(F.col("id") % 2 == 0))
+    p.stage("keep_small", lambda df: df.filter(F.col("id") < 50))
+    out = p.build(spark, observe=True)
+    assert out.count() == 25  # the single action
+    assert p.stage_metrics() == {"keep_even": 50, "keep_small": 25}
