@@ -130,3 +130,37 @@ def agg_mode(
             F.col("__cnt").alias(count_col),
         )
     )
+
+
+def agg_incremental_merge(
+    existing: DataFrame,
+    delta_agg: DataFrame,
+    keys: list[str],
+    merge_spec: dict[str, str],
+) -> DataFrame:
+    """Incremental aggregate refresh: merge a new batch's partial
+    aggregate into the existing aggregate table so the result equals a
+    full re-aggregation of all raw data — without re-reading it.
+
+    ``merge_spec`` maps each value column to its merge function:
+    ``sum`` (for SUM and COUNT partials), ``min``, or ``max`` — the
+    decomposable aggregates. Non-decomposable measures (exact
+    distinct, median) need a mergeable sketch instead (see
+    ``llmdata.sketches``: HLL for distinct, KLL-style quantiles).
+
+    100 TB shape: the raw-data pass touches only the new batch; the
+    merge shuffles |agg table| + |batch aggregate| rows on the group
+    key — vs the reference's WRITE_TRUNCATE full refresh, which
+    re-reads the entire history every run. The equality
+    "incremental == full refresh" is exactly what the catalog query's
+    oracle proves.
+    """
+    allowed = {"sum", "min", "max"}
+    bad = {h for h in merge_spec.values()} - allowed
+    if bad:
+        raise ValueError(f"non-mergeable merge functions: {sorted(bad)}")
+    cols = [*keys, *merge_spec]
+    merged = existing.select(*cols).unionByName(delta_agg.select(*cols))
+    return merged.groupBy(*keys).agg(
+        *[getattr(F, how)(c).alias(c) for c, how in merge_spec.items()]
+    )

@@ -2387,6 +2387,34 @@ def q_dedup_incremental(spark, sf_dir):
     )
 
 
+def q_agg_incremental(spark, sf_dir):
+    """Incremental aggregate refresh: the pre-1996 daily revenue
+    aggregate (the 'existing' table from prior runs) merged with the
+    1996+ delta batch's partial aggregate must equal the full
+    re-aggregation of all orders — which is exactly what the oracle
+    computes. Exact cent sums make the equality portable."""
+    from idr_data_pipelines_spark.operators.aggregate import agg_incremental_merge
+
+    orders = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1996-01-01").cast("timestamp")
+
+    def daily(df):
+        return df.groupBy(
+            F.col("o_orderdate").cast("date").alias("d")
+        ).agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
+            ).alias("rev_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+
+    existing = daily(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = daily(orders.filter(F.col("o_orderdate") >= cutoff))
+    return agg_incremental_merge(
+        existing, delta, ["d"], {"rev_cents": "sum", "n_orders": "sum"}
+    )
+
+
 def q_mix_weighted_repeat(spark, sf_dir):
     """Upsampling corpus mix: src0 ×2.5, src1 ×1.25, src2 ×0.5,
     src3 ×1 (others dropped) — floor(w) full epochs per row plus the
@@ -3111,6 +3139,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_label_centroids": q_emb_label_centroids,
     "text_perplexity_unigram": q_text_perplexity_unigram,
     "dedup_incremental": q_dedup_incremental,
+    "agg_incremental": q_agg_incremental,
     # re-verify: implementations changed in round 5 (window/barrier
     # rewrites), so they re-enter the 50-entry driver window
     "q21_waiting_supplier": q_q21_waiting_supplier,
@@ -4038,6 +4067,16 @@ ORACLES: dict[str, str] = {
     # indexed list_transform pairs each component with its position
     # (DuckDB lambda index is 1-based), so the long-form unnest needs
     # no lateral series; means rounded to 6 dp (summation order).
+    # full re-aggregation over all raw rows — the incremental merge
+    # must equal this exactly (decomposable-aggregate property)
+    "agg_incremental": """
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_cents,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY CAST(o_orderdate AS DATE)
+    """,
     "dedup_incremental": """
         WITH docs AS (
             SELECT doc_id, source, lang, n_chars,

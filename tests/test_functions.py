@@ -443,3 +443,30 @@ def test_scd1_upsert_replaces_and_passes_through(spark):
     )
     got = sorted(tuple(r) for r in scd1_upsert(base, upd, ["k"]).collect())
     assert got == [("k1", "new", 10), ("k2", "keep", 2), ("k3", "ins", 30)]
+
+
+def test_agg_incremental_merge_equals_full_and_rejects_nonmergeable(spark):
+    from pyspark.sql import functions as F
+    import pytest
+
+    from idr_data_pipelines_spark.operators.aggregate import agg_incremental_merge
+
+    raw = spark.range(1000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("v")
+    )
+
+    def agg(df):
+        return df.groupBy("k").agg(
+            F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("lo"), F.max("v").alias("hi"),
+        )
+
+    spec = {"s": "sum", "n": "sum", "lo": "min", "hi": "max"}
+    merged = agg_incremental_merge(
+        agg(raw.filter("id < 600")), agg(raw.filter("id >= 600")), ["k"], spec
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, agg(raw).collect())
+    )
+    with pytest.raises(ValueError, match="non-mergeable"):
+        agg_incremental_merge(agg(raw), agg(raw), ["k"], {"s": "avg"})
