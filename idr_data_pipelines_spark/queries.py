@@ -2415,6 +2415,35 @@ def q_agg_incremental(spark, sf_dir):
     )
 
 
+def q_project_unpivot(spark, sf_dir):
+    """Unpivot (melt): the wide per-region order-priority count matrix
+    back to long (region, priority, n) form — DataFrame.unpivot, the
+    wide→long leg the pivot queries lack. Zero extra shuffle: unpivot
+    is a projection-level expand over the already-aggregated frame."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    pri = ["1-URGENT", "2-HIGH", "3-MEDIUM"]
+    wide = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("o_orderpriority") == p, 1).otherwise(0)
+                ).alias(f"p{i + 1}")
+                for i, p in enumerate(pri)
+            ]
+        )
+    )
+    return wide.unpivot(
+        ["r_name"], [f"p{i + 1}" for i in range(len(pri))], "priority", "n"
+    )
+
+
 def q_mix_weighted_repeat(spark, sf_dir):
     """Upsampling corpus mix: src0 ×2.5, src1 ×1.25, src2 ×0.5,
     src3 ×1 (others dropped) — floor(w) full epochs per row plus the
@@ -3140,6 +3169,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_perplexity_unigram": q_text_perplexity_unigram,
     "dedup_incremental": q_dedup_incremental,
     "agg_incremental": q_agg_incremental,
+    "project_unpivot": q_project_unpivot,
     # re-verify: implementations changed in round 5 (window/barrier
     # rewrites), so they re-enter the 50-entry driver window
     "q21_waiting_supplier": q_q21_waiting_supplier,
@@ -4067,6 +4097,25 @@ ORACLES: dict[str, str] = {
     # indexed list_transform pairs each component with its position
     # (DuckDB lambda index is 1-based), so the long-form unnest needs
     # no lateral series; means rounded to 6 dp (summation order).
+    "project_unpivot": """
+        WITH wide AS (
+            SELECT r.r_name,
+                   CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+                   CAST(SUM(CASE WHEN o.o_orderpriority = '2-HIGH'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+                   CAST(SUM(CASE WHEN o.o_orderpriority = '3-MEDIUM'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS p3
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        )
+        SELECT r_name, 'p1' AS priority, p1 AS n FROM wide
+        UNION ALL SELECT r_name, 'p2', p2 FROM wide
+        UNION ALL SELECT r_name, 'p3', p3 FROM wide
+    """,
     # full re-aggregation over all raw rows — the incremental merge
     # must equal this exactly (decomposable-aggregate property)
     "agg_incremental": """
