@@ -228,6 +228,28 @@ def q_src_orc_roundtrip(spark, sf_dir):
     return spark.read.orc(path)
 
 
+def q_src_schema_evolution(spark, sf_dir):
+    """Schema-evolution read: epoch-1 files carry (n_nationkey,
+    n_name); epoch-2 files add a name-length column. mergeSchema
+    unions the schemas — epoch-1 rows yield null for the new column —
+    exactly the add-a-column-without-rewrite lake situation. The
+    oracle replays the two-epoch union on the raw table."""
+    from idr_data_pipelines_spark.sources.parquet import read_parquet_evolved
+
+    nation = _t(spark, sf_dir, "nation")
+    base = f"{tempfile.mkdtemp(prefix='idr_evo_')}/nation_evolved"
+    nation.filter(F.col("n_nationkey") < 12).select(
+        "n_nationkey", "n_name"
+    ).write.mode("overwrite").parquet(f"{base}/epoch=1")
+    nation.filter(F.col("n_nationkey") >= 12).select(
+        "n_nationkey",
+        "n_name",
+        F.length("n_name").cast("long").alias("name_len"),
+    ).write.mode("overwrite").parquet(f"{base}/epoch=2")
+    out = read_parquet_evolved(spark, base)
+    return out.select("epoch", "n_nationkey", "n_name", "name_len")
+
+
 def q_src_partitioned_prune(spark, sf_dir):
     """Hive-partitioned lake layout + partition pruning: events are
     written partitioned by event date (the standard directory layout
@@ -3170,6 +3192,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_incremental": q_dedup_incremental,
     "agg_incremental": q_agg_incremental,
     "project_unpivot": q_project_unpivot,
+    "src_schema_evolution": q_src_schema_evolution,
     # re-verify: implementations changed in round 5 (window/barrier
     # rewrites), so they re-enter the 50-entry driver window
     "q21_waiting_supplier": q_q21_waiting_supplier,
@@ -4097,6 +4120,14 @@ ORACLES: dict[str, str] = {
     # indexed list_transform pairs each component with its position
     # (DuckDB lambda index is 1-based), so the long-form unnest needs
     # no lateral series; means rounded to 6 dp (summation order).
+    "src_schema_evolution": """
+        SELECT 1 AS epoch, n_nationkey, n_name,
+               CAST(NULL AS BIGINT) AS name_len
+        FROM nation WHERE n_nationkey < 12
+        UNION ALL
+        SELECT 2, n_nationkey, n_name, CAST(length(n_name) AS BIGINT)
+        FROM nation WHERE n_nationkey >= 12
+    """,
     "project_unpivot": """
         WITH wide AS (
             SELECT r.r_name,

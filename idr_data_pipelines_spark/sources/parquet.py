@@ -76,3 +76,18 @@ def read_parquet_all_string(
     if deduplicate:
         df = df.distinct()
     return df
+
+
+def read_parquet_evolved(spark, path: str):
+    """Read a parquet directory whose files were written under
+    EVOLVING schemas (columns added over time) with ``mergeSchema``:
+    the result schema is the union of all file schemas, and files
+    missing a column yield nulls for it.
+
+    The standard lake situation — an ingest adds a column in epoch 2
+    and the table must stay readable across epochs without a rewrite.
+    ``mergeSchema`` costs a footer read per file at planning time
+    (not a data scan); for very large tables turn it off after
+    compaction or pin the schema explicitly.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)
