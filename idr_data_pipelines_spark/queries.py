@@ -1016,6 +1016,34 @@ def q_evt_sessionize(spark, sf_dir):
     )
 
 
+def q_evt_session_window_native(spark, sf_dir):
+    """Gap sessionization via Spark's BUILT-IN ``session_window``
+    aggregation — the third form beside the batch lag+cumsum
+    (``sessionize``) and the stateful stream fold
+    (``sessionize_stream``), and the one that runs in Structured
+    Streaming with watermarked state eviction for free.
+
+    Boundary semantics differ from the lag form and the oracle
+    encodes them exactly: session_window merges an event iff it lands
+    STRICTLY inside (previous event + gap) — an event exactly at the
+    gap starts a NEW session (the lag form's ``diff > gap`` split
+    keeps it) — and the reported window end is last_event + gap, not
+    last_event."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("start_us"),
+            F.unix_micros(F.col("w.end")).alias("end_us"),
+            "n_events",
+        )
+    )
+
+
 def q_evt_windowed_counts_stream(spark, sf_dir):
     """The windowed-count aggregation run as a REAL watermarked stream
     (Trigger.AvailableNow, complete mode): one definition serves batch
@@ -3193,6 +3221,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_incremental": q_agg_incremental,
     "project_unpivot": q_project_unpivot,
     "src_schema_evolution": q_src_schema_evolution,
+    "evt_session_window_native": q_evt_session_window_native,
     # re-verify: implementations changed in round 5 (window/barrier
     # rewrites), so they re-enter the 50-entry driver window
     "q21_waiting_supplier": q_q21_waiting_supplier,
@@ -3970,6 +3999,30 @@ ORACLES: dict[str, str] = {
                epoch_us(MAX(ts)) AS end_us,
                COUNT(*) AS n_events
         FROM sid GROUP BY user_id, session_id
+    """,
+    # session_window semantics: split at diff >= gap (not > gap as in
+    # the lag form), end = last event + gap
+    "evt_session_window_native": """
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                             >= 30*60*1000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sid AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS session_grp
+            FROM flagged
+        )
+        SELECT user_id,
+               epoch_us(MIN(ts)) AS start_us,
+               epoch_us(MAX(ts)) + 30*60*1000000 AS end_us,
+               COUNT(*) AS n_events
+        FROM sid GROUP BY user_id, session_grp
     """,
     "evt_sessionize_stream": """
         WITH flagged AS (
