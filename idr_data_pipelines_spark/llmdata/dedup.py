@@ -44,18 +44,28 @@ def dedup_incremental(
 
     The production shape for a growing corpus: each ingest run
     fingerprints only the NEW batch and anti-joins the accumulated
-    index — the old corpus is never rescanned, and the run's output
-    fingerprints are appended to the index for the next run. Batch ≪
-    index, so the batch side shuffles on the fingerprint key and the
-    index side shuffles once per run (or not at all if the index is
-    stored bucketed by ``fp`` — see sinks.sink_table_bucketed); the
+    index — the old corpus is never rescanned. Batch ≪ index, so the
+    batch side shuffles on the fingerprint key and the index side
+    shuffles once per run (or not at all if the index is stored
+    bucketed by ``fp`` — see sinks.sink_table_bucketed); the
     within-batch survivor pass is one row_number window over the
     already-filtered batch.
+
+    The output KEEPS the computed ``fp_col`` so the caller can append
+    the survivors' fingerprints to the index for the next run without
+    re-hashing every survivor's text (a full second pass at ingest
+    scale). Raises if ``new_docs`` already has a ``fp_col`` column —
+    silently overwriting it would corrupt the caller's data.
     """
     from idr_data_pipelines_spark.llmdata.text import fingerprint
 
     from pyspark.sql import Window
 
+    if fp_col in new_docs.columns:
+        raise ValueError(
+            f"new_docs already has a column named {fp_col!r}; pass a "
+            "different fp_col"
+        )
     fresh = (
         new_docs.withColumn(fp_col, fingerprint(text_col))
         .join(seen_fps.select(fp_col).distinct(), fp_col, "left_anti")
@@ -64,7 +74,7 @@ def dedup_incremental(
     return (
         fresh.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn", fp_col)
+        .drop("__rn")
     )
 
 

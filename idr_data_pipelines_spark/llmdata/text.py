@@ -159,6 +159,7 @@ def unigram_logprob_scores(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Corpus-self-trained unigram-LM scoring (the CCNet-style quality
     signal): per document, the mean negative log2 probability of its
@@ -175,6 +176,14 @@ def unigram_logprob_scores(
     ``-log2 p(t) = log2(N) - log2(n_t)`` keeps the constant out of the
     per-token path. Mean summation order is partitioning-dependent —
     comparators round (the catalog query rounds to 6 decimals).
+
+    ``broadcast_vocab=True`` fits curated corpora; a raw web-scale
+    corpus's distinct-token set (URLs, hashes, typos) runs to billions
+    of rows and will NOT broadcast — pass ``False`` to fall back to a
+    hash join (the exploded tokens then shuffle on the token key once,
+    still linear), or frequency-truncate the vocab first (tokens below
+    a count floor share one OOV bucket — the standard LM practice, and
+    it also caps the broadcast).
     """
     toks = df.select(
         F.col(id_col),
@@ -187,7 +196,7 @@ def unigram_logprob_scores(
     )
     total = vocab.agg(F.sum("n_tok").alias("n_total"))
     return (
-        toks.join(F.broadcast(vocab), "tok")
+        toks.join(F.broadcast(vocab) if broadcast_vocab else vocab, "tok")
         .crossJoin(F.broadcast(total))
         .groupBy(id_col)
         .agg(

@@ -33,8 +33,12 @@ def pagerank(
     (e.g. a symmetrized projection: emit both directions of each
     undirected pair) — with dangling nodes the iteration leaks their
     mass instead of redistributing it, and the ranks no longer sum
-    to 1. Fixed iterations (not convergence detection) keep the
-    result exactly reproducible and SQL-oracle-able.
+    to 1. Parallel (duplicate) edges count with multiplicity — they
+    act as integer weights on both the outdegree and the inflow, the
+    natural semantics for co-occurrence projections; deduplicate
+    upstream (as the catalog query does) for simple-graph ranks.
+    Fixed iterations (not convergence detection) keep the result
+    exactly reproducible and SQL-oracle-able.
 
     100 TB design: per iteration, one shuffle joins edges to the
     node-sized rank frame on ``src`` (AQE broadcasts the rank side
@@ -51,7 +55,7 @@ def pagerank(
     to ~1e-15 relative, not bit-for-bit — comparators should round
     (the catalog query rounds to 6 decimals).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # dangling-free contract ⇒ every node appears as a src
     nodes = deg.select(F.col("src").alias("id"))

@@ -71,6 +71,12 @@ class Pipeline:
         self._observations: dict[str, object] = {}
 
     def stage(self, name: str, fn: StageFn | None = None) -> "Pipeline":
+        if any(st.name == name for st in self.stages):
+            # task_id model: names must be unique — duplicate names
+            # would also collide as Observation names under
+            # build(observe=True) and silently drop one stage's
+            # metrics from stage_metrics()
+            raise ValueError(f"duplicate stage name: {name!r}")
         self.stages.append(Stage(name, fn))
         return self
 

@@ -2349,12 +2349,16 @@ def q_agg_collect_sorted(spark, sf_dir):
     (the driver's pandas canonicalizer cannot hash list cells — same
     class of fix as q_mm_frame_sample's hex projection); library users
     wanting the typed array call collect_sorted_array directly."""
+    from idr_data_pipelines_spark.operators.aggregate import collect_sorted_array
+
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
     j = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-    return j.groupBy("r_name").agg(
-        F.concat_ws("|", F.array_sort(F.collect_list("n_name"))).alias("nations"),
-        F.count("*").alias("n_nations"),
+    arrays = collect_sorted_array(j, ["r_name"], "n_name", alias="nations")
+    return arrays.select(
+        "r_name",
+        F.concat_ws("|", "nations").alias("nations"),
+        F.col("n_nations"),
     )
 
 

@@ -525,30 +525,57 @@ def funnel_fold(events_array, steps: list[str], window_seconds: int | None = Non
 _STATE_POINTER = "CURRENT"
 
 
+def _state_version(state_dir: str) -> int | None:
+    """The committed version number (the pointer's ``v{N}``), or None
+    before any commit. The replay fence for ALL the drains: a replayed
+    batch has ``batch_id <= _state_version`` and must be skipped —
+    besides re-applying non-idempotent merges, re-committing version
+    ``v{batch_id}`` would overwrite the very directory the merge plan
+    lazily reads (Spark refuses: 'Cannot overwrite a path that is also
+    being read from'), wedging the stream on every restart."""
+    import os
+
+    pointer = os.path.join(state_dir, _STATE_POINTER)
+    try:
+        with open(pointer) as fh:
+            return int(fh.read().strip().lstrip("v"))
+    except FileNotFoundError:
+        return None
+
+
 def _state_read(
     spark: SparkSession, state_dir: str, schema: StructType
 ) -> DataFrame | None:
     """Read the last committed state version; None before any commit."""
     import os
 
-    pointer = os.path.join(state_dir, _STATE_POINTER)
-    try:
-        with open(pointer) as fh:
-            version_name = fh.read().strip()
-    except FileNotFoundError:
+    version = _state_version(state_dir)
+    if version is None:
         return None
     return spark.read.schema(schema).parquet(
-        os.path.join(state_dir, version_name)
+        os.path.join(state_dir, f"v{version}")
     )
 
 
-def _state_commit(df: DataFrame, state_dir: str, version: int) -> None:
-    """Write ``df`` as state version ``version`` and atomically flip the
-    pointer to it; garbage-collect superseded version directories."""
+def _state_commit(df: DataFrame, state_dir: str) -> None:
+    """Write ``df`` as the NEXT state version and atomically flip the
+    pointer to it; garbage-collect superseded version directories.
+
+    The version number is always ``current + 1`` — never a caller-
+    supplied batch id — so a replayed batch that merged the lazily-read
+    current version writes a brand-new directory instead of
+    overwriting the one its plan reads (Spark refuses that overwrite,
+    which would wedge the stream on every restart). Replays are then
+    naturally safe for idempotent merges (latest-per-key, register-
+    max): re-merging already-applied rows reproduces the same state
+    one version later. Non-idempotent merges (the top-k SUM) carry
+    their own batch-id fence IN the state data, which is independent
+    of directory naming."""
     import os
     import shutil
 
-    version_name = f"v{version}"
+    current = _state_version(state_dir)
+    version_name = f"v{0 if current is None else current + 1}"
     df.write.mode("overwrite").parquet(os.path.join(state_dir, version_name))
     tmp = os.path.join(state_dir, f".{_STATE_POINTER}.tmp")
     with open(tmp, "w") as fh:
@@ -615,9 +642,11 @@ def cdc_upsert_drain(
         if existing is not None:
             # old version dir is immutable — the merge can read it
             # lazily while the new version writes elsewhere (no
-            # localCheckpoint pin needed, unlike a self-overwrite)
+            # localCheckpoint pin needed, unlike a self-overwrite);
+            # a replayed batch re-merges idempotently into a NEW
+            # version (see _state_commit)
             merged = _latest(existing.unionByName(merged))
-        _state_commit(merged, dim_dir, batch_id)
+        _state_commit(merged, dim_dir)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -690,7 +719,6 @@ def _topk_merge_batch(
     _state_commit(
         partial.withColumn("last_batch_id", F.lit(batch_id).cast("long")),
         state_dir,
-        batch_id,
     )
 
 
@@ -798,12 +826,14 @@ def distinct_stream_drain(
         )
         existing = _state_read(s, state_dir, state_schema)
         if existing is not None:
+            # register-max is idempotent: a replayed batch re-merges
+            # into a NEW version (see _state_commit), same registers
             partial = (
                 existing.unionByName(partial)
                 .groupBy(group_col)
                 .agg(F.hll_union_agg("sk").alias("sk"))
             )
-        _state_commit(partial, state_dir, batch_id)
+        _state_commit(partial, state_dir)
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

@@ -470,3 +470,25 @@ def test_agg_incremental_merge_equals_full_and_rejects_nonmergeable(spark):
     )
     with pytest.raises(ValueError, match="non-mergeable"):
         agg_incremental_merge(agg(raw), agg(raw), ["k"], {"s": "avg"})
+
+
+def test_collect_sorted_array_typed_surface(spark):
+    from idr_data_pipelines_spark.operators.aggregate import collect_sorted_array
+
+    df = spark.createDataFrame(
+        [("g1", "b"), ("g1", "a"), ("g2", "z")], ["g", "v"]
+    ).repartition(4)
+    got = {
+        r["g"]: (r["vals"], r["n_vals"])
+        for r in collect_sorted_array(df, ["g"], "v", alias="vals").collect()
+    }
+    assert got == {"g1": (["a", "b"], 2), "g2": (["z"], 1)}
+
+
+def test_pipeline_rejects_duplicate_stage_names(spark):
+    from idr_data_pipelines_spark.plans.pipeline import Pipeline
+
+    p = Pipeline("dup_demo", source=lambda s: s.range(1))
+    p.stage("x", lambda df: df)
+    with pytest.raises(ValueError, match="duplicate stage"):
+        p.stage("x", lambda df: df)

@@ -75,3 +75,23 @@ def test_pagerank_more_iterations_converge(spark):
         if prev_err is not None:
             assert err <= prev_err + 1e-15
         prev_err = err
+
+
+def test_pagerank_parallel_edges_count_with_multiplicity(spark):
+    """Duplicate edges are integer weights: doubling a->b's edge must
+    pull rank toward b vs the simple graph, and match the numpy
+    reference that sums over the edge list with multiplicity."""
+    base = _sym([("a", "b"), ("b", "c")])
+    multi = base + [("a", "b"), ("b", "a")]  # double one undirected edge
+    df = spark.createDataFrame(multi, "src string, dst string")
+    got = {r["id"]: r["rank"] for r in pagerank(df, iterations=4).collect()}
+    want = _numpy_pagerank(multi, iterations=4, damping=0.85)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], rel=1e-12), v
+    simple = {
+        r["id"]: r["rank"]
+        for r in pagerank(
+            spark.createDataFrame(base, "src string, dst string"), iterations=4
+        ).collect()
+    }
+    assert got["c"] < simple["c"]  # the doubled a-b edge starves c

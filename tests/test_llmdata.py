@@ -719,5 +719,12 @@ def test_dedup_incremental_batch_vs_index(spark):
         ],
         ["doc_id", "text"],
     )
-    got = sorted(r["doc_id"] for r in dedup_incremental(batch, seen).collect())
-    assert got == [2, 4]
+    out = dedup_incremental(batch, seen).collect()
+    assert sorted(r["doc_id"] for r in out) == [2, 4]
+    # survivors carry their fingerprint so the caller can append them
+    # to the index without re-hashing text
+    assert all(r["fp"] is not None for r in out)
+    import pytest
+
+    with pytest.raises(ValueError, match="fp"):
+        dedup_incremental(batch.withColumn("fp", batch.text), seen)

@@ -542,6 +542,32 @@ def test_state_commit_survives_crash_before_pointer_flip(spark, tmp_path):
     ) == ["CURRENT", "v1"]
 
 
+def test_state_commit_never_overwrites_the_version_it_reads(spark, tmp_path):
+    """A replayed batch merges the lazily-read current version and
+    re-commits; if the commit reused the batch id as the version
+    number, that would overwrite the directory the merge plan reads —
+    Spark refuses, wedging the stream on every restart. The commit
+    instead always writes current+1, so the merge-of-own-state commit
+    SUCCEEDS into a fresh version; idempotent merges thereby make
+    replays naturally safe (cdc/hll drains), and the non-idempotent
+    topk merge keeps its data-level batch-id fence."""
+    from idr_data_pipelines_spark.streaming.events import (
+        _state_commit,
+        _state_read,
+        _state_version,
+    )
+
+    sd = str(tmp_path / "st")
+    df = spark.createDataFrame([(1,)], "a int")
+    _state_commit(df, sd)
+    assert _state_version(sd) == 0
+
+    existing = _state_read(spark, sd, df.schema)
+    _state_commit(existing.unionByName(df), sd)  # reads v0, writes v1
+    assert _state_version(sd) == 1
+    assert _state_read(spark, sd, df.schema).count() == 2
+
+
 def test_topk_stream_drain_matches_batch(spark, tmp_path):
     """End-to-end drain with multi-batch trickle equals the one-shot
     batch GROUP BY answer, with fencing active."""
