@@ -1044,6 +1044,52 @@ def q_evt_session_window_native(spark, sf_dir):
     )
 
 
+def q_evt_windowed_quantiles(spark, sf_dir):
+    """Per-day engagement quantiles: p50/p95 of the per-user daily
+    event count, via Spark's EXACT ``percentile`` (not the approx
+    sketch) — linear interpolation over integer counts is
+    deterministic and bit-identical to DuckDB's ``quantile_cont``
+    (verified: both return 8.949999999999998 on the same input), so
+    no rounding is needed. Two shuffles: the (day, user) count grain
+    and the per-day quantile aggregate."""
+    ev = _events(spark, sf_dir)
+    per_user_day = (
+        ev.groupBy(
+            F.to_date("ts").alias("d"), "user_id"
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    return per_user_day.groupBy("d").agg(
+        F.percentile(F.col("n").cast("double"), 0.5).alias("p50"),
+        F.percentile(F.col("n").cast("double"), 0.95).alias("p95"),
+        F.max("n").alias("max_n"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+
+
+def q_join_null_safe(spark, sf_dir):
+    """Null-safe equi-join (``<=>``): docs keyed by ``nullif(lang,
+    'en')`` joined to their per-key totals — the null-key group
+    (every 'en' doc) matches the aggregate's null row, where a plain
+    equi-join would silently DROP all of them. EqualNullSafe is still
+    an equi-key for Spark, so this plans as a hash join, not a
+    nested-loop fallback."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.nullif(F.col("lang"), F.lit("en")).alias("k"), "n_chars"
+    )
+    g = (
+        d.groupBy("k")
+        .agg(
+            F.sum("n_chars").alias("group_chars"),
+            F.count(F.lit(1)).alias("group_docs"),
+        )
+        .withColumnRenamed("k", "gk")  # disambiguate the self-derived side
+    )
+    return (
+        d.join(F.broadcast(g), F.col("k").eqNullSafe(F.col("gk")))
+        .select("doc_id", "k", "group_chars", "group_docs")
+    )
+
+
 def q_evt_windowed_counts_stream(spark, sf_dir):
     """The windowed-count aggregation run as a REAL watermarked stream
     (Trigger.AvailableNow, complete mode): one definition serves batch
@@ -3226,6 +3272,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "project_unpivot": q_project_unpivot,
     "src_schema_evolution": q_src_schema_evolution,
     "evt_session_window_native": q_evt_session_window_native,
+    "evt_windowed_quantiles": q_evt_windowed_quantiles,
+    "join_null_safe": q_join_null_safe,
     # re-verify: implementations changed in round 5 (window/barrier
     # rewrites), so they re-enter the 50-entry driver window
     "q21_waiting_supplier": q_q21_waiting_supplier,
@@ -4003,6 +4051,29 @@ ORACLES: dict[str, str] = {
                epoch_us(MAX(ts)) AS end_us,
                COUNT(*) AS n_events
         FROM sid GROUP BY user_id, session_id
+    """,
+    "evt_windowed_quantiles": """
+        WITH pud AS (
+            SELECT CAST(ts AS DATE) AS d, user_id, COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT d,
+               quantile_cont(CAST(n AS DOUBLE), 0.5) AS p50,
+               quantile_cont(CAST(n AS DOUBLE), 0.95) AS p95,
+               CAST(MAX(n) AS BIGINT) AS max_n,
+               COUNT(*) AS n_users
+        FROM pud GROUP BY d
+    """,
+    "join_null_safe": """
+        WITH d AS (
+            SELECT doc_id, nullif(lang, 'en') AS k, n_chars FROM documents
+        ), g AS (
+            SELECT k, CAST(SUM(n_chars) AS BIGINT) AS group_chars,
+                   COUNT(*) AS group_docs
+            FROM d GROUP BY k
+        )
+        SELECT d.doc_id, d.k, g.group_chars, g.group_docs
+        FROM d JOIN g ON d.k IS NOT DISTINCT FROM g.k
     """,
     # session_window semantics: split at diff >= gap (not > gap as in
     # the lag form), end = last event + gap
