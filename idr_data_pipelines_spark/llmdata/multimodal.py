@@ -148,3 +148,53 @@ def frame_sample_stub(
             )
 
     return df.select(id_col, payload_col).mapInPandas(_batches, schema)
+
+
+def embed_media_stub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    dim: int = 16,
+) -> DataFrame:
+    """Media feature-extraction plumbing: one embedding vector per
+    payload via Arrow-batched ``mapInPandas`` — the stage where a real
+    pipeline runs CLIP/wav2vec on the decoded media. The stub derives
+    component ``i`` from ``md5(payload_bytes || ':' || i)`` (first 8
+    hex digits as an integer, scaled to [-1, 1)): deterministic,
+    engine-portable (when the payload is utf-8 text the SQL
+    ``md5(text || ':' || i)`` reproduces it bit-for-bit — which is how
+    the catalog oracle checks this distributed plumbing without the
+    model), and downstream-composable with the ANN/similarity surface
+    (``array<float>`` column, same as the embeddings table).
+
+    Scale shape: pure per-row map, zero shuffle; batch size bounded by
+    Arrow batching, payload never copied beyond the one decode pass.
+    Swap the body for the real model inference; schema, partitioning
+    and batch handling stay identical.
+    """
+    import hashlib
+
+    from pyspark.sql.types import ArrayType, FloatType
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, vecs = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                vec = []
+                for i in range(dim):
+                    h = hashlib.md5(b + f":{i}".encode()).hexdigest()[:8]
+                    vec.append(((int(h, 16) % 2000) - 1000) / 1000.0)
+                ids.append(int(doc_id))
+                vecs.append(vec)
+            yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
+                                "embedding": vecs})
+
+    return df.select(id_col, payload_col).mapInPandas(_batches, schema)

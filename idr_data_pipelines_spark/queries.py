@@ -1090,6 +1090,37 @@ def q_join_null_safe(spark, sf_dir):
     )
 
 
+def q_mm_embed_stub(spark, sf_dir):
+    """Multimodal embed stage: binary payloads → 16-dim stub vectors
+    via Arrow-batched mapInPandas, then per-doc scalar reductions
+    (L2 norm, component mean) rounded to 6 — the driver-facing proof
+    that the DISTRIBUTED plumbing (binary column in, typed
+    array<float> out, batch shapes, zero shuffle) is exact: the
+    oracle reproduces every component from SQL md5 over the same
+    bytes. Swap the stub for a real model; this query's plumbing is
+    what production runs."""
+    from idr_data_pipelines_spark.llmdata.multimodal import (
+        embed_media_stub,
+        with_binary_payload,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    emb = embed_media_stub(with_binary_payload(docs), dim=16)
+    v = F.col("embedding")
+    sq = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+    )
+    mean = (
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+        / F.size(v)
+    )
+    return emb.select(
+        "doc_id",
+        F.round(F.sqrt(sq), 6).alias("l2_norm"),
+        F.round(mean, 6).alias("mean_c"),
+    )
+
+
 def q_evt_windowed_counts_stream(spark, sf_dir):
     """The windowed-count aggregation run as a REAL watermarked stream
     (Trigger.AvailableNow, complete mode): one definition serves batch
@@ -3274,6 +3305,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "evt_session_window_native": q_evt_session_window_native,
     "evt_windowed_quantiles": q_evt_windowed_quantiles,
     "join_null_safe": q_join_null_safe,
+    "mm_embed_stub": q_mm_embed_stub,
     # re-verify: implementations changed in round 5 (window/barrier
     # rewrites), so they re-enter the 50-entry driver window
     "q21_waiting_supplier": q_q21_waiting_supplier,
@@ -4051,6 +4083,23 @@ ORACLES: dict[str, str] = {
                epoch_us(MAX(ts)) AS end_us,
                COUNT(*) AS n_events
         FROM sid GROUP BY user_id, session_id
+    """,
+    # reproduces the stub embedding bit-for-bit: md5 over the same
+    # utf-8 bytes, float32 quantization via CAST(... AS REAL), then
+    # double reductions; ROUND absorbs fold-vs-sum order only
+    "mm_embed_stub": """
+        WITH comps AS (
+            SELECT d.doc_id,
+                   CAST(CAST((((CAST(('0x' || substr(md5(d.text || ':' || gs.i), 1, 8))
+                                AS BIGINT) % 2000) - 1000) / 1000.0)
+                        AS REAL) AS DOUBLE) AS c
+            FROM documents d CROSS JOIN generate_series(0, 15) AS gs(i)
+            WHERE d.text IS NOT NULL
+        )
+        SELECT doc_id,
+               ROUND(sqrt(SUM(c * c)), 6) AS l2_norm,
+               ROUND(SUM(c) / 16, 6) AS mean_c
+        FROM comps GROUP BY doc_id
     """,
     "evt_windowed_quantiles": """
         WITH pud AS (

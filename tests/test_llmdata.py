@@ -728,3 +728,32 @@ def test_dedup_incremental_batch_vs_index(spark):
 
     with pytest.raises(ValueError, match="fp"):
         dedup_incremental(batch.withColumn("fp", batch.text), seen)
+
+
+def test_embed_stub_composes_with_ann(spark):
+    """The multimodal embed stage's output column is directly
+    consumable by the similarity surface: top-1 neighbor of each of 5
+    query docs over a 60-doc corpus, sane cosine range, self excluded,
+    and identical texts embed identically (cosine == 1 with its twin
+    ranked first)."""
+    from idr_data_pipelines_spark.llmdata.multimodal import (
+        embed_media_stub,
+        with_binary_payload,
+    )
+    from idr_data_pipelines_spark.llmdata.similarity import cosine_topk_bruteforce
+
+    rows = [(i, f"doc body number {i % 30} with shared tail") for i in range(60)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    emb = embed_media_stub(with_binary_payload(docs), dim=16).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+    out = cosine_topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") < 5), k=1, id_col="vec_id",
+        vec_col="embedding",
+    ).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["neighbor_id"] != r["query_id"]
+        # doc i and doc i+30 share text → identical stub embeddings
+        assert r["neighbor_id"] == r["query_id"] + 30
+        assert r["cosine"] == pytest.approx(1.0, abs=1e-9)
