@@ -5,7 +5,9 @@ from idr_data_pipelines_spark.plans.lint import (
     PlanFinding,
     assert_scalable,
     count_shuffles,
+    estimate_size_bytes,
     lint_plan,
+    recommend_shuffle_partitions,
 )
 
 __all__ = [
@@ -15,5 +17,7 @@ __all__ = [
     "PlanFinding",
     "assert_scalable",
     "count_shuffles",
+    "estimate_size_bytes",
     "lint_plan",
+    "recommend_shuffle_partitions",
 ]

@@ -173,3 +173,35 @@ def assert_scalable(
     if findings:
         lines = "\n".join(f"  [{f.severity}] {f.rule}: {f.detail}" for f in findings)
         raise AssertionError(f"plan lint failed:\n{lines}")
+
+
+def estimate_size_bytes(df: DataFrame) -> int:
+    """Catalyst's planning-time size estimate for ``df`` (bytes) —
+    file sizes × filter/project selectivity heuristics, no data scan.
+    The same number AQE uses to pick join strategies, so it is the
+    right input for partition sizing even when it is off by the usual
+    constant factor on compressed columnar input."""
+    return int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+
+
+def recommend_shuffle_partitions(
+    df: DataFrame,
+    target_partition_mb: int = 200,
+    min_partitions: int = 1,
+    max_partitions: int = 100_000,
+) -> int:
+    """Recommend ``spark.sql.shuffle.partitions`` for plans over
+    ``df``: estimated plan size / target partition size, clamped.
+
+    The 100 TB knob that decides between two failure modes: too few
+    partitions → executors spill (or OOM) on oversized shuffle blocks;
+    too many → scheduler overhead and small-file outputs. ~100-200 MB
+    per partition is the standard target; with AQE coalescing enabled
+    it is safe to err high (AQE merges small post-shuffle partitions,
+    it cannot split oversized ones without the skew path).
+    """
+    est = estimate_size_bytes(df)
+    want = est // (target_partition_mb * 1024 * 1024) + 1
+    return max(min_partitions, min(int(want), max_partitions))

@@ -308,3 +308,29 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_size_estimate_and_partition_recommendation(spark, sf_dir):
+    """Catalyst's planning-time size estimate must be positive, shrink
+    under column pruning, and drive a sane clamped shuffle-partition
+    recommendation."""
+    from idr_data_pipelines_spark.plans import (
+        estimate_size_bytes,
+        recommend_shuffle_partitions,
+    )
+
+    li = QUERIES["q1_pricing_summary"].__globals__["_t"](
+        spark, sf_dir, "lineitem"
+    )
+    full = estimate_size_bytes(li)
+    pruned = estimate_size_bytes(li.select("l_orderkey"))
+    assert full > 0
+    assert pruned < full  # column pruning shrinks the estimate
+
+    n = recommend_shuffle_partitions(li, target_partition_mb=1)
+    assert 1 <= n <= 100_000
+    assert recommend_shuffle_partitions(li, target_partition_mb=10**9) == 1
+    assert (
+        recommend_shuffle_partitions(li, target_partition_mb=1, max_partitions=4)
+        == 4
+    ) or n <= 4  # clamp honored when the raw recommendation exceeds it
