@@ -1151,6 +1151,45 @@ def q_evt_windowed_counts_stream(spark, sf_dir):
     )
 
 
+def q_evt_stream_static_join(spark, sf_dir):
+    """Stream-static join: the event stream enriched against the
+    STATIC customer→nation dimension (user_id % customer count maps
+    events onto customers), aggregated to events-per-nation — the
+    standard streaming-enrichment shape. The static side is re-read
+    per micro-batch by Structured Streaming (picking up dim updates
+    between batches) and needs no watermark or state: only the
+    aggregate carries state. Final complete-mode table must equal the
+    batch join, which is what the oracle computes."""
+    from idr_data_pipelines_spark.queries import _t as _table
+
+    inbox, ckpt, raw_schema = _stage_event_stream(spark, sf_dir, "ssjoin")
+    customer = _table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = _table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n_cust = customer.count()
+    stream = spark.readStream.schema(raw_schema).parquet(inbox)
+    enriched = (
+        stream.withColumn(
+            "c_custkey", (F.col("user_id") % F.lit(n_cust)) + 1
+        )
+        .join(customer, "c_custkey")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    )
+    agg = enriched.groupBy("n_name").agg(F.count(F.lit(1)).alias("n_events"))
+    name = f"ssjoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_join_asof(spark, sf_dir):
     """As-of join: each event enriched with the date of that user's
     most recent order at event time (cogrouped pandas merge_asof —
@@ -3306,6 +3345,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "evt_windowed_quantiles": q_evt_windowed_quantiles,
     "join_null_safe": q_join_null_safe,
     "mm_embed_stub": q_mm_embed_stub,
+    "evt_stream_static_join": q_evt_stream_static_join,
     # re-verify: implementations changed in round 5 (window/barrier
     # rewrites), so they re-enter the 50-entry driver window
     "q21_waiting_supplier": q_q21_waiting_supplier,
@@ -4083,6 +4123,15 @@ ORACLES: dict[str, str] = {
                epoch_us(MAX(ts)) AS end_us,
                COUNT(*) AS n_events
         FROM sid GROUP BY user_id, session_id
+    """,
+    "evt_stream_static_join": """
+        SELECT n.n_name,
+               COUNT(*) AS n_events
+        FROM events e
+        JOIN customer c
+          ON (e.user_id % (SELECT COUNT(*) FROM customer)) + 1 = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
     """,
     # reproduces the stub embedding bit-for-bit: md5 over the same
     # utf-8 bytes, float32 quantization via CAST(... AS REAL), then
