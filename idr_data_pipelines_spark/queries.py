@@ -250,6 +250,46 @@ def q_src_schema_evolution(spark, sf_dir):
     return out.select("epoch", "n_nationkey", "n_name", "name_len")
 
 
+def q_src_json_corrupt_routing(spark, sf_dir):
+    """Dead-letter ingest: nation staged as JSON-lines with every
+    (n_nationkey % 5 == 0) row deliberately mangled; PERMISSIVE +
+    columnNameOfCorruptRecord routes the bad lines into a quarantine
+    column instead of failing the job or silently nulling them.
+    Returns the good rows' key stats plus the corrupt count — all
+    derivable from the base table, which is what the oracle does."""
+    import os
+
+    from idr_data_pipelines_spark.sources.text_formats import (
+        read_json_with_corrupt_routing,
+    )
+
+    nation = _t(spark, sf_dir, "nation")
+    rows = nation.select("n_nationkey", "n_name").collect()  # 25 rows
+    staged = tempfile.mkdtemp(prefix="idr_corrupt_")
+    with open(os.path.join(staged, "part-0.jsonl"), "w") as fh:
+        for r in rows:
+            if r["n_nationkey"] % 5 == 0:
+                fh.write(f'{{"n_nationkey": {r["n_nationkey"]}, "n_name": \n')
+            else:
+                fh.write(
+                    f'{{"n_nationkey": {r["n_nationkey"]}, '
+                    f'"n_name": "{r["n_name"]}"}}\n'
+                )
+    df = read_json_with_corrupt_routing(
+        spark, staged, "n_nationkey long, n_name string"
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("_corrupt_record").isNull().cast("long")).alias("n_good"),
+        F.sum(F.col("_corrupt_record").isNotNull().cast("long")).alias(
+            "n_quarantined"
+        ),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), F.col("n_nationkey"))
+        ).alias("good_key_sum"),
+    )
+
+
 def q_src_partitioned_prune(spark, sf_dir):
     """Hive-partitioned lake layout + partition pruning: events are
     written partitioned by event date (the standard directory layout
@@ -3346,6 +3386,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_null_safe": q_join_null_safe,
     "mm_embed_stub": q_mm_embed_stub,
     "evt_stream_static_join": q_evt_stream_static_join,
+    "src_json_corrupt_routing": q_src_json_corrupt_routing,
     # re-verify: implementations changed in round 5 (window/barrier
     # rewrites), so they re-enter the 50-entry driver window
     "q21_waiting_supplier": q_q21_waiting_supplier,
@@ -4123,6 +4164,16 @@ ORACLES: dict[str, str] = {
                epoch_us(MAX(ts)) AS end_us,
                COUNT(*) AS n_events
         FROM sid GROUP BY user_id, session_id
+    """,
+    "src_json_corrupt_routing": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CASE WHEN n_nationkey % 5 <> 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_good,
+               CAST(SUM(CASE WHEN n_nationkey % 5 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_quarantined,
+               CAST(SUM(CASE WHEN n_nationkey % 5 <> 0 THEN n_nationkey END)
+                    AS BIGINT) AS good_key_sum
+        FROM nation
     """,
     "evt_stream_static_join": """
         SELECT n.n_name,

@@ -174,3 +174,47 @@ def sink_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def sink_parquet_with_manifest(
+    df: DataFrame,
+    path: str,
+    stat_cols: list[str] | None = None,
+) -> dict:
+    """Write parquet and a ``_manifest.json`` audit next to it — row
+    count plus per-column null-count/min/max — computed by an
+    ``Observation`` attached to the SAME write pass: the stats ride
+    the one data scan the write already does, instead of a second
+    read-back aggregation over what was just written (at 100 TB that
+    second pass is real money). Returns the manifest dict.
+
+    The manifest is what downstream loaders check before consuming
+    (did the expected row count land? did a column go all-null?) —
+    the lake-side analogue of the reference's post-load BigQuery row
+    checks.
+    """
+    import json
+    import os
+
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    stat_cols = stat_cols or []
+    aggs = [F.count(F.lit(1)).alias("rows")]
+    for c in stat_cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.min(c).alias(f"{c}__min"))
+        aggs.append(F.max(c).alias(f"{c}__max"))
+    obs = Observation(f"manifest_{os.path.basename(path)}")
+    df.observe(obs, *aggs).write.mode("overwrite").parquet(path)
+    metrics = dict(obs.get)
+    manifest = {"rows": metrics["rows"], "columns": {}}
+    for c in stat_cols:
+        manifest["columns"][c] = {
+            "nulls": metrics[f"{c}__nulls"],
+            "min": metrics[f"{c}__min"],
+            "max": metrics[f"{c}__max"],
+        }
+    with open(os.path.join(path, "_manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=2, default=str)
+    return manifest

@@ -108,3 +108,37 @@ def read_json_dir(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_json_with_corrupt_routing(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSON-lines ingest that ROUTES malformed lines instead of
+    failing (FAILFAST) or silently nulling them (naked PERMISSIVE):
+    the returned frame carries ``corrupt_col`` holding the raw text of
+    any unparseable line, null for good rows — callers split on it to
+    quarantine bad records while the pipeline keeps flowing, the
+    standard dead-letter pattern for 100 TB ingest where one corrupt
+    shard must not kill the job.
+
+    The schema must NOT declare ``corrupt_col`` itself; it is appended
+    here. Note the Spark caveat: a query that selects ONLY the corrupt
+    column forces a re-parse — always project it alongside real
+    columns (as the catalog query does).
+    """
+    from pyspark.sql.types import StringType, StructType
+
+    if isinstance(schema, str):
+        base = spark.createDataFrame([], schema).schema
+    else:
+        base = schema
+    full = StructType(list(base.fields)).add(corrupt_col, StringType())
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )

@@ -104,3 +104,30 @@ def test_training_shards_balanced_contiguous_deterministic(spark, tmp_path):
     sink_training_shards(df, str(tmp_path / "shards2"), n_shards=7, order_col="k")
     again = spark.read.parquet(str(tmp_path / "shards2")).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_parquet_manifest_rides_the_write_pass(spark, tmp_path):
+    """The manifest's stats must match the written data exactly, and
+    the JSON file must land beside the parquet files (Spark ignores
+    underscore-prefixed files on read)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from idr_data_pipelines_spark.sources.sinks import sink_parquet_with_manifest
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id") * 2).alias("v"),
+    )
+    out = str(tmp_path / "t")
+    manifest = sink_parquet_with_manifest(df, out, stat_cols=["v"])
+    assert manifest["rows"] == 100
+    assert manifest["columns"]["v"]["nulls"] == 10
+    assert manifest["columns"]["v"]["min"] == 2
+    assert manifest["columns"]["v"]["max"] == 198
+    on_disk = json.load(open(os.path.join(out, "_manifest.json")))
+    assert on_disk["rows"] == 100
+    back = spark.read.parquet(out)
+    assert back.count() == 100  # underscore file invisible to the reader
