@@ -167,3 +167,62 @@ def scd1_upsert(
     cols = base.columns
     kept = base.join(updates.select(*key_cols), key_cols, "left_anti")
     return kept.select(*cols).unionByName(updates.select(*cols))
+
+
+def scd3_update(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    prev_prefix: str = "prev_",
+) -> DataFrame:
+    """SCD type-3 merge: bounded history IN COLUMNS — each tracked
+    attribute keeps exactly one prior value (``prev_<col>``), updated
+    only when the incoming value actually differs (an update restating
+    the current value does NOT clobber the remembered prior one;
+    null-safe comparison). Unmatched base rows pass through; brand-new
+    keys arrive with null ``prev_`` columns (and null non-tracked
+    columns — updates carry only keys + tracked attributes; route
+    full-row inserts through ``scd1_upsert`` first if that matters).
+    A legitimately-null incoming value is still a real update (the
+    match marker is explicit, not value-based).
+
+    The type-2 alternative (row-per-version, ``scd2_merge``) is the
+    full history; type 3 is what dashboard schemas use when only
+    "current vs previous" matters and table width is the budget. One
+    outer hash join on the key (broadcast when the update batch is
+    small), zero extra shuffles.
+    """
+    for c in tracked_cols:
+        if f"{prev_prefix}{c}" not in base.columns:
+            raise ValueError(
+                f"base must already carry {prev_prefix}{c} (initialize "
+                "with null columns on first load)"
+            )
+    u = updates.select(
+        *key_cols,
+        *[F.col(c).alias(f"__u_{c}") for c in tracked_cols],
+        F.lit(1).alias("__matched"),
+    )
+    j = base.join(u, key_cols, "full_outer")
+    out_cols: list[Column] = [F.col(c) for c in key_cols]
+    matched = F.col("__matched").isNotNull()
+    for c in base.columns:
+        if c in key_cols:
+            continue
+        if c in tracked_cols:
+            changed = ~F.col(f"__u_{c}").eqNullSafe(F.col(c))
+            out_cols.append(
+                F.when(
+                    matched & changed, F.col(f"__u_{c}")
+                ).otherwise(F.col(c)).alias(c)
+            )
+        elif c.startswith(prev_prefix) and c[len(prev_prefix):] in tracked_cols:
+            t = c[len(prev_prefix):]
+            changed = ~F.col(f"__u_{t}").eqNullSafe(F.col(t))
+            out_cols.append(
+                F.when(matched & changed, F.col(t)).otherwise(F.col(c)).alias(c)
+            )
+        else:
+            out_cols.append(F.col(c))
+    return j.select(*out_cols)

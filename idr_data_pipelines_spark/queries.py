@@ -290,6 +290,38 @@ def q_src_json_corrupt_routing(spark, sf_dir):
     )
 
 
+def q_scd3_update(spark, sf_dir):
+    """SCD type-3 merge: the customer's latest pre-cutoff order status
+    (with a null prev column, first load) updated by the latest
+    post-cutoff status — changed keys remember the prior value in
+    prev_o_orderstatus, restated values do NOT clobber it, new keys
+    arrive with null prev. Bounded column history, one outer join."""
+    from idr_data_pipelines_spark.operators.scd import scd3_update
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_orderdate").cast("date").alias("odate"),
+    )
+    cutoff = F.lit("1995-01-01").cast("date")
+
+    def latest(df):
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.col("odate").desc(), F.col("o_orderstatus").desc()
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "odate")
+        )
+
+    base = latest(orders.filter(F.col("odate") <= cutoff)).withColumn(
+        "prev_o_orderstatus", F.lit(None).cast("string")
+    )
+    upd = latest(orders.filter(F.col("odate") > cutoff))
+    return scd3_update(base, upd, ["o_custkey"], ["o_orderstatus"])
+
+
 def q_src_partitioned_prune(spark, sf_dir):
     """Hive-partitioned lake layout + partition pruning: events are
     written partitioned by event date (the standard directory layout
@@ -3387,6 +3419,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_embed_stub": q_mm_embed_stub,
     "evt_stream_static_join": q_evt_stream_static_join,
     "src_json_corrupt_routing": q_src_json_corrupt_routing,
+    "scd3_update": q_scd3_update,
     # re-verify: implementations changed in round 5 (window/barrier
     # rewrites), so they re-enter the 50-entry driver window
     "q21_waiting_supplier": q_q21_waiting_supplier,
@@ -4164,6 +4197,37 @@ ORACLES: dict[str, str] = {
                epoch_us(MAX(ts)) AS end_us,
                COUNT(*) AS n_events
         FROM sid GROUP BY user_id, session_id
+    """,
+    "scd3_update": """
+        WITH rb AS (
+            SELECT o_custkey, o_orderstatus,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY CAST(o_orderdate AS DATE) DESC,
+                                o_orderstatus DESC) AS rn
+            FROM orders WHERE CAST(o_orderdate AS DATE) <= DATE '1995-01-01'
+        ), base AS (
+            SELECT o_custkey, o_orderstatus FROM rb WHERE rn = 1
+        ), ru AS (
+            SELECT o_custkey, o_orderstatus,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY CAST(o_orderdate AS DATE) DESC,
+                                o_orderstatus DESC) AS rn
+            FROM orders WHERE CAST(o_orderdate AS DATE) > DATE '1995-01-01'
+        ), upd AS (
+            SELECT o_custkey, o_orderstatus FROM ru WHERE rn = 1
+        )
+        SELECT COALESCE(b.o_custkey, u.o_custkey) AS o_custkey,
+               CASE WHEN u.o_custkey IS NOT NULL
+                         AND u.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+                    THEN u.o_orderstatus ELSE b.o_orderstatus
+               END AS o_orderstatus,
+               CASE WHEN u.o_custkey IS NOT NULL
+                         AND u.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+                    THEN b.o_orderstatus ELSE CAST(NULL AS VARCHAR)
+               END AS prev_o_orderstatus
+        FROM base b FULL OUTER JOIN upd u ON b.o_custkey = u.o_custkey
     """,
     "src_json_corrupt_routing": """
         SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,

@@ -492,3 +492,27 @@ def test_pipeline_rejects_duplicate_stage_names(spark):
     p.stage("x", lambda df: df)
     with pytest.raises(ValueError, match="duplicate stage"):
         p.stage("x", lambda df: df)
+
+
+def test_scd3_update_semantics(spark):
+    """Changed value -> remembered prior; restated value -> prior kept;
+    null incoming value is a real update (explicit match marker); new
+    key -> null prev; untouched key passes through."""
+    from idr_data_pipelines_spark.operators.scd import scd3_update
+
+    base = spark.createDataFrame(
+        [(1, "a", "z"), (2, "b", None), (3, "c", None), (4, None, "y")],
+        ["k", "v", "prev_v"],
+    )
+    upd = spark.createDataFrame(
+        [(1, "a2"), (2, "b"), (4, None), (9, "new")], ["k", "v"]
+    )
+    got = {r["k"]: (r["v"], r["prev_v"]) for r in
+           scd3_update(base, upd, ["k"], ["v"]).collect()}
+    assert got[1] == ("a2", "a")       # changed: remember prior
+    assert got[2] == ("b", None)       # restated: prev NOT clobbered
+    assert got[3] == ("c", None)       # untouched passthrough
+    assert got[4] == (None, "y")       # null restates null: prior kept
+    assert got[9] == ("new", None)     # new key, null prev
+    with pytest.raises(ValueError, match="prev_v"):
+        scd3_update(base.drop("prev_v"), upd, ["k"], ["v"])
