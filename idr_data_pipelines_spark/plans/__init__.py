@@ -8,6 +8,7 @@ from idr_data_pipelines_spark.plans.lint import (
     estimate_size_bytes,
     lint_plan,
     recommend_shuffle_partitions,
+    skewed_keys,
 )
 
 __all__ = [
@@ -20,4 +21,5 @@ __all__ = [
     "estimate_size_bytes",
     "lint_plan",
     "recommend_shuffle_partitions",
+    "skewed_keys",
 ]

@@ -205,3 +205,33 @@ def recommend_shuffle_partitions(
     est = estimate_size_bytes(df)
     want = est // (target_partition_mb * 1024 * 1024) + 1
     return max(min_partitions, min(int(want), max_partitions))
+
+
+def skewed_keys(
+    df: DataFrame,
+    key_col: str,
+    min_frac: float = 0.01,
+    top: int = 20,
+) -> DataFrame:
+    """Heavy-hitter report for a join/group key: the keys holding more
+    than ``min_frac`` of all rows, with counts and fractions — the
+    input that decides WHICH keys need salting (``join_salted``) or
+    whether to lean on AQE's skew split instead.
+
+    Exact one-shuffle aggregation with map-side combine; the row-count
+    side rides the same collapsed frame (1-row broadcast). For streams
+    or when even one pass per key set is too much, use the bounded-
+    state ``llmdata.sketches.misra_gries_topk`` instead.
+    """
+    from pyspark.sql import functions as F
+
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("__total"))
+    return (
+        counts.crossJoin(total.hint("broadcast"))
+        .withColumn("frac", F.col("n") / F.col("__total"))
+        .filter(F.col("frac") >= min_frac)
+        .orderBy(F.desc("n"), F.asc(key_col))
+        .limit(top)
+        .drop("__total")
+    )

@@ -334,3 +334,22 @@ def test_size_estimate_and_partition_recommendation(spark, sf_dir):
         recommend_shuffle_partitions(li, target_partition_mb=1, max_partitions=4)
         == 4
     ) or n <= 4  # clamp honored when the raw recommendation exceeds it
+
+
+def test_skewed_keys_report(spark):
+    """A 40%-hot key is reported with the right count and fraction;
+    uniform keys below the threshold are not."""
+    import pyspark.sql.functions as F
+
+    from idr_data_pipelines_spark.plans.lint import skewed_keys
+
+    df = spark.range(1000).select(
+        F.when(F.col("id") < 400, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), F.col("id") % 60))
+        .alias("k")
+    )
+    rows = {r["k"]: (r["n"], r["frac"]) for r in
+            skewed_keys(df, "k", min_frac=0.05).collect()}
+    assert set(rows) == {"hot"}
+    assert rows["hot"][0] == 400
+    assert abs(rows["hot"][1] - 0.4) < 1e-12
