@@ -1,0 +1,43 @@
+"""Partition-count invariance: the queries whose floats are rounded
+BECAUSE summation order is partitioning-dependent must produce
+identical driver-facing results under different shuffle-partition
+settings — this is exactly the variance between a local[8] test run
+and the driver's local[32] session (or a 1000-executor cluster).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from idr_data_pipelines_spark.queries import QUERIES
+
+# the rounded-float and hash-keyed queries most exposed to
+# partitioning-dependent evaluation order
+NAMES = [
+    "graph_pagerank",
+    "emb_label_centroids",
+    "text_perplexity_unigram",
+    "mm_embed_stub",
+    "evt_windowed_quantiles",
+    "flagship_event_analytics",
+]
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    return sorted(
+        tuple(str(row[c]) for c in cols) for row in df.collect()
+    )
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_partition_count_invariance(name, spark, sf_dir):
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        low = _canon(QUERIES[name](spark, sf_dir))
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        high = _canon(QUERIES[name](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+    assert low == high, f"{name} changed under repartitioning"
