@@ -185,7 +185,10 @@ def scd3_update(
     columns — updates carry only keys + tracked attributes; route
     full-row inserts through ``scd1_upsert`` first if that matters).
     A legitimately-null incoming value is still a real update (the
-    match marker is explicit, not value-based).
+    match marker is explicit, not value-based). Like ``scd2_merge``,
+    ``updates`` must be LATEST STATE PER KEY — duplicate keys would
+    fan the dimension out through the join; pre-collapse with
+    ``dedup_latest_per_key``.
 
     The type-2 alternative (row-per-version, ``scd2_merge``) is the
     full history; type 3 is what dashboard schemas use when only

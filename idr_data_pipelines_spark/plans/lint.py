@@ -175,15 +175,39 @@ def assert_scalable(
         raise AssertionError(f"plan lint failed:\n{lines}")
 
 
+_SIZE_UNITS = {
+    "B": 1,
+    "KiB": 1024,
+    "MiB": 1024**2,
+    "GiB": 1024**3,
+    "TiB": 1024**4,
+    "PiB": 1024**5,
+    "EiB": 1024**6,
+}
+
+
 def estimate_size_bytes(df: DataFrame) -> int:
     """Catalyst's planning-time size estimate for ``df`` (bytes) —
     file sizes × filter/project selectivity heuristics, no data scan.
     The same number AQE uses to pick join strategies, so it is the
     right input for partition sizing even when it is off by the usual
-    constant factor on compressed columnar input."""
-    return int(
-        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    constant factor on compressed columnar input. Read from the public
+    ``explain(mode='cost')`` surface (this module's no-``_jdf``,
+    Spark-Connect-compatible convention): the FIRST Statistics line is
+    the plan root's estimate."""
+    import contextlib
+    import io
+    import re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="cost")
+    m = re.search(
+        r"sizeInBytes=([\d.]+)\s*(B|KiB|MiB|GiB|TiB|PiB|EiB)\b", buf.getvalue()
     )
+    if not m:  # e.g. a fully-local relation with no stats line
+        raise ValueError("no sizeInBytes statistic in cost-mode explain")
+    return int(float(m.group(1)) * _SIZE_UNITS[m.group(2)])
 
 
 def recommend_shuffle_partitions(
@@ -203,7 +227,8 @@ def recommend_shuffle_partitions(
     it cannot split oversized ones without the skew path).
     """
     est = estimate_size_bytes(df)
-    want = est // (target_partition_mb * 1024 * 1024) + 1
+    target = target_partition_mb * 1024 * 1024
+    want = -(-est // target)  # ceiling division
     return max(min_partitions, min(int(want), max_partitions))
 
 

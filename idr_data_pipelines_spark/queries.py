@@ -1164,12 +1164,14 @@ def q_join_null_safe(spark, sf_dir):
 
 def q_mm_embed_stub(spark, sf_dir):
     """Multimodal embed stage: binary payloads → 16-dim stub vectors
-    via Arrow-batched mapInPandas, then per-doc scalar reductions
-    (L2 norm, component mean) rounded to 6 — the driver-facing proof
-    that the DISTRIBUTED plumbing (binary column in, typed
-    array<float> out, batch shapes, zero shuffle) is exact: the
-    oracle reproduces every component from SQL md5 over the same
-    bytes. Swap the stub for a real model; this query's plumbing is
+    via Arrow-batched mapInPandas, then per-doc INTEGER-exact
+    reductions — each float32 component is inverted back to its
+    source integer k ∈ [0, 2000) (round(c·1000)+1000; the float32
+    representation error ≪ 0.5, so the inversion is exact) and the
+    driver sees Σk and Σk² as bigints. Zero float comparison anywhere,
+    so no rounding-boundary flake risk: the oracle reproduces every k
+    from SQL md5 over the same bytes and the sums are exact in both
+    engines. Swap the stub for a real model; this query's plumbing is
     what production runs."""
     from idr_data_pipelines_spark.llmdata.multimodal import (
         embed_media_stub,
@@ -1178,18 +1180,16 @@ def q_mm_embed_stub(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     emb = embed_media_stub(with_binary_payload(docs), dim=16)
-    v = F.col("embedding")
-    sq = F.aggregate(
-        v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
-    )
-    mean = (
-        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
-        / F.size(v)
-    )
+    k = lambda x: (F.round(x.cast("double") * 1000) + 1000).cast("long")
+    ks = F.transform(F.col("embedding"), k)
     return emb.select(
         "doc_id",
-        F.round(F.sqrt(sq), 6).alias("l2_norm"),
-        F.round(mean, 6).alias("mean_c"),
+        F.aggregate(
+            ks, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("sum_k"),
+        F.aggregate(
+            ks, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).alias("sumsq_k"),
     )
 
 
@@ -1232,13 +1232,9 @@ def q_evt_stream_static_join(spark, sf_dir):
     between batches) and needs no watermark or state: only the
     aggregate carries state. Final complete-mode table must equal the
     batch join, which is what the oracle computes."""
-    from idr_data_pipelines_spark.queries import _t as _table
-
     inbox, ckpt, raw_schema = _stage_event_stream(spark, sf_dir, "ssjoin")
-    customer = _table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_nationkey"
-    )
-    nation = _table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     n_cust = customer.count()
     stream = spark.readStream.schema(raw_schema).parquet(inbox)
     enriched = (
@@ -4248,21 +4244,20 @@ ORACLES: dict[str, str] = {
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         GROUP BY n.n_name
     """,
-    # reproduces the stub embedding bit-for-bit: md5 over the same
-    # utf-8 bytes, float32 quantization via CAST(... AS REAL), then
-    # double reductions; ROUND absorbs fold-vs-sum order only
+    # reproduces the stub embedding exactly: md5 over the same utf-8
+    # bytes yields k ∈ [0, 2000) per component; the sums are integer
+    # arithmetic in both engines — no float comparison at all
     "mm_embed_stub": """
         WITH comps AS (
             SELECT d.doc_id,
-                   CAST(CAST((((CAST(('0x' || substr(md5(d.text || ':' || gs.i), 1, 8))
-                                AS BIGINT) % 2000) - 1000) / 1000.0)
-                        AS REAL) AS DOUBLE) AS c
+                   CAST(('0x' || substr(md5(d.text || ':' || gs.i), 1, 8))
+                        AS BIGINT) % 2000 AS k
             FROM documents d CROSS JOIN generate_series(0, 15) AS gs(i)
             WHERE d.text IS NOT NULL
         )
         SELECT doc_id,
-               ROUND(sqrt(SUM(c * c)), 6) AS l2_norm,
-               ROUND(SUM(c) / 16, 6) AS mean_c
+               CAST(SUM(k) AS BIGINT) AS sum_k,
+               CAST(SUM(k * k) AS BIGINT) AS sumsq_k
         FROM comps GROUP BY doc_id
     """,
     "evt_windowed_quantiles": """

@@ -131,10 +131,7 @@ def read_json_with_corrupt_routing(
     """
     from pyspark.sql.types import StringType, StructType
 
-    if isinstance(schema, str):
-        base = spark.createDataFrame([], schema).schema
-    else:
-        base = schema
+    base = StructType.fromDDL(schema) if isinstance(schema, str) else schema
     full = StructType(list(base.fields)).add(corrupt_col, StringType())
     return (
         spark.read.schema(full)

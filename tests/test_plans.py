@@ -318,10 +318,9 @@ def test_size_estimate_and_partition_recommendation(spark, sf_dir):
         estimate_size_bytes,
         recommend_shuffle_partitions,
     )
+    from idr_data_pipelines_spark.queries import _t
 
-    li = QUERIES["q1_pricing_summary"].__globals__["_t"](
-        spark, sf_dir, "lineitem"
-    )
+    li = _t(spark, sf_dir, "lineitem")
     full = estimate_size_bytes(li)
     pruned = estimate_size_bytes(li.select("l_orderkey"))
     assert full > 0
@@ -330,10 +329,22 @@ def test_size_estimate_and_partition_recommendation(spark, sf_dir):
     n = recommend_shuffle_partitions(li, target_partition_mb=1)
     assert 1 <= n <= 100_000
     assert recommend_shuffle_partitions(li, target_partition_mb=10**9) == 1
+    # min clamp exercised for real: huge target still floors at 5
     assert (
-        recommend_shuffle_partitions(li, target_partition_mb=1, max_partitions=4)
-        == 4
-    ) or n <= 4  # clamp honored when the raw recommendation exceeds it
+        recommend_shuffle_partitions(
+            li, target_partition_mb=10**9, min_partitions=5
+        )
+        == 5
+    )
+    # max clamp exercised for real: an 8-byte/row range of 1e9 rows
+    # (~7.5 GiB estimate) wants thousands of 1 MB partitions
+    big = spark.range(10**9)
+    raw = recommend_shuffle_partitions(big, target_partition_mb=1)
+    assert raw > 16
+    assert (
+        recommend_shuffle_partitions(big, target_partition_mb=1, max_partitions=16)
+        == 16
+    )
 
 
 def test_skewed_keys_report(spark):
