@@ -132,6 +132,65 @@ def join_salted(
     return out.drop(salted["__salt"]).drop(replicated["__salt"])
 
 
+def join_salted_hot_keys(
+    skewed: DataFrame,
+    other: DataFrame,
+    skewed_key: str,
+    other_key: str,
+    hot_frac: float = 0.01,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Partial salting — the production form of ``join_salted``: only
+    the HOT keys (> ``hot_frac`` of the skewed side's rows, detected
+    with one extra counting pass) take the salted path; the long tail
+    joins plainly. Uniform salting replicates the entire other side
+    ``n_salts``×; here only the hot keys' other-side rows replicate —
+    at 100 TB with a handful of mega-keys that is the difference
+    between replicating gigabytes and replicating kilobytes.
+
+    The hot-key set is collapsed (≤ 1/hot_frac keys by construction,
+    so driver-safe) and broadcast to split both sides; results are
+    identical to a plain equi-join. Same outer-join restriction as
+    ``join_salted`` and for the same reason. For a pre-known hot set,
+    skip the counting pass and call the two paths yourself; for
+    fully-automatic handling AQE's skew split needs no replication at
+    all — this operator is for when AQE's post-shuffle split is not
+    enough (e.g. the downstream aggregation itself keys on the hot
+    column).
+    """
+    hot = (
+        skewed.groupBy(skewed_key)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .crossJoin(
+            F.broadcast(
+                skewed.select(F.count(F.lit(1)).alias("__total"))
+            )
+        )
+        .filter(F.col("__n") >= F.col("__total") * hot_frac)
+        .select(F.col(skewed_key).alias("__hot_key"))
+        .localCheckpoint(eager=True)  # tiny; reused by four branches
+    )
+    hot_b = F.broadcast(hot)
+
+    s_hot = skewed.join(
+        hot_b, skewed[skewed_key] == hot["__hot_key"], "left_semi"
+    )
+    s_cold = skewed.join(
+        hot_b, skewed[skewed_key] == hot["__hot_key"], "left_anti"
+    )
+    o_hot = other.join(
+        hot_b, other[other_key] == hot["__hot_key"], "left_semi"
+    )
+    o_cold = other.join(
+        hot_b, other[other_key] == hot["__hot_key"], "left_anti"
+    )
+
+    cold = s_cold.join(o_cold, s_cold[skewed_key] == o_cold[other_key], how)
+    hot_joined = join_salted(s_hot, o_hot, skewed_key, other_key, n_salts, how)
+    return cold.unionByName(hot_joined)
+
+
 def join_asof(
     left: DataFrame,
     right: DataFrame,

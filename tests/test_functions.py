@@ -516,3 +516,33 @@ def test_scd3_update_semantics(spark):
     assert got[9] == ("new", None)     # new key, null prev
     with pytest.raises(ValueError, match="prev_v"):
         scd3_update(base.drop("prev_v"), upd, ["k"], ["v"])
+
+
+def test_join_salted_hot_keys_equals_plain_join(spark):
+    """Partial salting must reproduce the plain equi-join exactly —
+    hot path + cold path + union lose and duplicate nothing — for
+    inner and left joins, on data with one mega-key."""
+    from pyspark.sql import functions as F
+
+    from idr_data_pipelines_spark.operators.joins import join_salted_hot_keys
+
+    left = spark.range(2000).select(
+        F.when(F.col("id") < 1000, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.range(0, 3000, 3).select(
+        F.col("id").alias("rk"), (F.col("id") * 10).alias("rv")
+    )
+    for how in ("inner", "left"):
+        want = sorted(
+            map(tuple, left.join(right, left["k"] == right["rk"], how).collect())
+        )
+        got = sorted(
+            map(
+                tuple,
+                join_salted_hot_keys(
+                    left, right, "k", "rk", hot_frac=0.1, n_salts=8, how=how
+                ).collect(),
+            )
+        )
+        assert got == want, how
