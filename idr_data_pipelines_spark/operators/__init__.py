@@ -33,6 +33,7 @@ from idr_data_pipelines_spark.operators.joins import (
     join_asof,
     join_range,
     join_salted,
+    join_salted_hot_keys,
     join_semi,
 )
 from idr_data_pipelines_spark.operators.aggregate import (
@@ -67,6 +68,7 @@ __all__ = [
     "validate",
     "join_range",
     "join_salted",
+    "join_salted_hot_keys",
     "join_semi",
     "agg_cube",
     "agg_groupby_max_all",
