@@ -335,3 +335,37 @@ def assign_global_ids(
         .withColumn(id_col, (F.col("__offset") + F.col("__seq")).cast("long"))
         .drop("__pid", "__seq", "__offset")
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    source_col: str,
+    temperature: float = 2.0,
+) -> dict[str, float]:
+    """mT5-style temperature sampling weights: per-source keep
+    probability ∝ n_s^(1/T - 1), scaled so the LARGEST resulting
+    sampled share matches its natural share's rescaling (max weight
+    = 1, nothing upsampled). T=1 keeps natural proportions (all
+    weights 1); T→∞ equalizes sources (small sources keep everything,
+    large sources downsample toward the smallest). The standard fix
+    for high-resource languages swamping a multilingual mix.
+
+    One counting aggregate collapses to |sources| rows on the driver
+    (bounded by construction); feed the result straight to
+    ``mix_weighted`` for the deterministic hash-threshold subsample.
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    counts = {
+        r[source_col]: r["n"]
+        for r in df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    if not counts:
+        return {}
+    # target share ∝ n^(1/T); keep-prob_s ∝ n_s^(1/T) / n_s, scaled to
+    # max 1 so no source needs upsampling
+    raw = {s: n ** (1.0 / temperature) / n for s, n in counts.items()}
+    peak = max(raw.values())
+    return {s: w / peak for s, w in raw.items()}

@@ -546,3 +546,42 @@ def test_join_salted_hot_keys_equals_plain_join(spark):
             )
         )
         assert got == want, how
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    base_rows=st.lists(
+        st.tuples(st.integers(0, 9), st.one_of(st.none(), st.text("ab", max_size=2)),
+                  st.one_of(st.none(), st.text("xy", max_size=2))),
+        max_size=10, unique_by=lambda t: t[0],
+    ),
+    upd_rows=st.lists(
+        st.tuples(st.integers(0, 12), st.one_of(st.none(), st.text("ab", max_size=2))),
+        max_size=10, unique_by=lambda t: t[0],
+    ),
+)
+def test_scd3_property_vs_model(spark, base_rows, upd_rows):
+    """scd3_update vs a direct Python model over random bases/updates
+    (unique keys per side, nulls everywhere): value and prev columns
+    must match exactly."""
+    from idr_data_pipelines_spark.operators.scd import scd3_update
+
+    base = spark.createDataFrame(base_rows, "k int, v string, prev_v string") \
+        if base_rows else spark.createDataFrame([], "k int, v string, prev_v string")
+    upd = spark.createDataFrame(upd_rows, "k int, v string") \
+        if upd_rows else spark.createDataFrame([], "k int, v string")
+
+    model = {k: (v, p) for k, v, p in base_rows}
+    for k, uv in upd_rows:
+        if k in model:
+            v, p = model[k]
+            model[k] = (uv, v) if uv != v else (v, p)
+        else:
+            model[k] = (uv, None)
+
+    got = {r["k"]: (r["v"], r["prev_v"]) for r in
+           scd3_update(base, upd, ["k"], ["v"]).collect()}
+    assert got == model

@@ -757,3 +757,37 @@ def test_embed_stub_composes_with_ann(spark):
         # doc i and doc i+30 share text → identical stub embeddings
         assert r["neighbor_id"] == r["query_id"] + 30
         assert r["cosine"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_temperature_weights_properties(spark):
+    """T=1 → natural proportions (all weights 1); higher T →
+    monotonically flattens: the biggest source's weight is smallest,
+    the smallest source keeps everything; extreme T → near-equal
+    sampled counts; composes with mix_weighted."""
+    from idr_data_pipelines_spark.llmdata.sampling import (
+        mix_weighted,
+        temperature_weights,
+    )
+
+    rows = (
+        [(i, "big") for i in range(3000)]
+        + [(i + 10_000, "mid") for i in range(600)]
+        + [(i + 20_000, "small") for i in range(120)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+
+    w1 = temperature_weights(df, "source", temperature=1.0)
+    assert all(abs(w - 1.0) < 1e-12 for w in w1.values())
+
+    w = temperature_weights(df, "source", temperature=3.0)
+    assert w["small"] == pytest.approx(1.0)
+    assert w["small"] > w["mid"] > w["big"]
+
+    # extreme temperature: sampled sizes approach equality
+    weq = temperature_weights(df, "source", temperature=100.0)
+    sampled = mix_weighted(df, "source", "doc_id", weq)
+    got = {r["source"]: r["n"] for r in
+           sampled.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got["small"] == 120           # smallest keeps everything
+    assert got["big"] < 3000 * 0.1       # biggest heavily downsampled
+    assert max(got.values()) < 3 * min(got.values())
