@@ -131,3 +131,57 @@ def test_parquet_manifest_rides_the_write_pass(spark, tmp_path):
     assert on_disk["rows"] == 100
     back = spark.read.parquet(out)
     assert back.count() == 100  # underscore file invisible to the reader
+
+
+def test_bucketed_fingerprint_index_probe_no_index_exchange(spark, tmp_path):
+    """dedup_incremental's docstring claim, proven: with the
+    accumulated fingerprint index stored bucketed by fp, the
+    anti-join probe reads the index WITHOUT an exchange on the index
+    side (only the new batch shuffles to the bucket layout)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from idr_data_pipelines_spark.llmdata.dedup import dedup_incremental
+    from idr_data_pipelines_spark.llmdata.text import fingerprint
+    from idr_data_pipelines_spark.sources.sinks import sink_table_bucketed
+
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS fp_index")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/fp_index", ignore_errors=True)
+
+    corpus = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc body "), (F.col("id") % 300).cast("string")).alias(
+            "text"
+        ),
+    )
+    idx = corpus.select(fingerprint("text").alias("fp")).distinct()
+    sink_table_bucketed(idx, "fp_index", ["fp"], n_buckets=8)
+    seen = spark.table("fp_index")
+
+    batch = spark.range(400, 700).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc body "), (F.col("id") % 300).cast("string")).alias(
+            "text"
+        ),
+    )
+    out = dedup_incremental(batch, seen)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the bucketed index scan feeds the anti join with no exchange
+    # between them: every exchange in the plan keys on the batch side
+    idx_scans = re.findall(r"FileScan parquet [^\n]*fp_index[^\n]*Bucketed: true",
+                           plan)
+    assert idx_scans, plan
+    # count exchanges: batch fingerprint shuffle (anti join) + window
+    # shuffle; a third would mean the index re-shuffled
+    n_ex = len(re.findall(
+        r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", plan))
+    assert n_ex <= 2, plan
+    # semantics: index texts 0-199; batch texts are 100-299 then 0-99,
+    # so only texts 200-299 (ids 500-599) are genuinely new
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == set(range(500, 600))
+    spark.sql("DROP TABLE IF EXISTS fp_index")
