@@ -22,6 +22,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 3,
     damping: float = 0.85,
+    validate_dangling: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a dangling-free edge list.
 
@@ -59,6 +60,26 @@ def pagerank(
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # dangling-free contract ⇒ every node appears as a src
     nodes = deg.select(F.col("src").alias("id"))
+    if validate_dangling:
+        # Contract violations must fail loudly, not return
+        # plausible-looking ranks with leaked mass (r5 ADVICE): a
+        # dst-only node has no src row, so it would silently vanish
+        # from the output. One distinct + broadcast-able anti-join +
+        # count — negligible next to the iteration cost; disable via
+        # the flag for pre-validated production graphs.
+        n_dangling = (
+            e.select(F.col("dst").alias("id"))
+            .distinct()
+            .join(nodes, "id", "left_anti")
+            .count()
+        )
+        if n_dangling:
+            raise ValueError(
+                f"pagerank: {n_dangling} node(s) appear only as dst "
+                "(outdegree 0); the dangling-free contract requires "
+                "every node to have at least one outgoing edge — "
+                "symmetrize the projection or add self-loops upstream"
+            )
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))

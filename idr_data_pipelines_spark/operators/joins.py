@@ -142,9 +142,12 @@ def join_salted_hot_keys(
     how: str = "inner",
 ) -> DataFrame:
     """Partial salting — the production form of ``join_salted``: only
-    the HOT keys (> ``hot_frac`` of the skewed side's rows, detected
+    the HOT keys (>= ``hot_frac`` of the skewed side's rows, detected
     with one extra counting pass) take the salted path; the long tail
-    joins plainly. Uniform salting replicates the entire other side
+    joins plainly. ``skewed_key`` and ``other_key`` must be DISTINCT
+    column names (checked): with equal names the cold branch would
+    emit two identically-named key columns and the final
+    ``unionByName`` becomes ambiguous — alias one side before calling. Uniform salting replicates the entire other side
     ``n_salts``×; here only the hot keys' other-side rows replicate —
     at 100 TB with a handful of mega-keys that is the difference
     between replicating gigabytes and replicating kilobytes.
@@ -159,6 +162,12 @@ def join_salted_hot_keys(
     enough (e.g. the downstream aggregation itself keys on the hot
     column).
     """
+    if skewed_key == other_key:
+        raise ValueError(
+            "join_salted_hot_keys: skewed_key and other_key must have "
+            f"distinct names (both {skewed_key!r}); alias one side "
+            "first, e.g. other.withColumnRenamed(k, k + '_r')"
+        )
     hot = (
         skewed.groupBy(skewed_key)
         .agg(F.count(F.lit(1)).alias("__n"))

@@ -1119,11 +1119,13 @@ def q_evt_session_window_native(spark, sf_dir):
 def q_evt_windowed_quantiles(spark, sf_dir):
     """Per-day engagement quantiles: p50/p95 of the per-user daily
     event count, via Spark's EXACT ``percentile`` (not the approx
-    sketch) — linear interpolation over integer counts is
-    deterministic and bit-identical to DuckDB's ``quantile_cont``
-    (verified: both return 8.949999999999998 on the same input), so
-    no rounding is needed. Two shuffles: the (day, user) count grain
-    and the per-day quantile aggregate."""
+    sketch). Linear interpolation over integer counts agreed
+    bit-for-bit with DuckDB's ``quantile_cont`` on every input tried,
+    but a one-ulp divergence in the interpolation formula elsewhere
+    would flake, so both sides round to 6 decimals like every other
+    libm-sensitive float query in this module (r5 ADVICE). Two
+    shuffles: the (day, user) count grain and the per-day quantile
+    aggregate."""
     ev = _events(spark, sf_dir)
     per_user_day = (
         ev.groupBy(
@@ -1131,8 +1133,8 @@ def q_evt_windowed_quantiles(spark, sf_dir):
         ).agg(F.count(F.lit(1)).alias("n"))
     )
     return per_user_day.groupBy("d").agg(
-        F.percentile(F.col("n").cast("double"), 0.5).alias("p50"),
-        F.percentile(F.col("n").cast("double"), 0.95).alias("p95"),
+        F.round(F.percentile(F.col("n").cast("double"), 0.5), 6).alias("p50"),
+        F.round(F.percentile(F.col("n").cast("double"), 0.95), 6).alias("p95"),
         F.max("n").alias("max_n"),
         F.count(F.lit(1)).alias("n_users"),
     )
@@ -4266,8 +4268,8 @@ ORACLES: dict[str, str] = {
             FROM events GROUP BY 1, 2
         )
         SELECT d,
-               quantile_cont(CAST(n AS DOUBLE), 0.5) AS p50,
-               quantile_cont(CAST(n AS DOUBLE), 0.95) AS p95,
+               ROUND(quantile_cont(CAST(n AS DOUBLE), 0.5), 6) AS p50,
+               ROUND(quantile_cont(CAST(n AS DOUBLE), 0.95), 6) AS p95,
                CAST(MAX(n) AS BIGINT) AS max_n,
                COUNT(*) AS n_users
         FROM pud GROUP BY d

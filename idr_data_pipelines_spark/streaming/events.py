@@ -26,6 +26,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
+def _is_missing_path_error(exc: Exception) -> bool:
+    """True iff ``exc`` is Spark's missing-input-path AnalysisException.
+
+    Spark >= 3.4 raises the ``PATH_NOT_FOUND`` error class; older
+    Sparks phrase the same condition as "Path does not exist" (r4/r5
+    ADVICE). Matched on the message because the error-class accessor
+    does not exist on the older exceptions."""
+    msg = str(exc)
+    return "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+
+
 def drain_available_now(
     spark: SparkSession,
     path: str,
@@ -84,7 +95,8 @@ def drain_available_now(
         )
         out.schema  # force datasource resolution (path listing) now
     except AnalysisException as exc:
-        if "PATH_NOT_FOUND" not in str(exc):
+        # Anything other than a missing output path is a real failure.
+        if not _is_missing_path_error(exc):
             raise
         out = spark.createDataFrame([], schema)
     out.createOrReplaceTempView(sink_table)
@@ -412,6 +424,7 @@ def funnel_depth(
     steps: list[str],
     depth_col: str = "depth",
     window_seconds: int | None = None,
+    max_events: int | None = None,
 ):
     """Ordered-funnel depth per user: how many of ``steps`` the user
     completed in sequence, each step strictly after the previous
@@ -430,8 +443,10 @@ def funnel_depth(
     are folded in a single JVM ``aggregate`` over the sorted array —
     no Python, no per-step join chain (k steps would otherwise cost k
     aggregate+join rounds over the full event table). Per-user funnel
-    event counts are assumed executor-bounded (the usual case; heavy
-    hitters would need per-window pre-truncation).
+    event counts are assumed executor-bounded (the usual case for
+    human users); against adversarial/bot keys pass ``max_events`` to
+    cap the folded prefix — see ``funnel_fold`` for the exact
+    truncation semantics.
     """
     ev = df.filter(F.col(type_col).isin(steps)).select(
         F.col(user_col),
@@ -443,12 +458,19 @@ def funnel_depth(
         .agg(arr.alias("__evs"))
         .select(
             user_col,
-            funnel_fold(F.col("__evs"), steps, window_seconds).alias(depth_col),
+            funnel_fold(
+                F.col("__evs"), steps, window_seconds, max_events
+            ).alias(depth_col),
         )
     )
 
 
-def funnel_fold(events_array, steps: list[str], window_seconds: int | None = None):
+def funnel_fold(
+    events_array,
+    steps: list[str],
+    window_seconds: int | None = None,
+    max_events: int | None = None,
+):
     """The funnel-depth fold as a reusable Column expression: given a
     SORTED ``array<struct<ts:timestamp, t:string>>``, return the
     greedy-first-chain funnel stage reached (see ``funnel_depth`` for
@@ -459,10 +481,28 @@ def funnel_fold(events_array, steps: list[str], window_seconds: int | None = Non
     ``array_sort(collect_list(when(type.isin(steps), struct(ts, t))))``
     — ``collect_list`` skips the non-funnel nulls — and apply this
     fold), so composed analytics don't pay a separate shuffle per
-    funnel."""
+    funnel.
+
+    Per-key state note: the ``collect_list`` feeding this fold is
+    unbounded per key in principle. Human users are self-bounding, but
+    a bot-like key (millions of funnel events) could blow a task's
+    memory before the fold ever runs. ``max_events`` caps that: the
+    sorted array is ``slice``-d to its first ``max_events`` elements
+    before folding. Because the fold is greedy-FIRST-chain over a
+    time-sorted array, a prefix cap is semantics-preserving whenever
+    the chain completes within the first ``max_events`` events; a key
+    whose only completing chain starts later reports the prefix's
+    depth instead (documented truncation, the standard trade for
+    bounded state). The cap bounds the FOLD's input, not the
+    collect_list itself — for full ingest-side bounding pre-filter or
+    pre-truncate per window upstream."""
     n = len(steps)
     if n == 0:
         raise ValueError("steps must be non-empty")
+    if max_events is not None:
+        if max_events < 1:
+            raise ValueError("max_events must be >= 1")
+        events_array = F.slice(events_array, 1, int(max_events))
     lit_steps = F.array(*[F.lit(s) for s in steps])
     init = F.struct(
         F.lit(0).alias("stage"),

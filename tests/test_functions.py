@@ -585,3 +585,16 @@ def test_scd3_property_vs_model(spark, base_rows, upd_rows):
     got = {r["k"]: (r["v"], r["prev_v"]) for r in
            scd3_update(base, upd, ["k"], ["v"]).collect()}
     assert got == model
+
+
+def test_join_salted_hot_keys_same_key_name_rejected(spark):
+    """Equal key names would make the cold branch emit two
+    identically-named columns and break the final unionByName — the
+    operator must refuse loudly (r5 ADVICE)."""
+    import pytest as _pytest
+
+    from idr_data_pipelines_spark.operators.joins import join_salted_hot_keys
+
+    df = spark.range(10).select(F.col("id").alias("k"))
+    with _pytest.raises(ValueError, match="distinct names"):
+        join_salted_hot_keys(df, df, "k", "k")

@@ -95,3 +95,20 @@ def test_pagerank_parallel_edges_count_with_multiplicity(spark):
         ).collect()
     }
     assert got["c"] < simple["c"]  # the doubled a-b edge starves c
+
+
+def test_pagerank_dangling_guard(spark):
+    """A dst-only node violates the dangling-free contract: the guard
+    must fail loudly (r5 ADVICE) instead of silently dropping the node
+    and leaking its mass; validate_dangling=False restores the old
+    trusting behavior for pre-validated graphs."""
+    # "c" never appears as a src → dangling
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c")], "src string, dst string"
+    )
+    with pytest.raises(ValueError, match="dangling-free"):
+        pagerank(df, iterations=2)
+    # opt-out runs (and documents the leak: c is absent, mass < 1)
+    rows = pagerank(df, iterations=2, validate_dangling=False).collect()
+    assert {r["id"] for r in rows} == {"a", "b"}
+    assert sum(r["rank"] for r in rows) < 1.0

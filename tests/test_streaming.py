@@ -591,3 +591,57 @@ def test_topk_stream_drain_matches_batch(spark, tmp_path):
     assert [(r["user_id"], r["cnt"]) for r in got] == [
         (r["user_id"], r["cnt"]) for r in want
     ]
+
+
+def test_missing_path_detection_covers_old_and_new_sparks():
+    """First-batch detection must recognize BOTH the Spark >= 3.4
+    PATH_NOT_FOUND error class and the pre-3.4 'Path does not exist'
+    message (r4/r5 ADVICE), and nothing else."""
+    from pyspark.errors import AnalysisException
+
+    from idr_data_pipelines_spark.streaming.events import _is_missing_path_error
+
+    assert _is_missing_path_error(
+        AnalysisException("[PATH_NOT_FOUND] Path does not exist: file:/x")
+    )
+    assert _is_missing_path_error(
+        AnalysisException("Path does not exist: hdfs://nn/x;")
+    )
+    assert not _is_missing_path_error(
+        AnalysisException("[UNRESOLVED_COLUMN] cannot resolve `x`")
+    )
+
+
+def test_funnel_depth_max_events_cap(spark):
+    """max_events bounds the folded prefix: a user whose completing
+    chain sits inside the prefix is unaffected; one whose chain only
+    completes later reports the prefix's depth (documented truncation
+    semantics); max_events < 1 is rejected."""
+    from datetime import datetime as ts
+
+    import pytest as _pytest
+
+    from idr_data_pipelines_spark.streaming.events import funnel_depth, funnel_fold
+
+    rows = [
+        # u1: chain completes within the first 3 events
+        (1, ts(2024, 1, 1, 10), "view"), (1, ts(2024, 1, 1, 11), "click"),
+        (1, ts(2024, 1, 1, 12), "purchase"), (1, ts(2024, 1, 1, 13), "view"),
+        # u2: 3 noise views first; full chain only from event 4 on
+        (2, ts(2024, 1, 1, 1), "view"), (2, ts(2024, 1, 1, 2), "view"),
+        (2, ts(2024, 1, 1, 3), "view"), (2, ts(2024, 1, 1, 4), "click"),
+        (2, ts(2024, 1, 1, 5), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    steps = ["view", "click", "purchase"]
+    uncapped = {r["user_id"]: r["depth"] for r in funnel_depth(
+        df, "user_id", "ts", "event_type", steps
+    ).collect()}
+    assert uncapped == {1: 3, 2: 3}
+    capped = {r["user_id"]: r["depth"] for r in funnel_depth(
+        df, "user_id", "ts", "event_type", steps, max_events=3
+    ).collect()}
+    # u1's chain fits in the prefix; u2's prefix is views only → depth 1
+    assert capped == {1: 3, 2: 1}
+    with _pytest.raises(ValueError, match="max_events"):
+        funnel_fold(F.col("x"), steps, max_events=0)
