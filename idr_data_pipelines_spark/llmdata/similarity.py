@@ -204,6 +204,101 @@ def cosine_topk_lsh(
     )
 
 
+def signed_projection_signs(
+    dim: int, n_planes: int, seed: int = 42
+) -> list[list[int]]:
+    """Deterministic ±1 sign matrix for integer-exact sign-LSH
+    (Achlioptas-style sparse/sign random projections preserve the
+    random-hyperplane LSH guarantee — signs are a valid hyperplane
+    distribution)."""
+    rng = np.random.RandomState(seed)
+    return (rng.randint(0, 2, size=(n_planes, dim)) * 2 - 1).tolist()
+
+
+def int_lsh_bucket(
+    vec: Column, signs: list[list[int]], scale: int = 1_000_000
+) -> Column:
+    """ENGINE-PORTABLE sign-LSH bucket: bit p = [Σ_i s_pi ·
+    floor(v_i·scale) > 0] with s ∈ {±1}. Every step — double cast,
+    multiply by a power-of-ten literal, floor, bigint sum — is exact
+    and order-independent, so ANY SQL engine reproduces the bucket
+    bit-for-bit (floor, unlike round, has no half-way tie semantics to
+    disagree on, and integer addition has no float summation-order
+    sensitivity). This is what makes an approximate-ANN query
+    value-hash oracle-able: the float-matmul form
+    (``_lsh_bucket_table``) is the high-dim BLAS scale path, this is
+    the low-dim fully-JVM form whose buckets an oracle can replay.
+    Pure column expression — whole-stage codegen, no Python."""
+    q = F.transform(
+        _as_double(vec),
+        lambda x: F.floor(x * F.lit(float(scale))).cast("long"),
+    )
+    bucket = F.lit(0).cast("long")
+    for p, row in enumerate(signs):
+        sarr = F.array(*[F.lit(int(s)).cast("long") for s in row])
+        proj = F.aggregate(
+            F.zip_with(sarr, q, lambda s, x: s * x),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        bucket = bucket + (proj > 0).cast("long") * F.lit(1 << p).cast("long")
+    return bucket
+
+
+def cosine_topk_lsh_exact_bucket(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 6,
+    seed: int = 42,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """``cosine_topk_lsh`` with ``int_lsh_bucket`` buckets: identical
+    join/re-rank shape (bucket equi-join, exact-cosine re-rank, window
+    top-k), but the bucketing is integer-exact and therefore
+    SQL-oracle-able end to end. Same 100 TB story as the float form —
+    candidates come from a bucket equi-join, never all pairs; persist
+    the corpus ``bucketBy("bucket")`` so probes prune instead of
+    shuffling the corpus."""
+    # Spark array schemas are unsized, so the dimension (which fixes
+    # the sign matrix an oracle must replay) is sniffed from one row.
+    head = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    if head is None:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
+    signs = signed_projection_signs(int(head["d"]), n_planes, seed)
+    bucket = lambda c: int_lsh_bucket(c, signs, scale)  # noqa: E731
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(vec_col).alias("cvec"),
+        bucket(vec_col).alias("bucket"),
+    ).withColumn("cnrm", norm(F.col("cvec")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(vec_col).alias("qvec"),
+        bucket(vec_col).alias("bucket"),
+    ).withColumn("qnrm", norm(F.col("qvec")))
+    scored = c.join(
+        F.broadcast(q),
+        (c["bucket"] == q["bucket"])
+        & (F.col("query_id") != F.col("neighbor_id")),
+    ).withColumn(
+        "cosine",
+        dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm")),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def _assign_centroids(
     df: DataFrame,
     centroids: "np.ndarray",

@@ -3160,12 +3160,23 @@ def q_ann_topk_quantized(spark, sf_dir):
 
 
 def q_ann_topk_lsh(spark, sf_dir):
-    """Approximate top-5 via sign-LSH buckets (deterministic planes,
-    seed=42). Approximate → rows-only check; recall vs brute force is
-    asserted in tests."""
+    """Approximate top-5 via sign-LSH buckets — the INTEGER-EXACT
+    bucket form (bit p = sign of Σ ±floor(v_i·1e6), ±1 signs from
+    seed=42): every bucket step is exact bigint arithmetic, so the
+    DuckDB oracle replays the bucketing bit-for-bit and this formerly
+    rows-only entry gets a full value-hash check (r5 VERDICT item 6).
+    The float-matmul form (``cosine_topk_lsh``, BLAS per Arrow batch)
+    remains the high-dim scale path with recall pinned in pytest —
+    same candidate generation semantics, summation-order-sensitive
+    buckets. Candidates come from a bucket equi-join (never all
+    pairs); exact-cosine re-rank on candidates only."""
+    from idr_data_pipelines_spark.llmdata.similarity import (
+        cosine_topk_lsh_exact_bucket,
+    )
+
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    out = cosine_topk_lsh(emb, queries, k=5, n_planes=6)
+    out = cosine_topk_lsh_exact_bucket(emb, queries, k=5, n_planes=6)
     return out.select(
         "query_id", "neighbor_id", F.round(F.col("cosine"), 6).alias("cosine_r"), "rank"
     )
@@ -3563,6 +3574,28 @@ def _norm_sql(a: str, dim: int = 64) -> str:
 
 
 _COS_LR = f"({_dot_sql('l.embedding', 'r.embedding')} / ({_norm_sql('l.embedding')} * {_norm_sql('r.embedding')}))"
+
+
+def _int_lsh_bucket_sql(col: str, dim: int = 64, n_planes: int = 6,
+                        seed: int = 42, scale: int = 1_000_000) -> str:
+    """DuckDB replay of ``similarity.int_lsh_bucket``: the same ±1
+    sign matrix (seeded, inlined as list literals) over floor-scaled
+    bigint components — exact integer arithmetic in both engines, so
+    the buckets agree bit-for-bit and sign-LSH becomes value-hash
+    oracle-able."""
+    from idr_data_pipelines_spark.llmdata.similarity import (
+        signed_projection_signs,
+    )
+
+    parts = []
+    for p, row in enumerate(signed_projection_signs(dim, n_planes, seed)):
+        slist = "[" + ",".join(str(int(s)) for s in row) + "]"
+        parts.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> ({slist})[i] * CAST(FLOOR(CAST(({col})[i] AS DOUBLE)"
+            f" * {scale}.0) AS BIGINT))) > 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return "(" + " + ".join(parts) + ")"
 
 _SHINGLES_SQL = """
     list_distinct(list_transform(
@@ -5296,6 +5329,25 @@ ORACLES: dict[str, str] = {
             ORDER BY {_COS_LR} DESC, r.vec_id ASC
         ) <= 5
     """,
+    "ann_topk_lsh": f"""
+        WITH b AS (
+            SELECT vec_id, embedding,
+                   {_int_lsh_bucket_sql('embedding')} AS bucket
+            FROM embeddings
+        )
+        SELECT l.vec_id AS query_id, r.vec_id AS neighbor_id,
+               ROUND({_COS_LR}, 6) AS cosine_r,
+               CAST(row_number() OVER (
+                   PARTITION BY l.vec_id
+                   ORDER BY {_COS_LR} DESC, r.vec_id ASC
+               ) AS INT) AS rank
+        FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id != r.vec_id
+        WHERE l.vec_id < 8
+        QUALIFY row_number() OVER (
+            PARTITION BY l.vec_id
+            ORDER BY {_COS_LR} DESC, r.vec_id ASC
+        ) <= 5
+    """,
     "mm_media_meta": """
         SELECT doc_id,
                'image' AS media_type,
@@ -5405,7 +5457,9 @@ NO_ORACLE: frozenset[str] = frozenset(
     {
         "dedup_minhash_lsh",
         "dedup_simhash",
-        "ann_topk_lsh",
+        # ann_topk_lsh graduated in r6: its integer-exact bucket form
+        # (floor-scaled ±1 projections) IS portable SQL, so it now
+        # carries a full value-hash oracle below.
         "ann_topk_ivf",
         "text_winnow_fingerprint",
         "sketch_approx_distinct",

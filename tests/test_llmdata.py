@@ -791,3 +791,33 @@ def test_temperature_weights_properties(spark):
     assert got["small"] == 120           # smallest keeps everything
     assert got["big"] < 3000 * 0.1       # biggest heavily downsampled
     assert max(got.values()) < 3 * min(got.values())
+
+
+def test_cosine_lsh_exact_bucket_recall_and_shape(spark):
+    """The integer-exact bucket form is still real sign-LSH: decent
+    recall on clustered data, per-query results ranked 1..n with no
+    self-matches; empty corpus yields an empty frame, not a crash."""
+    from idr_data_pipelines_spark.llmdata.similarity import (
+        cosine_topk_lsh_exact_bucket,
+    )
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(5, 16) * 3
+    vecs = np.vstack([c + rng.randn(40, 16) * 0.3 for c in centers]).astype("float32")
+    rows = [(i, vecs[i].tolist()) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = df.filter(F.col("vec_id") < 5)
+    exact = cosine_topk_bruteforce(df, queries, k=5)
+    approx = cosine_topk_lsh_exact_bucket(df, queries, k=5, n_planes=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    rows_a = approx.collect()
+    a = {(r["query_id"], r["neighbor_id"]) for r in rows_a}
+    assert len(a & e) / len(e) >= 0.6
+    by_q = {}
+    for r in rows_a:
+        assert r["query_id"] != r["neighbor_id"]
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert cosine_topk_lsh_exact_bucket(empty, empty, k=3).count() == 0
