@@ -3369,49 +3369,150 @@ def q_flagship_warehouse(spark, sf_dir):
 # registry
 # ===================================================================
 
-# Ordering contract: the driver records correctness rows for the FIRST
-# 50 entries only (CORRECTNESS_r01/r02/r03 were byte-identical prefixes
-# of this dict at the time). Round-4 rotation: the window now holds the
-# two r03 reds (both fixed — re-check them first), the 35 entries that
-# had never received a driver row (all round-3 additions, including the
-# third flagship and the SCD/sampling suites), and 13 re-green
-# representatives of the r01/r02 set. True streaming queries sit at the
-# window's tail in case the cap is time-based. After r04, every one of
-# the registry's entries has at least one driver row across r01–r04.
-# Entries after the window are still swept every CI run by
-# tests/test_oracle_parity.py.
+# Ordering contract: the driver records correctness rows for the
+# FIRST 50 entries only. Round-6 rotation (see VERDICT r5 item 1):
+# the window holds the 38 entries whose last driver green was r01/r02
+# (the full expr_*/filter_*/§2.4-join families, sources/sinks, core
+# dedup/agg, q4-q18 analytics), the 2 entries changed this round
+# (evt_windowed_quantiles rounding fix; ann_topk_lsh's new
+# integer-exact-bucket oracle — its first possible hash row), and the
+# 10 stalest-after-that r03 greens. NO_ORACLE members are never
+# rotated in (their rows can only say err:no_oracle — r5 VERDICT);
+# they sit at the dict's very end. True streaming queries sit at the
+# window's tail in case the cap is time-based. Entries after the
+# window are still swept every CI run by tests/test_oracle_parity.py;
+# the 25 remaining r03-stale greens lead the post-window section as
+# the r07 rotation's first pick.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- driver window: the two r03 reds, fixed this round
+    # -- driver window: last green r01/r02 — sources/sinks
+    "src_parquet_concat_str": q_src_parquet_concat_str,
+    "sink_table_overwrite": q_sink_table_overwrite,
+    "sink_rows_append": q_sink_rows_append,
+    # -- driver window: last green r01/r02 — dedup
+    "dedup_distinct": q_dedup_distinct,
+    "dedup_groupby_max": q_dedup_groupby_max,
+    "dedup_join_back_on_max": q_dedup_join_back_on_max,
+    # -- driver window: last green r01/r02 — projections/filters
+    "project_rename": q_project_rename,
+    "project_star_plus": q_project_star_plus,
+    "filter_not_null": q_filter_not_null,
+    "filter_eq": q_filter_eq,
+    "filter_derived": q_filter_derived,
+    "filter_on_join": q_filter_on_join,
+    # -- driver window: last green r01/r02 — joins
+    "join_inner_dim_cast": q_join_inner_dim_cast,
+    "join_inner_hub": q_join_inner_hub,
+    "join_left_fact": q_join_left_fact,
+    "join_anti": q_join_anti,
+    # -- driver window: last green r01/r02 — aggregations
+    "agg_groupby_max_all": q_agg_groupby_max_all,
+    "agg_max_date": q_agg_max_date,
+    # -- driver window: last green r01/r02 — expressions
+    "expr_cast": q_expr_cast,
+    "expr_string_funcs": q_expr_string_funcs,
+    "expr_case_flag": q_expr_case_flag,
+    "expr_case_bucket": q_expr_case_bucket,
+    "expr_null_default": q_expr_null_default,
+    "expr_extract": q_expr_extract,
+    "expr_format_date": q_expr_format_date,
+    "expr_current_date": q_expr_current_date,
+    "expr_str_sentinel": q_expr_str_sentinel,
+    "expr_null_normalize": q_expr_null_normalize,
+    # -- driver window: last green r01/r02 — analytics
+    "q4_priority_exists": q_q4_priority_exists,
+    "q7_volume_shipping": q_q7_volume_shipping,
+    "q8_market_share": q_q8_market_share,
+    "q10_returned_items": q_q10_returned_items,
+    "q13_order_count_distribution": q_q13_order_count_distribution,
+    "q14_promo_effect": q_q14_promo_effect,
+    "q16_supplier_part_count": q_q16_supplier_part_count,
+    "q18_large_volume": q_q18_large_volume,
+    # -- driver window: changed in round 6 (re-verify first)
+    "evt_windowed_quantiles": q_evt_windowed_quantiles,
+    "ann_topk_lsh": q_ann_topk_lsh,
+    # -- driver window: stalest r03 greens
+    "flagship_corpus_clean": q_flagship_corpus_clean,
+    "dedup_exact_hash": q_dedup_exact_hash,
+    "emb_cosine_near_dup": q_emb_cosine_near_dup,
+    "ann_topk_bruteforce": q_ann_topk_bruteforce,
+    "join_asof": q_join_asof,
+    "join_range": q_join_range,
+    "expr_json": q_expr_json,
+    "agg_percentiles_exact": q_agg_percentiles_exact,
+    "text_quality": q_text_quality,
+    "topk_per_group": q_topk_per_group,
+    # -- driver window tail: true streaming (slowest)
+    "src_stream_drain": q_src_stream_drain,
+    "sink_stream_republish": q_sink_stream_republish,
+    # ================= end of 50-entry driver window =================
+    # (everything below is parity-swept in CI each run)
+    # -- last green r03 — r07 rotation candidates
+    "agg_grouping_sets": q_agg_grouping_sets,
+    "agg_having": q_agg_having,
+    "dedup_stream_watermark": q_dedup_stream_watermark,
+    "evt_pivot_user_counts": q_evt_pivot_user_counts,
+    "evt_rollup_daily": q_evt_rollup_daily,
+    "evt_sessionize_stream": q_evt_sessionize_stream,
+    "evt_stream_stream_join": q_evt_stream_stream_join,
+    "evt_trigger_audit": q_evt_trigger_audit,
+    "evt_windowed_counts": q_evt_windowed_counts,
+    "evt_windowed_counts_stream": q_evt_windowed_counts_stream,
+    "mm_media_meta": q_mm_media_meta,
+    "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
+    "q19_disjunctive": q_q19_disjunctive,
+    "q22_idle_rich_customers": q_q22_idle_rich_customers,
+    "q6_forecast_revenue": q_q6_forecast_revenue,
+    "sample_hash_mod": q_sample_hash_mod,
+    "src_csv_dir": q_src_csv_dir,
+    "src_json_dir": q_src_json_dir,
+    "text_fingerprint": q_text_fingerprint,
+    "text_lang_bpe": q_text_lang_bpe,
+    "text_token_count": q_text_token_count,
+    "text_top_terms": q_text_top_terms,
+    "udtf_split_sentences": q_udtf_split_sentences,
+    "window_analytics": q_window_analytics,
+    "window_running": q_window_running,
+    # -- last green r04
+    "agg_pivot_sum_case": q_agg_pivot_sum_case,
+    "agg_rollup": q_agg_rollup,
+    "dedup_latest_per_key": q_dedup_latest_per_key,
+    "evt_cdc_upsert_stream": q_evt_cdc_upsert_stream,
+    "evt_funnel": q_evt_funnel,
+    "evt_retention_cohorts": q_evt_retention_cohorts,
+    "evt_topk_stream": q_evt_topk_stream,
+    "expr_case_map": q_expr_case_map,
+    "expr_datediff": q_expr_datediff,
+    "flagship_warehouse": q_flagship_warehouse,
+    "join_salted": q_join_salted,
+    "join_semi": q_join_semi,
+    "q1_pricing_summary": q_q1_pricing_summary,
+    "q3_revenue_by_priority": q_q3_revenue_by_priority,
+    "q5_revenue_by_nation": q_q5_revenue_by_nation,
+    "set_ops": q_set_ops,
+    "src_parquet_dir": q_src_parquet_dir,
+    # -- last green r05
     "pack_sequences": q_pack_sequences,
     "mm_frame_sample": q_mm_frame_sample,
-    # -- driver window: flagships never driver-checked
     "flagship_data_recipe": q_flagship_data_recipe,
     "flagship_event_analytics": q_flagship_event_analytics,
-    # -- driver window: sampling / mixing / ids
     "split_train_holdout": q_split_train_holdout,
     "mix_weighted": q_mix_weighted,
     "mix_weighted_repeat": q_mix_weighted_repeat,
     "sample_stratified": q_sample_stratified,
     "sample_token_budget": q_sample_token_budget,
     "ids_global_contiguous": q_ids_global_contiguous,
-    # -- driver window: llmdata dedup/quality tail
     "dedup_clusters": q_dedup_clusters,
     "decontaminate": q_decontaminate,
     "text_repetition": q_text_repetition,
     "text_redact_pii": q_text_redact_pii,
     "text_collocations": q_text_collocations,
-    "ann_topk_quantized": q_ann_topk_quantized,
-    # -- driver window: sketches
-    "sketch_hll_union": q_sketch_hll_union,
-    "sketch_topk_mg": q_sketch_topk_mg,
-    # -- driver window: SCD / temporal joins
     "scd1_upsert": q_scd1_upsert,
     "scd2_history": q_scd2_history,
     "scd2_merge_batch": q_scd2_merge_batch,
+    "scd3_update": q_scd3_update,
     "join_scd2_asof": q_join_scd2_asof,
     "join_interval_overlap": q_join_interval_overlap,
     "join_fuzzy_names": q_join_fuzzy_names,
-    # -- driver window: validation / agg / window additions
     "validate_warehouse": q_validate_warehouse,
     "agg_histogram": q_agg_histogram,
     "agg_collect_sorted": q_agg_collect_sorted,
@@ -3423,14 +3524,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "project_unpivot": q_project_unpivot,
     "src_schema_evolution": q_src_schema_evolution,
     "evt_session_window_native": q_evt_session_window_native,
-    "evt_windowed_quantiles": q_evt_windowed_quantiles,
     "join_null_safe": q_join_null_safe,
     "mm_embed_stub": q_mm_embed_stub,
     "evt_stream_static_join": q_evt_stream_static_join,
     "src_json_corrupt_routing": q_src_json_corrupt_routing,
-    "scd3_update": q_scd3_update,
-    # re-verify: implementations changed in round 5 (window/barrier
-    # rewrites), so they re-enter the 50-entry driver window
     "q21_waiting_supplier": q_q21_waiting_supplier,
     "q15_top_supplier": q_q15_top_supplier,
     "q17_small_quantity": q_q17_small_quantity,
@@ -3438,121 +3535,23 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_mode": q_agg_mode,
     "window_gap_islands": q_window_gap_islands,
     "window_rolling_sum": q_window_rolling_sum,
-    # -- driver window: sources
     "src_orc_roundtrip": q_src_orc_roundtrip,
     "src_partitioned_prune": q_src_partitioned_prune,
-    # -- driver window: events (batch)
-    "evt_funnel": q_evt_funnel,
-    "evt_retention_cohorts": q_evt_retention_cohorts,
-    # -- driver window: re-green representatives of the r01/r02 set
-    "flagship_warehouse": q_flagship_warehouse,
-    "src_parquet_dir": q_src_parquet_dir,
-    "dedup_latest_per_key": q_dedup_latest_per_key,
-    "join_salted": q_join_salted,
-    "join_semi": q_join_semi,
-    "agg_pivot_sum_case": q_agg_pivot_sum_case,
-    "agg_rollup": q_agg_rollup,
-    "set_ops": q_set_ops,
-    "expr_datediff": q_expr_datediff,
-    "expr_case_map": q_expr_case_map,
-    "q1_pricing_summary": q_q1_pricing_summary,
-    "q3_revenue_by_priority": q_q3_revenue_by_priority,
-    "q5_revenue_by_nation": q_q5_revenue_by_nation,
-    # -- driver window tail: true streaming (slowest)
-    "evt_cdc_upsert_stream": q_evt_cdc_upsert_stream,
-    "evt_topk_stream": q_evt_topk_stream,
-    "evt_distinct_stream": q_evt_distinct_stream,
-    # ================= end of 50-entry driver window =================
-    # all entries below have driver rows from r01–r03 (green or
-    # documented rows-only); parity swept every CI run
-    "flagship_corpus_clean": q_flagship_corpus_clean,
-    "dedup_exact_hash": q_dedup_exact_hash,
+    # -- NO_ORACLE members: rows-only by design (hash/approx ops with
+    # no portable SQL equivalent; bounds pinned in pytest). NEVER
+    # rotate these into the driver window — their driver rows cannot
+    # improve on err:no_oracle.
+    "ann_topk_ivf": q_ann_topk_ivf,
+    "ann_topk_quantized": q_ann_topk_quantized,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
-    "ngram_jaccard_adjacent": q_ngram_jaccard_adjacent,
-    "emb_cosine_near_dup": q_emb_cosine_near_dup,
-    "ann_topk_bruteforce": q_ann_topk_bruteforce,
-    "ann_topk_lsh": q_ann_topk_lsh,
-    "ann_topk_ivf": q_ann_topk_ivf,
-    "text_token_count": q_text_token_count,
-    "text_quality": q_text_quality,
-    "text_fingerprint": q_text_fingerprint,
-    "text_winnow_fingerprint": q_text_winnow_fingerprint,
-    "text_top_terms": q_text_top_terms,
-    "text_lang_bpe": q_text_lang_bpe,
-    "src_csv_dir": q_src_csv_dir,
-    "src_json_dir": q_src_json_dir,
-    "sketch_count_min": q_sketch_count_min,
+    "evt_distinct_stream": q_evt_distinct_stream,
     "sketch_approx_distinct": q_sketch_approx_distinct,
+    "sketch_count_min": q_sketch_count_min,
+    "sketch_hll_union": q_sketch_hll_union,
     "sketch_quantiles": q_sketch_quantiles,
-    "mm_media_meta": q_mm_media_meta,
-    "window_analytics": q_window_analytics,
-    "agg_percentiles_exact": q_agg_percentiles_exact,
-    "agg_grouping_sets": q_agg_grouping_sets,
-    "topk_per_group": q_topk_per_group,
-    "agg_having": q_agg_having,
-    "window_running": q_window_running,
-    "expr_json": q_expr_json,
-    "q19_disjunctive": q_q19_disjunctive,
-    "q22_idle_rich_customers": q_q22_idle_rich_customers,
-    "q6_forecast_revenue": q_q6_forecast_revenue,
-    "join_asof": q_join_asof,
-    "join_range": q_join_range,
-    "udtf_split_sentences": q_udtf_split_sentences,
-    "evt_trigger_audit": q_evt_trigger_audit,
-    "evt_windowed_counts": q_evt_windowed_counts,
-    "evt_pivot_user_counts": q_evt_pivot_user_counts,
-    "evt_rollup_daily": q_evt_rollup_daily,
-    "evt_windowed_counts_stream": q_evt_windowed_counts_stream,
-    "evt_sessionize_stream": q_evt_sessionize_stream,
-    "dedup_stream_watermark": q_dedup_stream_watermark,
-    "evt_stream_stream_join": q_evt_stream_stream_join,
-    "sample_hash_mod": q_sample_hash_mod,
-    # §2.1 sources/sinks (green r01+r02)
-    "src_parquet_concat_str": q_src_parquet_concat_str,
-    "sink_table_overwrite": q_sink_table_overwrite,
-    "sink_rows_append": q_sink_rows_append,
-    "src_stream_drain": q_src_stream_drain,
-    "sink_stream_republish": q_sink_stream_republish,
-    # §2.2 dedup (green r01+r02)
-    "dedup_distinct": q_dedup_distinct,
-    "dedup_groupby_max": q_dedup_groupby_max,
-    "dedup_join_back_on_max": q_dedup_join_back_on_max,
-    # §2.3 projections/filters (green r01+r02)
-    "project_rename": q_project_rename,
-    "project_star_plus": q_project_star_plus,
-    "filter_not_null": q_filter_not_null,
-    "filter_eq": q_filter_eq,
-    "filter_derived": q_filter_derived,
-    "filter_on_join": q_filter_on_join,
-    # §2.4 joins (green r01+r02)
-    "join_inner_dim_cast": q_join_inner_dim_cast,
-    "join_inner_hub": q_join_inner_hub,
-    "join_left_fact": q_join_left_fact,
-    "join_anti": q_join_anti,
-    # §2.5 aggregations (green r01+r02)
-    "agg_groupby_max_all": q_agg_groupby_max_all,
-    "agg_max_date": q_agg_max_date,
-    # §2.7 expressions (green r01+r02)
-    "expr_cast": q_expr_cast,
-    "expr_string_funcs": q_expr_string_funcs,
-    "expr_case_flag": q_expr_case_flag,
-    "expr_case_bucket": q_expr_case_bucket,
-    "expr_null_default": q_expr_null_default,
-    "expr_extract": q_expr_extract,
-    "expr_format_date": q_expr_format_date,
-    "expr_current_date": q_expr_current_date,
-    "expr_str_sentinel": q_expr_str_sentinel,
-    "expr_null_normalize": q_expr_null_normalize,
-    # analytics (green r01+r02)
-    "q4_priority_exists": q_q4_priority_exists,
-    "q7_volume_shipping": q_q7_volume_shipping,
-    "q8_market_share": q_q8_market_share,
-    "q10_returned_items": q_q10_returned_items,
-    "q13_order_count_distribution": q_q13_order_count_distribution,
-    "q14_promo_effect": q_q14_promo_effect,
-    "q16_supplier_part_count": q_q16_supplier_part_count,
-    "q18_large_volume": q_q18_large_volume,
+    "sketch_topk_mg": q_sketch_topk_mg,
+    "text_winnow_fingerprint": q_text_winnow_fingerprint,
 }
 
 
