@@ -140,6 +140,10 @@ class Pipeline:
         return df
 
     def run(self, spark, **kwargs) -> DataFrame:
+        """``build`` + sink. All ``build`` kwargs pass through —
+        notably ``lint=True`` as an opt-in pre-flight: the scale-killer
+        checks CI runs (cartesian products, row-path Python UDFs,
+        shuffle budget) gate the pipeline BEFORE the sink fires."""
         df = self.build(spark, **kwargs)
         if self.sink is not None:
             self.sink(df)

@@ -131,3 +131,29 @@ def test_stage_metrics_via_observe(spark):
     out = p.build(spark, observe=True)
     assert out.count() == 25  # the single action
     assert p.stage_metrics() == {"keep_even": 50, "keep_small": 25}
+
+
+def test_pipeline_run_lint_preflight(spark):
+    """The lint gate is reachable from run() too (library users call
+    run, not build): a scale-killer stage fails BEFORE the sink fires,
+    and a clean pipeline still sinks normally."""
+    import pytest
+
+    from idr_data_pipelines_spark.plans import Pipeline
+
+    sunk = {}
+    other = spark.range(5).withColumnRenamed("id", "j")
+    bad = Pipeline(
+        "bad", source=lambda s: s.range(5),
+        sink=lambda df: sunk.__setitem__("bad", df.count()),
+    ).stage("explode_pairs", lambda df: df.crossJoin(other))
+    with pytest.raises(AssertionError, match="cartesian-product"):
+        bad.run(spark, lint=True)
+    assert "bad" not in sunk  # pre-flight, not post-mortem
+
+    good = Pipeline(
+        "good", source=lambda s: s.range(5),
+        sink=lambda df: sunk.__setitem__("good", df.count()),
+    ).stage("double", lambda df: df.withColumn("x", df.id * 2))
+    good.run(spark, lint=True, max_shuffles=0)
+    assert sunk["good"] == 5
