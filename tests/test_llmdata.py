@@ -821,3 +821,27 @@ def test_cosine_lsh_exact_bucket_recall_and_shape(spark):
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert cosine_topk_lsh_exact_bucket(empty, empty, k=3).count() == 0
+
+
+def test_int_lsh_bucket_numpy_matches_jvm_expression(spark):
+    """The Arrow-batched int64-matmul bucket table must be
+    bit-identical to the pure-JVM fold expression — both are exact
+    integer arithmetic, so any divergence is a bug, not float noise."""
+    from idr_data_pipelines_spark.llmdata.similarity import (
+        _int_lsh_bucket_table,
+        int_lsh_bucket,
+        signed_projection_signs,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = [(i, (rng.randn(24) * (1 + i % 3)).astype("float32").tolist())
+            for i in range(200)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    signs = signed_projection_signs(24, 6, seed=42)
+    jvm = {r["vec_id"]: r["b"] for r in df.select(
+        "vec_id", int_lsh_bucket(F.col("embedding"), signs).alias("b")
+    ).collect()}
+    np_ = {r["id"]: r["bucket"] for r in _int_lsh_bucket_table(
+        df, "vec_id", "embedding", 6, 42, 1_000_000
+    ).collect()}
+    assert jvm == np_
