@@ -569,6 +569,78 @@ def simhash_signatures(
     return prepped.mapInPandas(compute, out_schema)
 
 
+def simhash32_md5_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, simhash32) — the ENGINE-PORTABLE SimHash variant: token
+    hash = first 32 bits of md5(token) instead of xxhash64. md5 is the
+    one cryptographic hash every SQL engine exposes with identical
+    bytes, so the whole fingerprint — per-token bits, ±1 votes, the
+    vote>0 sign pack — is exact integer arithmetic a DuckDB/ANSI
+    oracle replays bit-for-bit (xxhash64 over strings has no portable
+    SQL form; that's why ``simhash_signatures`` is rows-only).
+
+    Same execution shape as the xxhash64 Arrow path: tokens split
+    JVM-side, md5+unpackbits+votes vectorized per Arrow batch, no
+    shuffle. Production dedup should prefer ``simhash_signatures``
+    (xxhash64 is ~5× cheaper than md5 per token); this variant exists
+    for cross-engine verifiability and engine-migration parity
+    testing. Conventions an oracle must mirror: bits are indexed in
+    hex-character order MSB-first (bit b lives in hex char b//4,
+    position 3-b%4), a tied vote (even token multiset, zero sum)
+    yields bit 0, empty-after-trim text hashes the single empty-string
+    token, and null text yields a null fingerprint.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    def compute(batches):
+        for pdf in batches:
+            out = []
+            for toks in pdf["__toks"]:
+                if toks is None:
+                    out.append(None)
+                    continue
+                digs = np.frombuffer(
+                    b"".join(
+                        hashlib.md5(t.encode("utf-8")).digest()[:4]
+                        for t in toks
+                    ),
+                    dtype=np.uint8,
+                ).reshape(-1, 4)
+                bits = np.unpackbits(digs, axis=1, bitorder="big").astype(
+                    np.int32
+                )  # (n_tokens, 32), bit order == hex-char MSB-first
+                votes = (2 * bits.sum(axis=0)) - len(toks)
+                fp = int(
+                    (
+                        (votes > 0).astype(np.int64)
+                        << np.arange(32, dtype=np.int64)
+                    ).sum()
+                )
+                out.append(fp)
+            yield pd.DataFrame(
+                {"id": pdf["id"], "simhash32": pd.array(out, dtype="Int64")}
+            )
+
+    prepped = df.select(
+        F.col(id_col).alias("id"),
+        _tokens(text_col).alias("__toks"),
+    )
+    schema = StructType(
+        [
+            StructField("id", df.schema[id_col].dataType),
+            StructField("simhash32", LongType()),
+        ]
+    )
+    return prepped.mapInPandas(compute, schema)
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

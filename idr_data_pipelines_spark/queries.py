@@ -3115,6 +3115,21 @@ def q_dedup_simhash(spark, sf_dir):
     return simhash_signatures(df)
 
 
+def q_dedup_simhash_md5(spark, sf_dir):
+    """Per-doc 32-bit SimHash with md5 token hashing — the
+    engine-portable variant (r6): md5 bytes are identical in every
+    engine, and bits/votes/sign-pack are exact integer arithmetic, so
+    unlike the xxhash64 form this fingerprint carries a full
+    value-hash DuckDB oracle. Production dedup keeps the xxhash64
+    form (cheaper per token); this entry proves the SimHash pipeline
+    itself — tokenize → per-token bit votes → sign pack — against an
+    independent engine."""
+    from idr_data_pipelines_spark.llmdata.dedup import simhash32_md5_signatures
+
+    df = _t(spark, sf_dir, "documents")
+    return simhash32_md5_signatures(df)
+
+
 def q_emb_cosine_near_dup(spark, sf_dir):
     """Embedding near-dup pairs blocked by label, cosine ≥ 0.25 —
     the applyInPandas block operator accumulates dimension-by-dimension,
@@ -3373,10 +3388,11 @@ def q_flagship_warehouse(spark, sf_dir):
 # FIRST 50 entries only. Round-6 rotation (see VERDICT r5 item 1):
 # the window holds the 38 entries whose last driver green was r01/r02
 # (the full expr_*/filter_*/§2.4-join families, sources/sinks, core
-# dedup/agg, q4-q18 analytics), the 2 entries changed this round
-# (evt_windowed_quantiles rounding fix; ann_topk_lsh's new
-# integer-exact-bucket oracle — its first possible hash row), and the
-# 10 stalest-after-that r03 greens. NO_ORACLE members are never
+# dedup/agg, q4-q18 analytics), the 3 entries changed or new this
+# round (evt_windowed_quantiles rounding fix; ann_topk_lsh's new
+# integer-exact-bucket oracle — its first possible hash row;
+# dedup_simhash_md5, the portable-hash SimHash variant), and the
+# 9 stalest-after-that r03 greens. NO_ORACLE members are never
 # rotated in (their rows can only say err:no_oracle — r5 VERDICT);
 # they sit at the dict's very end. True streaming queries sit at the
 # window's tail in case the cap is time-based. Entries after the
@@ -3427,9 +3443,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q14_promo_effect": q_q14_promo_effect,
     "q16_supplier_part_count": q_q16_supplier_part_count,
     "q18_large_volume": q_q18_large_volume,
-    # -- driver window: changed in round 6 (re-verify first)
+    # -- driver window: changed/new in round 6 (re-verify first)
     "evt_windowed_quantiles": q_evt_windowed_quantiles,
     "ann_topk_lsh": q_ann_topk_lsh,
+    "dedup_simhash_md5": q_dedup_simhash_md5,
     # -- driver window: stalest r03 greens
     "flagship_corpus_clean": q_flagship_corpus_clean,
     "dedup_exact_hash": q_dedup_exact_hash,
@@ -3440,13 +3457,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "expr_json": q_expr_json,
     "agg_percentiles_exact": q_agg_percentiles_exact,
     "text_quality": q_text_quality,
-    "topk_per_group": q_topk_per_group,
     # -- driver window tail: true streaming (slowest)
     "src_stream_drain": q_src_stream_drain,
     "sink_stream_republish": q_sink_stream_republish,
     # ================= end of 50-entry driver window =================
     # (everything below is parity-swept in CI each run)
     # -- last green r03 — r07 rotation candidates
+    "topk_per_group": q_topk_per_group,
     "agg_grouping_sets": q_agg_grouping_sets,
     "agg_having": q_agg_having,
     "dedup_stream_watermark": q_dedup_stream_watermark,
@@ -5327,6 +5344,38 @@ ORACLES: dict[str, str] = {
             PARTITION BY l.vec_id
             ORDER BY {_COS_LR} DESC, r.vec_id ASC
         ) <= 5
+    """,
+    # md5-SimHash replay: bit b of a token's hash lives in hex char
+    # b//4 (MSB-first within the nibble); votes are exact integers so
+    # the sign pack agrees bit-for-bit. Same tokenizer expression as
+    # _SHINGLES_SQL (regexp_split_to_array(lower(trim(text)), '\\s+')).
+    "dedup_simhash_md5": f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+            FROM documents
+            WHERE text IS NOT NULL
+        ), h AS (
+            SELECT doc_id, md5(t) AS hx FROM tok
+        ), votes AS (
+            SELECT doc_id,
+                   {", ".join(
+                       "SUM(CASE WHEN (((strpos('0123456789abcdef', "
+                       f"substring(hx, {b // 4 + 1}, 1)) - 1) >> {3 - b % 4})"
+                       f" & 1) = 1 THEN 1 ELSE -1 END) AS v{b}"
+                       for b in range(32)
+                   )}
+            FROM h GROUP BY doc_id
+        )
+        SELECT v.doc_id AS id,
+               CAST({" + ".join(
+                   f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)"
+                   for b in range(32)
+               )} AS BIGINT) AS simhash32
+        FROM votes v
+        UNION ALL
+        SELECT doc_id AS id, CAST(NULL AS BIGINT) AS simhash32
+        FROM documents WHERE text IS NULL
     """,
     "ann_topk_lsh": f"""
         WITH b AS (

@@ -845,3 +845,25 @@ def test_int_lsh_bucket_numpy_matches_jvm_expression(spark):
         df, "vec_id", "embedding", 6, 42, 1_000_000
     ).collect()}
     assert jvm == np_
+
+
+def test_simhash32_md5_near_dup_property(spark):
+    """The portable md5-SimHash is still a real SimHash: near-identical
+    docs land within small Hamming distance, unrelated docs far; null
+    text yields a null fingerprint."""
+    from idr_data_pipelines_spark.llmdata.dedup import simhash32_md5_signatures
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [
+        (1, base),
+        (2, base + "extra token"),         # near-dup of 1
+        (3, "completely different words about spark and parquet " * 8),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r["simhash32"] for r in simhash32_md5_signatures(df).collect()}
+    assert got[4] is None
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert ham(got[1], got[2]) <= 6
+    assert ham(got[1], got[3]) > 6
