@@ -33,11 +33,38 @@ def _bucket(key: F.Column, d: int, width: int) -> F.Column:
     return F.pmod(F.xxhash64(key, F.lit(d)), F.lit(width))
 
 
+def _bucket_md5(key: F.Column, d: int, width: int) -> F.Column:
+    """ENGINE-PORTABLE row-d bucket: hex chars [8d+1, 8d+8] of
+    md5(string(key)) parsed as a 32-bit integer, mod width. md5 bytes
+    are identical in every engine and the rest is exact integer
+    arithmetic, so a SQL oracle reproduces every bucket — which makes
+    the whole count-min sketch (integer counters, min over rows)
+    value-hash verifiable. One md5 yields 4 independent 32-bit rows
+    (d ≤ 3); xxhash64 (``_bucket``) stays the production default —
+    cheaper per key and unlimited depth."""
+    if d > 3:
+        raise ValueError("md5 bucket supports depth <= 4 (32 hex chars)")
+    hx = F.md5(key.cast("string").cast("binary"))
+    return F.pmod(
+        F.conv(F.substring(hx, 8 * d + 1, 8), 16, 10).cast("long"),
+        F.lit(width),
+    )
+
+
+def _bucket_fn(hash_fn: str):
+    if hash_fn == "xxhash64":
+        return _bucket
+    if hash_fn == "md5":
+        return _bucket_md5
+    raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+
+
 def count_min_build(
     df: DataFrame,
     key_col: str,
     depth: int = 4,
     width: int = 256,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Build the sketch: (d, bucket, cnt), at most depth·width rows.
 
@@ -45,13 +72,14 @@ def count_min_build(
     ``groupBy(key).count()`` semantics under a not-null filter.
     """
     key = F.col(key_col)
+    bucket = _bucket_fn(hash_fn)
     probes = df.filter(key.isNotNull()).select(
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(d).alias("d"),
-                        _bucket(key, d, width).alias("bucket"),
+                        bucket(key, d, width).alias("bucket"),
                     )
                     for d in range(depth)
                 ]
@@ -69,6 +97,7 @@ def count_min_estimate(
     key_col: str,
     depth: int = 4,
     width: int = 256,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Point-query the sketch for every row of ``keys``:
     (key_col, est_count). ``depth``/``width`` must match the build.
@@ -78,6 +107,7 @@ def count_min_estimate(
     ``min`` over rows stays an upper bound on the true frequency.
     """
     key = F.col(key_col)
+    bucket = _bucket_fn(hash_fn)
     probes = keys.select(
         key_col,
         F.explode(
@@ -85,7 +115,7 @@ def count_min_estimate(
                 *[
                     F.struct(
                         F.lit(d).alias("d"),
-                        _bucket(key, d, width).alias("bucket"),
+                        bucket(key, d, width).alias("bucket"),
                     )
                     for d in range(depth)
                 ]

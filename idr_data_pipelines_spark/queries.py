@@ -1472,18 +1472,24 @@ def q_sketch_count_min(spark, sf_dir):
     space, so collisions are forced: est ≥ exact always, equality
     where a row escapes collision). The sketch build's map-side
     combine caps shuffle volume at partitions·depth·width rows —
-    constant in data size. Seeded xxhash64 isn't portable SQL →
-    rows-only driver check; the ≥-bound and the ε·N overestimate
-    bound are asserted in tests (llmdata/sketches.py)."""
+    constant in data size. Since r6 the driver entry uses the
+    md5-derived hash family (``hash_fn="md5"``): every bucket, counter
+    and row-min is exact integer arithmetic an oracle replays, so the
+    WHOLE sketch is value-hash checked — not just bounds. The seeded
+    xxhash64 family stays the production default (cheaper, unlimited
+    depth); its ≥-bound and ε·N overestimate bound remain pinned in
+    tests (llmdata/sketches.py)."""
     from idr_data_pipelines_spark.llmdata.sketches import (
         count_min_build,
         count_min_estimate,
     )
 
     ev = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
-    sketch = count_min_build(ev, "user_id", depth=4, width=64)
+    sketch = count_min_build(ev, "user_id", depth=4, width=64, hash_fn="md5")
     keys = ev.select("user_id").distinct()
-    est = count_min_estimate(sketch, keys, "user_id", depth=4, width=64)
+    est = count_min_estimate(
+        sketch, keys, "user_id", depth=4, width=64, hash_fn="md5"
+    )
     exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
     return est.join(exact, "user_id").select("user_id", "est_count", "exact_count")
 
@@ -3447,6 +3453,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "evt_windowed_quantiles": q_evt_windowed_quantiles,
     "ann_topk_lsh": q_ann_topk_lsh,
     "dedup_simhash_md5": q_dedup_simhash_md5,
+    "sketch_count_min": q_sketch_count_min,
     # -- driver window: stalest r03 greens
     "flagship_corpus_clean": q_flagship_corpus_clean,
     "dedup_exact_hash": q_dedup_exact_hash,
@@ -3456,13 +3463,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_range": q_join_range,
     "expr_json": q_expr_json,
     "agg_percentiles_exact": q_agg_percentiles_exact,
-    "text_quality": q_text_quality,
     # -- driver window tail: true streaming (slowest)
     "src_stream_drain": q_src_stream_drain,
     "sink_stream_republish": q_sink_stream_republish,
     # ================= end of 50-entry driver window =================
     # (everything below is parity-swept in CI each run)
     # -- last green r03 — r07 rotation candidates
+    "text_quality": q_text_quality,
     "topk_per_group": q_topk_per_group,
     "agg_grouping_sets": q_agg_grouping_sets,
     "agg_having": q_agg_having,
@@ -3564,7 +3571,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "evt_distinct_stream": q_evt_distinct_stream,
     "sketch_approx_distinct": q_sketch_approx_distinct,
-    "sketch_count_min": q_sketch_count_min,
     "sketch_hll_union": q_sketch_hll_union,
     "sketch_quantiles": q_sketch_quantiles,
     "sketch_topk_mg": q_sketch_topk_mg,
@@ -3590,6 +3596,18 @@ def _norm_sql(a: str, dim: int = 64) -> str:
 
 
 _COS_LR = f"({_dot_sql('l.embedding', 'r.embedding')} / ({_norm_sql('l.embedding')} * {_norm_sql('r.embedding')}))"
+
+
+def _cm_bucket_sql(col: str, d: int, width: int) -> str:
+    """DuckDB replay of ``sketches._bucket_md5``: parse hex chars
+    [8d+1, 8d+8] of md5(string(key)) as a 32-bit integer (nibble sum —
+    DuckDB has no hex→int cast), mod width."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substring(md5(CAST({col} AS VARCHAR)),"
+        f" {8 * d + 1 + i}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"(({terms}) % {width})"
 
 
 def _int_lsh_bucket_sql(col: str, dim: int = 64, n_planes: int = 6,
@@ -5345,6 +5363,38 @@ ORACLES: dict[str, str] = {
             ORDER BY {_COS_LR} DESC, r.vec_id ASC
         ) <= 5
     """,
+    # full count-min replay with the md5 hash family: row-d bucket =
+    # hex chars [8d+1, 8d+8] of md5(string(key)) as a 32-bit int mod
+    # width — probes, counters and the row-min are all exact integers.
+    "sketch_count_min": f"""
+        WITH ev AS (
+            SELECT user_id FROM events WHERE user_id IS NOT NULL
+        ), probes AS (
+            {" UNION ALL ".join(
+                f"SELECT user_id, {d} AS d, {_cm_bucket_sql('user_id', d, 64)}"
+                f" AS bucket FROM ev"
+                for d in range(4)
+            )}
+        ), sketch AS (
+            SELECT d, bucket, COUNT(*) AS cnt FROM probes GROUP BY d, bucket
+        ), kp AS (
+            {" UNION ALL ".join(
+                f"SELECT DISTINCT user_id, {d} AS d,"
+                f" {_cm_bucket_sql('user_id', d, 64)} AS bucket FROM ev"
+                for d in range(4)
+            )}
+        ), est AS (
+            SELECT kp.user_id, MIN(COALESCE(s.cnt, 0)) AS est_count
+            FROM kp LEFT JOIN sketch s ON kp.d = s.d AND kp.bucket = s.bucket
+            GROUP BY kp.user_id
+        ), exact AS (
+            SELECT user_id, COUNT(*) AS exact_count FROM ev GROUP BY user_id
+        )
+        SELECT e.user_id,
+               CAST(est_count AS BIGINT) AS est_count,
+               CAST(exact_count AS BIGINT) AS exact_count
+        FROM est e JOIN exact USING (user_id)
+    """,
     # md5-SimHash replay: bit b of a token's hash lives in hex char
     # b//4 (MSB-first within the nibble); votes are exact integers so
     # the sign pack agrees bit-for-bit. Same tokenizer expression as
@@ -5512,9 +5562,8 @@ NO_ORACLE: frozenset[str] = frozenset(
         "text_winnow_fingerprint",
         "sketch_approx_distinct",
         "sketch_quantiles",
-        # seeded xxhash64 isn't portable SQL; ≥-bound + ε·N bound
-        # pinned in tests/test_llmdata.py instead
-        "sketch_count_min",
+        # sketch_count_min graduated in r6: the md5-derived hash family
+        # is portable SQL, so the whole sketch is value-hash checked.
         # DataSketches HLL bytes are engine-specific; ±5% accuracy
         # vs exact distinct pinned in tests
         "sketch_hll_union",

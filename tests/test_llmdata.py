@@ -867,3 +867,29 @@ def test_simhash32_md5_near_dup_property(spark):
         return bin(a ^ b).count("1")
     assert ham(got[1], got[2]) <= 6
     assert ham(got[1], got[3]) > 6
+
+
+def test_count_min_md5_family_same_guarantees(spark):
+    """The portable md5 hash family preserves the CMS guarantees
+    (est >= true; exact when width clears the key space) and rejects
+    depth > 4 (one md5 yields only four 32-bit rows)."""
+    from idr_data_pipelines_spark.llmdata.sketches import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    rows = [(f"k{i:02d}",) for i in range(20) for _ in range((20 - i) ** 2)]
+    df = spark.createDataFrame(rows, ["key"])
+    exact = {r["key"]: r["n"] for r in df.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    keys = df.select("key").distinct()
+    sketch = count_min_build(df, "key", depth=4, width=1024, hash_fn="md5")
+    est = {r["key"]: r["est_count"] for r in count_min_estimate(
+        sketch, keys, "key", depth=4, width=1024, hash_fn="md5").collect()}
+    assert est == exact  # wide: collision-free for 20 keys
+    narrow = count_min_build(df, "key", depth=4, width=8, hash_fn="md5")
+    est8 = {r["key"]: r["est_count"] for r in count_min_estimate(
+        narrow, keys, "key", depth=4, width=8, hash_fn="md5").collect()}
+    assert all(est8[k] >= exact[k] for k in exact)
+    with pytest.raises(Exception, match="depth"):
+        count_min_build(df, "key", depth=5, width=8, hash_fn="md5").collect()
