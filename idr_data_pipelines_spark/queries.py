@@ -3167,9 +3167,12 @@ def q_ann_topk_bruteforce(spark, sf_dir):
 def q_ann_topk_quantized(spark, sf_dir):
     """Two-stage int8-quantized ANN (4× scan-size reduction; the
     bandwidth-bound scale path): integer-dot candidate scan with 4×
-    oversampling, exact float re-rank of candidates only. Rows-only
-    (quantization rounding isn't portably SQL-expressible); recall vs
-    brute force pinned in tests."""
+    oversampling, exact float re-rank of candidates only. Fully
+    value-hash oracled since r6: the quantizer round(x/norm*127)
+    evaluates the same IEEE op sequence in both engines (left-fold
+    norm, correctly-rounded /,*, half-away-from-zero ROUND), so the
+    int8 corpus and the integer-dot candidate set replay exactly;
+    recall vs brute force additionally pinned in tests."""
     from idr_data_pipelines_spark.llmdata.similarity import cosine_topk_quantized
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -3454,6 +3457,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_lsh": q_ann_topk_lsh,
     "dedup_simhash_md5": q_dedup_simhash_md5,
     "sketch_count_min": q_sketch_count_min,
+    "ann_topk_quantized": q_ann_topk_quantized,
     # -- driver window: stalest r03 greens
     "flagship_corpus_clean": q_flagship_corpus_clean,
     "dedup_exact_hash": q_dedup_exact_hash,
@@ -3462,13 +3466,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_asof": q_join_asof,
     "join_range": q_join_range,
     "expr_json": q_expr_json,
-    "agg_percentiles_exact": q_agg_percentiles_exact,
     # -- driver window tail: true streaming (slowest)
     "src_stream_drain": q_src_stream_drain,
     "sink_stream_republish": q_sink_stream_republish,
     # ================= end of 50-entry driver window =================
     # (everything below is parity-swept in CI each run)
     # -- last green r03 — r07 rotation candidates
+    "agg_percentiles_exact": q_agg_percentiles_exact,
     "text_quality": q_text_quality,
     "topk_per_group": q_topk_per_group,
     "agg_grouping_sets": q_agg_grouping_sets,
@@ -3566,7 +3570,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # rotate these into the driver window — their driver rows cannot
     # improve on err:no_oracle.
     "ann_topk_ivf": q_ann_topk_ivf,
-    "ann_topk_quantized": q_ann_topk_quantized,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "evt_distinct_stream": q_evt_distinct_stream,
@@ -5363,6 +5366,46 @@ ORACLES: dict[str, str] = {
             ORDER BY {_COS_LR} DESC, r.vec_id ASC
         ) <= 5
     """,
+    # two-stage quantized ANN replay: the quantizer is
+    # round(x/norm*127) over the SAME left-fold norm both engines
+    # evaluate bit-for-bit (IEEE ops in identical order), and both
+    # engines round doubles half-away-from-zero, so the int8 corpus —
+    # and hence the integer-dot candidate set — is exact; the float
+    # re-rank is the proven _COS_LR fold.
+    "ann_topk_quantized": f"""
+        WITH b AS (
+            SELECT vec_id, embedding, {_norm_sql('embedding')} AS nrm
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id, embedding, nrm,
+                   list_transform(embedding,
+                       x -> CAST(ROUND(CAST(x AS DOUBLE) / nrm * 127.0)
+                                 AS BIGINT)) AS qv
+            FROM b
+        ), cand AS (
+            SELECT l.vec_id AS query_id, r.vec_id AS neighbor_id
+            FROM q l JOIN q r ON l.vec_id != r.vec_id
+            WHERE l.vec_id < 8
+            QUALIFY row_number() OVER (
+                PARTITION BY l.vec_id
+                ORDER BY ({" + ".join(f"(l.qv[{i}]*r.qv[{i}])" for i in range(1, 65))}) DESC,
+                         r.vec_id ASC
+            ) <= 20
+        )
+        SELECT c.query_id, c.neighbor_id,
+               ROUND({_COS_LR}, 6) AS cosine_r,
+               CAST(row_number() OVER (
+                   PARTITION BY c.query_id
+                   ORDER BY {_COS_LR} DESC, r.vec_id ASC
+               ) AS INT) AS rank
+        FROM cand c
+        JOIN embeddings l ON l.vec_id = c.query_id
+        JOIN embeddings r ON r.vec_id = c.neighbor_id
+        QUALIFY row_number() OVER (
+            PARTITION BY c.query_id
+            ORDER BY {_COS_LR} DESC, r.vec_id ASC
+        ) <= 5
+    """,
     # full count-min replay with the md5 hash family: row-d bucket =
     # hex chars [8d+1, 8d+8] of md5(string(key)) as a 32-bit int mod
     # width — probes, counters and the row-min are all exact integers.
@@ -5567,9 +5610,10 @@ NO_ORACLE: frozenset[str] = frozenset(
         # DataSketches HLL bytes are engine-specific; ±5% accuracy
         # vs exact distinct pinned in tests
         "sketch_hll_union",
-        # int8 rounding + candidate-set membership aren't portably
-        # SQL-expressible; recall vs brute force pinned in tests
-        "ann_topk_quantized",
+        # ann_topk_quantized graduated in r6: round(x/norm*127) over
+        # the left-fold norm is bit-deterministic IEEE arithmetic and
+        # both engines round half-away-from-zero, so quantization,
+        # integer-dot candidates and the float re-rank all replay.
         # Misra-Gries estimates depend on partition fold order (not
         # SQL-expressible); N/m under-estimate bound pinned in tests
         "sketch_topk_mg",
