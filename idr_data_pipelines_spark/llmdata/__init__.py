@@ -15,6 +15,9 @@ from idr_data_pipelines_spark.llmdata.dedup import (
     dedup_exact_hash_groups,
     minhash_signatures,
     minhash_lsh_pairs,
+    minhash_md5_lsh_pairs,
+    md5_hash32,
+    md5_shingle_hashes,
     ngram_jaccard_pairs,
     shingle_hashes,
     shingle_hashes_positional,
@@ -39,6 +42,7 @@ from idr_data_pipelines_spark.llmdata.text import (
     token_count,
     winnow_fingerprint_table,
     winnow_fingerprints,
+    winnow_md5_fingerprints,
 )
 from idr_data_pipelines_spark.llmdata.multimodal import (
     decode_image_stub,
@@ -87,6 +91,9 @@ __all__ = [
     "dedup_exact_hash_groups",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "minhash_md5_lsh_pairs",
+    "md5_hash32",
+    "md5_shingle_hashes",
     "ngram_jaccard_pairs",
     "shingle_hashes",
     "shingle_hashes_positional",
@@ -107,6 +114,7 @@ __all__ = [
     "token_count",
     "winnow_fingerprint_table",
     "winnow_fingerprints",
+    "winnow_md5_fingerprints",
     "decode_image_stub",
     "extract_media_meta",
     "frame_sample_stub",

@@ -445,6 +445,161 @@ def minhash_lsh_pairs(
                 sh.unpersist()
 
 
+def md5_hash32(s: Column) -> Column:
+    """First 32 bits of md5(s) as a non-negative long — the
+    ENGINE-PORTABLE string hash (md5 bytes are identical in every SQL
+    engine; a DuckDB oracle replays it as
+    ``('0x' || substr(md5(s),1,8))::BIGINT``). Production hashing
+    stays on ``xxhash64`` (~5× cheaper per string); this exists so
+    hash-seeded pipelines can carry a cross-engine value-hash oracle."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def md5_shingle_hashes(col: Column | str, k: int = 3) -> Column:
+    """Distinct word-k-shingle md5-32 hashes as array<long> — the
+    portable-hash counterpart of ``shingle_hashes``. Unlike the
+    xxhash64 form it materializes shingle strings (that IS the
+    portable identity md5 consumes); acceptable for the verification
+    variants, not the production hot path."""
+    return F.array_distinct(
+        F.transform(word_shingles(col, k), lambda s: md5_hash32(s))
+    )
+
+
+def minhash_md5_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash-LSH with the ENGINE-PORTABLE
+    md5-32 shingle hash — every stage of the pipeline (shingle →
+    hash → universal-hash permutation minima → band keys → candidate
+    join → exact-Jaccard verify) is replayable bit-for-bit by an
+    ANSI/DuckDB oracle, unlike ``minhash_lsh_pairs`` whose xxhash64
+    shingle/band hashes have no portable SQL form:
+
+    - shingle hash: first 32 bits of md5(shingle) (``md5_hash32``);
+      < 2^32, so the ``(a*h + b) % P`` permutation family (same
+      fixed-seed coefficients and modulus as production —
+      ``_perm_coefficients`` / ``_MERSENNE_P``) stays below 2^63 and
+      is exact long arithmetic in both engines.
+    - band key: the band's r signature values joined with '_' into a
+      string — trivially portable, and exactly as collision-free as
+      the values themselves (no second hash involved).
+    - verify: exact Jaccard over the distinct md5-32 shingle-hash
+      sets, rounded to 6 decimals (module convention for floats).
+
+    Same plan shape as the production operator: signature projection
+    (no shuffle) → explode bands → self-equi-join on
+    (band_idx, band_key) → distinct pairs → verify join; the band
+    table is persisted across the self-join's two sides. Pure column
+    expressions throughout — no Python stage — because the portable
+    variant runs small verification corpora; production dedup keeps
+    ``minhash_lsh_pairs`` (numpy Arrow path, 128 perms).
+
+    Returns (id_a, id_b, jaccard_r) with id_a < id_b.
+    """
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    r = num_perm // bands
+    coeffs = _perm_coefficients(num_perm)
+    a_arr = F.array(*[F.lit(a) for a, _ in coeffs])
+    b_arr = F.array(*[F.lit(b) for _, b in coeffs])
+
+    def sig_from_hashes(hp: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(num_perm - 1)),
+            lambda i: F.array_min(
+                F.transform(
+                    hp,
+                    lambda h: (
+                        F.element_at(a_arr, (i + 1).cast("int")) * h
+                        + F.element_at(b_arr, (i + 1).cast("int"))
+                    )
+                    % F.lit(_MERSENNE_P),
+                )
+            ),
+        )
+
+    # null text → no shingles → excluded before banding (matches
+    # minhash_lsh_pairs: null-text docs cannot be near-dups). The
+    # isNotNull guard is required: without it the outer transform over
+    # sequence() yields an array OF nulls rather than a null array
+    # (same trap documented at minhash_signatures).
+    sigs = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.when(
+                _tokens(text_col).isNotNull(),
+                _let(md5_shingle_hashes(text_col, shingle_k), sig_from_hashes),
+            ).alias("signature"),
+        )
+        .filter(F.col("signature").isNotNull())
+    )
+
+    def band_structs(sig: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.element_at(sig, b * r + j + 1).cast("string")
+                            for j in range(r)
+                        ],
+                    ).alias("band_key"),
+                )
+                for b in range(bands)
+            ]
+        )
+
+    banded = (
+        sigs.select("id", F.explode(_let(F.col("signature"), band_structs)).alias("band"))
+        .select("id", "band.band_idx", "band.band_key")
+        .persist()
+    )
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        md5_shingle_hashes(text_col, shingle_k).alias("sh"),
+    ).persist()
+    try:
+        left = banded.alias("l")
+        right = banded.alias("r")
+        pairs = (
+            left.join(
+                right,
+                (F.col("l.band_idx") == F.col("r.band_idx"))
+                & (F.col("l.band_key") == F.col("r.band_key"))
+                & (F.col("l.id") < F.col("r.id")),
+            )
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .distinct()
+        )
+        result = (
+            pairs.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+            .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+            .withColumn(
+                "jaccard_r",
+                F.round(
+                    F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                    / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard_r") >= jaccard_threshold)
+            .select("id_a", "id_b", "jaccard_r")
+        )
+        return result.localCheckpoint(eager=True)
+    finally:
+        banded.unpersist()
+        sh.unpersist()
+
+
 # -------------------------------------------------------------- SimHash
 
 def simhash64(col: Column | str) -> Column:

@@ -147,6 +147,53 @@ def winnow_fingerprint_table(
     )
 
 
+def winnow_md5_fingerprints(
+    col: Column | str = "text", k: int = 4, window: int = 4
+) -> Column:
+    """Winnowing fingerprints with the ENGINE-PORTABLE md5-32 k-gram
+    hash — same algorithm as ``winnow_fingerprints`` (positional word
+    k-gram hashes → min of every ``window`` consecutive hashes →
+    distinct), but the k-gram identity is the first 32 bits of
+    md5(k-gram string) instead of the xxhash64-over-token-hashes
+    rolling form, so a DuckDB oracle replays every fingerprint
+    exactly (md5 bytes, array_min, slice semantics — Spark's
+    ``slice`` and DuckDB's ``l[i:j]`` both clamp a short tail, and
+    documents shorter than k tokens hash their whole text as one
+    k-gram in both engines). Production fingerprinting keeps the
+    xxhash64 form (no shingle-string materialization, ~5× cheaper
+    hash); this variant proves the winnowing pipeline cross-engine.
+    """
+    from idr_data_pipelines_spark.llmdata.dedup import (
+        _let,
+        _tokens,
+        md5_hash32,
+    )
+
+    toks = _tokens(col)
+
+    def build(ts: Column) -> Column:
+        n = F.size(ts)
+        kgrams = F.when(
+            n < F.lit(k), F.array(F.array_join(ts, " "))
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n - F.lit(k)),
+                lambda i: F.array_join(F.slice(ts, i + 1, k), " "),
+            )
+        )
+        return F.transform(kgrams, lambda s: md5_hash32(s))
+
+    def pick(hs: Column) -> Column:
+        n = F.size(hs)
+        mins = F.transform(
+            F.sequence(F.lit(0), F.greatest(n - F.lit(window), F.lit(0))),
+            lambda i: F.array_min(F.slice(hs, i + 1, window)),
+        )
+        return F.array_distinct(mins)
+
+    return _let(_let(toks, build), pick)
+
+
 def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: append all text-analysis columns in one projection."""
     feats = quality_score(text_col)

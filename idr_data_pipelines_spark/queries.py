@@ -2960,7 +2960,9 @@ def q_text_fingerprint(spark, sf_dir):
 def q_text_winnow_fingerprint(spark, sf_dir):
     """Winnowing fingerprints (rolling k-gram hash + window minima,
     SIGMOD'03). xxhash64-based → no portable SQL oracle; rows-only.
-    Guarantees + overlap properties are asserted in tests."""
+    Guarantees + overlap properties are asserted in tests. The same
+    algorithm with the portable md5-32 k-gram hash IS value-hash
+    oracled — see text_winnow_md5."""
     from idr_data_pipelines_spark.llmdata.text import winnow_fingerprint_table
 
     df = _t(spark, sf_dir, "documents")
@@ -2971,6 +2973,22 @@ def q_text_winnow_fingerprint(spark, sf_dir):
         F.array_min("fingerprints").alias("fp_min"),
         F.array_max("fingerprints").alias("fp_max"),
     )
+
+
+def q_text_winnow_md5(spark, sf_dir):
+    """Winnowing fingerprints with the engine-portable md5-32 k-gram
+    hash (r6): unlike the xxhash64 rolling form this variant's every
+    fingerprint replays in DuckDB (md5 bytes + integer window minima),
+    so it carries a full value-hash oracle — proving the winnowing
+    pipeline (positional k-grams → window minima → distinct) against
+    an independent engine. One (doc_id, fp) row per kept fingerprint."""
+    from idr_data_pipelines_spark.llmdata.text import winnow_md5_fingerprints
+
+    df = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return df.select(
+        "doc_id",
+        F.explode(winnow_md5_fingerprints("text", k=4, window=4)).alias("fp"),
+    )  # fingerprints are array_distinct per doc → (doc_id, fp) already unique
 
 
 def q_decontaminate(spark, sf_dir):
@@ -3108,7 +3126,9 @@ def q_ngram_jaccard_adjacent(spark, sf_dir):
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pairs, verified with exact 3-gram Jaccard
     ≥ 0.5. xxhash64-seeded → deterministic; no SQL oracle (hash
-    function not portable), driver records rows-only."""
+    function not portable), driver records rows-only. The same
+    pipeline with the portable md5-32 hash IS value-hash oracled —
+    see dedup_minhash_md5."""
     df = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
         df, num_perm=64, bands=16, shingle_k=3, jaccard_threshold=0.5
@@ -3134,6 +3154,24 @@ def q_dedup_simhash_md5(spark, sf_dir):
 
     df = _t(spark, sf_dir, "documents")
     return simhash32_md5_signatures(df)
+
+
+def q_dedup_minhash_md5(spark, sf_dir):
+    """Banded MinHash-LSH near-dup pairs with the engine-portable
+    md5-32 shingle hash (r6): the full pipeline — shingle → md5-32
+    hash → (a*h+b)%P permutation minima (production's exact
+    coefficient family) → band keys → candidate self-join → exact
+    Jaccard verify — is integer/IEEE arithmetic DuckDB replays
+    bit-for-bit, so unlike ``dedup_minhash_lsh`` (xxhash64, rows-only)
+    this entry carries a full value-hash oracle. Production dedup
+    keeps the xxhash64 Arrow path (cheaper hash, 128 perms); this
+    proves the LSH machinery itself cross-engine."""
+    from idr_data_pipelines_spark.llmdata.dedup import minhash_md5_lsh_pairs
+
+    df = _t(spark, sf_dir, "documents")
+    return minhash_md5_lsh_pairs(
+        df, num_perm=16, bands=4, shingle_k=3, jaccard_threshold=0.5
+    )
 
 
 def q_emb_cosine_near_dup(spark, sf_dir):
@@ -3397,11 +3435,13 @@ def q_flagship_warehouse(spark, sf_dir):
 # FIRST 50 entries only. Round-6 rotation (see VERDICT r5 item 1):
 # the window holds the 38 entries whose last driver green was r01/r02
 # (the full expr_*/filter_*/§2.4-join families, sources/sinks, core
-# dedup/agg, q4-q18 analytics), the 3 entries changed or new this
-# round (evt_windowed_quantiles rounding fix; ann_topk_lsh's new
-# integer-exact-bucket oracle — its first possible hash row;
-# dedup_simhash_md5, the portable-hash SimHash variant), and the
-# 9 stalest-after-that r03 greens. NO_ORACLE members are never
+# dedup/agg, q4-q18 analytics), the 7 entries changed or new this
+# round (evt_windowed_quantiles rounding fix; ann_topk_lsh's
+# integer-exact-bucket oracle and ann_topk_quantized's exact-replay
+# quantizer oracle — their first possible hash rows; sketch_count_min's
+# md5 hash family; dedup_simhash_md5 / dedup_minhash_md5 /
+# text_winnow_md5, the portable-hash variants), and the 5
+# stalest-after-that r03 greens. NO_ORACLE members are never
 # rotated in (their rows can only say err:no_oracle — r5 VERDICT);
 # they sit at the dict's very end. True streaming queries sit at the
 # window's tail in case the cap is time-based. Entries after the
@@ -3458,13 +3498,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_md5": q_dedup_simhash_md5,
     "sketch_count_min": q_sketch_count_min,
     "ann_topk_quantized": q_ann_topk_quantized,
+    "dedup_minhash_md5": q_dedup_minhash_md5,
+    "text_winnow_md5": q_text_winnow_md5,
     # -- driver window: stalest r03 greens
     "flagship_corpus_clean": q_flagship_corpus_clean,
     "dedup_exact_hash": q_dedup_exact_hash,
     "emb_cosine_near_dup": q_emb_cosine_near_dup,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
-    "join_asof": q_join_asof,
-    "join_range": q_join_range,
     "expr_json": q_expr_json,
     # -- driver window tail: true streaming (slowest)
     "src_stream_drain": q_src_stream_drain,
@@ -3472,6 +3512,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ================= end of 50-entry driver window =================
     # (everything below is parity-swept in CI each run)
     # -- last green r03 — r07 rotation candidates
+    "join_asof": q_join_asof,
+    "join_range": q_join_range,
     "agg_percentiles_exact": q_agg_percentiles_exact,
     "text_quality": q_text_quality,
     "topk_per_group": q_topk_per_group,
@@ -3640,6 +3682,99 @@ _SHINGLES_SQL = """
         i -> array_to_string(regexp_split_to_array(lower(trim(text)), '\\s+')[i+1:i+3], ' ')
     ))
 """
+
+def _md5_shingle_hashes_sql(k: int) -> str:
+    """Distinct word-k-shingle md5-32 hashes as a DuckDB list expr —
+    mirrors ``llmdata.dedup.md5_shingle_hashes`` exactly: tokens =
+    split(lower(trim(text)), \\s+); docs shorter than k tokens yield
+    their whole text as one shingle; hash = first 32 bits of md5."""
+    return f"""
+        list_distinct(list_transform(
+            CASE WHEN len(toks) < {k}
+                 THEN [array_to_string(toks, ' ')]
+                 ELSE list_distinct([array_to_string(toks[i:i+{k - 1}], ' ')
+                       for i in generate_series(1, len(toks) - {k - 1})])
+            END,
+            s -> ('0x' || substr(md5(s), 1, 8))::BIGINT))
+    """
+
+
+def _minhash_md5_sql(num_perm: int, bands: int, k: int, threshold: float) -> str:
+    """DuckDB replay of ``minhash_md5_lsh_pairs`` — same coefficient
+    family (``_perm_coefficients``), modulus, band keys and Jaccard
+    verify, generated from the same Python constants."""
+    from idr_data_pipelines_spark.llmdata.dedup import (
+        _MERSENNE_P,
+        _perm_coefficients,
+    )
+
+    r = num_perm // bands
+    coeffs = _perm_coefficients(num_perm)
+    mins = ", ".join(
+        f"list_min(list_transform(hv, h -> ({a} * h + {b}) % {_MERSENNE_P}))"
+        for a, b in coeffs
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, concat_ws('_', "
+        + ", ".join(f"CAST(s[{b * r + j + 1}] AS VARCHAR)" for j in range(r))
+        + ") AS band_key FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+        WITH hs AS (
+            SELECT doc_id, {_md5_shingle_hashes_sql(k)} AS hv
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                  FROM documents WHERE text IS NOT NULL)
+        ), sig AS (
+            SELECT doc_id, [{mins}] AS s FROM hs
+        ), banded AS (
+            {band_rows}
+        ), pairs AS (
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM banded l JOIN banded r
+              ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+                 AND l.doc_id < r.doc_id
+        )
+        SELECT id_a, id_b, jaccard_r FROM (
+            SELECT p.id_a, p.id_b,
+                   ROUND(CAST(len(list_intersect(a.hv, b.hv)) AS DOUBLE)
+                         / CAST(len(list_distinct(a.hv || b.hv)) AS DOUBLE),
+                         6) AS jaccard_r
+            FROM pairs p
+            JOIN hs a ON p.id_a = a.doc_id
+            JOIN hs b ON p.id_b = b.doc_id
+        ) WHERE jaccard_r >= {threshold}
+    """
+
+
+def _winnow_md5_sql(k: int, window: int) -> str:
+    """DuckDB replay of ``text.winnow_md5_fingerprints``: positional
+    (duplicates kept) word-k-gram md5-32 hashes, min of every
+    ``window`` consecutive hashes (short tails clamp in both engines),
+    distinct per doc."""
+    return f"""
+        WITH hs AS (
+            SELECT doc_id,
+                   list_transform(
+                       CASE WHEN len(toks) < {k}
+                            THEN [array_to_string(toks, ' ')]
+                            ELSE [array_to_string(toks[i:i+{k - 1}], ' ')
+                                  for i in generate_series(1, len(toks) - {k - 1})]
+                       END,
+                       s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hv
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                  FROM documents WHERE text IS NOT NULL)
+        )
+        SELECT DISTINCT doc_id, fp FROM (
+            SELECT doc_id,
+                   unnest([list_min(hv[i:i+{window - 1}])
+                           for i in generate_series(1, greatest(len(hv) - {window - 1}, 1))]) AS fp
+            FROM hs
+        )
+    """
+
 
 ORACLES: dict[str, str] = {
     "src_parquet_dir": """
@@ -5470,6 +5605,10 @@ ORACLES: dict[str, str] = {
         SELECT doc_id AS id, CAST(NULL AS BIGINT) AS simhash32
         FROM documents WHERE text IS NULL
     """,
+    "dedup_minhash_md5": _minhash_md5_sql(
+        num_perm=16, bands=4, k=3, threshold=0.5
+    ),
+    "text_winnow_md5": _winnow_md5_sql(k=4, window=4),
     "ann_topk_lsh": f"""
         WITH b AS (
             SELECT vec_id, embedding,
@@ -5596,6 +5735,9 @@ ORACLES: dict[str, str] = {
 # the driver records a rows-only check (documented in __spark_entry__).
 NO_ORACLE: frozenset[str] = frozenset(
     {
+        # xxhash64 production forms; their md5-32 twins
+        # (dedup_minhash_md5 / dedup_simhash_md5 / text_winnow_md5)
+        # carry full value-hash oracles proving the same pipelines
         "dedup_minhash_lsh",
         "dedup_simhash",
         # ann_topk_lsh graduated in r6: its integer-exact bucket form

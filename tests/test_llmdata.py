@@ -893,3 +893,83 @@ def test_count_min_md5_family_same_guarantees(spark):
     assert all(est8[k] >= exact[k] for k in exact)
     with pytest.raises(Exception, match="depth"):
         count_min_build(df, "key", depth=5, width=8, hash_fn="md5").collect()
+
+
+def test_minhash_md5_lsh_near_dup_property(spark):
+    """The portable md5-MinHash-LSH is still a real near-dup detector:
+    an exact duplicate and a one-token edit both pair with the
+    original at high verified Jaccard; unrelated docs never pair;
+    null-text docs are excluded rather than colliding."""
+    from idr_data_pipelines_spark.llmdata.dedup import minhash_md5_lsh_pairs
+
+    base = " ".join(f"tok{i}" for i in range(60))
+    rows = [
+        (1, base),
+        (2, base),                                   # exact dup
+        (3, base.replace("tok30", "EDITED")),        # near dup
+        (4, "entirely different words about streams and shuffles " * 6),
+        (5, None),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard_r"]
+        for r in minhash_md5_lsh_pairs(
+            df, num_perm=16, bands=4, shingle_k=3, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got and got[(1, 3)] > 0.8
+    assert all(4 not in p and 5 not in p and 6 not in p for p in got)
+
+
+def test_minhash_md5_jaccard_matches_exact_string_sets(spark):
+    """Verified jaccard_r equals the exact Jaccard over distinct
+    string shingle sets (the 32-bit hash introduces no collisions on
+    this corpus), rounded to 6."""
+    from idr_data_pipelines_spark.llmdata.dedup import minhash_md5_lsh_pairs
+
+    def shingles(t, k=3):
+        toks = t.lower().split()
+        if len(toks) < k:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    a = " ".join(f"w{i}" for i in range(40))
+    b = " ".join(f"w{i}" for i in range(5, 45))
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    rows = minhash_md5_lsh_pairs(
+        df, num_perm=16, bands=4, shingle_k=3, jaccard_threshold=0.1
+    ).collect()
+    assert len(rows) == 1
+    sa, sb = shingles(a), shingles(b)
+    expected = round(len(sa & sb) / len(sa | sb), 6)
+    assert rows[0]["jaccard_r"] == expected
+
+
+def test_winnow_md5_same_guarantees_as_production(spark):
+    """The md5 winnowing variant keeps the SIGMOD'03 guarantee (shared
+    run ≥ window+k-1 tokens ⇒ shared fingerprint) and the compression
+    bound; fingerprint SETS differ from the xxhash64 form (different
+    hash) but their per-doc sizes stay in the same regime."""
+    from idr_data_pipelines_spark.llmdata.text import winnow_md5_fingerprints
+
+    shared_run = " ".join(f"common{i}" for i in range(40))
+    rows = [
+        (1, "alpha beta gamma " + shared_run + " delta epsilon"),
+        (2, "totally different prefix words " + shared_run),
+        (3, "short text"),
+        (4, "unrelated content with no overlap at all whatsoever here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = {
+        r["doc_id"]: set(r["fps"])
+        for r in df.select(
+            "doc_id", winnow_md5_fingerprints("text", k=4, window=4).alias("fps")
+        ).collect()
+    }
+    assert fps[1] & fps[2]                 # shared run ⇒ shared fingerprint
+    assert not (fps[1] & fps[4])           # disjoint docs ⇒ disjoint fps
+    assert len(fps[3]) == 1                # < k tokens ⇒ whole-text k-gram
+    n_tokens = len(rows[0][1].split())
+    assert 0 < len(fps[1]) < n_tokens - 4 + 1
