@@ -27,6 +27,7 @@ from idr_data_pipelines_spark.llmdata.dedup import (
 from idr_data_pipelines_spark.llmdata.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_ivf,
+    cosine_topk_ivf_fixed,
     cosine_topk_lsh,
     cosine_topk_quantized,
     quantize_unit_vec,
@@ -101,6 +102,7 @@ __all__ = [
     "simhash_near_dup_pairs",
     "cosine_topk_bruteforce",
     "cosine_topk_ivf",
+    "cosine_topk_ivf_fixed",
     "cosine_topk_lsh",
     "cosine_topk_quantized",
     "quantize_unit_vec",

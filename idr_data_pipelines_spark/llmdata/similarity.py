@@ -622,6 +622,106 @@ def embedding_near_dup_pairs(
     )
 
 
+def cosine_topk_ivf_fixed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN with a FIXED coarse quantizer — centroids are the
+    corpus vectors with ``id < n_centroids`` (no Lloyd refinement) —
+    which makes the entire index replayable by a SQL oracle: cell
+    assignment is an argmax of exact cosines against table rows
+    (deterministic ties → lowest centroid id), probing is the same
+    argmax top-``nprobe``, and the re-rank is exact cosine. The
+    k-means variant (``cosine_topk_ivf``) clusters better but its
+    centroids are float means with no SQL form; this variant proves
+    the IVF machinery — cell build, probe pruning, candidate re-rank —
+    bit-for-bit against an independent engine, and is itself a valid
+    production index when the corpus is pre-shuffled (random docs ⇒
+    random centroids).
+
+    Scale shape: centroids are ``n_centroids`` collected rows
+    (bounded, same as the k-means seed collect); assignment is a PURE
+    PROJECTION over the corpus — cosine against literal centroid
+    arrays folded JVM-side, argmax via ``array_max`` over
+    (sim, -centroid_id) structs, no shuffle. At 100 TB the assigned
+    corpus is written bucketed/partitioned by ``centroid_id`` so each
+    probe scans ~nprobe/n_centroids of it (partition pruning). The
+    only shuffles here: the broadcast probe join and the final
+    per-query top-k window (|Q| groups).
+    """
+    cent_rows = sorted(
+        (
+            (r["cid"], r["v"])
+            for r in corpus.filter(F.col(id_col) < n_centroids)
+            .select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("v"))
+            .collect()
+        ),
+    )
+    if len(cent_rows) < n_centroids:
+        raise ValueError(
+            f"corpus has only {len(cent_rows)} rows with {id_col} < "
+            f"{n_centroids}; fixed-centroid IVF needs all of them"
+        )
+
+    def lit_vec(v: list) -> Column:
+        return F.array(*[F.lit(float(x)) for x in v])
+
+    # (sim, -cid) structs: array_max picks highest sim, ties the
+    # LOWEST centroid id (== SQL ORDER BY sim DESC, centroid_id ASC)
+    def sims_to_cents(vec: Column, nrm: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    (dot(vec, lit_vec(v)) / (nrm * norm(lit_vec(v)))).alias("sim"),
+                    F.lit(-cid).alias("negid"),
+                )
+                for cid, v in cent_rows
+            ]
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cvec")
+    ).withColumn("cnrm", norm(F.col("cvec")))
+    inv = c.withColumn(
+        "centroid_id",
+        -F.array_max(sims_to_cents(F.col("cvec"), F.col("cnrm")))["negid"],
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qvec")
+    ).withColumn("qnrm", norm(F.col("qvec")))
+    probes = q.withColumn(
+        "probe",
+        F.explode(
+            F.slice(
+                F.reverse(
+                    F.array_sort(sims_to_cents(F.col("qvec"), F.col("qnrm")))
+                ),
+                1,
+                nprobe,
+            )
+        ),
+    ).select("query_id", "qvec", "qnrm", (-F.col("probe")["negid"]).alias("centroid_id"))
+    scored = inv.join(
+        F.broadcast(probes),
+        (inv.centroid_id == probes.centroid_id)
+        & (F.col("query_id") != F.col("neighbor_id")),
+    ).withColumn(
+        "cosine",
+        dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 # ------------------------------------------------- int8 quantized ANN
 
 def quantize_unit_vec(vec: Column, bits: int = 7) -> Column:

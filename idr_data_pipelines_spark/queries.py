@@ -3262,6 +3262,24 @@ def q_ann_topk_ivf(spark, sf_dir):
     )
 
 
+def q_ann_topk_ivf_fixed(spark, sf_dir):
+    """IVF ANN with a fixed coarse quantizer (centroids = vectors with
+    vec_id < 16, no Lloyd steps) — unlike the k-means IVF this index
+    is fully replayable in SQL (cell argmax, probe top-2, exact
+    re-rank are all deterministic cosine arithmetic), so it carries a
+    full value-hash oracle: the driver verifies the IVF machinery
+    itself, not just row counts. See cosine_topk_ivf_fixed for the
+    100 TB shape (projection assignment, bucket-by-cell pruning)."""
+    from idr_data_pipelines_spark.llmdata.similarity import cosine_topk_ivf_fixed
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = cosine_topk_ivf_fixed(emb, queries, k=5, n_centroids=16, nprobe=2)
+    return out.select(
+        "query_id", "neighbor_id", F.round(F.col("cosine"), 6).alias("cosine_r"), "rank"
+    )
+
+
 def q_text_lang_bpe(spark, sf_dir):
     """Language-ID (marker-stopword argmax heuristic, fully JVM-side)
     and BPE-style subword token estimate (GPT-2-ish pre-tokenizer
@@ -3440,8 +3458,8 @@ def q_flagship_warehouse(spark, sf_dir):
 # integer-exact-bucket oracle and ann_topk_quantized's exact-replay
 # quantizer oracle — their first possible hash rows; sketch_count_min's
 # md5 hash family; dedup_simhash_md5 / dedup_minhash_md5 /
-# text_winnow_md5, the portable-hash variants), and the 5
-# stalest-after-that r03 greens. NO_ORACLE members are never
+# text_winnow_md5 / ann_topk_ivf_fixed, the portable variants), and
+# the 4 stalest-after-that r03 greens. NO_ORACLE members are never
 # rotated in (their rows can only say err:no_oracle — r5 VERDICT);
 # they sit at the dict's very end. True streaming queries sit at the
 # window's tail in case the cap is time-based. Entries after the
@@ -3500,12 +3518,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_quantized": q_ann_topk_quantized,
     "dedup_minhash_md5": q_dedup_minhash_md5,
     "text_winnow_md5": q_text_winnow_md5,
+    "ann_topk_ivf_fixed": q_ann_topk_ivf_fixed,
     # -- driver window: stalest r03 greens
     "flagship_corpus_clean": q_flagship_corpus_clean,
     "dedup_exact_hash": q_dedup_exact_hash,
     "emb_cosine_near_dup": q_emb_cosine_near_dup,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
-    "expr_json": q_expr_json,
     # -- driver window tail: true streaming (slowest)
     "src_stream_drain": q_src_stream_drain,
     "sink_stream_republish": q_sink_stream_republish,
@@ -3514,6 +3532,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- last green r03 — r07 rotation candidates
     "join_asof": q_join_asof,
     "join_range": q_join_range,
+    "expr_json": q_expr_json,
     "agg_percentiles_exact": q_agg_percentiles_exact,
     "text_quality": q_text_quality,
     "topk_per_group": q_topk_per_group,
@@ -5609,6 +5628,48 @@ ORACLES: dict[str, str] = {
         num_perm=16, bands=4, k=3, threshold=0.5
     ),
     "text_winnow_md5": _winnow_md5_sql(k=4, window=4),
+    # fixed-centroid IVF: centroids are table rows (vec_id < 16), so
+    # cell assignment (argmax cosine, ties -> lowest centroid id),
+    # probe top-2 and the exact re-rank all replay in SQL
+    "ann_topk_ivf_fixed": f"""
+        WITH cents AS (
+            SELECT vec_id AS centroid_id, embedding FROM embeddings
+            WHERE vec_id < 16
+        ), inv AS (
+            SELECT neighbor_id, embedding, centroid_id FROM (
+                SELECT l.vec_id AS neighbor_id, l.embedding AS embedding,
+                       r.centroid_id AS centroid_id,
+                       row_number() OVER (
+                           PARTITION BY l.vec_id
+                           ORDER BY {_COS_LR} DESC, r.centroid_id ASC
+                       ) AS rn
+                FROM embeddings l CROSS JOIN cents r
+            ) WHERE rn = 1
+        ), probes AS (
+            SELECT query_id, embedding, centroid_id FROM (
+                SELECT l.vec_id AS query_id, l.embedding AS embedding,
+                       r.centroid_id AS centroid_id,
+                       row_number() OVER (
+                           PARTITION BY l.vec_id
+                           ORDER BY {_COS_LR} DESC, r.centroid_id ASC
+                       ) AS rn
+                FROM embeddings l CROSS JOIN cents r
+                WHERE l.vec_id < 8
+            ) WHERE rn <= 2
+        )
+        SELECT l.query_id, r.neighbor_id,
+               ROUND({_COS_LR}, 6) AS cosine_r,
+               CAST(row_number() OVER (
+                   PARTITION BY l.query_id
+                   ORDER BY {_COS_LR} DESC, r.neighbor_id ASC
+               ) AS INT) AS rank
+        FROM probes l JOIN inv r
+          ON l.centroid_id = r.centroid_id AND l.query_id != r.neighbor_id
+        QUALIFY row_number() OVER (
+            PARTITION BY l.query_id
+            ORDER BY {_COS_LR} DESC, r.neighbor_id ASC
+        ) <= 5
+    """,
     "ann_topk_lsh": f"""
         WITH b AS (
             SELECT vec_id, embedding,

@@ -973,3 +973,38 @@ def test_winnow_md5_same_guarantees_as_production(spark):
     assert len(fps[3]) == 1                # < k tokens ⇒ whole-text k-gram
     n_tokens = len(rows[0][1].split())
     assert 0 < len(fps[1]) < n_tokens - 4 + 1
+
+
+def test_cosine_ivf_fixed_recall_and_full_probe(spark):
+    """Fixed-centroid IVF (the SQL-replayable quantizer) still
+    recovers most true neighbors with nprobe=2 on clustered data, and
+    probing every cell recovers brute force exactly; requesting more
+    centroids than qualifying rows raises."""
+    from idr_data_pipelines_spark.llmdata.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf_fixed,
+    )
+
+    rng = np.random.RandomState(31)
+    centers = rng.randn(5, 16) * 3
+    # interleave clusters so the low-id fixed centroids span clusters
+    vecs = np.stack(
+        [centers[i % 5] + rng.randn(16) * 0.3 for i in range(200)]
+    ).astype("float32")
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(len(vecs))], ["vec_id", "embedding"]
+    )
+    queries = df.filter(F.col("vec_id") < 5)
+    e = {(r["query_id"], r["neighbor_id"])
+         for r in cosine_topk_bruteforce(df, queries, k=5).collect()}
+
+    approx = cosine_topk_ivf_fixed(df, queries, k=5, n_centroids=10, nprobe=2)
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(a & e) / len(e) >= 0.8
+
+    full = cosine_topk_ivf_fixed(df, queries, k=5, n_centroids=10, nprobe=10)
+    f = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+    assert f == e  # probing every cell == brute force
+
+    with pytest.raises(ValueError, match="fixed-centroid"):
+        cosine_topk_ivf_fixed(df, queries, n_centroids=1000)
