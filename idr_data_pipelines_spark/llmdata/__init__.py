@@ -53,6 +53,8 @@ from idr_data_pipelines_spark.llmdata.multimodal import (
 )
 from idr_data_pipelines_spark.llmdata.sketches import (
     count_min_build,
+    hll_estimate_from_registers,
+    hll_md5_registers,
     count_min_estimate,
     count_min_topk,
 )
@@ -122,6 +124,8 @@ __all__ = [
     "frame_sample_stub",
     "with_binary_payload",
     "count_min_build",
+    "hll_estimate_from_registers",
+    "hll_md5_registers",
     "count_min_estimate",
     "count_min_topk",
     "hash_bucket",

@@ -225,3 +225,82 @@ def misra_gries_topk(
     partials = df.select(key_col).mapInPandas(partition_mg, out_schema)
     merged = partials.repartition(1).mapInPandas(merge_mg, out_schema)
     return merged.orderBy(F.desc("est_count"), F.asc(key_col)).limit(k)
+
+
+# ------------------------------------------------- portable HLL (md5)
+
+def hll_md5_registers(
+    df: DataFrame,
+    key_col: str,
+    group_col: str | None = None,
+    b: int = 6,
+    union_label: str = "__union__",
+) -> DataFrame:
+    """HyperLogLog REGISTERS with the engine-portable md5-32 hash —
+    (group, bucket, register) integer rows, one per non-empty bucket,
+    plus (when grouped) a ``union_label`` group whose registers are
+    the bucket-wise max over all groups (HLL's mergeability, made
+    visible).
+
+    DataSketches/Spark-native HLL bytes are engine-specific, which is
+    why ``sketch_approx_distinct``/``sketch_hll_union`` are rows-only.
+    This variant exposes the algorithm's actual state instead: with
+    hash = first 32 bits of md5(key), bucket = the top ``b`` bits and
+    rho = leading-zero count of the remaining ``32-b`` bits + 1
+    (computed as ``(32-b) - length(bin(rem)) + 1`` — ``bin`` emits
+    minimal binary in Spark and DuckDB alike — with the rem=0 case
+    pinned to ``32-b+1``), every register is exact integer arithmetic
+    a SQL oracle replays, so the full HLL pipeline — hash, bucket
+    split, rho, register max, union merge — is value-hash checkable.
+    The float cardinality estimate stays derived (alpha·m²/Σ2^-reg;
+    accuracy pinned in pytest): registers, not estimates, are the
+    portable contract. No distinct() pass is needed — MAX is
+    idempotent, duplicates cannot move a register.
+
+    100 TB shape: one groupBy((group), bucket) with map-side partial
+    MAX — shuffle volume is O(partitions · groups · 2^b) regardless of
+    row count; the register table (groups · 2^b rows) is the sketch.
+    """
+    from idr_data_pipelines_spark.llmdata.dedup import md5_hash32
+
+    rem_bits = 32 - b
+    h = md5_hash32(F.col(key_col).cast("string"))
+    bucket = (h / F.lit(1 << rem_bits)).cast("long")  # top b bits
+    rem = h % F.lit(1 << rem_bits)
+    rho = F.when(rem == 0, F.lit(rem_bits + 1)).otherwise(
+        F.lit(rem_bits) - F.length(F.bin(rem)) + 1
+    ).cast("long")
+    grp = (
+        F.col(group_col).cast("string") if group_col else F.lit("__all__")
+    ).alias("grp")
+    base = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(grp, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("register"))
+    )
+    if group_col is None:
+        return base
+    union = (
+        base.groupBy("bucket")
+        .agg(F.max("register").alias("register"))
+        .select(F.lit(union_label).alias("grp"), "bucket", "register")
+    )
+    return base.unionByName(union)
+
+
+def hll_estimate_from_registers(registers: dict[int, int], b: int = 6) -> float:
+    """Driver-side HLL cardinality estimate from a {bucket: register}
+    dict (missing buckets are empty). Flajolet et al. 2007 with the
+    small-range linear-counting correction; used by tests to pin
+    accuracy — the portable contract is the registers themselves."""
+    import math
+
+    m = 1 << b
+    alpha = 0.7213 / (1 + 1.079 / m) if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    s = sum(2.0 ** -registers.get(j, 0) for j in range(m))
+    est = alpha * m * m / s
+    zeros = sum(1 for j in range(m) if registers.get(j, 0) == 0)
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)
+    return est

@@ -1509,6 +1509,20 @@ def q_sketch_topk_mg(spark, sf_dir):
     return misra_gries_topk(ev, "user_id", m=64, k=20)
 
 
+def q_sketch_hll_md5(spark, sf_dir):
+    """HyperLogLog REGISTERS with the portable md5-32 hash (r6):
+    per-source registers over distinct document texts plus the
+    bucket-wise-max '__union__' merge — all exact integer arithmetic
+    (md5, top-b-bit bucket, bin()-length rho, MAX), so unlike the
+    DataSketches entries this exposes the HLL state itself to a full
+    value-hash oracle; the float estimate stays a derived quantity
+    with accuracy pinned in pytest (hll_estimate_from_registers)."""
+    from idr_data_pipelines_spark.llmdata.sketches import hll_md5_registers
+
+    docs = _t(spark, sf_dir, "documents")
+    return hll_md5_registers(docs, key_col="text", group_col="source", b=6)
+
+
 def q_sketch_hll_union(spark, sf_dir):
     """Mergeable distinct-count sketches (Apache DataSketches HLL,
     Spark 3.5+): per-event-type user sketches via hll_sketch_agg,
@@ -1516,7 +1530,9 @@ def q_sketch_hll_union(spark, sf_dir):
     re-aggregatable form a 100 TB rollup needs (union sketches across
     days/partitions instead of recounting raw data). Sketch bytes are
     engine-specific → rows-only; the ±5% accuracy vs exact distinct is
-    pinned in tests."""
+    pinned in tests. The same algorithm with the portable md5-32 hash
+    exposes its registers to a full value-hash oracle — see
+    sketch_hll_md5."""
     ev = _events(spark, sf_dir)
     per = ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
     per_est = per.select(
@@ -3458,8 +3474,9 @@ def q_flagship_warehouse(spark, sf_dir):
 # integer-exact-bucket oracle and ann_topk_quantized's exact-replay
 # quantizer oracle — their first possible hash rows; sketch_count_min's
 # md5 hash family; dedup_simhash_md5 / dedup_minhash_md5 /
-# text_winnow_md5 / ann_topk_ivf_fixed, the portable variants), and
-# the 4 stalest-after-that r03 greens. NO_ORACLE members are never
+# text_winnow_md5 / ann_topk_ivf_fixed / sketch_hll_md5, the portable
+# variants), and the 3 stalest-after-that r03 greens. NO_ORACLE
+# members are never
 # rotated in (their rows can only say err:no_oracle — r5 VERDICT);
 # they sit at the dict's very end. True streaming queries sit at the
 # window's tail in case the cap is time-based. Entries after the
@@ -3519,11 +3536,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_md5": q_dedup_minhash_md5,
     "text_winnow_md5": q_text_winnow_md5,
     "ann_topk_ivf_fixed": q_ann_topk_ivf_fixed,
+    "sketch_hll_md5": q_sketch_hll_md5,
     # -- driver window: stalest r03 greens
     "flagship_corpus_clean": q_flagship_corpus_clean,
     "dedup_exact_hash": q_dedup_exact_hash,
     "emb_cosine_near_dup": q_emb_cosine_near_dup,
-    "ann_topk_bruteforce": q_ann_topk_bruteforce,
     # -- driver window tail: true streaming (slowest)
     "src_stream_drain": q_src_stream_drain,
     "sink_stream_republish": q_sink_stream_republish,
@@ -3533,6 +3550,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_asof": q_join_asof,
     "join_range": q_join_range,
     "expr_json": q_expr_json,
+    "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "agg_percentiles_exact": q_agg_percentiles_exact,
     "text_quality": q_text_quality,
     "topk_per_group": q_topk_per_group,
@@ -5628,6 +5646,27 @@ ORACLES: dict[str, str] = {
         num_perm=16, bands=4, k=3, threshold=0.5
     ),
     "text_winnow_md5": _winnow_md5_sql(k=4, window=4),
+    # portable HLL registers: b=6 -> bucket = top 6 bits of md5-32,
+    # rho over the low 26 bits via minimal-width bin() in both engines
+    "sketch_hll_md5": """
+        WITH r AS (
+            SELECT CAST(source AS VARCHAR) AS grp,
+                   hv // 67108864 AS bucket,
+                   CAST(CASE WHEN hv % 67108864 = 0 THEN 27
+                        ELSE 26 - length(bin(hv % 67108864)) + 1
+                   END AS BIGINT) AS rho
+            FROM (SELECT source,
+                         ('0x' || substr(md5(text), 1, 8))::BIGINT AS hv
+                  FROM documents WHERE text IS NOT NULL)
+        ), base AS (
+            SELECT grp, bucket, MAX(rho) AS register
+            FROM r GROUP BY grp, bucket
+        )
+        SELECT grp, bucket, register FROM base
+        UNION ALL
+        SELECT '__union__' AS grp, bucket, MAX(register) AS register
+        FROM base GROUP BY bucket
+    """,
     # fixed-centroid IVF: centroids are table rows (vec_id < 16), so
     # cell assignment (argmax cosine, ties -> lowest centroid id),
     # probe top-2 and the exact re-rank all replay in SQL
@@ -5811,7 +5850,8 @@ NO_ORACLE: frozenset[str] = frozenset(
         # sketch_count_min graduated in r6: the md5-derived hash family
         # is portable SQL, so the whole sketch is value-hash checked.
         # DataSketches HLL bytes are engine-specific; ±5% accuracy
-        # vs exact distinct pinned in tests
+        # vs exact distinct pinned in tests; the md5-register twin
+        # (sketch_hll_md5) carries the full value-hash oracle
         "sketch_hll_union",
         # ann_topk_quantized graduated in r6: round(x/norm*127) over
         # the left-fold norm is bit-deterministic IEEE arithmetic and

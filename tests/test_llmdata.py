@@ -1008,3 +1008,31 @@ def test_cosine_ivf_fixed_recall_and_full_probe(spark):
 
     with pytest.raises(ValueError, match="fixed-centroid"):
         cosine_topk_ivf_fixed(df, queries, n_centroids=1000)
+
+
+def test_hll_md5_registers_estimate_and_union(spark):
+    """The portable HLL registers estimate true cardinality within the
+    ~1.04/sqrt(m) HLL error regime, are insensitive to duplicates
+    (MAX idempotence), and the '__union__' group equals the
+    bucket-wise max of the per-group registers."""
+    from idr_data_pipelines_spark.llmdata.sketches import (
+        hll_estimate_from_registers,
+        hll_md5_registers,
+    )
+
+    rows = [(f"g{i % 3}", f"key-{i}") for i in range(6000)]
+    df = spark.createDataFrame(rows + rows, ["src", "key"])  # dup everything
+    out = hll_md5_registers(df, key_col="key", group_col="src", b=6).collect()
+    regs: dict = {}
+    for r in out:
+        regs.setdefault(r["grp"], {})[r["bucket"]] = r["register"]
+    # each group holds 2000 distinct keys; union holds 6000
+    for g in ("g0", "g1", "g2"):
+        est = hll_estimate_from_registers(regs[g], b=6)
+        assert abs(est - 2000) / 2000 < 0.35
+    est_u = hll_estimate_from_registers(regs["__union__"], b=6)
+    assert abs(est_u - 6000) / 6000 < 0.35
+    for bkt in regs["__union__"]:
+        assert regs["__union__"][bkt] == max(
+            regs[g].get(bkt, 0) for g in ("g0", "g1", "g2")
+        )
