@@ -235,6 +235,7 @@ def hll_md5_registers(
     group_col: str | None = None,
     b: int = 6,
     union_label: str = "__union__",
+    with_union: bool = True,
 ) -> DataFrame:
     """HyperLogLog REGISTERS with the engine-portable md5-32 hash —
     (group, bucket, register) integer rows, one per non-empty bucket,
@@ -279,7 +280,7 @@ def hll_md5_registers(
         .groupBy("grp", "bucket")
         .agg(F.max("rho").alias("register"))
     )
-    if group_col is None:
+    if group_col is None or not with_union:
         return base
     union = (
         base.groupBy("bucket")

@@ -1796,7 +1796,8 @@ def q_evt_distinct_stream(spark, sf_dir):
     one-shot batch sketch exactly (pinned in tests/test_streaming.py)
     and a replayed batch cannot inflate the count. DataSketches bytes
     aren't portable SQL → rows-only driver check; ±5% accuracy vs
-    exact distinct is asserted in tests."""
+    exact distinct is asserted in tests. The register-table twin
+    (evt_distinct_stream_md5) carries a full value-hash oracle."""
     import os
     import shutil
 
@@ -1817,6 +1818,45 @@ def q_evt_distinct_stream(spark, sf_dir):
         state,
         key_col="user_id",
         group_col="event_type",
+        max_files_per_trigger=2,
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+def q_evt_distinct_stream_md5(spark, sf_dir):
+    """Streaming distinct-count with the portable md5-32 HLL (r6):
+    same real multi-batch drain as evt_distinct_stream (4 files, 2
+    per micro-batch, versioned state commits), but the state IS the
+    integer register table, merged with MAX per (group, bucket).
+    Register-max idempotence makes the drained state equal the
+    one-shot batch register table exactly, and md5+bin() arithmetic
+    replays in DuckDB — so this streaming operator carries a FULL
+    value-hash oracle (the oracle computes the registers straight
+    from the events table; stream==batch is the operator's own
+    guarantee, additionally pinned in tests/test_streaming.py)."""
+    import os
+    import shutil
+
+    from idr_data_pipelines_spark.streaming.events import distinct_stream_drain_md5
+
+    ev = _events(spark, sf_dir).select("user_id", "event_type")
+    base = tempfile.mkdtemp(prefix="idr_dist5_")
+    inbox, ckpt, state = f"{base}/in", f"{base}/ckpt", f"{base}/state"
+    ev.repartition(4).write.mode("overwrite").parquet(inbox)
+    for f in os.listdir(inbox):  # the stream source lists data files only
+        if not f.endswith(".parquet"):
+            os.remove(os.path.join(inbox, f))
+    out = distinct_stream_drain_md5(
+        spark,
+        inbox,
+        ev.schema,
+        ckpt,
+        state,
+        key_col="user_id",
+        group_col="event_type",
+        b=6,
         max_files_per_trigger=2,
     )
     out = out.localCheckpoint(eager=True)
@@ -3467,16 +3507,17 @@ def q_flagship_warehouse(spark, sf_dir):
 
 # Ordering contract: the driver records correctness rows for the
 # FIRST 50 entries only. Round-6 rotation (see VERDICT r5 item 1):
-# the window holds the 38 entries whose last driver green was r01/r02
+# the window holds the 36 entries whose last driver green was r01/r02
 # (the full expr_*/filter_*/§2.4-join families, sources/sinks, core
-# dedup/agg, q4-q18 analytics), the 7 entries changed or new this
+# dedup/agg, q4-q18 analytics), the 9 entries changed or new this
 # round (evt_windowed_quantiles rounding fix; ann_topk_lsh's
 # integer-exact-bucket oracle and ann_topk_quantized's exact-replay
 # quantizer oracle — their first possible hash rows; sketch_count_min's
 # md5 hash family; dedup_simhash_md5 / dedup_minhash_md5 /
-# text_winnow_md5 / ann_topk_ivf_fixed / sketch_hll_md5, the portable
-# variants), and the 3 stalest-after-that r03 greens. NO_ORACLE
-# members are never
+# text_winnow_md5 / ann_topk_ivf_fixed / sketch_hll_md5 /
+# evt_distinct_stream_md5, the portable variants), the 2
+# stalest-after-that r03 greens, and the 3-entry streaming tail.
+# NO_ORACLE members are never
 # rotated in (their rows can only say err:no_oracle — r5 VERDICT);
 # they sit at the dict's very end. True streaming queries sit at the
 # window's tail in case the cap is time-based. Entries after the
@@ -3540,12 +3581,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- driver window: stalest r03 greens
     "flagship_corpus_clean": q_flagship_corpus_clean,
     "dedup_exact_hash": q_dedup_exact_hash,
-    "emb_cosine_near_dup": q_emb_cosine_near_dup,
     # -- driver window tail: true streaming (slowest)
     "src_stream_drain": q_src_stream_drain,
     "sink_stream_republish": q_sink_stream_republish,
+    "evt_distinct_stream_md5": q_evt_distinct_stream_md5,
     # ================= end of 50-entry driver window =================
     # (everything below is parity-swept in CI each run)
+    "emb_cosine_near_dup": q_emb_cosine_near_dup,
     # -- last green r03 — r07 rotation candidates
     "join_asof": q_join_asof,
     "join_range": q_join_range,
@@ -5667,6 +5709,22 @@ ORACLES: dict[str, str] = {
         SELECT '__union__' AS grp, bucket, MAX(register) AS register
         FROM base GROUP BY bucket
     """,
+    # streaming md5-HLL: drained register state == one-shot batch
+    # registers (max idempotence), so the oracle computes them
+    # directly from the events table
+    "evt_distinct_stream_md5": """
+        SELECT grp, bucket, MAX(rho) AS register
+        FROM (
+            SELECT CAST(event_type AS VARCHAR) AS grp,
+                   hv // 67108864 AS bucket,
+                   CAST(CASE WHEN hv % 67108864 = 0 THEN 27
+                        ELSE 26 - length(bin(hv % 67108864)) + 1
+                   END AS BIGINT) AS rho
+            FROM (SELECT event_type,
+                         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+                  FROM events WHERE user_id IS NOT NULL)
+        ) GROUP BY grp, bucket
+    """,
     # fixed-centroid IVF: centroids are table rows (vec_id < 16), so
     # cell assignment (argmax cosine, ties -> lowest centroid id),
     # probe top-2 and the exact re-rank all replay in SQL
@@ -5861,7 +5919,9 @@ NO_ORACLE: frozenset[str] = frozenset(
         # SQL-expressible); N/m under-estimate bound pinned in tests
         "sketch_topk_mg",
         # DataSketches HLL bytes aren't portable SQL; streamed==batch
-        # equality + ±5% accuracy pinned in tests/test_streaming.py
+        # equality + ±5% accuracy pinned in tests/test_streaming.py;
+        # the md5-register twin (evt_distinct_stream_md5) carries the
+        # full value-hash oracle
         "evt_distinct_stream",
     }
 )

@@ -892,3 +892,74 @@ def distinct_stream_drain(
     return state.select(
         group_col, F.hll_sketch_estimate("sk").alias("approx_distinct")
     )
+
+
+def distinct_stream_drain_md5(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    checkpoint_dir: str,
+    state_dir: str,
+    key_col: str,
+    group_col: str,
+    b: int = 6,
+    max_files_per_trigger: int | None = None,
+) -> "DataFrame":
+    """``distinct_stream_drain`` with the ENGINE-PORTABLE md5-32 HLL —
+    state is the REGISTER TABLE itself, (group, bucket, register)
+    integer rows (see ``llmdata.sketches.hll_md5_registers``), merged
+    with ``MAX`` per (group, bucket). Register-max is associative,
+    commutative and idempotent exactly like the DataSketches union, so
+    the drained state equals the one-shot batch register table
+    whatever the batching OR replays — and because every register is
+    exact integer arithmetic over md5 bytes, that final state has a
+    full SQL oracle (the DataSketches form's bytes don't). Returns the
+    register table; derive estimates with
+    ``hll_estimate_from_registers``.
+
+    Same 100 TB shape: state is ≤ |groups|·2^b integer rows —
+    independent of stream length and key cardinality; each batch
+    collapses map-side to its own (group, bucket) rows before touching
+    state.
+    """
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    from idr_data_pipelines_spark.llmdata.sketches import hll_md5_registers
+
+    state_schema = StructType(
+        [
+            StructField("grp", StringType()),
+            StructField("bucket", LongType()),
+            StructField("register", LongType()),
+        ]
+    )
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        partial = hll_md5_registers(
+            batch_df, key_col, group_col, b=b, with_union=False
+        )
+        existing = _state_read(s, state_dir, state_schema)
+        if existing is not None:
+            partial = (
+                existing.unionByName(partial)
+                .groupBy("grp", "bucket")
+                .agg(F.max("register").alias("register"))
+            )
+        _state_commit(partial, state_dir)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.parquet(path)
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = _state_read(spark, state_dir, state_schema)
+    if state is None:  # zero-message inbox
+        state = spark.createDataFrame([], state_schema)
+    return state

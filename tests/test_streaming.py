@@ -645,3 +645,51 @@ def test_funnel_depth_max_events_cap(spark):
     assert capped == {1: 3, 2: 1}
     with _pytest.raises(ValueError, match="max_events"):
         funnel_fold(F.col("x"), steps, max_events=0)
+
+
+def test_distinct_stream_md5_matches_batch_registers_exactly(spark, sf_dir, tmp_path):
+    """The multi-batch streamed md5-HLL register state must EQUAL the
+    one-shot batch register table row-for-row (register-max merge is
+    associative and idempotent), and its derived estimate must land in
+    the 1.04/sqrt(m) error regime vs the exact distinct count."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from idr_data_pipelines_spark.llmdata.sketches import (
+        hll_estimate_from_registers,
+        hll_md5_registers,
+    )
+    from idr_data_pipelines_spark.queries import _events
+    from idr_data_pipelines_spark.streaming.events import distinct_stream_drain_md5
+
+    ev = _events(spark, sf_dir).select("user_id", "event_type")
+    inbox = str(tmp_path / "in")
+    ev.repartition(4).write.mode("overwrite").parquet(inbox)
+    for f in os.listdir(inbox):
+        if not f.endswith(".parquet"):
+            os.remove(os.path.join(inbox, f))
+
+    streamed = distinct_stream_drain_md5(
+        spark, inbox, ev.schema, str(tmp_path / "ck"), str(tmp_path / "st"),
+        key_col="user_id", group_col="event_type", b=6, max_files_per_trigger=2,
+    )
+    got = {(r["grp"], r["bucket"]): r["register"] for r in streamed.collect()}
+    batch = hll_md5_registers(
+        ev, "user_id", "event_type", b=6, with_union=False
+    )
+    want = {(r["grp"], r["bucket"]): r["register"] for r in batch.collect()}
+    assert got == want  # identical register tables, not just estimates
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    regs: dict = {}
+    for (grp, bkt), reg in got.items():
+        regs.setdefault(grp, {})[bkt] = reg
+    for et, n in exact.items():
+        est = hll_estimate_from_registers(regs[et], b=6)
+        assert abs(est - n) / n < 0.45, (et, est, n)  # m=64 → ~13% sigma
