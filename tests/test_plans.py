@@ -364,3 +364,26 @@ def test_skewed_keys_report(spark):
     assert set(rows) == {"hot"}
     assert rows["hot"][0] == 400
     assert abs(rows["hot"][1] - 0.4) < 1e-12
+
+
+def test_round6_portable_variant_plan_shapes(spark, sf_dir):
+    """The r6 portable md5 variants keep scale-right plans: winnowing
+    is a pure projection + explode (zero shuffles, zero Python);
+    the HLL register table is map-side-combined aggregation only; the
+    fixed-centroid IVF assigns cells in a projection (no shuffle, no
+    Python) and joins candidates via broadcast."""
+    from idr_data_pipelines_spark.plans import assert_scalable
+
+    plan = _plan(QUERIES["text_winnow_md5"](spark, sf_dir))
+    assert _n_shuffles(plan) == 0, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+    hll = QUERIES["sketch_hll_md5"](spark, sf_dir)
+    assert_scalable(hll, max_shuffles=4)
+    assert "BatchEvalPython" not in _plan(hll)
+
+    ivf = QUERIES["ann_topk_ivf_fixed"](spark, sf_dir)
+    assert_scalable(ivf, max_shuffles=3)
+    plan = _plan(ivf)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
