@@ -1021,3 +1021,50 @@ def dedup_cluster_collapse(
     agg = F.min(id_col) if keep == "min" else F.max(id_col)
     survivors = assigned.groupBy("cluster_id").agg(agg.alias(id_col))
     return assigned.join(survivors, [id_col, "cluster_id"], "left_semi")
+
+
+def cross_doc_ngram_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 2,
+    flag_frac: float = 0.5,
+) -> DataFrame:
+    """Cross-document repeated-n-gram analysis — the bucketed
+    approximation of exact-substring dedup (Lee et al. 2022,
+    arXiv:2107.06499): a word ``k``-gram appearing in ≥ ``min_docs``
+    distinct documents is 'shared'; a document whose distinct-n-gram
+    set is dominated by shared n-grams (fraction ≥ ``flag_frac``) is
+    flagged as boilerplate/near-duplicate. Returns per-doc
+    (id, n_grams, n_shared, shared_frac, flagged).
+
+    Scale shape: ``word_shingles`` is distinct-per-doc by
+    construction, so (gram, doc) rows are unique and the gram
+    doc-frequency is a plain COUNT — one explode, one gram-key
+    aggregate, one join back on gram, one doc-key aggregate. No
+    pairwise comparison anywhere; both shuffles key on gram/doc, and
+    hot grams (stopword runs) are exactly the shared ones — AQE skew
+    handling covers them. shared_frac is an IEEE double ratio of two
+    ints, so the flag threshold replays exactly in SQL."""
+    grams = docs.filter(F.col(text_col).isNotNull()).select(
+        id_col, F.explode(word_shingles(text_col, k)).alias("gram")
+    )
+    doc_freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("doc_freq"))
+    per_doc = (
+        grams.join(doc_freq, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("doc_freq") >= min_docs, 1).otherwise(0)
+            ).alias("n_shared"),
+        )
+    )
+    frac = F.col("n_shared") / F.col("n_grams")
+    return per_doc.withColumns(
+        {
+            "shared_frac": F.round(frac, 6),
+            "flagged": frac >= F.lit(flag_frac),
+        }
+    )

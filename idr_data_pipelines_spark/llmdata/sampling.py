@@ -369,3 +369,52 @@ def temperature_weights(
     raw = {s: n ** (1.0 / temperature) / n for s, n in counts.items()}
     peak = max(raw.values())
     return {s: w / peak for s, w in raw.items()}
+
+
+def sample_exact_k(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    salt: str = "topk",
+) -> DataFrame:
+    """Exactly-``k``-row deterministic uniform sample: order by
+    ``md5(salt‖key)`` and take the first ``k``. Same distribution as a
+    reservoir sample, but reproducible across runs, engines and
+    partitionings (``df.sample`` + ``limit`` is neither exact-k nor
+    stable), and the per-row hash rank doubles as an audit trail.
+
+    Scale shape: ``orderBy + limit`` compiles to
+    ``TakeOrderedAndProject`` — each task keeps a local k-heap and
+    only k rows per partition reach the merge; the corpus is never
+    globally sorted or shuffled.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    c = F.col(key_col)
+    h = F.md5(F.concat(F.lit(salt), c.cast("string")))
+    return (
+        df.withColumn("__h", h)
+        .orderBy("__h", key_col)
+        .limit(k)
+        .drop("__h")
+    )
+
+
+def assign_kfold(
+    df: DataFrame,
+    key_col: str,
+    n_folds: int = 5,
+    salt: str = "kfold",
+    fold_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold assignment by key hash (fold =
+    ``md5(salt‖key) mod n_folds``). Like ``split_train_holdout``, a
+    row's fold NEVER changes as the corpus grows or is reprocessed —
+    cross-validation splits stay leakage-free across runs. Pure
+    projection: no shuffle, folds are ~uniform.
+    """
+    if n_folds < 1:
+        raise ValueError("n_folds must be >= 1")
+    return df.withColumn(
+        fold_col, hash_bucket(key_col, n_folds, salt).cast("int")
+    )

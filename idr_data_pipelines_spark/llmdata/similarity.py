@@ -622,6 +622,58 @@ def embedding_near_dup_pairs(
     )
 
 
+def fixed_seed_centroid_rows(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+) -> list[tuple[int, list[float]]]:
+    """The deterministic centroid seed shared by the fixed-quantizer
+    family (``cosine_topk_ivf_fixed``, ``assign_fixed_clusters``):
+    the corpus vectors with ``id < n_centroids``, collected (bounded
+    driver transfer, same as any k-means seeding) and sorted by id.
+    Valid as a seed whenever ids are assignment-order (random docs ⇒
+    random seeds); being table rows, it is replayable by a SQL
+    oracle, unlike float-mean centroids."""
+    cent_rows = sorted(
+        (
+            (r["cid"], r["v"])
+            for r in corpus.filter(F.col(id_col) < n_centroids)
+            .select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("v"))
+            .collect()
+        ),
+    )
+    if len(cent_rows) < n_centroids:
+        raise ValueError(
+            f"corpus has only {len(cent_rows)} rows with {id_col} < "
+            f"{n_centroids}; fixed centroids need all of them"
+        )
+    return cent_rows
+
+
+def _lit_vec(v: list) -> Column:
+    return F.array(*[F.lit(float(x)) for x in v])
+
+
+def _centroid_sims(
+    cent_rows: list[tuple[int, list[float]]], vec: Column, nrm: Column
+) -> Column:
+    """Array of (sim, -centroid_id) structs, one per centroid:
+    ``array_max`` over it picks the highest cosine and breaks ties on
+    the LOWEST centroid id (== SQL ORDER BY sim DESC, centroid_id
+    ASC). Pure projection — the centroid matrix is folded into
+    literal arrays, cosines are JVM array folds."""
+    return F.array(
+        *[
+            F.struct(
+                (dot(vec, _lit_vec(v)) / (nrm * norm(_lit_vec(v)))).alias("sim"),
+                F.lit(-cid).alias("negid"),
+            )
+            for cid, v in cent_rows
+        ]
+    )
+
+
 def cosine_topk_ivf_fixed(
     corpus: DataFrame,
     queries: DataFrame,
@@ -654,35 +706,10 @@ def cosine_topk_ivf_fixed(
     only shuffles here: the broadcast probe join and the final
     per-query top-k window (|Q| groups).
     """
-    cent_rows = sorted(
-        (
-            (r["cid"], r["v"])
-            for r in corpus.filter(F.col(id_col) < n_centroids)
-            .select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("v"))
-            .collect()
-        ),
-    )
-    if len(cent_rows) < n_centroids:
-        raise ValueError(
-            f"corpus has only {len(cent_rows)} rows with {id_col} < "
-            f"{n_centroids}; fixed-centroid IVF needs all of them"
-        )
+    cent_rows = fixed_seed_centroid_rows(corpus, id_col, vec_col, n_centroids)
 
-    def lit_vec(v: list) -> Column:
-        return F.array(*[F.lit(float(x)) for x in v])
-
-    # (sim, -cid) structs: array_max picks highest sim, ties the
-    # LOWEST centroid id (== SQL ORDER BY sim DESC, centroid_id ASC)
     def sims_to_cents(vec: Column, nrm: Column) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    (dot(vec, lit_vec(v)) / (nrm * norm(lit_vec(v)))).alias("sim"),
-                    F.lit(-cid).alias("negid"),
-                )
-                for cid, v in cent_rows
-            ]
-        )
+        return _centroid_sims(cent_rows, vec, nrm)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cvec")
@@ -719,6 +746,114 @@ def cosine_topk_ivf_fixed(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# -------------------------------------- fixed-seed k-means / SemDeDup
+
+def assign_fixed_clusters(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+) -> DataFrame:
+    """(id, vec, nrm, cluster_id): every vector assigned to its
+    nearest fixed-seed centroid by cosine (deterministic ties → lowest
+    centroid id). A PURE PROJECTION — zero shuffle at any scale; at
+    100 TB write the result partitioned/bucketed by ``cluster_id`` so
+    downstream per-cluster work (SemDeDup pair scans, IVF probes)
+    co-locates via partition pruning instead of shuffling."""
+    cent_rows = fixed_seed_centroid_rows(corpus, id_col, vec_col, n_clusters)
+    return (
+        corpus.select(
+            F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")
+        )
+        .withColumn("nrm", norm(F.col("vec")))
+        .withColumn(
+            "cluster_id",
+            -F.array_max(_centroid_sims(cent_rows, F.col("vec"), F.col("nrm")))[
+                "negid"
+            ],
+        )
+    )
+
+
+def kmeans_fixed_step(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+) -> DataFrame:
+    """One exact Lloyd iteration from the fixed seed: assign every
+    vector to its nearest centroid, then recompute per-cluster mean
+    embeddings. Long form (cluster_id, pos, centroid_val, n_members)
+    — the same drift-friendly surface as ``label_centroids``.
+
+    Scale shape: assignment is a projection (no shuffle); the update
+    is ONE map-side-combined aggregation whose output is bounded at
+    |clusters| × dim rows regardless of corpus size — the canonical
+    distributed-Lloyd step. Iterating = feeding the (tiny) result back
+    in as next step's centroid literals; each iteration costs one scan
+    + one bounded agg. Means are summation-order dependent — round
+    before comparing across engines/partitionings."""
+    a = assign_fixed_clusters(corpus, id_col, vec_col, n_clusters)
+    return (
+        a.select("cluster_id", F.posexplode("vec").alias("pos", "val"))
+        .groupBy("cluster_id", "pos")
+        .agg(
+            F.avg("val").alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )
+
+
+def semdedup_prune(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then inside each cluster drop every vector that
+    has a semantic duplicate (cosine ≥ ``threshold``) with a lower
+    id — keeping exactly one representative (the lowest id) per
+    duplicate group found this way. Returns the kept (id, cluster_id).
+
+    Scale shape: cluster blocking turns the O(n²) pair scan into
+    Σ|cluster|² — the published recipe's point; assignment is a
+    projection, the pair scan is an equi-join on ``cluster_id`` (at
+    100 TB: pre-bucket by cluster so the self-join co-locates), and
+    the exact cosine filter is a JVM array fold. Cosine arithmetic is
+    deterministic IEEE on both engines, so the threshold compare —
+    and therefore the kept set — replays exactly in SQL."""
+    a = assign_fixed_clusters(corpus, id_col, vec_col, n_clusters)
+    left = a.select(
+        F.col("id").alias("i"),
+        F.col("vec").alias("ivec"),
+        F.col("nrm").alias("inrm"),
+        "cluster_id",
+    )
+    right = a.select(
+        F.col("id").alias("j"),
+        F.col("vec").alias("jvec"),
+        F.col("nrm").alias("jnrm"),
+        F.col("cluster_id").alias("cluster_j"),
+    )
+    dropped = (
+        left.join(
+            right,
+            (left.cluster_id == right.cluster_j) & (F.col("i") < F.col("j")),
+        )
+        .filter(
+            dot(F.col("ivec"), F.col("jvec")) / (F.col("inrm") * F.col("jnrm"))
+            >= threshold
+        )
+        .select(F.col("j").alias("id"))
+        .distinct()
+    )
+    return a.join(dropped, "id", "left_anti").select(
+        F.col("id").alias(id_col), "cluster_id"
     )
 
 

@@ -254,3 +254,43 @@ def unigram_logprob_scores(
             F.count(F.lit(1)).alias("n_tokens"),
         )
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 50,
+) -> DataFrame:
+    """Byte-pair-encoding merge statistics: the corpus-wide count of
+    every adjacent character pair inside lowercase ``[a-z]+`` words —
+    the quantity a BPE tokenizer trainer maximizes at each merge step
+    (Sennrich et al. 2016, arXiv:1508.07909), evaluated at the
+    character level (merge step 1). Returns the ``top_n`` (pair, n)
+    ranked by count desc, pair asc (deterministic at the cut).
+
+    Scale shape: two explodes (words, then in-word pairs) feeding ONE
+    counting aggregate with map-side combine; the key space is bounded
+    (≤ 26² char pairs), so the shuffle moves |pairs| × |partitions|
+    partial counts, not the corpus, and the top-n is a TakeOrdered —
+    no sort shuffle. Iterating merges re-runs the same shape over
+    re-segmented symbols."""
+    c = F.col(text_col)
+    words = df.filter(c.isNotNull()).select(
+        F.explode(
+            F.regexp_extract_all(F.lower(c), F.lit("[a-z]+"), 0)
+        ).alias("word")
+    ).filter(F.length("word") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.col("word").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(top_n)
+    )

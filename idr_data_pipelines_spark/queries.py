@@ -3447,6 +3447,92 @@ def q_mm_frame_sample(spark, sf_dir):
 
 
 # ===================================================================
+# round-6 additions: clustering / CV splits / tokenizer + substring
+# dedup statistics (all fully SQL-oracled)
+# ===================================================================
+
+def q_emb_kmeans_step(spark, sf_dir):
+    """One exact Lloyd k-means iteration over the embeddings table
+    (fixed seed centroids = the vectors with vec_id < 16, the same
+    SQL-replayable quantizer as ann_topk_ivf_fixed): argmax-cosine
+    assignment is a pure projection, the mean update one bounded
+    map-side-combined agg — the canonical distributed-Lloyd step.
+    Means rounded to 6 decimals (summation order)."""
+    from idr_data_pipelines_spark.llmdata.similarity import kmeans_fixed_step
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = kmeans_fixed_step(emb, n_clusters=16)
+    return out.select(
+        "cluster_id",
+        "pos",
+        F.round("centroid_val", 6).alias("centroid_val"),
+        "n_members",
+    )
+
+
+def q_emb_semdedup(spark, sf_dir):
+    """SemDeDup (cluster-blocked semantic dedup): fixed-seed cosine
+    clustering, then keep only the lowest-id member of every
+    within-cluster near-dup pair. Threshold 0.35 because the synthetic
+    embeddings are near-random (max within-cluster cosine ≈0.49);
+    real-corpus usage keeps the 0.95 default. Cosine IEEE arithmetic
+    replays exactly in SQL, so the kept SET is value-hash checkable."""
+    from idr_data_pipelines_spark.llmdata.similarity import semdedup_prune
+
+    emb = _t(spark, sf_dir, "embeddings")
+    kept = semdedup_prune(emb, n_clusters=16, threshold=0.35)
+    return kept.select("vec_id", "cluster_id")
+
+
+def q_sample_exact_k(spark, sf_dir):
+    """Exactly-100-row deterministic uniform sample of the documents
+    corpus (reservoir-sample distribution, but reproducible across
+    engines): order by md5(salt‖doc_id), take the first 100 —
+    TakeOrderedAndProject, no global sort shuffle."""
+    from idr_data_pipelines_spark.llmdata.sampling import sample_exact_k
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_exact_k(docs, "doc_id", k=100, salt="topk").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
+def q_sample_kfold(spark, sf_dir):
+    """Deterministic 5-fold CV assignment by doc_id hash — fold
+    membership never changes as the corpus grows (the leakage-free
+    split property). Pure projection, no shuffle."""
+    from idr_data_pipelines_spark.llmdata.sampling import assign_kfold
+
+    docs = _t(spark, sf_dir, "documents")
+    return assign_kfold(docs, "doc_id", n_folds=5).select("doc_id", "fold")
+
+
+def q_text_bpe_pairs(spark, sf_dir):
+    """BPE tokenizer-training statistics: corpus-wide adjacent
+    character-pair counts inside lowercase words (the merge-candidate
+    scan of Sennrich et al. 2016), top 50 by count desc / pair asc.
+    Two explodes into one map-side-combined count over a ≤26² key
+    space; top-n is a TakeOrdered."""
+    from idr_data_pipelines_spark.llmdata.text import bpe_pair_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_pair_counts(docs, top_n=50)
+
+
+def q_text_shared_ngrams(spark, sf_dir):
+    """Cross-document repeated-n-gram analysis (bucketed approximation
+    of Lee et al. 2022 substring dedup): per document, the fraction of
+    its distinct word-5-gram set appearing in ≥2 documents corpus-wide;
+    docs with shared_frac ≥ 0.5 are flagged boilerplate.
+    No pairwise comparison — gram-key and doc-key shuffles only."""
+    from idr_data_pipelines_spark.llmdata.dedup import cross_doc_ngram_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    out = cross_doc_ngram_stats(docs, k=5, min_docs=2, flag_frac=0.5)
+    return out.select("doc_id", "n_grams", "n_shared", "shared_frac", "flagged")
+
+
+# ===================================================================
 # flagship: the MMD-shaped end-to-end chain (SURVEY §7.4)
 # ===================================================================
 
@@ -3686,6 +3772,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_rolling_sum": q_window_rolling_sum,
     "src_orc_roundtrip": q_src_orc_roundtrip,
     "src_partitioned_prune": q_src_partitioned_prune,
+    # -- new in r06 (post-rotation), fully oracled, never driver-
+    # checked yet: first picks for the r07 window alongside the
+    # r03-stale greens above
+    "emb_kmeans_step": q_emb_kmeans_step,
+    "emb_semdedup": q_emb_semdedup,
+    "sample_exact_k": q_sample_exact_k,
+    "sample_kfold": q_sample_kfold,
+    "text_bpe_pairs": q_text_bpe_pairs,
+    "text_shared_ngrams": q_text_shared_ngrams,
     # -- NO_ORACLE members: rows-only by design (hash/approx ops with
     # no portable SQL equivalent; bounds pinned in pytest). NEVER
     # rotate these into the driver window — their driver rows cannot
@@ -5886,6 +5981,112 @@ ORACLES: dict[str, str] = {
         FROM latest
         JOIN customer ON o_custkey = c_custkey
         JOIN nation ON c_nationkey = n_nationkey
+    """,
+    # fixed-seed Lloyd step: assignment replays as argmax cosine over
+    # table-row centroids (same quantizer as ann_topk_ivf_fixed); the
+    # mean update is AVG over the long-form unnest
+    "emb_kmeans_step": f"""
+        WITH cents AS (
+            SELECT vec_id AS centroid_id, embedding FROM embeddings
+            WHERE vec_id < 16
+        ), assigned AS (
+            SELECT vec_id, embedding, centroid_id FROM (
+                SELECT l.vec_id AS vec_id, l.embedding AS embedding,
+                       r.centroid_id AS centroid_id,
+                       row_number() OVER (
+                           PARTITION BY l.vec_id
+                           ORDER BY {_COS_LR} DESC, r.centroid_id ASC
+                       ) AS rn
+                FROM embeddings l CROSS JOIN cents r
+            ) WHERE rn = 1
+        )
+        SELECT centroid_id AS cluster_id, u.pos AS pos,
+               ROUND(AVG(CAST(u.v AS DOUBLE)), 6) AS centroid_val,
+               COUNT(*) AS n_members
+        FROM (
+            SELECT centroid_id,
+                   unnest(list_transform(embedding,
+                          (x, i) -> struct_pack(pos := i - 1, v := x))) AS u
+            FROM assigned
+        )
+        GROUP BY centroid_id, u.pos
+    """,
+    # SemDeDup: same fixed-quantizer assignment, then the within-
+    # cluster i<j cosine-threshold pair scan and lowest-id survivor
+    # policy replay exactly (IEEE double cosine on both engines)
+    "emb_semdedup": f"""
+        WITH cents AS (
+            SELECT vec_id AS centroid_id, embedding FROM embeddings
+            WHERE vec_id < 16
+        ), assigned AS (
+            SELECT vec_id, embedding, centroid_id FROM (
+                SELECT l.vec_id AS vec_id, l.embedding AS embedding,
+                       r.centroid_id AS centroid_id,
+                       row_number() OVER (
+                           PARTITION BY l.vec_id
+                           ORDER BY {_COS_LR} DESC, r.centroid_id ASC
+                       ) AS rn
+                FROM embeddings l CROSS JOIN cents r
+            ) WHERE rn = 1
+        ), dropped AS (
+            SELECT DISTINCT r.vec_id AS vec_id
+            FROM assigned l JOIN assigned r
+              ON l.centroid_id = r.centroid_id AND l.vec_id < r.vec_id
+            WHERE {_COS_LR} >= 0.35
+        )
+        SELECT a.vec_id AS vec_id, a.centroid_id AS cluster_id
+        FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+        WHERE d.vec_id IS NULL
+    """,
+    "sample_exact_k": """
+        SELECT doc_id, source, lang, n_chars
+        FROM documents
+        ORDER BY md5('topk' || CAST(doc_id AS VARCHAR)), doc_id
+        LIMIT 100
+    """,
+    "sample_kfold": """
+        SELECT doc_id,
+               CAST(CAST(('0x' || substring(md5('kfold' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                    % 5 AS INT) AS fold
+        FROM documents
+    """,
+    "text_bpe_pairs": """
+        WITH w AS (
+            SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+            FROM documents WHERE text IS NOT NULL
+        ), p AS (
+            SELECT unnest(list_transform(range(1, length(word)),
+                          i -> substring(word, i, 2))) AS pair
+            FROM w WHERE length(word) >= 2
+        )
+        SELECT pair, COUNT(*) AS n FROM p GROUP BY pair
+        ORDER BY n DESC, pair ASC LIMIT 50
+    """,
+    # word_shingles mirror: docs shorter than k tokens contribute their
+    # whole text as one gram; otherwise the distinct k-gram set
+    "text_shared_ngrams": """
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+            FROM documents WHERE text IS NOT NULL
+        ), g AS (
+            SELECT doc_id, unnest(
+                CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+                     ELSE list_distinct(list_transform(range(1, len(toks) - 5 + 2),
+                              i -> array_to_string(toks[i:i+4], ' ')))
+                END) AS gram
+            FROM t
+        ), freq AS (
+            SELECT gram, COUNT(*) AS doc_freq FROM g GROUP BY gram
+        ), per_doc AS (
+            SELECT g.doc_id,
+                   COUNT(*) AS n_grams,
+                   SUM(CASE WHEN freq.doc_freq >= 2 THEN 1 ELSE 0 END) AS n_shared
+            FROM g JOIN freq USING (gram) GROUP BY g.doc_id
+        )
+        SELECT doc_id, n_grams, n_shared,
+               ROUND(CAST(n_shared AS DOUBLE) / n_grams, 6) AS shared_frac,
+               (CAST(n_shared AS DOUBLE) / n_grams >= 0.5) AS flagged
+        FROM per_doc
     """,
 }
 

@@ -1036,3 +1036,162 @@ def test_hll_md5_registers_estimate_and_union(spark):
         assert regs["__union__"][bkt] == max(
             regs[g].get(bkt, 0) for g in ("g0", "g1", "g2")
         )
+
+
+def test_sample_exact_k_deterministic_and_exact(spark):
+    from idr_data_pipelines_spark.llmdata.sampling import sample_exact_k
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    s1 = sample_exact_k(df, "doc_id", k=50)
+    assert s1.count() == 50
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    # partition-invariant: same 50 rows under a different layout
+    ids2 = sorted(
+        r["doc_id"]
+        for r in sample_exact_k(df.repartition(13), "doc_id", k=50).collect()
+    )
+    assert ids1 == ids2
+    # a different salt decorrelates the sample
+    ids3 = sorted(
+        r["doc_id"]
+        for r in sample_exact_k(df, "doc_id", k=50, salt="other").collect()
+    )
+    assert ids1 != ids3
+    # k >= n returns everything; k=0 returns nothing
+    assert sample_exact_k(df, "doc_id", k=5000).count() == 1000
+    assert sample_exact_k(df, "doc_id", k=0).count() == 0
+    with pytest.raises(ValueError):
+        sample_exact_k(df, "doc_id", k=-1)
+
+
+def test_assign_kfold_stable_as_corpus_grows(spark):
+    from idr_data_pipelines_spark.llmdata.sampling import assign_kfold
+
+    small = spark.range(0, 400).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 800).withColumnRenamed("id", "doc_id")
+    f_small = {r["doc_id"]: r["fold"] for r in assign_kfold(small, "doc_id").collect()}
+    f_big = {r["doc_id"]: r["fold"] for r in assign_kfold(big, "doc_id").collect()}
+    # fold membership never changes when the corpus doubles
+    assert all(f_big[k] == v for k, v in f_small.items())
+    assert set(f_big.values()) == {0, 1, 2, 3, 4}
+    # ~uniform: no fold more than 2x its fair share
+    from collections import Counter
+
+    counts = Counter(f_big.values())
+    assert max(counts.values()) < 2 * 800 / 5
+    with pytest.raises(ValueError):
+        assign_kfold(small, "doc_id", n_folds=0)
+
+
+def test_kmeans_fixed_step_masses_and_shape(spark):
+    import numpy as np
+
+    from idr_data_pipelines_spark.llmdata.similarity import (
+        assign_fixed_clusters,
+        kmeans_fixed_step,
+    )
+
+    rng = np.random.RandomState(7)
+    n, dim, k = 120, 8, 4
+    rows = [(i, rng.randn(dim).astype("float32").tolist()) for i in range(n)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    step = kmeans_fixed_step(df, n_clusters=k)
+    out = step.collect()
+    # long form: one row per (cluster, pos) for every non-empty cluster
+    clusters = {r["cluster_id"] for r in out}
+    assert clusters <= set(range(k))
+    by_pos = {}
+    for r in out:
+        by_pos.setdefault(r["pos"], 0)
+        by_pos[r["pos"]] += r["n_members"]
+    # membership accounts for every vector at every position
+    assert set(by_pos.values()) == {n}
+    # the per-cluster mean matches numpy for one spot-checked cluster
+    a = {r["id"]: r["cluster_id"] for r in assign_fixed_clusters(df, n_clusters=k).collect()}
+    c0 = [v for i, v in rows if a[i] == min(clusters)]
+    want = np.mean(np.array(c0, dtype=np.float64), axis=0)
+    got = sorted(
+        (r["pos"], r["centroid_val"]) for r in out if r["cluster_id"] == min(clusters)
+    )
+    assert np.allclose([g[1] for g in got], want, atol=1e-9)
+
+
+def test_semdedup_prune_keeps_lowest_id_per_dup_pair(spark):
+    import numpy as np
+
+    from idr_data_pipelines_spark.llmdata.similarity import (
+        cosine,
+        semdedup_prune,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(6, 8)
+    rows = []
+    # ids 0..5: distinct random vectors (seed centroids 0..3)
+    for i in range(6):
+        rows.append((i, base[i].astype("float32").tolist()))
+    # ids 10..12: near-copies of id 4 (tiny noise) -> semantic dups
+    for j, i in enumerate((10, 11, 12)):
+        rows.append((i, (base[4] + 0.001 * rng.randn(8)).astype("float32").tolist()))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    kept = semdedup_prune(df, n_clusters=4, threshold=0.99)
+    kept_ids = sorted(r["vec_id"] for r in kept.collect())
+    # the dup family collapses to its lowest id (4); singletons survive
+    assert 4 in kept_ids
+    assert not {10, 11, 12} & set(kept_ids)
+    assert set(range(4)) <= set(kept_ids)
+    # no surviving within-cluster pair is above threshold
+    a = kept.join(
+        df.withColumnRenamed("vec_id", "id").withColumnRenamed("embedding", "v"),
+        F.col("vec_id") == F.col("id"),
+    ).select("vec_id", "cluster_id", "v")
+    l = a.select(
+        F.col("vec_id").alias("i"), F.col("cluster_id").alias("cl"), F.col("v").alias("lv")
+    )
+    r = a.select(
+        F.col("vec_id").alias("j"), F.col("cluster_id").alias("cr"), F.col("v").alias("rv")
+    )
+    from idr_data_pipelines_spark.llmdata.similarity import _as_double
+
+    pairs = l.join(r, (F.col("cl") == F.col("cr")) & (F.col("i") < F.col("j")))
+    over = pairs.filter(
+        cosine(_as_double(F.col("lv")), _as_double(F.col("rv"))) >= 0.99
+    ).count()
+    assert over == 0
+
+
+def test_bpe_pair_counts_hand_example(spark):
+    from idr_data_pipelines_spark.llmdata.text import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "abab Cab!"), (2, "ba"), (3, None), (4, "x")], ["doc_id", "text"]
+    )
+    # words: abab, cab, ba ('x' is length-1, dropped; case folded)
+    # pairs: abab -> ab,ba,ab ; cab -> ca,ab ; ba -> ba
+    got = {(r["pair"], r["n"]) for r in bpe_pair_counts(df).collect()}
+    assert got == {("ab", 3), ("ba", 2), ("ca", 1)}
+
+
+def test_cross_doc_ngram_stats_shared_fractions(spark):
+    from idr_data_pipelines_spark.llmdata.dedup import cross_doc_ngram_stats
+
+    boiler = "all rights reserved by the site"
+    rows = [
+        (1, boiler),                                  # 2 grams, both shared with doc 2
+        (2, boiler),                                  # identical
+        (3, "completely original text about unrelated themes entirely"),
+        (4, "short doc"),                             # < k tokens -> whole text gram
+        (5, "short doc"),                             # duplicate short -> shared
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in cross_doc_ngram_stats(
+            spark.createDataFrame(rows, ["doc_id", "text"]), k=5, min_docs=2
+        ).collect()
+    }
+    assert out[1]["shared_frac"] == 1.0 and out[1]["flagged"]
+    assert out[2]["shared_frac"] == 1.0 and out[2]["flagged"]
+    assert out[3]["n_shared"] == 0 and not out[3]["flagged"]
+    assert out[4]["n_grams"] == 1 and out[4]["flagged"]
+    assert out[5]["flagged"]

@@ -387,3 +387,37 @@ def test_round6_portable_variant_plan_shapes(spark, sf_dir):
     plan = _plan(ivf)
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_round6_new_operator_plan_shapes(spark, sf_dir):
+    """Scale-shape pins for the r6 additions (clustering / CV splits /
+    tokenizer + substring-dedup statistics)."""
+    # k-fold assignment is a pure projection: zero shuffles
+    plan = _plan(QUERIES["sample_kfold"](spark, sf_dir))
+    assert _n_shuffles(plan) == 0, plan
+    # exact-k sampling must be a TakeOrdered (per-partition k-heap),
+    # never a global sort shuffle
+    plan = _plan(QUERIES["sample_exact_k"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    # Lloyd step: assignment is a projection, so the whole iteration
+    # is the one map-side-combined (cluster, pos) aggregate
+    plan = _plan(QUERIES["emb_kmeans_step"](spark, sf_dir))
+    assert _n_shuffles(plan) == 1, plan
+    assert "partial_avg" in plan or "partial" in plan, plan
+    # SemDeDup pair scan is an equi-join on cluster_id — a cartesian
+    # (or broadcast nested loop) here is the 100 TB killer
+    plan = _plan(QUERIES["emb_semdedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # BPE pair counts: bounded key space -> one counting exchange,
+    # top-n as TakeOrdered; no Python stages anywhere
+    plan = _plan(QUERIES["text_bpe_pairs"](spark, sf_dir))
+    assert _n_shuffles(plan) == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    # shared-ngram stats: gram-freq agg + join back + doc agg — no
+    # pairwise join, no Python, bounded exchanges
+    plan = _plan(QUERIES["text_shared_ngrams"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan, plan
+    assert _n_shuffles(plan) <= 4, plan
