@@ -20,7 +20,9 @@ sys.path.insert(0, REPO)
 
 # Timed separately below (NOT in the frozen headline total, so
 # round-over-round comparability holds): the queries whose plans were
-# rewritten in round 5 — absolute numbers for the optimized shapes.
+# rewritten in round 5, plus the heaviest round-6 additions
+# (cluster-blocked semantic dedup and the corpus-wide shared-n-gram
+# scan — the two new ops whose cost grows with the corpus).
 EXTENDED = [
     "flagship_event_analytics",
     "flagship_data_recipe",
@@ -29,6 +31,8 @@ EXTENDED = [
     "q17_small_quantity",
     "evt_retention_cohorts",
     "text_collocations",
+    "emb_semdedup",
+    "text_shared_ngrams",
 ]
 
 HEADLINE = [

@@ -16,7 +16,7 @@ partitions and cluster sizes.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -1041,18 +1041,21 @@ def cross_doc_ngram_stats(
 
     Scale shape: ``word_shingles`` is distinct-per-doc by
     construction, so (gram, doc) rows are unique and the gram
-    doc-frequency is a plain COUNT — one explode, one gram-key
-    aggregate, one join back on gram, one doc-key aggregate. No
-    pairwise comparison anywhere; both shuffles key on gram/doc, and
-    hot grams (stopword runs) are exactly the shared ones — AQE skew
-    handling covers them. shared_frac is an IEEE double ratio of two
-    ints, so the flag threshold replays exactly in SQL."""
+    doc-frequency is a plain COUNT OVER (PARTITION BY gram) — one
+    explode feeding exactly TWO shuffles (gram key for the window,
+    doc key for the rollup), with the expensive shingle scan run
+    once; the join-back formulation would shuffle the gram table a
+    third time and evaluate the shingle regex chain twice. No
+    pairwise comparison anywhere; hot grams (stopword runs) are
+    exactly the shared ones — AQE skew handling covers them.
+    shared_frac is an IEEE double ratio of two ints, so the flag
+    threshold replays exactly in SQL."""
     grams = docs.filter(F.col(text_col).isNotNull()).select(
         id_col, F.explode(word_shingles(text_col, k)).alias("gram")
     )
-    doc_freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("doc_freq"))
+    w = Window.partitionBy("gram")
     per_doc = (
-        grams.join(doc_freq, "gram")
+        grams.withColumn("doc_freq", F.count(F.lit(1)).over(w))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

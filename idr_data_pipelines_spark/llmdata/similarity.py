@@ -655,6 +655,19 @@ def _lit_vec(v: list) -> Column:
     return F.array(*[F.lit(float(x)) for x in v])
 
 
+def _py_norm(v: list) -> float:
+    """Driver-side mirror of ``norm``: the same sequential
+    acc + x*x fold then sqrt, in IEEE doubles — bit-identical to the
+    JVM/SQL fold over the same values, so a centroid norm can be
+    baked in as a literal instead of being re-folded per row."""
+    import math
+
+    acc = 0.0
+    for x in v:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
 def _centroid_sims(
     cent_rows: list[tuple[int, list[float]]], vec: Column, nrm: Column
 ) -> Column:
@@ -662,11 +675,13 @@ def _centroid_sims(
     ``array_max`` over it picks the highest cosine and breaks ties on
     the LOWEST centroid id (== SQL ORDER BY sim DESC, centroid_id
     ASC). Pure projection — the centroid matrix is folded into
-    literal arrays, cosines are JVM array folds."""
+    literal arrays, cosines are JVM array folds; centroid norms are
+    constants, folded once on the driver (``_py_norm``) rather than
+    once per row per centroid."""
     return F.array(
         *[
             F.struct(
-                (dot(vec, _lit_vec(v)) / (nrm * norm(_lit_vec(v)))).alias("sim"),
+                (dot(vec, _lit_vec(v)) / (nrm * F.lit(_py_norm(v)))).alias("sim"),
                 F.lit(-cid).alias("negid"),
             )
             for cid, v in cent_rows
@@ -813,6 +828,7 @@ def semdedup_prune(
     vec_col: str = "embedding",
     n_clusters: int = 16,
     threshold: float = 0.95,
+    materialize: bool = True,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space, then inside each cluster drop every vector that
@@ -826,8 +842,17 @@ def semdedup_prune(
     100 TB: pre-bucket by cluster so the self-join co-locates), and
     the exact cosine filter is a JVM array fold. Cosine arithmetic is
     deterministic IEEE on both engines, so the threshold compare —
-    and therefore the kept set — replays exactly in SQL."""
+    and therefore the kept set — replays exactly in SQL.
+
+    The assignment table is referenced three times (both self-join
+    sides + the final anti-join); ``materialize=True`` (default)
+    computes it once via ``localCheckpoint(eager=True)`` instead of
+    re-running the 16-centroid argmax per reference — at cluster
+    scale the equivalent is writing the assignment out bucketed by
+    ``cluster_id`` once and reading it back."""
     a = assign_fixed_clusters(corpus, id_col, vec_col, n_clusters)
+    if materialize:
+        a = a.localCheckpoint(eager=True)
     left = a.select(
         F.col("id").alias("i"),
         F.col("vec").alias("ivec"),

@@ -3479,7 +3479,12 @@ def q_emb_semdedup(spark, sf_dir):
     replays exactly in SQL, so the kept SET is value-hash checkable."""
     from idr_data_pipelines_spark.llmdata.similarity import semdedup_prune
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # single-file testdata scans as one split; spread the argmax
+    # projection + pair scan the way a multi-file production corpus
+    # arrives (the repartition is on the 2k-row input, not a result)
+    emb = _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    )
     kept = semdedup_prune(emb, n_clusters=16, threshold=0.35)
     return kept.select("vec_id", "cluster_id")
 
@@ -3527,7 +3532,11 @@ def q_text_shared_ngrams(spark, sf_dir):
     No pairwise comparison — gram-key and doc-key shuffles only."""
     from idr_data_pipelines_spark.llmdata.dedup import cross_doc_ngram_stats
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread the shingle scan across cores (single-file testdata
+    # reads as one split; production corpora arrive multi-file)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     out = cross_doc_ngram_stats(docs, k=5, min_docs=2, flag_frac=0.5)
     return out.select("doc_id", "n_grams", "n_shared", "shared_frac", "flagged")
 
