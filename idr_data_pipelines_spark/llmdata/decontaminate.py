@@ -25,6 +25,8 @@ the LLM-data extension surface alongside ``llmdata.dedup``.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -115,3 +117,128 @@ def decontaminate(
     )
     bad = scores.filter(F.col("contam_ratio") > F.lit(max_ratio)).select(id_col)
     return corpus.join(F.broadcast(bad) if broadcast_bench else bad, id_col, "left_anti")
+
+
+# ------------------------------------------------ Bloom-filter variant
+
+def bloom_positions(col, n_bits: int = 1 << 20, n_hashes: int = 3):
+    """The ``n_hashes`` md5-derived bit positions of a string — the
+    same engine-portable md5 hash family as ``sampling.hash_bucket``,
+    salted per hash index. Pure JVM projection."""
+    return F.array(
+        *[
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"bloom{i}:"), col)), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.lit(n_bits),
+            )
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def bloom_bitmap(
+    ngrams: DataFrame,
+    col: str = "ngram",
+    n_bits: int = 1 << 20,
+    n_hashes: int = 3,
+):
+    """Build the Bloom bitmap (packed ``numpy.uint8``, ``n_bits/8``
+    bytes) from the benchmark n-gram set. The DISTINCT position set is
+    what crosses to the driver — bounded by ``n_bits`` regardless of
+    benchmark size, which is the whole point: a benchmark whose raw
+    n-gram strings are tens of GB (too big to broadcast) still
+    compresses to a 128 MB bitmap at ``n_bits = 2^30``."""
+    rows = (
+        ngrams.select(
+            F.explode(bloom_positions(F.col(col), n_bits, n_hashes)).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    bm = np.zeros(n_bits >> 3, dtype=np.uint8)
+    if rows:
+        arr = np.array([r["p"] for r in rows], dtype=np.int64)
+        np.bitwise_or.at(bm, arr >> 3, (1 << (arr & 7)).astype(np.uint8))
+    return bm
+
+
+def contamination_scores_bloom(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    n_bits: int = 1 << 20,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """``contamination_scores`` with a Bloom-filter prefilter — the
+    100 TB shape when the benchmark n-gram set itself is too large to
+    broadcast as strings: corpus n-grams first probe a broadcast
+    bitmap (no false negatives, so final counts are IDENTICAL to the
+    exact operator — the oracle is the exact SQL), and only the tiny
+    bloom-candidate subset reaches the exact string verify join.
+
+    The probe is the one justified Python stage: bitmap membership has
+    no built-in, so it runs as an Arrow-batched pandas UDF over the
+    JVM-computed position arrays (vectorized ``(bm[p>>3] >> (p&7)) & 1``
+    — never per-row Python). Everything else is the single-pass
+    explode → join → doc-keyed count of the exact operator."""
+    from pyspark.sql.functions import pandas_udf
+
+    bench_ng = benchmark_ngrams(bench, text_col, k)
+    bm = bloom_bitmap(bench_ng, "ngram", n_bits, n_hashes)
+    bbm = corpus.sparkSession.sparkContext.broadcast(bm)
+
+    @pandas_udf("boolean")
+    def might_contain(pos: pd.Series) -> pd.Series:
+        m = bbm.value
+        out = np.zeros(len(pos), dtype=bool)
+        ok = pos.notna().to_numpy()
+        if ok.any():
+            # a null ngram (null-text doc) yields null ELEMENTS inside a
+            # non-null array — route through float64 so they surface as
+            # NaN and the row stays False instead of garbage-indexing
+            P = np.stack(pos[ok].to_numpy()).astype(np.float64)
+            good = np.isfinite(P).all(axis=1)
+            res = np.zeros(P.shape[0], dtype=bool)
+            if good.any():
+                Pi = P[good].astype(np.int64)
+                res[good] = ((m[Pi >> 3] >> (Pi & 7)) & 1).all(axis=1)
+            out[ok] = res
+        return pd.Series(out)
+
+    exploded = corpus.select(
+        F.col(id_col), word_shingles(text_col, k).alias("__ngrams")
+    ).select(
+        id_col,
+        F.size("__ngrams").alias("n_ngrams"),
+        F.explode_outer("__ngrams").alias("ngram"),
+    )
+    flagged = exploded.withColumn(
+        "__cand", might_contain(bloom_positions(F.col("ngram"), n_bits, n_hashes))
+    )
+    verify = F.broadcast(
+        bench_ng.select(F.col("ngram").alias("__bng")).withColumn("__hit", F.lit(1))
+    )
+    return (
+        flagged.join(
+            verify,
+            (F.col("ngram") == F.col("__bng")) & F.col("__cand"),
+            "left",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max("n_ngrams").alias("n_ngrams"),
+            F.count("__hit").alias("n_matched"),
+        )
+        .withColumn(
+            "contam_ratio",
+            F.col("n_matched").cast("double") / F.col("n_ngrams").cast("double"),
+        )
+    )

@@ -418,3 +418,33 @@ def assign_kfold(
     return df.withColumn(
         fold_col, hash_bucket(key_col, n_folds, salt).cast("int")
     )
+
+
+def sample_exact_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int,
+    salt: str = "grouptopk",
+) -> DataFrame:
+    """Exactly ``min(k, |group|)`` rows per group, chosen uniformly
+    and deterministically (md5 rank within the group) — the balanced
+    eval-set / per-source cap primitive; ``sample_stratified`` with
+    the same guarantees but a fixed per-group count instead of
+    per-group fractions.
+
+    Scale shape: one shuffle on the group key, then a per-group sort
+    of the md5 rank (Spark external-sorts, so oversized groups spill
+    rather than OOM; a skewed source IS its own partition — for
+    pathological single-group skew pre-split the group key). Rows
+    beyond rank ``k`` are dropped before any downstream exchange."""
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    c = F.col(key_col)
+    h = F.md5(F.concat(F.lit(salt), c.cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h, c)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -3541,6 +3541,55 @@ def q_text_shared_ngrams(spark, sf_dir):
     return out.select("doc_id", "n_grams", "n_shared", "shared_frac", "flagged")
 
 
+def q_decontaminate_bloom(spark, sf_dir):
+    """Bloom-prefiltered benchmark decontamination — the shape for a
+    benchmark n-gram set too big to broadcast as strings: corpus
+    3-grams probe a 2^20-bit md5-keyed bitmap (Arrow-batched numpy
+    membership, the one justified Python stage), and only bloom
+    candidates reach the exact verify join. No false negatives, so the
+    scores are IDENTICAL to the exact operator and the oracle is the
+    exact SQL. Benchmark = docs with doc_id % 89 == 0."""
+    from idr_data_pipelines_spark.llmdata.decontaminate import (
+        contamination_scores_bloom,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 89 == 0)
+    corpus = docs.filter(F.col("doc_id") % 89 != 0)
+    sc = contamination_scores_bloom(corpus, bench, k=3)
+    return sc.select(
+        "doc_id",
+        F.col("n_ngrams").cast("long").alias("n_ngrams"),
+        F.col("n_matched").cast("long").alias("n_matched"),
+        "contam_ratio",
+    )
+
+
+def q_sample_topk_per_group(spark, sf_dir):
+    """Balanced per-source cap: exactly min(20, |source|) documents
+    per source, chosen deterministically by md5 rank within the group
+    — one group-key shuffle, rows beyond rank 20 dropped before any
+    downstream exchange."""
+    from idr_data_pipelines_spark.llmdata.sampling import sample_exact_k_per_group
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_exact_k_per_group(docs, "source", "doc_id", k=20).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
+def q_emb_random_project(spark, sf_dir):
+    """Johnson-Lindenstrauss 64→8 random projection of the embeddings
+    table (fixed-seed Gaussian directions baked in as literals): the
+    pre-ANN bandwidth shrink, computed as a pure JVM projection whose
+    sequential folds replay bit-for-bit in SQL — no rounding
+    needed."""
+    from idr_data_pipelines_spark.llmdata.similarity import random_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return random_project(emb, d_in=64, d_out=8).select("vec_id", "proj")
+
+
 # ===================================================================
 # flagship: the MMD-shaped end-to-end chain (SURVEY §7.4)
 # ===================================================================
@@ -3790,6 +3839,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_kfold": q_sample_kfold,
     "text_bpe_pairs": q_text_bpe_pairs,
     "text_shared_ngrams": q_text_shared_ngrams,
+    "decontaminate_bloom": q_decontaminate_bloom,
+    "sample_topk_per_group": q_sample_topk_per_group,
+    "emb_random_project": q_emb_random_project,
     # -- NO_ORACLE members: rows-only by design (hash/approx ops with
     # no portable SQL equivalent; bounds pinned in pytest). NEVER
     # rotate these into the driver window — their driver rows cannot
@@ -3824,6 +3876,30 @@ def _norm_sql(a: str, dim: int = 64) -> str:
 
 
 _COS_LR = f"({_dot_sql('l.embedding', 'r.embedding')} / ({_norm_sql('l.embedding')} * {_norm_sql('r.embedding')}))"
+
+
+def _rp_proj_sql(col: str, d_in: int = 64, d_out: int = 8, seed: int = 1337) -> str:
+    """SQL list literal of the JL projection — the same fixed-seed
+    matrix as similarity.random_project. Each component is a
+    ``list_reduce`` sequential fold over STRING-cast coefficients.
+    Two DuckDB traps pinned here: (1) a plain chained ``a + b*c + ...``
+    sum drifts 1 ulp off Spark's mul-then-add fold (contraction /
+    reassociation, parentheses notwithstanding) — ``list_reduce`` pins
+    the operation sequence; (2) a bare decimal literal parses as
+    DECIMAL and DuckDB's DECIMAL→DOUBLE cast is NOT correctly rounded
+    (0.9914682807805609 casts to …608), while the string→DOUBLE parse
+    is — so every coefficient goes in as ``'repr'::DOUBLE``."""
+    from idr_data_pipelines_spark.llmdata.similarity import random_projection_matrix
+
+    M = random_projection_matrix(d_in, d_out, seed)
+    comps = []
+    for row in M.tolist():
+        coeffs = "[" + ", ".join(f"'{c!r}'::DOUBLE" for c in row) + "]"
+        comps.append(
+            f"list_reduce(list_prepend(0.0, list_transform(range(1, {d_in + 1}), "
+            f"i -> CAST({col}[i] AS DOUBLE) * ({coeffs})[i])), (a, b) -> a + b)"
+        )
+    return "[" + ", ".join(comps) + "]"
 
 
 def _cm_bucket_sql(col: str, d: int, width: int) -> str:
@@ -6096,6 +6172,51 @@ ORACLES: dict[str, str] = {
                ROUND(CAST(n_shared AS DOUBLE) / n_grams, 6) AS shared_frac,
                (CAST(n_shared AS DOUBLE) / n_grams >= 0.5) AS flagged
         FROM per_doc
+    """,
+    # bloom prefilter has no false negatives -> scores equal the exact
+    # operator; the oracle IS the exact n-gram overlap SQL (% 89 split)
+    "decontaminate_bloom": """
+        WITH nums AS (SELECT CAST(i AS BIGINT) AS i FROM generate_series(1, 4096) t(i)),
+        toks AS (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ), grams AS (
+            SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+            FROM toks JOIN nums ON i <= len(t) - 2
+            WHERE len(t) >= 3
+            UNION ALL
+            SELECT doc_id, array_to_string(t, ' ') AS g FROM toks WHERE len(t) < 3
+        ), bench AS (
+            SELECT DISTINCT g FROM grams WHERE doc_id % 89 = 0
+        ), cg AS (
+            SELECT doc_id, g FROM grams WHERE doc_id % 89 <> 0
+        ), tot AS (
+            SELECT doc_id, COUNT(*) AS n_ngrams FROM cg GROUP BY doc_id
+        ), mt AS (
+            SELECT cg.doc_id, COUNT(*) AS n_matched
+            FROM cg JOIN bench USING (g) GROUP BY cg.doc_id
+        )
+        SELECT tot.doc_id,
+               CAST(n_ngrams AS BIGINT) AS n_ngrams,
+               CAST(COALESCE(n_matched, 0) AS BIGINT) AS n_matched,
+               CAST(COALESCE(n_matched, 0) AS DOUBLE) / CAST(n_ngrams AS DOUBLE)
+                   AS contam_ratio
+        FROM tot LEFT JOIN mt ON tot.doc_id = mt.doc_id
+    """,
+    "sample_topk_per_group": """
+        SELECT doc_id, source, lang, n_chars FROM (
+            SELECT doc_id, source, lang, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5('grouptopk' || CAST(doc_id AS VARCHAR)),
+                                doc_id
+                   ) AS rn
+            FROM documents
+        ) WHERE rn <= 20
+    """,
+    "emb_random_project": f"""
+        SELECT vec_id, {_rp_proj_sql('embedding')} AS proj
+        FROM embeddings
     """,
 }
 

@@ -1195,3 +1195,88 @@ def test_cross_doc_ngram_stats_shared_fractions(spark):
     assert out[3]["n_shared"] == 0 and not out[3]["flagged"]
     assert out[4]["n_grams"] == 1 and out[4]["flagged"]
     assert out[5]["flagged"]
+
+
+def test_bloom_scores_equal_exact_scores(spark):
+    """The Bloom prefilter has no false negatives, so its contamination
+    scores must be IDENTICAL to the exact operator's on any input."""
+    from idr_data_pipelines_spark.llmdata.decontaminate import (
+        bloom_bitmap,
+        bloom_positions,
+        benchmark_ngrams,
+        contamination_scores,
+        contamination_scores_bloom,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs today"),
+        (3, "the quick brown fox naps under a warm sun"),
+        (4, None),
+        (5, "tiny"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = df.filter(F.col("doc_id") == 1)
+    corpus = df.filter(F.col("doc_id") != 1)
+    exact = {
+        r["doc_id"]: (r["n_ngrams"], r["n_matched"], r["contam_ratio"])
+        for r in contamination_scores(corpus, bench, k=3).collect()
+    }
+    bloom = {
+        r["doc_id"]: (r["n_ngrams"], r["n_matched"], r["contam_ratio"])
+        for r in contamination_scores_bloom(corpus, bench, k=3).collect()
+    }
+    assert exact == bloom
+    # every benchmark n-gram's bits are set (no false negatives)
+    bng = benchmark_ngrams(bench, k=3)
+    bm = bloom_bitmap(bng)
+    pos = bng.select(
+        F.explode(bloom_positions(F.col("ngram"))).alias("p")
+    ).collect()
+    assert all((bm[r["p"] >> 3] >> (r["p"] & 7)) & 1 for r in pos)
+
+
+def test_sample_exact_k_per_group_counts_and_stability(spark):
+    from pyspark.sql import functions as F
+
+    from idr_data_pipelines_spark.llmdata.sampling import sample_exact_k_per_group
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+    )
+    out = sample_exact_k_per_group(df, "source", "doc_id", k=10)
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"s0": 10, "s1": 10, "s2": 10}
+    # deterministic under repartitioning
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in sample_exact_k_per_group(df.repartition(17), "source", "doc_id", k=10).collect()
+    )
+    assert a == b
+    # k larger than a group returns the whole group
+    tiny = df.filter(F.col("doc_id") < 5)
+    assert sample_exact_k_per_group(tiny, "source", "doc_id", k=10).count() == 5
+
+
+def test_random_project_matches_sequential_fold(spark):
+    import numpy as np
+
+    from idr_data_pipelines_spark.llmdata.similarity import (
+        random_project,
+        random_projection_matrix,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = [(i, rng.randn(16).astype("float32").tolist()) for i in range(20)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    M = random_projection_matrix(16, 4, 99)
+    got = {r["vec_id"]: r["proj"] for r in random_project(df, d_in=16, d_out=4, seed=99).collect()}
+    for i, v in rows:
+        for j, mrow in enumerate(M.tolist()):
+            acc = 0.0
+            for x, c in zip(v, mrow):
+                acc = acc + float(x) * c
+            assert got[i][j] == acc  # bit-exact sequential fold

@@ -421,3 +421,23 @@ def test_round6_new_operator_plan_shapes(spark, sf_dir):
     plan = _plan(QUERIES["text_shared_ngrams"](spark, sf_dir))
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan, plan
     assert _n_shuffles(plan) <= 4, plan
+
+
+def test_round6_bloom_sampling_projection_plan_shapes(spark, sf_dir):
+    """Scale-shape pins for the bloom/per-group-cap/JL additions."""
+    # JL projection: pure map stage — zero shuffles, zero Python
+    plan = _plan(QUERIES["emb_random_project"](spark, sf_dir))
+    assert _n_shuffles(plan) == 0, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    # per-group exact-k: one group-key exchange feeding the rank
+    # window; rows beyond k die in the same stage
+    plan = _plan(QUERIES["sample_topk_per_group"](spark, sf_dir))
+    assert _n_shuffles(plan) == 1, plan
+    # bloom decontaminate: the bitmap probe is the ONE Arrow-batched
+    # Python stage; the verify join must broadcast and the corpus
+    # side must not shuffle before the doc-keyed count
+    plan = _plan(QUERIES["decontaminate_bloom"](spark, sf_dir))
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert _n_shuffles(plan) <= 2, plan
