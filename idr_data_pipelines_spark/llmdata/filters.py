@@ -56,12 +56,29 @@ def top_ngram_fraction(col: Column | str = "text", k: int = 2) -> Column:
         )
 
         def top_count(g: Column) -> Column:
-            return F.array_max(
-                F.transform(
-                    F.array_distinct(g),
-                    lambda x: F.size(F.filter(g, lambda y: y == x)),
+            # mode COUNT = longest equal-run of the sorted gram array,
+            # one O(n) fold — the naive per-distinct filter scan is
+            # O(d·n) string compares per document, which dominated the
+            # whole recipe's runtime (~160k compares for a 400-token
+            # doc vs ~400 here); the count is identical by definition
+            def step(acc: Column, x: Column) -> Column:
+                fresh = acc["prev"].isNull() | (acc["prev"] != x)
+                run = F.when(fresh, F.lit(1)).otherwise(acc["run"] + 1)
+                return F.struct(
+                    x.alias("prev"),
+                    run.alias("run"),
+                    F.greatest(acc["best"], run).alias("best"),
                 )
-            )
+
+            return F.aggregate(
+                F.array_sort(g),
+                F.struct(
+                    F.lit(None).cast("string").alias("prev"),
+                    F.lit(0).alias("run"),
+                    F.lit(0).alias("best"),
+                ),
+                step,
+            )["best"]
 
         return F.when(n < F.lit(k), F.lit(0.0)).otherwise(
             _let(grams, lambda g: top_count(g).cast("double") / F.size(g).cast("double"))

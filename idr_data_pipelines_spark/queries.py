@@ -1375,7 +1375,11 @@ def q_text_collocations(spark, sf_dir):
     q22). The earlier formulation counted unigrams and bigrams as
     separate branches: 4 corpus scans and 4 token-split evaluations
     where one of each suffices."""
-    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    from idr_data_pipelines_spark.sources.parquet import spread_small_scan
+
+    docs = spread_small_scan(
+        _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
     words = docs.select(
         F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("w")
     )
@@ -2840,9 +2844,14 @@ def q_flagship_data_recipe(spark, sf_dir):
     from idr_data_pipelines_spark.llmdata.sampling import sample_token_budget
     from idr_data_pipelines_spark.llmdata.text import fingerprint, token_count
 
+    from idr_data_pipelines_spark.sources.parquet import spread_small_scan
+
     docs = _t(spark, sf_dir, "documents")
     bench = docs.filter(F.col("doc_id") % 97 == 0)
-    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    # the corpus side carries all six per-doc regex/HOF stages —
+    # spread it when the scan has fewer splits than cores (no-op on a
+    # real multi-file corpus; see spread_small_scan)
+    corpus = spread_small_scan(docs.filter(F.col("doc_id") % 97 != 0))
 
     bad = (
         contamination_scores(corpus, bench, k=3)
@@ -3479,12 +3488,12 @@ def q_emb_semdedup(spark, sf_dir):
     replays exactly in SQL, so the kept SET is value-hash checkable."""
     from idr_data_pipelines_spark.llmdata.similarity import semdedup_prune
 
+    from idr_data_pipelines_spark.sources.parquet import spread_small_scan
+
     # single-file testdata scans as one split; spread the argmax
     # projection + pair scan the way a multi-file production corpus
-    # arrives (the repartition is on the 2k-row input, not a result)
-    emb = _t(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism, "vec_id"
-    )
+    # arrives (no-op when the scan already has enough splits)
+    emb = spread_small_scan(_t(spark, sf_dir, "embeddings"))
     kept = semdedup_prune(emb, n_clusters=16, threshold=0.35)
     return kept.select("vec_id", "cluster_id")
 
@@ -3532,11 +3541,11 @@ def q_text_shared_ngrams(spark, sf_dir):
     No pairwise comparison — gram-key and doc-key shuffles only."""
     from idr_data_pipelines_spark.llmdata.dedup import cross_doc_ngram_stats
 
+    from idr_data_pipelines_spark.sources.parquet import spread_small_scan
+
     # spread the shingle scan across cores (single-file testdata
-    # reads as one split; production corpora arrive multi-file)
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    # reads as one split; no-op on a real multi-file corpus)
+    docs = spread_small_scan(_t(spark, sf_dir, "documents"))
     out = cross_doc_ngram_stats(docs, k=5, min_docs=2, flag_frac=0.5)
     return out.select("doc_id", "n_grams", "n_shared", "shared_frac", "flagged")
 

@@ -2,6 +2,7 @@
 
 from idr_data_pipelines_spark.sources.parquet import (
     read_parquet_dir,
+    spread_small_scan,
     read_parquet_all_string,
 )
 from idr_data_pipelines_spark.sources.text_formats import (
@@ -20,6 +21,7 @@ from idr_data_pipelines_spark.sources.catalog import Catalog
 
 __all__ = [
     "read_parquet_dir",
+    "spread_small_scan",
     "read_parquet_all_string",
     "read_csv_dir",
     "read_csv_all_string",

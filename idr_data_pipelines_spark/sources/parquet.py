@@ -91,3 +91,21 @@ def read_parquet_evolved(spark, path: str):
     compaction or pin the schema explicitly.
     """
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def spread_small_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Layout guard for compute-heavy map stages: when the scan has
+    fewer splits than executor slots (a single test file; a few giant
+    single-row-group files in production), every per-document regex /
+    HOF projection downstream serializes onto those few tasks. This
+    round-robins the input across ``min_partitions`` (default: the
+    cluster's ``defaultParallelism``) — and is a NO-OP whenever the
+    scan already has that many splits, so on a real multi-file corpus
+    it never fires and never costs a shuffle. The repartition moves
+    the raw rows BEFORE the expensive projections run, so the shuffle
+    is of input bytes, not of computed features."""
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
