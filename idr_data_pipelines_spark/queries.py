@@ -3194,6 +3194,10 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     function not portable), driver records rows-only. The same
     pipeline with the portable md5-32 hash IS value-hash oracled —
     see dedup_minhash_md5."""
+    # NOTE: deliberately NOT spread_small_scan'd — the signature stage
+    # is one numpy matmul per Arrow batch, so at bench scale one big
+    # batch beats 32 tiny ones (measured 1.4s vs 2.8s); spreading is
+    # for interpreted JVM expression chains, not vectorized Python
     df = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
         df, num_perm=64, bands=16, shingle_k=3, jaccard_threshold=0.5
