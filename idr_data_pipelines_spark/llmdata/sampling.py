@@ -448,3 +448,44 @@ def sample_exact_k_per_group(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def sample_weighted_k(
+    df: DataFrame,
+    key_col: str,
+    weight_col: Column | str,
+    k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exactly ``k`` rows,
+    deterministic: the Efraimidis-Spirakis A-ES scheme (IPL 2006) with
+    the uniform drawn from the md5 key hash — row i is ranked by
+    ``ln(u_i)/w_i`` (monotone in the classic ``u^(1/w)`` key) and the
+    top ``k`` win. Inclusion probability rises with weight; the same
+    (corpus, salt) always selects the same rows, and selection is
+    independent of partitioning — the reproducible quality-weighted
+    subsample primitive (weight = quality score, token count, ...).
+
+    Scale shape: pure projection + ``orderBy+limit`` →
+    ``TakeOrderedAndProject`` per-partition k-heaps, no global sort.
+    Weights must be > 0 (rows with w <= 0 or null are dropped — they
+    have zero inclusion probability in A-ES)."""
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    kc = F.col(key_col)
+    # u in (0, 1): 60 md5 bits + 1 over 2^60 + 1 — never 0 or 1
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), kc.cast("string"))), 1, _HEX_CHARS),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float((1 << 60) + 1))
+    es_key = F.log(u) / w.cast("double")
+    return (
+        df.filter(w.isNotNull() & (w > 0))
+        .withColumn("__es", es_key)
+        .orderBy(F.desc("__es"), kc)
+        .limit(k)
+        .drop("__es")
+    )

@@ -3554,6 +3554,22 @@ def q_text_shared_ngrams(spark, sf_dir):
     return out.select("doc_id", "n_grams", "n_shared", "shared_frac", "flagged")
 
 
+def q_sample_weighted_k(spark, sf_dir):
+    """Quality-weighted exact-k subsample (Efraimidis-Spirakis A-ES,
+    weight = n_chars): 100 documents chosen without replacement with
+    inclusion probability rising in length, deterministically from the
+    md5 hash. Output is the selected ROWS (no float rank column):
+    the selection depends on ln() only through ordering, and a
+    boundary flip would need two ln(u)/w keys within one ulp of each
+    other — the oracle replays the same ranking in SQL."""
+    from idr_data_pipelines_spark.llmdata.sampling import sample_weighted_k
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_weighted_k(docs, "doc_id", "n_chars", k=100).select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+
+
 def q_decontaminate_bloom(spark, sf_dir):
     """Bloom-prefiltered benchmark decontamination — the shape for a
     benchmark n-gram set too big to broadcast as strings: corpus
@@ -3854,6 +3870,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_shared_ngrams": q_text_shared_ngrams,
     "decontaminate_bloom": q_decontaminate_bloom,
     "sample_topk_per_group": q_sample_topk_per_group,
+    "sample_weighted_k": q_sample_weighted_k,
     "emb_random_project": q_emb_random_project,
     # -- NO_ORACLE members: rows-only by design (hash/approx ops with
     # no portable SQL equivalent; bounds pinned in pytest). NEVER
@@ -6230,6 +6247,21 @@ ORACLES: dict[str, str] = {
     "emb_random_project": f"""
         SELECT vec_id, {_rp_proj_sql('embedding')} AS proj
         FROM embeddings
+    """,
+    # A-ES weighted sample: rank by ln(u)/w desc (u from the md5 hash,
+    # w = n_chars); selection is ordering-only so libm 1-ulp noise
+    # cannot flip it without a near-tie of two keys
+    "sample_weighted_k": """
+        SELECT doc_id, source, lang, n_chars FROM (
+            SELECT doc_id, source, lang, n_chars,
+                   ln((CAST(('0x' || substring(md5('wsample' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                       + 1.0) / (POW(2.0, 60) + 1.0))
+                   / CAST(n_chars AS DOUBLE) AS es_key
+            FROM documents
+            WHERE n_chars IS NOT NULL AND n_chars > 0
+        )
+        ORDER BY es_key DESC, doc_id
+        LIMIT 100
     """,
 }
 

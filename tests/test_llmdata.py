@@ -1280,3 +1280,33 @@ def test_random_project_matches_sequential_fold(spark):
             for x, c in zip(v, mrow):
                 acc = acc + float(x) * c
             assert got[i][j] == acc  # bit-exact sequential fold
+
+
+def test_sample_weighted_k_bias_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from idr_data_pipelines_spark.llmdata.sampling import sample_weighted_k
+
+    # weights: ids 0..99 weight 1, ids 100..199 weight 20
+    df = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 100, F.lit(1.0)).otherwise(F.lit(20.0)).alias("w"),
+    )
+    out = sample_weighted_k(df, "doc_id", "w", k=50)
+    ids = [r["doc_id"] for r in out.collect()]
+    assert len(ids) == 50
+    heavy = sum(1 for i in ids if i >= 100)
+    # 20x weight must dominate the sample decisively
+    assert heavy >= 40
+    # deterministic under repartitioning
+    ids2 = [
+        r["doc_id"]
+        for r in sample_weighted_k(df.repartition(13), "doc_id", "w", k=50).collect()
+    ]
+    assert sorted(ids) == sorted(ids2)
+    # non-positive / null weights are excluded
+    df2 = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None)], ["doc_id", "w"]
+    )
+    kept = {r["doc_id"] for r in sample_weighted_k(df2, "doc_id", "w", k=10).collect()}
+    assert kept == {1}
