@@ -20,6 +20,15 @@ NAMES = [
     "mm_embed_stub",
     "evt_windowed_quantiles",
     "flagship_event_analytics",
+    # round-6 additions: rounded means (kmeans), float-threshold kept
+    # set (semdedup), ln-ranked selection (weighted sample), ratio
+    # flag (shared ngrams), exact-k md5 rank cuts
+    "emb_kmeans_step",
+    "emb_semdedup",
+    "sample_weighted_k",
+    "text_shared_ngrams",
+    "sample_exact_k",
+    "sample_topk_per_group",
 ]
 
 
