@@ -1071,3 +1071,52 @@ def cross_doc_ngram_stats(
             "flagged": frac >= F.lit(flag_frac),
         }
     )
+
+
+def winnow_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_freq: int = 10,
+) -> DataFrame:
+    """MOSS-style near-dup candidate pairs (Schleimer et al.,
+    SIGMOD'03): document pairs sharing ≥ ``min_shared`` winnowed
+    fingerprints, with the shared count — the local-similarity
+    candidate generator that catches partial overlap (a copied
+    paragraph inside an otherwise-new document) that whole-document
+    MinHash dilutes away.
+
+    Scale shape: fingerprints are a projection (``window``-minima over
+    positional k-gram hashes); candidates come from ONE fp-key
+    equi-join. Fingerprints shared by > ``max_fp_freq`` documents are
+    dropped first (the MOSS common-code filter): a boilerplate
+    fingerprint in m docs would emit m² pairs, and those pairs carry
+    no dedup signal — the filter caps per-fp fan-out and removes the
+    join's skew in the same step. Uses the engine-portable md5-32
+    fingerprint form so the whole pipeline is SQL-replayable."""
+    from idr_data_pipelines_spark.llmdata.text import winnow_md5_fingerprints
+
+    fps = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.explode(winnow_md5_fingerprints(text_col, k, window)).alias("fp"),
+    )
+    w = Window.partitionBy("fp")
+    rare = (
+        fps.withColumn("__df", F.count(F.lit(1)).over(w))
+        .filter(F.col("__df") <= max_fp_freq)
+        .drop("__df")
+    )
+    left = rare.select(F.col("id").alias("id_a"), "fp")
+    right = rare.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"))
+    return (
+        left.join(
+            right,
+            (F.col("fp") == F.col("fp_b")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -3570,6 +3570,21 @@ def q_sample_weighted_k(spark, sf_dir):
     )
 
 
+def q_dedup_winnow_pairs(spark, sf_dir):
+    """MOSS-style candidate pairs: documents sharing >= 2 winnowed
+    md5-32 fingerprints (common-fingerprint filter at df <= 10 kills
+    boilerplate fan-out AND the join skew), with the shared count —
+    the partial-overlap dedup candidate generator. Fully
+    SQL-replayable via the portable winnow fingerprint form."""
+    from idr_data_pipelines_spark.llmdata.dedup import winnow_candidate_pairs
+    from idr_data_pipelines_spark.sources.parquet import spread_small_scan
+
+    docs = spread_small_scan(_t(spark, sf_dir, "documents"))
+    return winnow_candidate_pairs(
+        docs, k=4, window=4, min_shared=2, max_fp_freq=10
+    )
+
+
 def q_decontaminate_bloom(spark, sf_dir):
     """Bloom-prefiltered benchmark decontamination — the shape for a
     benchmark n-gram set too big to broadcast as strings: corpus
@@ -3871,6 +3886,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_bloom": q_decontaminate_bloom,
     "sample_topk_per_group": q_sample_topk_per_group,
     "sample_weighted_k": q_sample_weighted_k,
+    "dedup_winnow_pairs": q_dedup_winnow_pairs,
     "emb_random_project": q_emb_random_project,
     # -- NO_ORACLE members: rows-only by design (hash/approx ops with
     # no portable SQL equivalent; bounds pinned in pytest). NEVER
@@ -6262,6 +6278,20 @@ ORACLES: dict[str, str] = {
         )
         ORDER BY es_key DESC, doc_id
         LIMIT 100
+    """,
+    # MOSS candidate pairs over the portable winnow fingerprints; the
+    # df <= 10 common-fingerprint filter replays before the self-join
+    "dedup_winnow_pairs": f"""
+        WITH wf AS ({_winnow_md5_sql(k=4, window=4)}),
+        freq AS (SELECT fp, COUNT(*) AS df FROM wf GROUP BY fp),
+        rare AS (
+            SELECT wf.doc_id, wf.fp FROM wf JOIN freq USING (fp)
+            WHERE freq.df <= 10
+        )
+        SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+               COUNT(*) AS n_shared
+        FROM rare l JOIN rare r ON l.fp = r.fp AND l.doc_id < r.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
     """,
 }
 

@@ -1329,3 +1329,26 @@ def test_assign_fixed_clusters_vectorized_matches_expression(spark):
         for r in assign_fixed_clusters(df, n_clusters=8, vectorized=True).collect()
     }
     assert a == b
+
+
+def test_winnow_candidate_pairs_finds_partial_overlap(spark):
+    from idr_data_pipelines_spark.llmdata.dedup import winnow_candidate_pairs
+
+    para = "the shared boilerplate paragraph that was copied verbatim between documents " * 3
+    rows = [
+        (1, para + " plus original tail content alpha beta gamma delta"),
+        (2, "entirely different opening material here and then " + para),
+        (3, "no overlap with anything else whatsoever in this tiny doc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in winnow_candidate_pairs(df, min_shared=2, max_fp_freq=10).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert not any(3 in p for p in pairs)
+    # the common-fingerprint filter kills pairs once a fp is too hot
+    many = [(i, para) for i in range(20)]
+    df2 = spark.createDataFrame(many, ["doc_id", "text"])
+    hot = winnow_candidate_pairs(df2, min_shared=1, max_fp_freq=10).count()
+    assert hot == 0  # every fp appears in 20 docs > max_fp_freq
