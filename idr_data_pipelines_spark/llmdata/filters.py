@@ -119,3 +119,38 @@ def add_repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     feats = repetition_metrics(text_col)
     feats["gopher_rep_pass"] = gopher_repetition_pass(text_col)
     return df.withColumns(feats)
+
+
+def score_buckets(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    bucket_col: str = "bucket",
+    cuts: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+) -> DataFrame:
+    """CCNet-style per-group quantile bucketing (Wenzek et al. 2020
+    §4.3: head/middle/tail by per-language perplexity terciles):
+    label every row ``low`` / ``mid`` / ``high`` by where its score
+    falls against its OWN group's quantiles — the fair way to
+    threshold heterogeneous sources, where one source's median would
+    be another's tail.
+
+    Scale shape: one exact-percentile aggregate collapses to |groups|
+    threshold rows, broadcast back onto the corpus — the corpus never
+    shuffles (the aggregate's exchange moves score values only). Ties
+    at a cut go to the lower bucket (``<=``), identically in SQL."""
+    thr = df.groupBy(group_col).agg(
+        F.percentile(score_col, F.lit(cuts[0])).alias("__p1"),
+        F.percentile(score_col, F.lit(cuts[1])).alias("__p2"),
+    )
+    s = F.col(score_col)
+    return (
+        df.join(F.broadcast(thr), group_col)
+        .withColumn(
+            bucket_col,
+            F.when(s <= F.col("__p1"), F.lit("low"))
+            .when(s <= F.col("__p2"), F.lit("mid"))
+            .otherwise(F.lit("high")),
+        )
+        .drop("__p1", "__p2")
+    )

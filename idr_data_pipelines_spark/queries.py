@@ -3585,6 +3585,20 @@ def q_dedup_winnow_pairs(spark, sf_dir):
     )
 
 
+def q_quality_buckets(spark, sf_dir):
+    """CCNet-style per-source quantile bucketing: every document
+    labeled low/mid/high against its OWN source's n_chars terciles
+    (exact percentile; Spark's interpolation is bit-identical to
+    DuckDB's quantile_cont, and ties at a cut go to the lower bucket
+    in both engines). |sources| threshold rows broadcast back — the
+    corpus never shuffles."""
+    from idr_data_pipelines_spark.llmdata.filters import score_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    out = score_buckets(docs, "n_chars", "source")
+    return out.select("doc_id", "source", "n_chars", "bucket")
+
+
 def q_decontaminate_bloom(spark, sf_dir):
     """Bloom-prefiltered benchmark decontamination — the shape for a
     benchmark n-gram set too big to broadcast as strings: corpus
@@ -3887,6 +3901,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_topk_per_group": q_sample_topk_per_group,
     "sample_weighted_k": q_sample_weighted_k,
     "dedup_winnow_pairs": q_dedup_winnow_pairs,
+    "quality_buckets": q_quality_buckets,
     "emb_random_project": q_emb_random_project,
     # -- NO_ORACLE members: rows-only by design (hash/approx ops with
     # no portable SQL equivalent; bounds pinned in pytest). NEVER
@@ -6292,6 +6307,23 @@ ORACLES: dict[str, str] = {
                COUNT(*) AS n_shared
         FROM rare l JOIN rare r ON l.fp = r.fp AND l.doc_id < r.doc_id
         GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+    # per-source terciles: CAST(1 AS DOUBLE)/3 keeps the cut fractions
+    # IEEE doubles (bare 1.0/3.0 would be DECIMAL division in DuckDB)
+    "quality_buckets": """
+        WITH thr AS (
+            SELECT source,
+                   quantile_cont(CAST(n_chars AS DOUBLE),
+                                 CAST(1 AS DOUBLE)/CAST(3 AS DOUBLE)) AS p1,
+                   quantile_cont(CAST(n_chars AS DOUBLE),
+                                 CAST(2 AS DOUBLE)/CAST(3 AS DOUBLE)) AS p2
+            FROM documents GROUP BY source
+        )
+        SELECT d.doc_id, d.source, d.n_chars,
+               CASE WHEN d.n_chars <= thr.p1 THEN 'low'
+                    WHEN d.n_chars <= thr.p2 THEN 'mid'
+                    ELSE 'high' END AS bucket
+        FROM documents d JOIN thr USING (source)
     """,
 }
 

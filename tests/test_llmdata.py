@@ -1352,3 +1352,18 @@ def test_winnow_candidate_pairs_finds_partial_overlap(spark):
     df2 = spark.createDataFrame(many, ["doc_id", "text"])
     hot = winnow_candidate_pairs(df2, min_shared=1, max_fp_freq=10).count()
     assert hot == 0  # every fp appears in 20 docs > max_fp_freq
+
+
+def test_score_buckets_per_group_terciles(spark):
+    from pyspark.sql import functions as F
+
+    from idr_data_pipelines_spark.llmdata.filters import score_buckets
+
+    # group a: scores 1..9 (terciles at 3.67/6.33); group b: 100..102
+    rows = [(i, "a", float(i)) for i in range(1, 10)]
+    rows += [(100 + i, "b", 100.0 + i) for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "score"])
+    out = {r["doc_id"]: r["bucket"] for r in score_buckets(df, "score", "source").collect()}
+    assert [out[i] for i in range(1, 10)] == ["low"] * 3 + ["mid"] * 3 + ["high"] * 3
+    # group b is judged against its own cuts, not group a's
+    assert out[100] == "low" and out[102] == "high"
