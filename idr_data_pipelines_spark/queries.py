@@ -1758,6 +1758,46 @@ def q_evt_cdc_upsert_stream(spark, sf_dir):
     return out
 
 
+def q_evt_dedup_stream_index(spark, sf_dir):
+    """Streaming exact dedup against a persistent fingerprint index,
+    run as a REAL multi-batch stream: pre-fingerprinted documents
+    staged as 4 files, drained 2 per micro-batch (>= 2 genuine
+    batches), each batch merging first-wins-per-fingerprint over
+    (index + batch). min(id) is associative, so the final survivor
+    set equals the one-shot batch dedup whatever the batching — which
+    is exactly what the oracle checks."""
+    import os
+    import shutil
+
+    from idr_data_pipelines_spark.llmdata.text import fingerprint
+    from idr_data_pipelines_spark.streaming.events import dedup_stream_index_drain
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "source", "lang", "n_chars", fingerprint("text").alias("fp"))
+    )
+    base = tempfile.mkdtemp(prefix="idr_dedup_idx_")
+    inbox, ckpt, state = f"{base}/in", f"{base}/ckpt", f"{base}/state"
+    docs.repartition(4).write.mode("overwrite").parquet(inbox)
+    for f in os.listdir(inbox):  # the stream source lists data files only
+        if not f.endswith(".parquet"):
+            os.remove(os.path.join(inbox, f))
+    out = dedup_stream_index_drain(
+        spark,
+        inbox,
+        docs.schema,
+        ckpt,
+        state,
+        fp_col="fp",
+        id_col="doc_id",
+        max_files_per_trigger=2,
+    )
+    out = out.localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
 def q_evt_topk_stream(spark, sf_dir):
     """Streaming heavy hitters run as a REAL multi-batch stream: events
     staged as 4 files, drained 2 per micro-batch (≥2 genuine batches),
@@ -3902,6 +3942,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_weighted_k": q_sample_weighted_k,
     "dedup_winnow_pairs": q_dedup_winnow_pairs,
     "quality_buckets": q_quality_buckets,
+    "evt_dedup_stream_index": q_evt_dedup_stream_index,
     "emb_random_project": q_emb_random_project,
     # -- NO_ORACLE members: rows-only by design (hash/approx ops with
     # no portable SQL equivalent; bounds pinned in pytest). NEVER
@@ -6324,6 +6365,19 @@ ORACLES: dict[str, str] = {
                     WHEN d.n_chars <= thr.p2 THEN 'mid'
                     ELSE 'high' END AS bucket
         FROM documents d JOIN thr USING (source)
+    """,
+    # streamed first-wins dedup == one-shot batch min-id dedup (the
+    # merge is associative); fp = md5 of normalized text
+    "evt_dedup_stream_index": """
+        SELECT doc_id, source, lang, n_chars, fp FROM (
+            SELECT doc_id, source, lang, n_chars,
+                   md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                       ORDER BY doc_id
+                   ) AS rn
+            FROM documents WHERE text IS NOT NULL
+        ) WHERE rn = 1
     """,
 }
 

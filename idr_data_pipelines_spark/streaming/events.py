@@ -636,6 +636,7 @@ def cdc_upsert_drain(
     key_cols: list[str],
     order_cols: list[str],
     max_files_per_trigger: int | None = None,
+    ascending: bool = False,
 ) -> "DataFrame":
     """Streaming CDC → dimension maintenance: drain all available
     update files and maintain a latest-per-key dimension at
@@ -664,9 +665,12 @@ def cdc_upsert_drain(
     from pyspark.sql import Window
 
     def _latest(df: DataFrame) -> DataFrame:
-        w = Window.partitionBy(*key_cols).orderBy(
-            *[F.col(c).desc() for c in order_cols]
+        order = (
+            [F.col(c).asc() for c in order_cols]
+            if ascending
+            else [F.col(c).desc() for c in order_cols]
         )
+        w = Window.partitionBy(*key_cols).orderBy(*order)
         return (
             df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
@@ -963,3 +967,38 @@ def distinct_stream_drain_md5(
     if state is None:  # zero-message inbox
         state = spark.createDataFrame([], state_schema)
     return state
+
+
+def dedup_stream_index_drain(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    checkpoint_dir: str,
+    state_dir: str,
+    fp_col: str = "fp",
+    id_col: str = "doc_id",
+    max_files_per_trigger: int | None = None,
+) -> "DataFrame":
+    """Streaming exact dedup against a PERSISTENT survivor index —
+    the streaming twin of ``llmdata.dedup.dedup_incremental``: each
+    micro-batch of (pre-fingerprinted) documents merges
+    first-wins-per-fingerprint over (index ∪ batch), and the surviving
+    rows ARE the index (versioned two-phase state commits, replay
+    idempotent). ``min(id)`` is associative and commutative, so the
+    final survivor set equals the one-shot batch
+    ``row_number() OVER (PARTITION BY fp ORDER BY id) = 1`` answer
+    regardless of how ingestion was batched — which is exactly what
+    the oracle checks. At production scale the state generalizes to a
+    bucketed-by-``fp`` table (sinks.sink_table_bucketed) so each batch
+    merge shuffles only the batch."""
+    return cdc_upsert_drain(
+        spark,
+        path,
+        schema,
+        checkpoint_dir,
+        state_dir,
+        key_cols=[fp_col],
+        order_cols=[id_col],
+        max_files_per_trigger=max_files_per_trigger,
+        ascending=True,
+    )

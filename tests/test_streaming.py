@@ -693,3 +693,41 @@ def test_distinct_stream_md5_matches_batch_registers_exactly(spark, sf_dir, tmp_
     for et, n in exact.items():
         est = hll_estimate_from_registers(regs[et], b=6)
         assert abs(est - n) / n < 0.45, (et, est, n)  # m=64 → ~13% sigma
+
+
+def test_dedup_stream_index_first_wins_across_batches(spark, tmp_path):
+    """A fingerprint seen in an early batch must block later-batch
+    duplicates, and the survivor must be the global min id — identical
+    to the one-shot batch dedup regardless of batching."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from idr_data_pipelines_spark.llmdata.text import fingerprint
+    from idr_data_pipelines_spark.streaming.events import dedup_stream_index_drain
+
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "ALPHA   beta gamma"),   # same normalized fp as 1
+        (3, "something else"),
+        (4, "alpha beta gamma"),     # dup of 1 again
+        (5, "yet another text"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"]).select(
+        "doc_id", fingerprint("text").alias("fp")
+    )
+    inbox = str(tmp_path / "in")
+    docs.repartition(4).write.mode("overwrite").parquet(inbox)
+    for f in os.listdir(inbox):
+        if not f.endswith(".parquet"):
+            os.remove(os.path.join(inbox, f))
+    out = dedup_stream_index_drain(
+        spark,
+        inbox,
+        docs.schema,
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "state"),
+        max_files_per_trigger=1,  # one file per micro-batch: 4 batches
+    )
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == {1, 3, 5}
