@@ -441,3 +441,17 @@ def test_round6_bloom_sampling_projection_plan_shapes(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert _n_shuffles(plan) <= 2, plan
+
+
+def test_plan_linter_sweep_round6_queries(spark, sf_dir):
+    """No fatal scale finding in any round-6 addition's plan."""
+    from idr_data_pipelines_spark.plans import assert_scalable
+
+    for name in (
+        "emb_kmeans_step", "emb_semdedup", "sample_exact_k",
+        "sample_kfold", "text_bpe_pairs", "text_shared_ngrams",
+        "decontaminate_bloom", "sample_topk_per_group",
+        "emb_random_project", "sample_weighted_k",
+        "dedup_winnow_pairs", "quality_buckets",
+    ):
+        assert_scalable(QUERIES[name](spark, sf_dir), max_shuffles=12)
