@@ -36,6 +36,10 @@ from idr_data_pipelines_spark.operators.joins import (
     join_salted_hot_keys,
     join_semi,
 )
+from idr_data_pipelines_spark.operators.layout import (
+    write_zordered,
+    zorder_value,
+)
 from idr_data_pipelines_spark.operators.aggregate import (
     agg_cube,
     agg_groupby_max_all,
@@ -46,6 +50,8 @@ from idr_data_pipelines_spark.operators.aggregate import (
 )
 
 __all__ = [
+    "write_zordered",
+    "zorder_value",
     "dedup_distinct",
     "dedup_groupby_max",
     "dedup_latest_per_key",

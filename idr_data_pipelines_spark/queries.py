@@ -3688,6 +3688,24 @@ def q_emb_random_project(spark, sf_dir):
     return random_project(emb, d_in=64, d_out=8).select("vec_id", "proj")
 
 
+def q_layout_zorder(spark, sf_dir):
+    """Z-order (Morton) clustering value for the orders fact on
+    (customer, order-day) — the multi-dimensional layout key behind
+    lakehouse OPTIMIZE ZORDER: range-writing on this value gives BOTH
+    dimensions file-level min/max locality, so scans filtered on
+    either prune most files (write_zordered does the write; a pytest
+    proves the per-file locality). Pure integer bit arithmetic,
+    bit-exact against the SQL oracle."""
+    from idr_data_pipelines_spark.operators.layout import zorder_value
+
+    orders = _t(spark, sf_dir, "orders")
+    x = F.pmod(F.col("o_custkey"), F.lit(65536))
+    y = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
+    return orders.select(
+        "o_orderkey", zorder_value([x, y], bits=16).alias("zval")
+    )
+
+
 # ===================================================================
 # flagship: the MMD-shaped end-to-end chain (SURVEY §7.4)
 # ===================================================================
@@ -3943,6 +3961,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_winnow_pairs": q_dedup_winnow_pairs,
     "quality_buckets": q_quality_buckets,
     "evt_dedup_stream_index": q_evt_dedup_stream_index,
+    "layout_zorder": q_layout_zorder,
     "emb_random_project": q_emb_random_project,
     # -- NO_ORACLE members: rows-only by design (hash/approx ops with
     # no portable SQL equivalent; bounds pinned in pytest). NEVER
@@ -4002,6 +4021,17 @@ def _rp_proj_sql(col: str, d_in: int = 64, d_out: int = 8, seed: int = 1337) -> 
             f"i -> CAST({col}[i] AS DOUBLE) * ({coeffs})[i])), (a, b) -> a + b)"
         )
     return "[" + ", ".join(comps) + "]"
+
+
+def _zorder_sql(xcol: str, ycol: str, bits: int = 16) -> str:
+    """DuckDB replay of operators.layout.zorder_value for two columns:
+    the same unrolled shift/mask/sum integer arithmetic (exact in both
+    engines)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xcol} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ycol} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
 
 
 def _cm_bucket_sql(col: str, d: int, width: int) -> str:
@@ -6378,6 +6408,12 @@ ORACLES: dict[str, str] = {
                    ) AS rn
             FROM documents WHERE text IS NOT NULL
         ) WHERE rn = 1
+    """,
+    "layout_zorder": f"""
+        SELECT o_orderkey,
+               {_zorder_sql("(o_custkey % 65536)",
+                            "date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))")} AS zval
+        FROM orders
     """,
 }
 

@@ -185,3 +185,59 @@ def test_bucketed_fingerprint_index_probe_no_index_exchange(spark, tmp_path):
     got = {r["doc_id"] for r in out.collect()}
     assert got == set(range(500, 600))
     spark.sql("DROP TABLE IF EXISTS fp_index")
+
+
+def test_write_zordered_gives_multi_dim_file_locality(spark, sf_dir, tmp_path):
+    """Each z-ordered output file must cover a narrow hyper-rectangle:
+    the mean per-file span of BOTH interleaved dimensions stays well
+    under the global span (random layout would give ~full span per
+    file on at least one dimension)."""
+    from pyspark.sql import functions as F
+
+    from idr_data_pipelines_spark.operators.layout import (
+        minmax_scale_bits,
+        write_zordered,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("ck"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ).alias("d"),
+    )
+    lo_hi = orders.agg(
+        F.min("ck"), F.max("ck"), F.min("d"), F.max("d")
+    ).collect()[0]
+    out = str(tmp_path / "zord")
+    # dimensions scaled to the same bit width before interleaving —
+    # unscaled, the wider dimension owns every high Morton bit and
+    # the narrow one gets no locality (see minmax_scale_bits)
+    write_zordered(
+        orders,
+        out,
+        [
+            minmax_scale_bits(F.col("ck"), lo_hi[0], lo_hi[1], bits=12),
+            minmax_scale_bits(F.col("d"), lo_hi[2], lo_hi[3], bits=12),
+        ],
+        n_files=16,  # 4 high Morton bits -> 2 per dimension -> each
+        # dim splits ~4 ways (expected ~25-30% span per file)
+    )
+    per_file = (
+        spark.read.parquet(out)
+        .withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(
+            (F.max("ck") - F.min("ck")).alias("ck_span"),
+            (F.max("d") - F.min("d")).alias("d_span"),
+        )
+        .agg(F.avg("ck_span").alias("ck"), F.avg("d_span").alias("d"))
+        .collect()[0]
+    )
+    g = orders.agg(
+        (F.max("ck") - F.min("ck")).alias("ck"),
+        (F.max("d") - F.min("d")).alias("d"),
+    ).collect()[0]
+    # both dimensions localize: mean per-file span < 45% of global
+    assert per_file["ck"] < 0.45 * g["ck"], (per_file, g)
+    assert per_file["d"] < 0.45 * g["d"], (per_file, g)
