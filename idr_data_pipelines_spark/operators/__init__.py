@@ -31,6 +31,7 @@ from idr_data_pipelines_spark.operators.joins import (
     join_anti,
     join_on_keys,
     join_asof,
+    join_bloom_prefilter,
     join_range,
     join_salted,
     join_salted_hot_keys,
@@ -64,6 +65,7 @@ __all__ = [
     "join_inner_dim_cast",
     "join_left_fact",
     "join_anti",
+    "join_bloom_prefilter",
     "join_on_keys",
     "join_asof",
     "join_fuzzy_blocked",

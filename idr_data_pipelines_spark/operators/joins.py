@@ -20,6 +20,8 @@ Physical strategy:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -381,3 +383,60 @@ def join_fuzzy_blocked(
         .withColumn(dist_col, d)
         .filter((F.col(dist_col) >= 0) & (F.col(dist_col) <= max_distance))
     )
+
+
+def join_bloom_prefilter(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_bits: int = 1 << 22,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Inner equi-join with a Bloom-filter prune of the fact side —
+    the shape for a SELECTIVE join whose build side is too large to
+    broadcast as rows but whose key SET fits a bitmap: without it,
+    a sort-merge join shuffles the full fact table only to drop most
+    of it at the join; with it, non-matching fact rows die in the map
+    stage before their shuffle (at 100 TB that is the shuffle). The
+    bitmap has no false negatives, so the join result is IDENTICAL to
+    the plain inner join — the hand-rolled, engine-portable form of
+    Spark's runtime row-level bloom filtering, usable where that
+    doesn't trigger (non-AQE plans, externally-built key sets, or a
+    reusable filter across many queries).
+
+    The probe is one Arrow-batched vectorized Python stage (bitmap
+    membership has no built-in); the exact join then verifies the
+    survivors, exactly as in decontaminate_bloom."""
+    from pyspark.sql.functions import pandas_udf
+
+    from idr_data_pipelines_spark.llmdata.decontaminate import (
+        bloom_bitmap,
+        bloom_positions,
+    )
+
+    keys = dim.select(F.col(dim_key).cast("string").alias("ngram")).distinct()
+    bm = bloom_bitmap(keys, "ngram", n_bits, n_hashes)
+    bbm = fact.sparkSession.sparkContext.broadcast(bm)
+
+    @pandas_udf("boolean")
+    def might_match(pos: pd.Series) -> pd.Series:
+        m = bbm.value
+        out = np.zeros(len(pos), dtype=bool)
+        ok = pos.notna().to_numpy()
+        if ok.any():
+            P = np.stack(pos[ok].to_numpy()).astype(np.float64)
+            good = np.isfinite(P).all(axis=1)
+            res = np.zeros(P.shape[0], dtype=bool)
+            if good.any():
+                Pi = P[good].astype(np.int64)
+                res[good] = ((m[Pi >> 3] >> (Pi & 7)) & 1).all(axis=1)
+            out[ok] = res
+        return pd.Series(out)
+
+    pruned = fact.filter(
+        might_match(
+            bloom_positions(F.col(fact_key).cast("string"), n_bits, n_hashes)
+        )
+    )
+    return pruned.join(dim, pruned[fact_key] == dim[dim_key])

@@ -3688,6 +3688,25 @@ def q_emb_random_project(spark, sf_dir):
     return random_project(emb, d_in=64, d_out=8).select("vec_id", "proj")
 
 
+def q_join_bloom(spark, sf_dir):
+    """Bloom-prefiltered selective join: orders joined to the rich
+    customers (c_acctbal > 9000, ~10% of the dim) — the fact side is
+    bitmap-pruned in its map stage BEFORE any shuffle (no false
+    negatives, so the result is identical to the plain inner join,
+    which is the oracle). The pattern for dims too big to broadcast
+    as rows but whose key set fits a 2^22-bit bitmap."""
+    from idr_data_pipelines_spark.operators.joins import join_bloom_prefilter
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    rich = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000).select(
+        "c_custkey", "c_name"
+    )
+    out = join_bloom_prefilter(orders, rich, "o_custkey", "c_custkey")
+    return out.select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
+
+
 def q_layout_zorder(spark, sf_dir):
     """Z-order (Morton) clustering value for the orders fact on
     (customer, order-day) — the multi-dimensional layout key behind
@@ -3962,6 +3981,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_buckets": q_quality_buckets,
     "evt_dedup_stream_index": q_evt_dedup_stream_index,
     "layout_zorder": q_layout_zorder,
+    "join_bloom": q_join_bloom,
     "emb_random_project": q_emb_random_project,
     # -- NO_ORACLE members: rows-only by design (hash/approx ops with
     # no portable SQL equivalent; bounds pinned in pytest). NEVER
@@ -6414,6 +6434,12 @@ ORACLES: dict[str, str] = {
                {_zorder_sql("(o_custkey % 65536)",
                             "date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))")} AS zval
         FROM orders
+    """,
+    # bloom prune has no false negatives -> identical to the plain join
+    "join_bloom": """
+        SELECT o.o_orderkey, o.o_custkey, c.c_name, o.o_totalprice
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_acctbal > 9000
     """,
 }
 

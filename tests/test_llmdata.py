@@ -1367,3 +1367,24 @@ def test_score_buckets_per_group_terciles(spark):
     assert [out[i] for i in range(1, 10)] == ["low"] * 3 + ["mid"] * 3 + ["high"] * 3
     # group b is judged against its own cuts, not group a's
     assert out[100] == "low" and out[102] == "high"
+
+
+def test_join_bloom_prefilter_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from idr_data_pipelines_spark.operators.joins import join_bloom_prefilter
+
+    fact = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    dim = spark.range(0, 1000, 37).select(
+        F.col("id").alias("dk"), F.lit("d").alias("tag")
+    )
+    got = sorted(
+        (r["k"], r["tag"]) for r in join_bloom_prefilter(fact, dim, "k", "dk").collect()
+    )
+    want = sorted(
+        (r["k"], r["tag"])
+        for r in fact.join(dim, fact.k == dim.dk).collect()
+    )
+    assert got == want and len(got) == 28

@@ -455,3 +455,15 @@ def test_plan_linter_sweep_round6_queries(spark, sf_dir):
         "dedup_winnow_pairs", "quality_buckets",
     ):
         assert_scalable(QUERIES[name](spark, sf_dir), max_shuffles=12)
+
+
+def test_join_bloom_prunes_before_shuffle(spark, sf_dir):
+    """The bloom probe must sit in the fact's MAP stage (one Arrow
+    stage, before any exchange of fact rows) and the verify join must
+    not be a cartesian."""
+    plan = _plan(QUERIES["join_bloom"](spark, sf_dir))
+    # 1 probe on the fact map stage; Catalyst's equi-join constraint
+    # propagation may mirror it onto the dim side (harmless no-op
+    # there) — so 1 or 2, never 0, and always before the join
+    assert 1 <= plan.count("ArrowEvalPython") <= 2, plan
+    assert "CartesianProduct" not in plan, plan
