@@ -489,3 +489,69 @@ def sample_weighted_k(
         .limit(k)
         .drop("__es")
     )
+
+
+def pack_sequences_bestfit(
+    df: DataFrame,
+    token_col: str,
+    id_col: str,
+    max_tokens: int,
+    shard_col: str | None = None,
+    pack_id_col: str = "pack_id",
+) -> DataFrame:
+    """WHOLE-document bin packing, best-fit-decreasing: unlike
+    ``pack_sequences`` (contiguous GPT-style packing that splits
+    documents at window cuts), every document lands intact in exactly
+    one pack of capacity ``max_tokens`` — the packing used when
+    truncating/straddling is unacceptable (instruction tuning,
+    long-context eval sets). BFD is the classic 11/9·OPT+1 heuristic:
+    sort docs by token count descending (ties: id ascending), place
+    each into the fullest pack that still fits, else open a new pack.
+    Documents longer than ``max_tokens`` get a pack of their own.
+
+    Runs per shard via ``applyInPandas`` (bin packing is inherently
+    sequential — there is no SQL form, which is also why this operator
+    is rows-only for the oracle harness; its invariants are pinned in
+    pytest instead). Deterministic for a given shard's contents
+    regardless of partitioning, since the whole shard is one group.
+    Shards bound the sequential work; ``shard_col=None`` packs
+    globally in ONE task — fine for a curated eval set, a deliberate
+    error at corpus scale (shard first)."""
+    import bisect
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(pack_id_col, LongType())]
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            [token_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        rem: list[tuple[int, int]] = []  # sorted (remaining, pack_id)
+        next_pid = 0
+        pids = []
+        for t in pdf[token_col].astype("int64"):
+            t = int(t)
+            # best fit: smallest remaining >= t
+            i = bisect.bisect_left(rem, (t, -1))
+            if i < len(rem):
+                r, pid = rem.pop(i)
+                if r - t > 0:
+                    bisect.insort(rem, (r - t, pid))
+            else:
+                pid = next_pid
+                next_pid += 1
+                if max_tokens - t > 0:
+                    bisect.insort(rem, (max_tokens - t, pid))
+            pids.append(pid)
+        pdf[pack_id_col] = pd.Series(pids, dtype="int64")
+        return pdf
+
+    grouped = df.groupBy(shard_col) if shard_col else df.groupBy()
+    return grouped.applyInPandas(pack, out_schema)

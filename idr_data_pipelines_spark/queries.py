@@ -3639,6 +3639,26 @@ def q_quality_buckets(spark, sf_dir):
     return out.select("doc_id", "source", "n_chars", "bucket")
 
 
+def q_pack_bestfit(spark, sf_dir):
+    """Whole-document best-fit-decreasing packing per source (capacity
+    1024 estimated tokens). Bin packing is inherently sequential — no
+    SQL form exists, so this entry is rows-only by design; its
+    invariants (capacity, determinism, fill bound, oversized-doc
+    isolation) are pinned in tests/test_llmdata.py."""
+    from idr_data_pipelines_spark.llmdata.sampling import pack_sequences_bestfit
+    from idr_data_pipelines_spark.llmdata.text import token_count
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "source", token_count("text").alias("n_tok"))
+    )
+    out = pack_sequences_bestfit(
+        docs, "n_tok", "doc_id", max_tokens=1024, shard_col="source"
+    )
+    return out.select("doc_id", "source", "n_tok", "pack_id")
+
+
 def q_decontaminate_bloom(spark, sf_dir):
     """Bloom-prefiltered benchmark decontamination — the shape for a
     benchmark n-gram set too big to broadcast as strings: corpus
@@ -3996,6 +4016,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_quantiles": q_sketch_quantiles,
     "sketch_topk_mg": q_sketch_topk_mg,
     "text_winnow_fingerprint": q_text_winnow_fingerprint,
+    "pack_bestfit": q_pack_bestfit,
 }
 
 
@@ -6477,5 +6498,8 @@ NO_ORACLE: frozenset[str] = frozenset(
         # the md5-register twin (evt_distinct_stream_md5) carries the
         # full value-hash oracle
         "evt_distinct_stream",
+        # bin packing is a sequential greedy — no SQL form; capacity /
+        # determinism / fill invariants pinned in pytest
+        "pack_bestfit",
     }
 )

@@ -1388,3 +1388,41 @@ def test_join_bloom_prefilter_equals_plain_join(spark):
         for r in fact.join(dim, fact.k == dim.dk).collect()
     )
     assert got == want and len(got) == 28
+
+
+def test_pack_bestfit_invariants(spark):
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from idr_data_pipelines_spark.llmdata.sampling import pack_sequences_bestfit
+
+    rows = [(i, (i * 37) % 900 + 50, f"s{i % 2}") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok", "shard"])
+    out = pack_sequences_bestfit(
+        df, "n_tok", "doc_id", max_tokens=1024, shard_col="shard"
+    ).collect()
+    # every doc packed exactly once, capacity respected per pack
+    assert len(out) == 200
+    loads = defaultdict(int)
+    for r in out:
+        loads[(r["shard"], r["pack_id"])] += r["n_tok"]
+    assert all(v <= 1024 for v in loads.values())
+    # BFD fill beats the trivial one-doc-per-pack floor decisively
+    total = sum(r[1] for r in rows)
+    assert len(loads) <= total // 1024 * 2  # within 2x of the LB
+    # deterministic under repartitioning (whole shard = one group)
+    out2 = pack_sequences_bestfit(
+        df.repartition(13), "n_tok", "doc_id", max_tokens=1024, shard_col="shard"
+    ).collect()
+    assert sorted((r["doc_id"], r["pack_id"]) for r in out) == sorted(
+        (r["doc_id"], r["pack_id"]) for r in out2
+    )
+    # oversized docs get their own pack, others still fit
+    big = spark.createDataFrame(
+        [(1, 5000, "a"), (2, 100, "a"), (3, 100, "a")], ["doc_id", "n_tok", "shard"]
+    )
+    b = {r["doc_id"]: r["pack_id"] for r in pack_sequences_bestfit(
+        big, "n_tok", "doc_id", max_tokens=1024, shard_col="shard"
+    ).collect()}
+    assert b[1] not in (b[2], b[3]) and b[2] == b[3]
