@@ -103,9 +103,21 @@ def spread_small_scan(df: DataFrame, min_partitions: int | None = None) -> DataF
     scan already has that many splits, so on a real multi-file corpus
     it never fires and never costs a shuffle. The repartition moves
     the raw rows BEFORE the expensive projections run, so the shuffle
-    is of input bytes, not of computed features."""
-    sc = df.sparkSession.sparkContext
-    target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    is of input bytes, not of computed features.
+
+    On classic PySpark the current split count comes from
+    ``df.rdd.getNumPartitions()`` (plan-only, no job); Spark Connect
+    has no RDD surface, so there we conservatively repartition —
+    an always-no-op guard would silently lose the protection."""
+    try:
+        sc = df.sparkSession.sparkContext
+        target = min_partitions or sc.defaultParallelism
+        current = df.rdd.getNumPartitions()
+    except Exception:  # Spark Connect: no sparkContext / .rdd
+        n = min_partitions or int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        return df.repartition(n)
+    if current >= target:
         return df
     return df.repartition(target)
