@@ -2200,6 +2200,41 @@ def q_q10_returned_items(spark, sf_dir):
     )
 
 
+def q_q9_product_profit(spark, sf_dir):
+    """Product-type profit rollup (TPC-H Q9 shape, adapted: the
+    synthetic schema has no partsupp, so profit is
+    extendedprice·(1−discount) without the supplycost term): revenue
+    from parts whose name contains 'bolt', by supplier nation and
+    order year. Plan: part filter pushed to the scan, part/supplier/
+    nation dims broadcast, orders joined on the fact key — one
+    shuffle for the final (nation, year) rollup; exact cent sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("bolt")
+    ).select("p_partkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    cents = F.round(
+        F.col("l_extendedprice") * 100 * (F.lit(1.0) - F.col("l_discount"))
+    ).cast("long")
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    return (
+        j.select(
+            F.col("n_name").alias("nation"),
+            F.year(F.col("o_orderdate").cast("date")).alias("o_year"),
+            cents.alias("c"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("c").alias("profit_cents"))
+    )
+
+
 def q_q13_order_count_distribution(spark, sf_dir):
     """Distribution-of-counts (TPC-H Q13 shape): how many customers
     placed N non-urgent orders, including zero (LEFT OUTER join keeps
@@ -4002,6 +4037,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "evt_dedup_stream_index": q_evt_dedup_stream_index,
     "layout_zorder": q_layout_zorder,
     "join_bloom": q_join_bloom,
+    "q9_product_profit": q_q9_product_profit,
     "emb_random_project": q_emb_random_project,
     # -- NO_ORACLE members: rows-only by design (hash/approx ops with
     # no portable SQL equivalent; bounds pinned in pytest). NEVER
@@ -6461,6 +6497,17 @@ ORACLES: dict[str, str] = {
         SELECT o.o_orderkey, o.o_custkey, c.c_name, o.o_totalprice
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         WHERE c.c_acctbal > 9000
+    """,
+    "q9_product_profit": """
+        SELECT n.n_name AS nation,
+               CAST(EXTRACT(year FROM CAST(o.o_orderdate AS DATE)) AS INT) AS o_year,
+               SUM(CAST(ROUND(l.l_extendedprice * 100 * (1.0 - l.l_discount)) AS BIGINT)) AS profit_cents
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%bolt%'
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
     """,
 }
 
