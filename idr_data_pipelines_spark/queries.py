@@ -2200,6 +2200,17 @@ def q_q10_returned_items(spark, sf_dir):
     )
 
 
+def q_evt_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over event types (counts +
+    row-normalized probabilities; ties on ts break on event_id so the
+    sequence is deterministic). One user-key window + one bounded
+    |types|² aggregate; exact int/int probability division."""
+    from idr_data_pipelines_spark.streaming.events import event_transitions
+
+    ev = _events(spark, sf_dir)
+    return event_transitions(ev)
+
+
 def q_q9_product_profit(spark, sf_dir):
     """Product-type profit rollup (TPC-H Q9 shape, adapted: the
     synthetic schema has no partsupp, so profit is
@@ -4038,6 +4049,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "layout_zorder": q_layout_zorder,
     "join_bloom": q_join_bloom,
     "q9_product_profit": q_q9_product_profit,
+    "evt_transitions": q_evt_transitions,
     "emb_random_project": q_emb_random_project,
     # -- NO_ORACLE members: rows-only by design (hash/approx ops with
     # no portable SQL equivalent; bounds pinned in pytest). NEVER
@@ -6508,6 +6520,21 @@ ORACLES: dict[str, str] = {
         JOIN nation n ON s.s_nationkey = n.n_nationkey
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         GROUP BY 1, 2
+    """,
+    "evt_transitions": """
+        WITH seq AS (
+            SELECT event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS to_type
+            FROM events
+        ), c AS (
+            SELECT event_type AS from_type, to_type, COUNT(*) AS n
+            FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, n,
+               CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
+        FROM c
     """,
 }
 

@@ -1002,3 +1002,40 @@ def dedup_stream_index_drain(
         max_files_per_trigger=max_files_per_trigger,
         ascending=True,
     )
+
+
+def event_transitions(
+    events: "DataFrame",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> "DataFrame":
+    """First-order Markov transition matrix over event types: for each
+    (from_type, to_type) pair, the count of consecutive occurrences
+    within a user's timeline and the row-normalized transition
+    probability — the behavioral-model / anomaly-baseline primitive.
+    Ordering ties on ``ts_col`` break on ``id_col`` so the sequence —
+    and therefore the counts — are deterministic.
+
+    Scale shape: one user-key shuffle for the ``lead`` window, one
+    counting aggregate whose output is bounded at |event types|² rows
+    regardless of corpus size; the probability is an exact int/int
+    division over a window on that tiny frame."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.withColumn("__to", F.lead(type_col).over(w))
+        .filter(F.col("__to").isNotNull())
+        .select(
+            F.col(type_col).alias("from_type"), F.col("__to").alias("to_type")
+        )
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row = Window.partitionBy("from_type")
+    return counts.withColumn(
+        "prob", F.col("n").cast("double") / F.sum("n").over(row).cast("double")
+    )

@@ -731,3 +731,26 @@ def test_dedup_stream_index_first_wins_across_batches(spark, tmp_path):
     )
     got = {r["doc_id"] for r in out.collect()}
     assert got == {1, 3, 5}
+
+
+def test_event_transitions_counts_and_probs(spark):
+    from datetime import datetime
+
+    from idr_data_pipelines_spark.streaming.events import event_transitions
+
+    t = datetime(2024, 1, 1)
+    rows = [
+        # user 1: a -> b -> a -> b   user 2: b -> b
+        (1, 1, "a", t), (2, 1, "b", t.replace(minute=1)),
+        (3, 1, "a", t.replace(minute=2)), (4, 1, "b", t.replace(minute=3)),
+        (5, 2, "b", t), (6, 2, "b", t.replace(minute=1)),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "event_type", "ts"])
+    got = {
+        (r["from_type"], r["to_type"]): (r["n"], r["prob"])
+        for r in event_transitions(ev).collect()
+    }
+    assert got[("a", "b")] == (2, 1.0)
+    assert got[("b", "a")] == (1, 0.5)
+    assert got[("b", "b")] == (1, 0.5)
+    assert ("b", None) not in got and len(got) == 3
