@@ -2211,6 +2211,34 @@ def q_evt_transitions(spark, sf_dir):
     return event_transitions(ev)
 
 
+def q_evt_user_perplexity(spark, sf_dir):
+    """Behavioral perplexity: each user's event sequence scored under
+    the corpus's OWN first-order transition model — mean -log2
+    transition probability over the user's consecutive event pairs
+    (the event-stream analogue of text_perplexity_unigram; high =
+    atypical behavior, the anomaly-detection baseline). The |types|²
+    model broadcasts; one user-key window + one user rollup. Rounded
+    to 6 decimals (libm log2 ulp + mean summation order)."""
+    from idr_data_pipelines_spark.streaming.events import event_transitions
+
+    ev = _events(spark, sf_dir)
+    model = event_transitions(ev).select("from_type", "to_type", "prob")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("__to", F.lead("event_type").over(w))
+        .filter(F.col("__to").isNotNull())
+        .select("user_id", F.col("event_type").alias("from_type"), F.col("__to").alias("to_type"))
+    )
+    scored = pairs.join(F.broadcast(model), ["from_type", "to_type"])
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.round(F.avg(-F.log2("prob")), 6).alias("mean_neg_log2p"),
+            F.count(F.lit(1)).alias("n_transitions"),
+        )
+    )
+
+
 def q_q9_product_profit(spark, sf_dir):
     """Product-type profit rollup (TPC-H Q9 shape, adapted: the
     synthetic schema has no partsupp, so profit is
@@ -4050,6 +4078,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_bloom": q_join_bloom,
     "q9_product_profit": q_q9_product_profit,
     "evt_transitions": q_evt_transitions,
+    "evt_user_perplexity": q_evt_user_perplexity,
     "emb_random_project": q_emb_random_project,
     # -- NO_ORACLE members: rows-only by design (hash/approx ops with
     # no portable SQL equivalent; bounds pinned in pytest). NEVER
@@ -6535,6 +6564,30 @@ ORACLES: dict[str, str] = {
         SELECT from_type, to_type, n,
                CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
         FROM c
+    """,
+    "evt_user_perplexity": """
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS to_type
+            FROM events
+        ), pairs AS (
+            SELECT user_id, event_type AS from_type, to_type
+            FROM seq WHERE to_type IS NOT NULL
+        ), c AS (
+            SELECT from_type, to_type, COUNT(*) AS n
+            FROM pairs GROUP BY 1, 2
+        ), model AS (
+            SELECT from_type, to_type,
+                   CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
+            FROM c
+        )
+        SELECT p.user_id,
+               ROUND(AVG(-log2(m.prob)), 6) AS mean_neg_log2p,
+               COUNT(*) AS n_transitions
+        FROM pairs p JOIN model m USING (from_type, to_type)
+        GROUP BY p.user_id
     """,
 }
 
