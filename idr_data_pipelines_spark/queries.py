@@ -2211,6 +2211,32 @@ def q_evt_transitions(spark, sf_dir):
     return event_transitions(ev)
 
 
+def q_src_text_lines(spark, sf_dir):
+    """src_text_lines: plain-text one-document-per-line roundtrip (the
+    rawest corpus exchange format). Stages the newline-free documents
+    corpus as text files keyed inline (id<TAB>text), reads back with
+    spark.read.text and re-splits; the oracle replays the projection
+    off parquet, so the value hash checks the whole write->parse
+    roundtrip."""
+    from idr_data_pipelines_spark.sources.text_formats import (
+        read_text_lines,
+        write_text_lines,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    path = f"{tempfile.mkdtemp(prefix='idr_txt_')}/documents"
+    keyed = docs.select(
+        F.concat(F.col("doc_id").cast("string"), F.lit("\t"), F.col("text")).alias("line")
+    )
+    write_text_lines(keyed, "line", path)
+    out = read_text_lines(spark, path)
+    tab = F.instr(F.col("value"), "\t")
+    return out.select(
+        F.substring_index(F.col("value"), "\t", 1).cast("bigint").alias("doc_id"),
+        F.col("value").substr(tab + 1, F.length("value")).alias("text"),
+    )
+
+
 def q_evt_user_perplexity(spark, sf_dir):
     """Behavioral perplexity: each user's event sequence scored under
     the corpus's OWN first-order transition model — mean -log2
@@ -4079,6 +4105,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q9_product_profit": q_q9_product_profit,
     "evt_transitions": q_evt_transitions,
     "evt_user_perplexity": q_evt_user_perplexity,
+    "src_text_lines": q_src_text_lines,
     "emb_random_project": q_emb_random_project,
     # -- NO_ORACLE members: rows-only by design (hash/approx ops with
     # no portable SQL equivalent; bounds pinned in pytest). NEVER
@@ -6588,6 +6615,9 @@ ORACLES: dict[str, str] = {
                COUNT(*) AS n_transitions
         FROM pairs p JOIN model m USING (from_type, to_type)
         GROUP BY p.user_id
+    """,
+    "src_text_lines": """
+        SELECT doc_id, text FROM documents WHERE text IS NOT NULL
     """,
 }
 

@@ -9,6 +9,8 @@ from idr_data_pipelines_spark.sources.text_formats import (
     read_csv_dir,
     read_csv_all_string,
     read_json_dir,
+    read_text_lines,
+    write_text_lines,
 )
 from idr_data_pipelines_spark.sources.sinks import (
     sink_table_overwrite,
@@ -26,6 +28,8 @@ __all__ = [
     "read_csv_dir",
     "read_csv_all_string",
     "read_json_dir",
+    "read_text_lines",
+    "write_text_lines",
     "sink_table_overwrite",
     "sink_rows_append",
     "compact_parquet_dir",

@@ -30,6 +30,7 @@ explicit schema at scale.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
@@ -138,3 +139,26 @@ def read_json_with_corrupt_routing(
         .option("columnNameOfCorruptRecord", corrupt_col)
         .json(path)
     )
+
+
+def read_text_lines(
+    spark: SparkSession,
+    path: str,
+) -> DataFrame:
+    """Plain-text line source (``spark.read.text``): one ``value``
+    row per line — the rawest corpus format (one document per line,
+    the common crawl-dump/exported-corpus shape). Splittable per line
+    for uncompressed files; at scale prefer many medium files or a
+    splittable codec so the scan parallelizes."""
+    return spark.read.text(path)
+
+
+def write_text_lines(df: DataFrame, col: str, path: str) -> None:
+    """Write a single string column as plain-text lines (one row per
+    line). The column must not contain newlines — Spark's text writer
+    would silently split such a row into multiple lines on read-back;
+    raise-by-construction is the caller's job (filter or escape
+    first)."""
+    df.select(F.col(col).cast("string").alias("value")).write.mode(
+        "overwrite"
+    ).text(path)
