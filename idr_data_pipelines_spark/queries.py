@@ -2265,6 +2265,75 @@ def q_evt_user_perplexity(spark, sf_dir):
     )
 
 
+def q_evt_daily_fill(spark, sf_dir):
+    """Time-series gap fill: each user's DAILY event-count series with
+    explicit zero rows for silent days between their first and last
+    active day — the resample step every per-entity time-series model
+    needs (rolling averages and streak features are wrong on sparse
+    series). One date-sequence explode bounded by the activity span;
+    counts and span share the user-key shuffle; left join fills."""
+    ev = _events(spark, sf_dir)
+    day = F.to_date(F.col("ts"))
+    counts = ev.select("user_id", day.alias("day")).groupBy(
+        "user_id", "day"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    span = counts.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    days = span.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    return (
+        days.join(counts, ["user_id", "day"], "left")
+        .withColumn("n_events", F.coalesce(F.col("n_events"), F.lit(0)))
+    )
+
+
+def q_rfm_segments(spark, sf_dir):
+    """RFM customer segmentation (recency / frequency / monetary
+    terciles → 27 segments): each customer scored 0-2 on days since
+    last order (lower = better), order count and total spend against
+    the corpus's exact tercile cuts — the classic warehouse
+    segmentation, built from one orders rollup + one broadcast of six
+    threshold values. Ties at a cut take the lower bucket in both
+    engines; exact cent sums keep the monetary dimension integral."""
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_date"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("monetary_c"),
+    ).withColumn(
+        "recency_days",
+        F.datediff(F.lit(AS_OF).cast("date"), F.col("last_date")),
+    )
+    cuts = per_cust.agg(
+        *[
+            F.percentile(c, F.lit(q)).alias(f"{c}_{i}")
+            for c in ("recency_days", "frequency", "monetary_c")
+            for i, q in ((1, 1.0 / 3.0), (2, 2.0 / 3.0))
+        ]
+    )
+    j = per_cust.join(F.broadcast(cuts))
+
+    def bucket(c):
+        return (
+            F.when(F.col(c) <= F.col(f"{c}_1"), F.lit(0))
+            .when(F.col(c) <= F.col(f"{c}_2"), F.lit(1))
+            .otherwise(F.lit(2))
+        )
+
+    return j.select(
+        F.col("o_custkey").alias("customer_id"),
+        "recency_days",
+        "frequency",
+        "monetary_c",
+        # recency: LOW days = best -> invert so 2 = best everywhere
+        (F.lit(2) - bucket("recency_days")).alias("r_score"),
+        bucket("frequency").alias("f_score"),
+        bucket("monetary_c").alias("m_score"),
+    )
+
+
 def q_q9_product_profit(spark, sf_dir):
     """Product-type profit rollup (TPC-H Q9 shape, adapted: the
     synthetic schema has no partsupp, so profit is
@@ -4106,6 +4175,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "evt_transitions": q_evt_transitions,
     "evt_user_perplexity": q_evt_user_perplexity,
     "src_text_lines": q_src_text_lines,
+    "rfm_segments": q_rfm_segments,
+    "evt_daily_fill": q_evt_daily_fill,
     "emb_random_project": q_emb_random_project,
     # -- NO_ORACLE members: rows-only by design (hash/approx ops with
     # no portable SQL equivalent; bounds pinned in pytest). NEVER
@@ -6618,6 +6689,48 @@ ORACLES: dict[str, str] = {
     """,
     "src_text_lines": """
         SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+    """,
+    "rfm_segments": """
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   date_diff('day', MAX(CAST(o_orderdate AS DATE)), DATE '{AS_OF}') AS recency_days,
+                   COUNT(*) AS frequency,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS monetary_c
+            FROM orders GROUP BY o_custkey
+        ), cuts AS (
+            SELECT
+              quantile_cont(CAST(recency_days AS DOUBLE), CAST(1 AS DOUBLE)/CAST(3 AS DOUBLE)) AS r1,
+              quantile_cont(CAST(recency_days AS DOUBLE), CAST(2 AS DOUBLE)/CAST(3 AS DOUBLE)) AS r2,
+              quantile_cont(CAST(frequency AS DOUBLE), CAST(1 AS DOUBLE)/CAST(3 AS DOUBLE)) AS f1,
+              quantile_cont(CAST(frequency AS DOUBLE), CAST(2 AS DOUBLE)/CAST(3 AS DOUBLE)) AS f2,
+              quantile_cont(CAST(monetary_c AS DOUBLE), CAST(1 AS DOUBLE)/CAST(3 AS DOUBLE)) AS m1,
+              quantile_cont(CAST(monetary_c AS DOUBLE), CAST(2 AS DOUBLE)/CAST(3 AS DOUBLE)) AS m2
+            FROM per_cust
+        )
+        SELECT p.o_custkey AS customer_id,
+               CAST(p.recency_days AS INT) AS recency_days,
+               p.frequency, p.monetary_c,
+               CAST(2 - (CASE WHEN p.recency_days <= c.r1 THEN 0
+                              WHEN p.recency_days <= c.r2 THEN 1 ELSE 2 END) AS INT) AS r_score,
+               CASE WHEN p.frequency <= c.f1 THEN 0
+                    WHEN p.frequency <= c.f2 THEN 1 ELSE 2 END AS f_score,
+               CASE WHEN p.monetary_c <= c.m1 THEN 0
+                    WHEN p.monetary_c <= c.m2 THEN 1 ELSE 2 END AS m_score
+        FROM per_cust p CROSS JOIN cuts c
+    """.replace("{AS_OF}", AS_OF),
+    "evt_daily_fill": """
+        WITH counts AS (
+            SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ), span AS (
+            SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+            FROM counts GROUP BY user_id
+        ), days AS (
+            SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+            FROM span
+        )
+        SELECT d.user_id, d.day, COALESCE(c.n_events, 0) AS n_events
+        FROM days d LEFT JOIN counts c USING (user_id, day)
     """,
 }
 
