@@ -2289,6 +2289,28 @@ def q_evt_daily_fill(spark, sf_dir):
     )
 
 
+def q_window_ffill(spark, sf_dir):
+    """Forward fill (last observation carried forward): purchase
+    events carry a value, other events observe the most recent one —
+    ``last(value, ignorenulls=True)`` over an unbounded-preceding
+    user window (ties on ts break on event_id). The standard LOCF
+    imputation for sparse per-entity observations; one user-key
+    shuffle, state bounded by the frame."""
+    ev = _events(spark, sf_dir)
+    sparse = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.last(sparse, ignorenulls=True).over(w), 6).alias("last_purchase_value"),
+    )
+
+
 def q_rfm_segments(spark, sf_dir):
     """RFM customer segmentation (recency / frequency / monetary
     terciles → 27 segments): each customer scored 0-2 on days since
@@ -4177,6 +4199,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "src_text_lines": q_src_text_lines,
     "rfm_segments": q_rfm_segments,
     "evt_daily_fill": q_evt_daily_fill,
+    "window_ffill": q_window_ffill,
     "emb_random_project": q_emb_random_project,
     # -- NO_ORACLE members: rows-only by design (hash/approx ops with
     # no portable SQL equivalent; bounds pinned in pytest). NEVER
@@ -6731,6 +6754,13 @@ ORACLES: dict[str, str] = {
         )
         SELECT d.user_id, d.day, COALESCE(c.n_events, 0) AS n_events
         FROM days d LEFT JOIN counts c USING (user_id, day)
+    """,
+    "window_ffill": """
+        SELECT event_id, user_id, event_type,
+               ROUND(last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING), 6) AS last_purchase_value
+        FROM events
     """,
 }
 
