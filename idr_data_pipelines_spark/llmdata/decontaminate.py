@@ -149,23 +149,61 @@ def bloom_bitmap(
     n_hashes: int = 3,
 ):
     """Build the Bloom bitmap (packed ``numpy.uint8``, ``n_bits/8``
-    bytes) from the benchmark n-gram set. The DISTINCT position set is
-    what crosses to the driver — bounded by ``n_bits`` regardless of
-    benchmark size, which is the whole point: a benchmark whose raw
-    n-gram strings are tens of GB (too big to broadcast) still
-    compresses to a 128 MB bitmap at ``n_bits = 2^30``."""
-    rows = (
+    bytes) from the benchmark n-gram set. Positions are combined into
+    64-bit WORDS cluster-side (``bit_or`` per word index, map-side
+    combined), so what crosses to the driver is one (index, word) row
+    per 64-bit word containing any set bit — ≤ n_bits/64 rows and in
+    practice |positions|/densityϵ far fewer; the raw position set
+    never materializes driver-side. A benchmark whose n-gram strings
+    are tens of GB still compresses to the 128 MB bitmap at
+    ``n_bits = 2^30`` (≤ 16.7M word rows at full saturation — at that
+    density grow n_bits instead). NULL inputs hash to NULL positions
+    and are dropped: a NULL key never matches an exact join."""
+    words = (
         ngrams.select(
             F.explode(bloom_positions(F.col(col), n_bits, n_hashes)).alias("p")
         )
-        .distinct()
+        .filter(F.col("p").isNotNull())
+        .select(
+            F.expr("p >> 6").alias("w"),
+            F.expr("shiftleft(1L, cast(p % 64 AS INT))").alias("b"),
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("bits"))
         .collect()
     )
     bm = np.zeros(n_bits >> 3, dtype=np.uint8)
-    if rows:
-        arr = np.array([r["p"] for r in rows], dtype=np.int64)
-        np.bitwise_or.at(bm, arr >> 3, (1 << (arr & 7)).astype(np.uint8))
+    if words:
+        idx = np.array([r["w"] for r in words], dtype=np.int64)
+        vals = np.array([r["bits"] for r in words], dtype=np.int64).view(np.uint64)
+        bm.view(np.uint64)[idx] |= vals
     return bm
+
+
+def make_bloom_probe(bbm, n_hashes: int):
+    """Vectorized membership pandas UDF over JVM-computed position
+    arrays against a broadcast bitmap ``bbm`` — the ONE shared probe
+    used by every bloom consumer (decontamination, join prefilter).
+    NULL inputs (null elements inside a non-null position array) route
+    to False instead of garbage-indexing."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def might_contain(pos: pd.Series) -> pd.Series:
+        m = bbm.value
+        out = np.zeros(len(pos), dtype=bool)
+        ok = pos.notna().to_numpy()
+        if ok.any():
+            P = np.stack(pos[ok].to_numpy()).astype(np.float64)
+            good = np.isfinite(P).all(axis=1)
+            res = np.zeros(P.shape[0], dtype=bool)
+            if good.any():
+                Pi = P[good].astype(np.int64)
+                res[good] = ((m[Pi >> 3] >> (Pi & 7)) & 1).all(axis=1)
+            out[ok] = res
+        return pd.Series(out)
+
+    return might_contain
 
 
 def contamination_scores_bloom(
@@ -189,29 +227,10 @@ def contamination_scores_bloom(
     JVM-computed position arrays (vectorized ``(bm[p>>3] >> (p&7)) & 1``
     — never per-row Python). Everything else is the single-pass
     explode → join → doc-keyed count of the exact operator."""
-    from pyspark.sql.functions import pandas_udf
-
     bench_ng = benchmark_ngrams(bench, text_col, k)
     bm = bloom_bitmap(bench_ng, "ngram", n_bits, n_hashes)
     bbm = corpus.sparkSession.sparkContext.broadcast(bm)
-
-    @pandas_udf("boolean")
-    def might_contain(pos: pd.Series) -> pd.Series:
-        m = bbm.value
-        out = np.zeros(len(pos), dtype=bool)
-        ok = pos.notna().to_numpy()
-        if ok.any():
-            # a null ngram (null-text doc) yields null ELEMENTS inside a
-            # non-null array — route through float64 so they surface as
-            # NaN and the row stays False instead of garbage-indexing
-            P = np.stack(pos[ok].to_numpy()).astype(np.float64)
-            good = np.isfinite(P).all(axis=1)
-            res = np.zeros(P.shape[0], dtype=bool)
-            if good.any():
-                Pi = P[good].astype(np.int64)
-                res[good] = ((m[Pi >> 3] >> (Pi & 7)) & 1).all(axis=1)
-            out[ok] = res
-        return pd.Series(out)
+    might_contain = make_bloom_probe(bbm, n_hashes)
 
     exploded = corpus.select(
         F.col(id_col), word_shingles(text_col, k).alias("__ngrams")

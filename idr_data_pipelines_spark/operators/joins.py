@@ -407,32 +407,32 @@ def join_bloom_prefilter(
 
     The probe is one Arrow-batched vectorized Python stage (bitmap
     membership has no built-in); the exact join then verifies the
-    survivors, exactly as in decontaminate_bloom."""
-    from pyspark.sql.functions import pandas_udf
+    survivors, exactly as in decontaminate_bloom.
 
+    Both keys must have the SAME data type: the bitmap hashes the
+    string form of each value, and an implicit-cast join (bigint 5 vs
+    double 5.0 → "5" vs "5.0") would silently hash matching keys to
+    different bits — a false NEGATIVE, breaking the identical-result
+    contract. Cast one side explicitly before calling."""
     from idr_data_pipelines_spark.llmdata.decontaminate import (
         bloom_bitmap,
         bloom_positions,
+        make_bloom_probe,
     )
 
+    ft = fact.schema[fact_key].dataType
+    dt = dim.schema[dim_key].dataType
+    if ft != dt:
+        raise ValueError(
+            f"join_bloom_prefilter keys must share a type; got "
+            f"{fact_key}:{ft.simpleString()} vs {dim_key}:{dt.simpleString()} "
+            "— cast one side explicitly (string-hashed bitmaps cannot "
+            "replay an implicit-cast join without false negatives)"
+        )
     keys = dim.select(F.col(dim_key).cast("string").alias("ngram")).distinct()
     bm = bloom_bitmap(keys, "ngram", n_bits, n_hashes)
     bbm = fact.sparkSession.sparkContext.broadcast(bm)
-
-    @pandas_udf("boolean")
-    def might_match(pos: pd.Series) -> pd.Series:
-        m = bbm.value
-        out = np.zeros(len(pos), dtype=bool)
-        ok = pos.notna().to_numpy()
-        if ok.any():
-            P = np.stack(pos[ok].to_numpy()).astype(np.float64)
-            good = np.isfinite(P).all(axis=1)
-            res = np.zeros(P.shape[0], dtype=bool)
-            if good.any():
-                Pi = P[good].astype(np.int64)
-                res[good] = ((m[Pi >> 3] >> (Pi & 7)) & 1).all(axis=1)
-            out[ok] = res
-        return pd.Series(out)
+    might_match = make_bloom_probe(bbm, n_hashes)
 
     pruned = fact.filter(
         might_match(

@@ -79,7 +79,16 @@ def minmax_scale_bits(
     if span <= 0:
         return F.lit(0).cast("long")
     top = float((1 << bits) - 1)
-    return F.least(
-        F.lit(int(top)).cast("long"),
-        F.floor((c.cast("double") - F.lit(float(cmin))) / F.lit(span) * F.lit(top + 1.0)).cast("long"),
+    # clamp BOTH ends: min/max may be estimates, and a value below
+    # cmin would go negative — zorder_value's arithmetic shiftright
+    # would sign-extend it into all-ones Morton bits, poisoning the
+    # file min/max stats the layout exists for
+    return F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.lit(int(top)).cast("long"),
+            F.floor(
+                (c.cast("double") - F.lit(float(cmin))) / F.lit(span) * F.lit(top + 1.0)
+            ).cast("long"),
+        ),
     )

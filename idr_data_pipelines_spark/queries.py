@@ -2245,16 +2245,28 @@ def q_evt_user_perplexity(spark, sf_dir):
     atypical behavior, the anomaly-detection baseline). The |types|²
     model broadcasts; one user-key window + one user rollup. Rounded
     to 6 decimals (libm log2 ulp + mean summation order)."""
-    from idr_data_pipelines_spark.streaming.events import event_transitions
-
     ev = _events(spark, sf_dir)
-    model = event_transitions(ev).select("from_type", "to_type", "prob")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ONE lead window / ONE events scan: the pairs frame feeds both
+    # the model aggregation and the per-user scoring (checkpointed —
+    # two lazy references would re-run the corpus-wide window twice)
     pairs = (
         ev.withColumn("__to", F.lead("event_type").over(w))
         .filter(F.col("__to").isNotNull())
-        .select("user_id", F.col("event_type").alias("from_type"), F.col("__to").alias("to_type"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.col("__to").alias("to_type"),
+        )
+        .localCheckpoint(eager=True)
     )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row = Window.partitionBy("from_type")
+    model = counts.withColumn(
+        "prob", F.col("n").cast("double") / F.sum("n").over(row).cast("double")
+    ).select("from_type", "to_type", "prob")
     scored = pairs.join(F.broadcast(model), ["from_type", "to_type"])
     return (
         scored.groupBy("user_id")

@@ -1426,3 +1426,55 @@ def test_pack_bestfit_invariants(spark):
         big, "n_tok", "doc_id", max_tokens=1024, shard_col="shard"
     ).collect()}
     assert b[1] not in (b[2], b[3]) and b[2] == b[3]
+
+
+def test_join_bloom_null_keys_and_type_contract(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from idr_data_pipelines_spark.operators.joins import join_bloom_prefilter
+
+    # NULL dim keys must not crash the bitmap build (r6 review fix):
+    # a NULL key never matches an inner join, so it's simply dropped
+    fact = spark.range(0, 50).select(F.col("id").alias("k"))
+    dim = spark.createDataFrame(
+        [(0,), (37,), (None,)], "dk: bigint"
+    ).withColumn("tag", F.lit("d"))
+    got = sorted(r["k"] for r in join_bloom_prefilter(fact, dim, "k", "dk").collect())
+    assert got == [0, 37]
+    # mismatched key types would hash matching values to different
+    # bits (bigint 5 -> '5', double 5.0 -> '5.0') = silent false
+    # negatives; the operator must refuse instead
+    dimf = spark.createDataFrame([(5.0,)], "dk: double")
+    with _pytest.raises(ValueError, match="share a type"):
+        join_bloom_prefilter(fact, dimf, "k", "dk")
+
+
+def test_minmax_scale_bits_clamps_both_ends(spark):
+    from pyspark.sql import functions as F
+
+    from idr_data_pipelines_spark.operators.layout import (
+        minmax_scale_bits,
+        zorder_value,
+    )
+
+    df = spark.createDataFrame([(-50,), (0,), (100,), (150,)], "v: bigint")
+    out = [
+        r["s"]
+        for r in df.select(
+            minmax_scale_bits(F.col("v"), 0, 100, bits=8).alias("s")
+        ).collect()
+    ]
+    # below-min clamps to 0 (not a negative that z-ordering would
+    # sign-extend into garbage Morton bits), above-max clamps to top
+    assert out == [0, 0, 255, 255]
+    z = df.select(
+        zorder_value(
+            [
+                minmax_scale_bits(F.col("v"), 0, 100, bits=8),
+                minmax_scale_bits(F.col("v"), 0, 100, bits=8),
+            ],
+            bits=8,
+        ).alias("z")
+    ).collect()
+    assert all(r["z"] >= 0 for r in z)
