@@ -2237,6 +2237,30 @@ def q_src_text_lines(spark, sf_dir):
     )
 
 
+def q_src_python_datasource(spark, sf_dir):
+    """Custom Python DataSource (the Spark 4 connector API): a
+    registered format whose partition planner and per-partition
+    readers run in Python — the extension point for systems with no
+    built-in connector. The md5-keyed generator is deterministic, so
+    the oracle replays the ENTIRE connector path (partition split →
+    Python iterator → Arrow) value-for-value; 500 rows over 8
+    range partitions."""
+    from idr_data_pipelines_spark.sources.pydatasource import (
+        SyntheticCorpusDataSource,
+    )
+
+    try:
+        spark.dataSource.register(SyntheticCorpusDataSource)
+    except Exception:
+        pass  # already registered in this session
+    return (
+        spark.read.format("synthetic_corpus")
+        .option("n_rows", 500)
+        .option("numPartitions", 8)
+        .load()
+    )
+
+
 def q_evt_user_perplexity(spark, sf_dir):
     """Behavioral perplexity: each user's event sequence scored under
     the corpus's OWN first-order transition model — mean -log2
@@ -4212,6 +4236,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rfm_segments": q_rfm_segments,
     "evt_daily_fill": q_evt_daily_fill,
     "window_ffill": q_window_ffill,
+    "src_python_datasource": q_src_python_datasource,
     "emb_random_project": q_emb_random_project,
     # -- NO_ORACLE members: rows-only by design (hash/approx ops with
     # no portable SQL equivalent; bounds pinned in pytest). NEVER
@@ -6773,6 +6798,12 @@ ORACLES: dict[str, str] = {
                      OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING), 6) AS last_purchase_value
         FROM events
+    """,
+    # replays the Python DataSource's md5-nibble generator exactly
+    "src_python_datasource": """
+        SELECT i AS doc_id,
+               concat_ws(' ', (['alpha','bravo','charlie','delta','echo','foxtrot','golf','hotel','india','juliet','kilo','lima','mike','november','oscar','papa'])[CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 1)) AS BIGINT) + 1], (['alpha','bravo','charlie','delta','echo','foxtrot','golf','hotel','india','juliet','kilo','lima','mike','november','oscar','papa'])[CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 2, 1)) AS BIGINT) + 1], (['alpha','bravo','charlie','delta','echo','foxtrot','golf','hotel','india','juliet','kilo','lima','mike','november','oscar','papa'])[CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 3, 1)) AS BIGINT) + 1], (['alpha','bravo','charlie','delta','echo','foxtrot','golf','hotel','india','juliet','kilo','lima','mike','november','oscar','papa'])[CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 4, 1)) AS BIGINT) + 1], (['alpha','bravo','charlie','delta','echo','foxtrot','golf','hotel','india','juliet','kilo','lima','mike','november','oscar','papa'])[CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 5, 1)) AS BIGINT) + 1], (['alpha','bravo','charlie','delta','echo','foxtrot','golf','hotel','india','juliet','kilo','lima','mike','november','oscar','papa'])[CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 6, 1)) AS BIGINT) + 1], (['alpha','bravo','charlie','delta','echo','foxtrot','golf','hotel','india','juliet','kilo','lima','mike','november','oscar','papa'])[CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 7, 1)) AS BIGINT) + 1], (['alpha','bravo','charlie','delta','echo','foxtrot','golf','hotel','india','juliet','kilo','lima','mike','november','oscar','papa'])[CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 8, 1)) AS BIGINT) + 1]) AS text
+        FROM generate_series(0, 499) t(i)
     """,
 }
 

@@ -1,0 +1,84 @@
+"""Custom Python DataSource (the Spark 4 connector API,
+``pyspark.sql.datasource``): a deterministic synthetic-corpus
+generator registered as a real ``spark.read.format(...)`` source.
+
+This is the API corner a user extends to ingest from systems Spark
+has no built-in connector for (internal services, bespoke stores) —
+partition planning, per-partition readers, options plumbing. The
+generator here is md5-keyed and therefore exactly replayable by a
+SQL oracle, so the driver's value-hash check verifies the whole
+connector path: partition split → per-partition Python iterator →
+Arrow conversion → DataFrame.
+
+Scale shape: ``numPartitions`` contiguous id ranges read
+independently (no driver materialization, no skew — ranges are
+equal-width); generation is per-row Python inside the reader, which
+is the nature of a connector (the data comes FROM Python) — not a
+UDF-on-the-hot-path violation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+# 16 words — one per md5 nibble; the SQL oracle indexes the same list
+VOCAB = [
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+    "oscar", "papa",
+]
+
+N_WORDS = 8
+
+
+def synth_text(doc_id: int) -> str:
+    """Words 0..7 = VOCAB[nibble j of md5(doc_id)] — deterministic,
+    engine-portable (md5 of the decimal string)."""
+    h = hashlib.md5(str(doc_id).encode()).hexdigest()
+    return " ".join(VOCAB[int(h[j], 16)] for j in range(N_WORDS))
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class SyntheticCorpusReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.n_parts = int(options.get("numPartitions", 8))
+
+    def partitions(self):
+        step = max(1, -(-self.n_rows // self.n_parts))
+        return [
+            _RangePartition(lo, min(lo + step, self.n_rows))
+            for lo in range(0, self.n_rows, step)
+        ]
+
+    def read(self, partition):
+        for i in range(partition.start, partition.end):
+            yield (i, synth_text(i))
+
+
+class SyntheticCorpusDataSource(DataSource):
+    """``spark.read.format("synthetic_corpus").option("n_rows", N)``
+    after ``spark.dataSource.register(SyntheticCorpusDataSource)``."""
+
+    @classmethod
+    def name(cls):
+        return "synthetic_corpus"
+
+    def schema(self):
+        return StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("text", StringType()),
+            ]
+        )
+
+    def reader(self, schema):
+        return SyntheticCorpusReader(self.options)

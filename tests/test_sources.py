@@ -233,3 +233,31 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
         if r["event_date"] in holidays
     }
     assert got == want
+
+
+def test_python_datasource_partitions_and_determinism(spark):
+    """The custom DataSource must honor its partition plan (ranges
+    cover 0..n exactly once) and generate identically whatever the
+    partition count."""
+    from idr_data_pipelines_spark.sources.pydatasource import (
+        SyntheticCorpusDataSource,
+        synth_text,
+    )
+
+    try:
+        spark.dataSource.register(SyntheticCorpusDataSource)
+    except Exception:
+        pass
+
+    def load(n_parts):
+        return (
+            spark.read.format("synthetic_corpus")
+            .option("n_rows", 100)
+            .option("numPartitions", n_parts)
+            .load()
+        )
+
+    a = {r["doc_id"]: r["text"] for r in load(3).collect()}
+    b = {r["doc_id"]: r["text"] for r in load(11).collect()}
+    assert a == b and len(a) == 100
+    assert a[42] == synth_text(42)
