@@ -4047,9 +4047,12 @@ def q_flagship_warehouse(spark, sf_dir):
 # rotated in (their rows can only say err:no_oracle — r5 VERDICT);
 # they sit at the dict's very end. True streaming queries sit at the
 # window's tail in case the cap is time-based. Entries after the
-# window are still swept every CI run by tests/test_oracle_parity.py;
-# the 25 remaining r03-stale greens lead the post-window section as
-# the r07 rotation's first pick.
+# window are still swept every CI run by tests/test_oracle_parity.py.
+# r07 rotation guidance: the ~28 oracled queries ADDED in r6 session 2
+# (emb_kmeans_step … src_python_datasource, marked "new in r06" /
+# placed after layout_zorder below) have never had a driver row and
+# are the first picks, followed by the 25 r03-stale greens that lead
+# the post-window section.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- driver window: last green r01/r02 — sources/sinks
     "src_parquet_concat_str": q_src_parquet_concat_str,
