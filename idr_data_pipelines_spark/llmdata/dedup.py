@@ -1120,3 +1120,38 @@ def winnow_candidate_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Score candidate pairs with exact ASYMMETRIC k-gram containment:
+    ``|A ∩ B| / |A|`` and ``|A ∩ B| / |B|`` (Broder's containment, the
+    quantity Jaccard washes out when sizes differ — a paragraph fully
+    quoted inside a 100× longer document has Jaccard ≈ 0.01 but
+    containment ≈ 1.0 from the short side). The verify stage for
+    subset/quotation detection behind any candidate generator
+    (winnow_candidate_pairs is the natural one: winnowing guarantees
+    shared fingerprints for sufficiently long shared substrings).
+
+    Scale: two id-key joins against the (id, shingle-set) projection —
+    candidate-driven, never all-pairs; the shingle arrays are computed
+    once per side per pair."""
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    return (
+        pairs.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (inter / F.size("sh_a").cast("double")).alias("containment_a"),
+            (inter / F.size("sh_b").cast("double")).alias("containment_b"),
+        )
+    )

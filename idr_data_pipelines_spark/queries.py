@@ -3886,6 +3886,25 @@ def q_pack_bestfit(spark, sf_dir):
     return out.select("doc_id", "source", "n_tok", "pack_id")
 
 
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric containment verify over the winnow candidate pairs:
+    |A∩B|/|A| and |A∩B|/|B| on word 3-grams — catches a document
+    quoted inside a much longer one, which symmetric Jaccard washes
+    out. Candidate-driven (never all-pairs); exact int/int divisions
+    replay in SQL."""
+    from idr_data_pipelines_spark.llmdata.dedup import (
+        ngram_containment_pairs,
+        winnow_candidate_pairs,
+    )
+    from idr_data_pipelines_spark.sources.parquet import spread_small_scan
+
+    docs = spread_small_scan(_t(spark, sf_dir, "documents"))
+    cand = winnow_candidate_pairs(
+        docs, k=4, window=4, min_shared=2, max_fp_freq=10
+    ).select("id_a", "id_b")
+    return ngram_containment_pairs(docs, cand, k=3)
+
+
 def q_decontaminate_bloom(spark, sf_dir):
     """Bloom-prefiltered benchmark decontamination — the shape for a
     benchmark n-gram set too big to broadcast as strings: corpus
@@ -4228,6 +4247,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_topk_per_group": q_sample_topk_per_group,
     "sample_weighted_k": q_sample_weighted_k,
     "dedup_winnow_pairs": q_dedup_winnow_pairs,
+    "dedup_containment": q_dedup_containment,
     "quality_buckets": q_quality_buckets,
     "evt_dedup_stream_index": q_evt_dedup_stream_index,
     "layout_zorder": q_layout_zorder,
@@ -6807,6 +6827,36 @@ ORACLES: dict[str, str] = {
         SELECT i AS doc_id,
                concat_ws(' ', (['alpha','bravo','charlie','delta','echo','foxtrot','golf','hotel','india','juliet','kilo','lima','mike','november','oscar','papa'])[CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 1)) AS BIGINT) + 1], (['alpha','bravo','charlie','delta','echo','foxtrot','golf','hotel','india','juliet','kilo','lima','mike','november','oscar','papa'])[CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 2, 1)) AS BIGINT) + 1], (['alpha','bravo','charlie','delta','echo','foxtrot','golf','hotel','india','juliet','kilo','lima','mike','november','oscar','papa'])[CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 3, 1)) AS BIGINT) + 1], (['alpha','bravo','charlie','delta','echo','foxtrot','golf','hotel','india','juliet','kilo','lima','mike','november','oscar','papa'])[CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 4, 1)) AS BIGINT) + 1], (['alpha','bravo','charlie','delta','echo','foxtrot','golf','hotel','india','juliet','kilo','lima','mike','november','oscar','papa'])[CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 5, 1)) AS BIGINT) + 1], (['alpha','bravo','charlie','delta','echo','foxtrot','golf','hotel','india','juliet','kilo','lima','mike','november','oscar','papa'])[CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 6, 1)) AS BIGINT) + 1], (['alpha','bravo','charlie','delta','echo','foxtrot','golf','hotel','india','juliet','kilo','lima','mike','november','oscar','papa'])[CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 7, 1)) AS BIGINT) + 1], (['alpha','bravo','charlie','delta','echo','foxtrot','golf','hotel','india','juliet','kilo','lima','mike','november','oscar','papa'])[CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 8, 1)) AS BIGINT) + 1]) AS text
         FROM generate_series(0, 499) t(i)
+    """,
+    # containment over the winnow candidates; 3-gram shingle mirror of
+    # word_shingles (short docs -> whole text as one gram)
+    "dedup_containment": f"""
+        WITH wf AS ({_winnow_md5_sql(k=4, window=4)}),
+        freq AS (SELECT fp, COUNT(*) AS df FROM wf GROUP BY fp),
+        rare AS (
+            SELECT wf.doc_id, wf.fp FROM wf JOIN freq USING (fp)
+            WHERE freq.df <= 10
+        ), cand AS (
+            SELECT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM rare l JOIN rare r ON l.fp = r.fp AND l.doc_id < r.doc_id
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ), t AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+            FROM documents WHERE text IS NOT NULL
+        ), sh AS (
+            SELECT doc_id,
+                   CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                        ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                                 i -> array_to_string(toks[i:i+2], ' ')))
+                   END AS s
+            FROM t
+        )
+        SELECT c.id_a, c.id_b,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) AS containment_a,
+               CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s) AS containment_b
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b
     """,
 }
 

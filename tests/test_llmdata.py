@@ -1478,3 +1478,25 @@ def test_minmax_scale_bits_clamps_both_ends(spark):
         ).alias("z")
     ).collect()
     assert all(r["z"] >= 0 for r in z)
+
+
+def test_containment_catches_quoted_subset(spark):
+    """A short doc fully quoted inside a long one must score ~1.0
+    containment from the short side while Jaccard stays low."""
+    from pyspark.sql import functions as F
+
+    from idr_data_pipelines_spark.llmdata.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "the quoted paragraph appears verbatim in the longer document"
+    filler = " ".join(f"filler{i} content{i} word{i}" for i in range(60))
+    rows = [(1, short), (2, filler + " " + short + " " + filler)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    c = ngram_containment_pairs(df, pairs, k=3).collect()[0]
+    j = ngram_jaccard_pairs(df, pairs, k=3).collect()[0]
+    assert c["containment_a"] == 1.0        # A wholly inside B
+    assert c["containment_b"] < 0.1
+    assert j["jaccard"] < 0.1               # Jaccard misses it
