@@ -172,15 +172,28 @@ def bloom_bitmap(
         .agg(F.expr("bit_or(b)").alias("bits"))
         .collect()
     )
+    if n_bits % 8:
+        raise ValueError("n_bits must be a multiple of 8")
     bm = np.zeros(n_bits >> 3, dtype=np.uint8)
     if words:
         idx = np.array([r["w"] for r in words], dtype=np.int64)
         vals = np.array([r["bits"] for r in words], dtype=np.int64).view(np.uint64)
-        bm.view(np.uint64)[idx] |= vals
+        # scatter each word into its 8 bytes explicitly (bit p ->
+        # byte p>>3, bit p&7) — endian-independent, unlike a uint64
+        # view of the byte array, and safe for n_bits that end in a
+        # partial final word (out-of-range byte slots are masked;
+        # their bits are provably zero since every p < n_bits)
+        byte_idx = (idx[:, None] * 8 + np.arange(8)[None, :]).ravel()
+        byte_val = (
+            (vals[:, None] >> (8 * np.arange(8, dtype=np.uint64))[None, :])
+            & np.uint64(0xFF)
+        ).astype(np.uint8).ravel()
+        ok = byte_idx < bm.shape[0]
+        np.bitwise_or.at(bm, byte_idx[ok], byte_val[ok])
     return bm
 
 
-def make_bloom_probe(bbm, n_hashes: int):
+def make_bloom_probe(bbm):
     """Vectorized membership pandas UDF over JVM-computed position
     arrays against a broadcast bitmap ``bbm`` — the ONE shared probe
     used by every bloom consumer (decontamination, join prefilter).
@@ -230,7 +243,7 @@ def contamination_scores_bloom(
     bench_ng = benchmark_ngrams(bench, text_col, k)
     bm = bloom_bitmap(bench_ng, "ngram", n_bits, n_hashes)
     bbm = corpus.sparkSession.sparkContext.broadcast(bm)
-    might_contain = make_bloom_probe(bbm, n_hashes)
+    might_contain = make_bloom_probe(bbm)
 
     exploded = corpus.select(
         F.col(id_col), word_shingles(text_col, k).alias("__ngrams")

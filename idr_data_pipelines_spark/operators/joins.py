@@ -20,7 +20,6 @@ Physical strategy:
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -420,19 +419,26 @@ def join_bloom_prefilter(
         make_bloom_probe,
     )
 
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
     ft = fact.schema[fact_key].dataType
     dt = dim.schema[dim_key].dataType
-    if ft != dt:
+    integral = (ByteType, ShortType, IntegerType, LongType)
+    # integral widenings are safe: int 5 and bigint 5 both stringify
+    # to '5', so the bitmap stays false-negative-free; everything else
+    # (bigint vs double -> '5' vs '5.0') must be cast explicitly
+    if ft != dt and not (isinstance(ft, integral) and isinstance(dt, integral)):
         raise ValueError(
-            f"join_bloom_prefilter keys must share a type; got "
-            f"{fact_key}:{ft.simpleString()} vs {dim_key}:{dt.simpleString()} "
-            "— cast one side explicitly (string-hashed bitmaps cannot "
-            "replay an implicit-cast join without false negatives)"
+            f"join_bloom_prefilter keys must share a type (or both be "
+            f"integral); got {fact_key}:{ft.simpleString()} vs "
+            f"{dim_key}:{dt.simpleString()} — cast one side explicitly "
+            "(string-hashed bitmaps cannot replay an implicit-cast "
+            "join without false negatives)"
         )
     keys = dim.select(F.col(dim_key).cast("string").alias("ngram")).distinct()
     bm = bloom_bitmap(keys, "ngram", n_bits, n_hashes)
     bbm = fact.sparkSession.sparkContext.broadcast(bm)
-    might_match = make_bloom_probe(bbm, n_hashes)
+    might_match = make_bloom_probe(bbm)
 
     pruned = fact.filter(
         might_match(

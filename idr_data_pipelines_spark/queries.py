@@ -2249,10 +2249,9 @@ def q_src_python_datasource(spark, sf_dir):
         SyntheticCorpusDataSource,
     )
 
-    try:
-        spark.dataSource.register(SyntheticCorpusDataSource)
-    except Exception:
-        pass  # already registered in this session
+    # register() replaces a same-name source, so re-registration in a
+    # long-lived session is safe and real failures surface loudly
+    spark.dataSource.register(SyntheticCorpusDataSource)
     return (
         spark.read.format("synthetic_corpus")
         .option("n_rows", 500)

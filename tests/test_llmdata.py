@@ -1500,3 +1500,33 @@ def test_containment_catches_quoted_subset(spark):
     assert c["containment_a"] == 1.0        # A wholly inside B
     assert c["containment_b"] < 0.1
     assert j["jaccard"] < 0.1               # Jaccard misses it
+
+
+def test_bloom_bitmap_odd_sizes_and_integral_widening_join(spark):
+    from pyspark.sql import functions as F
+
+    from idr_data_pipelines_spark.llmdata.decontaminate import (
+        bloom_bitmap,
+        bloom_positions,
+    )
+    from idr_data_pipelines_spark.operators.joins import join_bloom_prefilter
+
+    # n_bits ending in a partial 64-bit word (multiple of 8 only)
+    # builds correctly — every set position still probes true
+    keys = spark.createDataFrame([("a",), ("b",), ("c",)], "ngram: string")
+    n_bits = 1048584  # 2^20 + 8
+    bm = bloom_bitmap(keys, "ngram", n_bits=n_bits)
+    pos = keys.select(
+        F.explode(bloom_positions(F.col("ngram"), n_bits)).alias("p")
+    ).collect()
+    assert all((bm[r["p"] >> 3] >> (r["p"] & 7)) & 1 for r in pos)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="multiple of 8"):
+        bloom_bitmap(keys, "ngram", n_bits=1048581)
+    # integral widening (int fact key vs bigint dim key) is allowed:
+    # both stringify identically, so no false negatives are possible
+    fact = spark.range(0, 40).select(F.col("id").cast("int").alias("k"))
+    dim = spark.range(0, 40, 7).select(F.col("id").alias("dk"), F.lit("d").alias("t"))
+    got = sorted(r["k"] for r in join_bloom_prefilter(fact, dim, "k", "dk").collect())
+    assert got == [0, 7, 14, 21, 28, 35]

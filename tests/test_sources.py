@@ -244,10 +244,7 @@ def test_python_datasource_partitions_and_determinism(spark):
         synth_text,
     )
 
-    try:
-        spark.dataSource.register(SyntheticCorpusDataSource)
-    except Exception:
-        pass
+    spark.dataSource.register(SyntheticCorpusDataSource)
 
     def load(n_parts):
         return (
@@ -257,7 +254,9 @@ def test_python_datasource_partitions_and_determinism(spark):
             .load()
         )
 
-    a = {r["doc_id"]: r["text"] for r in load(3).collect()}
+    rows3 = load(3).collect()
+    assert len(rows3) == 100  # ranges cover 0..n EXACTLY once (no overlap)
+    a = {r["doc_id"]: r["text"] for r in rows3}
     b = {r["doc_id"]: r["text"] for r in load(11).collect()}
     assert a == b and len(a) == 100
     assert a[42] == synth_text(42)
