@@ -198,3 +198,53 @@ def embed_media_stub(
                                 "embedding": vecs})
 
     return df.select(id_col, payload_col).mapInPandas(_batches, schema)
+
+
+def resize_media_stub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    factor: int = 4,
+) -> DataFrame:
+    """Media resize/downsample plumbing: each payload shrinks by
+    ``factor`` (every ``factor``-th byte kept — the deterministic
+    stand-in for a real bilinear resize; plug PIL/opencv into the
+    inner loop) and the typed metadata is re-derived for the resized
+    payload. Same Arrow-batched mapInPandas shape as the real thing:
+    binary in, smaller binary + new (width, height, n_bytes) out; at
+    100 TB this is the bandwidth-dominated map stage that makes
+    downstream training readers ``factor²`` cheaper."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("resized_bytes", BinaryType()),
+            StructField("n_bytes", LongType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+        ]
+    )
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, outs, sizes, ws, hs = [], [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)[::factor]
+                w, h = _decode_bytes_stub(b)
+                ids.append(int(doc_id))
+                outs.append(b)
+                sizes.append(len(b))
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "resized_bytes": outs,
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int64"),
+                    "height": pd.Series(hs, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_batches, schema)

@@ -3990,6 +3990,30 @@ def q_layout_zorder(spark, sf_dir):
     )
 
 
+def q_mm_resize(spark, sf_dir):
+    """Multimodal resize plumbing: every payload downsampled 4× (byte
+    stride — the deterministic stand-in for a real resize) with
+    re-derived typed metadata, via Arrow-batched mapInPandas. The
+    corpus is pure ASCII, so the DuckDB oracle replays the byte
+    stride as a character stride exactly; binary projected to hex
+    for the driver hash (as in mm_frame_sample)."""
+    from idr_data_pipelines_spark.llmdata.multimodal import (
+        resize_media_stub,
+        with_binary_payload,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    with_bin = with_binary_payload(docs, "text", media_type="image")
+    out = resize_media_stub(with_bin, factor=4)
+    return out.select(
+        "doc_id",
+        F.hex(F.col("resized_bytes")).alias("resized_hex"),
+        "n_bytes",
+        "width",
+        "height",
+    )
+
+
 # ===================================================================
 # flagship: the MMD-shaped end-to-end chain (SURVEY §7.4)
 # ===================================================================
@@ -4259,6 +4283,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "evt_daily_fill": q_evt_daily_fill,
     "window_ffill": q_window_ffill,
     "src_python_datasource": q_src_python_datasource,
+    "mm_resize": q_mm_resize,
     "emb_random_project": q_emb_random_project,
     # -- NO_ORACLE members: rows-only by design (hash/approx ops with
     # no portable SQL equivalent; bounds pinned in pytest). NEVER
@@ -6856,6 +6881,23 @@ ORACLES: dict[str, str] = {
         FROM cand c
         JOIN sh a ON a.doc_id = c.id_a
         JOIN sh b ON b.doc_id = c.id_b
+    """,
+    # ASCII corpus: byte stride == char stride, hex() upper-case both
+    # engines
+    "mm_resize": """
+        WITH r AS (
+            SELECT doc_id,
+                   array_to_string(
+                       list_transform(range(1, length(text) + 1, 4),
+                                      i -> substring(text, i, 1)), '') AS rs
+            FROM documents WHERE text IS NOT NULL
+        )
+        SELECT doc_id,
+               upper(hex(CAST(rs AS BLOB))) AS resized_hex,
+               CAST(length(rs) AS BIGINT) AS n_bytes,
+               CAST((length(rs) % 640) + 1 AS BIGINT) AS width,
+               CAST((length(rs) % 480) + 1 AS BIGINT) AS height
+        FROM r
     """,
 }
 
