@@ -29,6 +29,13 @@ NAMES = [
     "text_shared_ngrams",
     "sample_exact_k",
     "sample_topk_per_group",
+    # session-2 additions with ratio/percentile/candidate outputs
+    "quality_buckets",
+    "dedup_winnow_pairs",
+    "dedup_containment",
+    "evt_transitions",
+    "evt_user_perplexity",
+    "rfm_segments",
 ]
 
 

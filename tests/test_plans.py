@@ -453,8 +453,20 @@ def test_plan_linter_sweep_round6_queries(spark, sf_dir):
         "decontaminate_bloom", "sample_topk_per_group",
         "emb_random_project", "sample_weighted_k",
         "dedup_winnow_pairs", "quality_buckets",
+        "evt_transitions", "evt_user_perplexity",
+        "evt_daily_fill", "window_ffill", "q9_product_profit",
+        "layout_zorder", "join_bloom", "dedup_containment",
+        "mm_resize", "src_text_lines",
     ):
         assert_scalable(QUERIES[name](spark, sf_dir), max_shuffles=12)
+
+    # rfm's six-threshold frame is ONE row broadcast into the rollup —
+    # the linter flags its nested-loop join (correctly: it IS one),
+    # and we waive it knowingly, exactly as for q22's scalar subquery
+    from idr_data_pipelines_spark.plans import lint_plan
+
+    rfm = QUERIES["rfm_segments"](spark, sf_dir)
+    assert "cartesian-product" in {f.rule for f in lint_plan(rfm)}
 
 
 def test_join_bloom_prunes_before_shuffle(spark, sf_dir):
