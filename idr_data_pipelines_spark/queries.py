@@ -4070,6 +4070,278 @@ def q_flagship_warehouse(spark, sf_dir):
 
 
 # ===================================================================
+# TPC-H completion (r06 session 3): q2 / q11 / q12 / q20 shapes
+# ===================================================================
+
+
+def q_q2_min_cost_supplier(spark, sf_dir):
+    """Correlated-min lookup (TPC-H Q2 shape, adapted: the synthetic
+    schema has no partsupp, so the supply cost is the observed unit
+    price ``extendedprice/quantity`` from lineitem): for STANDARD
+    parts sized 10-30, the supplier(s) offering the minimum observed
+    unit cost, with supplier/nation detail. Plan: one (part, supplier)
+    agg shuffle, then a part-key window for the per-part min (the
+    correlated subquery expressed without a second scan or self-join),
+    broadcast dims on top. Unit cost is integer cents (floor(x+0.5) —
+    bit-identical in both engines), so the min and the equality filter
+    are exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 30))
+        .select("p_partkey", "p_size")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cost_cents = F.floor(
+        F.col("l_extendedprice") * F.lit(100.0) / F.col("l_quantity") + F.lit(0.5)
+    ).cast("bigint")
+    pairs = (
+        li.select("l_partkey", "l_suppkey", cost_cents.alias("c"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("c").alias("pair_cost"))
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+    )
+    w = Window.partitionBy("l_partkey")
+    best = pairs.withColumn("part_min", F.min("pair_cost").over(w)).filter(
+        F.col("pair_cost") == F.col("part_min")
+    )
+    return (
+        best.join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_size").alias("size"),
+            F.col("pair_cost").alias("min_cost_cents"),
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supp_name"),
+            F.col("n_name").alias("nation"),
+        )
+    )
+
+
+def q_q11_important_parts(spark, sf_dir):
+    """Global-threshold HAVING (TPC-H Q11 shape, partsupp value
+    replaced by observed shipped revenue): per-part revenue from
+    suppliers in nations 0-4, keeping parts above 0.1% of the total.
+    The scalar total is a 1-row broadcast frame (no collect, no second
+    scan: Spark reuses the agg subtree via the exchange), the
+    comparison is exact integer cents."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") < 5)
+        .select("s_suppkey")
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(100.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    per_part = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select("l_partkey", cents.alias("c"))
+        .groupBy("l_partkey")
+        .agg(F.sum("c").alias("value_cents"))
+    )
+    total = per_part.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_cents").cast("double")
+            > F.col("total_cents").cast("double") * F.lit(0.001)
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            "value_cents",
+        )
+    )
+
+
+def q_q12_late_shipments(spark, sf_dir):
+    """Join + CASE-sum split (TPC-H Q12 shape; the schema has no
+    shipmode/commitdate, so the group key is a ship-delay bucket):
+    1997 lineitems shipped >=60 days after the order date, split into
+    60-89 / 90+ day buckets, counting high- vs low-priority lines.
+    Both filters push to their scans; the join is the only shuffle
+    (AQE may broadcast the filtered orders side) and the CASE-sums
+    ride the final 2-group agg."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    delay = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(delay >= 60)
+        .select(
+            F.when(delay >= 90, F.lit("90+")).otherwise(F.lit("60-89")).alias(
+                "delay_bucket"
+            ),
+            F.when(high, 1).otherwise(0).alias("h"),
+            F.when(high, 0).otherwise(1).alias("l"),
+        )
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum("h").alias("high_line_count"),
+            F.sum("l").alias("low_line_count"),
+        )
+    )
+
+
+def q_q20_potential_promotion(spark, sf_dir):
+    """Nested semi-join chain (TPC-H Q20 shape, availqty replaced by
+    shipped quantity): suppliers who moved >600 units of red parts in
+    1996-97, with nation detail. The part filter prunes the fact scan
+    via a broadcast semi-join BEFORE the supplier agg, so the shuffle
+    carries only red-part lines; quantities are integral doubles cast
+    to bigint for an exact sum and threshold."""
+    li = _t(spark, sf_dir, "lineitem")
+    red = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red %"))
+        .select("p_partkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    qualified = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(red), li.l_partkey == red.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("red_qty"))
+        .filter(F.col("red_qty") > 600)
+    )
+    return (
+        supp.join(F.broadcast(qualified), supp.s_suppkey == qualified.l_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supp_name"),
+            F.col("n_name").alias("nation"),
+            "red_qty",
+        )
+    )
+
+
+# ===================================================================
+# text retrieval scoring (r06 session 3): TF-IDF / BM25
+# ===================================================================
+
+
+def q_text_tfidf_topterm(spark, sf_dir):
+    """Per-document top TF-IDF term (sklearn smooth-idf formula:
+    tf · (ln((1+N)/(1+df)) + 1)). One explode → (doc, term) count, a
+    broadcast df/N join back, and a per-doc rank window. Ranking uses
+    the 6-decimal-ROUNDED score (then term asc) so the order is
+    libm-ulp-proof across engines; at 100 TB the vocab side stays a
+    broadcast (term cardinality ≪ corpus) and the only big shuffle is
+    the (doc, term) count."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.lit(1.0) + F.col("n")) / (F.lit(1.0) + F.col("df")))
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("term").alias("top_term"), "score")
+    )
+
+
+#: BM25 constants shared by the query and its oracle builder.
+_BM25_TERMS = ("spark", "query", "dup")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def q_text_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-50 retrieval over the corpus for a fixed query
+    (terms {spark, query, dup}; k1=1.2, b=0.75; idf =
+    ln(1 + (N-df+.5)/(df+.5))). The per-term tf scan filters to the
+    query terms FIRST (pushable, vocab-sized), doc lengths come from
+    one counting agg, df/N/avgdl are 1-row or vocab-sized broadcast
+    frames, and the final top-k is a rank over the 6-decimal-rounded
+    score with doc_id tiebreak — deterministic across engines. At
+    scale: everything except the (doc, term) count is broadcast-sized,
+    and the top-k is a single-column window (use the sketch top-k for
+    unbounded k)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total_len")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.col("tf") + k1 * (
+        F.lit(1.0)
+        - b
+        + b * F.col("dl") * F.col("n") / F.col("total_len").cast("double")
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(idf * F.col("tf") * (k1 + F.lit(1.0)) / norm), 6
+            ).alias("score")
+        )
+    )
+    # top-k via distributed TakeOrdered (orderBy+limit), NOT a global
+    # row_number window — no single-partition shuffle of the full
+    # score set; the rank window then runs over only the 50 survivors.
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(50)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "doc_id", "score", "rk"
+    )
+
+
+# ===================================================================
 # registry
 # ===================================================================
 
@@ -4285,6 +4557,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "src_python_datasource": q_src_python_datasource,
     "mm_resize": q_mm_resize,
     "emb_random_project": q_emb_random_project,
+    # -- new in r06 session 3: TPC-H completion + retrieval scoring
+    # (first picks for the r07 window alongside the session-2 block)
+    "q2_min_cost_supplier": q_q2_min_cost_supplier,
+    "q11_important_parts": q_q11_important_parts,
+    "q12_late_shipments": q_q12_late_shipments,
+    "q20_potential_promotion": q_q20_potential_promotion,
+    "text_tfidf_topterm": q_text_tfidf_topterm,
+    "text_bm25_topk": q_text_bm25_topk,
     # -- NO_ORACLE members: rows-only by design (hash/approx ops with
     # no portable SQL equivalent; bounds pinned in pytest). NEVER
     # rotate these into the driver window — their driver rows cannot
@@ -6898,6 +7178,140 @@ ORACLES: dict[str, str] = {
                CAST((length(rs) % 640) + 1 AS BIGINT) AS width,
                CAST((length(rs) % 480) + 1 AS BIGINT) AS height
         FROM r
+    """,
+    "q2_min_cost_supplier": """
+        WITH pairs AS (
+            SELECT l_partkey, l_suppkey,
+                   MIN(CAST(FLOOR(l_extendedprice * 100.0 / l_quantity + 0.5)
+                       AS BIGINT)) AS pair_cost
+            FROM lineitem GROUP BY 1, 2
+        ), pf AS (
+            SELECT pr.*, p.p_size
+            FROM pairs pr
+            JOIN part p ON pr.l_partkey = p.p_partkey
+            WHERE p.p_type = 'STANDARD' AND p.p_size BETWEEN 10 AND 30
+        ), m AS (
+            SELECT *, MIN(pair_cost) OVER (PARTITION BY l_partkey) AS part_min
+            FROM pf
+        )
+        SELECT m.l_partkey AS partkey,
+               m.p_size AS size,
+               m.pair_cost AS min_cost_cents,
+               s.s_suppkey AS suppkey,
+               s.s_name AS supp_name,
+               n.n_name AS nation
+        FROM m
+        JOIN supplier s ON m.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE m.pair_cost = m.part_min
+    """,
+    "q11_important_parts": """
+        WITH v AS (
+            SELECT l_partkey,
+                   SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0
+                       + 0.5) AS BIGINT)) AS value_cents
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE s.s_nationkey < 5
+            GROUP BY 1
+        ), t AS (SELECT SUM(value_cents) AS total_cents FROM v)
+        SELECT v.l_partkey AS partkey, CAST(v.value_cents AS BIGINT) AS value_cents
+        FROM v, t
+        WHERE CAST(v.value_cents AS DOUBLE) > CAST(t.total_cents AS DOUBLE) * 0.001
+    """,
+    "q12_late_shipments": """
+        SELECT CASE WHEN datediff('day', CAST(o.o_orderdate AS DATE),
+                                  CAST(l.l_shipdate AS DATE)) >= 90
+                    THEN '90+' ELSE '60-89' END AS delay_bucket,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE datediff('day', CAST(o.o_orderdate AS DATE),
+                       CAST(l.l_shipdate AS DATE)) >= 60
+          AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    """,
+    "q20_potential_promotion": """
+        WITH red AS (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'red %'
+        ), q AS (
+            SELECT l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS red_qty
+            FROM lineitem l
+            WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+              AND EXISTS (SELECT 1 FROM red WHERE red.p_partkey = l.l_partkey)
+            GROUP BY 1
+            HAVING SUM(CAST(l_quantity AS BIGINT)) > 600
+        )
+        SELECT s.s_suppkey AS suppkey,
+               s.s_name AS supp_name,
+               n.n_name AS nation,
+               CAST(q.red_qty AS BIGINT) AS red_qty
+        FROM supplier s
+        JOIN q ON s.s_suppkey = q.l_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+    # ranking uses the ROUNDED score (libm-ulp-proof) + term/doc_id
+    # tiebreaks, mirroring the Spark window exactly
+    "text_tfidf_topterm": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        ), df AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+        ), n AS (SELECT COUNT(*) AS n FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   ROUND(tf.tf * (ln((1.0 + n.n) / (1.0 + df.df)) + 1.0),
+                         6) AS score
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+            FROM scored
+        )
+        SELECT doc_id, term AS top_term, score FROM ranked WHERE rk = 1
+    """,
+    "text_bm25_topk": """
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+            FROM documents
+        ), dl AS (
+            SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
+        ), n AS (
+            SELECT COUNT(*) AS n, SUM(dl) AS total_len FROM dl
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM toks
+            WHERE term IN ('spark', 'query', 'dup') GROUP BY 1, 2
+        ), df AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+        ), scored AS (
+            SELECT tf.doc_id,
+                   ROUND(SUM(
+                       ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5))
+                       * (tf.tf * (1.2 + 1.0))
+                       / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl * n.n
+                                         / CAST(n.total_len AS DOUBLE)))
+                   ), 6) AS score
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl USING (doc_id)
+            CROSS JOIN n
+            GROUP BY tf.doc_id
+        ), ranked AS (
+            SELECT doc_id, score,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+            FROM scored
+        )
+        SELECT doc_id, score, rk FROM ranked WHERE rk <= 50
     """,
 }
 

@@ -36,6 +36,10 @@ NAMES = [
     "evt_transitions",
     "evt_user_perplexity",
     "rfm_segments",
+    # session-3 additions: ln-scored rankings (rounded before the
+    # rank, so the order must survive repartitioning)
+    "text_tfidf_topterm",
+    "text_bm25_topk",
 ]
 
 

@@ -457,6 +457,9 @@ def test_plan_linter_sweep_round6_queries(spark, sf_dir):
         "evt_daily_fill", "window_ffill", "q9_product_profit",
         "layout_zorder", "join_bloom", "dedup_containment",
         "mm_resize", "src_text_lines",
+        # session-3 additions: TPC-H completion
+        "q2_min_cost_supplier", "q12_late_shipments",
+        "q20_potential_promotion",
     ):
         assert_scalable(QUERIES[name](spark, sf_dir), max_shuffles=12)
 
@@ -467,6 +470,41 @@ def test_plan_linter_sweep_round6_queries(spark, sf_dir):
 
     rfm = QUERIES["rfm_segments"](spark, sf_dir)
     assert "cartesian-product" in {f.rule for f in lint_plan(rfm)}
+
+    # q11's global threshold and the tfidf/bm25 corpus stats (N,
+    # avgdl) are the same knowing waiver: each is a 1-row broadcast
+    # frame and the linter correctly reports the nested-loop join of
+    # the single-row side — nothing else in those plans may be fatal
+    for name in ("q11_important_parts", "text_tfidf_topterm", "text_bm25_topk"):
+        findings = lint_plan(QUERIES[name](spark, sf_dir))
+        fatal_rules = {f.rule for f in findings if f.severity == "fatal"}
+        assert fatal_rules == {"cartesian-product"}, (name, findings)
+
+
+def test_session3_tpch_plan_shapes(spark, sf_dir):
+    """TPC-H completion shapes stay scale-right: q2 = one pair-agg
+    shuffle + one part-key window shuffle, dims broadcast, no
+    cartesian; q12 = the o/l join is the only wide shuffle; q20 = the
+    red-part prune is a broadcast semi-join BEFORE the supplier agg,
+    so the agg shuffle carries only pruned rows; bm25 = the top-k is
+    TakeOrdered (no global-window single-partition funnel of the full
+    score set)."""
+    plan = _plan(QUERIES["q2_min_cost_supplier"](spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan, plan
+    assert _n_shuffles(plan) <= 3, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+    plan = _plan(QUERIES["q12_late_shipments"](spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert _n_shuffles(plan) <= 3, plan
+
+    plan = _plan(QUERIES["q20_potential_promotion"](spark, sf_dir))
+    assert "LeftSemi" in plan, plan  # part prune before the agg
+    assert "CartesianProduct" not in plan, plan
+
+    plan = _plan(QUERIES["text_bm25_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_join_bloom_prunes_before_shuffle(spark, sf_dir):
