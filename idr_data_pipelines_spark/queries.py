@@ -4342,6 +4342,124 @@ def q_text_bm25_topk(spark, sf_dir):
 
 
 # ===================================================================
+# curation additions (r06 session 3): chunking / model-based quality
+# / exact embedding standardization
+# ===================================================================
+
+#: chunk window / stride (tokens) shared by the query and its oracle.
+_CHUNK_W = 32
+_CHUNK_S = 24
+
+
+def q_text_chunk_windows(spark, sf_dir):
+    """RAG-style document chunking: overlapping token windows of
+    W=32 tokens at stride S=24 (8-token overlap), always emitting at
+    least one chunk per document. Pure projection + bounded explode —
+    ZERO shuffles, so at 100 TB it is a map-only pass whose output
+    parallelism equals the input's. Chunk count per doc is
+    1 + max(0, ceil((n-W)/S)) — exact integer arithmetic in both
+    engines."""
+    W, S = _CHUNK_W, _CHUNK_S
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    base = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    nch = F.lit(1) + F.greatest(
+        F.lit(0),
+        F.floor((F.col("n") - F.lit(W) + F.lit(S - 1)) / F.lit(S)).cast("int"),
+    )
+    chunked = base.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(F.sequence(F.lit(0), nch - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * S + 1
+    length = F.least(F.lit(W), F.col("n") - F.col("chunk_id") * S)
+    chunk = F.slice("toks", start, length)
+    return chunked.select(
+        "doc_id",
+        "chunk_id",
+        F.size(chunk).alias("n_tok"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+#: fixed logistic-regression weights for the quality classifier —
+#: a deterministic stand-in for a trained fasttext/LR quality model
+#: (the Spark-side plumbing is identical for learned weights).
+_LR_B0 = -2.0
+_LR_W_LOGTOK = 0.35
+_LR_W_STOP = -3.0
+_LR_W_WLEN = 0.25
+
+
+def q_quality_logreg(spark, sf_dir):
+    """Model-based quality scoring (fasttext/CCNet-style classifier
+    gate, expressed as a fixed-weight logistic regression over cheap
+    text features: ln(token count), stopword ratio, mean word
+    length). One map-only pass — features, logit and sigmoid are all
+    column expressions; the keep flag thresholds the ROUNDED
+    probability so the cut is libm-ulp-proof. Swapping in trained
+    weights changes constants, not the plan."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    base = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    stop_hits = F.size(F.filter("toks", lambda t: t.isin("the", "a")))
+    char_sum = F.aggregate(
+        F.transform("toks", lambda t: F.length(t)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    logit = (
+        F.lit(_LR_B0)
+        + F.lit(_LR_W_LOGTOK) * F.log(F.col("n").cast("double"))
+        + F.lit(_LR_W_STOP)
+        * (stop_hits.cast("double") / F.col("n").cast("double"))
+        + F.lit(_LR_W_WLEN)
+        * (char_sum.cast("double") / F.col("n").cast("double"))
+    )
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    return base.select(
+        "doc_id",
+        prob.alias("prob"),
+        (prob >= 0.5).alias("keep"),
+    )
+
+
+def q_emb_standardize(spark, sf_dir):
+    """Per-dimension z-score standardization of the embedding corpus
+    (the usual pre-whitening step before clustering/ANN). Exactness
+    strategy: elements are scaled to integer micro-units
+    (floor(x·1e6 + 0.5)), so the per-dimension sums and sums of
+    squares are BIGINT — order-independent and bit-identical across
+    engines/partitionings — and only the final mean/std/z division
+    happens in doubles (fixed operation order, rounded to 6). The
+    stats side is 64 rows → broadcast back; the wide shuffle is the
+    single dim-keyed partial agg."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("dim", "x")
+    ).select(
+        "vec_id",
+        "dim",
+        F.floor(F.col("x").cast("double") * F.lit(1e6) + F.lit(0.5))
+        .cast("bigint")
+        .alias("e6"),
+    )
+    stats = e.groupBy("dim").agg(
+        F.sum("e6").alias("s"),
+        F.sum(F.col("e6") * F.col("e6")).alias("sq"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    mean6 = F.col("s").cast("double") / F.col("cnt").cast("double")
+    var6 = F.col("sq").cast("double") / F.col("cnt").cast("double") - mean6 * mean6
+    z = (F.col("e6").cast("double") - mean6) / F.sqrt(var6)
+    return e.join(F.broadcast(stats), "dim").select(
+        "vec_id", "dim", F.round(z, 6).alias("z")
+    )
+
+
+# ===================================================================
 # registry
 # ===================================================================
 
@@ -4565,6 +4683,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_potential_promotion": q_q20_potential_promotion,
     "text_tfidf_topterm": q_text_tfidf_topterm,
     "text_bm25_topk": q_text_bm25_topk,
+    "text_chunk_windows": q_text_chunk_windows,
+    "quality_logreg": q_quality_logreg,
+    "emb_standardize": q_emb_standardize,
     # -- NO_ORACLE members: rows-only by design (hash/approx ops with
     # no portable SQL equivalent; bounds pinned in pytest). NEVER
     # rotate these into the driver window — their driver rows cannot
@@ -7312,6 +7433,75 @@ ORACLES: dict[str, str] = {
             FROM scored
         )
         SELECT doc_id, score, rk FROM ranked WHERE rk <= 50
+    """,
+    # W=32 / S=24 mirror _CHUNK_W/_CHUNK_S; DuckDB list slices are
+    # 1-based with INCLUSIVE end, hence the least(start+W-1, n) bound
+    "text_chunk_windows": """
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+            FROM documents
+        ), c AS (
+            SELECT doc_id, toks, len(toks) AS n,
+                   1 + greatest(0, (len(toks) - 32 + 24 - 1) // 24) AS nch
+            FROM t
+        ), e AS (
+            SELECT doc_id, toks, n, unnest(range(0, nch)) AS chunk_id
+            FROM c
+        )
+        SELECT doc_id,
+               CAST(chunk_id AS INT) AS chunk_id,
+               CAST(len(toks[chunk_id * 24 + 1 :
+                            least(chunk_id * 24 + 32, n)]) AS INT) AS n_tok,
+               array_to_string(toks[chunk_id * 24 + 1 :
+                            least(chunk_id * 24 + 32, n)], ' ') AS chunk_text
+        FROM e
+    """,
+    "quality_logreg": """
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+            FROM documents
+        ), f AS (
+            SELECT doc_id,
+                   len(toks) AS n,
+                   len(list_filter(toks, x -> x IN ('the', 'a'))) AS stop_hits,
+                   list_sum(list_transform(toks, x -> length(x))) AS char_sum
+            FROM t
+        ), s AS (
+            SELECT doc_id,
+                   ROUND(1.0 / (1.0 + exp(-(
+                       -2.0
+                       + 0.35 * ln(CAST(n AS DOUBLE))
+                       + -3.0 * (CAST(stop_hits AS DOUBLE) / CAST(n AS DOUBLE))
+                       + 0.25 * (CAST(char_sum AS DOUBLE) / CAST(n AS DOUBLE))
+                   ))), 6) AS prob
+            FROM f
+        )
+        SELECT doc_id, prob, prob >= 0.5 AS keep FROM s
+    """,
+    "emb_standardize": """
+        WITH e AS (
+            SELECT vec_id,
+                   CAST(i - 1 AS INT) AS dim,
+                   CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5)
+                        AS BIGINT) AS e6
+            FROM embeddings, unnest(range(1, 65)) AS u(i)
+        ), stats AS (
+            SELECT dim,
+                   CAST(SUM(e6) AS BIGINT) AS s,
+                   CAST(SUM(e6 * e6) AS BIGINT) AS sq,
+                   COUNT(*) AS cnt
+            FROM e GROUP BY 1
+        )
+        SELECT e.vec_id, e.dim,
+               ROUND((CAST(e.e6 AS DOUBLE)
+                      - CAST(s.s AS DOUBLE) / CAST(s.cnt AS DOUBLE))
+                     / sqrt(CAST(s.sq AS DOUBLE) / CAST(s.cnt AS DOUBLE)
+                            - (CAST(s.s AS DOUBLE) / CAST(s.cnt AS DOUBLE))
+                              * (CAST(s.s AS DOUBLE) / CAST(s.cnt AS DOUBLE))),
+                     6) AS z
+        FROM e JOIN stats s USING (dim)
     """,
 }
 

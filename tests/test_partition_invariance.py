@@ -37,9 +37,11 @@ NAMES = [
     "evt_user_perplexity",
     "rfm_segments",
     # session-3 additions: ln-scored rankings (rounded before the
-    # rank, so the order must survive repartitioning)
+    # rank, so the order must survive repartitioning) and the
+    # scaled-int standardization (exact sums by construction)
     "text_tfidf_topterm",
     "text_bm25_topk",
+    "emb_standardize",
 ]
 
 

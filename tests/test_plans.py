@@ -457,9 +457,10 @@ def test_plan_linter_sweep_round6_queries(spark, sf_dir):
         "evt_daily_fill", "window_ffill", "q9_product_profit",
         "layout_zorder", "join_bloom", "dedup_containment",
         "mm_resize", "src_text_lines",
-        # session-3 additions: TPC-H completion
+        # session-3 additions: TPC-H completion + curation ops
         "q2_min_cost_supplier", "q12_late_shipments",
-        "q20_potential_promotion",
+        "q20_potential_promotion", "text_chunk_windows",
+        "quality_logreg", "emb_standardize",
     ):
         assert_scalable(QUERIES[name](spark, sf_dir), max_shuffles=12)
 
