@@ -4459,6 +4459,69 @@ def q_emb_standardize(spark, sf_dir):
     )
 
 
+def q_agg_cube(spark, sf_dir):
+    """GROUP BY CUBE completion of the grouping family (rollup /
+    grouping_sets already covered): aggregates for every subset of
+    (status, priority), NULL marking collapsed levels. Spark expands
+    the grouping sets map-side — still ONE shuffle regardless of the
+    2^k subsets."""
+    from idr_data_pipelines_spark.operators import agg_cube
+
+    df = _t(spark, sf_dir, "orders")
+    return agg_cube(
+        df,
+        ["o_orderstatus", "o_orderpriority"],
+        [
+            F.count(F.lit(1)).alias("n_orders"),
+            _money_sum(F.col("o_totalprice")).alias("total_price"),
+        ],
+    )
+
+
+def q_evt_attribution(spark, sf_dir):
+    """Last-touch attribution: each purchase is credited to the most
+    recent PRECEDING click by the same user (the marketing-funnel
+    join). One user-key window with an ignore-nulls last over an
+    unbounded-preceding frame — a single shuffle, no self-join, no
+    per-key state beyond the running click id."""
+    e = _events(spark, sf_dir).select("user_id", "event_id", "event_type", "ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_id = F.last(
+        F.when(F.col("event_type") == "click", F.col("event_id")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        e.withColumn("click_id", click_id)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            "click_id",
+            F.col("click_id").isNotNull().alias("attributed"),
+        )
+    )
+
+
+def q_sink_compact_files(spark, sf_dir):
+    """Small-files compaction round-trip: shatter the orders table
+    into 64 tiny files (the streaming-sink pathology), compact with
+    the atomic temp-write-then-swap rewrite, read back. Content is
+    byte-identical to the source — the oracle is the plain table.
+    The file-count collapse itself is pinned in
+    tests/test_sources.py::test_compact_parquet_dir_merges_small_files."""
+    from idr_data_pipelines_spark.sources.sinks import compact_parquet_dir
+
+    df = _t(spark, sf_dir, "orders")
+    path = f"{tempfile.mkdtemp(prefix='idr_compactq_')}/orders"
+    df.repartition(64).write.mode("overwrite").parquet(path)
+    compact_parquet_dir(spark, path, target_file_bytes=1 << 40)
+    return spark.read.parquet(path)
+
+
 # ===================================================================
 # registry
 # ===================================================================
@@ -4480,11 +4543,12 @@ def q_emb_standardize(spark, sf_dir):
 # they sit at the dict's very end. True streaming queries sit at the
 # window's tail in case the cap is time-based. Entries after the
 # window are still swept every CI run by tests/test_oracle_parity.py.
-# r07 rotation guidance: the ~28 oracled queries ADDED in r6 session 2
-# (emb_kmeans_step … src_python_datasource, marked "new in r06" /
-# placed after layout_zorder below) have never had a driver row and
-# are the first picks, followed by the 25 r03-stale greens that lead
-# the post-window section.
+# r07 rotation guidance: the oracled queries ADDED in r6 sessions 2-3
+# (emb_kmeans_step … src_python_datasource, marked "new in r06", plus
+# the session-3 block q2_min_cost_supplier … emb_standardize directly
+# before the NO_ORACLE tail) have never had a driver row and are the
+# first picks, followed by the 25 r03-stale greens that lead the
+# post-window section.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- driver window: last green r01/r02 — sources/sinks
     "src_parquet_concat_str": q_src_parquet_concat_str,
@@ -4686,6 +4750,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_chunk_windows": q_text_chunk_windows,
     "quality_logreg": q_quality_logreg,
     "emb_standardize": q_emb_standardize,
+    "agg_cube": q_agg_cube,
+    "evt_attribution": q_evt_attribution,
+    "sink_compact_files": q_sink_compact_files,
     # -- NO_ORACLE members: rows-only by design (hash/approx ops with
     # no portable SQL equivalent; bounds pinned in pytest). NEVER
     # rotate these into the driver window — their driver rows cannot
@@ -7502,6 +7569,33 @@ ORACLES: dict[str, str] = {
                               * (CAST(s.s AS DOUBLE) / CAST(s.cnt AS DOUBLE))),
                      6) AS z
         FROM e JOIN stats s USING (dim)
+    """,
+    "agg_cube": """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS total_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "evt_attribution": """
+        WITH marked AS (
+            SELECT user_id, event_id, event_type,
+                   last_value(CASE WHEN event_type = 'click'
+                                   THEN event_id END IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS click_id
+            FROM events
+        )
+        SELECT user_id,
+               event_id AS purchase_id,
+               click_id,
+               click_id IS NOT NULL AS attributed
+        FROM marked WHERE event_type = 'purchase'
+    """,
+    "sink_compact_files": """
+        SELECT * FROM orders
     """,
 }
 

@@ -460,7 +460,8 @@ def test_plan_linter_sweep_round6_queries(spark, sf_dir):
         # session-3 additions: TPC-H completion + curation ops
         "q2_min_cost_supplier", "q12_late_shipments",
         "q20_potential_promotion", "text_chunk_windows",
-        "quality_logreg", "emb_standardize",
+        "quality_logreg", "emb_standardize", "agg_cube",
+        "evt_attribution",
     ):
         assert_scalable(QUERIES[name](spark, sf_dir), max_shuffles=12)
 
