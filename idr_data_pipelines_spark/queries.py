@@ -4522,6 +4522,76 @@ def q_sink_compact_files(spark, sf_dir):
     return spark.read.parquet(path)
 
 
+def q_basket_pairs(spark, sf_dir):
+    """Market-basket co-occurrence: top-20 part pairs by the number of
+    orders containing both. The pair generation is a self-equi-join on
+    the order key — co-partitioned, so pair blowup is bounded by
+    lines-per-order (single digits), never corpus-quadratic — and the
+    support count is exact integers, so ranking needs only the
+    (support desc, part_a, part_b) tiebreak. Top-k rides
+    TakeOrdered."""
+    d = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    return pairs.orderBy(
+        F.col("support").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    ).limit(20)
+
+
+def q_evt_anomaly_zscore(spark, sf_dir):
+    """Time-series anomaly flags: per (event_type, day) counts scored
+    against the trailing 7-day rolling mean/std of the same type.
+    Exactness: the rolling sums/sum-of-squares are INTEGER window
+    aggregates (bit-identical under any partitioning); only the final
+    mean/var/z divisions are doubles with a fixed operation order,
+    rounded to 6. One day-grain count shuffle + one type-key window —
+    both on small keys after the count collapses the log."""
+    e = _events(spark, sf_dir)
+    daily = (
+        e.select("event_type", F.to_date(F.col("ts")).alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    s = F.sum("n").over(w)
+    sq = F.sum(F.col("n") * F.col("n")).over(w)
+    cnt = F.count(F.lit(1)).over(w)
+    mean = s.cast("double") / cnt.cast("double")
+    var = sq.cast("double") / cnt.cast("double") - mean * mean
+    # a flat 7-day window has var 0 → null z (no anomaly signal), not
+    # a division blowup
+    z = F.when(
+        var > 0.0, (F.col("n").cast("double") - mean) / F.sqrt(var)
+    )
+    return daily.select(
+        "event_type",
+        "d",
+        "n",
+        F.round(z, 6).alias("z"),
+        (F.abs(F.round(z, 6)) >= 2.0).alias("anomaly"),
+    )
+
+
 # ===================================================================
 # registry
 # ===================================================================
@@ -4753,6 +4823,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_cube": q_agg_cube,
     "evt_attribution": q_evt_attribution,
     "sink_compact_files": q_sink_compact_files,
+    "basket_pairs": q_basket_pairs,
+    "evt_anomaly_zscore": q_evt_anomaly_zscore,
     # -- NO_ORACLE members: rows-only by design (hash/approx ops with
     # no portable SQL equivalent; bounds pinned in pytest). NEVER
     # rotate these into the driver window — their driver rows cannot
@@ -7596,6 +7668,50 @@ ORACLES: dict[str, str] = {
     """,
     "sink_compact_files": """
         SELECT * FROM orders
+    """,
+    "basket_pairs": """
+        WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        p AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   COUNT(*) AS support
+            FROM d a
+            JOIN d b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        )
+        SELECT part_a, part_b, support FROM p
+        ORDER BY support DESC, part_a ASC, part_b ASC
+        LIMIT 20
+    """,
+    "evt_anomaly_zscore": """
+        WITH daily AS (
+            SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ), win AS (
+            SELECT event_type, d, n,
+                   SUM(n) OVER w AS s,
+                   SUM(n * n) OVER w AS sq,
+                   COUNT(*) OVER w AS cnt
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY d
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ), scored AS (
+            SELECT event_type, d, CAST(n AS BIGINT) AS n,
+                   CASE WHEN CAST(sq AS DOUBLE) / CAST(cnt AS DOUBLE)
+                             - (CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE))
+                               * (CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE)) > 0.0
+                        THEN ROUND(
+                            (CAST(n AS DOUBLE)
+                             - CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE))
+                            / sqrt(CAST(sq AS DOUBLE) / CAST(cnt AS DOUBLE)
+                                   - (CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE))
+                                     * (CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE))),
+                            6)
+                   END AS z
+            FROM win
+        )
+        SELECT event_type, d, n, z, abs(z) >= 2.0 AS anomaly FROM scored
     """,
 }
 

@@ -42,6 +42,8 @@ NAMES = [
     "text_tfidf_topterm",
     "text_bm25_topk",
     "emb_standardize",
+    "evt_anomaly_zscore",
+    "basket_pairs",
 ]
 
 
