@@ -33,6 +33,9 @@ EXTENDED = [
     "text_collocations",
     "emb_semdedup",
     "text_shared_ngrams",
+    # session-3: fact-sized pair join + rolling anomaly window
+    "basket_pairs",
+    "evt_anomaly_zscore",
 ]
 
 HEADLINE = [
