@@ -4592,6 +4592,90 @@ def q_evt_anomaly_zscore(spark, sf_dir):
     )
 
 
+def _cs_edges(spark, sf_dir):
+    """Symmetrized customer–supplier order graph (same construction as
+    q_graph_pagerank): one undirected edge per distinct (cust, supp)
+    pair co-occurring in an order."""
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    return pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+
+
+def q_graph_khop(spark, sf_dir):
+    """k-hop reachability (BFS, k=3) from the low-key customer seed
+    set over the customer–supplier graph, emitting each reached node's
+    minimal hop distance. The Spark side is frontier BFS: each hop is
+    one equi-join + an anti-join against the visited set, so a node is
+    expanded exactly once (at its minimal hop — which is what makes
+    frontier pruning correct) and the work per hop is frontier-sized,
+    never path-count-sized. The oracle is a DuckDB RECURSIVE CTE whose
+    UNION dedups (node, hop) pairs, with min(hop) on top — a genuinely
+    iterative algorithm verified exactly in SQL. Integer hops: no
+    float concerns."""
+    edges = _cs_edges(spark, sf_dir).localCheckpoint(eager=True)
+    seeds = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 10)
+        .select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("id")
+        )
+    )
+    visited = seeds.withColumn("hop", F.lit(0))
+    frontier = seeds
+    for k in (1, 2, 3):
+        # seeded BFS: the frontier and visited set are ≪ the edge
+        # list, so BROADCAST both — the big edge table is never
+        # shuffled; the only exchange per hop is the frontier-sized
+        # distinct. (For frontiers that outgrow a broadcast, switch
+        # to the shuffled equi-join form.)
+        nxt = (
+            edges.join(F.broadcast(frontier), edges.src == frontier.id)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(F.broadcast(visited.select("id")), "id", "left_anti")
+            .withColumn("hop", F.lit(k))
+        )
+        # 3 fixed iterations: lineage stays shallow, no checkpoint
+        # needed; at larger k, localCheckpoint the frontier per round
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("id")
+    return visited.select("id", F.col("hop").cast("int").alias("hop"))
+
+
+def q_evt_path_analysis(spark, sf_dir):
+    """Sequential-pattern mining lite: the top-10 3-step event-type
+    paths across users (two lead windows → path string → count). The
+    only log-sized shuffle is the user-key window; the path count
+    collapses to ≤|types|³ rows before the TakeOrdered top-k. Exact
+    integer support with a full-path tiebreak."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    paths = (
+        seq.select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return paths.orderBy(F.col("n").desc(), F.col("path").asc()).limit(10)
+
+
 # ===================================================================
 # registry
 # ===================================================================
@@ -4825,6 +4909,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sink_compact_files": q_sink_compact_files,
     "basket_pairs": q_basket_pairs,
     "evt_anomaly_zscore": q_evt_anomaly_zscore,
+    "graph_khop": q_graph_khop,
+    "evt_path_analysis": q_evt_path_analysis,
     # -- NO_ORACLE members: rows-only by design (hash/approx ops with
     # no portable SQL equivalent; bounds pinned in pytest). NEVER
     # rotate these into the driver window — their driver rows cannot
@@ -7712,6 +7798,49 @@ ORACLES: dict[str, str] = {
             FROM win
         )
         SELECT event_type, d, n, z, abs(z) >= 2.0 AS anomaly FROM scored
+    """,
+    "graph_khop": """
+        WITH edges AS (
+            SELECT * FROM (
+                WITH pairs AS (
+                    SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS c,
+                                    's' || CAST(l.l_suppkey AS VARCHAR) AS s
+                    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+                )
+                SELECT c AS src, s AS dst FROM pairs
+                UNION ALL
+                SELECT s AS src, c AS dst FROM pairs
+            )
+        ), seeds AS (
+            SELECT 'c' || CAST(c_custkey AS VARCHAR) AS id
+            FROM customer WHERE c_custkey < 10
+        ), r AS (
+            WITH RECURSIVE reach(id, hop) AS (
+                SELECT id, 0 FROM seeds
+                UNION
+                SELECT e.dst, reach.hop + 1
+                FROM reach JOIN edges e ON e.src = reach.id
+                WHERE reach.hop < 3
+            )
+            SELECT id, hop FROM reach
+        )
+        SELECT id, CAST(MIN(hop) AS INT) AS hop FROM r GROUP BY 1
+    """,
+    "evt_path_analysis": """
+        WITH seq AS (
+            SELECT event_type AS e1,
+                   lead(event_type, 1) OVER w AS e2,
+                   lead(event_type, 2) OVER w AS e3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), paths AS (
+            SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+            FROM seq WHERE e3 IS NOT NULL
+            GROUP BY 1
+        )
+        SELECT path, n FROM paths
+        ORDER BY n DESC, path ASC
+        LIMIT 10
     """,
 }
 

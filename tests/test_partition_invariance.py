@@ -44,6 +44,8 @@ NAMES = [
     "emb_standardize",
     "evt_anomaly_zscore",
     "basket_pairs",
+    "graph_khop",
+    "evt_path_analysis",
 ]
 
 
