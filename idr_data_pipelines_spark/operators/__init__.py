@@ -19,6 +19,7 @@ from idr_data_pipelines_spark.operators.scd import (
     scd1_upsert,
     scd2_from_events,
     scd2_merge,
+    scd4_upsert,
 )
 from idr_data_pipelines_spark.operators.validate import (
     referential_integrity,
@@ -72,6 +73,7 @@ __all__ = [
     "scd1_upsert",
     "scd2_from_events",
     "scd2_merge",
+    "scd4_upsert",
     "referential_integrity",
     "validate",
     "join_range",

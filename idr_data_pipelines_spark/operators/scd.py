@@ -229,3 +229,30 @@ def scd3_update(
         else:
             out_cols.append(F.col(c))
     return j.select(*out_cols)
+
+
+def scd4_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> tuple[DataFrame, DataFrame]:
+    """SCD type-4 merge: current table + separate history table. Rows
+    of ``base`` whose key appears in ``updates`` move to the history
+    table verbatim (the displaced version); the new current table is
+    the type-1 upsert. Returns ``(current, history)``.
+
+    Like the other SCD merges, ``updates`` must be latest-state-per-key
+    (pre-collapse with ``dedup_latest_per_key``). One semi join + one
+    anti join on the key — both broadcast when the update batch is
+    small — and no extra shuffles; at warehouse scale the history side
+    is an APPEND-ONLY sink (``sink_rows_append``), so a daily merge
+    writes only the displaced rows, never rewriting accumulated
+    history."""
+    cols = base.columns
+    history = base.join(updates.select(*key_cols), key_cols, "left_semi")
+    current = (
+        base.join(updates.select(*key_cols), key_cols, "left_anti")
+        .select(*cols)
+        .unionByName(updates.select(*cols))
+    )
+    return current, history.select(*cols)

@@ -4676,6 +4676,40 @@ def q_evt_path_analysis(spark, sf_dir):
     return paths.orderBy(F.col("n").desc(), F.col("path").asc()).limit(10)
 
 
+def q_scd4_current_history(spark, sf_dir):
+    """SCD type-4 merge (current + history TABLES — the family
+    completer next to types 1/2/3): the same base/update construction
+    as scd1_upsert, but displaced current rows land in a history
+    table instead of vanishing. The driver sees both outputs in one
+    frame via a ``tbl`` tag; the scale path appends only the
+    displaced rows to the history sink (append-only, no rewrite)."""
+    from idr_data_pipelines_spark.operators.scd import scd4_upsert
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_orderdate").cast("date").alias("odate"),
+    )
+    cutoff = F.lit("1995-01-01").cast("date")
+
+    def latest(df):
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.col("odate").desc(), F.col("o_orderstatus").desc()
+        )
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    base = latest(orders.filter(F.col("odate") <= cutoff))
+    upd = latest(orders.filter(F.col("odate") > cutoff))
+    current, history = scd4_upsert(base, upd, ["o_custkey"])
+    return current.withColumn("tbl", F.lit("current")).unionByName(
+        history.withColumn("tbl", F.lit("history"))
+    )
+
+
 # ===================================================================
 # registry
 # ===================================================================
@@ -4911,6 +4945,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "evt_anomaly_zscore": q_evt_anomaly_zscore,
     "graph_khop": q_graph_khop,
     "evt_path_analysis": q_evt_path_analysis,
+    "scd4_current_history": q_scd4_current_history,
     # -- NO_ORACLE members: rows-only by design (hash/approx ops with
     # no portable SQL equivalent; bounds pinned in pytest). NEVER
     # rotate these into the driver window — their driver rows cannot
@@ -7841,6 +7876,29 @@ ORACLES: dict[str, str] = {
         SELECT path, n FROM paths
         ORDER BY n DESC, path ASC
         LIMIT 10
+    """,
+    "scd4_current_history": """
+        WITH o AS (
+            SELECT o_custkey, o_orderstatus, CAST(o_orderdate AS DATE) AS odate
+            FROM orders
+        ), base AS (
+            SELECT o_custkey, o_orderstatus, odate FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY odate DESC, o_orderstatus DESC) AS rn
+                FROM o WHERE odate <= DATE '1995-01-01') WHERE rn = 1
+        ), upd AS (
+            SELECT o_custkey, o_orderstatus, odate FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY odate DESC, o_orderstatus DESC) AS rn
+                FROM o WHERE odate > DATE '1995-01-01') WHERE rn = 1
+        )
+        SELECT b.*, 'current' AS tbl FROM base b
+        WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_custkey = b.o_custkey)
+        UNION ALL
+        SELECT u.*, 'current' AS tbl FROM upd u
+        UNION ALL
+        SELECT b.*, 'history' AS tbl FROM base b
+        WHERE EXISTS (SELECT 1 FROM upd u WHERE u.o_custkey = b.o_custkey)
     """,
 }
 

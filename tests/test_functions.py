@@ -445,6 +445,23 @@ def test_scd1_upsert_replaces_and_passes_through(spark):
     assert got == [("k1", "new", 10), ("k2", "keep", 2), ("k3", "ins", 30)]
 
 
+def test_scd4_upsert_moves_displaced_rows_to_history(spark):
+    from idr_data_pipelines_spark.operators.scd import scd4_upsert
+
+    base = spark.createDataFrame(
+        [("k1", "old", 1), ("k2", "keep", 2)], ["k", "v", "n"]
+    )
+    upd = spark.createDataFrame(
+        [("k1", "new", 10), ("k3", "ins", 30)], ["k", "v", "n"]
+    )
+    current, history = scd4_upsert(base, upd, ["k"])
+    got_cur = sorted(tuple(r) for r in current.collect())
+    got_hist = sorted(tuple(r) for r in history.collect())
+    # current == the type-1 upsert; history == exactly the displaced rows
+    assert got_cur == [("k1", "new", 10), ("k2", "keep", 2), ("k3", "ins", 30)]
+    assert got_hist == [("k1", "old", 1)]
+
+
 def test_agg_incremental_merge_equals_full_and_rejects_nonmergeable(spark):
     from pyspark.sql import functions as F
     import pytest

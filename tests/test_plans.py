@@ -462,7 +462,7 @@ def test_plan_linter_sweep_round6_queries(spark, sf_dir):
         "q20_potential_promotion", "text_chunk_windows",
         "quality_logreg", "emb_standardize", "agg_cube",
         "evt_attribution", "basket_pairs", "evt_anomaly_zscore",
-        "graph_khop", "evt_path_analysis",
+        "graph_khop", "evt_path_analysis", "scd4_current_history",
     ):
         assert_scalable(QUERIES[name](spark, sf_dir), max_shuffles=12)
 
