@@ -30,6 +30,12 @@ TABLES = [
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # bound DuckDB's buffer manager well below the default 80%-of-RAM:
+    # the largest sf0.01 oracle peaks under 1 GB, and the default limit
+    # lets a transient reservation race the Spark JVM for the whole
+    # machine (observed as spurious 16 KB bad_alloc failures when both
+    # engines spike together)
+    con.execute("SET memory_limit='16GB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
