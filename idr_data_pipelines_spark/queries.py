@@ -4710,6 +4710,60 @@ def q_scd4_current_history(spark, sf_dir):
     )
 
 
+def q_orders_cohort_ltv(spark, sf_dir):
+    """Cohort LTV curves: customers cohorted by first-order year, then
+    average cumulative revenue per customer at each age (years since
+    the first order). Revenue stays integer cents through the
+    per-customer-year rollup, the (cohort, age) rollup AND the
+    running cumulative (an integer window sum over ≤|years| rows per
+    cohort) — only the final per-customer division is floating point,
+    rounded to 6. Shuffle ladder: customer-year agg → broadcast
+    first-year join → cohort/age agg → tiny cohort window."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(
+        F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+    ).cast("bigint")
+    per_cy = (
+        orders.select(
+            "o_custkey",
+            F.year(F.col("o_orderdate").cast("date")).alias("y"),
+            cents.alias("c"),
+        )
+        .groupBy("o_custkey", "y")
+        .agg(F.sum("c").alias("c"))
+    )
+    first = per_cy.groupBy("o_custkey").agg(F.min("y").alias("cohort"))
+    sizes = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    aged = (
+        per_cy.join(F.broadcast(first), "o_custkey")
+        .select("cohort", (F.col("y") - F.col("cohort")).alias("age"), "c")
+        .groupBy("cohort", "age")
+        .agg(F.sum("c").alias("rev_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        aged.withColumn("cum_cents", F.sum("rev_cents").over(w))
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            F.col("age").cast("int").alias("age"),
+            "cohort_size",
+            "rev_cents",
+            "cum_cents",
+            F.round(
+                F.col("cum_cents").cast("double")
+                / F.lit(100.0)
+                / F.col("cohort_size").cast("double"),
+                6,
+            ).alias("ltv_per_customer"),
+        )
+    )
+
+
 # ===================================================================
 # registry
 # ===================================================================
@@ -4946,6 +5000,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_khop": q_graph_khop,
     "evt_path_analysis": q_evt_path_analysis,
     "scd4_current_history": q_scd4_current_history,
+    "orders_cohort_ltv": q_orders_cohort_ltv,
     # -- NO_ORACLE members: rows-only by design (hash/approx ops with
     # no portable SQL equivalent; bounds pinned in pytest). NEVER
     # rotate these into the driver window — their driver rows cannot
@@ -7899,6 +7954,34 @@ ORACLES: dict[str, str] = {
         UNION ALL
         SELECT b.*, 'history' AS tbl FROM base b
         WHERE EXISTS (SELECT 1 FROM upd u WHERE u.o_custkey = b.o_custkey)
+    """,
+    "orders_cohort_ltv": """
+        WITH per_cy AS (
+            SELECT o_custkey,
+                   CAST(EXTRACT(year FROM CAST(o_orderdate AS DATE)) AS INT) AS y,
+                   SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS c
+            FROM orders GROUP BY 1, 2
+        ), first AS (
+            SELECT o_custkey, MIN(y) AS cohort FROM per_cy GROUP BY 1
+        ), sizes AS (
+            SELECT cohort, COUNT(*) AS cohort_size FROM first GROUP BY 1
+        ), aged AS (
+            SELECT f.cohort, p.y - f.cohort AS age,
+                   CAST(SUM(p.c) AS BIGINT) AS rev_cents
+            FROM per_cy p JOIN first f USING (o_custkey)
+            GROUP BY 1, 2
+        ), cum AS (
+            SELECT cohort, age, rev_cents,
+                   CAST(SUM(rev_cents) OVER (
+                       PARTITION BY cohort ORDER BY age
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+            FROM aged
+        )
+        SELECT c.cohort, CAST(c.age AS INT) AS age, s.cohort_size,
+               c.rev_cents, c.cum_cents,
+               ROUND(CAST(c.cum_cents AS DOUBLE) / 100.0
+                     / CAST(s.cohort_size AS DOUBLE), 6) AS ltv_per_customer
+        FROM cum c JOIN sizes s USING (cohort)
     """,
 }
 

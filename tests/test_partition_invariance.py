@@ -46,6 +46,7 @@ NAMES = [
     "basket_pairs",
     "graph_khop",
     "evt_path_analysis",
+    "orders_cohort_ltv",
 ]
 
 
