@@ -4554,20 +4554,12 @@ def q_basket_pairs(spark, sf_dir):
     ).limit(20)
 
 
-def q_evt_anomaly_zscore(spark, sf_dir):
-    """Time-series anomaly flags: per (event_type, day) counts scored
-    against the trailing 7-day rolling mean/std of the same type.
-    Exactness: the rolling sums/sum-of-squares are INTEGER window
-    aggregates (bit-identical under any partitioning); only the final
-    mean/var/z divisions are doubles with a fixed operation order,
-    rounded to 6. One day-grain count shuffle + one type-key window —
-    both on small keys after the count collapses the log."""
-    e = _events(spark, sf_dir)
-    daily = (
-        e.select("event_type", F.to_date(F.col("ts")).alias("d"))
-        .groupBy("event_type", "d")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+def _zscore_daily(daily: DataFrame) -> DataFrame:
+    """Trailing-7-day rolling z-score over a (event_type, d, n) daily
+    count frame — shared by the batch query and its streaming twin.
+    The rolling sums/sum-of-squares are INTEGER window aggregates
+    (bit-identical under any partitioning); only the final mean/var/z
+    divisions are doubles with a fixed operation order, rounded to 6."""
     w = (
         Window.partitionBy("event_type")
         .orderBy("d")
@@ -4590,6 +4582,54 @@ def q_evt_anomaly_zscore(spark, sf_dir):
         F.round(z, 6).alias("z"),
         (F.abs(F.round(z, 6)) >= 2.0).alias("anomaly"),
     )
+
+
+def q_evt_anomaly_zscore(spark, sf_dir):
+    """Time-series anomaly flags: per (event_type, day) counts scored
+    against the trailing 7-day rolling mean/std of the same type (see
+    ``_zscore_daily`` for the exactness argument). One day-grain count
+    shuffle + one type-key window — both on small keys after the
+    count collapses the log."""
+    e = _events(spark, sf_dir)
+    daily = (
+        e.select("event_type", F.to_date(F.col("ts")).alias("d"))
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return _zscore_daily(daily)
+
+
+def q_evt_anomaly_stream(spark, sf_dir):
+    """The anomaly detector's production shape: a watermarked
+    streaming aggregation (Trigger.AvailableNow, complete mode)
+    maintains the per-(type, day) counts; the z-scoring is a batch
+    view over the maintained state — the dashboard-over-stream
+    pattern. Stream state must equal the batch counts, so the oracle
+    is the SAME SQL as evt_anomaly_zscore: a streaming operator with
+    a full value-hash correctness gate."""
+    inbox, ckpt, raw_schema = _stage_event_stream(spark, sf_dir, "anomstream")
+    stream = _ts_utc(spark.readStream.schema(raw_schema).parquet(inbox))
+    agg = (
+        stream.withWatermark("ts", "2 days")
+        .groupBy("event_type", F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"anomstream_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    daily = spark.table(name).select(
+        "event_type",
+        F.to_date(F.col("w.start")).alias("d"),
+        "n",
+    )
+    return _zscore_daily(daily)
 
 
 def _cs_edges(spark, sf_dir):
@@ -5001,6 +5041,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "evt_path_analysis": q_evt_path_analysis,
     "scd4_current_history": q_scd4_current_history,
     "orders_cohort_ltv": q_orders_cohort_ltv,
+    "evt_anomaly_stream": q_evt_anomaly_stream,
     # -- NO_ORACLE members: rows-only by design (hash/approx ops with
     # no portable SQL equivalent; bounds pinned in pytest). NEVER
     # rotate these into the driver window — their driver rows cannot
@@ -7984,6 +8025,10 @@ ORACLES: dict[str, str] = {
         FROM cum c JOIN sizes s USING (cohort)
     """,
 }
+
+# the streaming anomaly twin must converge to the batch result, so its
+# oracle IS the batch query's oracle (stream-equals-batch gate)
+ORACLES["evt_anomaly_stream"] = ORACLES["evt_anomaly_zscore"]
 
 # Hash-based / approximate operators: no portable SQL equivalent →
 # the driver records a rows-only check (documented in __spark_entry__).
