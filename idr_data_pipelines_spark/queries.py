@@ -4096,8 +4096,17 @@ def q_q2_min_cost_supplier(spark, sf_dir):
     cost_cents = F.floor(
         F.col("l_extendedprice") * F.lit(100.0) / F.col("l_quantity") + F.lit(0.5)
     ).cast("bigint")
+    # prune the fact to qualifying parts BEFORE the pair aggregation
+    # (Catalyst can't push a join below an agg itself) — the shuffle
+    # then carries only qualifying-part lines; the detail join after
+    # the agg re-attaches p_size
     pairs = (
-        li.select("l_partkey", "l_suppkey", cost_cents.alias("c"))
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .select("l_partkey", "l_suppkey", cost_cents.alias("c"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min("c").alias("pair_cost"))
         .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)

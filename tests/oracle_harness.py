@@ -30,12 +30,18 @@ TABLES = [
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
-    # bound DuckDB's buffer manager well below the default 80%-of-RAM:
-    # the largest sf0.01 oracle peaks under 1 GB, and the default limit
-    # lets a transient reservation race the Spark JVM for the whole
-    # machine (observed as spurious 16 KB bad_alloc failures when both
-    # engines spike together)
-    con.execute("SET memory_limit='16GB'")
+    # bound DuckDB hard: its buffer manager allocates 256 KB blocks
+    # that glibc serves as one mmap each, so a transient multi-GB
+    # spike costs tens of thousands of memory mappings and races the
+    # kernel's vm.max_map_count (65530 here). Crossing it makes
+    # unrelated 16 KB mallocs and pthread_create fail process-wide
+    # ("bad allocation" / "can't start new thread" — both observed in
+    # long suite runs). The largest sf0.01 oracle peaks under 1 GB, so
+    # 4 GB (≈16k blocks) keeps the whole process far from the map
+    # limit; 8 threads bounds the number of concurrently-buffering
+    # operators for the same reason.
+    con.execute("SET memory_limit='4GB'")
+    con.execute("SET threads=8")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"

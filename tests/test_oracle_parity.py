@@ -23,6 +23,21 @@ def duck(sf_dir):
     con.close()
 
 
+@pytest.fixture(autouse=True)
+def _no_lingering_streams(spark):
+    """Every streaming query in the catalog is Trigger.AvailableNow
+    and awaits termination, but a failed assertion mid-test can leave
+    one active; a stray active stream holds the py4j callback server
+    and has been observed wedging a LATER streaming test's
+    foreachBatch under load. Stop leftovers after every test."""
+    yield
+    for q in spark.streams.active:
+        try:
+            q.stop()
+        except Exception:
+            pass
+
+
 def test_registry_consistency():
     assert set(ORACLES) | NO_ORACLE == set(QUERIES)
     assert not (set(ORACLES) & NO_ORACLE)
