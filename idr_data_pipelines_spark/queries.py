@@ -2260,6 +2260,47 @@ def q_src_python_datasource(spark, sf_dir):
     )
 
 
+def q_src_python_datasource_stream(spark, sf_dir):
+    """The SAME custom connector as a STREAMING source (Spark 4
+    ``simpleStreamReader``): dict offsets, micro-batches of 64 ids,
+    pure-generator ``readBetweenOffsets`` for exactly-once replay
+    from the checkpoint. The driver query drains 300 rows through a
+    real micro-batch stream into a memory sink (polling the sink —
+    availableNow snapshots only the first prefetched batch for
+    simple stream readers), then hands the result to the same
+    md5-replay oracle family as the batch path: the full streaming
+    connector path is value-hash verified. ``distinct()`` on the
+    bounded result pins exactly-once even if a sink retry ever
+    double-appended a batch (content per id is pure)."""
+    import time
+
+    from idr_data_pipelines_spark.sources.pydatasource import (
+        SyntheticCorpusDataSource,
+    )
+
+    spark.dataSource.register(SyntheticCorpusDataSource)
+    name = f"pydss_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="idr_pydss_ckpt_")
+    q = (
+        spark.readStream.format("synthetic_corpus")
+        .option("n_rows", 300)
+        .option("batch_rows", 64)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.table(name).count() >= 300:
+            break
+        time.sleep(0.5)
+    q.stop()
+    return spark.table(name).distinct()
+
+
 def q_evt_user_perplexity(spark, sf_dir):
     """Behavioral perplexity: each user's event sequence scored under
     the corpus's OWN first-order transition model — mean -log2
@@ -5051,6 +5092,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd4_current_history": q_scd4_current_history,
     "orders_cohort_ltv": q_orders_cohort_ltv,
     "evt_anomaly_stream": q_evt_anomaly_stream,
+    "src_python_datasource_stream": q_src_python_datasource_stream,
     # -- NO_ORACLE members: rows-only by design (hash/approx ops with
     # no portable SQL equivalent; bounds pinned in pytest). NEVER
     # rotate these into the driver window — their driver rows cannot
@@ -8038,6 +8080,12 @@ ORACLES: dict[str, str] = {
 # the streaming anomaly twin must converge to the batch result, so its
 # oracle IS the batch query's oracle (stream-equals-batch gate)
 ORACLES["evt_anomaly_stream"] = ORACLES["evt_anomaly_zscore"]
+
+# the streaming connector emits ids 0..299 of the same pure generator,
+# so its oracle is the batch connector's md5 replay over that range
+ORACLES["src_python_datasource_stream"] = ORACLES["src_python_datasource"].replace(
+    "generate_series(0, 499)", "generate_series(0, 299)"
+)
 
 # Hash-based / approximate operators: no portable SQL equivalent →
 # the driver records a rows-only check (documented in __spark_entry__).

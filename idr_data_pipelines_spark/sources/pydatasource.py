@@ -21,7 +21,12 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 # 16 words — one per md5 nibble; the SQL oracle indexes the same list
@@ -82,3 +87,38 @@ class SyntheticCorpusDataSource(DataSource):
 
     def reader(self, schema):
         return SyntheticCorpusReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return SyntheticCorpusStreamReader(self.options)
+
+
+class SyntheticCorpusStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same connector (``spark.readStream
+    .format("synthetic_corpus")``): micro-batches of ``batch_rows``
+    ids until ``n_rows``, then an empty tail forever — the bounded
+    replay of an unbounded feed. Offsets are plain dicts
+    ({"pos": next_id}), so a restarted query resumes exactly;
+    ``readBetweenOffsets`` regenerates any offset range verbatim
+    (the md5 generator is pure), which is what makes the source
+    exactly-once replayable from the checkpoint with no external
+    state. Content is identical to the batch reader's, so the SAME
+    SQL oracle verifies the streaming path end-to-end."""
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.batch_rows = int(options.get("batch_rows", 100))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def read(self, start):
+        pos = int(start["pos"])
+        end = min(pos + self.batch_rows, self.n_rows)
+        rows = [(i, synth_text(i)) for i in range(pos, end)]
+        return iter(rows), {"pos": end}
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            (i, synth_text(i))
+            for i in range(int(start["pos"]), int(end["pos"]))
+        )
