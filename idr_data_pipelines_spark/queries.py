@@ -2301,6 +2301,47 @@ def q_src_python_datasource_stream(spark, sf_dir):
     return spark.table(name).distinct()
 
 
+def q_join_full_reconcile(spark, sf_dir):
+    """FULL OUTER reconciliation (the join-type completer beside
+    inner/left/semi/anti): per-customer revenue for 1995 vs 1996,
+    full-outer joined so customers active in only one period surface
+    with an explicit status. Exact cent sums; the delta is integer
+    arithmetic on coalesced cents. One shuffle per period aggregate +
+    the key-aligned outer join (both sides share the grain, so AQE
+    plans a single co-partitioned merge)."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(
+        F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+    ).cast("bigint")
+
+    def period(y):
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+            )
+            .select("o_custkey", cents.alias("c"))
+            .groupBy("o_custkey")
+            .agg(F.sum("c").alias(f"rev_{y}"))
+        )
+
+    a, b = period(1995), period(1996)
+    j = a.join(b, "o_custkey", "full_outer")
+    return j.select(
+        "o_custkey",
+        "rev_1995",
+        "rev_1996",
+        (
+            F.coalesce(F.col("rev_1996"), F.lit(0))
+            - F.coalesce(F.col("rev_1995"), F.lit(0))
+        ).alias("delta_cents"),
+        F.when(F.col("rev_1995").isNull(), F.lit("only_1996"))
+        .when(F.col("rev_1996").isNull(), F.lit("only_1995"))
+        .otherwise(F.lit("both"))
+        .alias("status"),
+    )
+
+
 def q_evt_user_perplexity(spark, sf_dir):
     """Behavioral perplexity: each user's event sequence scored under
     the corpus's OWN first-order transition model — mean -log2
@@ -5093,6 +5134,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_cohort_ltv": q_orders_cohort_ltv,
     "evt_anomaly_stream": q_evt_anomaly_stream,
     "src_python_datasource_stream": q_src_python_datasource_stream,
+    "join_full_reconcile": q_join_full_reconcile,
     # -- NO_ORACLE members: rows-only by design (hash/approx ops with
     # no portable SQL equivalent; bounds pinned in pytest). NEVER
     # rotate these into the driver window — their driver rows cannot
@@ -8074,6 +8116,32 @@ ORACLES: dict[str, str] = {
                ROUND(CAST(c.cum_cents AS DOUBLE) / 100.0
                      / CAST(s.cohort_size AS DOUBLE), 6) AS ltv_per_customer
         FROM cum c JOIN sizes s USING (cohort)
+    """,
+    "join_full_reconcile": """
+        WITH a AS (
+            SELECT o_custkey,
+                   SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS rev_1995
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1996-01-01'
+            GROUP BY 1
+        ), b AS (
+            SELECT o_custkey,
+                   SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS rev_1996
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1
+        )
+        SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+               CAST(a.rev_1995 AS BIGINT) AS rev_1995,
+               CAST(b.rev_1996 AS BIGINT) AS rev_1996,
+               CAST(COALESCE(b.rev_1996, 0) - COALESCE(a.rev_1995, 0)
+                    AS BIGINT) AS delta_cents,
+               CASE WHEN a.o_custkey IS NULL THEN 'only_1996'
+                    WHEN b.o_custkey IS NULL THEN 'only_1995'
+                    ELSE 'both' END AS status
+        FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
     """,
 }
 
