@@ -2342,6 +2342,49 @@ def q_join_full_reconcile(spark, sf_dir):
     )
 
 
+def q_window_range_frame(spark, sf_dir):
+    """RANGE-framed window (value-based, not row-based): per event
+    type, the count of events whose VALUE lies within ±5.0 of each
+    row's value — rows with equal values share one frame, which a
+    ROWS frame cannot express. Values go through exact micro-unit
+    scaling (floor(v·1e6+0.5), the module's standard trick) so the
+    RANGE boundary test is pure integer arithmetic in both engines —
+    no float-boundary flakes, and no ordering tiebreak needed because
+    RANGE frames are value-defined. One type-key shuffle; frame
+    evaluation is a sliding scan over the sorted partition."""
+    e = _events(spark, sf_dir)
+    v6 = F.floor(
+        F.col("value").cast("double") * F.lit(1e6) + F.lit(0.5)
+    ).cast("bigint")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v6")
+        .rangeBetween(-5_000_000, 5_000_000)
+    )
+    return (
+        e.select("event_id", "event_type", v6.alias("v6"))
+        .withColumn("n_within_5", F.count(F.lit(1)).over(w))
+    )
+
+
+def q_agg_rollup_grouping_id(spark, sf_dir):
+    """ROLLUP with GROUPING() markers: distinguishes a NULL that IS a
+    group value from a NULL meaning 'rolled up' — the semantic the
+    plain rollup output cannot express. grouping_id() also gives the
+    subtotal level as an integer. Same one-shuffle map-side expansion
+    as agg_rollup."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+    )
+
+
 def q_evt_user_perplexity(spark, sf_dir):
     """Behavioral perplexity: each user's event sequence scored under
     the corpus's OWN first-order transition model — mean -log2
@@ -5135,6 +5178,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "evt_anomaly_stream": q_evt_anomaly_stream,
     "src_python_datasource_stream": q_src_python_datasource_stream,
     "join_full_reconcile": q_join_full_reconcile,
+    "window_range_frame": q_window_range_frame,
+    "agg_rollup_grouping_id": q_agg_rollup_grouping_id,
     # -- NO_ORACLE members: rows-only by design (hash/approx ops with
     # no portable SQL equivalent; bounds pinned in pytest). NEVER
     # rotate these into the driver window — their driver rows cannot
@@ -8142,6 +8187,31 @@ ORACLES: dict[str, str] = {
                     WHEN b.o_custkey IS NULL THEN 'only_1995'
                     ELSE 'both' END AS status
         FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+    """,
+    "window_range_frame": """
+        WITH s AS (
+            SELECT event_id, event_type,
+                   CAST(FLOOR(CAST(value AS DOUBLE) * 1000000.0 + 0.5)
+                        AS BIGINT) AS v6
+            FROM events
+        )
+        SELECT event_id, event_type, v6,
+               COUNT(*) OVER (
+                   PARTITION BY event_type
+                   ORDER BY v6
+                   RANGE BETWEEN 5000000 PRECEDING AND 5000000 FOLLOWING
+               ) AS n_within_5
+        FROM s
+    """,
+    "agg_rollup_grouping_id": """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               CAST(GROUPING(o_orderstatus) * 2
+                    + GROUPING(o_orderpriority) AS INT) AS gid
+        FROM orders
+        GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
     """,
 }
 

@@ -464,6 +464,7 @@ def test_plan_linter_sweep_round6_queries(spark, sf_dir):
         "evt_attribution", "basket_pairs", "evt_anomaly_zscore",
         "graph_khop", "evt_path_analysis", "scd4_current_history",
         "orders_cohort_ltv", "join_full_reconcile",
+        "window_range_frame", "agg_rollup_grouping_id",
     ):
         assert_scalable(QUERIES[name](spark, sf_dir), max_shuffles=12)
 
