@@ -4660,15 +4660,27 @@ def q_basket_pairs(spark, sf_dir):
     """Market-basket co-occurrence: top-20 part pairs by the number of
     orders containing both. The pair generation is a self-equi-join on
     the order key — co-partitioned, so pair blowup is bounded by
-    lines-per-order (single digits), never corpus-quadratic — and the
-    support count is exact integers, so ranking needs only the
-    (support desc, part_a, part_b) tiebreak. Top-k rides
-    TakeOrdered."""
-    d = (
+    lines-per-order — and the support count is exact integers, so
+    ranking needs only the (support desc, part_a, part_b) tiebreak.
+    Top-k rides TakeOrdered.
+
+    Scale guard: baskets larger than 32 distinct parts are dropped
+    BEFORE pair generation (the standard market-basket practice — a
+    bot/bulk order with 10k parts would emit 50M pairs from one key
+    and skew the join). Deterministic filter ⇒ still exactly
+    oracle-able; no basket in the synthetic data comes near the cap."""
+    d0 = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
     )
+    small = (
+        d0.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= 32)
+        .select("l_orderkey")
+    )
+    d = d0.join(small, "l_orderkey", "left_semi")
     a = d.alias("a")
     b = d.alias("b")
     pairs = (
@@ -8025,7 +8037,12 @@ ORACLES: dict[str, str] = {
         SELECT * FROM orders
     """,
     "basket_pairs": """
-        WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        WITH d0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        d AS (
+            SELECT d0.* FROM d0
+            WHERE d0.l_orderkey IN (
+                SELECT l_orderkey FROM d0 GROUP BY 1 HAVING COUNT(*) <= 32)
+        ),
         p AS (
             SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
                    COUNT(*) AS support
