@@ -133,6 +133,14 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ts_utc(read_parquet_dir(spark, f"{sf_dir}/events.parquet"))
 
 
+def _toks(col: str = "text") -> F.Column:
+    """The module's canonical whitespace tokenizer —
+    split(lower(trim(text)), \\s+). Every oracle that tokenizes
+    mirrors it as ``regexp_split_to_array(lower(trim(text)), '\\s+')``;
+    change BOTH or none."""
+    return F.split(F.lower(F.trim(F.col(col))), r"\s+")
+
+
 def _money_sum(col) -> F.Column:
     """Cross-engine-exact money sum: convert to integer cents with pure
     double arithmetic (floor(x*100 + 0.5) — bit-identical in Spark and
@@ -1348,7 +1356,7 @@ def q_text_top_terms(spark, sf_dir):
     the exploded token stream."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = docs.select(
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token")
+        F.explode(_toks()).alias("token")
     ).filter(F.col("token") != "")
     return (
         toks.groupBy("token")
@@ -1381,7 +1389,7 @@ def q_text_collocations(spark, sf_dir):
         _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     )
     words = docs.select(
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("w")
+        _toks().alias("w")
     )
     terms = words.select(
         F.explode(
@@ -2294,7 +2302,15 @@ def q_src_python_datasource_stream(spark, sf_dir):
     )
     deadline = time.time() + 120
     while time.time() < deadline:
-        if spark.table(name).count() >= 300:
+        if q.exception() is not None:
+            q.stop()
+            raise q.exception()
+        # count DISTINCT ids: if a sink retry ever double-appended a
+        # batch, the raw count would hit 300 early and stop() would
+        # kill the stream before the tail offsets drained
+        if spark.table(name).select("doc_id").distinct().count() >= 300:
+            break
+        if not q.isActive:
             break
         time.sleep(0.5)
     q.stop()
@@ -4383,7 +4399,7 @@ def q_text_tfidf_topterm(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+        F.explode(_toks()).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -4432,7 +4448,7 @@ def q_text_bm25_topk(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"),
+        F.explode(_toks()).alias("term"),
     )
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     n = dl.agg(
@@ -4495,7 +4511,7 @@ def q_text_chunk_windows(spark, sf_dir):
     engines."""
     W, S = _CHUNK_W, _CHUNK_S
     docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = _toks()
     base = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
     nch = F.lit(1) + F.greatest(
         F.lit(0),
@@ -4536,7 +4552,7 @@ def q_quality_logreg(spark, sf_dir):
     probability so the cut is libm-ulp-proof. Swapping in trained
     weights changes constants, not the plan."""
     docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = _toks()
     base = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
     stop_hits = F.size(F.filter("toks", lambda t: t.isin("the", "a")))
     char_sum = F.aggregate(
@@ -4808,7 +4824,12 @@ def q_graph_khop(spark, sf_dir):
     UNION dedups (node, hop) pairs, with min(hop) on top — a genuinely
     iterative algorithm verified exactly in SQL. Integer hops: no
     float concerns."""
-    edges = _cs_edges(spark, sf_dir).localCheckpoint(eager=True)
+    # lazy checkpoint: the edge list is referenced by all three hops,
+    # so truncate its lineage once — but only at FIRST ACTION, so
+    # building the DataFrame (plan lint, invariance battery) costs no
+    # Spark job. Checkpointing hides the edge-build subtree from this
+    # query's lint, so the sweep lints _cs_edges directly.
+    edges = _cs_edges(spark, sf_dir).localCheckpoint(eager=False)
     seeds = (
         _t(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") < 10)
@@ -7906,7 +7927,9 @@ ORACLES: dict[str, str] = {
         )
         SELECT doc_id, term AS top_term, score FROM ranked WHERE rk = 1
     """,
-    "text_bm25_topk": """
+    # k1/b/terms interpolated from the SAME constants the Spark query
+    # uses (_BM25_*) — edits can't drift the two engines apart
+    "text_bm25_topk": f"""
         WITH toks AS (
             SELECT doc_id,
                    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
@@ -7917,15 +7940,17 @@ ORACLES: dict[str, str] = {
             SELECT COUNT(*) AS n, SUM(dl) AS total_len FROM dl
         ), tf AS (
             SELECT doc_id, term, COUNT(*) AS tf FROM toks
-            WHERE term IN ('spark', 'query', 'dup') GROUP BY 1, 2
+            WHERE term IN ({", ".join(repr(t) for t in _BM25_TERMS)})
+            GROUP BY 1, 2
         ), df AS (
             SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
         ), scored AS (
             SELECT tf.doc_id,
                    ROUND(SUM(
                        ln(1.0 + (n.n - df.df + 0.5) / (df.df + 0.5))
-                       * (tf.tf * (1.2 + 1.0))
-                       / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl * n.n
+                       * (tf.tf * ({_BM25_K1} + 1.0))
+                       / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                                         + {_BM25_B} * dl.dl * n.n
                                          / CAST(n.total_len AS DOUBLE)))
                    ), 6) AS score
             FROM tf
@@ -7940,16 +7965,18 @@ ORACLES: dict[str, str] = {
         )
         SELECT doc_id, score, rk FROM ranked WHERE rk <= 50
     """,
-    # W=32 / S=24 mirror _CHUNK_W/_CHUNK_S; DuckDB list slices are
-    # 1-based with INCLUSIVE end, hence the least(start+W-1, n) bound
-    "text_chunk_windows": """
+    # W/S interpolated from _CHUNK_W/_CHUNK_S (the Spark query's
+    # constants); DuckDB list slices are 1-based with INCLUSIVE end,
+    # hence the least(start+W-1, n) bound
+    "text_chunk_windows": f"""
         WITH t AS (
             SELECT doc_id,
                    regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
             FROM documents
         ), c AS (
             SELECT doc_id, toks, len(toks) AS n,
-                   1 + greatest(0, (len(toks) - 32 + 24 - 1) // 24) AS nch
+                   1 + greatest(0, (len(toks) - {_CHUNK_W} + {_CHUNK_S} - 1)
+                                // {_CHUNK_S}) AS nch
             FROM t
         ), e AS (
             SELECT doc_id, toks, n, unnest(range(0, nch)) AS chunk_id
@@ -7957,10 +7984,12 @@ ORACLES: dict[str, str] = {
         )
         SELECT doc_id,
                CAST(chunk_id AS INT) AS chunk_id,
-               CAST(len(toks[chunk_id * 24 + 1 :
-                            least(chunk_id * 24 + 32, n)]) AS INT) AS n_tok,
-               array_to_string(toks[chunk_id * 24 + 1 :
-                            least(chunk_id * 24 + 32, n)], ' ') AS chunk_text
+               CAST(len(toks[chunk_id * {_CHUNK_S} + 1 :
+                            least(chunk_id * {_CHUNK_S} + {_CHUNK_W}, n)])
+                    AS INT) AS n_tok,
+               array_to_string(toks[chunk_id * {_CHUNK_S} + 1 :
+                            least(chunk_id * {_CHUNK_S} + {_CHUNK_W}, n)],
+                            ' ') AS chunk_text
         FROM e
     """,
     "quality_logreg": """

@@ -485,6 +485,13 @@ def test_plan_linter_sweep_round6_queries(spark, sf_dir):
         fatal_rules = {f.rule for f in findings if f.severity == "fatal"}
         assert fatal_rules == {"cartesian-product"}, (name, findings)
 
+    # graph_khop checkpoints its edge list (lineage truncation hides
+    # the edge-build subtree from the query's own plan), so lint the
+    # un-truncated subtree directly
+    from idr_data_pipelines_spark.queries import _cs_edges
+
+    assert_scalable(_cs_edges(spark, sf_dir), max_shuffles=12)
+
 
 def test_session3_tpch_plan_shapes(spark, sf_dir):
     """TPC-H completion shapes stay scale-right: q2 = one pair-agg

@@ -77,14 +77,26 @@ def test_graph_khop_bfs_invariants(spark, sf_dir):
 
 
 def test_scd4_outputs_partition_the_keyspace(spark, sf_dir):
-    """current ∪ history keys == base ∪ update keys; history keys are
-    exactly base∩update (the displaced versions); current has one row
-    per key."""
+    """current keys == base ∪ update keys (one row each); history keys
+    are EXACTLY base ∩ update (the displaced versions) — recomputed
+    here from the raw orders table, independent of the operator."""
     out = QUERIES["scd4_current_history"](spark, sf_dir)
     cur = [r["o_custkey"] for r in out.filter("tbl = 'current'").collect()]
     hist = {r["o_custkey"] for r in out.filter("tbl = 'history'").collect()}
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    )
+    base_keys = {
+        r["o_custkey"]
+        for r in orders.filter(F.col("d") <= "1995-01-01").distinct().collect()
+    }
+    upd_keys = {
+        r["o_custkey"]
+        for r in orders.filter(F.col("d") > "1995-01-01").distinct().collect()
+    }
     assert len(cur) == len(set(cur)), "current must be one row per key"
-    assert hist <= set(cur), "every displaced key still has a current row"
+    assert set(cur) == base_keys | upd_keys, "current must cover base ∪ update"
+    assert hist == base_keys & upd_keys, "history must be exactly base ∩ update"
 
 
 def test_bm25_prefers_rare_term_docs(spark, sf_dir):
