@@ -4994,10 +4994,13 @@ def q_orders_cohort_ltv(spark, sf_dir):
 # window are still swept every CI run by tests/test_oracle_parity.py.
 # r07 rotation guidance: the oracled queries ADDED in r6 sessions 2-3
 # (emb_kmeans_step … src_python_datasource, marked "new in r06", plus
-# the session-3 block q2_min_cost_supplier … emb_standardize directly
-# before the NO_ORACLE tail) have never had a driver row and are the
-# first picks, followed by the 25 r03-stale greens that lead the
-# post-window section.
+# the session-3 block q2_min_cost_supplier … agg_rollup_grouping_id
+# directly before the NO_ORACLE tail — TPC-H completion, retrieval
+# scoring, curation, cube/attribution/compaction, basket/anomaly(+
+# stream twin), khop/paths, SCD4, cohort LTV, streaming connector,
+# full-outer reconcile, RANGE frame) have never had a driver row and
+# are the first picks, followed by the 25 r03-stale greens that lead
+# the post-window section.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- driver window: last green r01/r02 — sources/sinks
     "src_parquet_concat_str": q_src_parquet_concat_str,
