@@ -20,6 +20,7 @@ from idr_data_pipelines_spark.operators.scd import (
     scd2_from_events,
     scd2_merge,
     scd4_upsert,
+    snapshot_diff,
 )
 from idr_data_pipelines_spark.operators.validate import (
     referential_integrity,
@@ -74,6 +75,7 @@ __all__ = [
     "scd2_from_events",
     "scd2_merge",
     "scd4_upsert",
+    "snapshot_diff",
     "referential_integrity",
     "validate",
     "join_range",

@@ -256,3 +256,52 @@ def scd4_upsert(
         .unionByName(updates.select(*cols))
     )
     return current, history.select(*cols)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    change_col: str = "change",
+) -> DataFrame:
+    """Batch CDC: diff two snapshots of the same table into
+    inserted / deleted / updated / unchanged rows, keyed on
+    ``key_cols``. Row equality is a null-safe comparison of every
+    non-key column, computed inside ONE full-outer hash join — no
+    second scan, no row-serialization hashing (the comparison stays
+    codegen'd column equality).
+
+    Output = the NEW side's columns (the OLD side's for deletes) plus
+    ``change``. This is the "what did yesterday's load change"
+    primitive: feed the inserted+updated slice to an SCD merge or an
+    incremental aggregate, and alert on unexpected deletes. At scale
+    both snapshots shuffle once on the key — or zero times if both
+    are bucketed on it (``sink_table_bucketed``)."""
+    val_cols = [c for c in new.columns if c not in key_cols]
+    o = old.select(
+        *key_cols,
+        *[F.col(c).alias(f"__o_{c}") for c in val_cols],
+        F.lit(1).alias("__in_old"),
+    )
+    n = new.select(
+        *key_cols,
+        *[F.col(c).alias(f"__n_{c}") for c in val_cols],
+        F.lit(1).alias("__in_new"),
+    )
+    j = o.join(n, key_cols, "full_outer")
+    same = F.lit(True)
+    for c in val_cols:
+        same = same & F.col(f"__n_{c}").eqNullSafe(F.col(f"__o_{c}"))
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("inserted"))
+        .when(F.col("__in_new").isNull(), F.lit("deleted"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("updated"))
+    )
+    out_vals = [
+        F.when(F.col("__in_new").isNotNull(), F.col(f"__n_{c}"))
+        .otherwise(F.col(f"__o_{c}"))
+        .alias(c)
+        for c in val_cols
+    ]
+    return j.select(*key_cols, *out_vals, change.alias(change_col))

@@ -2358,6 +2358,38 @@ def q_join_full_reconcile(spark, sf_dir):
     )
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Batch CDC between two snapshots: latest per-customer order
+    state as-of 1996 vs as-of 1998, diffed into inserted / deleted /
+    updated / unchanged in one full-outer hash join with codegen'd
+    null-safe column equality — the "what did this load change"
+    primitive feeding SCD merges and incremental aggregates. (No
+    deletes arise from a grow-only orders table — the oracle proves
+    exactly that, which is itself the audit this op exists for.)"""
+    from idr_data_pipelines_spark.operators.scd import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_orderdate").cast("date").alias("odate"),
+    )
+
+    def snap(cutoff):
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.col("odate").desc(), F.col("o_orderstatus").desc()
+        )
+        return (
+            orders.filter(F.col("odate") <= F.lit(cutoff).cast("date"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    return snapshot_diff(
+        snap("1996-01-01"), snap("1998-01-01"), ["o_custkey"]
+    )
+
+
 def q_window_range_frame(spark, sf_dir):
     """RANGE-framed window (value-based, not row-based): per event
     type, the count of events whose VALUE lies within ±5.0 of each
@@ -5216,6 +5248,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_full_reconcile": q_join_full_reconcile,
     "window_range_frame": q_window_range_frame,
     "agg_rollup_grouping_id": q_agg_rollup_grouping_id,
+    "snapshot_diff": q_snapshot_diff,
     # -- NO_ORACLE members: rows-only by design (hash/approx ops with
     # no portable SQL equivalent; bounds pinned in pytest). NEVER
     # rotate these into the driver window — their driver rows cannot
@@ -8261,6 +8294,34 @@ ORACLES: dict[str, str] = {
                     + GROUPING(o_orderpriority) AS INT) AS gid
         FROM orders
         GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+    "snapshot_diff": """
+        WITH o AS (
+            SELECT o_custkey, o_orderstatus, CAST(o_orderdate AS DATE) AS odate
+            FROM orders
+        ), old AS (
+            SELECT o_custkey, o_orderstatus, odate FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY odate DESC, o_orderstatus DESC) AS rn
+                FROM o WHERE odate <= DATE '1996-01-01') WHERE rn = 1
+        ), new AS (
+            SELECT o_custkey, o_orderstatus, odate FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                    ORDER BY odate DESC, o_orderstatus DESC) AS rn
+                FROM o WHERE odate <= DATE '1998-01-01') WHERE rn = 1
+        )
+        SELECT COALESCE(n.o_custkey, od.o_custkey) AS o_custkey,
+               CASE WHEN n.o_custkey IS NOT NULL THEN n.o_orderstatus
+                    ELSE od.o_orderstatus END AS o_orderstatus,
+               CASE WHEN n.o_custkey IS NOT NULL THEN n.odate
+                    ELSE od.odate END AS odate,
+               CASE WHEN od.o_custkey IS NULL THEN 'inserted'
+                    WHEN n.o_custkey IS NULL THEN 'deleted'
+                    WHEN n.o_orderstatus IS NOT DISTINCT FROM od.o_orderstatus
+                     AND n.odate IS NOT DISTINCT FROM od.odate
+                    THEN 'unchanged'
+                    ELSE 'updated' END AS change
+        FROM old od FULL OUTER JOIN new n ON od.o_custkey = n.o_custkey
     """,
 }
 

@@ -462,6 +462,26 @@ def test_scd4_upsert_moves_displaced_rows_to_history(spark):
     assert got_hist == [("k1", "old", 1)]
 
 
+def test_snapshot_diff_classifies_all_four_changes(spark):
+    from idr_data_pipelines_spark.operators.scd import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("k1", "a", 1), ("k2", "b", 2), ("k3", "c", None), ("k4", "gone", 4)],
+        ["k", "v", "n"],
+    )
+    new = spark.createDataFrame(
+        [("k1", "a", 1), ("k2", "B", 2), ("k3", "c", None), ("k5", "ins", 5)],
+        ["k", "v", "n"],
+    )
+    got = {r["k"]: tuple(r) for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got["k1"] == ("k1", "a", 1, "unchanged")
+    assert got["k2"] == ("k2", "B", 2, "updated")
+    # null-safe equality: matching nulls are unchanged, not updated
+    assert got["k3"] == ("k3", "c", None, "unchanged")
+    assert got["k4"] == ("k4", "gone", 4, "deleted")
+    assert got["k5"] == ("k5", "ins", 5, "inserted")
+
+
 def test_agg_incremental_merge_equals_full_and_rejects_nonmergeable(spark):
     from pyspark.sql import functions as F
     import pytest
