@@ -2390,6 +2390,56 @@ def q_snapshot_diff(spark, sf_dir):
     )
 
 
+def q_text_dup_chunk_ratio(spark, sf_dir):
+    """Inter-document duplicate-content ratio (RefinedWeb-style
+    filter): split each doc into NON-overlapping 16-token blocks,
+    fingerprint each block (md5 of the joined tokens — engine-
+    portable), count how many of a doc's blocks appear verbatim in
+    ANY OTHER document, and emit the duplicated fraction. The df side
+    collapses to distinct (block, doc) pairs before counting, so a
+    block repeated WITHIN one doc doesn't count as cross-doc
+    duplication. Plan: explode → two small aggs on the block hash →
+    broadcast-sized join back (block-hash cardinality ≪ corpus
+    tokens). Ratio = exact int / exact int, rounded 6."""
+    W = 16
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", _toks().alias("toks"))
+    nblk = F.ceil(F.size("toks") / F.lit(W)).cast("int")
+    blocks = (
+        base.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), nblk - 1)).alias("b"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            F.md5(F.array_join(F.slice("toks", F.col("b") * W + 1, W), " ")).alias(
+                "fp"
+            ),
+        )
+    )
+    pairs = blocks.distinct()  # (doc, block) — within-doc repeats collapse
+    docs_per_block = pairs.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("ndocs")
+    )
+    per_doc = (
+        blocks.join(F.broadcast(docs_per_block), "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_blocks",
+        F.col("n_dup").cast("bigint").alias("n_dup"),
+        F.round(
+            F.col("n_dup").cast("double") / F.col("n_blocks").cast("double"), 6
+        ).alias("dup_ratio"),
+    )
+
+
 def q_window_range_frame(spark, sf_dir):
     """RANGE-framed window (value-based, not row-based): per event
     type, the count of events whose VALUE lies within ±5.0 of each
@@ -5249,6 +5299,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_range_frame": q_window_range_frame,
     "agg_rollup_grouping_id": q_agg_rollup_grouping_id,
     "snapshot_diff": q_snapshot_diff,
+    "text_dup_chunk_ratio": q_text_dup_chunk_ratio,
     # -- NO_ORACLE members: rows-only by design (hash/approx ops with
     # no portable SQL equivalent; bounds pinned in pytest). NEVER
     # rotate these into the driver window — their driver rows cannot
@@ -8322,6 +8373,32 @@ ORACLES: dict[str, str] = {
                     THEN 'unchanged'
                     ELSE 'updated' END AS change
         FROM old od FULL OUTER JOIN new n ON od.o_custkey = n.o_custkey
+    """,
+    "text_dup_chunk_ratio": """
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+            FROM documents
+        ), e AS (
+            SELECT doc_id, toks,
+                   unnest(range(0, CAST(ceil(len(toks) / 16.0) AS INT))) AS b
+            FROM t
+        ), blocks AS (
+            SELECT doc_id,
+                   md5(array_to_string(
+                       toks[b * 16 + 1 : least(b * 16 + 16, len(toks))],
+                       ' ')) AS fp
+            FROM e
+        ), pairs AS (SELECT DISTINCT doc_id, fp FROM blocks),
+        dpb AS (SELECT fp, COUNT(*) AS ndocs FROM pairs GROUP BY 1)
+        SELECT b.doc_id,
+               COUNT(*) AS n_blocks,
+               CAST(SUM(CASE WHEN d.ndocs > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup,
+               ROUND(CAST(SUM(CASE WHEN d.ndocs > 1 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*), 6) AS dup_ratio
+        FROM blocks b JOIN dpb d USING (fp)
+        GROUP BY 1
     """,
 }
 

@@ -465,7 +465,7 @@ def test_plan_linter_sweep_round6_queries(spark, sf_dir):
         "graph_khop", "evt_path_analysis", "scd4_current_history",
         "orders_cohort_ltv", "join_full_reconcile",
         "window_range_frame", "agg_rollup_grouping_id",
-        "snapshot_diff",
+        "snapshot_diff", "text_dup_chunk_ratio",
     ):
         assert_scalable(QUERIES[name](spark, sf_dir), max_shuffles=12)
 
