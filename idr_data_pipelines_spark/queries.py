@@ -2390,6 +2390,65 @@ def q_snapshot_diff(spark, sf_dir):
     )
 
 
+def q_evt_ab_test(spark, sf_dir):
+    """Experimentation analytics: deterministic md5-keyed 50/50 user
+    assignment (the same never-reshuffles property as the train split),
+    conversion = user had a purchase event, per-arm rates and the
+    two-proportion pooled z statistic. Counts are exact integers; the
+    rate/z arithmetic is a fixed-order double expression over ONE
+    2-row frame, rounded to 6 — and the z formula replays verbatim in
+    SQL. One user-grain agg + a 2-row rollup; the final stat is a
+    1-row frame joined from the 2-row arm table (broadcast, trivially
+    driver-safe)."""
+    e = _events(spark, sf_dir)
+    users = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted")
+        )
+        .withColumn(
+            "arm",
+            F.when(
+                F.conv(F.substring(F.md5(F.concat(F.lit("ab:"),
+                    F.col("user_id").cast("string"))), 1, 8), 16, 10)
+                .cast("bigint") % 2 == 0,
+                F.lit("A"),
+            ).otherwise(F.lit("B")),
+        )
+    )
+    arms = users.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    # pooled two-proportion z over the pivoted 1-row frame, broadcast
+    # back onto both arm rows
+    stat = arms.agg(
+        F.sum(F.when(F.col("arm") == "A", F.col("n_users"))).alias("na"),
+        F.sum(F.when(F.col("arm") == "A", F.col("n_converted"))).alias("xa"),
+        F.sum(F.when(F.col("arm") == "B", F.col("n_users"))).alias("nb"),
+        F.sum(F.when(F.col("arm") == "B", F.col("n_converted"))).alias("xb"),
+    )
+    na, xa = F.col("na").cast("double"), F.col("xa").cast("double")
+    nb, xb = F.col("nb").cast("double"), F.col("xb").cast("double")
+    p = (xa + xb) / (na + nb)
+    var = p * (F.lit(1.0) - p) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    # degenerate experiments (p = 0 or 1 — e.g. every sampled user
+    # converted) have zero pooled variance: z is undefined → null,
+    # not a divide-by-zero
+    z = F.when(var > 0.0, (xa / na - xb / nb) / F.sqrt(var))
+    stat = stat.select(F.round(z, 6).alias("z_stat"))
+    rate = F.col("n_converted").cast("double") / F.col("n_users").cast("double")
+    return arms.crossJoin(F.broadcast(stat)).select(
+        "arm",
+        "n_users",
+        F.col("n_converted").cast("bigint").alias("n_converted"),
+        F.round(rate, 6).alias("conv_rate"),
+        "z_stat",
+    )
+
+
 def q_text_dup_chunk_ratio(spark, sf_dir):
     """Inter-document duplicate-content ratio (RefinedWeb-style
     filter): split each doc into NON-overlapping 16-token blocks,
@@ -5300,6 +5359,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agg_rollup_grouping_id": q_agg_rollup_grouping_id,
     "snapshot_diff": q_snapshot_diff,
     "text_dup_chunk_ratio": q_text_dup_chunk_ratio,
+    "evt_ab_test": q_evt_ab_test,
     # -- NO_ORACLE members: rows-only by design (hash/approx ops with
     # no portable SQL equivalent; bounds pinned in pytest). NEVER
     # rotate these into the driver window — their driver rows cannot
@@ -8399,6 +8459,47 @@ ORACLES: dict[str, str] = {
                           AS DOUBLE) / COUNT(*), 6) AS dup_ratio
         FROM blocks b JOIN dpb d USING (fp)
         GROUP BY 1
+    """,
+    "evt_ab_test": """
+        WITH u AS (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS converted,
+                   CASE WHEN ('0x' || substr(md5('ab:' ||
+                            CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                        THEN 'A' ELSE 'B' END AS arm
+            FROM events GROUP BY user_id
+        ), arms AS (
+            SELECT arm, COUNT(*) AS n_users,
+                   CAST(SUM(converted) AS BIGINT) AS n_converted
+            FROM u GROUP BY 1
+        ), s AS (
+            SELECT SUM(CASE WHEN arm = 'A' THEN n_users END) AS na,
+                   SUM(CASE WHEN arm = 'A' THEN n_converted END) AS xa,
+                   SUM(CASE WHEN arm = 'B' THEN n_users END) AS nb,
+                   SUM(CASE WHEN arm = 'B' THEN n_converted END) AS xb
+            FROM arms
+        ), v AS (
+            SELECT CAST(na AS DOUBLE) AS na, CAST(xa AS DOUBLE) AS xa,
+                   CAST(nb AS DOUBLE) AS nb, CAST(xb AS DOUBLE) AS xb,
+                   ((CAST(xa AS DOUBLE) + CAST(xb AS DOUBLE))
+                    / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+                   * (1.0 - (CAST(xa AS DOUBLE) + CAST(xb AS DOUBLE))
+                            / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+                   * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE))
+                       AS var
+            FROM s
+        ), zz AS (
+            SELECT CASE WHEN var > 0.0
+                        THEN ROUND((xa / na - xb / nb) / sqrt(var), 6)
+                   END AS z_stat
+            FROM v
+        )
+        SELECT arm, n_users, n_converted,
+               ROUND(CAST(n_converted AS DOUBLE) / CAST(n_users AS DOUBLE),
+                     6) AS conv_rate,
+               z_stat
+        FROM arms CROSS JOIN zz
     """,
 }
 

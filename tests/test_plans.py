@@ -481,7 +481,10 @@ def test_plan_linter_sweep_round6_queries(spark, sf_dir):
     # avgdl) are the same knowing waiver: each is a 1-row broadcast
     # frame and the linter correctly reports the nested-loop join of
     # the single-row side — nothing else in those plans may be fatal
-    for name in ("q11_important_parts", "text_tfidf_topterm", "text_bm25_topk"):
+    for name in (
+        "q11_important_parts", "text_tfidf_topterm", "text_bm25_topk",
+        "evt_ab_test",  # 1-row z-stat frame crossJoined onto 2 arm rows
+    ):
         findings = lint_plan(QUERIES[name](spark, sf_dir))
         fatal_rules = {f.rule for f in findings if f.severity == "fatal"}
         assert fatal_rules == {"cartesian-product"}, (name, findings)
