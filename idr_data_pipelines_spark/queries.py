@@ -2390,6 +2390,95 @@ def q_snapshot_diff(spark, sf_dir):
     )
 
 
+def q_orders_abc_analysis(spark, sf_dir):
+    """ABC/Pareto classification: parts ranked by revenue, classified
+    A (top 80% of cumulative revenue), B (next 15%), C (tail). The
+    cumulative window orders by exact integer cents with a part-key
+    tiebreak, so class boundaries are deterministic; the share math is
+    a fixed-order double division off integer sums, rounded to 6. One
+    part-grain agg + one ordered window over the collapsed (per-part)
+    frame — fact-sized work ends at the first shuffle, and the global
+    cumulative runs over |parts| rows only (at a cardinality where
+    even that funnel matters, switch to the range-partition +
+    broadcast-prefix-sum form assign_global_ids uses)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(100.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    per_part = (
+        li.select("l_partkey", cents.alias("c"))
+        .groupBy("l_partkey")
+        .agg(F.sum("c").alias("rev_cents"))
+    )
+    total = per_part.agg(F.sum("rev_cents").alias("total_cents"))
+    w = Window.orderBy(F.col("rev_cents").desc(), F.col("l_partkey").asc())
+    ranked = (
+        per_part.crossJoin(F.broadcast(total))
+        .withColumn("cum_cents", F.sum("rev_cents").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ))
+    )
+    share = F.col("cum_cents").cast("double") / F.col("total_cents").cast("double")
+    return ranked.select(
+        F.col("l_partkey").alias("partkey"),
+        "rev_cents",
+        "cum_cents",
+        F.round(share, 6).alias("cum_share"),
+        F.when(F.round(share, 6) <= 0.80, F.lit("A"))
+        .when(F.round(share, 6) <= 0.95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+
+
+def q_evt_dau_stickiness(spark, sf_dir):
+    """Product-analytics actives: per day, DAU, trailing-7-day WAU and
+    trailing-30-day MAU (all EXACT distinct users), plus the
+    DAU/MAU stickiness ratio. The log collapses to distinct
+    (day, user) pairs first; each pair then contributes to the ≤7
+    (resp. ≤30) future days it keeps a user active in — a bounded
+    date-sequence explode over the deduped frame, never over raw
+    events — and the per-day distinct count collapses it back.
+    Integer counts; one rounded ratio."""
+    e = _events(spark, sf_dir)
+    pairs = (
+        e.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    )
+    days = pairs.select("d").distinct()
+
+    def actives(window_days, name):
+        contrib = pairs.select(
+            F.explode(
+                F.sequence(
+                    F.col("d"), F.date_add(F.col("d"), window_days - 1)
+                )
+            ).alias("day"),
+            "user_id",
+        )
+        return (
+            contrib.join(days, contrib.day == days.d, "left_semi")
+            .groupBy("day")
+            .agg(F.countDistinct("user_id").alias(name))
+        )
+
+    dau = pairs.groupBy(F.col("d").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    wau = actives(7, "wau")
+    mau = actives(30, "mau")
+    out = dau.join(wau, "day").join(mau, "day")
+    return out.select(
+        "day",
+        "dau",
+        "wau",
+        "mau",
+        F.round(
+            F.col("dau").cast("double") / F.col("mau").cast("double"), 6
+        ).alias("stickiness"),
+    )
+
+
 def q_evt_ab_test(spark, sf_dir):
     """Experimentation analytics: deterministic md5-keyed 50/50 user
     assignment (the same never-reshuffles property as the train split),
@@ -5360,6 +5449,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_diff": q_snapshot_diff,
     "text_dup_chunk_ratio": q_text_dup_chunk_ratio,
     "evt_ab_test": q_evt_ab_test,
+    "orders_abc_analysis": q_orders_abc_analysis,
+    "evt_dau_stickiness": q_evt_dau_stickiness,
     # -- NO_ORACLE members: rows-only by design (hash/approx ops with
     # no portable SQL equivalent; bounds pinned in pytest). NEVER
     # rotate these into the driver window — their driver rows cannot
@@ -8500,6 +8591,56 @@ ORACLES: dict[str, str] = {
                      6) AS conv_rate,
                z_stat
         FROM arms CROSS JOIN zz
+    """,
+    "orders_abc_analysis": """
+        WITH p AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount)
+                       * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+            FROM lineitem GROUP BY 1
+        ), t AS (SELECT SUM(rev_cents) AS total_cents FROM p),
+        r AS (
+            SELECT p.l_partkey, p.rev_cents,
+                   CAST(SUM(p.rev_cents) OVER (
+                       ORDER BY p.rev_cents DESC, p.l_partkey ASC
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+                   t.total_cents
+            FROM p CROSS JOIN t
+        )
+        SELECT l_partkey AS partkey, rev_cents, cum_cents,
+               ROUND(CAST(cum_cents AS DOUBLE) / CAST(total_cents AS DOUBLE),
+                     6) AS cum_share,
+               CASE WHEN ROUND(CAST(cum_cents AS DOUBLE)
+                              / CAST(total_cents AS DOUBLE), 6) <= 0.80
+                    THEN 'A'
+                    WHEN ROUND(CAST(cum_cents AS DOUBLE)
+                              / CAST(total_cents AS DOUBLE), 6) <= 0.95
+                    THEN 'B' ELSE 'C' END AS abc_class
+        FROM r
+    """,
+    "evt_dau_stickiness": """
+        WITH pairs AS (
+            SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+            FROM events
+        ), days AS (SELECT DISTINCT d FROM pairs),
+        wau AS (
+            SELECT dy.d AS day, COUNT(DISTINCT p.user_id) AS wau
+            FROM days dy JOIN pairs p
+              ON p.d BETWEEN dy.d - INTERVAL 6 DAY AND dy.d
+            GROUP BY 1
+        ), mau AS (
+            SELECT dy.d AS day, COUNT(DISTINCT p.user_id) AS mau
+            FROM days dy JOIN pairs p
+              ON p.d BETWEEN dy.d - INTERVAL 29 DAY AND dy.d
+            GROUP BY 1
+        ), dau AS (
+            SELECT d AS day, COUNT(DISTINCT user_id) AS dau
+            FROM pairs GROUP BY 1
+        )
+        SELECT dau.day, dau.dau, wau.wau, mau.mau,
+               ROUND(CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE),
+                     6) AS stickiness
+        FROM dau JOIN wau USING (day) JOIN mau USING (day)
     """,
 }
 

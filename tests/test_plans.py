@@ -465,7 +465,7 @@ def test_plan_linter_sweep_round6_queries(spark, sf_dir):
         "graph_khop", "evt_path_analysis", "scd4_current_history",
         "orders_cohort_ltv", "join_full_reconcile",
         "window_range_frame", "agg_rollup_grouping_id",
-        "snapshot_diff", "text_dup_chunk_ratio",
+        "snapshot_diff", "text_dup_chunk_ratio", "evt_dau_stickiness",
     ):
         assert_scalable(QUERIES[name](spark, sf_dir), max_shuffles=12)
 
@@ -484,6 +484,7 @@ def test_plan_linter_sweep_round6_queries(spark, sf_dir):
     for name in (
         "q11_important_parts", "text_tfidf_topterm", "text_bm25_topk",
         "evt_ab_test",  # 1-row z-stat frame crossJoined onto 2 arm rows
+        "orders_abc_analysis",  # 1-row revenue total crossJoined
     ):
         findings = lint_plan(QUERIES[name](spark, sf_dir))
         fatal_rules = {f.rule for f in findings if f.severity == "fatal"}
