@@ -2479,6 +2479,40 @@ def q_evt_dau_stickiness(spark, sf_dir):
     )
 
 
+def q_evt_new_vs_returning(spark, sf_dir):
+    """Growth-accounting split of daily actives: each active user-day
+    is 'new' on the user's first-ever day and 'returning' after. One
+    (day, user) dedup, a per-user min-day aggregate broadcast back,
+    and a day rollup — the collapsed frames stay user-sized. Exact
+    counts; the returning share is one rounded division."""
+    e = _events(spark, sf_dir)
+    pairs = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    first = pairs.groupBy("user_id").agg(F.min("d").alias("first_d"))
+    tagged = pairs.join(F.broadcast(first), "user_id").select(
+        "d",
+        F.when(F.col("d") == F.col("first_d"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_new"),
+    )
+    return (
+        tagged.groupBy(F.col("d").alias("day"))
+        .agg(
+            F.sum("is_new").alias("new_users"),
+            F.sum(F.lit(1) - F.col("is_new")).alias("returning_users"),
+        )
+        .select(
+            "day",
+            F.col("new_users").cast("bigint").alias("new_users"),
+            F.col("returning_users").cast("bigint").alias("returning_users"),
+            F.round(
+                F.col("returning_users").cast("double")
+                / (F.col("new_users") + F.col("returning_users")).cast("double"),
+                6,
+            ).alias("returning_share"),
+        )
+    )
+
+
 def q_evt_ab_test(spark, sf_dir):
     """Experimentation analytics: deterministic md5-keyed 50/50 user
     assignment (the same never-reshuffles property as the train split),
@@ -5451,6 +5485,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "evt_ab_test": q_evt_ab_test,
     "orders_abc_analysis": q_orders_abc_analysis,
     "evt_dau_stickiness": q_evt_dau_stickiness,
+    "evt_new_vs_returning": q_evt_new_vs_returning,
     # -- NO_ORACLE members: rows-only by design (hash/approx ops with
     # no portable SQL equivalent; bounds pinned in pytest). NEVER
     # rotate these into the driver window — their driver rows cannot
@@ -8641,6 +8676,24 @@ ORACLES: dict[str, str] = {
                ROUND(CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE),
                      6) AS stickiness
         FROM dau JOIN wau USING (day) JOIN mau USING (day)
+    """,
+    "evt_new_vs_returning": """
+        WITH pairs AS (
+            SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+            FROM events
+        ), first AS (
+            SELECT user_id, MIN(d) AS first_d FROM pairs GROUP BY 1
+        ), tagged AS (
+            SELECT p.d, CASE WHEN p.d = f.first_d THEN 1 ELSE 0 END AS is_new
+            FROM pairs p JOIN first f USING (user_id)
+        )
+        SELECT d AS day,
+               CAST(SUM(is_new) AS BIGINT) AS new_users,
+               CAST(SUM(1 - is_new) AS BIGINT) AS returning_users,
+               ROUND(CAST(SUM(1 - is_new) AS DOUBLE)
+                     / CAST(SUM(is_new) + SUM(1 - is_new) AS DOUBLE),
+                     6) AS returning_share
+        FROM tagged GROUP BY 1
     """,
 }
 
