@@ -47,6 +47,14 @@ NAMES = [
     "graph_khop",
     "evt_path_analysis",
     "orders_cohort_ltv",
+    # late session-3 analytics: global-cumulative rank cuts (abc),
+    # ratio outputs, ln-free but rounded shares
+    "orders_abc_analysis",
+    "evt_dau_stickiness",
+    "evt_new_vs_returning",
+    "evt_ab_test",
+    "text_dup_chunk_ratio",
+    "snapshot_diff",
 ]
 
 
