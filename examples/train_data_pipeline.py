@@ -40,7 +40,7 @@ from idr_data_pipelines_spark.llmdata.sampling import (
     pack_sequences,
     split_train_holdout,
 )
-from idr_data_pipelines_spark.llmdata.text import quality_score, token_count
+from idr_data_pipelines_spark.llmdata.text import quality_score
 from idr_data_pipelines_spark.plans.pipeline import Pipeline
 from idr_data_pipelines_spark.sources.parquet import read_parquet_dir
 
@@ -91,11 +91,12 @@ def _mix(df: DataFrame) -> DataFrame:
 
 def _pack(df: DataFrame) -> DataFrame:
     """Greedy contiguous packing into 256-token windows, sharded by
-    source so the running-sum window never funnels globally."""
-    with_tokens = df.withColumn("n_tok", token_count("text"))
+    source so the running-sum window never funnels globally. Reuses
+    the n_tokens column the quality gate already computed — no second
+    full-text split."""
     return pack_sequences(
-        with_tokens,
-        token_col="n_tok",
+        df,
+        token_col="n_tokens",
         order_col="doc_id",
         max_tokens=256,
         shard_col="source",

@@ -276,19 +276,40 @@ def snapshot_diff(
     primitive: feed the inserted+updated slice to an SCD merge or an
     incremental aggregate, and alert on unexpected deletes. At scale
     both snapshots shuffle once on the key — or zero times if both
-    are bucketed on it (``sink_table_bucketed``)."""
+    are bucketed on it (``sink_table_bucketed``).
+
+    Keys join NULL-SAFELY (<=>), so a row whose key contains NULL in
+    both snapshots matches itself (plain equality would report it as
+    a spurious deleted+inserted pair). A key that exists only as
+    NULLs still groups correctly because <=> treats NULL = NULL."""
+    for kc in key_cols:
+        if kc not in old.columns or kc not in new.columns:
+            raise ValueError(f"key column {kc!r} missing from a snapshot")
+    if set(old.columns) != set(new.columns):
+        raise ValueError(
+            "snapshots must share a schema: "
+            f"{sorted(set(old.columns) ^ set(new.columns))} differ"
+        )
+    if change_col in new.columns:
+        raise ValueError(
+            f"change_col {change_col!r} collides with a snapshot column — "
+            "pass a different change_col"
+        )
     val_cols = [c for c in new.columns if c not in key_cols]
     o = old.select(
-        *key_cols,
+        *[F.col(c).alias(f"__o_{c}") for c in key_cols],
         *[F.col(c).alias(f"__o_{c}") for c in val_cols],
         F.lit(1).alias("__in_old"),
     )
     n = new.select(
-        *key_cols,
+        *[F.col(c).alias(f"__n_{c}") for c in key_cols],
         *[F.col(c).alias(f"__n_{c}") for c in val_cols],
         F.lit(1).alias("__in_new"),
     )
-    j = o.join(n, key_cols, "full_outer")
+    cond = F.lit(True)
+    for c in key_cols:
+        cond = cond & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    j = o.join(n, cond, "full_outer")
     same = F.lit(True)
     for c in val_cols:
         same = same & F.col(f"__n_{c}").eqNullSafe(F.col(f"__o_{c}"))
@@ -298,10 +319,13 @@ def snapshot_diff(
         .when(same, F.lit("unchanged"))
         .otherwise(F.lit("updated"))
     )
+    new_side = F.col("__in_new").isNotNull()
+    out_keys = [
+        F.when(new_side, F.col(f"__n_{c}")).otherwise(F.col(f"__o_{c}")).alias(c)
+        for c in key_cols
+    ]
     out_vals = [
-        F.when(F.col("__in_new").isNotNull(), F.col(f"__n_{c}"))
-        .otherwise(F.col(f"__o_{c}"))
-        .alias(c)
+        F.when(new_side, F.col(f"__n_{c}")).otherwise(F.col(f"__o_{c}")).alias(c)
         for c in val_cols
     ]
-    return j.select(*key_cols, *out_vals, change.alias(change_col))
+    return j.select(*out_keys, *out_vals, change.alias(change_col))

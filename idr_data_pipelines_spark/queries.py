@@ -2391,8 +2391,10 @@ def q_snapshot_diff(spark, sf_dir):
 
 
 def q_orders_abc_analysis(spark, sf_dir):
-    """ABC/Pareto classification: parts ranked by revenue, classified
-    A (top 80% of cumulative revenue), B (next 15%), C (tail). The
+    """ABC/Pareto classification: parts ranked by revenue; a part is
+    class A iff it STARTS inside the first 80% of cumulative revenue
+    (so a single dominant part is always A, even holding >80% alone),
+    B inside the next 15%, C in the tail. The
     cumulative window orders by exact integer cents with a part-key
     tiebreak, so class boundaries are deterministic; the share math is
     a fixed-order double division off integer sums, rounded to 6. One
@@ -2420,13 +2422,22 @@ def q_orders_abc_analysis(spark, sf_dir):
         ))
     )
     share = F.col("cum_cents").cast("double") / F.col("total_cents").cast("double")
+    # classify on the share BEFORE this part (exact integer cents):
+    # a part belongs to A iff it STARTS inside the first 80% — under
+    # a <=-on-own-cum rule, a single dominant part holding >80% would
+    # fall in B/C and class A could be empty exactly when
+    # concentration is highest
+    prev_share = (
+        (F.col("cum_cents") - F.col("rev_cents")).cast("double")
+        / F.col("total_cents").cast("double")
+    )
     return ranked.select(
         F.col("l_partkey").alias("partkey"),
         "rev_cents",
         "cum_cents",
         F.round(share, 6).alias("cum_share"),
-        F.when(F.round(share, 6) <= 0.80, F.lit("A"))
-        .when(F.round(share, 6) <= 0.95, F.lit("B"))
+        F.when(F.round(prev_share, 6) < 0.80, F.lit("A"))
+        .when(F.round(prev_share, 6) < 0.95, F.lit("B"))
         .otherwise(F.lit("C"))
         .alias("abc_class"),
     )
@@ -2488,7 +2499,9 @@ def q_evt_new_vs_returning(spark, sf_dir):
     e = _events(spark, sf_dir)
     pairs = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
     first = pairs.groupBy("user_id").agg(F.min("d").alias("first_d"))
-    tagged = pairs.join(F.broadcast(first), "user_id").select(
+    # user-grain frame: co-partitioned shuffle join (pairs is already
+    # hashed by the distinct) — NOT broadcast, users are unbounded
+    tagged = pairs.join(first, "user_id").select(
         "d",
         F.when(F.col("d") == F.col("first_d"), F.lit(1))
         .otherwise(F.lit(0))
@@ -2580,9 +2593,12 @@ def q_text_dup_chunk_ratio(spark, sf_dir):
     ANY OTHER document, and emit the duplicated fraction. The df side
     collapses to distinct (block, doc) pairs before counting, so a
     block repeated WITHIN one doc doesn't count as cross-doc
-    duplication. Plan: explode → two small aggs on the block hash →
-    broadcast-sized join back (block-hash cardinality ≪ corpus
-    tokens). Ratio = exact int / exact int, rounded 6."""
+    duplication. Plan: explode → two aggs on the block hash → an
+    fp-keyed shuffle join back (block cardinality grows WITH the
+    corpus — ~1/16 of its tokens — so the df side must NOT be
+    broadcast; both sides arrive hash-partitioned on fp from their
+    aggregates, so the join adds no extra exchange). Ratio = exact
+    int / exact int, rounded 6."""
     W = 16
     docs = _t(spark, sf_dir, "documents")
     base = docs.select("doc_id", _toks().alias("toks"))
@@ -2605,7 +2621,7 @@ def q_text_dup_chunk_ratio(spark, sf_dir):
         F.count(F.lit(1)).alias("ndocs")
     )
     per_doc = (
-        blocks.join(F.broadcast(docs_per_block), "fp")
+        blocks.join(docs_per_block, "fp")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_blocks"),
@@ -5206,7 +5222,7 @@ def q_orders_cohort_ltv(spark, sf_dir):
     first = per_cy.groupBy("o_custkey").agg(F.min("y").alias("cohort"))
     sizes = first.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
     aged = (
-        per_cy.join(F.broadcast(first), "o_custkey")
+        per_cy.join(first, "o_custkey")  # customer-grain: shuffle join, not broadcast
         .select("cohort", (F.col("y") - F.col("cohort")).alias("age"), "c")
         .groupBy("cohort", "age")
         .agg(F.sum("c").alias("rev_cents"))
@@ -5258,13 +5274,14 @@ def q_orders_cohort_ltv(spark, sf_dir):
 # window are still swept every CI run by tests/test_oracle_parity.py.
 # r07 rotation guidance: the oracled queries ADDED in r6 sessions 2-3
 # (emb_kmeans_step … src_python_datasource, marked "new in r06", plus
-# the session-3 block q2_min_cost_supplier … agg_rollup_grouping_id
+# the session-3 block q2_min_cost_supplier … evt_new_vs_returning
 # directly before the NO_ORACLE tail — TPC-H completion, retrieval
 # scoring, curation, cube/attribution/compaction, basket/anomaly(+
 # stream twin), khop/paths, SCD4, cohort LTV, streaming connector,
-# full-outer reconcile, RANGE frame) have never had a driver row and
-# are the first picks, followed by the 25 r03-stale greens that lead
-# the post-window section.
+# full-outer reconcile, RANGE frame, snapshot diff, dup-chunk ratio,
+# A/B test, ABC, DAU stickiness, new-vs-returning) have never had a
+# driver row and are the first picks, followed by the 25 r03-stale
+# greens that lead the post-window section.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- driver window: last green r01/r02 — sources/sinks
     "src_parquet_concat_str": q_src_parquet_concat_str,
@@ -8645,11 +8662,11 @@ ORACLES: dict[str, str] = {
         SELECT l_partkey AS partkey, rev_cents, cum_cents,
                ROUND(CAST(cum_cents AS DOUBLE) / CAST(total_cents AS DOUBLE),
                      6) AS cum_share,
-               CASE WHEN ROUND(CAST(cum_cents AS DOUBLE)
-                              / CAST(total_cents AS DOUBLE), 6) <= 0.80
+               CASE WHEN ROUND(CAST(cum_cents - rev_cents AS DOUBLE)
+                              / CAST(total_cents AS DOUBLE), 6) < 0.80
                     THEN 'A'
-                    WHEN ROUND(CAST(cum_cents AS DOUBLE)
-                              / CAST(total_cents AS DOUBLE), 6) <= 0.95
+                    WHEN ROUND(CAST(cum_cents - rev_cents AS DOUBLE)
+                              / CAST(total_cents AS DOUBLE), 6) < 0.95
                     THEN 'B' ELSE 'C' END AS abc_class
         FROM r
     """,

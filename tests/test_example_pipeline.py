@@ -21,7 +21,7 @@ def test_example_pipeline_builds_lints_and_shards(spark, sf_dir, tmp_path):
     packed = p.build(spark, lint=True, observe=True)
     rows = packed.count()
     assert rows > 0
-    assert {"doc_id", "source", "n_tok", "pack_id", "pack_offset"} <= set(
+    assert {"doc_id", "source", "n_tokens", "pack_id", "pack_offset"} <= set(
         packed.columns
     )
     # the funnel must actually filter: fewer docs than the 500 raw

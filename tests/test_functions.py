@@ -482,6 +482,34 @@ def test_snapshot_diff_classifies_all_four_changes(spark):
     assert got["k5"] == ("k5", "ins", 5, "inserted")
 
 
+def test_snapshot_diff_null_keys_and_collisions(spark):
+    import pytest
+
+    from idr_data_pipelines_spark.operators.scd import snapshot_diff
+
+    # a NULL key present in both snapshots matches itself (null-safe
+    # key join) — not a spurious deleted+inserted pair
+    old = spark.createDataFrame([(None, "a")], "k string, v string")
+    new = spark.createDataFrame([(None, "a")], "k string, v string")
+    rows = snapshot_diff(old, new, ["k"]).collect()
+    assert [tuple(r) for r in rows] == [(None, "a", "unchanged")]
+
+    # change_col colliding with a data column fails loudly
+    with pytest.raises(ValueError, match="collides"):
+        snapshot_diff(
+            spark.createDataFrame([("k", "x")], ["k", "change"]),
+            spark.createDataFrame([("k", "x")], ["k", "change"]),
+            ["k"],
+        )
+    # schema drift between snapshots fails loudly
+    with pytest.raises(ValueError, match="share a schema"):
+        snapshot_diff(
+            spark.createDataFrame([("k", 1)], ["k", "a"]),
+            spark.createDataFrame([("k", 1)], ["k", "b"]),
+            ["k"],
+        )
+
+
 def test_agg_incremental_merge_equals_full_and_rejects_nonmergeable(spark):
     from pyspark.sql import functions as F
     import pytest
