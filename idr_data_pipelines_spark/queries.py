@@ -2490,6 +2490,78 @@ def q_evt_dau_stickiness(spark, sf_dir):
     )
 
 
+def q_text_rake_keywords(spark, sf_dir):
+    """RAKE keyword scoring (Rose et al. 2010): phrases are maximal
+    stopword-free word runs; each word scores degree/frequency where
+    degree sums the lengths of the phrases it appears in (words that
+    live in longer multi-word phrases rank higher than bare frequent
+    words). Phrase segmentation is PURE TOKEN ARITHMETIC — a token's
+    phrase id is the count of stopwords before it in its document —
+    because regex phrase-splitting is NOT portable (Java split and
+    RE2 disagree on consecutive stopwords; verified). One doc-key
+    window for the running stopword count, one (doc, phrase) length
+    agg, one vocabulary-sized word agg."""
+    stop = ("the", "a")
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(_toks()).alias("pos", "w")
+    ).withColumn("is_stop", F.col("w").isin(*stop).cast("int"))
+    wseg = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    seg = toks.withColumn("phrase_id", F.sum("is_stop").over(wseg)).filter(
+        F.col("is_stop") == 0
+    )
+    plen = seg.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    occ = seg.join(plen, ["doc_id", "phrase_id"])
+    stats = occ.groupBy(F.col("w").alias("word")).agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("deg").alias("degree"),
+    )
+    return stats.select(
+        "word",
+        "freq",
+        F.col("degree").cast("bigint").alias("degree"),
+        F.round(
+            F.col("degree").cast("double") / F.col("freq").cast("double"), 6
+        ).alias("rake"),
+    )
+
+
+def q_orders_backlog_sweep(spark, sf_dir):
+    """Sweep-line interval counting: how many orders are in flight
+    each day (open at o_orderdate, closed when the LAST line ships).
+    The interval table event-izes into +1/-1 deltas, one day-grain
+    sum collapses them, and a running cumulative over the ~2.5k-day
+    frame yields the backlog — the O(n log n) pattern that replaces
+    the quadratic day×interval containment join. The global window
+    runs over |days| rows only (the prefix-sum form scales it
+    further). Exact integers throughout."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    closes = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("cd"))
+    )
+    iv = orders.join(closes, orders.o_orderkey == closes.l_orderkey)
+    deltas = iv.select(F.col("od").alias("day"), F.lit(1).alias("delta")).unionAll(
+        iv.select(F.col("cd").alias("day"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("day").agg(F.sum("delta").alias("delta"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "day",
+        F.col("delta").cast("bigint").alias("delta"),
+        F.sum("delta").over(w).cast("bigint").alias("backlog"),
+    )
+
+
 def q_evt_new_vs_returning(spark, sf_dir):
     """Growth-accounting split of daily actives: each active user-day
     is 'new' on the user's first-ever day and 'returning' after. One
@@ -5503,6 +5575,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_abc_analysis": q_orders_abc_analysis,
     "evt_dau_stickiness": q_evt_dau_stickiness,
     "evt_new_vs_returning": q_evt_new_vs_returning,
+    "text_rake_keywords": q_text_rake_keywords,
+    "orders_backlog_sweep": q_orders_backlog_sweep,
     # -- NO_ORACLE members: rows-only by design (hash/approx ops with
     # no portable SQL equivalent; bounds pinned in pytest). NEVER
     # rotate these into the driver window — their driver rows cannot
@@ -8711,6 +8785,56 @@ ORACLES: dict[str, str] = {
                      / CAST(SUM(is_new) + SUM(1 - is_new) AS DOUBLE),
                      6) AS returning_share
         FROM tagged GROUP BY 1
+    """,
+    # token-arithmetic phrase ids — regex splitting is not portable
+    # (Java split vs RE2 disagree on consecutive stopwords)
+    "text_rake_keywords": """
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+            FROM documents
+        ), toks AS (
+            SELECT doc_id, ws[i] AS w, i - 1 AS pos,
+                   CASE WHEN ws[i] IN ('the', 'a') THEN 1 ELSE 0 END AS is_stop
+            FROM t, unnest(range(1, len(ws) + 1)) AS u(i)
+        ), seg AS (
+            SELECT doc_id, w,
+                   SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS phrase_id,
+                   is_stop
+            FROM toks
+        ), nz AS (SELECT * FROM seg WHERE is_stop = 0),
+        plen AS (
+            SELECT doc_id, phrase_id, COUNT(*) AS deg
+            FROM nz GROUP BY 1, 2
+        ), occ AS (
+            SELECT nz.w AS word, plen.deg
+            FROM nz JOIN plen USING (doc_id, phrase_id)
+        )
+        SELECT word, COUNT(*) AS freq,
+               CAST(SUM(deg) AS BIGINT) AS degree,
+               ROUND(CAST(SUM(deg) AS DOUBLE) / COUNT(*), 6) AS rake
+        FROM occ GROUP BY 1
+    """,
+    "orders_backlog_sweep": """
+        WITH closes AS (
+            SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS cd
+            FROM lineitem GROUP BY 1
+        ), iv AS (
+            SELECT CAST(o.o_orderdate AS DATE) AS od, c.cd
+            FROM orders o JOIN closes c ON o.o_orderkey = c.l_orderkey
+        ), deltas AS (
+            SELECT od AS day, 1 AS delta FROM iv
+            UNION ALL
+            SELECT cd AS day, -1 AS delta FROM iv
+        ), daily AS (
+            SELECT day, CAST(SUM(delta) AS BIGINT) AS delta
+            FROM deltas GROUP BY 1
+        )
+        SELECT day, delta,
+               CAST(SUM(delta) OVER (ORDER BY day
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog
+        FROM daily
     """,
 }
 
