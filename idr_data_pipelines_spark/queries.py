@@ -2562,6 +2562,78 @@ def q_orders_backlog_sweep(spark, sf_dir):
     )
 
 
+def q_orders_mom_change(spark, sf_dir):
+    """Period-over-period trend (the BI lag classic): monthly revenue
+    per order-priority with month-over-month absolute and percent
+    change; the first month of each series has null change (no prior
+    period), and a zero prior month yields null pct (not a
+    divide-by-zero). Exact cent sums; the deltas are integer
+    subtraction; only the pct is a rounded division. One month-grain
+    agg + one priority-key lag window over the collapsed frame."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.floor(
+        F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)
+    ).cast("bigint")
+    monthly = (
+        orders.select(
+            "o_orderpriority",
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+            cents.alias("c"),
+        )
+        .groupBy("o_orderpriority", "month")
+        .agg(F.sum("c").alias("rev_cents"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("month")
+    prev = F.lag("rev_cents").over(w)
+    return monthly.select(
+        "o_orderpriority",
+        "month",
+        "rev_cents",
+        (F.col("rev_cents") - prev).cast("bigint").alias("mom_cents"),
+        F.when(
+            prev > 0,
+            F.round(
+                (F.col("rev_cents") - prev).cast("double") / prev.cast("double"),
+                6,
+            ),
+        ).alias("mom_pct"),
+    )
+
+
+def q_supplier_share_of_nation(spark, sf_dir):
+    """Share-of-parent contribution (the two-level rollup window):
+    each supplier's revenue as a fraction of its nation's total,
+    computed with ONE shuffle — the nation total is a window sum over
+    the supplier-collapsed frame, so no second aggregate or join back.
+    Exact cents; one rounded division; full-key tiebreak-free because
+    shares are per-row, not ranked."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = F.floor(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(100.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    per_supp = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("n_name", "s_suppkey", cents.alias("c"))
+        .groupBy("n_name", "s_suppkey")
+        .agg(F.sum("c").alias("rev_cents"))
+    )
+    w = Window.partitionBy("n_name")
+    nation_total = F.sum("rev_cents").over(w)
+    return per_supp.select(
+        F.col("n_name").alias("nation"),
+        F.col("s_suppkey").alias("suppkey"),
+        "rev_cents",
+        nation_total.cast("bigint").alias("nation_cents"),
+        F.round(
+            F.col("rev_cents").cast("double") / nation_total.cast("double"), 6
+        ).alias("share"),
+    )
+
+
 def q_evt_new_vs_returning(spark, sf_dir):
     """Growth-accounting split of daily actives: each active user-day
     is 'new' on the user's first-ever day and 'returning' after. One
@@ -5577,6 +5649,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "evt_new_vs_returning": q_evt_new_vs_returning,
     "text_rake_keywords": q_text_rake_keywords,
     "orders_backlog_sweep": q_orders_backlog_sweep,
+    "orders_mom_change": q_orders_mom_change,
+    "supplier_share_of_nation": q_supplier_share_of_nation,
     # -- NO_ORACLE members: rows-only by design (hash/approx ops with
     # no portable SQL equivalent; bounds pinned in pytest). NEVER
     # rotate these into the driver window — their driver rows cannot
@@ -8835,6 +8909,47 @@ ORACLES: dict[str, str] = {
                CAST(SUM(delta) OVER (ORDER BY day
                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog
         FROM daily
+    """,
+    "orders_mom_change": """
+        WITH m AS (
+            SELECT o_orderpriority,
+                   CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                   SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                       AS rev_cents
+            FROM orders GROUP BY 1, 2
+        ), lagged AS (
+            SELECT o_orderpriority, month,
+                   CAST(rev_cents AS BIGINT) AS rev_cents,
+                   lag(CAST(rev_cents AS BIGINT)) OVER (
+                       PARTITION BY o_orderpriority ORDER BY month) AS prev
+            FROM m
+        )
+        SELECT o_orderpriority, month, rev_cents,
+               CAST(rev_cents - prev AS BIGINT) AS mom_cents,
+               CASE WHEN prev > 0
+                    THEN ROUND(CAST(rev_cents - prev AS DOUBLE)
+                               / CAST(prev AS DOUBLE), 6)
+               END AS mom_pct
+        FROM lagged
+    """,
+    "supplier_share_of_nation": """
+        WITH ps AS (
+            SELECT n.n_name, l.l_suppkey,
+                   SUM(CAST(FLOOR(l.l_extendedprice * (1.0 - l.l_discount)
+                       * 100.0 + 0.5) AS BIGINT)) AS rev_cents
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        )
+        SELECT n_name AS nation, l_suppkey AS suppkey,
+               CAST(rev_cents AS BIGINT) AS rev_cents,
+               CAST(SUM(rev_cents) OVER (PARTITION BY n_name) AS BIGINT)
+                   AS nation_cents,
+               ROUND(CAST(rev_cents AS DOUBLE)
+                     / CAST(SUM(rev_cents) OVER (PARTITION BY n_name)
+                            AS DOUBLE), 6) AS share
+        FROM ps
     """,
 }
 
