@@ -2562,6 +2562,47 @@ def q_orders_backlog_sweep(spark, sf_dir):
     )
 
 
+def q_evt_time_to_convert(spark, sf_dir):
+    """Conversion-latency distribution: for every purchase credited to
+    a preceding click (the evt_attribution pairing), the click→purchase
+    gap in epoch MICROSECONDS (pure bigint subtraction — exact in both
+    engines), rolled up to count + exact interpolated p50/p90 (rounded
+    6, the module's percentile convention) + max. One user-key window
+    + a single-row aggregate."""
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_ts = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    gaps = (
+        e.withColumn("click_ts", click_ts)
+        .filter(
+            (F.col("event_type") == "purchase") & F.col("click_ts").isNotNull()
+        )
+        .select(
+            (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.col("click_ts"))
+            ).alias("gap_us")
+        )
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.round(F.percentile(F.col("gap_us").cast("double"), 0.5), 6).alias(
+            "p50_us"
+        ),
+        F.round(F.percentile(F.col("gap_us").cast("double"), 0.9), 6).alias(
+            "p90_us"
+        ),
+        F.max("gap_us").alias("max_us"),
+    )
+
+
 def q_orders_mom_change(spark, sf_dir):
     """Period-over-period trend (the BI lag classic): monthly revenue
     per order-priority with month-over-month absolute and percent
@@ -5651,6 +5692,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_backlog_sweep": q_orders_backlog_sweep,
     "orders_mom_change": q_orders_mom_change,
     "supplier_share_of_nation": q_supplier_share_of_nation,
+    "evt_time_to_convert": q_evt_time_to_convert,
     # -- NO_ORACLE members: rows-only by design (hash/approx ops with
     # no portable SQL equivalent; bounds pinned in pytest). NEVER
     # rotate these into the driver window — their driver rows cannot
@@ -8950,6 +8992,26 @@ ORACLES: dict[str, str] = {
                      / CAST(SUM(rev_cents) OVER (PARTITION BY n_name)
                             AS DOUBLE), 6) AS share
         FROM ps
+    """,
+    "evt_time_to_convert": """
+        WITH marked AS (
+            SELECT event_type, epoch_us(ts) AS ts_us,
+                   last_value(CASE WHEN event_type = 'click'
+                                   THEN epoch_us(ts) END IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS click_us
+            FROM events
+        ), gaps AS (
+            SELECT ts_us - click_us AS gap_us
+            FROM marked
+            WHERE event_type = 'purchase' AND click_us IS NOT NULL
+        )
+        SELECT COUNT(*) AS n_conversions,
+               ROUND(quantile_cont(CAST(gap_us AS DOUBLE), 0.5), 6) AS p50_us,
+               ROUND(quantile_cont(CAST(gap_us AS DOUBLE), 0.9), 6) AS p90_us,
+               CAST(MAX(gap_us) AS BIGINT) AS max_us
+        FROM gaps
     """,
 }
 

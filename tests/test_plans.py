@@ -468,7 +468,7 @@ def test_plan_linter_sweep_round6_queries(spark, sf_dir):
         "snapshot_diff", "text_dup_chunk_ratio", "evt_dau_stickiness",
         "evt_new_vs_returning", "text_rake_keywords",
         "orders_backlog_sweep", "orders_mom_change",
-        "supplier_share_of_nation",
+        "supplier_share_of_nation", "evt_time_to_convert",
     ):
         assert_scalable(QUERIES[name](spark, sf_dir), max_shuffles=12)
 
