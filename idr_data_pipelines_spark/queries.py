@@ -5441,97 +5441,95 @@ def q_orders_cohort_ltv(spark, sf_dir):
 # ===================================================================
 
 # Ordering contract: the driver records correctness rows for the
-# FIRST 50 entries only. Round-6 rotation (see VERDICT r5 item 1):
-# the window holds the 36 entries whose last driver green was r01/r02
-# (the full expr_*/filter_*/§2.4-join families, sources/sinks, core
-# dedup/agg, q4-q18 analytics), the 9 entries changed or new this
-# round (evt_windowed_quantiles rounding fix; ann_topk_lsh's
-# integer-exact-bucket oracle and ann_topk_quantized's exact-replay
-# quantizer oracle — their first possible hash rows; sketch_count_min's
-# md5 hash family; dedup_simhash_md5 / dedup_minhash_md5 /
-# text_winnow_md5 / ann_topk_ivf_fixed / sketch_hll_md5 /
-# evt_distinct_stream_md5, the portable variants), the 2
-# stalest-after-that r03 greens, and the 3-entry streaming tail.
-# NO_ORACLE members are never
-# rotated in (their rows can only say err:no_oracle — r5 VERDICT);
-# they sit at the dict's very end. True streaming queries sit at the
-# window's tail in case the cap is time-based. Entries after the
-# window are still swept every CI run by tests/test_oracle_parity.py.
-# r07 rotation guidance: the oracled queries ADDED in r6 sessions 2-3
-# (emb_kmeans_step … src_python_datasource, marked "new in r06", plus
-# the session-3 block q2_min_cost_supplier … evt_new_vs_returning
-# directly before the NO_ORACLE tail — TPC-H completion, retrieval
-# scoring, curation, cube/attribution/compaction, basket/anomaly(+
-# stream twin), khop/paths, SCD4, cohort LTV, streaming connector,
-# full-outer reconcile, RANGE frame, snapshot diff, dup-chunk ratio,
-# A/B test, ABC, DAU stickiness, new-vs-returning) have never had a
-# driver row and are the first picks, followed by the 25 r03-stale
-# greens that lead the post-window section.
+# FIRST 50 entries only. Round-7 rotation (VERDICT r6 item 1): the
+# window holds the 59-candidate never-driver-checked r6 block minus
+# 9 deferrals — all 32 non-streaming session-3 entries (TPC-H
+# q2/q11/q12/q20, TF-IDF/BM25/RAKE/chunking, cube/attribution/
+# compaction, basket/anomaly, khop/paths, SCD4, cohort LTV,
+# reconcile/RANGE frame/snapshot diff, A/B, ABC, stickiness,
+# backlog, MoM, share-of-nation, time-to-convert), 15 session-2
+# entries (semdedup/kmeans/random-project, winnow/containment,
+# bloom decontaminate + bloom join, BPE/shared-ngrams, exact-k/
+# weighted-k sampling, zorder, ffill, Python DataSource, mm_resize),
+# and the 3 streaming candidates at the tail (in case the cap is
+# time-based). The 9 deferred session-2 entries (simple shapes from
+# already-driver-verified families: kfold/topk-per-group sampling,
+# quality buckets, q9, transitions/user-perplexity/daily-fill, text
+# lines source, RFM) lead the post-window section as the first r08
+# picks, followed by the ~33 r03-stale greens. NO_ORACLE members are
+# never rotated in (their rows can only say err:no_oracle); they sit
+# at the dict's very end. Entries after the window are still swept
+# every CI run by tests/test_oracle_parity.py.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # -- driver window: last green r01/r02 — sources/sinks
-    "src_parquet_concat_str": q_src_parquet_concat_str,
-    "sink_table_overwrite": q_sink_table_overwrite,
-    "sink_rows_append": q_sink_rows_append,
-    # -- driver window: last green r01/r02 — dedup
-    "dedup_distinct": q_dedup_distinct,
-    "dedup_groupby_max": q_dedup_groupby_max,
-    "dedup_join_back_on_max": q_dedup_join_back_on_max,
-    # -- driver window: last green r01/r02 — projections/filters
-    "project_rename": q_project_rename,
-    "project_star_plus": q_project_star_plus,
-    "filter_not_null": q_filter_not_null,
-    "filter_eq": q_filter_eq,
-    "filter_derived": q_filter_derived,
-    "filter_on_join": q_filter_on_join,
-    # -- driver window: last green r01/r02 — joins
-    "join_inner_dim_cast": q_join_inner_dim_cast,
-    "join_inner_hub": q_join_inner_hub,
-    "join_left_fact": q_join_left_fact,
-    "join_anti": q_join_anti,
-    # -- driver window: last green r01/r02 — aggregations
-    "agg_groupby_max_all": q_agg_groupby_max_all,
-    "agg_max_date": q_agg_max_date,
-    # -- driver window: last green r01/r02 — expressions
-    "expr_cast": q_expr_cast,
-    "expr_string_funcs": q_expr_string_funcs,
-    "expr_case_flag": q_expr_case_flag,
-    "expr_case_bucket": q_expr_case_bucket,
-    "expr_null_default": q_expr_null_default,
-    "expr_extract": q_expr_extract,
-    "expr_format_date": q_expr_format_date,
-    "expr_current_date": q_expr_current_date,
-    "expr_str_sentinel": q_expr_str_sentinel,
-    "expr_null_normalize": q_expr_null_normalize,
-    # -- driver window: last green r01/r02 — analytics
-    "q4_priority_exists": q_q4_priority_exists,
-    "q7_volume_shipping": q_q7_volume_shipping,
-    "q8_market_share": q_q8_market_share,
-    "q10_returned_items": q_q10_returned_items,
-    "q13_order_count_distribution": q_q13_order_count_distribution,
-    "q14_promo_effect": q_q14_promo_effect,
-    "q16_supplier_part_count": q_q16_supplier_part_count,
-    "q18_large_volume": q_q18_large_volume,
-    # -- driver window: changed/new in round 6 (re-verify first)
-    "evt_windowed_quantiles": q_evt_windowed_quantiles,
-    "ann_topk_lsh": q_ann_topk_lsh,
-    "dedup_simhash_md5": q_dedup_simhash_md5,
-    "sketch_count_min": q_sketch_count_min,
-    "ann_topk_quantized": q_ann_topk_quantized,
-    "dedup_minhash_md5": q_dedup_minhash_md5,
-    "text_winnow_md5": q_text_winnow_md5,
-    "ann_topk_ivf_fixed": q_ann_topk_ivf_fixed,
-    "sketch_hll_md5": q_sketch_hll_md5,
-    # -- driver window: stalest r03 greens
-    "flagship_corpus_clean": q_flagship_corpus_clean,
-    "dedup_exact_hash": q_dedup_exact_hash,
-    # -- driver window tail: true streaming (slowest)
-    "src_stream_drain": q_src_stream_drain,
-    "sink_stream_republish": q_sink_stream_republish,
-    "evt_distinct_stream_md5": q_evt_distinct_stream_md5,
+    # -- driver window: r06 session-3, never driver-checked — TPC-H completion
+    "q2_min_cost_supplier": q_q2_min_cost_supplier,
+    "q11_important_parts": q_q11_important_parts,
+    "q12_late_shipments": q_q12_late_shipments,
+    "q20_potential_promotion": q_q20_potential_promotion,
+    # -- driver window: r06 session-3 — retrieval scoring / curation
+    "text_tfidf_topterm": q_text_tfidf_topterm,
+    "text_bm25_topk": q_text_bm25_topk,
+    "text_chunk_windows": q_text_chunk_windows,
+    "quality_logreg": q_quality_logreg,
+    "emb_standardize": q_emb_standardize,
+    # -- driver window: r06 session-3 — analytics
+    "agg_cube": q_agg_cube,
+    "evt_attribution": q_evt_attribution,
+    "sink_compact_files": q_sink_compact_files,
+    "basket_pairs": q_basket_pairs,
+    "evt_anomaly_zscore": q_evt_anomaly_zscore,
+    "graph_khop": q_graph_khop,
+    "evt_path_analysis": q_evt_path_analysis,
+    "scd4_current_history": q_scd4_current_history,
+    "orders_cohort_ltv": q_orders_cohort_ltv,
+    "join_full_reconcile": q_join_full_reconcile,
+    "window_range_frame": q_window_range_frame,
+    "agg_rollup_grouping_id": q_agg_rollup_grouping_id,
+    "snapshot_diff": q_snapshot_diff,
+    "text_dup_chunk_ratio": q_text_dup_chunk_ratio,
+    "evt_ab_test": q_evt_ab_test,
+    "orders_abc_analysis": q_orders_abc_analysis,
+    "evt_dau_stickiness": q_evt_dau_stickiness,
+    "evt_new_vs_returning": q_evt_new_vs_returning,
+    "text_rake_keywords": q_text_rake_keywords,
+    "orders_backlog_sweep": q_orders_backlog_sweep,
+    "orders_mom_change": q_orders_mom_change,
+    "supplier_share_of_nation": q_supplier_share_of_nation,
+    "evt_time_to_convert": q_evt_time_to_convert,
+    # -- driver window: r06 session-2, never driver-checked
+    "emb_kmeans_step": q_emb_kmeans_step,
+    "emb_semdedup": q_emb_semdedup,
+    "emb_random_project": q_emb_random_project,
+    "dedup_winnow_pairs": q_dedup_winnow_pairs,
+    "dedup_containment": q_dedup_containment,
+    "decontaminate_bloom": q_decontaminate_bloom,
+    "text_bpe_pairs": q_text_bpe_pairs,
+    "text_shared_ngrams": q_text_shared_ngrams,
+    "sample_exact_k": q_sample_exact_k,
+    "sample_weighted_k": q_sample_weighted_k,
+    "layout_zorder": q_layout_zorder,
+    "join_bloom": q_join_bloom,
+    "window_ffill": q_window_ffill,
+    "src_python_datasource": q_src_python_datasource,
+    "mm_resize": q_mm_resize,
+    # -- driver window tail: true streaming (slowest), never driver-checked
+    "evt_dedup_stream_index": q_evt_dedup_stream_index,
+    "evt_anomaly_stream": q_evt_anomaly_stream,
+    "src_python_datasource_stream": q_src_python_datasource_stream,
     # ================= end of 50-entry driver window =================
     # (everything below is parity-swept in CI each run)
+    # -- deferred r06 entries with no driver row ever: FIRST r08 picks
+    "sample_kfold": q_sample_kfold,
+    "sample_topk_per_group": q_sample_topk_per_group,
+    "quality_buckets": q_quality_buckets,
+    "q9_product_profit": q_q9_product_profit,
+    "evt_transitions": q_evt_transitions,
+    "evt_user_perplexity": q_evt_user_perplexity,
+    "src_text_lines": q_src_text_lines,
+    "rfm_segments": q_rfm_segments,
+    "evt_daily_fill": q_evt_daily_fill,
+    # -- last green r03 — next r08 picks after the deferrals
     "emb_cosine_near_dup": q_emb_cosine_near_dup,
-    # -- last green r03 — r07 rotation candidates
     "join_asof": q_join_asof,
     "join_range": q_join_range,
     "expr_json": q_expr_json,
@@ -5564,7 +5562,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "udtf_split_sentences": q_udtf_split_sentences,
     "window_analytics": q_window_analytics,
     "window_running": q_window_running,
-    # -- last green r04
+    # -- last green r04/r05
     "agg_pivot_sum_case": q_agg_pivot_sum_case,
     "agg_rollup": q_agg_rollup,
     "dedup_latest_per_key": q_dedup_latest_per_key,
@@ -5582,7 +5580,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q5_revenue_by_nation": q_q5_revenue_by_nation,
     "set_ops": q_set_ops,
     "src_parquet_dir": q_src_parquet_dir,
-    # -- last green r05
     "pack_sequences": q_pack_sequences,
     "mm_frame_sample": q_mm_frame_sample,
     "flagship_data_recipe": q_flagship_data_recipe,
@@ -5629,74 +5626,61 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_rolling_sum": q_window_rolling_sum,
     "src_orc_roundtrip": q_src_orc_roundtrip,
     "src_partitioned_prune": q_src_partitioned_prune,
-    # -- new in r06 (post-rotation), fully oracled, never driver-
-    # checked yet: first picks for the r07 window alongside the
-    # r03-stale greens above
-    "emb_kmeans_step": q_emb_kmeans_step,
-    "emb_semdedup": q_emb_semdedup,
-    "sample_exact_k": q_sample_exact_k,
-    "sample_kfold": q_sample_kfold,
-    "text_bpe_pairs": q_text_bpe_pairs,
-    "text_shared_ngrams": q_text_shared_ngrams,
-    "decontaminate_bloom": q_decontaminate_bloom,
-    "sample_topk_per_group": q_sample_topk_per_group,
-    "sample_weighted_k": q_sample_weighted_k,
-    "dedup_winnow_pairs": q_dedup_winnow_pairs,
-    "dedup_containment": q_dedup_containment,
-    "quality_buckets": q_quality_buckets,
-    "evt_dedup_stream_index": q_evt_dedup_stream_index,
-    "layout_zorder": q_layout_zorder,
-    "join_bloom": q_join_bloom,
-    "q9_product_profit": q_q9_product_profit,
-    "evt_transitions": q_evt_transitions,
-    "evt_user_perplexity": q_evt_user_perplexity,
-    "src_text_lines": q_src_text_lines,
-    "rfm_segments": q_rfm_segments,
-    "evt_daily_fill": q_evt_daily_fill,
-    "window_ffill": q_window_ffill,
-    "src_python_datasource": q_src_python_datasource,
-    "mm_resize": q_mm_resize,
-    "emb_random_project": q_emb_random_project,
-    # -- new in r06 session 3: TPC-H completion + retrieval scoring
-    # (first picks for the r07 window alongside the session-2 block)
-    "q2_min_cost_supplier": q_q2_min_cost_supplier,
-    "q11_important_parts": q_q11_important_parts,
-    "q12_late_shipments": q_q12_late_shipments,
-    "q20_potential_promotion": q_q20_potential_promotion,
-    "text_tfidf_topterm": q_text_tfidf_topterm,
-    "text_bm25_topk": q_text_bm25_topk,
-    "text_chunk_windows": q_text_chunk_windows,
-    "quality_logreg": q_quality_logreg,
-    "emb_standardize": q_emb_standardize,
-    "agg_cube": q_agg_cube,
-    "evt_attribution": q_evt_attribution,
-    "sink_compact_files": q_sink_compact_files,
-    "basket_pairs": q_basket_pairs,
-    "evt_anomaly_zscore": q_evt_anomaly_zscore,
-    "graph_khop": q_graph_khop,
-    "evt_path_analysis": q_evt_path_analysis,
-    "scd4_current_history": q_scd4_current_history,
-    "orders_cohort_ltv": q_orders_cohort_ltv,
-    "evt_anomaly_stream": q_evt_anomaly_stream,
-    "src_python_datasource_stream": q_src_python_datasource_stream,
-    "join_full_reconcile": q_join_full_reconcile,
-    "window_range_frame": q_window_range_frame,
-    "agg_rollup_grouping_id": q_agg_rollup_grouping_id,
-    "snapshot_diff": q_snapshot_diff,
-    "text_dup_chunk_ratio": q_text_dup_chunk_ratio,
-    "evt_ab_test": q_evt_ab_test,
-    "orders_abc_analysis": q_orders_abc_analysis,
-    "evt_dau_stickiness": q_evt_dau_stickiness,
-    "evt_new_vs_returning": q_evt_new_vs_returning,
-    "text_rake_keywords": q_text_rake_keywords,
-    "orders_backlog_sweep": q_orders_backlog_sweep,
-    "orders_mom_change": q_orders_mom_change,
-    "supplier_share_of_nation": q_supplier_share_of_nation,
-    "evt_time_to_convert": q_evt_time_to_convert,
-    # -- NO_ORACLE members: rows-only by design (hash/approx ops with
-    # no portable SQL equivalent; bounds pinned in pytest). NEVER
-    # rotate these into the driver window — their driver rows cannot
-    # improve on err:no_oracle.
+    # -- last green r06 (rotated out of the window this round)
+    "src_parquet_concat_str": q_src_parquet_concat_str,
+    "sink_table_overwrite": q_sink_table_overwrite,
+    "sink_rows_append": q_sink_rows_append,
+    "dedup_distinct": q_dedup_distinct,
+    "dedup_groupby_max": q_dedup_groupby_max,
+    "dedup_join_back_on_max": q_dedup_join_back_on_max,
+    "project_rename": q_project_rename,
+    "project_star_plus": q_project_star_plus,
+    "filter_not_null": q_filter_not_null,
+    "filter_eq": q_filter_eq,
+    "filter_derived": q_filter_derived,
+    "filter_on_join": q_filter_on_join,
+    "join_inner_dim_cast": q_join_inner_dim_cast,
+    "join_inner_hub": q_join_inner_hub,
+    "join_left_fact": q_join_left_fact,
+    "join_anti": q_join_anti,
+    "agg_groupby_max_all": q_agg_groupby_max_all,
+    "agg_max_date": q_agg_max_date,
+    "expr_cast": q_expr_cast,
+    "expr_string_funcs": q_expr_string_funcs,
+    "expr_case_flag": q_expr_case_flag,
+    "expr_case_bucket": q_expr_case_bucket,
+    "expr_null_default": q_expr_null_default,
+    "expr_extract": q_expr_extract,
+    "expr_format_date": q_expr_format_date,
+    "expr_current_date": q_expr_current_date,
+    "expr_str_sentinel": q_expr_str_sentinel,
+    "expr_null_normalize": q_expr_null_normalize,
+    "q4_priority_exists": q_q4_priority_exists,
+    "q7_volume_shipping": q_q7_volume_shipping,
+    "q8_market_share": q_q8_market_share,
+    "q10_returned_items": q_q10_returned_items,
+    "q13_order_count_distribution": q_q13_order_count_distribution,
+    "q14_promo_effect": q_q14_promo_effect,
+    "q16_supplier_part_count": q_q16_supplier_part_count,
+    "q18_large_volume": q_q18_large_volume,
+    "evt_windowed_quantiles": q_evt_windowed_quantiles,
+    "ann_topk_lsh": q_ann_topk_lsh,
+    "dedup_simhash_md5": q_dedup_simhash_md5,
+    "sketch_count_min": q_sketch_count_min,
+    "ann_topk_quantized": q_ann_topk_quantized,
+    "dedup_minhash_md5": q_dedup_minhash_md5,
+    "text_winnow_md5": q_text_winnow_md5,
+    "ann_topk_ivf_fixed": q_ann_topk_ivf_fixed,
+    "sketch_hll_md5": q_sketch_hll_md5,
+    "flagship_corpus_clean": q_flagship_corpus_clean,
+    "dedup_exact_hash": q_dedup_exact_hash,
+    "src_stream_drain": q_src_stream_drain,
+    "sink_stream_republish": q_sink_stream_republish,
+    "evt_distinct_stream_md5": q_evt_distinct_stream_md5,
+    # -- NO_ORACLE members: rows-only by design (hash/approx ops with no
+    # portable SQL equivalent; bounds pinned in pytest). NEVER rotate
+    # these into the driver window — their driver rows cannot improve
+    # on err:no_oracle.
     "ann_topk_ivf": q_ann_topk_ivf,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
