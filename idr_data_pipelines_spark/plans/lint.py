@@ -53,6 +53,76 @@ def _plan_str(df: DataFrame) -> str:
     return buf.getvalue()
 
 
+_AGG_NODES = ("HashAggregate(", "SortAggregate(", "ObjectHashAggregate(")
+
+
+def _tree_indent(line: str) -> int:
+    """Depth of a physical-plan tree line = where the node name starts
+    after the ``+-``/``:-``/``|``/space scaffolding. Children print
+    strictly deeper than their parent."""
+    return len(line) - len(line.lstrip(" :+-|*("))
+
+
+def _uncollapsed_global_windows(plan: str) -> list[str]:
+    """Global ``Window`` nodes (no PARTITION BY) whose input subtree
+    contains no aggregation — i.e. the full input cardinality funnels
+    through one task's sort+window.
+
+    A partitioned+ordered Window prints three top-level bracket
+    groups ``[funcs], [part], [order]``; a global ordered one prints
+    two ``[funcs], [order]``. Two groups alone is ambiguous — a
+    partitioned-but-unordered window (``partitionBy`` with no
+    ``orderBy``) also prints two, with a bare column list instead of
+    a sort spec — so the second group must contain an ``ASC``/
+    ``DESC`` direction to count as global+ordered (the funnel shape:
+    one task sorts everything). The input subtree is every following line
+    with strictly deeper tree indentation (stopping at the first
+    sibling/ancestor keeps an aggregate in a join's OTHER branch from
+    excusing the window). An aggregate anywhere in that subtree means
+    the frame was provably collapsed before the window — the
+    "collapsed-frame" waiver that per-query docstrings used to argue
+    in prose (r6 VERDICT item 3), now checked.
+    """
+    lines = plan.splitlines()
+    offenders: list[str] = []
+    for i, line in enumerate(lines):
+        m = re.search(r"\bWindow (\[.*)$", line)
+        if not m:
+            continue
+        # collect top-level [...] groups
+        depth = 0
+        groups: list[str] = []
+        start = 0
+        for j, ch in enumerate(m.group(1)):
+            if ch == "[":
+                if depth == 0:
+                    start = j
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append(m.group(1)[start : j + 1])
+        if len(groups) != 2 or not re.search(r"\b(ASC|DESC)\b", groups[1]):
+            # 3 groups = partitioned+ordered; 2 groups without a sort
+            # direction = partitioned-but-unordered; 1 = global
+            # unordered total (no per-task sort) — none are the
+            # global-sort funnel shape
+            continue
+        indent = _tree_indent(line)
+        collapsed = False
+        for sub in lines[i + 1 :]:
+            if not sub.strip():
+                break
+            if _tree_indent(sub) <= indent:
+                break
+            if any(a in sub for a in _AGG_NODES):
+                collapsed = True
+                break
+        if not collapsed:
+            offenders.append(m.group(0)[:120])
+    return offenders
+
+
 def count_shuffles(df: DataFrame) -> int:
     """Shuffle exchanges only (broadcast exchanges are cheap by
     design and not counted)."""
@@ -81,6 +151,11 @@ def lint_plan(
       row-at-a-time Python UDF in the plan; 10-100× slower than the
       Arrow path. Use built-ins or ``mapInPandas``/``pandas_udf``
       (which show as ArrowEvalPython / MapInPandas instead).
+    - **global-window-uncollapsed** (fatal): a ``Window`` with no
+      PARTITION BY whose input subtree contains no aggregation — the
+      full input cardinality sorts through one task. A global window
+      AFTER a group-by (daily totals, |parts| rows, …) is the
+      accepted collapsed-frame pattern and passes.
     - **single-partition-funnel** (warn, opt-in fatal): ``Exchange
       SinglePartition`` outside a final small aggregate — a global
       sort/window that funnels the data through one task.
@@ -109,6 +184,15 @@ def lint_plan(
                 _FATAL,
                 "row-at-a-time Python UDF (BatchEvalPython); use built-ins "
                 "or Arrow-batched pandas UDFs",
+            )
+        )
+    for w in _uncollapsed_global_windows(plan):
+        findings.append(
+            PlanFinding(
+                "global-window-uncollapsed",
+                _FATAL,
+                "global Window (no PARTITION BY) over an uncollapsed "
+                f"input — full cardinality sorts through one task: {w}",
             )
         )
     n_single = len(re.findall(r"Exchange SinglePartition", plan))

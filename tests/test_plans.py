@@ -172,6 +172,55 @@ def test_plan_linter_flags_scale_killers(spark, sf_dir):
     assert fatal == []
 
 
+def test_plan_linter_global_window_collapsed_frame(spark, sf_dir):
+    """The collapsed-frame rule (r6 VERDICT item 3): a global Window
+    (no PARTITION BY) is a scale-killer UNLESS its input subtree
+    contains an aggregation that provably collapsed cardinality. The
+    catalog queries that window over aggregated frames must pass; a
+    raw-fact global window must fail; an aggregate in a join's OTHER
+    branch must not excuse the window."""
+    import pyspark.sql.functions as F
+    import pytest
+    from pyspark.sql import Window
+
+    from idr_data_pipelines_spark.plans import assert_scalable, lint_plan
+
+    # the three queries whose safety argument used to live in prose
+    for name in (
+        "orders_backlog_sweep",
+        "orders_abc_analysis",
+        "evt_dau_stickiness",
+    ):
+        df = QUERIES[name](spark, sf_dir)
+        assert not [
+            f for f in lint_plan(df) if f.rule == "global-window-uncollapsed"
+        ], name
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    bad = li.withColumn(
+        "rn", F.row_number().over(Window.orderBy("l_extendedprice"))
+    )
+    assert "global-window-uncollapsed" in {f.rule for f in lint_plan(bad)}
+    with pytest.raises(AssertionError, match="global-window-uncollapsed"):
+        assert_scalable(bad)
+
+    good = li.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+        ),
+    )
+    assert "global-window-uncollapsed" not in {f.rule for f in lint_plan(good)}
+
+    # aggregate in the join's other branch: window input is still raw
+    agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    tricky = bad.join(
+        F.broadcast(agg.withColumnRenamed("l_returnflag", "rf")),
+        bad["l_returnflag"] == F.col("rf"),
+    )
+    assert "global-window-uncollapsed" in {f.rule for f in lint_plan(tricky)}
+
+
 def test_plan_linter_sweep_headline_queries(spark, sf_dir):
     """No fatal finding in any headline/flagship batch plan; shuffle
     budgets hold. (q22's 1-row broadcast-nested-loop scalar subquery
