@@ -85,11 +85,58 @@ def generate(out_dir: str, n_replicas: int = 10) -> None:
     )
 
 
+def generate_relational(out_dir: str, n_replicas: int = 10) -> None:
+    """10x events/orders/lineitem: disjoint key-shifted replicas
+    (vectorized pyarrow arithmetic — no per-row Python).
+
+    - events: user_id offset per replica — the realistic growth axis
+      is MORE USERS, so per-user window partitions multiply rather
+      than deepen; timestamps unchanged.
+    - orders+lineitem: orderkey/custkey/suppkey offsets — the
+      customer-supplier graph becomes 10 disjoint replica subgraphs,
+      so a fixed seed set (khop's c_custkey < 10, replica 0 only)
+      tests the "graph grows, seeds don't" axis: per-hop cost should
+      track the edge-scan, frontier stays constant.
+    Unshifted dims (customer etc.) are symlinked so catalog queries
+    run against out_dir unchanged.
+    """
+    import pyarrow.compute as pc
+
+    os.makedirs(out_dir, exist_ok=True)
+    shifts = {
+        "events": {"event_id": 100_000_000, "user_id": 1_000_000},
+        "orders": {"o_orderkey": 100_000_000, "o_custkey": 10_000_000},
+        "lineitem": {"l_orderkey": 100_000_000, "l_suppkey": 10_000_000},
+    }
+    for tbl, cols in shifts.items():
+        t = pq.read_table(f"{SF}/{tbl}.parquet")
+        reps = []
+        for r in range(n_replicas):
+            if r == 0:
+                reps.append(t)
+                continue
+            shifted = t
+            for col, step in cols.items():
+                i = shifted.schema.get_field_index(col)
+                shifted = shifted.set_column(
+                    i, col, pc.add(shifted.column(col), r * step)
+                )
+            reps.append(shifted)
+        pq.write_table(pa.concat_tables(reps), f"{out_dir}/{tbl}.parquet")
+    for tbl in ("region", "nation", "customer", "supplier", "part"):
+        link = f"{out_dir}/{tbl}.parquet"
+        if not os.path.exists(link):
+            os.symlink(f"{SF}/{tbl}.parquet", link)
+
+
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale10"
     if not os.path.exists(f"{out_dir}/documents.parquet"):
         print(f"# generating 10x data in {out_dir}", flush=True)
         generate(out_dir)
+    if not os.path.exists(f"{out_dir}/events.parquet"):
+        print(f"# generating 10x relational data in {out_dir}", flush=True)
+        generate_relational(out_dir)
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -116,19 +163,42 @@ def main() -> None:
             runs.append(round(time.perf_counter() - t0, 2))
         print(f"{label}: {runs} (median-after-primer basis)", flush=True)
 
+    from idr_data_pipelines_spark.plans.lint import count_shuffles
+    from idr_data_pipelines_spark.queries import QUERIES
+
+    shapes = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+
+    def want(name):
+        return shapes is None or name in shapes
+
     for scale, d, nclus in (("1x", SF, 16), ("10x", out_dir, 160)):
         docs = spread_small_scan(spark.read.parquet(f"{d}/documents.parquet"))
         emb = spread_small_scan(spark.read.parquet(f"{d}/embeddings.parquet"))
-        timed(
-            f"text_shared_ngrams {scale}",
-            lambda docs=docs: cross_doc_ngram_stats(docs, k=5, min_docs=2),
-        )
-        timed(
-            f"emb_semdedup {scale} (n_clusters={nclus})",
-            lambda emb=emb, nclus=nclus: semdedup_prune(
-                emb, n_clusters=nclus, threshold=0.35
-            ),
-        )
+        if want("text_shared_ngrams"):
+            timed(
+                f"text_shared_ngrams {scale}",
+                lambda docs=docs: cross_doc_ngram_stats(docs, k=5, min_docs=2),
+            )
+        if want("emb_semdedup"):
+            timed(
+                f"emb_semdedup {scale} (n_clusters={nclus})",
+                lambda emb=emb, nclus=nclus: semdedup_prune(
+                    emb, n_clusters=nclus, threshold=0.35
+                ),
+            )
+        # round-7 additions (VERDICT r6 item 5): the remaining heavy
+        # session-3 shapes, timed via their catalog entries against
+        # the scaled directory, with shuffle-exchange counts so a
+        # plan change at 10x is visible, not inferred.
+        for name in ("graph_khop", "text_bm25_topk", "evt_path_analysis"):
+            if want(name):
+                build = lambda name=name, d=d: QUERIES[name](spark, d)
+                print(
+                    f"# {name} {scale}: shuffle exchanges = "
+                    f"{count_shuffles(build())}",
+                    flush=True,
+                )
+                timed(f"{name} {scale}", build)
 
 
 if __name__ == "__main__":
