@@ -164,6 +164,13 @@ def main() -> None:
                 "queries": timings,
                 "runs": raw_runs,
                 "extended_queries": extended,
+                # the headline set is FROZEN at the round-1 16 queries
+                # so the round-over-round total stays comparable;
+                # harness changes may re-time "extended_queries" but
+                # must never re-base the frozen series (r6 VERDICT
+                # item 7)
+                "frozen_headline": True,
+                "headline_set_since": "r01",
                 "aggregation": f"median_of_{N_TIMED}_after_1_priming_discard",
                 "sf": sf,
             }

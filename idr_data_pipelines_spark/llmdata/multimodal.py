@@ -67,7 +67,10 @@ def _decode_bytes_stub(payload: bytes) -> tuple[int, int]:
 
 
 def extract_media_meta(
-    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decoder=None,
 ) -> DataFrame:
     """Decode payloads and emit a typed metadata table via mapInPandas.
 
@@ -75,15 +78,22 @@ def extract_media_meta(
     schema is declared (MEDIA_META_SCHEMA) so downstream plans are
     fully typed. Only (id, media_type, payload) are read — project
     before calling so the scan prunes everything else.
+
+    ``decoder`` is ``bytes -> (width, height)``; default is the
+    deterministic stub. Pass ``decode_image`` for a real Pillow decode
+    — the function is serialized to the executors, so PIL must be
+    importable THERE (it resolves the import at call time).
     """
     import hashlib
+
+    decode = decoder if decoder is not None else _decode_bytes_stub
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             widths, heights, checksums, sizes = [], [], [], []
             for payload in pdf[payload_col]:
                 b = bytes(payload)
-                w, h = _decode_bytes_stub(b)
+                w, h = decode(b)
                 widths.append(w)
                 heights.append(h)
                 sizes.append(len(b))
@@ -103,13 +113,65 @@ def extract_media_meta(
     return needed.mapInPandas(_batches, MEDIA_META_SCHEMA)
 
 
+def _pil():
+    """Import Pillow if present, else None — resolved at call time so
+    a worker with PIL installed uses it even when the driver-side
+    import check ran elsewhere."""
+    try:
+        import PIL.Image  # noqa: PLC0415
+
+        return PIL.Image
+    except ImportError:
+        return None
+
+
+def decode_image(payload: bytes) -> tuple[int, int]:
+    """Real image decode: (width, height) via Pillow when importable
+    (any format PIL reads — PNG/JPEG/WebP/…), otherwise
+    ``NotImplementedError`` so a missing decoder fails loudly instead
+    of producing stub geometry that looks real. Pass this as the
+    ``decoder`` argument of ``extract_media_meta`` to upgrade the
+    metadata stage from stub to real without touching the distributed
+    plumbing (schema, batching, partitioning identical)."""
+    img_mod = _pil()
+    if img_mod is None:
+        raise NotImplementedError(
+            "image decoding requires Pillow (PIL), not available in this "
+            "environment; use extract_media_meta's default stub decoder "
+            "or install Pillow on the executors"
+        )
+    import io
+
+    with img_mod.open(io.BytesIO(payload)) as im:
+        return im.size
+
+
+def resize_image(payload: bytes, factor: int = 4) -> bytes:
+    """Real image resize via Pillow (nearest-neighbor ``factor``×
+    downsample, re-encoded as PNG), ``NotImplementedError`` without
+    it. The PIL-or-fail twin of ``resize_media_stub``'s byte-slice
+    stand-in."""
+    img_mod = _pil()
+    if img_mod is None:
+        raise NotImplementedError(
+            "image resizing requires Pillow (PIL), not available in this "
+            "environment; use resize_media_stub's deterministic stand-in"
+        )
+    import io
+
+    with img_mod.open(io.BytesIO(payload)) as im:
+        out = im.resize(
+            (max(1, im.size[0] // factor), max(1, im.size[1] // factor))
+        )
+        buf = io.BytesIO()
+        out.save(buf, format="PNG")
+        return buf.getvalue()
+
+
 def decode_image_stub(payload: bytes) -> "object":
-    """Placeholder for a real image decode (PIL not available here)."""
-    raise NotImplementedError(
-        "image decoding requires PIL/opencv, not available in this "
-        "environment; use extract_media_meta's stub path or plug a real "
-        "decoder into _decode_bytes_stub"
-    )
+    """Back-compat alias for the pre-r07 loud-failure surface; prefer
+    ``decode_image`` (same behavior, real decode when PIL exists)."""
+    return decode_image(payload)
 
 
 def frame_sample_stub(

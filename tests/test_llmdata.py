@@ -197,6 +197,49 @@ def test_multimodal_meta_and_frames(spark):
     assert bytes(sorted(by_doc[1], key=lambda r: r["frame_idx"])[0]["frame_bytes"]) == b"hello worl"
 
 
+def test_decode_image_real_or_loud(spark):
+    """``decode_image`` must be a REAL Pillow decode when PIL is
+    importable and a loud ``NotImplementedError`` when it is not —
+    never stub geometry masquerading as a decode. Both branches of
+    the gate are asserted; which one runs depends on the environment
+    (this container has no PIL; a golden-image rig does)."""
+    import importlib.util
+
+    import pytest
+
+    from idr_data_pipelines_spark.llmdata.multimodal import (
+        decode_image,
+        resize_image,
+    )
+
+    if importlib.util.find_spec("PIL") is None:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            decode_image(b"\x89PNG\r\n\x1a\n")
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            resize_image(b"\x89PNG\r\n\x1a\n")
+        return
+
+    # golden path: a synthetic 8x6 PNG round-trips through decode and
+    # the pluggable extract_media_meta decoder, and resize_image
+    # quarters each dimension
+    import io
+
+    import PIL.Image
+
+    buf = io.BytesIO()
+    PIL.Image.new("RGB", (8, 6), (200, 10, 10)).save(buf, format="PNG")
+    png = buf.getvalue()
+    assert decode_image(png) == (8, 6)
+    small = resize_image(png, factor=2)
+    assert decode_image(small) == (4, 3)
+
+    df = spark.createDataFrame([(1, bytearray(png), "image")],
+                               "doc_id long, payload binary, media_type string")
+    row = extract_media_meta(df, decoder=decode_image).collect()[0]
+    assert (row["width"], row["height"]) == (8, 6)
+    assert row["n_bytes"] == len(png)
+
+
 def test_null_text_yields_null_signatures(spark):
     """Null documents must produce null signatures in BOTH impls (the
     arrow path used to crash on len(None))."""
