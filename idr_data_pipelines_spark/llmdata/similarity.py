@@ -1055,3 +1055,71 @@ def random_project(
         out_col,
         F.array(*[dot(v, _lit_vec(row)) for row in M.tolist()]),
     )
+
+
+def pq_assign_fixed(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_subspaces: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Product-quantization code assignment with the fixed-seed
+    codebook (the third member of the fixed-quantizer family beside
+    ``cosine_topk_ivf_fixed`` and ``assign_fixed_clusters``): the
+    vector splits into ``n_subspaces`` contiguous subvectors and each
+    is assigned the id of its L2-nearest codeword, where subspace
+    ``s``'s codebook is the corresponding subvector slice of the
+    corpus rows with ``id < n_centroids``. Emits one
+    (id, subspace, code, dist) row per subvector — the PQ code table
+    an IVF-PQ index stores instead of raw floats (here
+    64 floats → 4 codes, a 64× compression at 8-bit codes).
+
+    Replayability: codewords are table rows, distances are fixed-order
+    left-associative double arithmetic, ties break to the lowest
+    codeword id — a SQL oracle reproduces the assignment bit-for-bit
+    (the same property the IVF-fixed index carries).
+
+    Scale shape: the codebook is ``n_centroids`` collected rows
+    (bounded driver transfer); assignment is a PURE PROJECTION —
+    per-subspace distances fold JVM-side against literal codeword
+    components, argmin via ``array_min`` over (dist, code) structs,
+    ZERO shuffles, so at 100 TB it is a map-only pass. Train real
+    codebooks with ``kmeans_fixed_step`` per subspace when seed
+    quality matters; the assignment plumbing is identical.
+    """
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {n_subspaces}")
+    sub_d = dim // n_subspaces
+    cent_rows = fixed_seed_centroid_rows(corpus, id_col, vec_col, n_centroids)
+
+    v = _as_double(vec_col)
+    per_sub = []
+    for s in range(n_subspaces):
+        lo = s * sub_d  # 0-based offset; Spark/DuckDB index from 1
+        structs = []
+        for cid, cvec in cent_rows:
+            # left-associative sum of squared diffs, term order i=1..sub_d
+            # — the oracle writes the identical chain
+            dist = None
+            for i in range(sub_d):
+                d = v[lo + i] - F.lit(float(cvec[lo + i]))
+                term = d * d
+                dist = term if dist is None else dist + term
+            structs.append(
+                F.struct(dist.alias("dist"), F.lit(cid).alias("code"))
+            )
+        best = F.array_min(F.array(*structs))
+        per_sub.append(
+            F.struct(
+                F.lit(s).alias("subspace"),
+                best["code"].cast("int").alias("code"),
+                F.round(best["dist"], 6).alias("dist_r"),
+            )
+        )
+    # all subspaces in ONE corpus scan: the 1→n_subspaces fan-out is a
+    # bounded explode of a projection, not n_subspaces input passes
+    return corpus.select(
+        F.col(id_col), F.explode(F.array(*per_sub)).alias("pq")
+    ).select(id_col, "pq.subspace", "pq.code", "pq.dist_r")

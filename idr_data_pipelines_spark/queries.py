@@ -5436,6 +5436,218 @@ def q_orders_cohort_ltv(spark, sf_dir):
     )
 
 
+
+# ===================================================================
+# round-7 additions: warehouse profiling / skew diagnostics / PQ codes
+# / feature hashing / survival curves / duplicate-invoice detection /
+# CCNet-style perplexity buckets
+# ===================================================================
+
+def q_profile_table(spark, sf_dir):
+    """Data-profiling audit of the orders table: per-column null
+    count and EXACT distinct count, unpivoted to one row per column.
+    Exact distincts make the result oracle-portable but cost one
+    Expand fan-out per distinct column (Spark plans N distinct aggs
+    as an N-way row replication) — at 100 TB run the
+    approx_count_distinct twin instead; profiling is the deliberate
+    full-audit shape here. One input scan either way."""
+    orders = _t(spark, sf_dir, "orders")
+    cols = sorted(orders.columns)
+    aggs = []
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"__n_{c}")
+        )
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__d_{c}"))
+    aggs.append(F.count(F.lit(1)).alias("__rows"))
+    one = orders.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"__n_{c}").alias("n_nulls"),
+                F.col(f"__d_{c}").alias("n_distinct"),
+                F.col("__rows").alias("n_rows"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(per_col).alias("p")).select(
+        "p.col_name", "p.n_nulls", "p.n_distinct", "p.n_rows"
+    )
+
+
+def q_skew_metrics(spark, sf_dir):
+    """Key-distribution diagnostics for a prospective join/agg key —
+    the "should I salt this?" probe: the top-5 heaviest l_suppkey
+    groups with their share of all rows, plus the max/mean group-size
+    ratio (the skew factor AQE's skew-join threshold reasons about).
+    One count shuffle + a 1-row broadcast total; the top-5 is
+    TakeOrdered, not a global window."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_n"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .orderBy(F.col("n").desc(), F.col("l_suppkey").asc())
+        .limit(5)
+        .select(
+            "l_suppkey",
+            "n",
+            F.round(
+                F.col("n").cast("double")
+                / F.col("total").cast("double")
+                * F.lit(100.0),
+                6,
+            ).alias("share_pct"),
+            F.round(
+                F.col("max_n").cast("double")
+                * F.col("n_keys").cast("double")
+                / F.col("total").cast("double"),
+                6,
+            ).alias("skew_ratio"),
+        )
+    )
+
+
+def q_emb_pq_assign(spark, sf_dir):
+    """Product-quantization code assignment (fixed-seed codebook,
+    4 sub-spaces x 16 codewords): every embedding compresses to 4
+    small codes, the storage layout of an IVF-PQ ANN index. Fully
+    SQL-replayable (codewords are table rows, fixed-order double
+    arithmetic, lowest-id ties) — the oracle re-derives every code.
+    Map-only: one scan, zero shuffles."""
+    from idr_data_pipelines_spark.llmdata.similarity import pq_assign_fixed
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_assign_fixed(emb, n_centroids=16, n_subspaces=4, dim=64)
+
+
+def q_text_hashed_features(spark, sf_dir):
+    """Hashing-trick featurization (the fastText/Vowpal input shape):
+    tokens hash into 32 buckets via the portable md5 idiom and each
+    doc emits its sparse (bucket, count) vector rows. Token explode +
+    one (doc, bucket) count shuffle; vocabulary size does not matter
+    — that is the point of feature hashing at 100 TB."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id", F.explode(_toks()).alias("tok")
+    ).filter(F.col("tok") != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 32
+    )
+    return (
+        toks.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_evt_survival_retention(spark, sf_dir):
+    """User-lifetime survival curve (Kaplan-Meier shape, no
+    censoring): for each observed lifespan L (days between a user's
+    first and last event), how many users survived AT LEAST L days
+    and the share of all users. Per-user reduce -> lifespan histogram
+    -> reverse cumulative window over the COLLAPSED histogram (<=
+    |distinct lifespans| rows — the aggregation-then-global-window
+    pattern the plan linter's collapsed-frame rule certifies)."""
+    ev = _events(spark, sf_dir)
+    spans = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.to_date("ts")).alias("d0"),
+            F.max(F.to_date("ts")).alias("d1"),
+        )
+        .select(F.datediff("d1", "d0").alias("lifespan"))
+    )
+    hist = spans.groupBy("lifespan").agg(F.count(F.lit(1)).alias("n_users"))
+    w = (
+        Window.orderBy(F.col("lifespan").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.orderBy(F.col("lifespan").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return hist.select(
+        "lifespan",
+        "n_users",
+        F.sum("n_users").over(w).alias("n_surviving"),
+        F.round(
+            F.sum("n_users").over(w).cast("double")
+            / F.sum("n_users").over(wall).cast("double"),
+            6,
+        ).alias("survival"),
+    )
+
+
+def q_orders_dup_invoice_pairs(spark, sf_dir):
+    """Duplicate-invoice candidate detection (the finance-audit twin
+    of near-dup dedup): pairs of orders by the same customer in the
+    same 10000-unit price band placed within 90 days. The self-join is
+    on the (custkey, band) EQUI-key — the blocking-key pattern: pair
+    blowup is bounded per block, never all-pairs — with the date
+    predicate applied inside the block and k1 < k2 for a canonical
+    pair orientation."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") / F.lit(10000.0)).alias("band"),
+        F.to_date("o_orderdate").alias("d"),
+    )
+    l, r = o.alias("l"), o.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.o_custkey") == F.col("r.o_custkey"))
+            & (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.o_orderkey") < F.col("r.o_orderkey")),
+        )
+        .withColumn(
+            "day_gap", F.abs(F.datediff(F.col("r.d"), F.col("l.d")))
+        )
+        .filter(F.col("day_gap") <= 90)
+        .select(
+            F.col("l.o_orderkey").alias("k1"),
+            F.col("r.o_orderkey").alias("k2"),
+            F.col("l.o_custkey").alias("o_custkey"),
+            F.col("l.band").alias("band"),
+            "day_gap",
+        )
+    )
+
+
+def q_docs_ccnet_buckets(spark, sf_dir):
+    """CCNet-style corpus partitioning: per language, documents split
+    into head/middle/tail perplexity tertiles (the published CCNet
+    recipe buckets Common Crawl by LM perplexity per language and
+    trains preferentially on the head). ntile(3) over the per-lang
+    window ordered by (rounded score, doc_id) — deterministic across
+    engines; the window is partitioned, so no global funnel."""
+    from idr_data_pipelines_spark.llmdata.text import unigram_logprob_scores
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    s = unigram_logprob_scores(docs).select(
+        "doc_id", F.round("mean_neg_log2p", 6).alias("ppl_r")
+    )
+    joined = docs.select("doc_id", "lang").join(s, "doc_id")
+    w = Window.partitionBy("lang").orderBy("ppl_r", "doc_id")
+    t = F.ntile(3).over(w)
+    return joined.select(
+        "doc_id",
+        "lang",
+        "ppl_r",
+        F.when(t == 1, F.lit("head"))
+        .when(t == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
 # ===================================================================
 # registry
 # ===================================================================
@@ -5528,6 +5740,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "src_text_lines": q_src_text_lines,
     "rfm_segments": q_rfm_segments,
     "evt_daily_fill": q_evt_daily_fill,
+    # -- new in r07 (profiling/skew/PQ/hashing/survival/dup-invoice/
+    # CCNet buckets), fully oracled, never driver-checked: r08 window
+    # picks alongside the deferrals above (9 + 7 + the 33 stale
+    # entries below = 49 ≤ 50 — the whole backlog fits one window)
+    "profile_table": q_profile_table,
+    "skew_metrics": q_skew_metrics,
+    "emb_pq_assign": q_emb_pq_assign,
+    "text_hashed_features": q_text_hashed_features,
+    "evt_survival_retention": q_evt_survival_retention,
+    "orders_dup_invoice_pairs": q_orders_dup_invoice_pairs,
+    "docs_ccnet_buckets": q_docs_ccnet_buckets,
     # -- last green r03 — next r08 picks after the deferrals
     "emb_cosine_near_dup": q_emb_cosine_near_dup,
     "join_asof": q_join_asof,
@@ -9011,6 +9234,210 @@ ORACLES["src_python_datasource_stream"] = ORACLES["src_python_datasource"].repla
 
 # Hash-based / approximate operators: no portable SQL equivalent →
 # the driver records a rows-only check (documented in __spark_entry__).
+
+# round-7 additions (generated SQL where the Spark side also
+# generates its expression chain — identical term order both engines)
+ORACLES["profile_table"] = """
+        SELECT 'o_custkey' AS col_name,
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               COUNT(DISTINCT o_custkey) AS n_distinct,
+               COUNT(*) AS n_rows
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate' AS col_name,
+               CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               COUNT(DISTINCT o_orderdate) AS n_distinct,
+               COUNT(*) AS n_rows
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderkey' AS col_name,
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               COUNT(DISTINCT o_orderkey) AS n_distinct,
+               COUNT(*) AS n_rows
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority' AS col_name,
+               CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               COUNT(DISTINCT o_orderpriority) AS n_distinct,
+               COUNT(*) AS n_rows
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus' AS col_name,
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               COUNT(DISTINCT o_orderstatus) AS n_distinct,
+               COUNT(*) AS n_rows
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice' AS col_name,
+               CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               COUNT(DISTINCT o_totalprice) AS n_distinct,
+               COUNT(*) AS n_rows
+        FROM orders
+"""
+ORACLES["skew_metrics"] = """
+        WITH counts AS (
+            SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey
+        ), tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS total,
+                   COUNT(*) AS n_keys,
+                   CAST(MAX(n) AS BIGINT) AS max_n
+            FROM counts
+        )
+        SELECT l_suppkey, CAST(n AS BIGINT) AS n,
+               ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+                     * CAST(100.0 AS DOUBLE), 6) AS share_pct,
+               ROUND(CAST(max_n AS DOUBLE) * CAST(n_keys AS DOUBLE)
+                     / CAST(total AS DOUBLE), 6) AS skew_ratio
+        FROM counts CROSS JOIN tot
+        ORDER BY n DESC, l_suppkey ASC
+        LIMIT 5
+"""
+ORACLES["emb_pq_assign"] = """
+        SELECT vec_id, 0 AS subspace, CAST(code AS INT) AS code,
+               ROUND(dist, 6) AS dist_r
+        FROM (
+            SELECT l.vec_id AS vec_id, r.cid AS code,
+                   ((CAST(l.embedding[1] AS DOUBLE) - CAST(r.embedding[1] AS DOUBLE)) * (CAST(l.embedding[1] AS DOUBLE) - CAST(r.embedding[1] AS DOUBLE)) + (CAST(l.embedding[2] AS DOUBLE) - CAST(r.embedding[2] AS DOUBLE)) * (CAST(l.embedding[2] AS DOUBLE) - CAST(r.embedding[2] AS DOUBLE)) + (CAST(l.embedding[3] AS DOUBLE) - CAST(r.embedding[3] AS DOUBLE)) * (CAST(l.embedding[3] AS DOUBLE) - CAST(r.embedding[3] AS DOUBLE)) + (CAST(l.embedding[4] AS DOUBLE) - CAST(r.embedding[4] AS DOUBLE)) * (CAST(l.embedding[4] AS DOUBLE) - CAST(r.embedding[4] AS DOUBLE)) + (CAST(l.embedding[5] AS DOUBLE) - CAST(r.embedding[5] AS DOUBLE)) * (CAST(l.embedding[5] AS DOUBLE) - CAST(r.embedding[5] AS DOUBLE)) + (CAST(l.embedding[6] AS DOUBLE) - CAST(r.embedding[6] AS DOUBLE)) * (CAST(l.embedding[6] AS DOUBLE) - CAST(r.embedding[6] AS DOUBLE)) + (CAST(l.embedding[7] AS DOUBLE) - CAST(r.embedding[7] AS DOUBLE)) * (CAST(l.embedding[7] AS DOUBLE) - CAST(r.embedding[7] AS DOUBLE)) + (CAST(l.embedding[8] AS DOUBLE) - CAST(r.embedding[8] AS DOUBLE)) * (CAST(l.embedding[8] AS DOUBLE) - CAST(r.embedding[8] AS DOUBLE)) + (CAST(l.embedding[9] AS DOUBLE) - CAST(r.embedding[9] AS DOUBLE)) * (CAST(l.embedding[9] AS DOUBLE) - CAST(r.embedding[9] AS DOUBLE)) + (CAST(l.embedding[10] AS DOUBLE) - CAST(r.embedding[10] AS DOUBLE)) * (CAST(l.embedding[10] AS DOUBLE) - CAST(r.embedding[10] AS DOUBLE)) + (CAST(l.embedding[11] AS DOUBLE) - CAST(r.embedding[11] AS DOUBLE)) * (CAST(l.embedding[11] AS DOUBLE) - CAST(r.embedding[11] AS DOUBLE)) + (CAST(l.embedding[12] AS DOUBLE) - CAST(r.embedding[12] AS DOUBLE)) * (CAST(l.embedding[12] AS DOUBLE) - CAST(r.embedding[12] AS DOUBLE)) + (CAST(l.embedding[13] AS DOUBLE) - CAST(r.embedding[13] AS DOUBLE)) * (CAST(l.embedding[13] AS DOUBLE) - CAST(r.embedding[13] AS DOUBLE)) + (CAST(l.embedding[14] AS DOUBLE) - CAST(r.embedding[14] AS DOUBLE)) * (CAST(l.embedding[14] AS DOUBLE) - CAST(r.embedding[14] AS DOUBLE)) + (CAST(l.embedding[15] AS DOUBLE) - CAST(r.embedding[15] AS DOUBLE)) * (CAST(l.embedding[15] AS DOUBLE) - CAST(r.embedding[15] AS DOUBLE)) + (CAST(l.embedding[16] AS DOUBLE) - CAST(r.embedding[16] AS DOUBLE)) * (CAST(l.embedding[16] AS DOUBLE) - CAST(r.embedding[16] AS DOUBLE))) AS dist,
+                   row_number() OVER (
+                       PARTITION BY l.vec_id
+                       ORDER BY ((CAST(l.embedding[1] AS DOUBLE) - CAST(r.embedding[1] AS DOUBLE)) * (CAST(l.embedding[1] AS DOUBLE) - CAST(r.embedding[1] AS DOUBLE)) + (CAST(l.embedding[2] AS DOUBLE) - CAST(r.embedding[2] AS DOUBLE)) * (CAST(l.embedding[2] AS DOUBLE) - CAST(r.embedding[2] AS DOUBLE)) + (CAST(l.embedding[3] AS DOUBLE) - CAST(r.embedding[3] AS DOUBLE)) * (CAST(l.embedding[3] AS DOUBLE) - CAST(r.embedding[3] AS DOUBLE)) + (CAST(l.embedding[4] AS DOUBLE) - CAST(r.embedding[4] AS DOUBLE)) * (CAST(l.embedding[4] AS DOUBLE) - CAST(r.embedding[4] AS DOUBLE)) + (CAST(l.embedding[5] AS DOUBLE) - CAST(r.embedding[5] AS DOUBLE)) * (CAST(l.embedding[5] AS DOUBLE) - CAST(r.embedding[5] AS DOUBLE)) + (CAST(l.embedding[6] AS DOUBLE) - CAST(r.embedding[6] AS DOUBLE)) * (CAST(l.embedding[6] AS DOUBLE) - CAST(r.embedding[6] AS DOUBLE)) + (CAST(l.embedding[7] AS DOUBLE) - CAST(r.embedding[7] AS DOUBLE)) * (CAST(l.embedding[7] AS DOUBLE) - CAST(r.embedding[7] AS DOUBLE)) + (CAST(l.embedding[8] AS DOUBLE) - CAST(r.embedding[8] AS DOUBLE)) * (CAST(l.embedding[8] AS DOUBLE) - CAST(r.embedding[8] AS DOUBLE)) + (CAST(l.embedding[9] AS DOUBLE) - CAST(r.embedding[9] AS DOUBLE)) * (CAST(l.embedding[9] AS DOUBLE) - CAST(r.embedding[9] AS DOUBLE)) + (CAST(l.embedding[10] AS DOUBLE) - CAST(r.embedding[10] AS DOUBLE)) * (CAST(l.embedding[10] AS DOUBLE) - CAST(r.embedding[10] AS DOUBLE)) + (CAST(l.embedding[11] AS DOUBLE) - CAST(r.embedding[11] AS DOUBLE)) * (CAST(l.embedding[11] AS DOUBLE) - CAST(r.embedding[11] AS DOUBLE)) + (CAST(l.embedding[12] AS DOUBLE) - CAST(r.embedding[12] AS DOUBLE)) * (CAST(l.embedding[12] AS DOUBLE) - CAST(r.embedding[12] AS DOUBLE)) + (CAST(l.embedding[13] AS DOUBLE) - CAST(r.embedding[13] AS DOUBLE)) * (CAST(l.embedding[13] AS DOUBLE) - CAST(r.embedding[13] AS DOUBLE)) + (CAST(l.embedding[14] AS DOUBLE) - CAST(r.embedding[14] AS DOUBLE)) * (CAST(l.embedding[14] AS DOUBLE) - CAST(r.embedding[14] AS DOUBLE)) + (CAST(l.embedding[15] AS DOUBLE) - CAST(r.embedding[15] AS DOUBLE)) * (CAST(l.embedding[15] AS DOUBLE) - CAST(r.embedding[15] AS DOUBLE)) + (CAST(l.embedding[16] AS DOUBLE) - CAST(r.embedding[16] AS DOUBLE)) * (CAST(l.embedding[16] AS DOUBLE) - CAST(r.embedding[16] AS DOUBLE))) ASC, r.cid ASC
+                   ) AS rn
+            FROM embeddings l CROSS JOIN (
+                SELECT vec_id AS cid, embedding FROM embeddings
+                WHERE vec_id < 16
+            ) r
+        ) WHERE rn = 1
+        UNION ALL
+        SELECT vec_id, 1 AS subspace, CAST(code AS INT) AS code,
+               ROUND(dist, 6) AS dist_r
+        FROM (
+            SELECT l.vec_id AS vec_id, r.cid AS code,
+                   ((CAST(l.embedding[17] AS DOUBLE) - CAST(r.embedding[17] AS DOUBLE)) * (CAST(l.embedding[17] AS DOUBLE) - CAST(r.embedding[17] AS DOUBLE)) + (CAST(l.embedding[18] AS DOUBLE) - CAST(r.embedding[18] AS DOUBLE)) * (CAST(l.embedding[18] AS DOUBLE) - CAST(r.embedding[18] AS DOUBLE)) + (CAST(l.embedding[19] AS DOUBLE) - CAST(r.embedding[19] AS DOUBLE)) * (CAST(l.embedding[19] AS DOUBLE) - CAST(r.embedding[19] AS DOUBLE)) + (CAST(l.embedding[20] AS DOUBLE) - CAST(r.embedding[20] AS DOUBLE)) * (CAST(l.embedding[20] AS DOUBLE) - CAST(r.embedding[20] AS DOUBLE)) + (CAST(l.embedding[21] AS DOUBLE) - CAST(r.embedding[21] AS DOUBLE)) * (CAST(l.embedding[21] AS DOUBLE) - CAST(r.embedding[21] AS DOUBLE)) + (CAST(l.embedding[22] AS DOUBLE) - CAST(r.embedding[22] AS DOUBLE)) * (CAST(l.embedding[22] AS DOUBLE) - CAST(r.embedding[22] AS DOUBLE)) + (CAST(l.embedding[23] AS DOUBLE) - CAST(r.embedding[23] AS DOUBLE)) * (CAST(l.embedding[23] AS DOUBLE) - CAST(r.embedding[23] AS DOUBLE)) + (CAST(l.embedding[24] AS DOUBLE) - CAST(r.embedding[24] AS DOUBLE)) * (CAST(l.embedding[24] AS DOUBLE) - CAST(r.embedding[24] AS DOUBLE)) + (CAST(l.embedding[25] AS DOUBLE) - CAST(r.embedding[25] AS DOUBLE)) * (CAST(l.embedding[25] AS DOUBLE) - CAST(r.embedding[25] AS DOUBLE)) + (CAST(l.embedding[26] AS DOUBLE) - CAST(r.embedding[26] AS DOUBLE)) * (CAST(l.embedding[26] AS DOUBLE) - CAST(r.embedding[26] AS DOUBLE)) + (CAST(l.embedding[27] AS DOUBLE) - CAST(r.embedding[27] AS DOUBLE)) * (CAST(l.embedding[27] AS DOUBLE) - CAST(r.embedding[27] AS DOUBLE)) + (CAST(l.embedding[28] AS DOUBLE) - CAST(r.embedding[28] AS DOUBLE)) * (CAST(l.embedding[28] AS DOUBLE) - CAST(r.embedding[28] AS DOUBLE)) + (CAST(l.embedding[29] AS DOUBLE) - CAST(r.embedding[29] AS DOUBLE)) * (CAST(l.embedding[29] AS DOUBLE) - CAST(r.embedding[29] AS DOUBLE)) + (CAST(l.embedding[30] AS DOUBLE) - CAST(r.embedding[30] AS DOUBLE)) * (CAST(l.embedding[30] AS DOUBLE) - CAST(r.embedding[30] AS DOUBLE)) + (CAST(l.embedding[31] AS DOUBLE) - CAST(r.embedding[31] AS DOUBLE)) * (CAST(l.embedding[31] AS DOUBLE) - CAST(r.embedding[31] AS DOUBLE)) + (CAST(l.embedding[32] AS DOUBLE) - CAST(r.embedding[32] AS DOUBLE)) * (CAST(l.embedding[32] AS DOUBLE) - CAST(r.embedding[32] AS DOUBLE))) AS dist,
+                   row_number() OVER (
+                       PARTITION BY l.vec_id
+                       ORDER BY ((CAST(l.embedding[17] AS DOUBLE) - CAST(r.embedding[17] AS DOUBLE)) * (CAST(l.embedding[17] AS DOUBLE) - CAST(r.embedding[17] AS DOUBLE)) + (CAST(l.embedding[18] AS DOUBLE) - CAST(r.embedding[18] AS DOUBLE)) * (CAST(l.embedding[18] AS DOUBLE) - CAST(r.embedding[18] AS DOUBLE)) + (CAST(l.embedding[19] AS DOUBLE) - CAST(r.embedding[19] AS DOUBLE)) * (CAST(l.embedding[19] AS DOUBLE) - CAST(r.embedding[19] AS DOUBLE)) + (CAST(l.embedding[20] AS DOUBLE) - CAST(r.embedding[20] AS DOUBLE)) * (CAST(l.embedding[20] AS DOUBLE) - CAST(r.embedding[20] AS DOUBLE)) + (CAST(l.embedding[21] AS DOUBLE) - CAST(r.embedding[21] AS DOUBLE)) * (CAST(l.embedding[21] AS DOUBLE) - CAST(r.embedding[21] AS DOUBLE)) + (CAST(l.embedding[22] AS DOUBLE) - CAST(r.embedding[22] AS DOUBLE)) * (CAST(l.embedding[22] AS DOUBLE) - CAST(r.embedding[22] AS DOUBLE)) + (CAST(l.embedding[23] AS DOUBLE) - CAST(r.embedding[23] AS DOUBLE)) * (CAST(l.embedding[23] AS DOUBLE) - CAST(r.embedding[23] AS DOUBLE)) + (CAST(l.embedding[24] AS DOUBLE) - CAST(r.embedding[24] AS DOUBLE)) * (CAST(l.embedding[24] AS DOUBLE) - CAST(r.embedding[24] AS DOUBLE)) + (CAST(l.embedding[25] AS DOUBLE) - CAST(r.embedding[25] AS DOUBLE)) * (CAST(l.embedding[25] AS DOUBLE) - CAST(r.embedding[25] AS DOUBLE)) + (CAST(l.embedding[26] AS DOUBLE) - CAST(r.embedding[26] AS DOUBLE)) * (CAST(l.embedding[26] AS DOUBLE) - CAST(r.embedding[26] AS DOUBLE)) + (CAST(l.embedding[27] AS DOUBLE) - CAST(r.embedding[27] AS DOUBLE)) * (CAST(l.embedding[27] AS DOUBLE) - CAST(r.embedding[27] AS DOUBLE)) + (CAST(l.embedding[28] AS DOUBLE) - CAST(r.embedding[28] AS DOUBLE)) * (CAST(l.embedding[28] AS DOUBLE) - CAST(r.embedding[28] AS DOUBLE)) + (CAST(l.embedding[29] AS DOUBLE) - CAST(r.embedding[29] AS DOUBLE)) * (CAST(l.embedding[29] AS DOUBLE) - CAST(r.embedding[29] AS DOUBLE)) + (CAST(l.embedding[30] AS DOUBLE) - CAST(r.embedding[30] AS DOUBLE)) * (CAST(l.embedding[30] AS DOUBLE) - CAST(r.embedding[30] AS DOUBLE)) + (CAST(l.embedding[31] AS DOUBLE) - CAST(r.embedding[31] AS DOUBLE)) * (CAST(l.embedding[31] AS DOUBLE) - CAST(r.embedding[31] AS DOUBLE)) + (CAST(l.embedding[32] AS DOUBLE) - CAST(r.embedding[32] AS DOUBLE)) * (CAST(l.embedding[32] AS DOUBLE) - CAST(r.embedding[32] AS DOUBLE))) ASC, r.cid ASC
+                   ) AS rn
+            FROM embeddings l CROSS JOIN (
+                SELECT vec_id AS cid, embedding FROM embeddings
+                WHERE vec_id < 16
+            ) r
+        ) WHERE rn = 1
+        UNION ALL
+        SELECT vec_id, 2 AS subspace, CAST(code AS INT) AS code,
+               ROUND(dist, 6) AS dist_r
+        FROM (
+            SELECT l.vec_id AS vec_id, r.cid AS code,
+                   ((CAST(l.embedding[33] AS DOUBLE) - CAST(r.embedding[33] AS DOUBLE)) * (CAST(l.embedding[33] AS DOUBLE) - CAST(r.embedding[33] AS DOUBLE)) + (CAST(l.embedding[34] AS DOUBLE) - CAST(r.embedding[34] AS DOUBLE)) * (CAST(l.embedding[34] AS DOUBLE) - CAST(r.embedding[34] AS DOUBLE)) + (CAST(l.embedding[35] AS DOUBLE) - CAST(r.embedding[35] AS DOUBLE)) * (CAST(l.embedding[35] AS DOUBLE) - CAST(r.embedding[35] AS DOUBLE)) + (CAST(l.embedding[36] AS DOUBLE) - CAST(r.embedding[36] AS DOUBLE)) * (CAST(l.embedding[36] AS DOUBLE) - CAST(r.embedding[36] AS DOUBLE)) + (CAST(l.embedding[37] AS DOUBLE) - CAST(r.embedding[37] AS DOUBLE)) * (CAST(l.embedding[37] AS DOUBLE) - CAST(r.embedding[37] AS DOUBLE)) + (CAST(l.embedding[38] AS DOUBLE) - CAST(r.embedding[38] AS DOUBLE)) * (CAST(l.embedding[38] AS DOUBLE) - CAST(r.embedding[38] AS DOUBLE)) + (CAST(l.embedding[39] AS DOUBLE) - CAST(r.embedding[39] AS DOUBLE)) * (CAST(l.embedding[39] AS DOUBLE) - CAST(r.embedding[39] AS DOUBLE)) + (CAST(l.embedding[40] AS DOUBLE) - CAST(r.embedding[40] AS DOUBLE)) * (CAST(l.embedding[40] AS DOUBLE) - CAST(r.embedding[40] AS DOUBLE)) + (CAST(l.embedding[41] AS DOUBLE) - CAST(r.embedding[41] AS DOUBLE)) * (CAST(l.embedding[41] AS DOUBLE) - CAST(r.embedding[41] AS DOUBLE)) + (CAST(l.embedding[42] AS DOUBLE) - CAST(r.embedding[42] AS DOUBLE)) * (CAST(l.embedding[42] AS DOUBLE) - CAST(r.embedding[42] AS DOUBLE)) + (CAST(l.embedding[43] AS DOUBLE) - CAST(r.embedding[43] AS DOUBLE)) * (CAST(l.embedding[43] AS DOUBLE) - CAST(r.embedding[43] AS DOUBLE)) + (CAST(l.embedding[44] AS DOUBLE) - CAST(r.embedding[44] AS DOUBLE)) * (CAST(l.embedding[44] AS DOUBLE) - CAST(r.embedding[44] AS DOUBLE)) + (CAST(l.embedding[45] AS DOUBLE) - CAST(r.embedding[45] AS DOUBLE)) * (CAST(l.embedding[45] AS DOUBLE) - CAST(r.embedding[45] AS DOUBLE)) + (CAST(l.embedding[46] AS DOUBLE) - CAST(r.embedding[46] AS DOUBLE)) * (CAST(l.embedding[46] AS DOUBLE) - CAST(r.embedding[46] AS DOUBLE)) + (CAST(l.embedding[47] AS DOUBLE) - CAST(r.embedding[47] AS DOUBLE)) * (CAST(l.embedding[47] AS DOUBLE) - CAST(r.embedding[47] AS DOUBLE)) + (CAST(l.embedding[48] AS DOUBLE) - CAST(r.embedding[48] AS DOUBLE)) * (CAST(l.embedding[48] AS DOUBLE) - CAST(r.embedding[48] AS DOUBLE))) AS dist,
+                   row_number() OVER (
+                       PARTITION BY l.vec_id
+                       ORDER BY ((CAST(l.embedding[33] AS DOUBLE) - CAST(r.embedding[33] AS DOUBLE)) * (CAST(l.embedding[33] AS DOUBLE) - CAST(r.embedding[33] AS DOUBLE)) + (CAST(l.embedding[34] AS DOUBLE) - CAST(r.embedding[34] AS DOUBLE)) * (CAST(l.embedding[34] AS DOUBLE) - CAST(r.embedding[34] AS DOUBLE)) + (CAST(l.embedding[35] AS DOUBLE) - CAST(r.embedding[35] AS DOUBLE)) * (CAST(l.embedding[35] AS DOUBLE) - CAST(r.embedding[35] AS DOUBLE)) + (CAST(l.embedding[36] AS DOUBLE) - CAST(r.embedding[36] AS DOUBLE)) * (CAST(l.embedding[36] AS DOUBLE) - CAST(r.embedding[36] AS DOUBLE)) + (CAST(l.embedding[37] AS DOUBLE) - CAST(r.embedding[37] AS DOUBLE)) * (CAST(l.embedding[37] AS DOUBLE) - CAST(r.embedding[37] AS DOUBLE)) + (CAST(l.embedding[38] AS DOUBLE) - CAST(r.embedding[38] AS DOUBLE)) * (CAST(l.embedding[38] AS DOUBLE) - CAST(r.embedding[38] AS DOUBLE)) + (CAST(l.embedding[39] AS DOUBLE) - CAST(r.embedding[39] AS DOUBLE)) * (CAST(l.embedding[39] AS DOUBLE) - CAST(r.embedding[39] AS DOUBLE)) + (CAST(l.embedding[40] AS DOUBLE) - CAST(r.embedding[40] AS DOUBLE)) * (CAST(l.embedding[40] AS DOUBLE) - CAST(r.embedding[40] AS DOUBLE)) + (CAST(l.embedding[41] AS DOUBLE) - CAST(r.embedding[41] AS DOUBLE)) * (CAST(l.embedding[41] AS DOUBLE) - CAST(r.embedding[41] AS DOUBLE)) + (CAST(l.embedding[42] AS DOUBLE) - CAST(r.embedding[42] AS DOUBLE)) * (CAST(l.embedding[42] AS DOUBLE) - CAST(r.embedding[42] AS DOUBLE)) + (CAST(l.embedding[43] AS DOUBLE) - CAST(r.embedding[43] AS DOUBLE)) * (CAST(l.embedding[43] AS DOUBLE) - CAST(r.embedding[43] AS DOUBLE)) + (CAST(l.embedding[44] AS DOUBLE) - CAST(r.embedding[44] AS DOUBLE)) * (CAST(l.embedding[44] AS DOUBLE) - CAST(r.embedding[44] AS DOUBLE)) + (CAST(l.embedding[45] AS DOUBLE) - CAST(r.embedding[45] AS DOUBLE)) * (CAST(l.embedding[45] AS DOUBLE) - CAST(r.embedding[45] AS DOUBLE)) + (CAST(l.embedding[46] AS DOUBLE) - CAST(r.embedding[46] AS DOUBLE)) * (CAST(l.embedding[46] AS DOUBLE) - CAST(r.embedding[46] AS DOUBLE)) + (CAST(l.embedding[47] AS DOUBLE) - CAST(r.embedding[47] AS DOUBLE)) * (CAST(l.embedding[47] AS DOUBLE) - CAST(r.embedding[47] AS DOUBLE)) + (CAST(l.embedding[48] AS DOUBLE) - CAST(r.embedding[48] AS DOUBLE)) * (CAST(l.embedding[48] AS DOUBLE) - CAST(r.embedding[48] AS DOUBLE))) ASC, r.cid ASC
+                   ) AS rn
+            FROM embeddings l CROSS JOIN (
+                SELECT vec_id AS cid, embedding FROM embeddings
+                WHERE vec_id < 16
+            ) r
+        ) WHERE rn = 1
+        UNION ALL
+        SELECT vec_id, 3 AS subspace, CAST(code AS INT) AS code,
+               ROUND(dist, 6) AS dist_r
+        FROM (
+            SELECT l.vec_id AS vec_id, r.cid AS code,
+                   ((CAST(l.embedding[49] AS DOUBLE) - CAST(r.embedding[49] AS DOUBLE)) * (CAST(l.embedding[49] AS DOUBLE) - CAST(r.embedding[49] AS DOUBLE)) + (CAST(l.embedding[50] AS DOUBLE) - CAST(r.embedding[50] AS DOUBLE)) * (CAST(l.embedding[50] AS DOUBLE) - CAST(r.embedding[50] AS DOUBLE)) + (CAST(l.embedding[51] AS DOUBLE) - CAST(r.embedding[51] AS DOUBLE)) * (CAST(l.embedding[51] AS DOUBLE) - CAST(r.embedding[51] AS DOUBLE)) + (CAST(l.embedding[52] AS DOUBLE) - CAST(r.embedding[52] AS DOUBLE)) * (CAST(l.embedding[52] AS DOUBLE) - CAST(r.embedding[52] AS DOUBLE)) + (CAST(l.embedding[53] AS DOUBLE) - CAST(r.embedding[53] AS DOUBLE)) * (CAST(l.embedding[53] AS DOUBLE) - CAST(r.embedding[53] AS DOUBLE)) + (CAST(l.embedding[54] AS DOUBLE) - CAST(r.embedding[54] AS DOUBLE)) * (CAST(l.embedding[54] AS DOUBLE) - CAST(r.embedding[54] AS DOUBLE)) + (CAST(l.embedding[55] AS DOUBLE) - CAST(r.embedding[55] AS DOUBLE)) * (CAST(l.embedding[55] AS DOUBLE) - CAST(r.embedding[55] AS DOUBLE)) + (CAST(l.embedding[56] AS DOUBLE) - CAST(r.embedding[56] AS DOUBLE)) * (CAST(l.embedding[56] AS DOUBLE) - CAST(r.embedding[56] AS DOUBLE)) + (CAST(l.embedding[57] AS DOUBLE) - CAST(r.embedding[57] AS DOUBLE)) * (CAST(l.embedding[57] AS DOUBLE) - CAST(r.embedding[57] AS DOUBLE)) + (CAST(l.embedding[58] AS DOUBLE) - CAST(r.embedding[58] AS DOUBLE)) * (CAST(l.embedding[58] AS DOUBLE) - CAST(r.embedding[58] AS DOUBLE)) + (CAST(l.embedding[59] AS DOUBLE) - CAST(r.embedding[59] AS DOUBLE)) * (CAST(l.embedding[59] AS DOUBLE) - CAST(r.embedding[59] AS DOUBLE)) + (CAST(l.embedding[60] AS DOUBLE) - CAST(r.embedding[60] AS DOUBLE)) * (CAST(l.embedding[60] AS DOUBLE) - CAST(r.embedding[60] AS DOUBLE)) + (CAST(l.embedding[61] AS DOUBLE) - CAST(r.embedding[61] AS DOUBLE)) * (CAST(l.embedding[61] AS DOUBLE) - CAST(r.embedding[61] AS DOUBLE)) + (CAST(l.embedding[62] AS DOUBLE) - CAST(r.embedding[62] AS DOUBLE)) * (CAST(l.embedding[62] AS DOUBLE) - CAST(r.embedding[62] AS DOUBLE)) + (CAST(l.embedding[63] AS DOUBLE) - CAST(r.embedding[63] AS DOUBLE)) * (CAST(l.embedding[63] AS DOUBLE) - CAST(r.embedding[63] AS DOUBLE)) + (CAST(l.embedding[64] AS DOUBLE) - CAST(r.embedding[64] AS DOUBLE)) * (CAST(l.embedding[64] AS DOUBLE) - CAST(r.embedding[64] AS DOUBLE))) AS dist,
+                   row_number() OVER (
+                       PARTITION BY l.vec_id
+                       ORDER BY ((CAST(l.embedding[49] AS DOUBLE) - CAST(r.embedding[49] AS DOUBLE)) * (CAST(l.embedding[49] AS DOUBLE) - CAST(r.embedding[49] AS DOUBLE)) + (CAST(l.embedding[50] AS DOUBLE) - CAST(r.embedding[50] AS DOUBLE)) * (CAST(l.embedding[50] AS DOUBLE) - CAST(r.embedding[50] AS DOUBLE)) + (CAST(l.embedding[51] AS DOUBLE) - CAST(r.embedding[51] AS DOUBLE)) * (CAST(l.embedding[51] AS DOUBLE) - CAST(r.embedding[51] AS DOUBLE)) + (CAST(l.embedding[52] AS DOUBLE) - CAST(r.embedding[52] AS DOUBLE)) * (CAST(l.embedding[52] AS DOUBLE) - CAST(r.embedding[52] AS DOUBLE)) + (CAST(l.embedding[53] AS DOUBLE) - CAST(r.embedding[53] AS DOUBLE)) * (CAST(l.embedding[53] AS DOUBLE) - CAST(r.embedding[53] AS DOUBLE)) + (CAST(l.embedding[54] AS DOUBLE) - CAST(r.embedding[54] AS DOUBLE)) * (CAST(l.embedding[54] AS DOUBLE) - CAST(r.embedding[54] AS DOUBLE)) + (CAST(l.embedding[55] AS DOUBLE) - CAST(r.embedding[55] AS DOUBLE)) * (CAST(l.embedding[55] AS DOUBLE) - CAST(r.embedding[55] AS DOUBLE)) + (CAST(l.embedding[56] AS DOUBLE) - CAST(r.embedding[56] AS DOUBLE)) * (CAST(l.embedding[56] AS DOUBLE) - CAST(r.embedding[56] AS DOUBLE)) + (CAST(l.embedding[57] AS DOUBLE) - CAST(r.embedding[57] AS DOUBLE)) * (CAST(l.embedding[57] AS DOUBLE) - CAST(r.embedding[57] AS DOUBLE)) + (CAST(l.embedding[58] AS DOUBLE) - CAST(r.embedding[58] AS DOUBLE)) * (CAST(l.embedding[58] AS DOUBLE) - CAST(r.embedding[58] AS DOUBLE)) + (CAST(l.embedding[59] AS DOUBLE) - CAST(r.embedding[59] AS DOUBLE)) * (CAST(l.embedding[59] AS DOUBLE) - CAST(r.embedding[59] AS DOUBLE)) + (CAST(l.embedding[60] AS DOUBLE) - CAST(r.embedding[60] AS DOUBLE)) * (CAST(l.embedding[60] AS DOUBLE) - CAST(r.embedding[60] AS DOUBLE)) + (CAST(l.embedding[61] AS DOUBLE) - CAST(r.embedding[61] AS DOUBLE)) * (CAST(l.embedding[61] AS DOUBLE) - CAST(r.embedding[61] AS DOUBLE)) + (CAST(l.embedding[62] AS DOUBLE) - CAST(r.embedding[62] AS DOUBLE)) * (CAST(l.embedding[62] AS DOUBLE) - CAST(r.embedding[62] AS DOUBLE)) + (CAST(l.embedding[63] AS DOUBLE) - CAST(r.embedding[63] AS DOUBLE)) * (CAST(l.embedding[63] AS DOUBLE) - CAST(r.embedding[63] AS DOUBLE)) + (CAST(l.embedding[64] AS DOUBLE) - CAST(r.embedding[64] AS DOUBLE)) * (CAST(l.embedding[64] AS DOUBLE) - CAST(r.embedding[64] AS DOUBLE))) ASC, r.cid ASC
+                   ) AS rn
+            FROM embeddings l CROSS JOIN (
+                SELECT vec_id AS cid, embedding FROM embeddings
+                WHERE vec_id < 16
+            ) r
+        ) WHERE rn = 1
+"""
+ORACLES["text_hashed_features"] = """
+        WITH toks AS (
+            SELECT doc_id, t.tok
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+                FROM documents WHERE text IS NOT NULL
+            ) AS t
+            WHERE t.tok <> ''
+        )
+        SELECT doc_id,
+               ('0x' || substr(md5(tok), 1, 8))::BIGINT % 32 AS bucket,
+               COUNT(*) AS n
+        FROM toks
+        GROUP BY doc_id, bucket
+"""
+ORACLES["evt_survival_retention"] = """
+        WITH spans AS (
+            SELECT user_id,
+                   date_diff('day', MIN(CAST(ts AS DATE)),
+                             MAX(CAST(ts AS DATE))) AS lifespan
+            FROM events GROUP BY user_id
+        ), hist AS (
+            SELECT CAST(lifespan AS INT) AS lifespan,
+                   COUNT(*) AS n_users
+            FROM spans GROUP BY lifespan
+        )
+        SELECT lifespan, n_users,
+               CAST(SUM(n_users) OVER (
+                   ORDER BY lifespan DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_surviving,
+               ROUND(CAST(SUM(n_users) OVER (
+                         ORDER BY lifespan DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS DOUBLE)
+                     / CAST(SUM(n_users) OVER () AS DOUBLE), 6) AS survival
+        FROM hist
+"""
+ORACLES["orders_dup_invoice_pairs"] = """
+        WITH o AS (
+            SELECT o_orderkey, o_custkey,
+                   CAST(floor(o_totalprice / CAST(10000.0 AS DOUBLE)) AS BIGINT)
+                       AS band,
+                   CAST(o_orderdate AS DATE) AS d
+            FROM orders
+        )
+        SELECT l.o_orderkey AS k1, r.o_orderkey AS k2,
+               l.o_custkey AS o_custkey, l.band AS band,
+               CAST(abs(date_diff('day', l.d, r.d)) AS INT) AS day_gap
+        FROM o l JOIN o r
+          ON l.o_custkey = r.o_custkey AND l.band = r.band
+         AND l.o_orderkey < r.o_orderkey
+        WHERE abs(date_diff('day', l.d, r.d)) <= 90
+"""
+ORACLES["docs_ccnet_buckets"] = """
+        WITH toks AS (
+            SELECT doc_id, t.tok
+            FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+                FROM documents WHERE text IS NOT NULL
+            ) AS t
+            WHERE t.tok <> ''
+        ), vocab AS (
+            SELECT tok, COUNT(*) AS n_tok FROM toks GROUP BY tok
+        ), tot AS (
+            SELECT CAST(SUM(n_tok) AS DOUBLE) AS n_total FROM vocab
+        ), s AS (
+            SELECT toks.doc_id,
+                   ROUND(AVG(log2((SELECT n_total FROM tot))
+                             - log2(CAST(vocab.n_tok AS DOUBLE))), 6) AS ppl_r
+            FROM toks JOIN vocab ON toks.tok = vocab.tok
+            GROUP BY toks.doc_id
+        ), j AS (
+            SELECT d.doc_id, d.lang, s.ppl_r
+            FROM documents d JOIN s ON d.doc_id = s.doc_id
+        )
+        SELECT doc_id, lang, ppl_r,
+               CASE ntile(3) OVER (PARTITION BY lang ORDER BY ppl_r, doc_id)
+                   WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+               END AS bucket
+        FROM j
+"""
+
 NO_ORACLE: frozenset[str] = frozenset(
     {
         # xxhash64 production forms; their md5-32 twins

@@ -197,6 +197,24 @@ def test_multimodal_meta_and_frames(spark):
     assert bytes(sorted(by_doc[1], key=lambda r: r["frame_idx"])[0]["frame_bytes"]) == b"hello worl"
 
 
+def test_pq_assign_fixed_self_codewords(spark, sf_dir):
+    """Codeword vectors must assign to THEMSELVES with distance 0 in
+    every subspace (the codebook is the vec_id<16 rows), and every
+    vector gets exactly n_subspaces codes in [0, 16)."""
+    from idr_data_pipelines_spark.llmdata.similarity import pq_assign_fixed
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = pq_assign_fixed(emb, n_centroids=16, n_subspaces=4, dim=64)
+    rows = out.collect()
+    n_vec = emb.count()
+    assert len(rows) == 4 * n_vec
+    for r in rows:
+        assert 0 <= r["code"] < 16 and 0 <= r["subspace"] < 4
+        assert r["dist_r"] >= 0.0
+        if r["vec_id"] < 16:
+            assert r["code"] == r["vec_id"] and r["dist_r"] == 0.0, r
+
+
 def test_decode_image_real_or_loud(spark):
     """``decode_image`` must be a REAL Pillow decode when PIL is
     importable and a loud ``NotImplementedError`` when it is not —

@@ -550,6 +550,24 @@ def test_plan_linter_sweep_round6_queries(spark, sf_dir):
     assert_scalable(_cs_edges(spark, sf_dir), max_shuffles=12)
 
 
+def test_plan_linter_sweep_round7_queries(spark, sf_dir):
+    """No fatal scale finding in any round-7 addition's plan; the
+    1-row broadcast totals (skew ratio, CCNet's corpus token total)
+    carry the same knowing nested-loop waiver as q22/rfm."""
+    from idr_data_pipelines_spark.plans import assert_scalable, lint_plan
+
+    for name in (
+        "profile_table", "emb_pq_assign", "text_hashed_features",
+        "evt_survival_retention", "orders_dup_invoice_pairs",
+    ):
+        assert_scalable(QUERIES[name](spark, sf_dir), max_shuffles=12)
+
+    for name in ("skew_metrics", "docs_ccnet_buckets"):
+        findings = lint_plan(QUERIES[name](spark, sf_dir))
+        fatal_rules = {f.rule for f in findings if f.severity == "fatal"}
+        assert fatal_rules == {"cartesian-product"}, (name, findings)
+
+
 def test_session3_tpch_plan_shapes(spark, sf_dir):
     """TPC-H completion shapes stay scale-right: q2 = one pair-agg
     shuffle + one part-key window shuffle, dims broadcast, no
