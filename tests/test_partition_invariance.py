@@ -55,6 +55,12 @@ NAMES = [
     "evt_ab_test",
     "text_dup_chunk_ratio",
     "snapshot_diff",
+    # round-7 additions: rounded distances feeding an argmin (PQ),
+    # rounded scores feeding ntile cuts (ccnet), ratio outputs
+    "emb_pq_assign",
+    "docs_ccnet_buckets",
+    "skew_metrics",
+    "evt_survival_retention",
 ]
 
 
