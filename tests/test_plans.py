@@ -568,6 +568,59 @@ def test_plan_linter_sweep_round7_queries(spark, sf_dir):
         assert fatal_rules == {"cartesian-product"}, (name, findings)
 
 
+# Every fatal lint finding in the registry must be on this list with a
+# reason, or the full-registry gate fails. Adding a query with a new
+# cartesian product / row-UDF / uncollapsed global window means either
+# fixing the plan or adding an explicit waiver HERE — no silent decay.
+LINT_WAIVERS = {
+    # 1-row broadcast stat frames (corpus totals, z-stats, thresholds)
+    # crossJoined back onto the data — nested-loop of a single row
+    "q11_important_parts": {"cartesian-product"},
+    "q22_idle_rich_customers": {"cartesian-product"},
+    "text_tfidf_topterm": {"cartesian-product"},
+    "text_bm25_topk": {"cartesian-product"},
+    "evt_ab_test": {"cartesian-product"},
+    "orders_abc_analysis": {"cartesian-product"},
+    "rfm_segments": {"cartesian-product"},
+    "skew_metrics": {"cartesian-product"},
+    "docs_ccnet_buckets": {"cartesian-product"},
+    "text_collocations": {"cartesian-product"},
+    "text_perplexity_unigram": {"cartesian-product"},
+    "ann_topk_quantized": {"cartesian-product"},
+    # brute force IS all-pairs — it exists as the recall baseline the
+    # LSH/IVF variants are judged against
+    "ann_topk_bruteforce": {"cartesian-product"},
+    # the UDTF API-pinning demo; docstring says prefer mapInPandas
+    "udtf_split_sentences": {"python-row-udf"},
+}
+
+
+def test_plan_linter_full_registry(spark, sf_dir):
+    """THE standing scale gate: no fatal finding in ANY registry
+    query's plan beyond the explicit waiver list above. This is what
+    stops a future query from quietly shipping a cartesian product, a
+    row-at-a-time Python UDF, or an uncollapsed global-sort window."""
+    from idr_data_pipelines_spark.plans import lint_plan
+
+    violations = {}
+    stale_waivers = dict(LINT_WAIVERS)
+    for name, fn in QUERIES.items():
+        fatals = {
+            f.rule
+            for f in lint_plan(fn(spark, sf_dir))
+            if f.severity == "fatal"
+        }
+        extra = fatals - LINT_WAIVERS.get(name, set())
+        if extra:
+            violations[name] = sorted(extra)
+        if fatals and fatals == LINT_WAIVERS.get(name):
+            stale_waivers.pop(name, None)
+    assert not violations, f"unwaived fatal plan findings: {violations}"
+    # a waiver whose finding disappeared must be removed — dead
+    # waivers hide regressions
+    assert not stale_waivers, f"stale lint waivers: {sorted(stale_waivers)}"
+
+
 def test_session3_tpch_plan_shapes(spark, sf_dir):
     """TPC-H completion shapes stay scale-right: q2 = one pair-agg
     shuffle + one part-key window shuffle, dims broadcast, no
