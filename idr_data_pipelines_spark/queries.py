@@ -5648,6 +5648,151 @@ def q_docs_ccnet_buckets(spark, sf_dir):
         .alias("bucket"),
     )
 
+
+def q_text_bigram_lm(spark, sf_dir):
+    """Bigram language-model training table (add-0.5 smoothing): the
+    top-100 bigrams with conditional log-probability
+    log2((c12+0.5)/(c1+0.5V)) — the n-gram-LM step of a perplexity-
+    filtering pipeline (the unigram scorer's big sibling). Adjacent
+    pairs come from a zip of array slices (pure projection — no
+    positional self-join); c1 rolls up from the bigram counts
+    (vocab-sized broadcast); V is a 1-row broadcast total (waived
+    nested-loop). Top-k via TakeOrdered with a full
+    (n desc, w1, w2) tiebreak."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(F.filter(_toks(), lambda t: t != "").alias("a"))
+    pairs = (
+        toks.filter(F.size("a") >= 2)  # slice(len-1) errors on []
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.expr("slice(a, 1, size(a) - 1)"),
+                    F.expr("slice(a, 2, size(a) - 1)"),
+                    lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    c1 = big.groupBy("w1").agg(F.sum("n").alias("c1"))
+    vocab = (
+        toks.select(F.explode("a").alias("tok"))
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    return (
+        big.join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .orderBy(F.col("n").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(100)
+        .select(
+            "w1",
+            "w2",
+            "n",
+            F.round(
+                F.log2(
+                    (F.col("n").cast("double") + F.lit(0.5))
+                    / (
+                        F.col("c1").cast("double")
+                        + F.lit(0.5) * F.col("v").cast("double")
+                    )
+                ),
+                6,
+            ).alias("logp"),
+        )
+    )
+
+
+def q_text_char_stats(spark, sf_dir):
+    """Character-level quality signals per document: Shannon entropy
+    of the char distribution (low entropy = repetitive boilerplate;
+    a Gopher/C4-family filter signal) and KL divergence from the
+    corpus char distribution (high KL = encoding garbage / wrong
+    language). Both derive from one (doc, char) count shuffle; the
+    corpus distribution is a char-alphabet-sized broadcast frame.
+    Entropy computed as log2(n) - sum(c*log2(c))/n — one pass, no
+    per-char probability division."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), "")).alias("c")
+    ).filter(F.col("c") != "")
+    dc = chars.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
+    corp = dc.groupBy("c").agg(F.sum("n").alias("cn"))
+    corp_tot = Window.partitionBy()
+    corp = corp.withColumn(
+        "p_corp",
+        F.col("cn").cast("double") / F.sum("cn").over(corp_tot).cast("double"),
+    )
+    joined = dc.join(F.broadcast(corp.select("c", "p_corp")), "c")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_chars"),
+            F.sum(
+                F.col("n").cast("double")
+                * F.log2(F.col("n").cast("double"))
+            ).alias("__slc"),
+            F.sum(
+                F.col("n").cast("double")
+                * F.log2(
+                    F.col("n").cast("double") / F.col("p_corp")
+                )
+            ).alias("__skl"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            F.round(
+                F.log2(F.col("n_chars").cast("double"))
+                - F.col("__slc") / F.col("n_chars").cast("double"),
+                6,
+            ).alias("entropy"),
+            F.round(
+                F.col("__skl") / F.col("n_chars").cast("double")
+                - F.log2(F.col("n_chars").cast("double")),
+                6,
+            ).alias("kl_corpus"),
+        )
+    )
+
+
+def q_docs_gopher_rules(spark, sf_dir):
+    """Gopher-style rule-based quality filter: per document, the
+    published repetition/format heuristics as individual flags plus
+    the combined keep decision — mean word length in [3, 10], at
+    least 50% alphabetic words, a common-English stopword present,
+    and >= 5 words. Pure projection over the token array (ZERO
+    shuffles, map-only at any scale); each rule is its own column so
+    downstream analysis can attribute rejections."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = F.filter(_toks(), lambda t: t != "")
+    d = docs.select("doc_id", toks.alias("a"))
+    n_words = F.size("a")
+    total_len = F.aggregate(
+        "a", F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    n_alpha = F.size(F.filter("a", lambda t: t.rlike("^[a-z]+$")))
+    has_stop = F.exists(
+        "a", lambda t: t.isin("the", "and", "of", "to", "is", "a", "in")
+    )
+    mean_wl = total_len.cast("double") / n_words.cast("double")
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(
+            n_alpha.cast("double") / n_words.cast("double"), 6
+        ).alias("frac_alpha"),
+        has_stop.alias("has_stopword"),
+        (
+            (n_words >= 5)
+            & (mean_wl >= 3.0)
+            & (mean_wl <= 10.0)
+            & (n_alpha.cast("double") / n_words.cast("double") >= 0.5)
+            & has_stop
+        ).alias("keep"),
+    )
+
 # ===================================================================
 # registry
 # ===================================================================
@@ -5741,9 +5886,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rfm_segments": q_rfm_segments,
     "evt_daily_fill": q_evt_daily_fill,
     # -- new in r07 (profiling/skew/PQ/hashing/survival/dup-invoice/
-    # CCNet buckets), fully oracled, never driver-checked: r08 window
-    # picks alongside the deferrals above (9 + 7 + the 33 stale
-    # entries below = 49 ≤ 50 — the whole backlog fits one window)
+    # CCNet buckets/bigram LM/char stats/Gopher rules), fully oracled,
+    # never driver-checked: r08 window picks alongside the deferrals
+    # above (9 + 10 + the 33 stale entries below = 52 for 50 slots —
+    # the last 2 stale entries spill to r09)
     "profile_table": q_profile_table,
     "skew_metrics": q_skew_metrics,
     "emb_pq_assign": q_emb_pq_assign,
@@ -5751,6 +5897,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "evt_survival_retention": q_evt_survival_retention,
     "orders_dup_invoice_pairs": q_orders_dup_invoice_pairs,
     "docs_ccnet_buckets": q_docs_ccnet_buckets,
+    "text_bigram_lm": q_text_bigram_lm,
+    "text_char_stats": q_text_char_stats,
+    "docs_gopher_rules": q_docs_gopher_rules,
     # -- last green r03 — next r08 picks after the deferrals
     "emb_cosine_near_dup": q_emb_cosine_near_dup,
     "join_asof": q_join_asof,
@@ -9436,6 +9585,89 @@ ORACLES["docs_ccnet_buckets"] = """
                    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
                END AS bucket
         FROM j
+"""
+
+
+ORACLES["text_bigram_lm"] = """
+        WITH toks AS (
+            SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               t -> t <> '') AS a
+            FROM documents WHERE text IS NOT NULL
+        ), pairs AS (
+            SELECT p[1] AS w1, p[2] AS w2
+            FROM (SELECT unnest(list_zip(a[1:-2], a[2:-1])) AS p FROM toks)
+        ), big AS (
+            SELECT w1, w2, COUNT(*) AS n FROM pairs GROUP BY w1, w2
+        ), c1 AS (
+            SELECT w1, CAST(SUM(n) AS BIGINT) AS c1 FROM big GROUP BY w1
+        ), vocab AS (
+            SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+            FROM (SELECT unnest(a) AS tok FROM toks)
+        )
+        SELECT w1, w2, n,
+               ROUND(log2((CAST(n AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                          / (CAST(c1 AS DOUBLE)
+                             + CAST(0.5 AS DOUBLE) * CAST(v AS DOUBLE))),
+                     6) AS logp
+        FROM big JOIN c1 USING (w1) CROSS JOIN vocab
+        ORDER BY n DESC, w1 ASC, w2 ASC
+        LIMIT 100
+"""
+ORACLES["text_char_stats"] = """
+        WITH chars AS (
+            SELECT doc_id, c FROM (
+                SELECT doc_id, unnest(string_split(lower(text), '')) AS c
+                FROM documents WHERE text IS NOT NULL
+            ) t WHERE c <> ''
+        ), dc AS (
+            SELECT doc_id, c, COUNT(*) AS n FROM chars GROUP BY doc_id, c
+        ), corp AS (
+            SELECT c, CAST(SUM(n) AS DOUBLE)
+                      / (SELECT CAST(SUM(n) AS DOUBLE) FROM dc) AS p_corp
+            FROM dc GROUP BY c
+        )
+        SELECT doc_id,
+               CAST(SUM(n) AS BIGINT) AS n_chars,
+               ROUND(log2(CAST(SUM(n) AS DOUBLE))
+                     - SUM(CAST(n AS DOUBLE) * log2(CAST(n AS DOUBLE)))
+                       / CAST(SUM(n) AS DOUBLE), 6) AS entropy,
+               ROUND(SUM(CAST(n AS DOUBLE)
+                         * log2(CAST(n AS DOUBLE) / p_corp))
+                       / CAST(SUM(n) AS DOUBLE)
+                     - log2(CAST(SUM(n) AS DOUBLE)), 6) AS kl_corpus
+        FROM dc JOIN corp USING (c)
+        GROUP BY doc_id
+"""
+ORACLES["docs_gopher_rules"] = """
+        WITH d AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               t -> t <> '') AS a
+            FROM documents WHERE text IS NOT NULL
+        ), m AS (
+            SELECT doc_id,
+                   CAST(len(a) AS INT) AS n_words,
+                   CAST(list_sum(list_transform(a, t -> length(t)))
+                        AS DOUBLE) AS total_len,
+                   CAST(len(list_filter(a,
+                        t -> regexp_full_match(t, '[a-z]+'))) AS DOUBLE)
+                       AS n_alpha,
+                   len(list_filter(a, t -> t IN
+                       ('the','and','of','to','is','a','in'))) > 0
+                       AS has_stopword
+            FROM d
+        )
+        SELECT doc_id, n_words,
+               ROUND(total_len / CAST(n_words AS DOUBLE), 6)
+                   AS mean_word_len,
+               ROUND(n_alpha / CAST(n_words AS DOUBLE), 6) AS frac_alpha,
+               has_stopword,
+               (n_words >= 5
+                AND total_len / CAST(n_words AS DOUBLE) >= 3.0
+                AND total_len / CAST(n_words AS DOUBLE) <= 10.0
+                AND n_alpha / CAST(n_words AS DOUBLE) >= 0.5
+                AND has_stopword) AS keep
+        FROM m
 """
 
 NO_ORACLE: frozenset[str] = frozenset(

@@ -590,6 +590,8 @@ LINT_WAIVERS = {
     # brute force IS all-pairs — it exists as the recall baseline the
     # LSH/IVF variants are judged against
     "ann_topk_bruteforce": {"cartesian-product"},
+    # 1-row vocabulary-size frame crossJoined onto the bigram counts
+    "text_bigram_lm": {"cartesian-product"},
     # the UDTF API-pinning demo; docstring says prefer mapInPandas
     "udtf_split_sentences": {"python-row-udf"},
 }
