@@ -36,6 +36,10 @@ EXTENDED = [
     # session-3: fact-sized pair join + rolling anomaly window
     "basket_pairs",
     "evt_anomaly_zscore",
+    # round-7: char-explode stats (the widest row fan-out in the
+    # catalog) and the map-only PQ code assignment
+    "text_char_stats",
+    "emb_pq_assign",
 ]
 
 HEADLINE = [

@@ -61,6 +61,9 @@ NAMES = [
     "docs_ccnet_buckets",
     "skew_metrics",
     "evt_survival_retention",
+    "text_bigram_lm",
+    "text_char_stats",
+    "docs_gopher_rules",
 ]
 
 

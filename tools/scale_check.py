@@ -186,11 +186,15 @@ def main() -> None:
                     emb, n_clusters=nclus, threshold=0.35
                 ),
             )
-        # round-7 additions (VERDICT r6 item 5): the remaining heavy
-        # session-3 shapes, timed via their catalog entries against
-        # the scaled directory, with shuffle-exchange counts so a
-        # plan change at 10x is visible, not inferred.
-        for name in ("graph_khop", "text_bm25_topk", "evt_path_analysis"):
+        # Any catalog query named on the command line runs against the
+        # scaled directory, with shuffle-exchange counts so a plan
+        # change at 10x is visible, not inferred. Default set: the
+        # heavy round-6 session-3 shapes (VERDICT r6 item 5).
+        catalog = (
+            [s for s in (shapes or []) if s in QUERIES]
+            or ["graph_khop", "text_bm25_topk", "evt_path_analysis"]
+        )
+        for name in catalog:
             if want(name):
                 build = lambda name=name, d=d: QUERIES[name](spark, d)
                 print(
