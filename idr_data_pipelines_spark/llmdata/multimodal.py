@@ -160,8 +160,11 @@ def resize_image(payload: bytes, factor: int = 4) -> bytes:
     import io
 
     with img_mod.open(io.BytesIO(payload)) as im:
+        # explicit NEAREST: Pillow's default (bicubic for RGB) varies
+        # across versions, breaking the documented replayable output
         out = im.resize(
-            (max(1, im.size[0] // factor), max(1, im.size[1] // factor))
+            (max(1, im.size[0] // factor), max(1, im.size[1] // factor)),
+            resample=img_mod.Resampling.NEAREST,
         )
         buf = io.BytesIO()
         out.save(buf, format="PNG")

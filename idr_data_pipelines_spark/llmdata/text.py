@@ -256,6 +256,93 @@ def unigram_logprob_scores(
     )
 
 
+def bigram_logprob_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_context: bool = True,
+) -> DataFrame:
+    """Corpus-self-trained bigram-LM scoring — the fluency upgrade of
+    ``unigram_logprob_scores``: per document, the mean negative log2
+    conditional probability of its adjacent token pairs under the
+    corpus's own add-0.5-smoothed bigram table,
+    ``p(w2|w1) = (c12 + 0.5) / (c1 + 0.5·V)``. Repetitive boilerplate
+    scores low, incoherent token soup scores high — the CCNet-family
+    filter signal at the next model order.
+
+    Shapes: adjacent pairs come from a zip of two array slices (pure
+    projection — no positional self-join); the bigram-count table is
+    built once and materialized (``localCheckpoint`` — two consumers,
+    the context rollup and the scoring join, and Catalyst will not
+    reuse the aggregation subtree); the context counts ``c1`` roll up
+    FROM the bigram counts (no second corpus pass); ``V`` is a 1-row
+    broadcast total. Scoring joins the doc pairs to the LM on
+    ``(w1, w2)`` — corpus-bigram-sized, hash join, never broadcast —
+    then one doc-keyed average. Mean summation order is
+    partitioning-dependent; comparators round (the catalog query
+    rounds to 6 decimals).
+
+    ``broadcast_context=True`` fits curated corpora (``c1`` is
+    vocab-sized); for raw web-scale vocabularies pass ``False`` to
+    hash-join the rollup instead.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+            lambda t: t != "",
+        ).alias("a"),
+    )
+    pairs = (
+        base.filter(F.size("a") >= 2)  # slice(len-1) errors on []
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.zip_with(
+                    F.expr("slice(a, 1, size(a) - 1)"),
+                    F.expr("slice(a, 2, size(a) - 1)"),
+                    lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+                )
+            ).alias("p"),
+        )
+        .select(id_col, "p.w1", "p.w2")
+    )
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=True)
+    )
+    c1 = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = base.select(F.explode("a").alias("tok")).agg(
+        F.count_distinct("tok").alias("v")
+    )
+    lm = (
+        big.join(F.broadcast(c1) if broadcast_context else c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            (
+                -F.log2(
+                    (F.col("c12").cast("double") + F.lit(0.5))
+                    / (
+                        F.col("c1").cast("double")
+                        + F.lit(0.5) * F.col("v").cast("double")
+                    )
+                )
+            ).alias("neg_log2p"),
+        )
+    )
+    return (
+        pairs.join(lm, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.avg("neg_log2p").alias("mean_neg_log2p"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+
+
 def bpe_pair_counts(
     df: DataFrame,
     text_col: str = "text",

@@ -6,6 +6,7 @@ from idr_data_pipelines_spark.plans.lint import (
     assert_scalable,
     count_shuffles,
     estimate_size_bytes,
+    key_count_profile,
     lint_plan,
     recommend_shuffle_partitions,
     skewed_keys,
@@ -19,6 +20,7 @@ __all__ = [
     "assert_scalable",
     "count_shuffles",
     "estimate_size_bytes",
+    "key_count_profile",
     "lint_plan",
     "recommend_shuffle_partitions",
     "skewed_keys",

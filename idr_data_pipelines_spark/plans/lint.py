@@ -54,6 +54,11 @@ def _plan_str(df: DataFrame) -> str:
 
 
 _AGG_NODES = ("HashAggregate(", "SortAggregate(", "ObjectHashAggregate(")
+# nodes that ELIDE their subtree in plan text: a collapsed input whose
+# aggregate hides behind one of these must not be flagged — the rule
+# stays conservative (no false fatals) at the cost of not seeing
+# through reuse/caching
+_OPAQUE_NODES = ("ReusedExchange", "InMemoryTableScan", "TableCacheQueryStage")
 
 
 def _tree_indent(line: str) -> int:
@@ -115,7 +120,7 @@ def _uncollapsed_global_windows(plan: str) -> list[str]:
                 break
             if _tree_indent(sub) <= indent:
                 break
-            if any(a in sub for a in _AGG_NODES):
+            if any(a in sub for a in _AGG_NODES + _OPAQUE_NODES):
                 collapsed = True
                 break
         if not collapsed:
@@ -316,6 +321,29 @@ def recommend_shuffle_partitions(
     return max(min_partitions, min(int(want), max_partitions))
 
 
+def key_count_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """Per-key group sizes joined with the 1-row corpus totals — the
+    shared base frame of every "should I salt this key?" probe
+    (``skewed_keys`` and the registry's ``skew_metrics`` query both
+    derive from it, so salting-probe fixes land in one place).
+
+    Columns: ``key_col``, ``n`` (group size), ``__total`` (all rows),
+    ``__n_keys`` (distinct keys), ``__max_n`` (largest group). Exact
+    one-shuffle aggregation with map-side combine; the totals side
+    rides the already-collapsed counts frame (1-row broadcast), so the
+    cross join is a scalar attach, never a shuffle.
+    """
+    from pyspark.sql import functions as F
+
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("__total"),
+        F.count(F.lit(1)).alias("__n_keys"),
+        F.max("n").alias("__max_n"),
+    )
+    return counts.crossJoin(totals.hint("broadcast"))
+
+
 def skewed_keys(
     df: DataFrame,
     key_col: str,
@@ -327,20 +355,17 @@ def skewed_keys(
     input that decides WHICH keys need salting (``join_salted``) or
     whether to lean on AQE's skew split instead.
 
-    Exact one-shuffle aggregation with map-side combine; the row-count
-    side rides the same collapsed frame (1-row broadcast). For streams
-    or when even one pass per key set is too much, use the bounded-
-    state ``llmdata.sketches.misra_gries_topk`` instead.
+    Built on ``key_count_profile``; for streams or when even one pass
+    per key set is too much, use the bounded-state
+    ``llmdata.sketches.misra_gries_topk`` instead.
     """
     from pyspark.sql import functions as F
 
-    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
-    total = counts.agg(F.sum("n").alias("__total"))
     return (
-        counts.crossJoin(total.hint("broadcast"))
+        key_count_profile(df, key_col)
         .withColumn("frac", F.col("n") / F.col("__total"))
         .filter(F.col("frac") >= min_frac)
         .orderBy(F.desc("n"), F.asc(key_col))
         .limit(top)
-        .drop("__total")
+        .drop("__total", "__n_keys", "__max_n")
     )

@@ -5483,16 +5483,14 @@ def q_skew_metrics(spark, sf_dir):
     groups with their share of all rows, plus the max/mean group-size
     ratio (the skew factor AQE's skew-join threshold reasons about).
     One count shuffle + a 1-row broadcast total; the top-5 is
-    TakeOrdered, not a global window."""
+    TakeOrdered, not a global window. Shares its counts+totals base
+    frame with ``plans.lint.skewed_keys`` via ``key_count_profile``
+    (one salting-probe implementation, two consumers)."""
+    from idr_data_pipelines_spark.plans.lint import key_count_profile
+
     li = _t(spark, sf_dir, "lineitem")
-    counts = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n"))
-    tot = counts.agg(
-        F.sum("n").alias("total"),
-        F.count(F.lit(1)).alias("n_keys"),
-        F.max("n").alias("max_n"),
-    )
     return (
-        counts.crossJoin(F.broadcast(tot))
+        key_count_profile(li, "l_suppkey")
         .orderBy(F.col("n").desc(), F.col("l_suppkey").asc())
         .limit(5)
         .select(
@@ -5500,14 +5498,14 @@ def q_skew_metrics(spark, sf_dir):
             "n",
             F.round(
                 F.col("n").cast("double")
-                / F.col("total").cast("double")
+                / F.col("__total").cast("double")
                 * F.lit(100.0),
                 6,
             ).alias("share_pct"),
             F.round(
-                F.col("max_n").cast("double")
-                * F.col("n_keys").cast("double")
-                / F.col("total").cast("double"),
+                F.col("__max_n").cast("double")
+                * F.col("__n_keys").cast("double")
+                / F.col("__total").cast("double"),
                 6,
             ).alias("skew_ratio"),
         )
@@ -5711,10 +5709,21 @@ def q_text_char_stats(spark, sf_dir):
     language). Both derive from one (doc, char) count shuffle; the
     corpus distribution is a char-alphabet-sized broadcast frame.
     Entropy computed as log2(n) - sum(c*log2(c))/n — one pass, no
-    per-char probability division."""
+    per-char probability division.
+
+    Chars are CODEPOINTS via ``regexp_extract_all(text, '[\\s\\S]')``
+    in both engines — Java regex and RE2 both match exactly one
+    codepoint per ``[\\s\\S]``, unlike empty-delimiter splits, where
+    Spark splits UTF-16 units and DuckDB splits grapheme clusters
+    (divergent on combining marks / emoji)."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     chars = docs.select(
-        "doc_id", F.explode(F.split(F.lower(F.col("text")), "")).alias("c")
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(r"[\s\S]"), F.lit(0)
+            )
+        ).alias("c"),
     ).filter(F.col("c") != "")
     dc = chars.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
     corp = dc.groupBy("c").agg(F.sum("n").alias("cn"))
@@ -5792,6 +5801,142 @@ def q_docs_gopher_rules(spark, sf_dir):
             & has_stop
         ).alias("keep"),
     )
+
+
+def q_docs_remove_dup_chunks(spark, sf_dir):
+    """Cross-document duplicate-chunk REMOVAL (the curation step
+    `text_dup_chunk_ratio` only measures): split each doc into
+    non-overlapping 16-token blocks, fingerprint them (md5 of joined
+    tokens, engine-portable), and rebuild each doc's text keeping a
+    block only if it is corpus-unique OR this doc is the block's
+    lowest-doc_id holder — one surviving copy corpus-wide (the
+    CCNet/RefinedWeb shared-span policy with a deterministic keeper).
+    Emits the cleaned text plus kept/total block counts so the
+    removal is attributable.
+
+    Plan: explode → distinct (doc, fp) → fp-keyed count+min agg →
+    fp-keyed join back (block cardinality grows WITH the corpus, so
+    the meta side must NOT be broadcast) → one doc-keyed agg whose
+    ordered reassembly is sort_array over (position, chunk) structs —
+    collect_list is bounded by single-document length, never corpus
+    state. Within-doc repeats of a corpus-unique block are kept
+    (ndocs counts distinct docs, matching the ratio op)."""
+    W = 16
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    base = docs.select("doc_id", _toks().alias("toks"))
+    nblk = F.ceil(F.size("toks") / F.lit(W)).cast("int")
+    blocks = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), nblk - 1)).alias("b"),
+        "toks",
+    ).select(
+        "doc_id",
+        "b",
+        F.array_join(F.slice("toks", F.col("b") * W + 1, W), " ").alias(
+            "chunk"
+        ),
+    ).withColumn("fp", F.md5("chunk"))
+    meta = (
+        blocks.select("doc_id", "fp")
+        .distinct()
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("ndocs"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+    )
+    kept = (F.col("ndocs") == 1) | (F.col("doc_id") == F.col("keep_doc"))
+    return (
+        blocks.join(meta, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(kept.cast("int")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                kept,
+                                F.struct(
+                                    F.col("b").alias("b"),
+                                    F.col("chunk").alias("chunk"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("text_clean"),
+        )
+    )
+
+
+def q_text_perplexity_bigram(spark, sf_dir):
+    """Bigram-LM fluency scores: per document, the mean -log2
+    conditional probability of its adjacent token pairs under the
+    corpus's own add-0.5-smoothed bigram table (p = (c12+0.5)/
+    (c1+0.5V)) and the derived perplexity 2^mean — the next model
+    order above `text_perplexity_unigram`, separating repetitive
+    boilerplate (low) from incoherent token soup (high). Pairs from
+    array-slice zips (no positional self-join); scoring is a
+    corpus-bigram-sized (w1,w2) hash join — never broadcast — then
+    one doc-keyed average. Rounded to 6 decimals (summation order +
+    libm log ulp differ across engines)."""
+    from idr_data_pipelines_spark.llmdata.text import bigram_logprob_scores
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    s = bigram_logprob_scores(docs)
+    return s.select(
+        "doc_id",
+        F.round("mean_neg_log2p", 6).alias("mean_neg_log2p"),
+        F.round(F.pow(F.lit(2.0), F.col("mean_neg_log2p")), 6).alias("ppl"),
+        "n_pairs",
+    )
+
+
+def q_sink_bucketed_join(spark, sf_dir):
+    """Bucketed co-located fact⋈fact join — the `sink_table_bucketed`
+    payoff demonstrated end-to-end: stage orders and customer as
+    parquet tables bucketed 8 ways on their join keys (sorted within
+    buckets), then sort-merge-join the staged tables and aggregate
+    per customer. Both scans arrive bucket-aligned, so the join plans
+    with ZERO Exchange and zero per-side Sort (pinned by
+    tests/test_plans.py::test_bucketed_join_no_exchange); the
+    post-join groupBy rides the same custkey partitioning. At 100 TB
+    this is the difference between a full two-sided shuffle per run
+    and none (write-once, join-many). The merge hint stops Spark
+    broadcasting the (locally tiny) customer side, which would
+    bypass the bucketed path being demonstrated; values are oracled
+    as the plain join+rollup."""
+    from idr_data_pipelines_spark.sources.sinks import sink_table_bucketed
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    sink_table_bucketed(
+        orders, "bkt_orders", ["o_custkey"], 8, sort_cols=["o_custkey"]
+    )
+    sink_table_bucketed(
+        cust, "bkt_customer", ["c_custkey"], 8, sort_cols=["c_custkey"]
+    )
+    o = spark.table("bkt_orders")
+    c = spark.table("bkt_customer")
+    return (
+        o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(_money_sum(F.col("o_totalprice")), 2).alias(
+                "total_price"
+            ),
+        )
+    )
+
 
 # ===================================================================
 # registry
@@ -5900,6 +6045,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bigram_lm": q_text_bigram_lm,
     "text_char_stats": q_text_char_stats,
     "docs_gopher_rules": q_docs_gopher_rules,
+    # -- new in r07 session 2 (dup-chunk removal, bigram perplexity,
+    # bucketed zero-exchange join): fully oracled, never
+    # driver-checked — r09 candidates (the r08 window above is
+    # already 52-for-50; these three queue behind it)
+    "docs_remove_dup_chunks": q_docs_remove_dup_chunks,
+    "text_perplexity_bigram": q_text_perplexity_bigram,
+    "sink_bucketed_join": q_sink_bucketed_join,
     # -- last green r03 — next r08 picks after the deferrals
     "emb_cosine_near_dup": q_emb_cosine_near_dup,
     "join_asof": q_join_asof,
@@ -9616,7 +9768,8 @@ ORACLES["text_bigram_lm"] = """
 ORACLES["text_char_stats"] = """
         WITH chars AS (
             SELECT doc_id, c FROM (
-                SELECT doc_id, unnest(string_split(lower(text), '')) AS c
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[\\s\\S]')) AS c
                 FROM documents WHERE text IS NOT NULL
             ) t WHERE c <> ''
         ), dc AS (
@@ -9668,6 +9821,80 @@ ORACLES["docs_gopher_rules"] = """
                 AND n_alpha / CAST(n_words AS DOUBLE) >= 0.5
                 AND has_stopword) AS keep
         FROM m
+"""
+ORACLES["docs_remove_dup_chunks"] = """
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+            FROM documents WHERE text IS NOT NULL
+        ), e AS (
+            SELECT doc_id, toks,
+                   unnest(range(0, CAST(ceil(len(toks) / 16.0) AS INT))) AS b
+            FROM t
+        ), fpb AS (
+            SELECT doc_id, b,
+                   array_to_string(
+                       toks[b * 16 + 1 : least(b * 16 + 16, len(toks))],
+                       ' ') AS chunk,
+                   md5(array_to_string(
+                       toks[b * 16 + 1 : least(b * 16 + 16, len(toks))],
+                       ' ')) AS fp
+            FROM e
+        ), meta AS (
+            SELECT fp, COUNT(*) AS ndocs, MIN(doc_id) AS keep_doc
+            FROM (SELECT DISTINCT doc_id, fp FROM fpb) GROUP BY fp
+        )
+        SELECT f.doc_id,
+               COUNT(*) AS n_blocks,
+               CAST(SUM(CASE WHEN m.ndocs = 1 OR f.doc_id = m.keep_doc
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               COALESCE(STRING_AGG(
+                   CASE WHEN m.ndocs = 1 OR f.doc_id = m.keep_doc
+                        THEN f.chunk END, ' ' ORDER BY f.b), '')
+                   AS text_clean
+        FROM fpb f JOIN meta m USING (fp)
+        GROUP BY f.doc_id
+"""
+ORACLES["text_perplexity_bigram"] = """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               t -> t <> '') AS a
+            FROM documents WHERE text IS NOT NULL
+        ), pairs AS (
+            SELECT doc_id, p[1] AS w1, p[2] AS w2
+            FROM (SELECT doc_id, unnest(list_zip(a[1:-2], a[2:-1])) AS p
+                  FROM toks)
+        ), big AS (
+            SELECT w1, w2, COUNT(*) AS c12 FROM pairs GROUP BY w1, w2
+        ), c1 AS (
+            SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM big GROUP BY w1
+        ), vocab AS (
+            SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+            FROM (SELECT unnest(a) AS tok FROM toks)
+        ), lm AS (
+            SELECT w1, w2,
+                   -log2((CAST(c12 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                         / (CAST(c1 AS DOUBLE)
+                            + CAST(0.5 AS DOUBLE) * CAST(v AS DOUBLE)))
+                       AS neg_log2p
+            FROM big JOIN c1 USING (w1) CROSS JOIN vocab
+        )
+        SELECT p.doc_id,
+               ROUND(AVG(l.neg_log2p), 6) AS mean_neg_log2p,
+               ROUND(POW(CAST(2.0 AS DOUBLE), AVG(l.neg_log2p)), 6) AS ppl,
+               COUNT(*) AS n_pairs
+        FROM pairs p JOIN lm l ON p.w1 = l.w1 AND p.w2 = l.w2
+        GROUP BY p.doc_id
+"""
+ORACLES["sink_bucketed_join"] = """
+        SELECT c.c_custkey, c.c_name,
+               COUNT(*) AS n_orders,
+               ROUND(CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5)
+                                   AS BIGINT)) AS DOUBLE) / 100.0, 2)
+                   AS total_price
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_name
 """
 
 NO_ORACLE: frozenset[str] = frozenset(

@@ -57,7 +57,24 @@ def sink_table_bucketed(
     full two-sided exchange into a local join; sortBy additionally
     removes the sort for sort-merge. Bucket count should be chosen so
     a single bucket ≲ a few hundred MB at the target scale.
+
+    Self-healing overwrite: ``saveAsTable(mode="overwrite")`` refuses a
+    managed location left behind by a previous session whose catalog
+    entry is gone (LOCATION_ALREADY_EXISTS), so the write drops the
+    table and removes any orphaned warehouse directory first. The
+    cleanup uses the Hadoop FileSystem via the JVM gateway (classic
+    deployments only, like ``compact_parquet_dir``) and handles
+    unqualified (default-database) table names.
     """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    loc = jvm.org.apache.hadoop.fs.Path(wh.rstrip("/") + "/" + table.lower())
+    fs = loc.getFileSystem(conf)
+    if fs.exists(loc):
+        fs.delete(loc, True)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

@@ -592,6 +592,7 @@ LINT_WAIVERS = {
     "ann_topk_bruteforce": {"cartesian-product"},
     # 1-row vocabulary-size frame crossJoined onto the bigram counts
     "text_bigram_lm": {"cartesian-product"},
+    "text_perplexity_bigram": {"cartesian-product"},
     # the UDTF API-pinning demo; docstring says prefer mapInPandas
     "udtf_split_sentences": {"python-row-udf"},
 }
@@ -605,22 +606,24 @@ def test_plan_linter_full_registry(spark, sf_dir):
     from idr_data_pipelines_spark.plans import lint_plan
 
     violations = {}
-    stale_waivers = dict(LINT_WAIVERS)
+    stale = {}
     for name, fn in QUERIES.items():
         fatals = {
             f.rule
             for f in lint_plan(fn(spark, sf_dir))
             if f.severity == "fatal"
         }
-        extra = fatals - LINT_WAIVERS.get(name, set())
-        if extra:
-            violations[name] = sorted(extra)
-        if fatals and fatals == LINT_WAIVERS.get(name):
-            stale_waivers.pop(name, None)
+        waived = LINT_WAIVERS.get(name, set())
+        if fatals - waived:
+            violations[name] = sorted(fatals - waived)
+        # rule-by-rule: a multi-rule waiver may be only PARTIALLY
+        # stale — report exactly the rules whose finding disappeared
+        if waived - fatals:
+            stale[name] = sorted(waived - fatals)
     assert not violations, f"unwaived fatal plan findings: {violations}"
-    # a waiver whose finding disappeared must be removed — dead
+    # a waived rule whose finding disappeared must be removed — dead
     # waivers hide regressions
-    assert not stale_waivers, f"stale lint waivers: {sorted(stale_waivers)}"
+    assert not stale, f"stale lint waiver rules: {stale}"
 
 
 def test_session3_tpch_plan_shapes(spark, sf_dir):
@@ -647,6 +650,33 @@ def test_session3_tpch_plan_shapes(spark, sf_dir):
     plan = _plan(QUERIES["text_bm25_topk"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir):
+    """The sink_table_bucketed payoff, pinned: joining the two staged
+    bucketed tables plans as a SortMergeJoin with ZERO shuffle
+    exchanges — both scans arrive bucket-aligned on the join key and
+    the post-join per-customer aggregate rides the same partitioning.
+    The non-bucketed twin of the SAME join+agg does shuffle, proving
+    it is the bucketing (not AQE or data size) that removed the
+    exchanges — the write-once/join-many contract at 100 TB."""
+    from idr_data_pipelines_spark.queries import _t
+
+    df = QUERIES["sink_bucketed_join"](spark, sf_dir)
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan, plan
+    assert _n_shuffles(plan) == 0, plan
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+    from pyspark.sql import functions as F
+
+    twin = (
+        o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    assert _n_shuffles(_plan(twin)) > 0, _plan(twin)
 
 
 def test_join_bloom_prunes_before_shuffle(spark, sf_dir):

@@ -190,8 +190,9 @@ def main() -> None:
         # scaled directory, with shuffle-exchange counts so a plan
         # change at 10x is visible, not inferred. Default set: the
         # heavy round-6 session-3 shapes (VERDICT r6 item 5).
+        dedicated = {"text_shared_ngrams", "emb_semdedup"}  # timed above
         catalog = (
-            [s for s in (shapes or []) if s in QUERIES]
+            [s for s in (shapes or []) if s in QUERIES and s not in dedicated]
             or ["graph_khop", "text_bm25_topk", "evt_path_analysis"]
         )
         for name in catalog:
