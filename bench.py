@@ -40,6 +40,10 @@ EXTENDED = [
     # catalog) and the map-only PQ code assignment
     "text_char_stats",
     "emb_pq_assign",
+    # round-7 session 3: corpus-LM scoring (bigram join) and the
+    # epoch shuffle-sharder (per-shard window sorts)
+    "text_perplexity_bigram",
+    "corpus_shuffle_shards",
 ]
 
 HEADLINE = [

@@ -1155,3 +1155,54 @@ def ngram_containment_pairs(
             (inter / F.size("sh_b").cast("double")).alias("containment_b"),
         )
     )
+
+
+def cluster_keep_best(
+    docs: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Near-dup collapse with a QUALITY-chosen survivor: label every
+    document with its dup cluster (transitive closure of ``edges`` via
+    ``connected_components``), then keep the cluster member with the
+    highest ``quality_col`` (lowest id on ties) — the RefinedWeb/
+    FineWeb-style policy, where the survivor should be the best copy
+    (longest, highest quality score), not whichever id happens to be
+    smallest. Unpaired documents are their own keeper.
+
+    Returns ``(id_col, cluster_id, keeper_id, is_keeper)`` — filter on
+    ``is_keeper`` to materialize the deduplicated corpus, or keep the
+    full frame for an attribution audit of what was dropped and why.
+
+    Scale shape: closure is the pointer-doubling label propagation
+    (O(log diameter) rounds over the PAIR set only); the keeper
+    election is one agg over the clustered frame — ``min_by`` on the
+    (-quality, id) struct, no per-cluster window, no skew trap on a
+    mega-cluster (the agg is a partial-merge, unlike a sort window).
+    """
+    comp = connected_components(edges, src=src, dst=dst)
+    labeled = (
+        docs.select(
+            F.col(id_col), F.col(quality_col).cast("double").alias("__q")
+        )
+        .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            "__q",
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+        )
+    )
+    keepers = labeled.groupBy("cluster_id").agg(
+        F.min(
+            F.struct((-F.col("__q")).alias("nq"), F.col(id_col).alias("id"))
+        )["id"].alias("keeper_id")
+    )
+    return labeled.join(keepers, "cluster_id").select(
+        id_col,
+        "cluster_id",
+        "keeper_id",
+        (F.col(id_col) == F.col("keeper_id")).alias("is_keeper"),
+    )

@@ -555,3 +555,92 @@ def pack_sequences_bestfit(
 
     grouped = df.groupBy(shard_col) if shard_col else df.groupBy()
     return grouped.applyInPandas(pack, out_schema)
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    epoch: int = 0,
+    salt: str = "shuffle",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Epoch-deterministic global shuffle, materialized as training
+    shards: every row gets a ``(shard, pos)`` — which output shard it
+    belongs to and its position within that shard — that is a pure
+    function of ``(key, epoch, salt)``. Reading the shards in order
+    IS the shuffled epoch: reproducible on any cluster, restartable
+    mid-epoch, and a fresh ``epoch`` value is a fresh, decorrelated
+    permutation (how LLM trainers reshuffle between epochs without
+    ever holding an index in memory).
+
+    Scale shape: the shard assignment is a pure projection
+    (``hash_bucket``); the within-shard position is a window
+    partitioned BY SHARD — n_shards independent sorts of ~|corpus|/
+    n_shards rows each, never a global ORDER BY funnel. Pick n_shards
+    so one shard ≈ one output file (the usual 100 TB layout:
+    thousands of shards, each a few hundred MB).
+
+    Engine-portable: shard = 60-bit md5 prefix mod n_shards; order
+    within a shard is the full md5 hex string (lowercase hex compares
+    identically everywhere), key as the tiebreak.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    seed = f"{salt}:{epoch}:"
+    key = F.col(key_col)
+    h = F.md5(F.concat(F.lit(seed), key.cast("string")))
+    shard = F.pmod(
+        F.conv(F.substring(h, 1, _HEX_CHARS), 16, 10).cast("bigint"),
+        F.lit(n_shards),
+    )
+    out = df.withColumn(shard_col, shard).withColumn("__h", h)
+    w = Window.partitionBy(shard_col).orderBy(F.col("__h"), key)
+    return out.withColumn(pos_col, F.row_number().over(w)).drop("__h")
+
+
+def temperature_mix_shares(
+    df: DataFrame,
+    source_col: str,
+    alpha: float = 0.5,
+    count_col: str | None = None,
+) -> DataFrame:
+    """Temperature-scaled mixing weights over corpus sources — the
+    standard multi-source LM recipe (T5/PaLM-style): sampling share
+    ``p_i ∝ n_i^alpha`` with ``alpha < 1`` up-weighting small
+    high-quality sources and damping the web-crawl head; ``alpha=1``
+    is natural sampling, ``alpha=0`` uniform.
+
+    Returns one row per source: ``n`` (corpus presence, rows or a
+    supplied weight column's sum), ``nat_share``, ``temp_share`` and
+    ``boost`` (temp/nat — >1 means the source is over-sampled
+    relative to its natural frequency). Everything after the single
+    count shuffle runs on the collapsed |sources|-row frame; the
+    share normalizer rides a 1-row broadcast, so corpus size never
+    touches a window.
+    """
+    n = (
+        F.sum(count_col).cast("double")
+        if count_col
+        else F.count(F.lit(1)).cast("double")
+    )
+    counts = df.groupBy(source_col).agg(n.alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("__tot"),
+        F.sum(F.pow(F.col("n"), F.lit(float(alpha)))).alias("__wtot"),
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        "n",
+        (F.col("n") / F.col("__tot")).alias("nat_share"),
+        (F.pow(F.col("n"), F.lit(float(alpha))) / F.col("__wtot")).alias(
+            "temp_share"
+        ),
+        (
+            F.pow(F.col("n"), F.lit(float(alpha)))
+            / F.col("__wtot")
+            * F.col("__tot")
+            / F.col("n")
+        ).alias("boost"),
+    )

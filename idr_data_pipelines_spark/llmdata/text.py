@@ -381,3 +381,68 @@ def bpe_pair_counts(
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(top_n)
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    thresholds: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Vocabulary size needed to cover a fraction of all token
+    occurrences — the tokenizer-budget question ("how big must the
+    vocab be so ≤1% of running text is OOV?") answered from the corpus
+    itself. One row per threshold: ``coverage`` (the ask),
+    ``vocab_size`` (ranks needed, most-frequent-first), and
+    ``total_tokens``.
+
+    Scale shape: the only corpus-sized pass is the token count
+    (explode → one shuffle with map-side combine). Ranking and the
+    running total use a GLOBAL ordered window — safe ONLY because it
+    runs on the collapsed vocab frame (|vocab| ≪ corpus, the plan
+    linter's collapsed-frame rule checks precisely this); the
+    normalizer is a 1-row broadcast; the per-threshold election is a
+    conditional-min agg, so thresholds never multiply the vocab frame
+    through a join.
+
+    Ties are broken (count desc, token asc) so the cumulative series —
+    and therefore every threshold answer — is deterministic.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda t: t != "",
+            )
+        ).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("tok")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = vocab.select(
+        F.row_number().over(w).alias("rank"), F.sum("n").over(w).alias("cum")
+    )
+    tot = vocab.agg(F.sum("n").alias("__tot"))
+    joined = ranked.crossJoin(F.broadcast(tot))
+    elected = joined.agg(
+        F.max("__tot").alias("total_tokens"),
+        *[
+            F.min(
+                F.when(
+                    F.col("cum").cast("double")
+                    >= F.lit(float(t)) * F.col("__tot").cast("double"),
+                    F.col("rank"),
+                )
+            ).alias(f"v{i}")
+            for i, t in enumerate(thresholds)
+        ],
+    )
+    pairs = ", ".join(
+        f"{float(t)}D, v{i}" for i, t in enumerate(thresholds)
+    )
+    return elected.select(
+        F.expr(f"stack({len(thresholds)}, {pairs}) as (coverage, vocab_size)"),
+        "total_tokens",
+    )

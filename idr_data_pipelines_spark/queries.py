@@ -5938,6 +5938,203 @@ def q_sink_bucketed_join(spark, sf_dir):
     )
 
 
+def q_corpus_shuffle_shards(spark, sf_dir):
+    """Epoch-deterministic training shuffle, materialized as shards:
+    every document gets (shard, pos) as a pure function of
+    (doc_id, epoch) — reading shards in order IS the shuffled epoch,
+    reproducible on any cluster and restartable mid-epoch; a new
+    epoch value is a fresh decorrelated permutation. The shard
+    assignment is a pure projection (60-bit md5 prefix mod n_shards);
+    within-shard position is a window partitioned BY SHARD — never a
+    global ORDER BY funnel (n_shards independent sorts, each ~1/
+    n_shards of the corpus; choose n_shards ≈ output-file count at
+    100 TB)."""
+    from idr_data_pipelines_spark.llmdata.sampling import shuffle_shards
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return shuffle_shards(docs, "doc_id", n_shards=8, epoch=1)
+
+
+def q_mix_temperature(spark, sf_dir):
+    """Temperature-scaled source mixing (p_i ∝ n_i^0.5) — the standard
+    multi-source LM recipe: alpha<1 up-weights small high-quality
+    sources against the web-crawl head. One count shuffle; every
+    share computed on the collapsed |sources|-row frame with a 1-row
+    broadcast normalizer. Shares rounded to 6 decimals (pow/double
+    libm ulp differs across engines)."""
+    from idr_data_pipelines_spark.llmdata.sampling import (
+        temperature_mix_shares,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = temperature_mix_shares(docs, "source", alpha=0.5)
+    return out.select(
+        "source",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("nat_share", 6).alias("nat_share"),
+        F.round("temp_share", 6).alias("temp_share"),
+        F.round("boost", 6).alias("boost"),
+    )
+
+
+def q_text_vocab_coverage(spark, sf_dir):
+    """Tokenizer-budget analysis: vocabulary size needed to cover
+    50/90/99% of all token occurrences, most-frequent-first. The only
+    corpus-sized pass is the token count (one shuffle, map-side
+    combine); rank + running total use a global ordered window that
+    is safe ONLY on the collapsed vocab frame (the plan linter's
+    collapsed-frame rule checks this shape); threshold election is a
+    conditional-min agg — thresholds never multiply the vocab frame."""
+    from idr_data_pipelines_spark.llmdata.text import vocab_coverage
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return vocab_coverage(docs, "text", thresholds=(0.5, 0.9, 0.99))
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    """Near-dup collapse with a QUALITY-chosen survivor (the
+    RefinedWeb/FineWeb policy): clusters from the transitive closure
+    of the deterministic pair rule (consecutive ids, n_chars sum ≡ 0
+    mod 3 — same rule as dedup_clusters so the DuckDB oracle replays
+    the closure with a recursive CTE), keeper = the member with MAX
+    n_chars (min doc_id on ties) — the best copy survives, not the
+    smallest id. Keeper election is a min_by-struct agg over the
+    clustered frame: partial-merge, no per-cluster window, no skew
+    trap on a mega-cluster."""
+    from idr_data_pipelines_spark.llmdata.dedup import cluster_keep_best
+
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("n_chars").alias("nc_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("n_chars").alias("nc_b"))
+    edges = (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .filter(((F.col("nc_a") + F.col("nc_b")) % 3) == 0)
+        .select("id_a", "id_b")
+    )
+    return cluster_keep_best(docs, edges, quality_col="n_chars")
+
+
+def q_decontaminate_report(spark, sf_dir):
+    """Contamination AUDIT rollup — the per-source report a curation
+    run publishes alongside the decontaminated corpus: for each
+    source, documents flagged (≥5% of distinct 3-grams found in the
+    benchmark), the flag rate, and the corpus-weighted contamination
+    (Σ matched / Σ total n-grams — exact integer sums, unlike a mean
+    of per-doc ratios whose double summation order would vary with
+    partitioning). Same single-pass broadcast-join scoring as
+    `decontaminate`; the report adds one |sources|-row aggregate."""
+    from idr_data_pipelines_spark.llmdata.decontaminate import (
+        contamination_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    sc = contamination_scores(corpus, bench, k=3)
+    return (
+        sc.join(corpus.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("contam_ratio") >= 0.05).cast("long")).alias(
+                "n_flagged"
+            ),
+            F.sum("n_matched").alias("__m"),
+            F.sum("n_ngrams").alias("__t"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_flagged",
+            F.round(
+                F.col("n_flagged").cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("flag_rate"),
+            F.round(
+                F.col("__m").cast("double") / F.col("__t").cast("double"), 6
+            ).alias("contam_weighted"),
+        )
+    )
+
+
+def q_orders_basket_lift(spark, sf_dir):
+    """Association rules over the capped basket pairs: lift
+    (P(ab)/(P(a)·P(b))) and confidence for the top-20 part pairs —
+    the step after `basket_pairs`' raw co-occurrence counts. All
+    supports are exact integers off ONE capped (order, part) frame
+    (the ≤32-parts skew guard applies before pair generation, as in
+    basket_pairs); the basket total is a 1-row broadcast; lift is a
+    single multiply-divide over integer inputs — bit-identical in
+    both engines — rounded to 6 before the rank so the top-k cut is
+    partition-invariant. Support ≥2 prunes noise pairs before the
+    per-item joins."""
+    d0 = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    small = (
+        d0.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= 32)
+        .select("l_orderkey")
+    )
+    d = d0.join(small, "l_orderkey", "left_semi")
+    nb_total = d.agg(
+        F.count_distinct("l_orderkey").alias("__N")
+    )
+    item = d.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("ni"))
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+    scored = (
+        pairs.join(
+            item.select(
+                F.col("l_partkey").alias("part_a"), F.col("ni").alias("na")
+            ),
+            "part_a",
+        )
+        .join(
+            item.select(
+                F.col("l_partkey").alias("part_b"), F.col("ni").alias("nb")
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(nb_total))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.round(
+                F.col("support").cast("double")
+                * F.col("__N").cast("double")
+                / (F.col("na").cast("double") * F.col("nb").cast("double")),
+                6,
+            ).alias("lift"),
+            F.round(
+                F.col("support").cast("double") / F.col("na").cast("double"),
+                6,
+            ).alias("confidence"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    ).limit(20)
+
+
 # ===================================================================
 # registry
 # ===================================================================
@@ -5962,6 +6159,12 @@ def q_sink_bucketed_join(spark, sf_dir):
 # never rotated in (their rows can only say err:no_oracle); they sit
 # at the dict's very end. Entries after the window are still swept
 # every CI run by tests/test_oracle_parity.py.
+#
+# r09 staging: the 9 new r07 session-2/3 entries (dup-chunk removal,
+# bigram perplexity, bucketed join, shuffle-sharding, temperature
+# mix, vocab coverage, keep-best dedup, decontamination report,
+# basket lift) queue with whatever the r08 window (9 deferred +
+# 10 new-r07 + 33 stale = 52-for-50) spills.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- driver window: r06 session-3, never driver-checked — TPC-H completion
     "q2_min_cost_supplier": q_q2_min_cost_supplier,
@@ -6052,6 +6255,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_remove_dup_chunks": q_docs_remove_dup_chunks,
     "text_perplexity_bigram": q_text_perplexity_bigram,
     "sink_bucketed_join": q_sink_bucketed_join,
+    # -- new in r07 session 3 (epoch shuffle-sharding, temperature
+    # mixing, vocab coverage, keep-best dedup): fully oracled, never
+    # driver-checked — r09 candidates alongside the session-2 trio
+    "corpus_shuffle_shards": q_corpus_shuffle_shards,
+    "mix_temperature": q_mix_temperature,
+    "text_vocab_coverage": q_text_vocab_coverage,
+    "dedup_keep_best": q_dedup_keep_best,
+    "decontaminate_report": q_decontaminate_report,
+    "orders_basket_lift": q_orders_basket_lift,
     # -- last green r03 — next r08 picks after the deferrals
     "emb_cosine_near_dup": q_emb_cosine_near_dup,
     "join_asof": q_join_asof,
@@ -9895,6 +10107,179 @@ ORACLES["sink_bucketed_join"] = """
                    AS total_price
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_custkey, c.c_name
+"""
+ORACLES["corpus_shuffle_shards"] = """
+        WITH h AS (
+            SELECT doc_id,
+                   md5('shuffle:1:' || CAST(doc_id AS VARCHAR)) AS hx
+            FROM documents
+        ), s AS (
+            SELECT doc_id, hx,
+                   CAST(('0x' || substring(hx, 1, 15)) AS BIGINT) % 8 AS shard
+            FROM h
+        )
+        SELECT doc_id, shard,
+               ROW_NUMBER() OVER (PARTITION BY shard
+                                  ORDER BY hx ASC, doc_id ASC) AS pos
+        FROM s
+"""
+ORACLES["mix_temperature"] = """
+        WITH c AS (
+            SELECT source, CAST(COUNT(*) AS DOUBLE) AS nd
+            FROM documents GROUP BY source
+        ), t AS (
+            SELECT SUM(nd) AS tot,
+                   SUM(POW(nd, CAST(0.5 AS DOUBLE))) AS wtot
+            FROM c
+        )
+        SELECT source, CAST(nd AS BIGINT) AS n,
+               ROUND(nd / tot, 6) AS nat_share,
+               ROUND(POW(nd, CAST(0.5 AS DOUBLE)) / wtot, 6) AS temp_share,
+               ROUND(POW(nd, CAST(0.5 AS DOUBLE)) / wtot * tot / nd, 6)
+                   AS boost
+        FROM c CROSS JOIN t
+"""
+ORACLES["text_vocab_coverage"] = """
+        WITH toks AS (
+            SELECT unnest(list_filter(
+                       string_split_regex(lower(trim(text)), '\\s+'),
+                       t -> t <> '')) AS tok
+            FROM documents WHERE text IS NOT NULL
+        ), vocab AS (
+            SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+        ), ranked AS (
+            SELECT ROW_NUMBER() OVER w AS rank,
+                   SUM(n) OVER (w ROWS UNBOUNDED PRECEDING) AS cum
+            FROM vocab
+            WINDOW w AS (ORDER BY n DESC, tok ASC)
+        ), tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS tt FROM vocab
+        ), elected AS (
+            SELECT MAX(tt) AS total_tokens,
+                   MIN(CASE WHEN CAST(cum AS DOUBLE)
+                                 >= CAST(0.5 AS DOUBLE) * CAST(tt AS DOUBLE)
+                            THEN rank END) AS v0,
+                   MIN(CASE WHEN CAST(cum AS DOUBLE)
+                                 >= CAST(0.9 AS DOUBLE) * CAST(tt AS DOUBLE)
+                            THEN rank END) AS v1,
+                   MIN(CASE WHEN CAST(cum AS DOUBLE)
+                                 >= CAST(0.99 AS DOUBLE) * CAST(tt AS DOUBLE)
+                            THEN rank END) AS v2
+            FROM ranked CROSS JOIN tot
+        )
+        SELECT CAST(0.5 AS DOUBLE) AS coverage, v0 AS vocab_size,
+               total_tokens FROM elected
+        UNION ALL
+        SELECT CAST(0.9 AS DOUBLE), v1, total_tokens FROM elected
+        UNION ALL
+        SELECT CAST(0.99 AS DOUBLE), v2, total_tokens FROM elected
+"""
+ORACLES["dedup_keep_best"] = """
+        WITH RECURSIVE pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+            WHERE (a.n_chars + b.n_chars) % 3 = 0
+        ), edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL
+            SELECT id_b AS a, id_a AS b FROM pairs
+        ), reach(id, r) AS (
+            SELECT a, a FROM edges GROUP BY a
+            UNION
+            SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+        ), clus AS (
+            SELECT d.doc_id, d.n_chars,
+                   COALESCE(MIN(reach.r), d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN reach ON reach.id = d.doc_id
+            GROUP BY d.doc_id, d.n_chars
+        ), keep AS (
+            SELECT cluster_id, doc_id AS keeper_id FROM (
+                SELECT cluster_id, doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                          ORDER BY n_chars DESC, doc_id ASC)
+                           AS rn
+                FROM clus
+            ) WHERE rn = 1
+        )
+        SELECT c.doc_id, c.cluster_id, k.keeper_id,
+               c.doc_id = k.keeper_id AS is_keeper
+        FROM clus c JOIN keep k USING (cluster_id)
+"""
+ORACLES["decontaminate_report"] = """
+        WITH nums AS (SELECT CAST(i AS BIGINT) AS i
+                      FROM generate_series(1, 4096) t(i)),
+        toks AS (
+            SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+            FROM documents
+        ), grams AS (
+            SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+            FROM toks JOIN nums ON i <= len(t) - 2
+            WHERE len(t) >= 3
+            UNION ALL
+            SELECT doc_id, array_to_string(t, ' ') AS g
+            FROM toks WHERE len(t) < 3
+        ), bench AS (
+            SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+        ), cg AS (
+            SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0
+        ), tot AS (
+            SELECT doc_id, COUNT(*) AS n_ngrams FROM cg GROUP BY doc_id
+        ), mt AS (
+            SELECT cg.doc_id, COUNT(*) AS n_matched
+            FROM cg JOIN bench USING (g) GROUP BY cg.doc_id
+        ), scored AS (
+            SELECT tot.doc_id,
+                   CAST(n_ngrams AS BIGINT) AS n_ngrams,
+                   CAST(COALESCE(n_matched, 0) AS BIGINT) AS n_matched,
+                   CAST(COALESCE(n_matched, 0) AS DOUBLE)
+                       / CAST(n_ngrams AS DOUBLE) AS contam_ratio
+            FROM tot LEFT JOIN mt ON tot.doc_id = mt.doc_id
+        )
+        SELECT d.source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN s.contam_ratio >= CAST(0.05 AS DOUBLE)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+               ROUND(CAST(SUM(CASE WHEN s.contam_ratio >= CAST(0.05 AS DOUBLE)
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS flag_rate,
+               ROUND(CAST(SUM(s.n_matched) AS DOUBLE)
+                     / CAST(SUM(s.n_ngrams) AS DOUBLE), 6)
+                   AS contam_weighted
+        FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+        GROUP BY d.source
+"""
+ORACLES["orders_basket_lift"] = """
+        WITH d0 AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), small AS (
+            SELECT l_orderkey FROM d0 GROUP BY l_orderkey
+            HAVING COUNT(*) <= 32
+        ), d AS (
+            SELECT d0.* FROM d0 JOIN small USING (l_orderkey)
+        ), nb_total AS (
+            SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nn FROM d
+        ), item AS (
+            SELECT l_partkey, COUNT(*) AS ni FROM d GROUP BY l_partkey
+        ), pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   COUNT(*) AS support
+            FROM d a JOIN d b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+            HAVING COUNT(*) >= 2
+        )
+        SELECT part_a, part_b, support,
+               ROUND(CAST(support AS DOUBLE) * CAST(nn AS DOUBLE)
+                     / (CAST(ia.ni AS DOUBLE) * CAST(ib.ni AS DOUBLE)), 6)
+                   AS lift,
+               ROUND(CAST(support AS DOUBLE) / CAST(ia.ni AS DOUBLE), 6)
+                   AS confidence
+        FROM pairs
+        JOIN item ia ON ia.l_partkey = part_a
+        JOIN item ib ON ib.l_partkey = part_b
+        CROSS JOIN nb_total
+        ORDER BY lift DESC, part_a ASC, part_b ASC
+        LIMIT 20
 """
 
 NO_ORACLE: frozenset[str] = frozenset(

@@ -1591,3 +1591,109 @@ def test_bloom_bitmap_odd_sizes_and_integral_widening_join(spark):
     dim = spark.range(0, 40, 7).select(F.col("id").alias("dk"), F.lit("d").alias("t"))
     got = sorted(r["k"] for r in join_bloom_prefilter(fact, dim, "k", "dk").collect())
     assert got == [0, 7, 14, 21, 28, 35]
+
+
+def test_shuffle_shards_is_a_permutation_and_epoch_decorrelated(spark):
+    from idr_data_pipelines_spark.llmdata.sampling import shuffle_shards
+
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    e0 = shuffle_shards(df, "doc_id", n_shards=4, epoch=0).collect()
+    # every row present exactly once; positions contiguous 1..|shard|
+    assert sorted(r.doc_id for r in e0) == list(range(200))
+    by_shard: dict[int, list[int]] = {}
+    for r in e0:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= {0, 1, 2, 3}
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # deterministic: same epoch → identical assignment
+    again = shuffle_shards(df, "doc_id", n_shards=4, epoch=0).collect()
+    assert sorted(map(tuple, e0)) == sorted(map(tuple, again))
+    # a fresh epoch is a genuinely different permutation
+    e1 = shuffle_shards(df, "doc_id", n_shards=4, epoch=1).collect()
+    assert sorted(map(tuple, e0)) != sorted(map(tuple, e1))
+
+    with pytest.raises(ValueError):
+        shuffle_shards(df, "doc_id", n_shards=0)
+
+
+def test_temperature_mix_shares_limits_and_bias(spark):
+    from idr_data_pipelines_spark.llmdata.sampling import (
+        temperature_mix_shares,
+    )
+
+    rows = [("big",)] * 900 + [("small",)] * 100
+    df = spark.createDataFrame(rows, ["source"])
+
+    # alpha=1 → natural sampling: temp == nat, boost == 1
+    nat = {
+        r.source: r
+        for r in temperature_mix_shares(df, "source", alpha=1.0).collect()
+    }
+    for r in nat.values():
+        assert abs(r.temp_share - r.nat_share) < 1e-12
+        assert abs(r.boost - 1.0) < 1e-12
+
+    # alpha=0 → uniform shares regardless of size
+    uni = {
+        r.source: r
+        for r in temperature_mix_shares(df, "source", alpha=0.0).collect()
+    }
+    assert abs(uni["big"].temp_share - 0.5) < 1e-12
+    assert abs(uni["small"].temp_share - 0.5) < 1e-12
+
+    # 0<alpha<1 → the small source is boosted, the big one damped,
+    # and shares still sum to 1
+    mid = {
+        r.source: r
+        for r in temperature_mix_shares(df, "source", alpha=0.5).collect()
+    }
+    assert mid["small"].boost > 1.0 > mid["big"].boost
+    assert abs(sum(r.temp_share for r in mid.values()) - 1.0) < 1e-12
+
+
+def test_cluster_keep_best_elects_max_quality(spark):
+    from idr_data_pipelines_spark.llmdata.dedup import cluster_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, 10.0), (2, 30.0), (3, 20.0), (4, 5.0), (5, 30.0), (6, 30.0)],
+        ["doc_id", "q"],
+    )
+    # chain 1-2-3 (keeper: 2, max q), pair 5-6 (tie → min id 5),
+    # 4 unpaired (own keeper)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], ["id_a", "id_b"]
+    )
+    out = {
+        r.doc_id: r
+        for r in cluster_keep_best(docs, edges, quality_col="q").collect()
+    }
+    assert len(out) == 6
+    assert [out[i].keeper_id for i in (1, 2, 3)] == [2, 2, 2]
+    assert out[4].keeper_id == 4 and out[4].is_keeper
+    assert [out[i].keeper_id for i in (5, 6)] == [5, 5]
+    # exactly one keeper per cluster
+    clusters: dict[int, int] = {}
+    for r in out.values():
+        clusters[r.cluster_id] = clusters.get(r.cluster_id, 0) + int(
+            r.is_keeper
+        )
+    assert all(v == 1 for v in clusters.values())
+
+
+def test_vocab_coverage_monotone_and_exact_on_known_corpus(spark):
+    from idr_data_pipelines_spark.llmdata.text import vocab_coverage
+
+    # 10 'a', 5 'b', 3 'c', 2 'd' → total 20; cum: a=10, +b=15, +c=18,
+    # +d=20 → 50%→1 token, 90%→3, 99%→4
+    df = spark.createDataFrame(
+        [("a " * 10 + "b " * 5 + "c " * 3 + "d " * 2,)], ["text"]
+    )
+    rows = {
+        r.coverage: r
+        for r in vocab_coverage(df, "text", thresholds=(0.5, 0.9, 0.99)).collect()
+    }
+    assert rows[0.5].vocab_size == 1
+    assert rows[0.9].vocab_size == 3
+    assert rows[0.99].vocab_size == 4
+    assert all(r.total_tokens == 20 for r in rows.values())

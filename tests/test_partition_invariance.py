@@ -64,6 +64,14 @@ NAMES = [
     "text_bigram_lm",
     "text_char_stats",
     "docs_gopher_rules",
+    # round-7 session 3: md5-ordered shard positions, pow-rounded
+    # shares, global-cumulative rank cuts, quality-argmax keepers
+    "corpus_shuffle_shards",
+    "mix_temperature",
+    "text_vocab_coverage",
+    "dedup_keep_best",
+    "decontaminate_report",
+    "orders_basket_lift",
 ]
 
 

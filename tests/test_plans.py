@@ -583,6 +583,9 @@ LINT_WAIVERS = {
     "orders_abc_analysis": {"cartesian-product"},
     "rfm_segments": {"cartesian-product"},
     "skew_metrics": {"cartesian-product"},
+    "mix_temperature": {"cartesian-product"},
+    "text_vocab_coverage": {"cartesian-product"},
+    "orders_basket_lift": {"cartesian-product"},
     "docs_ccnet_buckets": {"cartesian-product"},
     "text_collocations": {"cartesian-product"},
     "text_perplexity_unigram": {"cartesian-product"},
