@@ -1186,7 +1186,16 @@ def cluster_keep_best(
     comp = connected_components(edges, src=src, dst=dst)
     labeled = (
         docs.select(
-            F.col(id_col), F.col(quality_col).cast("double").alias("__q")
+            F.col(id_col),
+            # null quality must LOSE the election, not win it: min over
+            # struct((-q), id) sorts NULL first, so an unguarded null
+            # would beat every real score — coalesce to -inf instead
+            # (a null-quality doc still keeps a cluster where every
+            # member is null, by id)
+            F.coalesce(
+                F.col(quality_col).cast("double"),
+                F.lit(float("-inf")),
+            ).alias("__q"),
         )
         .join(comp.withColumnRenamed("id", id_col), id_col, "left")
         .select(

@@ -161,10 +161,13 @@ def resize_image(payload: bytes, factor: int = 4) -> bytes:
 
     with img_mod.open(io.BytesIO(payload)) as im:
         # explicit NEAREST: Pillow's default (bicubic for RGB) varies
-        # across versions, breaking the documented replayable output
+        # across versions, breaking the documented replayable output.
+        # Resampling enum only exists on Pillow >= 9.1; older versions
+        # expose the same constant as Image.NEAREST
+        nearest = getattr(img_mod, "Resampling", img_mod).NEAREST
         out = im.resize(
             (max(1, im.size[0] // factor), max(1, im.size[1] // factor)),
-            resample=img_mod.Resampling.NEAREST,
+            resample=nearest,
         )
         buf = io.BytesIO()
         out.save(buf, format="PNG")

@@ -60,21 +60,27 @@ def sink_table_bucketed(
 
     Self-healing overwrite: ``saveAsTable(mode="overwrite")`` refuses a
     managed location left behind by a previous session whose catalog
-    entry is gone (LOCATION_ALREADY_EXISTS), so the write drops the
-    table and removes any orphaned warehouse directory first. The
-    cleanup uses the Hadoop FileSystem via the JVM gateway (classic
-    deployments only, like ``compact_parquet_dir``) and handles
-    unqualified (default-database) table names.
+    entry is GONE (LOCATION_ALREADY_EXISTS). The heal targets exactly
+    that orphan case: the warehouse directory is force-removed ONLY
+    when no catalog entry exists for ``table`` — a live catalog entry
+    (managed or external) is left to ``mode("overwrite")``'s own
+    semantics, so external-table data is never destroyed by the heal.
+    The cleanup uses the Hadoop FileSystem via the JVM gateway
+    (classic deployments only, like ``compact_parquet_dir``) and only
+    for unqualified default-database names — a qualified ``db.tbl``
+    lives under ``db.db/`` and is skipped rather than guessed at.
     """
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    wh = spark.conf.get("spark.sql.warehouse.dir")
-    loc = jvm.org.apache.hadoop.fs.Path(wh.rstrip("/") + "/" + table.lower())
-    fs = loc.getFileSystem(conf)
-    if fs.exists(loc):
-        fs.delete(loc, True)
+    if not spark.catalog.tableExists(table) and "." not in table:
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        loc = jvm.org.apache.hadoop.fs.Path(
+            wh.rstrip("/") + "/" + table.lower()
+        )
+        fs = loc.getFileSystem(conf)
+        if fs.exists(loc):
+            fs.delete(loc, True)
     writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

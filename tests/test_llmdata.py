@@ -1697,3 +1697,21 @@ def test_vocab_coverage_monotone_and_exact_on_known_corpus(spark):
     assert rows[0.9].vocab_size == 3
     assert rows[0.99].vocab_size == 4
     assert all(r.total_tokens == 20 for r in rows.values())
+
+
+def test_cluster_keep_best_null_quality_loses(spark):
+    from idr_data_pipelines_spark.llmdata.dedup import cluster_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, 100.0), (3, None), (4, None)],
+        "doc_id long, q double",
+    )
+    # pair (1,2): the null-quality copy must NOT beat the scored one;
+    # pair (3,4): all-null cluster falls back to min id
+    edges = spark.createDataFrame([(1, 2), (3, 4)], ["id_a", "id_b"])
+    out = {
+        r.doc_id: r
+        for r in cluster_keep_best(docs, edges, quality_col="q").collect()
+    }
+    assert out[1].keeper_id == 2 and not out[1].is_keeper
+    assert out[3].keeper_id == 3 and out[3].is_keeper

@@ -64,6 +64,10 @@ NAMES = [
     "text_bigram_lm",
     "text_char_stats",
     "docs_gopher_rules",
+    # round-7 session 2: rounded bigram means (summation-order
+    # sensitive by construction) and cross-doc text reassembly
+    "text_perplexity_bigram",
+    "docs_remove_dup_chunks",
     # round-7 session 3: md5-ordered shard positions, pow-rounded
     # shares, global-cumulative rank cuts, quality-argmax keepers
     "corpus_shuffle_shards",

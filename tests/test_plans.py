@@ -623,6 +623,10 @@ def test_plan_linter_full_registry(spark, sf_dir):
         # stale — report exactly the rules whose finding disappeared
         if waived - fatals:
             stale[name] = sorted(waived - fatals)
+    # a waiver naming a removed/renamed query is stale in full — the
+    # per-name loop above only sees names still in QUERIES
+    for name in set(LINT_WAIVERS) - set(QUERIES):
+        stale[name] = sorted(LINT_WAIVERS[name])
     assert not violations, f"unwaived fatal plan findings: {violations}"
     # a waived rule whose finding disappeared must be removed — dead
     # waivers hide regressions

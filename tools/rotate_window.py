@@ -67,6 +67,17 @@ def main() -> None:
         with open(args.names_file) as fh:
             window = [ln.strip() for ln in fh if ln.strip()]
     else:
+        # the default staging reads positions 50-149 of the IMPORTED
+        # dict — valid only before any epilogue exists. After a
+        # rotation those positions start with the just-retired window,
+        # so re-running the default would silently stage stale picks:
+        # refuse and require an explicit list instead.
+        if MARK_BEGIN in open(QUERIES_PY).read():
+            sys.exit(
+                "a rotation epilogue already exists; the positional "
+                "default would stage the retired window — pass the "
+                "next window explicitly via --names-file"
+            )
         window = staged_window(names, set(ORACLES))
 
     # invariants: exactly one window, every pick oracled and known
