@@ -205,6 +205,11 @@ def main() -> None:
                 )
                 timed(f"{name} {scale}", build)
 
+    # explicit teardown: a nohup'd run has been observed hanging after
+    # the last timed line on a lingering non-daemon JVM thread; stop
+    # the session so the process exits when the work is done
+    spark.stop()
+
 
 if __name__ == "__main__":
     main()
