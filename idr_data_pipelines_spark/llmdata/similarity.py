@@ -1083,11 +1083,21 @@ def pq_assign_fixed(
 
     Scale shape: the codebook is ``n_centroids`` collected rows
     (bounded driver transfer); assignment is a PURE PROJECTION —
-    per-subspace distances fold JVM-side against literal codeword
-    components, argmin via ``array_min`` over (dist, code) structs,
-    ZERO shuffles, so at 100 TB it is a map-only pass. Train real
-    codebooks with ``kmeans_fixed_step`` per subspace when seed
-    quality matters; the assignment plumbing is identical.
+    per-subspace distances fold JVM-side via higher-order functions
+    (``transform`` over the constant codebook array, ``zip_with`` +
+    ``aggregate`` over the subvector slices), argmin via
+    ``array_min`` over (dist, code) structs, ZERO shuffles, so at
+    100 TB it is a map-only pass. The HOF form matters for compile
+    cost, not just elegance: the earlier fully-unrolled variant
+    (n_centroids × sub_d squared-diff nodes per subspace, ~1k
+    expression nodes) put the OPTIMIZER, not the executor, in the
+    hot path — tens of seconds of plan analysis per build at these
+    codebook sizes. The fold keeps the identical left-associative
+    term order (``0.0 + t1 + t2 + …``; adding ``+0.0`` to the first
+    non-negative term is IEEE-exact), so the SQL oracle still
+    replays every code bit-for-bit. Train real codebooks with
+    ``kmeans_fixed_step`` per subspace when seed quality matters;
+    the assignment plumbing is identical.
     """
     if dim % n_subspaces:
         raise ValueError(f"dim {dim} not divisible by {n_subspaces}")
@@ -1098,19 +1108,41 @@ def pq_assign_fixed(
     per_sub = []
     for s in range(n_subspaces):
         lo = s * sub_d  # 0-based offset; Spark/DuckDB index from 1
-        structs = []
-        for cid, cvec in cent_rows:
-            # left-associative sum of squared diffs, term order i=1..sub_d
-            # — the oracle writes the identical chain
-            dist = None
-            for i in range(sub_d):
-                d = v[lo + i] - F.lit(float(cvec[lo + i]))
-                term = d * d
-                dist = term if dist is None else dist + term
-            structs.append(
-                F.struct(dist.alias("dist"), F.lit(cid).alias("code"))
+        sub_v = F.slice(v, lo + 1, sub_d)
+        # per-subspace codebook, pre-sliced in Python, built as ONE
+        # parsed SQL literal: a per-element F.lit() construction costs
+        # a py4j round-trip PER COMPONENT (n_centroids × sub_d calls —
+        # measured ~7 s of pure driver time at 16×16×4), while one
+        # expr() string parses JVM-side in milliseconds. repr(float)
+        # is shortest-round-trip, so the parsed doubles are
+        # bit-identical to the collected codeword components.
+        entries = ", ".join(
+            "named_struct('code', {}, 'vec', array({}))".format(
+                int(cid),
+                ", ".join(
+                    f"{float(cvec[lo + i])!r}D" for i in range(sub_d)
+                ),
             )
-        best = F.array_min(F.array(*structs))
+            for cid, cvec in cent_rows
+        )
+        codebook = F.expr(f"array({entries})")
+        best = F.array_min(
+            F.transform(
+                codebook,
+                lambda cw: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            sub_v,
+                            cw["vec"],
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, t: acc + t,
+                    ).alias("dist"),
+                    cw["code"].alias("code"),
+                ),
+            )
+        )
         per_sub.append(
             F.struct(
                 F.lit(s).alias("subspace"),
