@@ -1064,6 +1064,7 @@ def pq_assign_fixed(
     n_centroids: int = 16,
     n_subspaces: int = 4,
     dim: int = 64,
+    vectorized: bool | None = None,
 ) -> DataFrame:
     """Product-quantization code assignment with the fixed-seed
     codebook (the third member of the fixed-quantizer family beside
@@ -1098,11 +1099,86 @@ def pq_assign_fixed(
     replays every code bit-for-bit. Train real codebooks with
     ``kmeans_fixed_step`` per subspace when seed quality matters;
     the assignment plumbing is identical.
+
+    Two physical forms, BIT-IDENTICAL results (unlike the cosine
+    matmul in ``assign_fixed_clusters``, whose pairwise sums can
+    differ by an ulp): the Arrow path accumulates dimension-by-
+    dimension in the same left-associative order — sequential over
+    dims, numpy-vectorized over (rows × codewords) — and ``argmin``
+    takes the first minimum, which is the lowest code because the
+    codebook rows are sorted by id. Rounding happens in a Spark
+    expression AFTER the UDF so both paths share the JVM's HALF_UP.
+    ``vectorized=None`` auto-picks Arrow when the per-row codebook
+    work (n_centroids × dim) exceeds 512 ops — below that the pure
+    JVM projection avoids the Python worker round-trip entirely.
     """
     if dim % n_subspaces:
         raise ValueError(f"dim {dim} not divisible by {n_subspaces}")
     sub_d = dim // n_subspaces
     cent_rows = fixed_seed_centroid_rows(corpus, id_col, vec_col, n_centroids)
+    if vectorized is None:
+        vectorized = n_centroids * dim > 512
+
+    if vectorized:
+        import pandas as pd
+        from pyspark.sql.types import (
+            DoubleType,
+            IntegerType,
+            StructField,
+            StructType,
+        )
+
+        C = np.array([cv for _, cv in cent_rows], dtype=np.float64)
+        # positional index == code for a contiguous 0..n-1 seed (the
+        # collector guarantees it), but map through the actual ids so
+        # a future non-contiguous seed cannot silently mislabel
+        cids = np.array([cid for cid, _ in cent_rows], dtype=np.int32)
+        id_type = corpus.schema[id_col].dataType
+        out_schema = StructType(
+            [
+                StructField(id_col, id_type),
+                StructField("subspace", IntegerType()),
+                StructField("code", IntegerType()),
+                StructField("dist", DoubleType()),
+            ]
+        )
+
+        def assign(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.array(pdf["__v"].tolist(), dtype=np.float64)
+                n = len(V)
+                ids = pdf[id_col].to_numpy()
+                parts = []
+                for s in range(n_subspaces):
+                    lo = s * sub_d
+                    acc = np.zeros((n, len(C)), dtype=np.float64)
+                    for i in range(sub_d):
+                        d = V[:, lo + i][:, None] - C[None, :, lo + i]
+                        acc = acc + d * d
+                    codes = np.argmin(acc, axis=1)
+                    parts.append(
+                        pd.DataFrame(
+                            {
+                                id_col: ids,
+                                "subspace": np.full(n, s, dtype=np.int32),
+                                "code": cids[codes],
+                                "dist": acc[np.arange(n), codes],
+                            }
+                        )
+                    )
+                yield pd.concat(parts, ignore_index=True)
+
+        out = corpus.select(
+            F.col(id_col), _as_double(vec_col).alias("__v")
+        ).mapInPandas(assign, out_schema)
+        return out.select(
+            id_col,
+            "subspace",
+            "code",
+            F.round("dist", 6).alias("dist_r"),
+        )
 
     v = _as_double(vec_col)
     per_sub = []

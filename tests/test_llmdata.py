@@ -1715,3 +1715,15 @@ def test_cluster_keep_best_null_quality_loses(spark):
     }
     assert out[1].keeper_id == 2 and not out[1].is_keeper
     assert out[3].keeper_id == 3 and out[3].is_keeper
+
+
+def test_pq_assign_vectorized_equals_expression_path(spark, sf_dir):
+    """The Arrow PQ path accumulates in the same left-associative
+    order as the JVM fold, so the two forms must match EXACTLY —
+    codes AND rounded distances — not just approximately."""
+    from idr_data_pipelines_spark.llmdata.similarity import pq_assign_fixed
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = pq_assign_fixed(emb, vectorized=False).collect()
+    b = pq_assign_fixed(emb, vectorized=True).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
