@@ -652,7 +652,15 @@ def fixed_seed_centroid_rows(
 
 
 def _lit_vec(v: list) -> Column:
-    return F.array(*[F.lit(float(x)) for x in v])
+    """Constant double-array literal built as ONE parsed SQL
+    expression: per-element ``F.lit`` costs a py4j round-trip per
+    component, which at (n_centroids × dim) literals per build puts
+    the DRIVER in the hot path (the same pathology fixed in
+    ``pq_assign_fixed``). ``repr(float)`` is shortest-round-trip, so
+    the parsed doubles are bit-identical to the Python values."""
+    return F.expr(
+        "array({})".format(", ".join(f"{float(x)!r}D" for x in v))
+    )
 
 
 def _py_norm(v: list) -> float:
