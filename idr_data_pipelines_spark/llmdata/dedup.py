@@ -466,43 +466,21 @@ def md5_shingle_hashes(col: Column | str, k: int = 3) -> Column:
     )
 
 
-def minhash_md5_lsh_pairs(
+def _md5_band_and_shingle_frames(
     df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    num_perm: int = 16,
-    bands: int = 4,
-    shingle_k: int = 3,
-    jaccard_threshold: float = 0.5,
-) -> DataFrame:
-    """Near-dup pairs via banded MinHash-LSH with the ENGINE-PORTABLE
-    md5-32 shingle hash — every stage of the pipeline (shingle →
-    hash → universal-hash permutation minima → band keys → candidate
-    join → exact-Jaccard verify) is replayable bit-for-bit by an
-    ANSI/DuckDB oracle, unlike ``minhash_lsh_pairs`` whose xxhash64
-    shingle/band hashes have no portable SQL form:
-
-    - shingle hash: first 32 bits of md5(shingle) (``md5_hash32``);
-      < 2^32, so the ``(a*h + b) % P`` permutation family (same
-      fixed-seed coefficients and modulus as production —
-      ``_perm_coefficients`` / ``_MERSENNE_P``) stays below 2^63 and
-      is exact long arithmetic in both engines.
-    - band key: the band's r signature values joined with '_' into a
-      string — trivially portable, and exactly as collision-free as
-      the values themselves (no second hash involved).
-    - verify: exact Jaccard over the distinct md5-32 shingle-hash
-      sets, rounded to 6 decimals (module convention for floats).
-
-    Same plan shape as the production operator: signature projection
-    (no shuffle) → explode bands → self-equi-join on
-    (band_idx, band_key) → distinct pairs → verify join; the band
-    table is persisted across the self-join's two sides. Pure column
-    expressions throughout — no Python stage — because the portable
-    variant runs small verification corpora; production dedup keeps
-    ``minhash_lsh_pairs`` (numpy Arrow path, 128 perms).
-
-    Returns (id_a, id_b, jaccard_r) with id_a < id_b.
-    """
+    id_col: str,
+    text_col: str,
+    num_perm: int,
+    bands: int,
+    shingle_k: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared signature machinery of the portable MinHash family:
+    ``(banded, sh)`` — the (id, band_idx, band_key) LSH band table and
+    the (id, sh) distinct-shingle-hash table — for one input frame.
+    Both the batch-vs-itself (``minhash_md5_lsh_pairs``) and the
+    batch-vs-index (``minhash_md5_incremental_pairs``) shapes build
+    their sides from this one implementation, so hash-family fixes
+    land in one place."""
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
     r = num_perm // bands
@@ -559,14 +537,124 @@ def minhash_md5_lsh_pairs(
         )
 
     banded = (
-        sigs.select("id", F.explode(_let(F.col("signature"), band_structs)).alias("band"))
+        sigs.select(
+            "id", F.explode(_let(F.col("signature"), band_structs)).alias("band")
+        )
         .select("id", "band.band_idx", "band.band_key")
-        .persist()
     )
     sh = df.select(
         F.col(id_col).alias("id"),
         md5_shingle_hashes(text_col, shingle_k).alias("sh"),
-    ).persist()
+    )
+    return banded, sh
+
+
+def minhash_md5_incremental_pairs(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental NEAR-dup: candidate pairs between a new ``batch``
+    and an existing ``corpus`` via the LSH band index — the near-dup
+    analogue of ``dedup_incremental``'s exact fingerprint anti-join,
+    and the shape a streaming/daily ingest actually runs: sign ONLY
+    the batch, probe the corpus's band index, verify exact Jaccard on
+    the collisions. Returns ``(id_new, id_old, jaccard_r)``; an
+    unmatched batch doc is novel (append it and its bands to the
+    index), a matched one is a near-dup of existing data.
+
+    Scale shape: the batch side is batch-sized everywhere; in
+    production the corpus band table is WRITE-ONCE — persisted
+    bucketed by ``band_key`` (``sink_table_bucketed``) so each probe
+    shuffles only the batch's bands, never the index. Here both sides
+    derive from the same portable md5-32 machinery
+    (``_md5_band_and_shingle_frames``), which is what makes the whole
+    probe replayable by a SQL oracle. Callers must pass disjoint id
+    sets (a shared id would pair with itself on every band).
+    """
+    b_band, b_sh = _md5_band_and_shingle_frames(
+        batch, id_col, text_col, num_perm, bands, shingle_k
+    )
+    c_band, c_sh = _md5_band_and_shingle_frames(
+        corpus, id_col, text_col, num_perm, bands, shingle_k
+    )
+    pairs = (
+        b_band.alias("b")
+        .join(
+            c_band.alias("c"),
+            (F.col("b.band_idx") == F.col("c.band_idx"))
+            & (F.col("b.band_key") == F.col("c.band_key")),
+        )
+        .select(F.col("b.id").alias("id_new"), F.col("c.id").alias("id_old"))
+        .distinct()
+    )
+    return (
+        pairs.join(
+            b_sh.withColumnsRenamed({"id": "id_new", "sh": "sh_n"}), "id_new"
+        )
+        .join(
+            c_sh.withColumnsRenamed({"id": "id_old", "sh": "sh_o"}), "id_old"
+        )
+        .withColumn(
+            "jaccard_r",
+            F.round(
+                F.size(F.array_intersect("sh_n", "sh_o")).cast("double")
+                / F.size(F.array_union("sh_n", "sh_o")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard_r") >= jaccard_threshold)
+        .select("id_new", "id_old", "jaccard_r")
+    )
+
+
+def minhash_md5_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash-LSH with the ENGINE-PORTABLE
+    md5-32 shingle hash — every stage of the pipeline (shingle →
+    hash → universal-hash permutation minima → band keys → candidate
+    join → exact-Jaccard verify) is replayable bit-for-bit by an
+    ANSI/DuckDB oracle, unlike ``minhash_lsh_pairs`` whose xxhash64
+    shingle/band hashes have no portable SQL form:
+
+    - shingle hash: first 32 bits of md5(shingle) (``md5_hash32``);
+      < 2^32, so the ``(a*h + b) % P`` permutation family (same
+      fixed-seed coefficients and modulus as production —
+      ``_perm_coefficients`` / ``_MERSENNE_P``) stays below 2^63 and
+      is exact long arithmetic in both engines.
+    - band key: the band's r signature values joined with '_' into a
+      string — trivially portable, and exactly as collision-free as
+      the values themselves (no second hash involved).
+    - verify: exact Jaccard over the distinct md5-32 shingle-hash
+      sets, rounded to 6 decimals (module convention for floats).
+
+    Same plan shape as the production operator: signature projection
+    (no shuffle) → explode bands → self-equi-join on
+    (band_idx, band_key) → distinct pairs → verify join; the band
+    table is persisted across the self-join's two sides. Pure column
+    expressions throughout — no Python stage — because the portable
+    variant runs small verification corpora; production dedup keeps
+    ``minhash_lsh_pairs`` (numpy Arrow path, 128 perms).
+
+    Returns (id_a, id_b, jaccard_r) with id_a < id_b.
+    """
+    banded, sh = _md5_band_and_shingle_frames(
+        df, id_col, text_col, num_perm, bands, shingle_k
+    )
+    banded = banded.persist()
+    sh = sh.persist()
     try:
         left = banded.alias("l")
         right = banded.alias("r")

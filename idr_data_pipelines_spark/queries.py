@@ -6014,6 +6014,31 @@ def q_dedup_keep_best(spark, sf_dir):
     return cluster_keep_best(docs, edges, quality_col="n_chars")
 
 
+def q_dedup_minhash_incremental(spark, sf_dir):
+    """Incremental NEAR-dup probe (the near-dup analogue of
+    `dedup_incremental`'s exact anti-join, the daily-ingest shape):
+    documents with doc_id % 7 == 0 act as the new batch, the rest as
+    the existing corpus; the batch's md5-32 LSH bands probe the
+    corpus's band index and collisions are verified with exact
+    Jaccard ≥ 0.5. Only the batch is signed fresh; at production
+    scale the corpus band table is write-once, bucketed by band_key
+    (`sink_table_bucketed`), so each probe shuffles batch-sized data
+    only. Fully engine-portable (same md5-32 hash family as
+    dedup_minhash_md5), so the whole probe carries a value-hash
+    oracle."""
+    from idr_data_pipelines_spark.llmdata.dedup import (
+        minhash_md5_incremental_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    return minhash_md5_incremental_pairs(
+        batch, corpus, num_perm=16, bands=4, shingle_k=3,
+        jaccard_threshold=0.5,
+    )
+
+
 def q_decontaminate_report(spark, sf_dir):
     """Contamination AUDIT rollup — the per-source report a curation
     run publishes alongside the decontaminated corpus: for each
@@ -6160,11 +6185,12 @@ def q_orders_basket_lift(spark, sf_dir):
 # at the dict's very end. Entries after the window are still swept
 # every CI run by tests/test_oracle_parity.py.
 #
-# r09 staging: the 9 new r07 session-2/3 entries (dup-chunk removal,
+# r09 staging: the 10 new r07 session-2/3 entries (dup-chunk removal,
 # bigram perplexity, bucketed join, shuffle-sharding, temperature
 # mix, vocab coverage, keep-best dedup, decontamination report,
-# basket lift) queue with whatever the r08 window (9 deferred +
-# 10 new-r07 + 33 stale = 52-for-50) spills.
+# basket lift, incremental minhash probe) queue with whatever the
+# r08 window (9 deferred + 10 new-r07 + 33 stale = 52-for-50)
+# spills.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- driver window: r06 session-3, never driver-checked — TPC-H completion
     "q2_min_cost_supplier": q_q2_min_cost_supplier,
@@ -6264,6 +6290,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_keep_best": q_dedup_keep_best,
     "decontaminate_report": q_decontaminate_report,
     "orders_basket_lift": q_orders_basket_lift,
+    "dedup_minhash_incremental": q_dedup_minhash_incremental,
     # -- last green r03 — next r08 picks after the deferrals
     "emb_cosine_near_dup": q_emb_cosine_near_dup,
     "join_asof": q_join_asof,
@@ -6586,6 +6613,58 @@ def _minhash_md5_sql(num_perm: int, bands: int, k: int, threshold: float) -> str
             FROM pairs p
             JOIN hs a ON p.id_a = a.doc_id
             JOIN hs b ON p.id_b = b.doc_id
+        ) WHERE jaccard_r >= {threshold}
+    """
+
+
+def _minhash_md5_incremental_sql(
+    num_perm: int, bands: int, k: int, threshold: float
+) -> str:
+    """DuckDB replay of ``minhash_md5_incremental_pairs`` over the
+    doc_id % 7 batch/corpus split — identical signature CTEs to
+    ``_minhash_md5_sql``; only the pair join is restricted to
+    batch × corpus."""
+    from idr_data_pipelines_spark.llmdata.dedup import (
+        _MERSENNE_P,
+        _perm_coefficients,
+    )
+
+    r = num_perm // bands
+    coeffs = _perm_coefficients(num_perm)
+    mins = ", ".join(
+        f"list_min(list_transform(hv, h -> ({a} * h + {b}) % {_MERSENNE_P}))"
+        for a, b in coeffs
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, concat_ws('_', "
+        + ", ".join(f"CAST(s[{b * r + j + 1}] AS VARCHAR)" for j in range(r))
+        + ") AS band_key FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+        WITH hs AS (
+            SELECT doc_id, {_md5_shingle_hashes_sql(k)} AS hv
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                  FROM documents WHERE text IS NOT NULL)
+        ), sig AS (
+            SELECT doc_id, [{mins}] AS s FROM hs
+        ), banded AS (
+            {band_rows}
+        ), pairs AS (
+            SELECT DISTINCT b.doc_id AS id_new, c.doc_id AS id_old
+            FROM banded b JOIN banded c
+              ON b.band_idx = c.band_idx AND b.band_key = c.band_key
+            WHERE b.doc_id % 7 = 0 AND c.doc_id % 7 <> 0
+        )
+        SELECT id_new, id_old, jaccard_r FROM (
+            SELECT p.id_new, p.id_old,
+                   ROUND(CAST(len(list_intersect(n.hv, o.hv)) AS DOUBLE)
+                         / CAST(len(list_distinct(n.hv || o.hv)) AS DOUBLE),
+                         6) AS jaccard_r
+            FROM pairs p
+            JOIN hs n ON p.id_new = n.doc_id
+            JOIN hs o ON p.id_old = o.doc_id
         ) WHERE jaccard_r >= {threshold}
     """
 
@@ -8448,6 +8527,9 @@ ORACLES: dict[str, str] = {
         FROM documents WHERE text IS NULL
     """,
     "dedup_minhash_md5": _minhash_md5_sql(
+        num_perm=16, bands=4, k=3, threshold=0.5
+    ),
+    "dedup_minhash_incremental": _minhash_md5_incremental_sql(
         num_perm=16, bands=4, k=3, threshold=0.5
     ),
     "text_winnow_md5": _winnow_md5_sql(k=4, window=4),

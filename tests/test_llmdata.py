@@ -1727,3 +1727,34 @@ def test_pq_assign_vectorized_equals_expression_path(spark, sf_dir):
     a = pq_assign_fixed(emb, vectorized=False).collect()
     b = pq_assign_fixed(emb, vectorized=True).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_minhash_incremental_equals_cross_pairs_of_full(spark, sf_dir):
+    """The incremental probe must find EXACTLY the full self-join's
+    pairs that straddle the batch/corpus split — same bands, same
+    verify, only the join shape differs."""
+    from idr_data_pipelines_spark.llmdata.dedup import (
+        minhash_md5_incremental_pairs,
+        minhash_md5_lsh_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = minhash_md5_lsh_pairs(
+        docs, num_perm=16, bands=4, shingle_k=3, jaccard_threshold=0.5
+    ).collect()
+    want = {
+        ((r.id_a, r.id_b) if r.id_a % 7 == 0 else (r.id_b, r.id_a), r.jaccard_r)
+        for r in full
+        if (r.id_a % 7 == 0) != (r.id_b % 7 == 0)
+    }
+    inc = minhash_md5_incremental_pairs(
+        docs.filter(F.col("doc_id") % 7 == 0),
+        docs.filter(F.col("doc_id") % 7 != 0),
+        num_perm=16,
+        bands=4,
+        shingle_k=3,
+        jaccard_threshold=0.5,
+    ).collect()
+    got = {((r.id_new, r.id_old), r.jaccard_r) for r in inc}
+    assert got == want

@@ -76,6 +76,7 @@ NAMES = [
     "dedup_keep_best",
     "decontaminate_report",
     "orders_basket_lift",
+    "dedup_minhash_incremental",
 ]
 
 
