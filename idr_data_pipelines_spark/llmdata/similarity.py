@@ -1239,3 +1239,101 @@ def pq_assign_fixed(
     return corpus.select(
         F.col(id_col), F.explode(F.array(*per_sub)).alias("pq")
     ).select(id_col, "pq.subspace", "pq.code", "pq.dist_r")
+
+
+def matryoshka_prefix(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    prefix_dim: int = 16,
+) -> DataFrame:
+    """Matryoshka (MRL) prefix truncation: keep the first
+    ``prefix_dim`` components and L2-renormalize — the serving trick
+    of Matryoshka-trained embedding models, where a dimension prefix
+    is itself a valid (cheaper) embedding for coarse retrieval.
+    Long-form output ``(id, dim, val_r)`` for the renormalized prefix
+    plus ``norm_frac_r`` (what fraction of the full vector's L2 norm
+    the prefix retains — the quality signal that decides how deep the
+    funnel can truncate).
+
+    Engine-exact without fold-order games: components scale to e6
+    integers (``floor(x·1e6 + 0.5)``, bit-identical everywhere), all
+    norms derive from INTEGER sums of squares (order-free, exact), and
+    only the final divide/sqrt/round are doubles with a fixed
+    operation order. Pure projection + bounded explode — zero
+    shuffles at any scale.
+    """
+    e6 = F.transform(
+        _as_double(vec_col),
+        lambda x: F.floor(x * F.lit(1_000_000.0) + F.lit(0.5)).cast("bigint"),
+    )
+    sumsq = lambda arr: F.aggregate(  # noqa: E731 — integer, order-free
+        arr, F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
+    )
+    base = corpus.select(
+        F.col(id_col),
+        e6.alias("__e6"),
+        sumsq(F.slice(e6, 1, prefix_dim)).alias("__pre"),
+        sumsq(e6).alias("__full"),
+    )
+    return base.select(
+        id_col,
+        F.posexplode(F.slice("__e6", 1, prefix_dim)).alias("pos", "__c"),
+        "__pre",
+        "__full",
+    ).select(
+        id_col,
+        F.col("pos").alias("dim"),  # posexplode is 0-based
+        F.round(
+            F.col("__c").cast("double")
+            / F.sqrt(F.col("__pre").cast("double")),
+            6,
+        ).alias("val_r"),
+        F.round(
+            F.sqrt(
+                F.col("__pre").cast("double") / F.col("__full").cast("double")
+            ),
+            6,
+        ).alias("norm_frac_r"),
+    )
+
+
+def sign_bitpack(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Binary (sign) embedding quantization: each component maps to
+    one bit (1 iff > 0) and the vector packs into two 32-bit halves —
+    ``(id, sig_hi, sig_lo)``, a 64-float → 8-byte compression whose
+    Hamming distance approximates angular distance (the binary-
+    embedding retrieval trick; 32-bit halves rather than one 64-bit
+    word so the integer arithmetic stays inside signed-BIGINT range
+    in every engine). All integer ops — exact, order-free, fully
+    SQL-replayable; Hamming between two rows is
+    ``bit_count(sig_hi ^ sig_hi') + bit_count(sig_lo ^ sig_lo')``.
+    Pure projection, zero shuffles.
+    """
+    if dim % 2:
+        raise ValueError("dim must be even to split into two halves")
+    half = dim // 2
+    v = _as_double(vec_col)
+
+    def pack(lo: int) -> Column:
+        # MSB-first fold: acc·2 + bit leaves the first component in
+        # the highest bit — integer-exact, no per-element shifts
+        return F.aggregate(
+            F.slice(v, lo + 1, half),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc * F.lit(2).cast("bigint")
+            + F.when(x > 0, F.lit(1).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            ),
+        )
+
+    return corpus.select(
+        F.col(id_col),
+        pack(0).alias("sig_hi"),
+        pack(half).alias("sig_lo"),
+    )

@@ -6014,6 +6014,57 @@ def q_dedup_keep_best(spark, sf_dir):
     return cluster_keep_best(docs, edges, quality_col="n_chars")
 
 
+def q_emb_matryoshka_truncate(spark, sf_dir):
+    """Matryoshka (MRL) prefix truncation: the first 16 of 64
+    components renormalized into a valid cheap embedding, plus the
+    retained-norm fraction that decides how deep a retrieval funnel
+    can truncate. Engine-exact via the scaled-int idiom: components
+    → e6 integers, norms from INTEGER sums of squares (order-free),
+    only the final divide/sqrt/round in doubles. Pure projection +
+    bounded explode — zero shuffles at any scale."""
+    from idr_data_pipelines_spark.llmdata.similarity import matryoshka_prefix
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return matryoshka_prefix(emb, prefix_dim=16)
+
+
+def q_emb_sign_hamming(spark, sf_dir):
+    """Binary-embedding compression + Hamming search: every vector
+    sign-quantizes to 64 bits packed as two 32-bit halves (8 bytes —
+    a 32× compression), and adjacent-id pairs (the deterministic
+    candidate set, as in ngram_jaccard_adjacent) get their Hamming
+    distance via bit_count(xor) — the angular-distance surrogate
+    binary retrieval ranks with. All integer ops, exact and
+    order-free in both engines; the pack is a projection, the pair
+    join id-keyed. At scale the packed table IS the index: 8 bytes a
+    row scans two orders of magnitude faster than raw floats."""
+    from idr_data_pipelines_spark.llmdata.similarity import sign_bitpack
+
+    emb = _t(spark, sf_dir, "embeddings")
+    s = sign_bitpack(emb, dim=64)
+    a = s.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("sig_hi").alias("ah"),
+        F.col("sig_lo").alias("al"),
+    )
+    b = s.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("sig_hi").alias("bh"),
+        F.col("sig_lo").alias("bl"),
+    )
+    return (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.bit_count(F.col("ah").bitwiseXOR(F.col("bh")))
+                + F.bit_count(F.col("al").bitwiseXOR(F.col("bl")))
+            ).cast("bigint").alias("hamming"),
+        )
+    )
+
+
 def q_dedup_minhash_incremental(spark, sf_dir):
     """Incremental NEAR-dup probe (the near-dup analogue of
     `dedup_incremental`'s exact anti-join, the daily-ingest shape):
@@ -6185,12 +6236,12 @@ def q_orders_basket_lift(spark, sf_dir):
 # at the dict's very end. Entries after the window are still swept
 # every CI run by tests/test_oracle_parity.py.
 #
-# r09 staging: the 10 new r07 session-2/3 entries (dup-chunk removal,
+# r09 staging: the 12 new r07 session-2/3 entries (dup-chunk removal,
 # bigram perplexity, bucketed join, shuffle-sharding, temperature
 # mix, vocab coverage, keep-best dedup, decontamination report,
-# basket lift, incremental minhash probe) queue with whatever the
-# r08 window (9 deferred + 10 new-r07 + 33 stale = 52-for-50)
-# spills.
+# basket lift, incremental minhash probe, Matryoshka truncation,
+# sign-Hamming compression) queue with whatever the r08 window
+# (9 deferred + 10 new-r07 + 33 stale = 52-for-50) spills.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- driver window: r06 session-3, never driver-checked — TPC-H completion
     "q2_min_cost_supplier": q_q2_min_cost_supplier,
@@ -6291,6 +6342,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_report": q_decontaminate_report,
     "orders_basket_lift": q_orders_basket_lift,
     "dedup_minhash_incremental": q_dedup_minhash_incremental,
+    "emb_matryoshka_truncate": q_emb_matryoshka_truncate,
+    "emb_sign_hamming": q_emb_sign_hamming,
     # -- last green r03 — next r08 picks after the deferrals
     "emb_cosine_near_dup": q_emb_cosine_near_dup,
     "join_asof": q_join_asof,
@@ -8532,6 +8585,51 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_incremental": _minhash_md5_incremental_sql(
         num_perm=16, bands=4, k=3, threshold=0.5
     ),
+    "emb_matryoshka_truncate": """
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(
+                       embedding,
+                       x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                                 AS BIGINT)) AS e6
+            FROM embeddings
+        ), s AS (
+            SELECT vec_id, e6,
+                   CAST(list_sum(list_transform(e6[1:16], x -> x * x))
+                        AS BIGINT) AS pre,
+                   CAST(list_sum(list_transform(e6, x -> x * x))
+                        AS BIGINT) AS fl
+            FROM e
+        )
+        SELECT vec_id, CAST(i - 1 AS INT) AS dim,
+               ROUND(CAST(e6[i] AS DOUBLE) / sqrt(CAST(pre AS DOUBLE)), 6)
+                   AS val_r,
+               ROUND(sqrt(CAST(pre AS DOUBLE) / CAST(fl AS DOUBLE)), 6)
+                   AS norm_frac_r
+        FROM s, unnest(range(1, 17)) AS u(i)
+    """,
+    "emb_sign_hamming": """
+        WITH s AS (
+            SELECT vec_id,
+                   CAST(list_sum(list_transform(range(1, 33),
+                       i -> CASE WHEN CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                                      > 0.0
+                                 THEN (CAST(1 AS BIGINT) << (32 - CAST(i AS INT)))
+                                 ELSE CAST(0 AS BIGINT) END))
+                        AS BIGINT) AS hi,
+                   CAST(list_sum(list_transform(range(33, 65),
+                       i -> CASE WHEN CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                                      > 0.0
+                                 THEN (CAST(1 AS BIGINT) << (64 - CAST(i AS INT)))
+                                 ELSE CAST(0 AS BIGINT) END))
+                        AS BIGINT) AS lo
+            FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(bit_count(xor(a.hi, b.hi))
+                    + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+        FROM s a JOIN s b ON b.vec_id = a.vec_id + 1
+    """,
     "text_winnow_md5": _winnow_md5_sql(k=4, window=4),
     # portable HLL registers: b=6 -> bucket = top 6 bits of md5-32,
     # rho over the low 26 bits via minimal-width bin() in both engines

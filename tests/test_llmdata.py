@@ -1758,3 +1758,31 @@ def test_minhash_incremental_equals_cross_pairs_of_full(spark, sf_dir):
     ).collect()
     got = {((r.id_new, r.id_old), r.jaccard_r) for r in inc}
     assert got == want
+
+
+def test_sign_bitpack_known_bits(spark):
+    from idr_data_pipelines_spark.llmdata.dedup import dedup_exact  # noqa: F401
+    from idr_data_pipelines_spark.llmdata.similarity import sign_bitpack
+
+    # 4 dims: [+,-,+,0] → hi bits (2 dims) = 0b10 = 2, lo = 0b10 = 2
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5, 0.0])], "vec_id long, embedding array<double>"
+    )
+    r = sign_bitpack(df, dim=4).collect()[0]
+    assert (r.sig_hi, r.sig_lo) == (2, 2)
+    with __import__("pytest").raises(ValueError):
+        sign_bitpack(df, dim=3)
+
+
+def test_matryoshka_prefix_unit_norm(spark):
+    from idr_data_pipelines_spark.llmdata.similarity import matryoshka_prefix
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0, 12.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    rows = matryoshka_prefix(df, prefix_dim=2).collect()
+    # prefix (3,4): norm 5 → renormalized (0.6, 0.8); full norm 13
+    got = {r.dim: r for r in rows}
+    assert got[0].val_r == 0.6 and got[1].val_r == 0.8
+    assert abs(got[0].norm_frac_r - 5.0 / 13.0) < 1e-6
+    assert set(got) == {0, 1}

@@ -77,6 +77,8 @@ NAMES = [
     "decontaminate_report",
     "orders_basket_lift",
     "dedup_minhash_incremental",
+    "emb_matryoshka_truncate",
+    "emb_sign_hamming",
 ]
 
 
