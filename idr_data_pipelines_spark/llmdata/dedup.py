@@ -1303,3 +1303,45 @@ def cluster_keep_best(
         "keeper_id",
         (F.col(id_col) == F.col("keeper_id")).alias("is_keeper"),
     )
+
+
+def ngram_novelty_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY against everything that came
+    before it in corpus order (doc_id as ingest time): the fraction
+    of a document's distinct word-``k``-grams whose FIRST corpus
+    occurrence is this document. The curriculum/diversity signal a
+    streaming curation pass ranks by — high novelty = new content,
+    near-zero novelty = re-crawl/boilerplate (complements
+    ``cross_doc_ngram_stats``'s order-free shared fraction).
+
+    Scale shape: identical to ``cross_doc_ngram_stats`` — the shingle
+    scan runs once, feeding exactly TWO shuffles: a gram-key window
+    (MIN(doc_id) OVER gram — map-side-combinable) and the per-doc
+    rollup. All counts are integers; the ratio is one IEEE divide,
+    rounded — partition-invariant by construction. Hot grams are the
+    shared ones; AQE skew handling covers them."""
+    grams = docs.filter(F.col(text_col).isNotNull()).select(
+        id_col, F.explode(word_shingles(text_col, k)).alias("gram")
+    )
+    w = Window.partitionBy("gram")
+    per_doc = (
+        grams.withColumn("first_doc", F.min(id_col).over(w))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col(id_col), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        id_col,
+        "n_grams",
+        "n_novel",
+        F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty_r"),
+    )

@@ -644,3 +644,39 @@ def temperature_mix_shares(
             / F.col("n")
         ).alias("boost"),
     )
+
+
+def sample_balanced_labels(
+    df: DataFrame,
+    label_col: str = "label",
+    key_col: str = "vec_id",
+    salt: str = "balance",
+) -> DataFrame:
+    """Class-balanced exact downsampling: every label keeps exactly
+    ``min-class-count`` rows (the data-derived floor), elected by md5
+    rank within the label — the deterministic form of the class
+    rebalancing an eval-set or fine-tune mix build applies.
+    ``sample_exact_k_per_group`` with ``k`` computed FROM the data
+    instead of fixed by the caller.
+
+    Scale shape: one |labels|-row count aggregate (map-side combined);
+    the global floor is a window over that collapsed frame (the
+    linter's collapsed-frame rule applies); the per-label md5 rank is
+    the same one-shuffle external sort as ``sample_exact_k_per_group``.
+    The count frame broadcasts back — the corpus shuffles once.
+    Rank + floor are integers and the md5 order is engine-portable,
+    so the selected id set is exact and partition-invariant."""
+    counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("__n"))
+    floor = counts.select(
+        label_col,
+        F.min("__n").over(Window.partitionBy()).alias("__m"),
+    )
+    c = F.col(key_col)
+    h = F.md5(F.concat(F.lit(salt), c.cast("string")))
+    w = Window.partitionBy(label_col).orderBy(h, c)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(floor), label_col)
+        .filter(F.col("__rn") <= F.col("__m"))
+        .drop("__rn", "__m")
+    )

@@ -1337,3 +1337,190 @@ def sign_bitpack(
         pack(0).alias("sig_hi"),
         pack(half).alias("sig_lo"),
     )
+
+
+def knn_graph_fixed_cells(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_clusters: int = 16,
+) -> DataFrame:
+    """Corpus k-NN graph (each vector's top-``k`` cosine neighbors,
+    ties → lowest neighbor id), restricted to the vector's fixed-seed
+    coarse cell — the candidate-bounded construction SemDeDup-style
+    curation and graph-based filtering build on (the full exact graph
+    is a quadratic all-pairs scan; cell-local is the standard
+    approximation, recall rising with cell granularity).
+
+    Scale shape: cell assignment is a pure projection
+    (``assign_fixed_clusters``); the self-join is an equi-join on
+    ``cluster_id`` — at 100 TB write the assigned corpus bucketed by
+    ``cluster_id`` once and the join is shuffle-free; per-cell pair
+    work is bounded by the largest cell (grow ``n_clusters`` with the
+    corpus exactly as ``semdedup`` does). The fold-path assignment and
+    fold cosines replay bit-for-bit in SQL, so the whole graph is
+    value-hash oracle-able. Returns (src_id, dst_id, cosine, rank);
+    vectors alone in their cell simply emit no edges.
+    """
+    a = assign_fixed_clusters(
+        corpus, id_col, vec_col, n_clusters, vectorized=False
+    ).localCheckpoint(eager=False)  # assignment computed once, not per branch
+    l = a.select(
+        F.col("id").alias("src_id"),
+        F.col("vec").alias("svec"),
+        F.col("nrm").alias("snrm"),
+        "cluster_id",
+    )
+    r = a.select(
+        F.col("id").alias("dst_id"),
+        F.col("vec").alias("dvec"),
+        F.col("nrm").alias("dnrm"),
+        F.col("cluster_id").alias("__cid_r"),
+    )
+    scored = l.join(
+        r,
+        (F.col("cluster_id") == F.col("__cid_r"))
+        & (F.col("src_id") != F.col("dst_id")),
+    ).withColumn(
+        "cosine",
+        dot(F.col("svec"), F.col("dvec")) / (F.col("snrm") * F.col("dnrm")),
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("cosine"), F.asc("dst_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src_id", "dst_id", "cosine", "rank")
+    )
+
+
+def covariance_scaled(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = 1_000_000.0,
+) -> DataFrame:
+    """Feature covariance + correlation matrix over an embedding
+    column — the input to PCA/whitening/feature-selection passes —
+    computed EXACTLY via the scaled-int idiom (same e6 quantization as
+    ``matryoshka_prefix``): components → ``floor(x·scale + 0.5)``
+    int64, all sums and cross-products are integer arithmetic
+    (order-free ⇒ partition-invariant), and only the final
+    divide/round are doubles with a fixed operation order, so results
+    hash-match a SQL oracle bit-for-bit.
+
+    Scale shape: ONE ``mapInPandas`` pass emits per-partition partial
+    sums (d·(d+1)/2 cross-products + d linear sums + a count — a
+    numpy int64 matmul per Arrow batch), so the shuffle moves
+    O(partitions · d²) rows regardless of corpus size; the merge is a
+    single map-side-combined aggregation in DECIMAL(38,0) (exact at
+    any corpus size; the int64 partials themselves are safe below
+    ~9e18/scale² ≈ 9M rows per partition — far above any sane
+    partition). The naive posexplode self-join form would shuffle
+    rows·d²/2 pairs instead. Output: (dim_i, dim_j, cov_r, corr_r)
+    for i ≤ j — d·(d+1)/2 rows, constant in corpus size.
+    """
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    part_schema = StructType(
+        [
+            StructField("i", IntegerType()),
+            StructField("j", IntegerType()),
+            StructField("v", LongType()),
+        ]
+    )
+
+    def partials(batches):
+        n = 0
+        S = None
+        s = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["__vec"]])
+            Q = np.floor(V * scale + 0.5).astype(np.int64)
+            if S is None:
+                d = Q.shape[1]
+                S = np.zeros((d, d), dtype=np.int64)
+                s = np.zeros(d, dtype=np.int64)
+            S += Q.T @ Q
+            s += Q.sum(axis=0)
+            n += len(Q)
+        if S is None:
+            return
+        d = S.shape[0]
+        iu, ju = np.triu_indices(d)
+        yield pd.DataFrame(
+            {
+                "i": np.concatenate([iu, np.arange(d), [-1]]).astype("int32"),
+                "j": np.concatenate([ju, np.full(d, -1), [-1]]).astype("int32"),
+                "v": np.concatenate([S[iu, ju], s, [n]]).astype("int64"),
+            }
+        )
+
+    prepped = corpus.filter(F.col(vec_col).isNotNull()).select(
+        _as_double(vec_col).alias("__vec")
+    )
+    agg = (
+        prepped.mapInPandas(partials, part_schema)
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("v"))
+        .localCheckpoint(eager=False)  # one corpus pass feeds 4 branches
+    )
+    nrow = agg.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("v").alias("__n")
+    )
+    lin = agg.filter((F.col("j") == -1) & (F.col("i") >= 0))
+    cross = agg.filter(F.col("j") >= 0)
+    nd = F.col("__n").cast("double")
+    cov = (
+        F.col("v").cast("double") / nd
+        - (F.col("si").cast("double") / nd) * (F.col("sj").cast("double") / nd)
+    ) / F.lit(float(scale) * float(scale))
+    covd = (
+        cross.join(
+            F.broadcast(
+                lin.select(F.col("i").alias("di"), F.col("v").alias("si"))
+            ),
+            F.col("i") == F.col("di"),
+        )
+        .join(
+            F.broadcast(
+                lin.select(F.col("i").alias("dj"), F.col("v").alias("sj"))
+            ),
+            F.col("j") == F.col("dj"),
+        )
+        .crossJoin(F.broadcast(nrow))
+        .select(
+            F.col("i").alias("dim_i"),
+            F.col("j").alias("dim_j"),
+            cov.alias("__cov"),
+        )
+        .localCheckpoint(eager=False)  # collapsed d²/2 frame, reused for corr
+    )
+    diag = covd.filter(F.col("dim_i") == F.col("dim_j"))
+    corr = F.when(
+        (F.col("vi") > 0) & (F.col("vj") > 0),
+        F.col("__cov") / F.sqrt(F.col("vi") * F.col("vj")),
+    )
+    return (
+        covd.join(
+            F.broadcast(
+                diag.select(F.col("dim_i").alias("ddi"), F.col("__cov").alias("vi"))
+            ),
+            F.col("dim_i") == F.col("ddi"),
+        )
+        .join(
+            F.broadcast(
+                diag.select(F.col("dim_i").alias("ddj"), F.col("__cov").alias("vj"))
+            ),
+            F.col("dim_j") == F.col("ddj"),
+        )
+        .select(
+            "dim_i",
+            "dim_j",
+            F.round(F.col("__cov"), 9).alias("cov_r"),
+            F.round(corr, 6).alias("corr_r"),
+        )
+    )

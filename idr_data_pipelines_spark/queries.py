@@ -6211,6 +6211,112 @@ def q_orders_basket_lift(spark, sf_dir):
     ).limit(20)
 
 
+def q_ann_recall_eval(spark, sf_dir):
+    """ANN index-quality evaluation: recall@5 of the fixed-quantizer
+    IVF index (nprobe=2 of 16 cells) against exact brute-force ground
+    truth, per query — the measurement a pipeline publishes BEFORE
+    trusting an approximate index (you don't ship an ANN index
+    without a recall number). Ground truth is the all-pairs baseline
+    (the one justified cartesian, same waiver as ann_topk_bruteforce)
+    over a BOUNDED query sample — at 100 TB the eval runs on ~1k
+    sampled queries, so the brute-force side stays |sample|·corpus
+    with the sample broadcast, while the index side is the production
+    probe plan. Hit counting is an integer left-join aggregate —
+    exact in both engines; recall is one IEEE divide."""
+    from idr_data_pipelines_spark.llmdata.similarity import (
+        cosine_topk_ivf_fixed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    gt = cosine_topk_bruteforce(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ap = cosine_topk_ivf_fixed(
+        emb, queries, k=5, n_centroids=16, nprobe=2
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    return (
+        gt.join(ap, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hits"))
+        .select(
+            "query_id",
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            F.round(F.col("n_hits") / F.lit(5.0), 6).alias("recall_r"),
+        )
+    )
+
+
+def q_emb_knn_graph(spark, sf_dir):
+    """Cell-local exact k-NN graph (top-3 cosine neighbors within
+    each fixed-seed coarse cell) — the candidate graph SemDeDup-style
+    curation and graph-based filtering traverse. Assignment is a pure
+    projection; the self-join is a cluster-id equi-join (bucketed at
+    scale → shuffle-free); fold cosines replay bit-for-bit in SQL so
+    the whole graph carries a value-hash oracle. See
+    knn_graph_fixed_cells for the 100 TB shape."""
+    from idr_data_pipelines_spark.llmdata.similarity import (
+        knn_graph_fixed_cells,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = knn_graph_fixed_cells(emb, k=3, n_clusters=16)
+    return out.select(
+        "src_id",
+        "dst_id",
+        F.round(F.col("cosine"), 6).alias("cosine_r"),
+        "rank",
+    )
+
+
+def q_emb_covariance(spark, sf_dir):
+    """Feature covariance + correlation matrix over the embedding
+    column (the PCA/whitening/feature-selection input), exact via the
+    scaled-int idiom: ONE mapInPandas pass emits per-partition int64
+    partial sums (numpy matmul per Arrow batch), merged by a single
+    DECIMAL(38,0) aggregation — shuffle volume O(partitions·d²)
+    regardless of corpus size, vs the rows·d²/2 a posexplode
+    self-join would move. Integer sums are order-free ⇒ partition-
+    invariant; the final divides are fixed-order IEEE doubles, so
+    the 2080-row matrix hash-matches the SQL oracle."""
+    from idr_data_pipelines_spark.llmdata.similarity import covariance_scaled
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return covariance_scaled(emb)
+
+
+def q_sample_balanced_labels(spark, sf_dir):
+    """Class-balanced exact downsampling: every label keeps exactly
+    min-class-count rows (data-derived floor — here the rarest of the
+    10 label classes), elected by md5 rank within the label. The
+    deterministic class-rebalancing primitive an eval-set or
+    fine-tune mix applies; `sample_exact_k_per_group` with k computed
+    FROM the data. One count agg + one per-label rank shuffle."""
+    from idr_data_pipelines_spark.llmdata.sampling import (
+        sample_balanced_labels,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sample_balanced_labels(emb, "label", "vec_id").select(
+        "vec_id", "label"
+    )
+
+
+def q_docs_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty vs everything earlier in corpus
+    order (doc_id as ingest time): fraction of the doc's distinct
+    word-3-grams whose FIRST corpus occurrence is this document —
+    the curriculum/diversity signal that separates new content from
+    re-crawls (order-aware complement of text_shared_ngrams). One
+    shingle scan, two shuffles (gram-key window + doc rollup)."""
+    from idr_data_pipelines_spark.llmdata.dedup import ngram_novelty_stats
+
+    from idr_data_pipelines_spark.sources.parquet import spread_small_scan
+
+    docs = spread_small_scan(_t(spark, sf_dir, "documents"))
+    return ngram_novelty_stats(docs, k=3)
+
+
 # ===================================================================
 # registry
 # ===================================================================
@@ -6236,12 +6342,14 @@ def q_orders_basket_lift(spark, sf_dir):
 # at the dict's very end. Entries after the window are still swept
 # every CI run by tests/test_oracle_parity.py.
 #
-# r09 staging: the 12 new r07 session-2/3 entries (dup-chunk removal,
-# bigram perplexity, bucketed join, shuffle-sharding, temperature
-# mix, vocab coverage, keep-best dedup, decontamination report,
-# basket lift, incremental minhash probe, Matryoshka truncation,
-# sign-Hamming compression) queue with whatever the r08 window
-# (9 deferred + 10 new-r07 + 33 stale = 52-for-50) spills.
+# r09 staging: the 17 new r07 session-2/3/4 entries (dup-chunk
+# removal, bigram perplexity, bucketed join, shuffle-sharding,
+# temperature mix, vocab coverage, keep-best dedup, decontamination
+# report, basket lift, incremental minhash probe, Matryoshka
+# truncation, sign-Hamming compression, ANN recall eval, cell-local
+# k-NN graph, scaled-int covariance, balanced downsampling, n-gram
+# novelty) queue with whatever the r08 window (9 deferred + 10
+# new-r07 + 33 stale = 52-for-50) spills.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- driver window: r06 session-3, never driver-checked — TPC-H completion
     "q2_min_cost_supplier": q_q2_min_cost_supplier,
@@ -6344,6 +6452,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_incremental": q_dedup_minhash_incremental,
     "emb_matryoshka_truncate": q_emb_matryoshka_truncate,
     "emb_sign_hamming": q_emb_sign_hamming,
+    # -- new in r07 session 4 (ANN recall evaluation, cell-local k-NN
+    # graph, exact scaled-int covariance/correlation, class-balanced
+    # downsampling, n-gram novelty scoring): fully oracled, never
+    # driver-checked — r09 candidates with the session-2/3 entries
+    "ann_recall_eval": q_ann_recall_eval,
+    "emb_knn_graph": q_emb_knn_graph,
+    "emb_covariance": q_emb_covariance,
+    "sample_balanced_labels": q_sample_balanced_labels,
+    "docs_ngram_novelty": q_docs_ngram_novelty,
     # -- last green r03 — next r08 picks after the deferrals
     "emb_cosine_near_dup": q_emb_cosine_near_dup,
     "join_asof": q_join_asof,
@@ -8629,6 +8746,174 @@ ORACLES: dict[str, str] = {
                CAST(bit_count(xor(a.hi, b.hi))
                     + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
         FROM s a JOIN s b ON b.vec_id = a.vec_id + 1
+    """,
+    # recall@5 of the fixed-quantizer IVF vs exact brute force: both
+    # sides replay the proven _COS_LR fold; hit counting is integer
+    "ann_recall_eval": f"""
+        WITH cents AS (
+            SELECT vec_id AS centroid_id, embedding FROM embeddings
+            WHERE vec_id < 16
+        ), inv AS (
+            SELECT neighbor_id, embedding, centroid_id FROM (
+                SELECT l.vec_id AS neighbor_id, l.embedding AS embedding,
+                       r.centroid_id AS centroid_id,
+                       row_number() OVER (
+                           PARTITION BY l.vec_id
+                           ORDER BY {_COS_LR} DESC, r.centroid_id ASC
+                       ) AS rn
+                FROM embeddings l CROSS JOIN cents r
+            ) WHERE rn = 1
+        ), probes AS (
+            SELECT query_id, embedding, centroid_id FROM (
+                SELECT l.vec_id AS query_id, l.embedding AS embedding,
+                       r.centroid_id AS centroid_id,
+                       row_number() OVER (
+                           PARTITION BY l.vec_id
+                           ORDER BY {_COS_LR} DESC, r.centroid_id ASC
+                       ) AS rn
+                FROM embeddings l CROSS JOIN cents r
+                WHERE l.vec_id < 8
+            ) WHERE rn <= 2
+        ), approx AS (
+            SELECT l.query_id, r.neighbor_id
+            FROM probes l JOIN inv r
+              ON l.centroid_id = r.centroid_id AND l.query_id != r.neighbor_id
+            QUALIFY row_number() OVER (
+                PARTITION BY l.query_id
+                ORDER BY {_COS_LR} DESC, r.neighbor_id ASC
+            ) <= 5
+        ), exact AS (
+            SELECT l.vec_id AS query_id, r.vec_id AS neighbor_id
+            FROM embeddings l JOIN embeddings r ON l.vec_id != r.vec_id
+            WHERE l.vec_id < 8
+            QUALIFY row_number() OVER (
+                PARTITION BY l.vec_id
+                ORDER BY {_COS_LR} DESC, r.vec_id ASC
+            ) <= 5
+        )
+        SELECT e.query_id,
+               CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+               ROUND(COUNT(a.neighbor_id) / 5.0, 6) AS recall_r
+        FROM exact e LEFT JOIN approx a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+    """,
+    # cell-local k-NN graph: same fixed-quantizer assignment CTE as
+    # ann_topk_ivf_fixed, then an in-cell exact top-3 per vector
+    "emb_knn_graph": f"""
+        WITH cents AS (
+            SELECT vec_id AS centroid_id, embedding FROM embeddings
+            WHERE vec_id < 16
+        ), a AS (
+            SELECT id, embedding, centroid_id FROM (
+                SELECT l.vec_id AS id, l.embedding AS embedding,
+                       r.centroid_id AS centroid_id,
+                       row_number() OVER (
+                           PARTITION BY l.vec_id
+                           ORDER BY {_COS_LR} DESC, r.centroid_id ASC
+                       ) AS rn
+                FROM embeddings l CROSS JOIN cents r
+            ) WHERE rn = 1
+        )
+        SELECT l.id AS src_id, r.id AS dst_id,
+               ROUND({_COS_LR}, 6) AS cosine_r,
+               CAST(row_number() OVER (
+                   PARTITION BY l.id
+                   ORDER BY {_COS_LR} DESC, r.id ASC
+               ) AS INT) AS rank
+        FROM a l JOIN a r
+          ON l.centroid_id = r.centroid_id AND l.id != r.id
+        QUALIFY row_number() OVER (
+            PARTITION BY l.id
+            ORDER BY {_COS_LR} DESC, r.id ASC
+        ) <= 3
+    """,
+    # exact scaled-int covariance: e6 quantization (matryoshka idiom),
+    # integer cross-product sums, fixed-order double divides at the end
+    "emb_covariance": """
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(
+                       embedding,
+                       x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                                 AS BIGINT)) AS e6
+            FROM embeddings WHERE embedding IS NOT NULL
+        ), x AS (
+            SELECT vec_id, CAST(i AS INT) AS d,
+                   e6[CAST(i AS INT) + 1] AS v
+            FROM e, unnest(range(0, 64)) AS u(i)
+        ), cross_s AS (
+            SELECT a.d AS i, b.d AS j, SUM(a.v * b.v) AS sxy
+            FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.d <= b.d
+            GROUP BY a.d, b.d
+        ), lin AS (
+            SELECT d, SUM(v) AS s FROM x GROUP BY d
+        ), nn AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e
+        ), cov AS (
+            SELECT c.i, c.j,
+                   (CAST(c.sxy AS DOUBLE) / nn.n
+                    - (CAST(li.s AS DOUBLE) / nn.n)
+                      * (CAST(lj.s AS DOUBLE) / nn.n)) / 1000000000000.0
+                       AS cv
+            FROM cross_s c
+            CROSS JOIN nn
+            JOIN lin li ON c.i = li.d
+            JOIN lin lj ON c.j = lj.d
+        )
+        SELECT c.i AS dim_i, c.j AS dim_j,
+               ROUND(c.cv, 9) AS cov_r,
+               ROUND(CASE WHEN di.cv > 0 AND dj.cv > 0
+                          THEN c.cv / sqrt(di.cv * dj.cv) END, 6) AS corr_r
+        FROM cov c
+        JOIN cov di ON di.i = c.i AND di.j = c.i
+        JOIN cov dj ON dj.i = c.j AND dj.j = c.j
+    """,
+    # balanced downsampling: min class count via a window over the
+    # collapsed counts frame; md5 rank within label, integer cut
+    "sample_balanced_labels": """
+        WITH c AS (
+            SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+        ), m AS (
+            SELECT label, MIN(n) OVER () AS m FROM c
+        ), r AS (
+            SELECT vec_id, label,
+                   row_number() OVER (
+                       PARTITION BY label
+                       ORDER BY md5('balance' || CAST(vec_id AS VARCHAR)),
+                                vec_id
+                   ) AS rn
+            FROM embeddings
+        )
+        SELECT r.vec_id, r.label
+        FROM r JOIN m USING (label)
+        WHERE r.rn <= m.m
+    """,
+    # n-gram novelty: same shingle construction as text_shared_ngrams
+    # (k=3), first occurrence by MIN(doc_id), integer rollup
+    "docs_ngram_novelty": """
+        WITH t AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+            FROM documents WHERE text IS NOT NULL
+        ), g AS (
+            SELECT doc_id, unnest(
+                CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                     ELSE list_distinct(list_transform(range(1, len(toks) - 3 + 2),
+                              i -> array_to_string(toks[i:i+2], ' ')))
+                END) AS gram
+            FROM t
+        ), f AS (
+            SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram
+        ), p AS (
+            SELECT g.doc_id,
+                   COUNT(*) AS n_grams,
+                   SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                       AS n_novel
+            FROM g JOIN f USING (gram) GROUP BY g.doc_id
+        )
+        SELECT doc_id, n_grams, n_novel,
+               ROUND(CAST(n_novel AS DOUBLE) / n_grams, 6) AS novelty_r
+        FROM p
     """,
     "text_winnow_md5": _winnow_md5_sql(k=4, window=4),
     # portable HLL registers: b=6 -> bucket = top 6 bits of md5-32,

@@ -79,6 +79,15 @@ NAMES = [
     "dedup_minhash_incremental",
     "emb_matryoshka_truncate",
     "emb_sign_hamming",
+    # round-7 session 4: integer hit counts + rank cuts off bit-exact
+    # fold cosines (recall/knn), order-free scaled-int sums
+    # (covariance), md5 rank cuts vs a data-derived floor (balanced),
+    # first-occurrence integer rollups (novelty)
+    "ann_recall_eval",
+    "emb_knn_graph",
+    "emb_covariance",
+    "sample_balanced_labels",
+    "docs_ngram_novelty",
 ]
 
 

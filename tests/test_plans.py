@@ -593,6 +593,9 @@ LINT_WAIVERS = {
     # brute force IS all-pairs — it exists as the recall baseline the
     # LSH/IVF variants are judged against
     "ann_topk_bruteforce": {"cartesian-product"},
+    # the recall evaluation's ground-truth side IS the brute-force
+    # baseline (bounded query sample; see q_ann_recall_eval docstring)
+    "ann_recall_eval": {"cartesian-product"},
     # 1-row vocabulary-size frame crossJoined onto the bigram counts
     "text_bigram_lm": {"cartesian-product"},
     "text_perplexity_bigram": {"cartesian-product"},
