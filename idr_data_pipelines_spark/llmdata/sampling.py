@@ -680,3 +680,81 @@ def sample_balanced_labels(
         .filter(F.col("__rn") <= F.col("__m"))
         .drop("__rn", "__m")
     )
+
+
+def dsir_logratio_weights(
+    docs: DataFrame,
+    target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    k: int = 2,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by how much more likely its hashed n-gram features are
+    under a TARGET distribution (rows where ``target`` is true — e.g.
+    the high-quality or in-domain slice) than under the RAW corpus
+    distribution. The weight that importance-resamples a web-scale
+    crawl toward a target domain without training a classifier.
+
+    Features are distinct word-``k``-grams hashed into ``n_buckets``
+    md5 buckets (portable across engines); both distributions are
+    add-0.5-smoothed bucket frequencies; a document's weight is the
+    MEAN per-feature log-likelihood ratio (mean, not sum, so the
+    score is length-normalized). Rounded to 6 decimals — summation
+    order + libm log ulp differ across engines, same discipline as
+    ``bigram_logprob_scores``.
+
+    Scale shape: one shingle scan feeds a ``n_buckets``-row
+    conditional aggregate (map-side combined — the ONLY corpus-wide
+    shuffle is by bucket id, bounded by n_buckets keys); totals are a
+    global window over that aggregation-collapsed frame; the
+    log-ratio table (≤ n_buckets rows) broadcasts onto the gram scan,
+    and the per-doc rollup rides the doc key. The corpus text is read
+    once.
+    """
+    from idr_data_pipelines_spark.llmdata.dedup import (
+        md5_hash32,
+        word_shingles,
+    )
+
+    grams = docs.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        target.cast("boolean").alias("__tgt"),
+        F.explode(word_shingles(text_col, k)).alias("__gram"),
+    )
+    buckets = grams.select(
+        (md5_hash32(F.col("__gram")) % F.lit(n_buckets)).alias("__b"),
+        "__tgt",
+        id_col,
+    )
+    counts = buckets.groupBy("__b").agg(
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("__t"),
+        F.count(F.lit(1)).alias("__r"),
+    )
+    # global window over the aggregation-collapsed ≤n_buckets-row
+    # frame (the linter's collapsed-frame rule) — totals never touch
+    # the corpus-sized side
+    wall = Window.partitionBy()
+    smooth = F.lit(0.5)
+    denom_pad = F.lit(0.5 * n_buckets)
+    lr = (
+        F.log(
+            (F.col("__t") + smooth)
+            / (F.sum("__t").over(wall) + denom_pad)
+        )
+        - F.log(
+            (F.col("__r") + smooth)
+            / (F.sum("__r").over(wall) + denom_pad)
+        )
+    )
+    ratios = counts.select(F.col("__b").alias("__rb"), lr.alias("__lr"))
+    return (
+        buckets.join(F.broadcast(ratios), F.col("__b") == F.col("__rb"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+            F.round(F.avg("__lr"), 6).alias("weight_r"),
+        )
+    )

@@ -1524,3 +1524,133 @@ def covariance_scaled(
             F.round(corr, 6).alias("corr_r"),
         )
     )
+
+
+def norm_outliers_scaled(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Per-group embedding-norm outliers: rows whose squared L2 norm
+    sits more than ``z_threshold`` population standard deviations from
+    their group's mean — the cheap anomaly screen a curation pass runs
+    before trusting an embedding batch (truncated vectors, collapsed
+    encoders, and scale drift all surface as norm outliers long before
+    any similarity search notices).
+
+    Engine-exact: components quantize to e6 integers, each row's
+    squared norm is an INTEGER sum of squares (order-free), and the
+    group moments are EXACT DECIMAL(38,0) sums of those integers and
+    their squares (norm2 ≤ ~6.4e13 for 64 unit-ish dims, its square
+    ~4e27 — far inside decimal38/HUGEINT). Only the final
+    mean/variance/z divides are doubles with a fixed operation order,
+    so the flagged set and z values hash-match a SQL oracle.
+
+    Scale shape: one projection computes norm2; the per-group moment
+    aggregate is map-side combined down to |groups| rows, which
+    broadcast back onto the corpus — the corpus itself never
+    shuffles. Groups with zero variance emit no outliers by
+    construction.
+    """
+    e6 = F.transform(
+        _as_double(vec_col),
+        lambda x: F.floor(x * F.lit(1_000_000.0) + F.lit(0.5)).cast("bigint"),
+    )
+    norm2 = F.aggregate(
+        e6, F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
+    )
+    base = corpus.select(
+        F.col(id_col), F.col(label_col), norm2.alias("__n2")
+    )
+    d19 = F.col("__n2").cast("decimal(19,0)")
+    moments = base.groupBy(label_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__n2").cast("decimal(38,0)")).alias("__s"),
+        F.sum(d19 * d19).alias("__ss"),
+    )
+    nd = F.col("__n").cast("double")
+    mean = F.col("__s").cast("double") / nd
+    var = F.col("__ss").cast("double") / nd - mean * mean
+    stats = moments.select(
+        F.col(label_col).alias("__lbl"),
+        mean.alias("__mean"),
+        F.sqrt(var).alias("__std"),
+    )
+    z = (F.col("__n2").cast("double") - F.col("__mean")) / F.col("__std")
+    return (
+        base.join(
+            F.broadcast(stats), F.col(label_col) == F.col("__lbl")
+        )
+        .filter(
+            (F.col("__std") > 0) & (F.abs(z) > F.lit(float(z_threshold)))
+        )
+        .select(
+            id_col,
+            label_col,
+            F.round(
+                F.sqrt(F.col("__n2").cast("double")) / F.lit(1_000_000.0), 6
+            ).alias("norm_r"),
+            F.round(z, 6).alias("z_r"),
+        )
+    )
+
+
+def label_agreement_scores(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 3,
+    n_clusters: int = 16,
+) -> DataFrame:
+    """k-NN label-agreement (Confident-Learning-style noise screen):
+    for each vector, the fraction of its cell-local top-``k`` cosine
+    neighbors (``knn_graph_fixed_cells``) that carry the SAME label —
+    near-zero agreement flags probable mislabels, the standard cheap
+    pass before training on a labeled corpus. Vectors alone in their
+    coarse cell have no neighbors and report ``n_neighbors = 0`` with
+    a null ``agree_r`` (no evidence ≠ disagreement).
+
+    Scale shape: the graph build dominates (see
+    ``knn_graph_fixed_cells`` — cell-bounded, bucketable); attaching
+    neighbor labels is an id-keyed equi-join against the (id, label)
+    projection, the rollup is one integer aggregate, and the
+    no-neighbor left join keys on the same id. Counts are integers,
+    the ratio one IEEE divide — partition-invariant, SQL-replayable.
+    """
+    edges = knn_graph_fixed_cells(corpus, id_col, vec_col, k, n_clusters)
+    labels = corpus.select(
+        F.col(id_col).alias("__id"), F.col(label_col).alias("__lbl")
+    )
+    per_src = (
+        edges.join(labels, F.col("src_id") == F.col("__id"))
+        .withColumnRenamed("__lbl", "__src_lbl")
+        .drop("__id")
+        .join(labels, F.col("dst_id") == F.col("__id"))
+        .groupBy("src_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.sum(
+                F.when(F.col("__src_lbl") == F.col("__lbl"), 1).otherwise(0)
+            ).alias("n_same"),
+        )
+    )
+    return (
+        corpus.select(id_col, label_col)
+        .join(per_src, F.col(id_col) == F.col("src_id"), "left")
+        .select(
+            id_col,
+            label_col,
+            F.coalesce(F.col("n_neighbors"), F.lit(0))
+            .cast("bigint")
+            .alias("n_neighbors"),
+            F.coalesce(F.col("n_same"), F.lit(0))
+            .cast("bigint")
+            .alias("n_same"),
+            F.round(F.col("n_same") / F.col("n_neighbors"), 6).alias(
+                "agree_r"
+            ),
+        )
+    )

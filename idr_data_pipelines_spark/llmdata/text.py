@@ -446,3 +446,91 @@ def vocab_coverage(
         F.expr(f"stack({len(thresholds)}, {pairs}) as (coverage, vocab_size)"),
         "total_tokens",
     )
+
+
+def zipf_lexical_stats(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_n: int = 50,
+) -> DataFrame:
+    """Per-group lexical health profile: token/type counts,
+    type-token ratio, hapax-legomena fraction, and the Zipf slope —
+    the OLS slope of log(frequency) on log(rank) over the group's
+    ``top_n`` tokens. Natural text tracks slope ≈ −1 (Zipf's law);
+    template/boilerplate sources flatten it and generator noise
+    steepens it, which makes the slope a standard corpus-level
+    quality screen (per-source here — the granularity a crawl
+    curation pass audits at).
+
+    Determinism: all counts are integers; rank ties (equal counts)
+    don't move the slope because tied tokens contribute identical
+    ``log(freq)`` at interchangeable ranks, and which tokens make the
+    top-``n`` boundary is pinned by the (count desc, token asc)
+    tie-break. The OLS sums run over ``top_n`` doubles — rounded to 6
+    decimals, same discipline as ``bigram_logprob_scores``.
+
+    Scale shape: one token scan → (group, token) count (map-side
+    combined — THE corpus-wide shuffle); the per-group rollup and the
+    top-``n`` window both ride the collapsed (group, token) frame,
+    grouped by the same key; everything after is |groups| rows.
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(group_col),
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("__tok"),
+        )
+        .filter(F.col("__tok") != "")
+    )
+    tf = toks.groupBy(group_col, "__tok").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    lex = tf.groupBy(group_col).agg(
+        F.sum("__cnt").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.when(F.col("__cnt") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("__cnt"), F.asc("__tok")
+    )
+    top = tf.withColumn("__rank", F.row_number().over(w)).filter(
+        F.col("__rank") <= top_n
+    )
+    x = F.log(F.col("__rank").cast("double"))
+    y = F.log(F.col("__cnt").cast("double"))
+    ols = top.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(x * x).alias("__sxx"),
+    )
+    slope = (
+        F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    ) / (F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx"))
+    return (
+        lex.join(
+            ols.select(
+                F.col(group_col).alias("__g"), slope.alias("__slope")
+            ),
+            F.col(group_col) == F.col("__g"),
+        )
+        .select(
+            group_col,
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("ttr_r"),
+            F.round(F.col("n_hapax") / F.col("n_types"), 6).alias(
+                "hapax_r"
+            ),
+            F.round(F.col("__slope"), 6).alias("zipf_slope_r"),
+        )
+    )

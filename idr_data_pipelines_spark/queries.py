@@ -6317,6 +6317,74 @@ def q_docs_ngram_novelty(spark, sf_dir):
     return ngram_novelty_stats(docs, k=3)
 
 
+def q_docs_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): score every document
+    by the mean log-likelihood ratio of its hashed word-bigram
+    features under the target slice (lang='en' here) vs the raw
+    corpus — the classifier-free reweighting that importance-resamples
+    a crawl toward a domain. One shingle scan; the only corpus-wide
+    shuffle is the 1024-key bucket aggregate (map-side combined); the
+    bucket log-ratio table broadcasts back. md5 buckets + add-0.5
+    smoothing keep both engines on identical arithmetic."""
+    from idr_data_pipelines_spark.llmdata.sampling import (
+        dsir_logratio_weights,
+    )
+
+    from idr_data_pipelines_spark.sources.parquet import spread_small_scan
+
+    docs = spread_small_scan(_t(spark, sf_dir, "documents"))
+    return dsir_logratio_weights(docs, F.col("lang") == "en")
+
+
+def q_emb_label_agreement(spark, sf_dir):
+    """k-NN label-agreement noise screen (Confident-Learning-style):
+    per vector, the fraction of its cell-local top-3 cosine neighbors
+    sharing its label — near-zero agreement flags probable mislabels
+    before anyone trains on the labels. Rides the emb_knn_graph plan
+    (cell-bounded self-join) plus one id-keyed label join and an
+    integer rollup; lone-in-cell vectors report n_neighbors=0 with a
+    null ratio in BOTH engines (0/0 → null in Spark and DuckDB)."""
+    from idr_data_pipelines_spark.llmdata.similarity import (
+        label_agreement_scores,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return label_agreement_scores(emb, k=3, n_clusters=16)
+
+
+def q_docs_zipf_lexical(spark, sf_dir):
+    """Per-source lexical health profile: token/type/hapax counts,
+    type-token ratio, hapax fraction, and the Zipf slope (OLS of
+    log-freq on log-rank over the source's top-50 tokens) — the
+    corpus-level quality screen that catches template boilerplate
+    (flat slope) and generator noise (steep slope). One token scan →
+    (source, token) count shuffle; everything after rides the
+    collapsed frame. Rank ties can't move the slope (equal counts ⇒
+    equal log-freq at interchangeable ranks)."""
+    from idr_data_pipelines_spark.llmdata.text import zipf_lexical_stats
+
+    from idr_data_pipelines_spark.sources.parquet import spread_small_scan
+
+    docs = spread_small_scan(_t(spark, sf_dir, "documents"))
+    return zipf_lexical_stats(docs, top_n=50)
+
+
+def q_emb_norm_outliers(spark, sf_dir):
+    """Per-label embedding-norm outliers (|z| > 2 on the squared L2
+    norm) — the cheap screen that catches truncated vectors, collapsed
+    encoders, and scale drift before any similarity search runs.
+    Exact via the scaled-int idiom: e6-quantized integer sums of
+    squares per row, DECIMAL(38,0) group moments, fixed-order double
+    divides at the end. The corpus never shuffles — the 10-row moment
+    frame broadcasts back onto the projection."""
+    from idr_data_pipelines_spark.llmdata.similarity import (
+        norm_outliers_scaled,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return norm_outliers_scaled(emb, z_threshold=2.0)
+
+
 # ===================================================================
 # registry
 # ===================================================================
@@ -6342,13 +6410,14 @@ def q_docs_ngram_novelty(spark, sf_dir):
 # at the dict's very end. Entries after the window are still swept
 # every CI run by tests/test_oracle_parity.py.
 #
-# r09 staging: the 17 new r07 session-2/3/4 entries (dup-chunk
+# r09 staging: the 21 new r07 session-2/3/4/5 entries (dup-chunk
 # removal, bigram perplexity, bucketed join, shuffle-sharding,
 # temperature mix, vocab coverage, keep-best dedup, decontamination
 # report, basket lift, incremental minhash probe, Matryoshka
 # truncation, sign-Hamming compression, ANN recall eval, cell-local
 # k-NN graph, scaled-int covariance, balanced downsampling, n-gram
-# novelty) queue with whatever the r08 window (9 deferred + 10
+# novelty, DSIR weights, kNN label agreement, Zipf/lexical profile,
+# norm outliers) queue with whatever the r08 window (9 deferred + 10
 # new-r07 + 33 stale = 52-for-50) spills.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- driver window: r06 session-3, never driver-checked — TPC-H completion
@@ -6461,6 +6530,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_covariance": q_emb_covariance,
     "sample_balanced_labels": q_sample_balanced_labels,
     "docs_ngram_novelty": q_docs_ngram_novelty,
+    # -- new in r07 session 5 (DSIR importance weights, kNN
+    # label-agreement noise screen, per-source Zipf/lexical profile,
+    # per-label norm outliers): fully oracled, never driver-checked —
+    # r09 candidates with the session-2/3/4 entries
+    "docs_dsir_weights": q_docs_dsir_weights,
+    "emb_label_agreement": q_emb_label_agreement,
+    "docs_zipf_lexical": q_docs_zipf_lexical,
+    "emb_norm_outliers": q_emb_norm_outliers,
     # -- last green r03 — next r08 picks after the deferrals
     "emb_cosine_near_dup": q_emb_cosine_near_dup,
     "join_asof": q_join_asof,
@@ -8914,6 +8991,152 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, n_grams, n_novel,
                ROUND(CAST(n_novel AS DOUBLE) / n_grams, 6) AS novelty_r
         FROM p
+    """,
+    # DSIR importance weights: distinct word-bigram shingles → md5-32
+    # buckets (portable hash), add-0.5-smoothed target/raw bucket
+    # frequencies, per-doc mean log-ratio rounded to 6
+    "docs_dsir_weights": """
+        WITH t AS (
+            SELECT doc_id, lang = 'en' AS tgt,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+            FROM documents WHERE text IS NOT NULL
+        ), g AS (
+            SELECT doc_id, tgt,
+                   ('0x' || substr(md5(unnest(
+                       CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+                            ELSE list_distinct(list_transform(range(1, len(toks)),
+                                     i -> array_to_string(toks[i:i+1], ' ')))
+                       END)), 1, 8))::BIGINT % 1024 AS b
+            FROM t
+        ), c AS (
+            SELECT b, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS tc,
+                   COUNT(*) AS rc
+            FROM g GROUP BY b
+        ), tot AS (
+            SELECT SUM(tc) AS tt, SUM(rc) AS rt FROM c
+        ), lr AS (
+            SELECT c.b,
+                   ln((c.tc + 0.5) / (tot.tt + 512.0))
+                   - ln((c.rc + 0.5) / (tot.rt + 512.0)) AS lr
+            FROM c CROSS JOIN tot
+        )
+        SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+               ROUND(AVG(lr.lr), 6) AS weight_r
+        FROM g JOIN lr ON g.b = lr.b
+        GROUP BY g.doc_id
+    """,
+    # kNN label agreement: the emb_knn_graph edge set (same CTE) with
+    # neighbor labels attached; integer rollup, left join for
+    # lone-in-cell vectors (0 neighbors → null ratio in both engines)
+    "emb_label_agreement": f"""
+        WITH cents AS (
+            SELECT vec_id AS centroid_id, embedding FROM embeddings
+            WHERE vec_id < 16
+        ), a AS (
+            SELECT id, lbl, embedding, centroid_id FROM (
+                SELECT l.vec_id AS id, l.label AS lbl,
+                       l.embedding AS embedding,
+                       r.centroid_id AS centroid_id,
+                       row_number() OVER (
+                           PARTITION BY l.vec_id
+                           ORDER BY {_COS_LR} DESC, r.centroid_id ASC
+                       ) AS rn
+                FROM embeddings l CROSS JOIN cents r
+            ) WHERE rn = 1
+        ), e AS (
+            SELECT l.id AS src_id, r.lbl AS dst_lbl, l.lbl AS src_lbl
+            FROM a l JOIN a r
+              ON l.centroid_id = r.centroid_id AND l.id != r.id
+            QUALIFY row_number() OVER (
+                PARTITION BY l.id
+                ORDER BY {_COS_LR} DESC, r.id ASC
+            ) <= 3
+        ), p AS (
+            SELECT src_id, COUNT(*) AS n,
+                   SUM(CASE WHEN src_lbl = dst_lbl THEN 1 ELSE 0 END) AS s
+            FROM e GROUP BY src_id
+        )
+        SELECT emb.vec_id, emb.label,
+               CAST(COALESCE(p.n, 0) AS BIGINT) AS n_neighbors,
+               CAST(COALESCE(p.s, 0) AS BIGINT) AS n_same,
+               CASE WHEN p.n IS NULL THEN NULL
+                    ELSE ROUND(CAST(p.s AS DOUBLE) / p.n, 6) END AS agree_r
+        FROM embeddings emb LEFT JOIN p ON emb.vec_id = p.src_id
+    """,
+    # per-source Zipf slope + lexical counts: one (source, token)
+    # count frame; OLS over the top-50 (count desc, token asc) ranks
+    "docs_zipf_lexical": """
+        WITH t AS (
+            SELECT source, unnest(
+                regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+            FROM documents WHERE text IS NOT NULL
+        ), tf AS (
+            SELECT source, tok, COUNT(*) AS cnt FROM t
+            WHERE tok != '' GROUP BY source, tok
+        ), lex AS (
+            SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_hapax
+            FROM tf GROUP BY source
+        ), top AS (
+            SELECT source, cnt,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY cnt DESC, tok ASC
+                   ) AS rnk
+            FROM tf
+            QUALIFY rnk <= 50
+        ), ols AS (
+            SELECT source, CAST(COUNT(*) AS DOUBLE) AS n,
+                   SUM(ln(CAST(rnk AS DOUBLE))) AS sx,
+                   SUM(ln(CAST(cnt AS DOUBLE))) AS sy,
+                   SUM(ln(CAST(rnk AS DOUBLE)) * ln(CAST(cnt AS DOUBLE)))
+                       AS sxy,
+                   SUM(ln(CAST(rnk AS DOUBLE)) * ln(CAST(rnk AS DOUBLE)))
+                       AS sxx
+            FROM top GROUP BY source
+        )
+        SELECT lex.source, lex.n_tokens, lex.n_types, lex.n_hapax,
+               ROUND(CAST(lex.n_types AS DOUBLE) / lex.n_tokens, 6) AS ttr_r,
+               ROUND(CAST(lex.n_hapax AS DOUBLE) / lex.n_types, 6)
+                   AS hapax_r,
+               ROUND((ols.n * ols.sxy - ols.sx * ols.sy)
+                     / (ols.n * ols.sxx - ols.sx * ols.sx), 6)
+                   AS zipf_slope_r
+        FROM lex JOIN ols ON lex.source = ols.source
+    """,
+    # per-label norm outliers: e6 integer sums of squares per row,
+    # exact HUGEINT group moments, fixed-order double divides
+    "emb_norm_outliers": """
+        WITH e AS (
+            SELECT vec_id, label,
+                   list_sum(list_transform(
+                       list_transform(embedding,
+                           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0
+                                           + 0.5) AS BIGINT)),
+                       v -> v * v))::BIGINT AS n2
+            FROM embeddings
+        ), m AS (
+            SELECT label, CAST(COUNT(*) AS DOUBLE) AS n,
+                   SUM(n2::HUGEINT) AS s,
+                   SUM(n2::HUGEINT * n2::HUGEINT) AS ss
+            FROM e GROUP BY label
+        ), z AS (
+            SELECT e.vec_id, e.label, e.n2,
+                   (CAST(e.n2 AS DOUBLE)
+                    - CAST(m.s AS DOUBLE) / m.n)
+                   / sqrt(CAST(m.ss AS DOUBLE) / m.n
+                          - (CAST(m.s AS DOUBLE) / m.n)
+                            * (CAST(m.s AS DOUBLE) / m.n)) AS zv,
+                   sqrt(CAST(m.ss AS DOUBLE) / m.n
+                        - (CAST(m.s AS DOUBLE) / m.n)
+                          * (CAST(m.s AS DOUBLE) / m.n)) AS sd
+            FROM e JOIN m ON e.label = m.label
+        )
+        SELECT vec_id, label,
+               ROUND(sqrt(CAST(n2 AS DOUBLE)) / 1000000.0, 6) AS norm_r,
+               ROUND(zv, 6) AS z_r
+        FROM z WHERE sd > 0 AND abs(zv) > 2.0
     """,
     "text_winnow_md5": _winnow_md5_sql(k=4, window=4),
     # portable HLL registers: b=6 -> bucket = top 6 bits of md5-32,

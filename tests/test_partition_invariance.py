@@ -88,6 +88,14 @@ NAMES = [
     "emb_covariance",
     "sample_balanced_labels",
     "docs_ngram_novelty",
+    # round-7 session 5: md5 buckets + round-6 log means (dsir),
+    # integer edge rollups (label agreement), integer counts + round-6
+    # OLS over a pinned top-50 (zipf), scaled-int group moments with
+    # fixed-order divides (norm outliers)
+    "docs_dsir_weights",
+    "emb_label_agreement",
+    "docs_zipf_lexical",
+    "emb_norm_outliers",
 ]
 
 
