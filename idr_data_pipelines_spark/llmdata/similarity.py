@@ -1654,3 +1654,154 @@ def label_agreement_scores(
             ),
         )
     )
+
+
+def hard_negatives_fixed_cells(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 3,
+    n_clusters: int = 16,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: for
+    each anchor vector, the top-``k`` highest-cosine corpus vectors
+    carrying a DIFFERENT label — the "closest wrong answers" that make
+    informative negatives (random negatives are trivially separable;
+    hard ones carry the gradient signal). Mining is cell-local (the
+    anchor's fixed-seed coarse cell), which is exactly how production
+    miners work — negatives come from an ANN index's candidate
+    buckets, not an exact corpus scan.
+
+    Scale shape: identical to ``knn_graph_fixed_cells`` — assignment
+    is a pure projection, candidates come from a ``cluster_id``
+    equi-join (bucket the assigned corpus once at 100 TB and the join
+    is shuffle-free), per-cell pair work bounded by the largest cell.
+    The label-mismatch predicate rides the join condition, so
+    same-label pairs never materialize. Fold cosines replay
+    bit-for-bit in SQL. Anchors with no different-label cellmate emit
+    no rows (no candidate ≠ a random fallback — callers that want
+    fallback negatives union a seeded sample).
+    """
+    a = assign_fixed_clusters(
+        corpus, id_col, vec_col, n_clusters, vectorized=False
+    )
+    labels = corpus.select(
+        F.col(id_col).alias("__lid"), F.col(label_col).alias("__lbl")
+    )
+    a = a.join(labels, F.col("id") == F.col("__lid")).drop("__lid")
+    l = a.select(
+        F.col("id").alias("anchor_id"),
+        F.col("vec").alias("avec"),
+        F.col("nrm").alias("anrm"),
+        F.col("__lbl").alias("anchor_label"),
+        "cluster_id",
+    )
+    r = a.select(
+        F.col("id").alias("negative_id"),
+        F.col("vec").alias("nvec"),
+        F.col("nrm").alias("nnrm"),
+        F.col("__lbl").alias("neg_label"),
+        F.col("cluster_id").alias("__cid_r"),
+    )
+    scored = l.join(
+        r,
+        (F.col("cluster_id") == F.col("__cid_r"))
+        & (F.col("anchor_label") != F.col("neg_label")),
+    ).withColumn(
+        "cosine",
+        dot(F.col("avec"), F.col("nvec")) / (F.col("anrm") * F.col("nnrm")),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.asc("negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", "negative_id", "cosine", "rank")
+    )
+
+
+def power_iteration_top_eig(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iter: int = 2,
+    scale: float = 1_000_000.0,
+) -> DataFrame:
+    """Top covariance eigenvector by ``n_iter`` fixed power-iteration
+    steps from the all-ones seed — the first principal component
+    (dominant variance direction) that whitening, PCA compression, and
+    embedding-drift monitoring all start from, computed without any
+    ML library. Returns one row per dimension: ``(dim, v_r)`` — the
+    L2-normalized iterate after ``n_iter`` multiplies — plus the
+    Rayleigh-quotient eigenvalue estimate ``eig_r`` (same value on
+    every row; kept long-form so the frame stays one well-typed
+    table).
+
+    Determinism: the matrix is ``covariance_scaled``'s 9-decimal
+    ``cov_r`` (bit-identical doubles in every engine by construction);
+    each matvec sums d=|dims| doubles and each normalization is a
+    fixed-order divide, so cross-engine drift stays at libm-ulp scale
+    and the 6-decimal output rounding absorbs it.
+
+    Scale shape: the corpus is touched ONCE (the covariance pass —
+    O(partitions·d²) shuffle, see ``covariance_scaled``); every
+    iteration then runs on the d²-row matrix frame: the iterate (d
+    rows) broadcasts onto the matrix, the matvec is one map-side
+    combinable groupBy(dim), and normalizations are global windows
+    over aggregation-collapsed d-row frames (the linter's
+    collapsed-frame rule). Iterations are a Python loop over LAZY
+    plan builders — n_iter is a small fixed constant, not data-driven
+    driver control flow.
+    """
+    if n_iter < 2:
+        raise ValueError("n_iter must be >= 2 (the Rayleigh estimate "
+                         "needs one normalized iterate)")
+    tri = covariance_scaled(corpus, id_col, vec_col, scale).select(
+        "dim_i", "dim_j", F.col("cov_r").alias("c")
+    )
+    # mirror the upper triangle to the full symmetric matrix
+    full = tri.union(
+        tri.filter(F.col("dim_i") != F.col("dim_j")).select(
+            F.col("dim_j").alias("dim_i"),
+            F.col("dim_i").alias("dim_j"),
+            "c",
+        )
+    ).localCheckpoint(eager=False)  # d² rows, reused every iteration
+    wall = Window.partitionBy()
+    # v0 = ones ⇒ the first matvec is a plain row-sum
+    v = full.groupBy("dim_i").agg(F.sum("c").alias("__raw"))
+    for _ in range(max(0, n_iter - 1)):
+        vn = v.select(
+            F.col("dim_i").alias("__j"),
+            (
+                F.col("__raw")
+                / F.sqrt(F.sum(F.col("__raw") * F.col("__raw")).over(wall))
+            ).alias("__v"),
+        )
+        v = (
+            full.join(F.broadcast(vn), F.col("dim_j") == F.col("__j"))
+            .groupBy("dim_i")
+            .agg(F.sum(F.col("c") * F.col("__v")).alias("__raw"))
+        )
+        # Rayleigh quotient of the PREVIOUS normalized iterate:
+        # λ ≈ vᵀ(Cv) with ‖v‖=1 — computed from this round's raw
+        # product joined back onto v
+        eig = (
+            v.join(F.broadcast(vn), F.col("dim_i") == F.col("__j"))
+            .select(F.sum(F.col("__raw") * F.col("__v")).over(wall).alias("e"))
+            .limit(1)
+        )
+    out = v.select(
+        "dim_i",
+        (
+            F.col("__raw")
+            / F.sqrt(F.sum(F.col("__raw") * F.col("__raw")).over(wall))
+        ).alias("__vf"),
+    )
+    return out.crossJoin(F.broadcast(eig)).select(
+        F.col("dim_i").alias("dim"),
+        F.round(F.col("__vf"), 6).alias("v_r"),
+        F.round(F.col("e"), 6).alias("eig_r"),
+    )

@@ -6385,6 +6385,45 @@ def q_emb_norm_outliers(spark, sf_dir):
     return norm_outliers_scaled(emb, z_threshold=2.0)
 
 
+def q_emb_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive/retrieval training: per
+    anchor, the top-3 highest-cosine vectors with a DIFFERENT label,
+    mined cell-locally (the anchor's fixed-seed coarse cell) — exactly
+    how production miners draw negatives from an ANN index's buckets
+    rather than an exact corpus scan. Rides the emb_knn_graph join
+    shape with the label-mismatch predicate in the join condition, so
+    same-label pairs never materialize."""
+    from idr_data_pipelines_spark.llmdata.similarity import (
+        hard_negatives_fixed_cells,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = hard_negatives_fixed_cells(emb, k=3, n_clusters=16)
+    return out.select(
+        "anchor_id",
+        "negative_id",
+        F.round(F.col("cosine"), 6).alias("cosine_r"),
+        "rank",
+    )
+
+
+def q_emb_power_iteration(spark, sf_dir):
+    """First principal component without any ML library: two fixed
+    power-iteration steps from the all-ones seed over the 9-decimal
+    covariance matrix (emb_covariance's cov_r — bit-identical doubles
+    in both engines), plus the Rayleigh-quotient eigenvalue estimate.
+    The corpus is touched once (the covariance pass); each iteration
+    is a broadcast matvec on the d²-row matrix frame with
+    collapsed-frame window normalizations. The final 1-row eigenvalue
+    frame crossJoins back (waived — it IS one broadcast row)."""
+    from idr_data_pipelines_spark.llmdata.similarity import (
+        power_iteration_top_eig,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return power_iteration_top_eig(emb, n_iter=2)
+
+
 # ===================================================================
 # registry
 # ===================================================================
@@ -6410,15 +6449,16 @@ def q_emb_norm_outliers(spark, sf_dir):
 # at the dict's very end. Entries after the window are still swept
 # every CI run by tests/test_oracle_parity.py.
 #
-# r09 staging: the 21 new r07 session-2/3/4/5 entries (dup-chunk
+# r09 staging: the 23 new r07 session-2/3/4/5 entries (dup-chunk
 # removal, bigram perplexity, bucketed join, shuffle-sharding,
 # temperature mix, vocab coverage, keep-best dedup, decontamination
 # report, basket lift, incremental minhash probe, Matryoshka
 # truncation, sign-Hamming compression, ANN recall eval, cell-local
 # k-NN graph, scaled-int covariance, balanced downsampling, n-gram
 # novelty, DSIR weights, kNN label agreement, Zipf/lexical profile,
-# norm outliers) queue with whatever the r08 window (9 deferred + 10
-# new-r07 + 33 stale = 52-for-50) spills.
+# norm outliers, hard-negative mining, power-iteration top eig) queue
+# with whatever the r08 window (9 deferred + 10 new-r07 + 33 stale =
+# 52-for-50) spills.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- driver window: r06 session-3, never driver-checked — TPC-H completion
     "q2_min_cost_supplier": q_q2_min_cost_supplier,
@@ -6538,6 +6578,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_label_agreement": q_emb_label_agreement,
     "docs_zipf_lexical": q_docs_zipf_lexical,
     "emb_norm_outliers": q_emb_norm_outliers,
+    "emb_hard_negatives": q_emb_hard_negatives,
+    "emb_power_iteration": q_emb_power_iteration,
     # -- last green r03 — next r08 picks after the deferrals
     "emb_cosine_near_dup": q_emb_cosine_near_dup,
     "join_asof": q_join_asof,
@@ -9137,6 +9179,92 @@ ORACLES: dict[str, str] = {
                ROUND(sqrt(CAST(n2 AS DOUBLE)) / 1000000.0, 6) AS norm_r,
                ROUND(zv, 6) AS z_r
         FROM z WHERE sd > 0 AND abs(zv) > 2.0
+    """,
+    # hard negatives: the emb_knn_graph cell join with the
+    # label-mismatch predicate; same fold cosine, same tie-breaks
+    "emb_hard_negatives": f"""
+        WITH cents AS (
+            SELECT vec_id AS centroid_id, embedding FROM embeddings
+            WHERE vec_id < 16
+        ), a AS (
+            SELECT id, lbl, embedding, centroid_id FROM (
+                SELECT l.vec_id AS id, l.label AS lbl,
+                       l.embedding AS embedding,
+                       r.centroid_id AS centroid_id,
+                       row_number() OVER (
+                           PARTITION BY l.vec_id
+                           ORDER BY {_COS_LR} DESC, r.centroid_id ASC
+                       ) AS rn
+                FROM embeddings l CROSS JOIN cents r
+            ) WHERE rn = 1
+        )
+        SELECT l.id AS anchor_id, r.id AS negative_id,
+               ROUND({_COS_LR}, 6) AS cosine_r,
+               CAST(row_number() OVER (
+                   PARTITION BY l.id
+                   ORDER BY {_COS_LR} DESC, r.id ASC
+               ) AS INT) AS rank
+        FROM a l JOIN a r
+          ON l.centroid_id = r.centroid_id AND l.lbl != r.lbl
+        QUALIFY row_number() OVER (
+            PARTITION BY l.id
+            ORDER BY {_COS_LR} DESC, r.id ASC
+        ) <= 3
+    """,
+    # power iteration over the 9-decimal covariance (emb_covariance's
+    # cov CTE), two matvecs + fixed-order normalizations
+    "emb_power_iteration": """
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(
+                       embedding,
+                       x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                                 AS BIGINT)) AS e6
+            FROM embeddings WHERE embedding IS NOT NULL
+        ), x AS (
+            SELECT vec_id, CAST(i AS INT) AS d,
+                   e6[CAST(i AS INT) + 1] AS v
+            FROM e, unnest(range(0, 64)) AS u(i)
+        ), cross_s AS (
+            SELECT a.d AS i, b.d AS j, SUM(a.v * b.v) AS sxy
+            FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.d <= b.d
+            GROUP BY a.d, b.d
+        ), lin AS (
+            SELECT d, SUM(v) AS s FROM x GROUP BY d
+        ), nn AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e
+        ), covr AS (
+            SELECT c.i, c.j,
+                   ROUND((CAST(c.sxy AS DOUBLE) / nn.n
+                          - (CAST(li.s AS DOUBLE) / nn.n)
+                            * (CAST(lj.s AS DOUBLE) / nn.n))
+                         / 1000000000000.0, 9) AS c
+            FROM cross_s c
+            CROSS JOIN nn
+            JOIN lin li ON c.i = li.d
+            JOIN lin lj ON c.j = lj.d
+        ), fullm AS (
+            SELECT i, j, c FROM covr
+            UNION ALL
+            SELECT j AS i, i AS j, c FROM covr WHERE i != j
+        ), v1 AS (
+            SELECT i, SUM(c) AS raw FROM fullm GROUP BY i
+        ), v1n AS (
+            SELECT i, raw / sqrt((SELECT SUM(raw * raw) FROM v1)) AS v
+            FROM v1
+        ), v2 AS (
+            SELECT f.i, SUM(f.c * v1n.v) AS raw
+            FROM fullm f JOIN v1n ON f.j = v1n.i
+            GROUP BY f.i
+        ), eig AS (
+            SELECT SUM(v2.raw * v1n.v) AS e
+            FROM v2 JOIN v1n ON v2.i = v1n.i
+        )
+        SELECT v2.i AS dim,
+               ROUND(v2.raw / sqrt((SELECT SUM(raw * raw) FROM v2)), 6)
+                   AS v_r,
+               ROUND((SELECT e FROM eig), 6) AS eig_r
+        FROM v2
     """,
     "text_winnow_md5": _winnow_md5_sql(k=4, window=4),
     # portable HLL registers: b=6 -> bucket = top 6 bits of md5-32,

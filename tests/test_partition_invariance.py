@@ -96,6 +96,10 @@ NAMES = [
     "emb_label_agreement",
     "docs_zipf_lexical",
     "emb_norm_outliers",
+    # integer rank cuts off bit-exact fold cosines (hard negatives);
+    # 9-decimal covariance inputs + round-6 outputs (power iteration)
+    "emb_hard_negatives",
+    "emb_power_iteration",
 ]
 
 

@@ -596,6 +596,9 @@ LINT_WAIVERS = {
     # the recall evaluation's ground-truth side IS the brute-force
     # baseline (bounded query sample; see q_ann_recall_eval docstring)
     "ann_recall_eval": {"cartesian-product"},
+    # 1-row Rayleigh-eigenvalue frame crossJoined onto the d-row
+    # eigenvector output (see q_emb_power_iteration docstring)
+    "emb_power_iteration": {"cartesian-product"},
     # 1-row vocabulary-size frame crossJoined onto the bigram counts
     "text_bigram_lm": {"cartesian-product"},
     "text_perplexity_bigram": {"cartesian-product"},

@@ -1,7 +1,8 @@
 """Semantic invariants for the round-7 session-5 operators (DSIR
-weights, kNN label agreement, Zipf/lexical profile, norm outliers) —
-what the DuckDB value-hash oracle can't express by itself (the oracle
-proves engine agreement; these prove the SEMANTICS are intended)."""
+weights, kNN label agreement, Zipf/lexical profile, norm outliers,
+hard-negative mining, power-iteration top eigenvector) — what the
+DuckDB value-hash oracle can't express by itself (the oracle proves
+engine agreement; these prove the SEMANTICS are intended)."""
 
 from __future__ import annotations
 
@@ -132,3 +133,61 @@ def test_emb_norm_outliers_matches_numpy(spark, sf_dir):
     for vid, (z_r, norm_r) in expected.items():
         assert abs(got[vid]["z_r"] - z_r) < 1e-5
         assert abs(got[vid]["norm_r"] - norm_r) < 1e-6
+
+
+def test_emb_hard_negatives_semantics(spark, sf_dir):
+    """Every mined negative carries a different label than its anchor,
+    lives in the anchor's cell (it appears in the knn candidate set or
+    is farther-ranked), and is the TRUE cell-local different-label
+    top-3 by a numpy replay."""
+    ids, V, labels = _vecs(spark, sf_dir)
+    lbl = dict(zip(ids.tolist(), labels.tolist()))
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    C = Vn[ids < 16]
+    cell = np.argmax(Vn @ C.T, axis=1)
+    S = Vn @ Vn.T
+    got = {}
+    for r in QUERIES["emb_hard_negatives"](spark, sf_dir).collect():
+        assert lbl[r["anchor_id"]] != lbl[r["negative_id"]]
+        got[(r["anchor_id"], r["rank"])] = r["negative_id"]
+    expected_n = 0
+    for si, s in enumerate(ids):
+        cands = [
+            di
+            for di in range(len(ids))
+            if cell[di] == cell[si] and labels[di] != labels[si]
+        ]
+        ranked = sorted(cands, key=lambda di: (-S[si, di], ids[di]))[:3]
+        expected_n += len(ranked)
+        for rk, di in enumerate(ranked, start=1):
+            assert got[(s, rk)] == ids[di], (s, rk)
+    assert len(got) == expected_n
+
+
+def test_emb_power_iteration_matches_numpy(spark, sf_dir):
+    """The iterate and Rayleigh estimate replay from a numpy power
+    iteration over the identically-rounded covariance; the iterate is
+    unit-norm; with enough iterations the estimate approaches the true
+    top eigenvalue from below (Rayleigh bound)."""
+    _, V, _ = _vecs(spark, sf_dir)
+    Q = np.floor(V * 1e6 + 0.5)
+    n = len(Q)
+    s = Q.sum(axis=0)
+    C = np.round(((Q.T @ Q) / n - np.outer(s / n, s / n)) / 1e12, 9)
+    v1r = C @ np.ones(C.shape[0])
+    v1 = v1r / np.linalg.norm(v1r)
+    v2r = C @ v1
+    lam = float(v2r @ v1)
+    v2 = v2r / np.linalg.norm(v2r)
+    rows = sorted(
+        QUERIES["emb_power_iteration"](spark, sf_dir).collect(),
+        key=lambda r: r["dim"],
+    )
+    got = np.array([r["v_r"] for r in rows])
+    assert len(rows) == C.shape[0]
+    assert abs(np.linalg.norm(got) - 1.0) < 1e-4
+    assert np.abs(got - v2).max() < 1e-5
+    assert abs(rows[0]["eig_r"] - lam) < 1e-5
+    assert all(r["eig_r"] == rows[0]["eig_r"] for r in rows)
+    top = float(np.linalg.eigvalsh(C)[-1])
+    assert rows[0]["eig_r"] <= top + 1e-6
