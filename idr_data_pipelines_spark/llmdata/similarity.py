@@ -1345,6 +1345,7 @@ def knn_graph_fixed_cells(
     vec_col: str = "embedding",
     k: int = 3,
     n_clusters: int = 16,
+    vectorized: bool | None = False,
 ) -> DataFrame:
     """Corpus k-NN graph (each vector's top-``k`` cosine neighbors,
     ties → lowest neighbor id), restricted to the vector's fixed-seed
@@ -1358,13 +1359,17 @@ def knn_graph_fixed_cells(
     ``cluster_id`` — at 100 TB write the assigned corpus bucketed by
     ``cluster_id`` once and the join is shuffle-free; per-cell pair
     work is bounded by the largest cell (grow ``n_clusters`` with the
-    corpus exactly as ``semdedup`` does). The fold-path assignment and
-    fold cosines replay bit-for-bit in SQL, so the whole graph is
-    value-hash oracle-able. Returns (src_id, dst_id, cosine, rank);
-    vectors alone in their cell simply emit no edges.
+    corpus exactly as ``semdedup`` does). With the default
+    ``vectorized=False`` the fold-path assignment and fold cosines
+    replay bit-for-bit in SQL, so the whole graph is value-hash
+    oracle-able; pass ``vectorized=None`` on production corpora so
+    assignment auto-switches to the Arrow numpy matmul above 32
+    clusters (see ``assign_fixed_clusters``). Returns (src_id,
+    dst_id, cosine, rank); vectors alone in their cell simply emit no
+    edges.
     """
     a = assign_fixed_clusters(
-        corpus, id_col, vec_col, n_clusters, vectorized=False
+        corpus, id_col, vec_col, n_clusters, vectorized=vectorized
     ).localCheckpoint(eager=False)  # assignment computed once, not per branch
     l = a.select(
         F.col("id").alias("src_id"),

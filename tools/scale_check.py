@@ -186,6 +186,21 @@ def main() -> None:
                     emb, n_clusters=nclus, threshold=0.35
                 ),
             )
+        if want("emb_knn_graph_scaled"):
+            # the knn graph's documented scale knob: n_clusters grows
+            # with the corpus (16 -> 160) so per-cell pair work stays
+            # constant; vectorized=None picks the numpy assignment
+            # path above 32 clusters (the production form)
+            from idr_data_pipelines_spark.llmdata.similarity import (
+                knn_graph_fixed_cells,
+            )
+
+            timed(
+                f"emb_knn_graph {scale} (n_clusters={nclus})",
+                lambda emb=emb, nclus=nclus: knn_graph_fixed_cells(
+                    emb, k=3, n_clusters=nclus, vectorized=None
+                ),
+            )
         # Any catalog query named on the command line runs against the
         # scaled directory, with shuffle-exchange counts so a plan
         # change at 10x is visible, not inferred. Default set: the
