@@ -6425,6 +6425,221 @@ def q_emb_power_iteration(spark, sf_dir):
 
 
 # ===================================================================
+# round-7 session-6 additions: data-quality expectations / EWMA
+# smoothing / cross-split leakage audit / language-ID audit /
+# per-source length-outlier trim
+# ===================================================================
+
+
+def q_dq_expectations(spark, sf_dir):
+    """Declarative data-quality expectation suite (the
+    Great-Expectations-style pre-publish gate a production pipeline
+    runs before promoting a batch): one report row per expectation —
+    primary-key uniqueness, referential integrity (orders→customer,
+    an anti-join count), value-range violations, null counts, and
+    freshness vs a fixed as-of date. Every check collapses its table
+    scan to a single row BEFORE the union, so the report costs one
+    pass per table regardless of scale; the anti-join's dim side is
+    broadcast. Failures are data, not exceptions: `passed` is a
+    column, so the report can be sunk and alerted on."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    lineitem = _t(spark, sf_dir, "lineitem")
+
+    def report_row(name, table, metric_df, threshold):
+        return metric_df.select(
+            F.lit(name).alias("check_name"),
+            F.lit(table).alias("table_name"),
+            F.col("metric").cast("bigint").alias("metric"),
+            F.lit(threshold).cast("bigint").alias("threshold"),
+            (F.col("metric") <= F.lit(threshold)).alias("passed"),
+        )
+
+    unique = orders.agg(
+        (F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey"))).alias(
+            "metric"
+        )
+    )
+    orphans = (
+        orders.join(
+            F.broadcast(customer),
+            orders["o_custkey"] == customer["c_custkey"],
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("metric"))
+    )
+    qty_range = lineitem.agg(
+        F.sum(
+            ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast(
+                "bigint"
+            )
+        ).alias("metric")
+    )
+    acct_nulls = customer.agg(
+        F.sum(F.col("c_acctbal").isNull().cast("bigint")).alias("metric")
+    )
+    freshness = orders.agg(
+        F.datediff(
+            F.lit("2002-06-30").cast("date"),
+            F.max(F.col("o_orderdate").cast("date")),
+        ).alias("metric")
+    )
+    return (
+        report_row("unique_o_orderkey", "orders", unique, 0)
+        .unionAll(report_row("fk_orders_customer", "orders", orphans, 0))
+        .unionAll(report_row("range_l_quantity_1_50", "lineitem", qty_range, 0))
+        .unionAll(report_row("not_null_c_acctbal", "customer", acct_nulls, 0))
+        .unionAll(report_row("freshness_o_orderdate", "orders", freshness, 365))
+    )
+
+
+def q_evt_ewma_rolling(spark, sf_dir):
+    """Per-user exponentially-weighted moving average of event values
+    (the smoothing step of an anomaly/trend monitor), decay 0.7 over
+    the last 8 observations. The EWMA recurrence is re-expressed as
+    closed-form LAG algebra — eight lag terms over ONE partitioned
+    ordered window (num = Σ rʲ·x₍ᵢ₋ⱼ₎, den = Σ rʲ over present terms,
+    the `adjust=True` form) — so the plan is a single per-user
+    window shuffle: no UDF, no recursive state, no array-ordering
+    dependence. (ts, event_id) is a total order per user, so lags
+    are deterministic in both engines."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact DECIMAL-LITERAL weights, not 0.7**j: Python's power
+    # (0.7**2 = 0.48999…94) differs from the parsed literal 0.49 in
+    # the last ulp — both engines must parse the SAME decimal strings
+    weights = [
+        1.0, 0.7, 0.49, 0.343, 0.2401,
+        0.16807, 0.117649, 0.0823543,
+    ]
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j, wt in enumerate(weights):
+        lagged = F.col("value") if j == 0 else F.lag("value", j).over(w)
+        num = num + F.lit(wt) * F.coalesce(lagged, F.lit(0.0))
+        den = den + F.lit(wt) * lagged.isNotNull().cast("double")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.when(den > 0, F.round(num / den, 6)).alias("ewma"),
+    )
+
+
+def q_dedup_cross_split_leakage(spark, sf_dir):
+    """Train/validation LEAKAGE audit — the near-dup check a training
+    run publishes before trusting its held-out loss: documents split
+    80/20 by the portable md5 hash-bucket (split membership is a pure
+    function of doc_id — stable across reruns and engines), then the
+    val side's md5-32 MinHash bands probe the train side's band index
+    and collisions are verified with exact Jaccard ≥ 0.5. One report
+    row per leaked val doc with its best train match (max Jaccard,
+    min train id on ties — a min_by-struct agg, no per-doc window).
+    Scale shape is `dedup_minhash_incremental`'s: the val side is
+    val-sized everywhere, the train band index is write-once and
+    bucketed by band_key in production."""
+    from idr_data_pipelines_spark.llmdata.dedup import (
+        minhash_md5_incremental_pairs,
+    )
+    from idr_data_pipelines_spark.llmdata.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = hash_bucket("doc_id", buckets=5, salt="split")
+    val = docs.filter(bucket == 0)
+    train = docs.filter(bucket != 0)
+    pairs = minhash_md5_incremental_pairs(
+        val, train, num_perm=16, bands=4, shingle_k=3,
+        jaccard_threshold=0.5,
+    )
+    best = pairs.groupBy("id_new").agg(
+        F.min(
+            F.struct(
+                (-F.col("jaccard_r")).alias("nj"),
+                F.col("id_old").alias("tid"),
+            )
+        ).alias("b"),
+        F.count(F.lit(1)).alias("n_matches"),
+    )
+    return best.select(
+        F.col("id_new").alias("val_doc"),
+        F.col("b.tid").alias("train_doc"),
+        F.round(-F.col("b.nj"), 6).alias("jaccard_r"),
+        "n_matches",
+    )
+
+
+def q_docs_langid_audit(spark, sf_dir):
+    """Language-ID quality audit: the confusion crosstab of the
+    stored `lang` label vs the marker-stopword heuristic's prediction
+    (`llmdata.text.lang_id`), with each cell's share of its true-lang
+    row. The classifier is pure column expressions (word-bounded
+    regex counts + a first-max CASE — `\\b` means the same thing in
+    Java regex and RE2, so the oracle replays the scoring exactly);
+    the crosstab is one (lang, predicted) count shuffle plus a
+    |langs|-row broadcast total. The audit shape: low diagonal share
+    = the heuristic (or the label) is untrustworthy for that slice."""
+    from idr_data_pipelines_spark.llmdata.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    pred = docs.select("lang", lang_id("text").alias("predicted"))
+    per = pred.groupBy("lang", "predicted").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = pred.groupBy("lang").agg(F.count(F.lit(1)).alias("__t"))
+    return per.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "predicted",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.col("__t").cast("double"), 6
+        ).alias("share"),
+    )
+
+
+def q_docs_length_outliers(spark, sf_dir):
+    """Per-source length-outlier trim summary (the tail-clipping step
+    published corpus recipes apply before mixing): exact interpolated
+    p05/p95 of n_chars WITHIN each source, and how many documents the
+    [p05, p95] clip keeps. Two passes over the corpus (percentiles,
+    then the flag) with the |sources|-row bounds frame broadcast back
+    — the honest exact-percentile recipe; at 100 TB swap in
+    approx_percentile with the same plan shape. The kept-flag compares
+    UNROUNDED doubles: both engines interpolate lo + frac·(hi−lo)
+    from identical integer inputs, so the boundary is bit-identical
+    (same contract `agg_percentiles_exact` pins)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    g = docs.groupBy("source").agg(
+        F.percentile(F.col("n_chars").cast("double"), F.lit(0.05)).alias(
+            "p05"
+        ),
+        F.percentile(F.col("n_chars").cast("double"), F.lit(0.95)).alias(
+            "p95"
+        ),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    kept = (
+        docs.join(F.broadcast(g), "source")
+        .filter(
+            (F.col("n_chars").cast("double") >= F.col("p05"))
+            & (F.col("n_chars").cast("double") <= F.col("p95"))
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    # inner join is total: every source keeps at least its median doc
+    return g.join(kept, "source").select(
+        "source",
+        "n_docs",
+        F.round("p05", 6).alias("p05"),
+        F.round("p95", 6).alias("p95"),
+        "n_kept",
+        F.round(
+            F.col("n_kept").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ).alias("kept_share"),
+    )
+
+
+# ===================================================================
 # registry
 # ===================================================================
 
@@ -6580,6 +6795,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_norm_outliers": q_emb_norm_outliers,
     "emb_hard_negatives": q_emb_hard_negatives,
     "emb_power_iteration": q_emb_power_iteration,
+    # -- new in r07 session 6 (data-quality expectation suite, lag-
+    # algebra EWMA smoothing, train/val near-dup leakage audit,
+    # language-ID confusion audit, per-source length-outlier trim):
+    # fully oracled, never driver-checked — r09 candidates with the
+    # session-2/3/4/5 entries
+    "dq_expectations": q_dq_expectations,
+    "evt_ewma_rolling": q_evt_ewma_rolling,
+    "dedup_cross_split_leakage": q_dedup_cross_split_leakage,
+    "docs_langid_audit": q_docs_langid_audit,
+    "docs_length_outliers": q_docs_length_outliers,
     # -- last green r03 — next r08 picks after the deferrals
     "emb_cosine_near_dup": q_emb_cosine_near_dup,
     "join_asof": q_join_asof,
@@ -6906,13 +7131,20 @@ def _minhash_md5_sql(num_perm: int, bands: int, k: int, threshold: float) -> str
     """
 
 
-def _minhash_md5_incremental_sql(
-    num_perm: int, bands: int, k: int, threshold: float
+def _minhash_md5_split_pairs_sql(
+    num_perm: int,
+    bands: int,
+    k: int,
+    threshold: float,
+    new_pred: str,
+    old_pred: str,
 ) -> str:
-    """DuckDB replay of ``minhash_md5_incremental_pairs`` over the
-    doc_id % 7 batch/corpus split — identical signature CTEs to
+    """DuckDB replay of ``minhash_md5_incremental_pairs`` over an
+    arbitrary two-sided doc_id split — identical signature CTEs to
     ``_minhash_md5_sql``; only the pair join is restricted to
-    batch × corpus."""
+    new-side × old-side via the two predicate strings (which may
+    reference ``b.doc_id`` / ``c.doc_id``). Yields
+    (id_new, id_old, jaccard_r)."""
     from idr_data_pipelines_spark.llmdata.dedup import (
         _MERSENNE_P,
         _perm_coefficients,
@@ -6944,7 +7176,7 @@ def _minhash_md5_incremental_sql(
             SELECT DISTINCT b.doc_id AS id_new, c.doc_id AS id_old
             FROM banded b JOIN banded c
               ON b.band_idx = c.band_idx AND b.band_key = c.band_key
-            WHERE b.doc_id % 7 = 0 AND c.doc_id % 7 <> 0
+            WHERE {new_pred} AND {old_pred}
         )
         SELECT id_new, id_old, jaccard_r FROM (
             SELECT p.id_new, p.id_old,
@@ -6955,6 +7187,97 @@ def _minhash_md5_incremental_sql(
             JOIN hs n ON p.id_new = n.doc_id
             JOIN hs o ON p.id_old = o.doc_id
         ) WHERE jaccard_r >= {threshold}
+    """
+
+
+def _minhash_md5_incremental_sql(
+    num_perm: int, bands: int, k: int, threshold: float
+) -> str:
+    """DuckDB replay of ``minhash_md5_incremental_pairs`` over the
+    doc_id % 7 batch/corpus split."""
+    return _minhash_md5_split_pairs_sql(
+        num_perm, bands, k, threshold,
+        "b.doc_id % 7 = 0", "c.doc_id % 7 <> 0",
+    )
+
+
+# the portable md5 hash-bucket (sampling.hash_bucket) in DuckDB form;
+# {col} is the key expression, salt/buckets baked by the caller
+def _hash_bucket_sql(col: str, buckets: int, salt: str) -> str:
+    return (
+        f"(('0x' || substr(md5('{salt}' || CAST({col} AS VARCHAR)), 1, 15))"
+        f"::BIGINT % {buckets})"
+    )
+
+
+def _cross_split_leakage_sql(
+    num_perm: int, bands: int, k: int, threshold: float, buckets: int
+) -> str:
+    """DuckDB replay of q_dedup_cross_split_leakage: md5 hash-bucket
+    split (bucket 0 = val), the split-restricted pair probe, then the
+    best-train-match rollup per leaked val doc (max Jaccard, min
+    train id on ties)."""
+    val_pred = _hash_bucket_sql("b.doc_id", buckets, "split") + " = 0"
+    train_pred = _hash_bucket_sql("c.doc_id", buckets, "split") + " <> 0"
+    pairs = _minhash_md5_split_pairs_sql(
+        num_perm, bands, k, threshold, val_pred, train_pred
+    )
+    return f"""
+        WITH hits AS ({pairs})
+        SELECT id_new AS val_doc, id_old AS train_doc, jaccard_r, n_matches
+        FROM (
+            SELECT id_new, id_old, jaccard_r,
+                   ROW_NUMBER() OVER (PARTITION BY id_new
+                                      ORDER BY jaccard_r DESC, id_old ASC)
+                       AS rn,
+                   COUNT(*) OVER (PARTITION BY id_new) AS n_matches
+            FROM hits
+        ) WHERE rn = 1
+    """
+
+
+def _langid_audit_sql() -> str:
+    """DuckDB replay of q_docs_langid_audit: the same marker-word
+    regex counts, greatest() argmax with first-max-wins tie order
+    (_LANG_MARKERS insertion order), min_hits=1 → 'und' fallback."""
+    from idr_data_pipelines_spark.llmdata.text import _LANG_MARKERS
+
+    def score(words):
+        return " + ".join(
+            f"len(regexp_extract_all(lt, '\\b{w}\\b'))" for w in words
+        )
+
+    s_cols = ",\n                   ".join(
+        f"({score(ws)}) AS s_{lang}" for lang, ws in _LANG_MARKERS.items()
+    )
+    langs = list(_LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = (
+        "CASE "
+        + " ".join(
+            f"WHEN s_{l} = best AND best >= 1 THEN '{l}'" for l in langs
+        )
+        + " ELSE 'und' END"
+    )
+    return f"""
+        WITH scored AS (
+            SELECT lang,
+                   {s_cols}
+            FROM (SELECT lang, lower(text) AS lt
+                  FROM documents WHERE text IS NOT NULL)
+        ), pred AS (
+            SELECT lang, {case} AS predicted
+            FROM (SELECT lang, {best} AS best, * FROM scored)
+        ), per AS (
+            SELECT lang, predicted, COUNT(*) AS n
+            FROM pred GROUP BY lang, predicted
+        ), tot AS (
+            SELECT lang, COUNT(*) AS t FROM pred GROUP BY lang
+        )
+        SELECT per.lang, per.predicted, per.n,
+               ROUND(CAST(per.n AS DOUBLE) / CAST(tot.t AS DOUBLE), 6)
+                   AS share
+        FROM per JOIN tot ON per.lang = tot.lang
     """
 
 
@@ -11096,6 +11419,103 @@ ORACLES["orders_basket_lift"] = """
         CROSS JOIN nb_total
         ORDER BY lift DESC, part_a ASC, part_b ASC
         LIMIT 20
+"""
+
+ORACLES["dq_expectations"] = """
+        SELECT 'unique_o_orderkey' AS check_name, 'orders' AS table_name,
+               CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+                   AS metric,
+               CAST(0 AS BIGINT) AS threshold,
+               (COUNT(*) - COUNT(DISTINCT o_orderkey)) <= 0 AS passed
+        FROM orders
+        UNION ALL
+        SELECT 'fk_orders_customer', 'orders',
+               CAST(COUNT(*) AS BIGINT), CAST(0 AS BIGINT), COUNT(*) <= 0
+        FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)
+        UNION ALL
+        SELECT 'range_l_quantity_1_50', 'lineitem',
+               CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                             THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(0 AS BIGINT),
+               SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                        THEN 1 ELSE 0 END) <= 0
+        FROM lineitem
+        UNION ALL
+        SELECT 'not_null_c_acctbal', 'customer',
+               CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               CAST(0 AS BIGINT),
+               SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) <= 0
+        FROM customer
+        UNION ALL
+        SELECT 'freshness_o_orderdate', 'orders',
+               CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                              DATE '2002-06-30') AS BIGINT),
+               CAST(365 AS BIGINT),
+               date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                         DATE '2002-06-30') <= 365
+        FROM orders
+"""
+ORACLES["evt_ewma_rolling"] = """
+        SELECT event_id, user_id, value,
+               CASE WHEN den > 0 THEN ROUND(num / den, 6) END AS ewma
+        FROM (
+            SELECT event_id, user_id, value,
+                   COALESCE(value, 0)
+                   + 0.7 * COALESCE(LAG(value, 1) OVER w, 0)
+                   + 0.49 * COALESCE(LAG(value, 2) OVER w, 0)
+                   + 0.343 * COALESCE(LAG(value, 3) OVER w, 0)
+                   + 0.2401 * COALESCE(LAG(value, 4) OVER w, 0)
+                   + 0.16807 * COALESCE(LAG(value, 5) OVER w, 0)
+                   + 0.117649 * COALESCE(LAG(value, 6) OVER w, 0)
+                   + 0.0823543 * COALESCE(LAG(value, 7) OVER w, 0) AS num,
+                   (CASE WHEN value IS NULL THEN 0 ELSE 1 END)
+                   + 0.7 * (CASE WHEN LAG(value, 1) OVER w IS NULL
+                                 THEN 0 ELSE 1 END)
+                   + 0.49 * (CASE WHEN LAG(value, 2) OVER w IS NULL
+                                  THEN 0 ELSE 1 END)
+                   + 0.343 * (CASE WHEN LAG(value, 3) OVER w IS NULL
+                                   THEN 0 ELSE 1 END)
+                   + 0.2401 * (CASE WHEN LAG(value, 4) OVER w IS NULL
+                                    THEN 0 ELSE 1 END)
+                   + 0.16807 * (CASE WHEN LAG(value, 5) OVER w IS NULL
+                                     THEN 0 ELSE 1 END)
+                   + 0.117649 * (CASE WHEN LAG(value, 6) OVER w IS NULL
+                                      THEN 0 ELSE 1 END)
+                   + 0.0823543 * (CASE WHEN LAG(value, 7) OVER w IS NULL
+                                       THEN 0 ELSE 1 END) AS den
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+"""
+ORACLES["dedup_cross_split_leakage"] = _cross_split_leakage_sql(
+    num_perm=16, bands=4, k=3, threshold=0.5, buckets=5
+)
+ORACLES["docs_langid_audit"] = _langid_audit_sql()
+ORACLES["docs_length_outliers"] = """
+        WITH docs AS (
+            SELECT source, CAST(n_chars AS DOUBLE) AS nc
+            FROM documents WHERE text IS NOT NULL
+        ), g AS (
+            SELECT source,
+                   quantile_cont(nc, 0.05) AS p05,
+                   quantile_cont(nc, 0.95) AS p95,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM docs GROUP BY source
+        ), kept AS (
+            SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept
+            FROM docs d JOIN g ON d.source = g.source
+            WHERE d.nc >= g.p05 AND d.nc <= g.p95
+            GROUP BY d.source
+        )
+        SELECT g.source, g.n_docs,
+               ROUND(g.p05, 6) AS p05, ROUND(g.p95, 6) AS p95,
+               kept.n_kept,
+               ROUND(CAST(kept.n_kept AS DOUBLE)
+                     / CAST(g.n_docs AS DOUBLE), 6) AS kept_share
+        FROM g JOIN kept ON g.source = kept.source
 """
 
 NO_ORACLE: frozenset[str] = frozenset(

@@ -100,6 +100,15 @@ NAMES = [
     # 9-decimal covariance inputs + round-6 outputs (power iteration)
     "emb_hard_negatives",
     "emb_power_iteration",
+    # round-7 session 6: rounded lag-weighted means (ewma), jaccard
+    # rank ties picked by min_by struct (leakage), rounded shares
+    # (langid audit), interpolated-percentile boundary membership
+    # (length outliers)
+    "dq_expectations",
+    "evt_ewma_rolling",
+    "dedup_cross_split_leakage",
+    "docs_langid_audit",
+    "docs_length_outliers",
 ]
 
 

@@ -1,0 +1,227 @@
+"""Semantic invariants for the round-7 session-6 operators
+(data-quality expectation suite, lag-algebra EWMA smoothing,
+train/val near-dup leakage audit, language-ID confusion audit,
+per-source length-outlier trim) — what the DuckDB value-hash oracle
+can't express by itself (the oracle proves engine agreement; these
+prove the SEMANTICS are intended)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from idr_data_pipelines_spark.queries import QUERIES
+
+
+def test_dq_expectations_report_shape_and_truths(spark, sf_dir):
+    """One row per declared expectation; the metrics must agree with
+    independently-computed ground truth on the same data (duplicate
+    keys, FK orphans, range violations) and `passed` must be the
+    metric<=threshold predicate, not an independent flag."""
+    out = {r["check_name"]: r for r in QUERIES["dq_expectations"](spark, sf_dir).collect()}
+    assert set(out) == {
+        "unique_o_orderkey",
+        "fk_orders_customer",
+        "range_l_quantity_1_50",
+        "not_null_c_acctbal",
+        "freshness_o_orderdate",
+    }
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    dup = orders.count() - orders.select("o_orderkey").distinct().count()
+    assert out["unique_o_orderkey"]["metric"] == dup
+    orphans = orders.join(
+        customer, orders["o_custkey"] == customer["c_custkey"], "left_anti"
+    ).count()
+    assert out["fk_orders_customer"]["metric"] == orphans
+    for r in out.values():
+        assert r["passed"] == (r["metric"] <= r["threshold"])
+        assert r["metric"] >= 0
+
+
+def test_evt_ewma_rolling_matches_pure_python(spark, sf_dir):
+    """The lag-algebra EWMA equals the direct weighted mean of each
+    row's last-8 observed values (decay 0.7, adjust=True form),
+    replayed in pure Python over the same (ts, event_id) order."""
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", "ts", "value")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in sorted(ev, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        by_user.setdefault(r["user_id"], []).append(r)
+    expected = {}
+    weights = [1.0, 0.7, 0.49, 0.343, 0.2401, 0.16807, 0.117649, 0.0823543]
+    for rows in by_user.values():
+        for i, r in enumerate(rows):
+            num = den = 0.0
+            for j, wt in enumerate(weights):
+                if i - j < 0:
+                    break
+                v = rows[i - j]["value"]
+                if v is not None:
+                    num += wt * v
+                    den += wt
+            expected[r["event_id"]] = (
+                round(num / den, 6) if den > 0 else None
+            )
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in QUERIES["evt_ewma_rolling"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(expected)
+    for k, v in expected.items():
+        if v is None:
+            assert got[k] is None
+        else:
+            assert got[k] is not None and abs(got[k] - v) < 1e-9, k
+
+
+def test_ewma_smooths_toward_recent_values(spark, sf_dir):
+    """Directional sanity: every EWMA lies within [min, max] of the
+    window it averages — a convex combination cannot escape its
+    inputs. (Checked per user on the collected frame.)"""
+    out = QUERIES["evt_ewma_rolling"](spark, sf_dir)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    rows = {
+        r["event_id"]: r
+        for r in out.join(ev.select("event_id", "ts"), "event_id").collect()
+    }
+    by_user: dict = {}
+    for r in sorted(
+        rows.values(), key=lambda r: (r["user_id"], r["ts"], r["event_id"])
+    ):
+        by_user.setdefault(r["user_id"], []).append(r)
+    for urows in by_user.values():
+        vals = [r["value"] for r in urows]
+        for i, r in enumerate(urows):
+            window = [v for v in vals[max(0, i - 7): i + 1] if v is not None]
+            if not window or r["ewma"] is None:
+                continue
+            assert min(window) - 1e-6 <= r["ewma"] <= max(window) + 1e-6
+
+
+def test_cross_split_leakage_pairs_straddle_the_split(spark, sf_dir):
+    """Every reported leak pairs a bucket-0 (val) doc with a non-zero
+    bucket (train) doc; the best match is the max-Jaccard (min train
+    id on ties) member of the full pair set, and n_matches counts
+    exactly the pairs above threshold for that val doc."""
+    from idr_data_pipelines_spark.llmdata.dedup import (
+        minhash_md5_incremental_pairs,
+    )
+    from idr_data_pipelines_spark.llmdata.sampling import hash_bucket
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    buckets = {
+        r["doc_id"]: r["b"]
+        for r in docs.select(
+            "doc_id", hash_bucket("doc_id", buckets=5, salt="split").alias("b")
+        ).collect()
+    }
+    out = QUERIES["dedup_cross_split_leakage"](spark, sf_dir).collect()
+    assert len(out) > 0, "fixture corpus must contain straddling near-dups"
+    bucket0 = F.col("__b") == 0
+    tagged = docs.withColumn(
+        "__b", hash_bucket("doc_id", buckets=5, salt="split")
+    )
+    pairs = minhash_md5_incremental_pairs(
+        tagged.filter(bucket0).drop("__b"),
+        tagged.filter(~bucket0).drop("__b"),
+        num_perm=16,
+        bands=4,
+        shingle_k=3,
+        jaccard_threshold=0.5,
+    ).collect()
+    by_val: dict = {}
+    for p in pairs:
+        by_val.setdefault(p["id_new"], []).append(p)
+    assert set(r["val_doc"] for r in out) == set(by_val)
+    for r in out:
+        assert buckets[r["val_doc"]] == 0
+        assert buckets[r["train_doc"]] != 0
+        cands = by_val[r["val_doc"]]
+        assert r["n_matches"] == len(cands)
+        best = min(cands, key=lambda p: (-p["jaccard_r"], p["id_old"]))
+        assert r["train_doc"] == best["id_old"]
+        assert abs(r["jaccard_r"] - best["jaccard_r"]) < 1e-9
+
+
+def test_langid_audit_shares_and_domain(spark, sf_dir):
+    """Within each true lang the cell counts sum to that lang's doc
+    count and the shares to 1 (±rounding); predictions stay in the
+    marker-language domain plus 'und'; a handful of rows replayed in
+    pure Python (regex hit counts, first-max-wins) agree."""
+    import re
+
+    from idr_data_pipelines_spark.llmdata.text import _LANG_MARKERS
+
+    out = QUERIES["docs_langid_audit"](spark, sf_dir).collect()
+    langs = set(_LANG_MARKERS) | {"und"}
+    assert all(r["predicted"] in langs for r in out)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("text").isNotNull()
+    )
+    truth = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    per_lang: dict = {}
+    for r in out:
+        per_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in per_lang.items():
+        assert sum(r["n"] for r in rows) == truth[lang]
+        assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-4
+
+    def predict(text):
+        lt = text.lower()
+        scores = {
+            lang: sum(
+                len(re.findall(rf"\b{w}\b", lt)) for w in ws
+            )
+            for lang, ws in _LANG_MARKERS.items()
+        }
+        best = max(scores.values())
+        if best < 1:
+            return "und"
+        for lang in _LANG_MARKERS:  # first max wins
+            if scores[lang] == best:
+                return lang
+    sample = docs.select("lang", "text").limit(50).collect()
+    from collections import Counter
+
+    replay = Counter((r["lang"], predict(r["text"])) for r in sample)
+    # the audit is a corpus-wide rollup; spot-check that every replayed
+    # cell exists in the audit with at least the replayed count
+    audit = {(r["lang"], r["predicted"]): r["n"] for r in out}
+    for cell, n in replay.items():
+        assert audit.get(cell, 0) >= n, cell
+
+
+def test_length_outliers_bounds_match_numpy(spark, sf_dir):
+    """Per-source p05/p95 equal numpy's linear-interpolation
+    percentiles, every source keeps at least one doc, and n_kept is
+    exactly the count of docs inside the UNROUNDED [p05, p95]."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .select("source", "n_chars")
+        .collect()
+    )
+    by_source: dict = {}
+    for r in docs:
+        by_source.setdefault(r["source"], []).append(float(r["n_chars"]))
+    out = QUERIES["docs_length_outliers"](spark, sf_dir).collect()
+    assert set(r["source"] for r in out) == set(by_source)
+    for r in out:
+        vals = np.array(by_source[r["source"]])
+        p05 = np.percentile(vals, 5, method="linear")
+        p95 = np.percentile(vals, 95, method="linear")
+        assert abs(r["p05"] - round(p05, 6)) < 1e-6, r["source"]
+        assert abs(r["p95"] - round(p95, 6)) < 1e-6, r["source"]
+        kept = int(((vals >= p05) & (vals <= p95)).sum())
+        assert r["n_kept"] == kept
+        assert 0 < r["n_kept"] <= r["n_docs"]
+        assert abs(r["kept_share"] - round(kept / len(vals), 6)) < 1e-6
