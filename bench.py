@@ -44,6 +44,10 @@ EXTENDED = [
     # epoch shuffle-sharder (per-shard window sorts)
     "text_perplexity_bigram",
     "corpus_shuffle_shards",
+    # round-7 session 6: the split-restricted minhash probe (linear
+    # signature term) and the double-explode BPE merge round
+    "dedup_cross_split_leakage",
+    "text_bpe_merge_round",
 ]
 
 HEADLINE = [

@@ -316,3 +316,70 @@ def resize_media_stub(
             )
 
     return df.select(id_col, payload_col).mapInPandas(_batches, schema)
+
+
+AUDIO_WINDOW_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("win_idx", LongType()),
+        StructField("start_byte", LongType()),
+        StructField("byte_sum", LongType()),
+        StructField("checksum", StringType()),
+    ]
+)
+
+
+def audio_window_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    frame_len: int = 32,
+    hop: int = 16,
+) -> DataFrame:
+    """Audio framing plumbing: the OVERLAPPING hop-window fan-out an
+    STFT/fbank front-end runs over raw waveform bytes (frame_len
+    window advanced by hop < frame_len), emitting per-window features
+    — here a deterministic energy proxy (byte sum) and an md5
+    checksum standing in for the real filterbank vector. Only FULL
+    windows are emitted (a trailing partial frame is dropped, the
+    usual STFT convention).
+
+    Shape notes (same contract as ``frame_sample_stub``): 1→N row
+    fan-out via Arrow-batched mapInPandas with a declared typed
+    schema; numpy does the per-window arithmetic so the Python cost
+    is per-BATCH, not per-byte. Swap the feature lambda for
+    librosa/torchaudio in production — the distributed plumbing
+    (schema, batching, overlap arithmetic) is what this operator
+    pins."""
+    import hashlib
+
+    import numpy as np
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, starts, sums, sums_md5 = [], [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                arr = np.frombuffer(b, dtype=np.uint8)
+                for i, off in enumerate(
+                    range(0, len(b) - frame_len + 1, hop)
+                ):
+                    win = b[off : off + frame_len]
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    starts.append(off)
+                    sums.append(int(arr[off : off + frame_len].sum()))
+                    sums_md5.append(hashlib.md5(win).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "win_idx": pd.Series(idxs, dtype="int64"),
+                    "start_byte": pd.Series(starts, dtype="int64"),
+                    "byte_sum": pd.Series(sums, dtype="int64"),
+                    "checksum": sums_md5,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        _batches, AUDIO_WINDOW_SCHEMA
+    )

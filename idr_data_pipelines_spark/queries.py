@@ -6639,6 +6639,148 @@ def q_docs_length_outliers(spark, sf_dir):
     )
 
 
+def q_text_bpe_merge_round(spark, sf_dir):
+    """One FULL BPE training iteration (Sennrich et al. 2016), not
+    just the pair statistics: elect the corpus-wide most frequent
+    adjacent character pair (ties: pair asc), re-segment every word
+    by merging that pair greedily left-to-right, and emit the top-20
+    adjacent-SYMBOL pairs of the re-segmented corpus — the input to
+    merge round 2. Re-segmentation is pure string algebra replayable
+    in any engine: chars joined by '|', then a literal replace of
+    'a|b' → 'ab' (replace-all scans left-to-right non-overlapping in
+    both Spark and DuckDB — exactly BPE's greedy pairing, e.g.
+    'aaaa' → (aa)(aa)). Two counting shuffles over a bounded
+    symbol-pair key space (map-side combine both times) + the 1-row
+    elected-merge broadcast (waived crossJoin). Iterating = re-running
+    this shape with the merge list grown by one."""
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+            ).alias("word")
+        )
+        .filter(F.length("word") >= 2)
+    )
+    p1 = (
+        words.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.col("word").substr(i, F.lit(2)),
+                )
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    best = (
+        p1.orderBy(F.desc("n"), F.asc("pair"))
+        .limit(1)
+        .select(F.col("pair").alias("bp"))
+    )
+    seg = (
+        words.crossJoin(F.broadcast(best))
+        .withColumn(
+            "syms",
+            F.split(
+                F.replace(
+                    # 'hello' -> 'h|e|l|l|o' (insert | at every
+                    # char boundary), then merge the elected pair
+                    F.regexp_replace("word", "(?<=.)(?=.)", "|"),
+                    F.concat(
+                        F.substring("bp", 1, 1),
+                        F.lit("|"),
+                        F.substring("bp", 2, 1),
+                    ),
+                    F.col("bp"),
+                ),
+                r"\|",
+            ),
+        )
+        .filter(F.size("syms") >= 2)
+    )
+    return (
+        seg.select(
+            "bp",
+            F.explode(
+                F.zip_with(
+                    F.expr("slice(syms, 1, size(syms) - 1)"),
+                    F.expr("slice(syms, 2, size(syms) - 1)"),
+                    lambda x, y: F.concat(x, F.lit("+"), y),
+                )
+            ).alias("pair"),
+        )
+        .groupBy("bp", "pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+        .select(F.col("bp").alias("merge_pair"), "pair", "n")
+    )
+
+
+def q_mm_audio_windows(spark, sf_dir):
+    """Audio-modality framing: every payload fans out into OVERLAPPING
+    hop windows (frame 32, hop 16 — the STFT front-end shape, unlike
+    `mm_frame_sample`'s disjoint stride slices) with per-window
+    deterministic features (byte-sum energy proxy + md5 checksum)
+    via Arrow-batched mapInPandas. The corpus is ASCII, so the DuckDB
+    oracle replays every window with substring arithmetic and ascii()
+    sums — the whole binary fan-out is value-hash checked."""
+    from idr_data_pipelines_spark.llmdata.multimodal import (
+        audio_window_features,
+        with_binary_payload,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    with_bin = with_binary_payload(docs, "text", media_type="audio")
+    return audio_window_features(with_bin, frame_len=32, hop=16)
+
+
+def q_emb_pca_project(spark, sf_dir):
+    """PCA projection onto the first principal component — the
+    compression/drift-monitoring step after `emb_power_iteration`
+    trains the direction: every embedding's scalar score along the
+    top covariance eigenvector. The eigenvector (d rows) collapses to
+    ONE ordered-array row (sort_array of (dim, v) structs inside an
+    agg — no global window) and broadcasts onto the corpus (waived
+    1-row crossJoin); the projection is a sequential zip_with fold,
+    map-only over the corpus. Cross-engine: the fold multiplies the
+    6-decimal-rounded eigenvector against double-cast floats in fixed
+    dimension order — the same left-fold contract as `_dot_sql`."""
+    from idr_data_pipelines_spark.llmdata.similarity import (
+        power_iteration_top_eig,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    eig = power_iteration_top_eig(emb, n_iter=2)
+    vrow = eig.agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("dim"), F.col("v_r")))
+            ),
+            lambda s: s["v_r"],
+        ).alias("vv")
+    )
+    return emb.crossJoin(F.broadcast(vrow)).select(
+        "vec_id",
+        "label",
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("vv"),
+                    F.transform(F.col("embedding"), lambda x: x.cast("double")),
+                    lambda v, e: v * e,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("pc1_r"),
+    )
+
+
 # ===================================================================
 # registry
 # ===================================================================
@@ -6805,6 +6947,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_cross_split_leakage": q_dedup_cross_split_leakage,
     "docs_langid_audit": q_docs_langid_audit,
     "docs_length_outliers": q_docs_length_outliers,
+    "text_bpe_merge_round": q_text_bpe_merge_round,
+    "mm_audio_windows": q_mm_audio_windows,
+    "emb_pca_project": q_emb_pca_project,
     # -- last green r03 — next r08 picks after the deferrals
     "emb_cosine_near_dup": q_emb_cosine_near_dup,
     "join_asof": q_join_asof,
@@ -11493,7 +11638,72 @@ ORACLES["evt_ewma_rolling"] = """
 ORACLES["dedup_cross_split_leakage"] = _cross_split_leakage_sql(
     num_perm=16, bands=4, k=3, threshold=0.5, buckets=5
 )
+ORACLES["text_bpe_merge_round"] = """
+        WITH w2 AS (
+            SELECT word FROM (
+                SELECT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                    AS word
+                FROM documents WHERE text IS NOT NULL
+            ) WHERE length(word) >= 2
+        ), p1 AS (
+            SELECT pair, COUNT(*) AS n FROM (
+                SELECT unnest([substr(word, i, 2)
+                               for i in generate_series(1, length(word) - 1)])
+                    AS pair
+                FROM w2
+            ) GROUP BY pair
+        ), best AS (
+            SELECT pair AS bp FROM p1 ORDER BY n DESC, pair ASC LIMIT 1
+        ), seg AS (
+            SELECT bp,
+                   string_split(
+                       replace(
+                           array_to_string(
+                               [word[i] for i in
+                                generate_series(1, length(word))], '|'),
+                           substr(bp, 1, 1) || '|' || substr(bp, 2, 1),
+                           bp),
+                       '|') AS syms
+            FROM w2 CROSS JOIN best
+        ), np AS (
+            SELECT bp, syms[i] || '+' || syms[i + 1] AS pair
+            FROM seg, unnest(generate_series(1, len(syms) - 1)) AS u(i)
+            WHERE len(syms) >= 2
+        )
+        SELECT bp AS merge_pair, pair, CAST(COUNT(*) AS BIGINT) AS n
+        FROM np GROUP BY bp, pair
+        ORDER BY n DESC, pair ASC
+        LIMIT 20
+"""
+ORACLES["mm_audio_windows"] = """
+        SELECT doc_id,
+               CAST(u.i AS BIGINT) AS win_idx,
+               CAST(u.i * 16 AS BIGINT) AS start_byte,
+               CAST(list_sum(list_transform(
+                   [substr(text, u.i * 16 + j, 1)
+                    for j in generate_series(1, 32)],
+                   ch -> ascii(ch))) AS BIGINT) AS byte_sum,
+               md5(substr(text, u.i * 16 + 1, 32)) AS checksum
+        FROM documents,
+             unnest(generate_series(0, (length(text) - 32) // 16)) AS u(i)
+        WHERE text IS NOT NULL AND length(text) >= 32
+"""
 ORACLES["docs_langid_audit"] = _langid_audit_sql()
+# PCA projection: the power-iteration oracle is reused VERBATIM as a
+# CTE (zero duplication — the eigenvector the projection replays is
+# by construction the one emb_power_iteration verifies), collapsed to
+# one ordered list and dotted against each embedding with the same
+# left-fold ordering as _dot_sql.
+ORACLES["emb_pca_project"] = (
+    "WITH pit AS (" + ORACLES["emb_power_iteration"] + "),\n"
+    "vv AS (SELECT list(v_r ORDER BY dim) AS v FROM pit)\n"
+    "SELECT e.vec_id, e.label, ROUND("
+    + " + ".join(
+        f"vv.v[{i}] * CAST(e.embedding[{i}] AS DOUBLE)"
+        for i in range(1, 65)
+    )
+    + ", 6) AS pc1_r FROM embeddings e CROSS JOIN vv"
+)
 ORACLES["docs_length_outliers"] = """
         WITH docs AS (
             SELECT source, CAST(n_chars AS DOUBLE) AS nc

@@ -109,6 +109,12 @@ NAMES = [
     "dedup_cross_split_leakage",
     "docs_langid_audit",
     "docs_length_outliers",
+    # batch 2: data-elected merge feeding a top-k cut (bpe round),
+    # mapInPandas fan-out (audio windows), rounded fold dot products
+    # off a power-iteration-derived vector (pca project)
+    "text_bpe_merge_round",
+    "mm_audio_windows",
+    "emb_pca_project",
 ]
 
 

@@ -602,6 +602,10 @@ LINT_WAIVERS = {
     # 1-row vocabulary-size frame crossJoined onto the bigram counts
     "text_bigram_lm": {"cartesian-product"},
     "text_perplexity_bigram": {"cartesian-product"},
+    # 1-row elected-merge frame crossJoined onto the word corpus
+    "text_bpe_merge_round": {"cartesian-product"},
+    # 1-row collapsed-eigenvector array crossJoined onto the corpus
+    "emb_pca_project": {"cartesian-product"},
     # the UDTF API-pinning demo; docstring says prefer mapInPandas
     "udtf_split_sentences": {"python-row-udf"},
 }

@@ -225,3 +225,110 @@ def test_length_outliers_bounds_match_numpy(spark, sf_dir):
         assert r["n_kept"] == kept
         assert 0 < r["n_kept"] <= r["n_docs"]
         assert abs(r["kept_share"] - round(kept / len(vals), 6)) < 1e-6
+
+
+def test_bpe_merge_round_matches_pure_python(spark, sf_dir):
+    """The full merge round replayed in pure Python: elect the most
+    frequent char pair, greedy left-to-right re-segment, recount —
+    identical top-20 (the replay mirrors BPE's published greedy
+    pairing, so this pins SEMANTICS, not just engine agreement)."""
+    import re
+    from collections import Counter
+
+    texts = [
+        r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .collect()
+    ]
+    words = [
+        w
+        for t in texts
+        for w in re.findall(r"[a-z]+", t.lower())
+        if len(w) >= 2
+    ]
+    p1 = Counter(w[i : i + 2] for w in words for i in range(len(w) - 1))
+    bp = min(p1.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+
+    def reseg(word):
+        out = []
+        i = 0
+        while i < len(word):
+            if word[i : i + 2] == bp:
+                out.append(bp)
+                i += 2
+            else:
+                out.append(word[i])
+                i += 1
+        return out
+
+    p2 = Counter()
+    for w in words:
+        syms = reseg(w)
+        for i in range(len(syms) - 1):
+            p2[f"{syms[i]}+{syms[i + 1]}"] += 1
+    expected = sorted(p2.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = QUERIES["text_bpe_merge_round"](spark, sf_dir).collect()
+    assert all(r["merge_pair"] == bp for r in got)
+    assert [(r["pair"], r["n"]) for r in got] == expected
+
+
+def test_audio_windows_overlap_and_features(spark, sf_dir):
+    """Every doc with >= 32 bytes emits floor((n-32)/16)+1 windows;
+    consecutive windows overlap by exactly 16 bytes (checked via the
+    checksum of the shared half recomputed from the source text);
+    byte_sum equals the Python byte sum of the window."""
+    import hashlib
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("text").isNotNull())
+        .collect()
+    }
+    out = QUERIES["mm_audio_windows"](spark, sf_dir).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    eligible = {d: t for d, t in docs.items() if len(t.encode()) >= 32}
+    assert set(by_doc) == set(eligible)
+    for doc_id, rows in by_doc.items():
+        b = docs[doc_id].encode("utf-8")
+        rows.sort(key=lambda r: r["win_idx"])
+        assert len(rows) == (len(b) - 32) // 16 + 1
+        for r in rows:
+            assert r["start_byte"] == r["win_idx"] * 16
+            win = b[r["start_byte"] : r["start_byte"] + 32]
+            assert len(win) == 32
+            assert r["byte_sum"] == sum(win)
+            assert r["checksum"] == hashlib.md5(win).hexdigest()
+
+
+def test_pca_projection_matches_numpy_eigvec(spark, sf_dir):
+    """The projection scores equal numpy's dot of each embedding with
+    the (rounded) power-iteration vector, and their variance is at
+    least that of any single raw dimension — the defining property of
+    the dominant principal direction (up to the 2-iteration
+    approximation, checked with a tolerance factor)."""
+    eig = {
+        r["dim"]: r["v_r"]
+        for r in QUERIES["emb_power_iteration"](spark, sf_dir).collect()
+    }
+    v = np.array([eig[d] for d in range(64)])
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    E = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    got = {
+        r["vec_id"]: r["pc1_r"]
+        for r in QUERIES["emb_pca_project"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(E)
+    for vid, e in E.items():
+        assert abs(got[vid] - round(float(v @ e), 6)) < 1e-5, vid
+    scores = np.array([got[vid] for vid in sorted(got)])
+    M = np.stack([E[vid] for vid in sorted(got)])
+    # ||v|| == 1, so var(scores) should dominate per-dim variances
+    assert scores.var() >= M.var(axis=0).max() * 0.9
