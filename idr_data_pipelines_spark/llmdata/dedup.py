@@ -485,38 +485,41 @@ def _md5_band_and_shingle_frames(
         raise ValueError("num_perm must be divisible by bands")
     r = num_perm // bands
     coeffs = _perm_coefficients(num_perm)
-    a_arr = F.array(*[F.lit(a) for a, _ in coeffs])
-    b_arr = F.array(*[F.lit(b) for _, b in coeffs])
 
-    def sig_from_hashes(hp: Column) -> Column:
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(num_perm - 1)),
-            lambda i: F.array_min(
-                F.transform(
-                    hp,
-                    lambda h: (
-                        F.element_at(a_arr, (i + 1).cast("int")) * h
-                        + F.element_at(b_arr, (i + 1).cast("int"))
-                    )
-                    % F.lit(_MERSENNE_P),
-                )
-            ),
-        )
-
-    # null text → no shingles → excluded before banding (matches
-    # minhash_lsh_pairs: null-text docs cannot be near-dups). The
-    # isNotNull guard is required: without it the outer transform over
-    # sequence() yields an array OF nulls rather than a null array
-    # (same trap documented at minhash_signatures).
-    sigs = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.when(
-                _tokens(text_col).isNotNull(),
-                _let(md5_shingle_hashes(text_col, shingle_k), sig_from_hashes),
-            ).alias("signature"),
-        )
-        .filter(F.col("signature").isNotNull())
+    # Signature via explode → num_perm codegen'd MIN aggregates, NOT a
+    # nested transform/array_min higher-order fold: Catalyst runs HOF
+    # lambdas INTERPRETED (no whole-stage codegen), and the fold form
+    # measured 6× slower per core at sf0.1 (46 s vs 7 s single-core
+    # for the identical values — r07 session 6). The (id → min×16)
+    # aggregate is map-side combined, so the added exchange carries
+    # num_perm longs per doc, never the shingle set. Values are
+    # pinned identical: same (a·h+b) mod P long arithmetic, and MIN
+    # over exploded rows ≡ array_min over the array.
+    #
+    # Null text → no shingle rows after explode → doc absent (matches
+    # minhash_lsh_pairs: null-text docs cannot be near-dups). A doc
+    # whose shingle array were EMPTY would likewise vanish here; the
+    # old fold form kept it with an all-null signature that could
+    # never survive the exact-Jaccard verify, so pair OUTPUTS are
+    # unchanged (md5_shingle_hashes emits ≥1 shingle for any non-null
+    # tokenized text, so the case is theoretical).
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(md5_shingle_hashes(text_col, shingle_k)).alias("h"),
+    )
+    mins = exploded.groupBy("id").agg(
+        *[
+            F.min(
+                (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MERSENNE_P)
+            ).alias(f"__m{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
+    )
+    sigs = mins.select(
+        "id",
+        F.array(*[F.col(f"__m{i}") for i in range(num_perm)]).alias(
+            "signature"
+        ),
     )
 
     def band_structs(sig: Column) -> Column:

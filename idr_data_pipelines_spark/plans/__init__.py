@@ -1,6 +1,7 @@
 """Pipeline composition: named stages, dependencies, retries, hooks."""
 
 from idr_data_pipelines_spark.plans.pipeline import Pipeline, PipelineRunner, Stage
+from idr_data_pipelines_spark.plans.lineage import column_lineage, lineage_report
 from idr_data_pipelines_spark.plans.lint import (
     PlanFinding,
     assert_scalable,
@@ -18,6 +19,8 @@ __all__ = [
     "Stage",
     "PlanFinding",
     "assert_scalable",
+    "column_lineage",
+    "lineage_report",
     "count_shuffles",
     "estimate_size_bytes",
     "key_count_profile",

@@ -706,3 +706,80 @@ def test_join_bloom_prunes_before_shuffle(spark, sf_dir):
     # there) — so 1 or 2, never 0, and always before the join
     assert 1 <= plan.count("ArrowEvalPython") <= 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_column_lineage_projection_join_agg(spark, sf_dir):
+    """Lineage through alias, arithmetic, a two-table join and an
+    aggregate: every output column maps to exactly its true source
+    columns; a constant-only aggregate maps to nothing."""
+    from pyspark.sql import functions as F
+
+    from idr_data_pipelines_spark.plans import column_lineage
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    df = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.col("o_totalprice") * F.col("c_acctbal")).alias("rev"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    lin = column_lineage(df)
+    assert lin["o_orderpriority"] == [("orders", "o_orderpriority")]
+    assert lin["rev"] == [
+        ("customer", "c_acctbal"),
+        ("orders", "o_totalprice"),
+    ]
+    assert lin["n"] == []  # constant: no source columns
+
+
+def test_column_lineage_union_explode_window(spark, sf_dir):
+    """Union merges provenance positionally (the analyzed plan reuses
+    the first child's exprIds — reference-chasing alone would drop
+    the second branch); explode outputs inherit the generator's
+    references; window functions carry partition+order columns."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from idr_data_pipelines_spark.plans import column_lineage
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    u = o.select(F.col("o_orderkey").alias("k")).unionAll(
+        c.select("c_custkey")
+    )
+    assert column_lineage(u)["k"] == [
+        ("customer", "c_custkey"),
+        ("orders", "o_orderkey"),
+    ]
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    e = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    assert column_lineage(e)["tok"] == [("documents", "text")]
+
+    w = o.select(
+        "o_custkey",
+        F.row_number()
+        .over(Window.partitionBy("o_custkey").orderBy("o_orderdate"))
+        .alias("rn"),
+    )
+    assert column_lineage(w)["rn"] == [
+        ("orders", "o_custkey"),
+        ("orders", "o_orderdate"),
+    ]
+
+
+def test_column_lineage_flagship_spot_checks(spark, sf_dir):
+    """The real multi-join warehouse chain: spot-check that renamed
+    and derived columns trace through dedup windows, broadcast joins
+    and CASE buckets to the right physical tables."""
+    from idr_data_pipelines_spark.plans import column_lineage
+    from idr_data_pipelines_spark.queries import QUERIES
+
+    lin = column_lineage(QUERIES["flagship_warehouse"](spark, sf_dir))
+    assert lin["customer_id"] == [("orders", "o_custkey")]
+    assert lin["customer_name"] == [("customer", "c_name")]
+    assert lin["nation"] == [("nation", "n_name")]
+    assert lin["recency"] == [("orders", "o_orderdate")]
