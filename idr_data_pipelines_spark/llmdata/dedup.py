@@ -466,6 +466,53 @@ def md5_shingle_hashes(col: Column | str, k: int = 3) -> Column:
     )
 
 
+def _md5_signature_frame(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int,
+    shingle_k: int,
+) -> DataFrame:
+    """(id, signature array<long>) — the md5-32 MinHash signature.
+
+    Computed via explode → ``num_perm`` codegen'd MIN aggregates, NOT
+    a nested transform/array_min higher-order fold: Catalyst runs HOF
+    lambdas INTERPRETED (no whole-stage codegen), and the fold form
+    measured 6× slower per core at sf0.1 (46 s vs 7 s single-core for
+    the identical values — r07 session 6). The (id → min×num_perm)
+    aggregate is map-side combined, so the added exchange carries
+    num_perm longs per doc, never the shingle set. Values are pinned
+    identical to the fold form: same (a·h+b) mod P long arithmetic,
+    and MIN over exploded rows ≡ array_min over the array.
+
+    Null text → no shingle rows after explode → doc absent (matches
+    minhash_lsh_pairs: null-text docs cannot be near-dups). A doc
+    whose shingle array were EMPTY would likewise vanish here; the
+    old fold form kept it with an all-null signature that could never
+    survive the exact-Jaccard verify, so pair OUTPUTS are unchanged
+    (md5_shingle_hashes emits ≥1 shingle for any non-null tokenized
+    text, so the case is theoretical)."""
+    coeffs = _perm_coefficients(num_perm)
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(md5_shingle_hashes(text_col, shingle_k)).alias("h"),
+    )
+    mins = exploded.groupBy("id").agg(
+        *[
+            F.min(
+                (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MERSENNE_P)
+            ).alias(f"__m{i}")
+            for i, (a, b) in enumerate(coeffs)
+        ]
+    )
+    return mins.select(
+        "id",
+        F.array(*[F.col(f"__m{i}") for i in range(num_perm)]).alias(
+            "signature"
+        ),
+    )
+
+
 def _md5_band_and_shingle_frames(
     df: DataFrame,
     id_col: str,
@@ -484,43 +531,7 @@ def _md5_band_and_shingle_frames(
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
     r = num_perm // bands
-    coeffs = _perm_coefficients(num_perm)
-
-    # Signature via explode → num_perm codegen'd MIN aggregates, NOT a
-    # nested transform/array_min higher-order fold: Catalyst runs HOF
-    # lambdas INTERPRETED (no whole-stage codegen), and the fold form
-    # measured 6× slower per core at sf0.1 (46 s vs 7 s single-core
-    # for the identical values — r07 session 6). The (id → min×16)
-    # aggregate is map-side combined, so the added exchange carries
-    # num_perm longs per doc, never the shingle set. Values are
-    # pinned identical: same (a·h+b) mod P long arithmetic, and MIN
-    # over exploded rows ≡ array_min over the array.
-    #
-    # Null text → no shingle rows after explode → doc absent (matches
-    # minhash_lsh_pairs: null-text docs cannot be near-dups). A doc
-    # whose shingle array were EMPTY would likewise vanish here; the
-    # old fold form kept it with an all-null signature that could
-    # never survive the exact-Jaccard verify, so pair OUTPUTS are
-    # unchanged (md5_shingle_hashes emits ≥1 shingle for any non-null
-    # tokenized text, so the case is theoretical).
-    exploded = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(md5_shingle_hashes(text_col, shingle_k)).alias("h"),
-    )
-    mins = exploded.groupBy("id").agg(
-        *[
-            F.min(
-                (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(_MERSENNE_P)
-            ).alias(f"__m{i}")
-            for i, (a, b) in enumerate(coeffs)
-        ]
-    )
-    sigs = mins.select(
-        "id",
-        F.array(*[F.col(f"__m{i}") for i in range(num_perm)]).alias(
-            "signature"
-        ),
-    )
+    sigs = _md5_signature_frame(df, id_col, text_col, num_perm, shingle_k)
 
     def band_structs(sig: Column) -> Column:
         return F.array(
@@ -689,6 +700,71 @@ def minhash_md5_lsh_pairs(
     finally:
         banded.unpersist()
         sh.unpersist()
+
+
+def minhash_md5_estimate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Signature-estimate vs exact-Jaccard for EVERY banded candidate
+    pair (no threshold) — the calibration table that tells you whether
+    to trust the MinHash index before deduplicating 100 TB with it:
+    ``est`` is the matching-component fraction of the two signatures
+    (the textbook unbiased Jaccard estimator), ``exact`` the true
+    Jaccard over the distinct shingle-hash sets, and ``abs_err`` their
+    gap. False positives (high est, low exact) are exactly the pairs
+    a threshold-only pipeline would wrongly collapse.
+
+    Returns (id_a, id_b, est_r, exact_r, abs_err_r), id_a < id_b.
+    Candidates come from the SAME band join as the dedup path, so the
+    eval measures the estimator on the pairs the pipeline actually
+    sees. Fully engine-portable (md5-32 family)."""
+    banded, sh = _md5_band_and_shingle_frames(
+        df, id_col, text_col, num_perm, bands, shingle_k
+    )
+    sigs = _md5_signature_frame(df, id_col, text_col, num_perm, shingle_k)
+    pairs = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+        )
+    ).cast("double") / F.lit(float(num_perm))
+    exact = F.size(F.array_intersect("sh_a", "sh_b")).cast(
+        "double"
+    ) / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        pairs.join(
+            sigs.withColumnsRenamed({"id": "id_a", "signature": "sig_a"}),
+            "id_a",
+        )
+        .join(
+            sigs.withColumnsRenamed({"id": "id_b", "signature": "sig_b"}),
+            "id_b",
+        )
+        .join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(est, 6).alias("est_r"),
+            F.round(exact, 6).alias("exact_r"),
+            F.round(F.abs(est - exact), 6).alias("abs_err_r"),
+        )
+    )
 
 
 # -------------------------------------------------------------- SimHash

@@ -6781,6 +6781,107 @@ def q_emb_pca_project(spark, sf_dir):
     )
 
 
+def q_dedup_minhash_estimate(spark, sf_dir):
+    """MinHash calibration table — est-vs-exact Jaccard for every
+    banded candidate pair with NO threshold, the 'can I trust this
+    index?' eval a 100 TB dedup run publishes first (the near-dup
+    sibling of `ann_recall_eval`). False positives (high est, low
+    exact) are precisely the pairs a threshold-only pipeline would
+    wrongly collapse. Candidates come from the SAME band join as the
+    dedup path; per-pair arithmetic is the portable md5-32 family, so
+    the whole calibration replays under the SQL oracle."""
+    from idr_data_pipelines_spark.llmdata.dedup import (
+        minhash_md5_estimate_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_md5_estimate_pairs(
+        docs, num_perm=16, bands=4, shingle_k=3
+    )
+
+
+def q_graph_triangles(spark, sf_dir):
+    """Triangle enumeration over the basket co-occurrence graph with
+    the published DEGREE-ORDERED orientation (compact-forward /
+    Latapy): each undirected edge points from its lower-(degree, id)
+    endpoint to the higher, every triangle is found exactly once at
+    its lowest-key vertex, and — the 100 TB point — wedge fan-out per
+    vertex is bounded by out-degree ≤ O(√m) instead of the raw degree
+    of a hot node, so a celebrity part cannot quadratically explode
+    the wedge join the way it would under naive a<b orientation.
+    Edges are the support≥2 capped basket pairs (the ≤32-parts skew
+    guard applies BEFORE pair generation, as in basket_pairs).
+    Output: one row per triangle, part ids sorted ascending.
+    key = deg·10¹¹ + id is exact long arithmetic in both engines
+    (ids < 10¹¹, degrees < 9·10⁷ by construction here; at larger
+    scales widen to a struct comparison)."""
+    li = _t(spark, sf_dir, "lineitem")
+    d0 = li.select("l_orderkey", "l_partkey").distinct()
+    small = (
+        d0.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("np"))
+        .filter(F.col("np") <= 32)
+        .select("l_orderkey")
+    )
+    d = d0.join(small, "l_orderkey")
+    e = (
+        d.alias("x")
+        .join(
+            d.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("a", "b")
+    )
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("dg"))
+        .select(
+            "v", (F.col("dg") * F.lit(100000000000) + F.col("v")).alias("k")
+        )
+    )
+    ek = (
+        e.join(deg.withColumnsRenamed({"v": "a", "k": "ka"}), "a")
+        .join(deg.withColumnsRenamed({"v": "b", "k": "kb"}), "b")
+    )
+    o = ek.select(
+        F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.least("ka", "kb").alias("ks"),
+        F.greatest("ka", "kb").alias("kd"),
+    )
+    w1, w2 = o.alias("w1"), o.alias("w2")
+    wedges = w1.join(
+        w2,
+        (F.col("w1.src") == F.col("w2.src"))
+        & (F.col("w1.kd") < F.col("w2.kd")),
+    ).select(
+        F.col("w1.src").alias("x"),
+        F.col("w1.dst").alias("y"),
+        F.col("w2.dst").alias("z"),
+    )
+    closed = wedges.join(
+        o.select(F.col("src").alias("y"), F.col("dst").alias("z")),
+        ["y", "z"],
+        "left_semi",
+    )
+    tri = closed.select(
+        F.array_sort(F.array("x", "y", "z")).alias("t")
+    ).select(
+        F.element_at("t", 1).alias("pa"),
+        F.element_at("t", 2).alias("pb"),
+        F.element_at("t", 3).alias("pc"),
+    )
+    return tri
+
+
 # ===================================================================
 # registry
 # ===================================================================
@@ -6950,6 +7051,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_merge_round": q_text_bpe_merge_round,
     "mm_audio_windows": q_mm_audio_windows,
     "emb_pca_project": q_emb_pca_project,
+    "dedup_minhash_estimate": q_dedup_minhash_estimate,
+    "graph_triangles": q_graph_triangles,
     # -- last green r03 — next r08 picks after the deferrals
     "emb_cosine_near_dup": q_emb_cosine_near_dup,
     "join_asof": q_join_asof,
@@ -7276,20 +7379,9 @@ def _minhash_md5_sql(num_perm: int, bands: int, k: int, threshold: float) -> str
     """
 
 
-def _minhash_md5_split_pairs_sql(
-    num_perm: int,
-    bands: int,
-    k: int,
-    threshold: float,
-    new_pred: str,
-    old_pred: str,
-) -> str:
-    """DuckDB replay of ``minhash_md5_incremental_pairs`` over an
-    arbitrary two-sided doc_id split — identical signature CTEs to
-    ``_minhash_md5_sql``; only the pair join is restricted to
-    new-side × old-side via the two predicate strings (which may
-    reference ``b.doc_id`` / ``c.doc_id``). Yields
-    (id_new, id_old, jaccard_r)."""
+def _minhash_md5_cte_prefix(num_perm: int, bands: int, k: int) -> str:
+    """The shared hs/sig/banded WITH-body of the portable md5 MinHash
+    oracles (mirrors ``_md5_band_and_shingle_frames``)."""
     from idr_data_pipelines_spark.llmdata.dedup import (
         _MERSENNE_P,
         _perm_coefficients,
@@ -7307,8 +7399,7 @@ def _minhash_md5_split_pairs_sql(
         + ") AS band_key FROM sig"
         for b in range(bands)
     )
-    return f"""
-        WITH hs AS (
+    return f"""hs AS (
             SELECT doc_id, {_md5_shingle_hashes_sql(k)} AS hv
             FROM (SELECT doc_id,
                          regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
@@ -7317,7 +7408,25 @@ def _minhash_md5_split_pairs_sql(
             SELECT doc_id, [{mins}] AS s FROM hs
         ), banded AS (
             {band_rows}
-        ), pairs AS (
+        )"""
+
+
+def _minhash_md5_split_pairs_sql(
+    num_perm: int,
+    bands: int,
+    k: int,
+    threshold: float,
+    new_pred: str,
+    old_pred: str,
+) -> str:
+    """DuckDB replay of ``minhash_md5_incremental_pairs`` over an
+    arbitrary two-sided doc_id split — identical signature CTEs to
+    ``_minhash_md5_sql``; only the pair join is restricted to
+    new-side × old-side via the two predicate strings (which may
+    reference ``b.doc_id`` / ``c.doc_id``). Yields
+    (id_new, id_old, jaccard_r)."""
+    return f"""
+        WITH {_minhash_md5_cte_prefix(num_perm, bands, k)}, pairs AS (
             SELECT DISTINCT b.doc_id AS id_new, c.doc_id AS id_old
             FROM banded b JOIN banded c
               ON b.band_idx = c.band_idx AND b.band_key = c.band_key
@@ -11674,6 +11783,69 @@ ORACLES["text_bpe_merge_round"] = """
         FROM np GROUP BY bp, pair
         ORDER BY n DESC, pair ASC
         LIMIT 20
+"""
+ORACLES["dedup_minhash_estimate"] = f"""
+        WITH {_minhash_md5_cte_prefix(16, 4, 3)}, pairs AS (
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+            FROM banded l JOIN banded r
+              ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+            WHERE l.doc_id < r.doc_id
+        )
+        SELECT id_a, id_b,
+               ROUND(est, 6) AS est_r,
+               ROUND(exact, 6) AS exact_r,
+               ROUND(ABS(est - exact), 6) AS abs_err_r
+        FROM (
+            SELECT p.id_a, p.id_b,
+                   CAST(len(list_filter(
+                       [sa.s[i] = sb.s[i]
+                        for i in generate_series(1, 16)],
+                       m -> m)) AS DOUBLE) / 16.0 AS est,
+                   CAST(len(list_intersect(na.hv, nb.hv)) AS DOUBLE)
+                   / CAST(len(list_distinct(na.hv || nb.hv)) AS DOUBLE)
+                       AS exact
+            FROM pairs p
+            JOIN sig sa ON p.id_a = sa.doc_id
+            JOIN sig sb ON p.id_b = sb.doc_id
+            JOIN hs na ON p.id_a = na.doc_id
+            JOIN hs nb ON p.id_b = nb.doc_id
+        )
+"""
+ORACLES["graph_triangles"] = """
+        WITH d0 AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), small AS (
+            SELECT l_orderkey FROM d0 GROUP BY l_orderkey
+            HAVING COUNT(*) <= 32
+        ), d AS (
+            SELECT d0.* FROM d0 JOIN small USING (l_orderkey)
+        ), e AS (
+            SELECT x.l_partkey AS a, y.l_partkey AS b
+            FROM d x JOIN d y
+              ON x.l_orderkey = y.l_orderkey
+             AND x.l_partkey < y.l_partkey
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ), deg AS (
+            SELECT v, CAST(COUNT(*) AS BIGINT) * 100000000000 + v AS k
+            FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+            GROUP BY v
+        ), o AS (
+            SELECT CASE WHEN da.k < db.k THEN e.a ELSE e.b END AS src,
+                   CASE WHEN da.k < db.k THEN e.b ELSE e.a END AS dst,
+                   least(da.k, db.k) AS ks,
+                   greatest(da.k, db.k) AS kd
+            FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v
+        ), w AS (
+            SELECT w1.src AS x, w1.dst AS y, w2.dst AS z
+            FROM o w1 JOIN o w2
+              ON w1.src = w2.src AND w1.kd < w2.kd
+        ), c AS (
+            SELECT x, y, z FROM w
+            WHERE EXISTS (SELECT 1 FROM o
+                          WHERE o.src = w.y AND o.dst = w.z)
+        )
+        SELECT t[1] AS pa, t[2] AS pb, t[3] AS pc
+        FROM (SELECT list_sort([x, y, z]) AS t FROM c)
 """
 ORACLES["mm_audio_windows"] = """
         SELECT doc_id,

