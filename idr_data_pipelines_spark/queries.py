@@ -6837,6 +6837,13 @@ def q_graph_triangles(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("sup"))
         .filter(F.col("sup") >= 2)
         .select("a", "b")
+        # the edge frame feeds degrees AND both wedge sides AND the
+        # closing semi-join: lazy localCheckpoint truncates the shared
+        # lineage (same pattern as graph_khop) so the basket pair-agg
+        # is not re-planned 5× — AQE would reuse the exchanges at
+        # runtime, but the 5× plan blowup costs optimizer time and
+        # hides the real exchange count from plan review
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("a").alias("v"))
@@ -6856,7 +6863,7 @@ def q_graph_triangles(spark, sf_dir):
         F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.least("ka", "kb").alias("ks"),
         F.greatest("ka", "kb").alias("kd"),
-    )
+    ).localCheckpoint(eager=False)  # consumed 3× (two wedge sides + close)
     w1, w2 = o.alias("w1"), o.alias("w2")
     wedges = w1.join(
         w2,
@@ -6880,6 +6887,44 @@ def q_graph_triangles(spark, sf_dir):
         F.element_at("t", 3).alias("pc"),
     )
     return tri
+
+
+def q_evt_bot_regularity(spark, sf_dir):
+    """Timing-regularity bot screen — the event-stream cleaning step
+    web/training pipelines run before counting users: per user, the
+    coefficient of variation of inter-event gaps (bots fire on
+    unnaturally regular schedules → CV near 0; humans are bursty →
+    CV ≥ 1). Gaps are EXACT integer microseconds off one per-user
+    ordered window; moments are DECIMAL(38,0) sums (a squared gap
+    overflows int64 — same exact-moment recipe as
+    `emb_norm_outliers`), so only the final fixed-order divides are
+    doubles. Users with <5 gaps are excluded (CV of a near-empty
+    sample is noise); `is_regular` compares the ROUNDED cv so the
+    flag is engine- and partition-stable."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    g = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    d = F.col("gap_us").cast("decimal(38,0)")
+    m = g.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum(d).alias("s"),
+        F.sum(d * d).alias("ss"),
+    ).filter(F.col("n_gaps") >= 5)
+    n = F.col("n_gaps").cast("double")
+    mean = F.col("s").cast("double") / n
+    var = F.greatest(
+        F.col("ss").cast("double") / n - mean * mean, F.lit(0.0)
+    )
+    cv = F.when(mean > 0, F.round(F.sqrt(var) / mean, 6))
+    return m.select(
+        "user_id",
+        "n_gaps",
+        F.round(mean / F.lit(1000000.0), 6).alias("mean_gap_s"),
+        cv.alias("cv_r"),
+    ).withColumn("is_regular", F.col("cv_r") < 0.5)
 
 
 # ===================================================================
@@ -7053,6 +7098,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_pca_project": q_emb_pca_project,
     "dedup_minhash_estimate": q_dedup_minhash_estimate,
     "graph_triangles": q_graph_triangles,
+    "evt_bot_regularity": q_evt_bot_regularity,
     # -- last green r03 — next r08 picks after the deferrals
     "emb_cosine_near_dup": q_emb_cosine_near_dup,
     "join_asof": q_join_asof,
@@ -11846,6 +11892,40 @@ ORACLES["graph_triangles"] = """
         )
         SELECT t[1] AS pa, t[2] AS pb, t[3] AS pc
         FROM (SELECT list_sort([x, y, z]) AS t FROM c)
+"""
+ORACLES["evt_bot_regularity"] = """
+        WITH g AS (
+            SELECT user_id,
+                   epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS gap_us
+            FROM events
+        ), m AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_gaps,
+                   SUM(gap_us::HUGEINT) AS s,
+                   SUM(gap_us::HUGEINT * gap_us::HUGEINT) AS ss
+            FROM g WHERE gap_us IS NOT NULL
+            GROUP BY user_id
+            HAVING COUNT(*) >= 5
+        ), z AS (
+            SELECT user_id, n_gaps,
+                   CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean,
+                   greatest(
+                       CAST(ss AS DOUBLE) / CAST(n_gaps AS DOUBLE)
+                       - (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                         * (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)),
+                       0.0) AS var
+            FROM m
+        )
+        SELECT user_id, n_gaps,
+               ROUND(mean / 1000000.0, 6) AS mean_gap_s,
+               CASE WHEN mean > 0
+                    THEN ROUND(sqrt(var) / mean, 6) END AS cv_r,
+               (CASE WHEN mean > 0
+                     THEN ROUND(sqrt(var) / mean, 6) END) < 0.5
+                   AS is_regular
+        FROM z
 """
 ORACLES["mm_audio_windows"] = """
         SELECT doc_id,

@@ -119,6 +119,8 @@ NAMES = [
     # (minhash calibration), degree-keyed orientation (triangles)
     "dedup_minhash_estimate",
     "graph_triangles",
+    # exact decimal moments + rounded-cv flag
+    "evt_bot_regularity",
 ]
 
 

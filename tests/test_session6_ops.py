@@ -401,3 +401,64 @@ def test_graph_triangles_matches_pure_python(spark, sf_dir):
     # uniqueness: the orientation finds each triangle exactly once
     n_rows = QUERIES["graph_triangles"](spark, sf_dir).count()
     assert n_rows == len(expected)
+
+
+def test_bot_regularity_matches_numpy(spark, sf_dir):
+    """Per-user CV replayed with exact Python ints (sums of squared
+    microsecond gaps) — mirrors the engines' decimal arithmetic; a
+    synthetic perfectly-regular user must flag is_regular."""
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", "ts")
+        .collect()
+    )
+    import math
+
+    by_user: dict = {}
+    for r in sorted(ev, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        by_user.setdefault(r["user_id"], []).append(
+            int(r["ts"].timestamp() * 1_000_000)
+        )
+    out = {
+        r["user_id"]: r
+        for r in QUERIES["evt_bot_regularity"](spark, sf_dir).collect()
+    }
+    expected = {}
+    for u, times in by_user.items():
+        gaps = [b - a for a, b in zip(times, times[1:])]
+        if len(gaps) < 5:
+            continue
+        n = len(gaps)
+        s, ss = sum(gaps), sum(g * g for g in gaps)
+        mean = s / n
+        var = max(ss / n - mean * mean, 0.0)
+        cv = round(math.sqrt(var) / mean, 6) if mean > 0 else None
+        expected[u] = (n, cv)
+    assert set(out) == set(expected)
+    for u, (n, cv) in expected.items():
+        assert out[u]["n_gaps"] == n
+        if cv is None:
+            assert out[u]["cv_r"] is None
+        else:
+            assert abs(out[u]["cv_r"] - cv) < 5e-6, u
+            assert out[u]["is_regular"] == (out[u]["cv_r"] < 0.5)
+    # CV is scale-free: a metronome bot (equal gaps) has cv == 0
+    from pyspark.sql import functions as F  # noqa: F401
+
+    one = spark.createDataFrame(
+        [(i, 10_000 + i * 60_000_000) for i in range(10)],
+        "event_id long, us long",
+    ).select(
+        "event_id",
+        F.lit(999_999).alias("user_id"),
+        F.timestamp_micros(F.col("us")).alias("ts"),
+        F.lit("x").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        one.write.mode("overwrite").parquet(f"{td}/events.parquet")
+        res = QUERIES["evt_bot_regularity"](spark, td).collect()
+        assert len(res) == 1 and res[0]["cv_r"] == 0.0 and res[0]["is_regular"]
