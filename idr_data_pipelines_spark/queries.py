@@ -6625,15 +6625,18 @@ def q_docs_length_outliers(spark, sf_dir):
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_kept"))
     )
-    # inner join is total: every source keeps at least its median doc
-    return g.join(kept, "source").select(
+    # LEFT join + coalesce: a 2-doc source can interpolate BOTH
+    # percentiles strictly between its values ([1,100] → [5.95,95.05])
+    # and keep nothing — it must still report n_kept=0, not vanish
+    return g.join(kept, "source", "left").select(
         "source",
         "n_docs",
         F.round("p05", 6).alias("p05"),
         F.round("p95", 6).alias("p95"),
-        "n_kept",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         F.round(
-            F.col("n_kept").cast("double") / F.col("n_docs").cast("double"),
+            F.coalesce("n_kept", F.lit(0)).cast("double")
+            / F.col("n_docs").cast("double"),
             6,
         ).alias("kept_share"),
     )
@@ -6861,7 +6864,6 @@ def q_graph_triangles(spark, sf_dir):
     o = ek.select(
         F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("dst"),
-        F.least("ka", "kb").alias("ks"),
         F.greatest("ka", "kb").alias("kd"),
     ).localCheckpoint(eager=False)  # consumed 3× (two wedge sides + close)
     w1, w2 = o.alias("w1"), o.alias("w2")
@@ -11878,7 +11880,6 @@ ORACLES["graph_triangles"] = """
         ), o AS (
             SELECT CASE WHEN da.k < db.k THEN e.a ELSE e.b END AS src,
                    CASE WHEN da.k < db.k THEN e.b ELSE e.a END AS dst,
-                   least(da.k, db.k) AS ks,
                    greatest(da.k, db.k) AS kd
             FROM e JOIN deg da ON e.a = da.v JOIN deg db ON e.b = db.v
         ), w AS (
@@ -11974,10 +11975,10 @@ ORACLES["docs_length_outliers"] = """
         )
         SELECT g.source, g.n_docs,
                ROUND(g.p05, 6) AS p05, ROUND(g.p95, 6) AS p95,
-               kept.n_kept,
-               ROUND(CAST(kept.n_kept AS DOUBLE)
+               COALESCE(kept.n_kept, 0) AS n_kept,
+               ROUND(CAST(COALESCE(kept.n_kept, 0) AS DOUBLE)
                      / CAST(g.n_docs AS DOUBLE), 6) AS kept_share
-        FROM g JOIN kept ON g.source = kept.source
+        FROM g LEFT JOIN kept ON g.source = kept.source
 """
 
 NO_ORACLE: frozenset[str] = frozenset(

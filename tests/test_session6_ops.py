@@ -462,3 +462,25 @@ def test_bot_regularity_matches_numpy(spark, sf_dir):
         one.write.mode("overwrite").parquet(f"{td}/events.parquet")
         res = QUERIES["evt_bot_regularity"](spark, td).collect()
         assert len(res) == 1 and res[0]["cv_r"] == 0.0 and res[0]["is_regular"]
+
+
+def test_length_outliers_empty_keep_set_reports_zero(spark, sf_dir):
+    """A 2-doc source can interpolate BOTH percentiles strictly
+    between its values and keep nothing — it must report n_kept=0,
+    not vanish from the report (regression: the first cut inner-
+    joined the keep counts)."""
+    import tempfile
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    two = spark.createDataFrame(
+        [(1, "x " * 1, "en", "tiny", 1), (2, "y " * 50, "en", "tiny", 100)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        two.write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        rows = QUERIES["docs_length_outliers"](spark, td).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["source"] == "tiny" and r["n_docs"] == 2
+        assert r["n_kept"] == 0 and r["kept_share"] == 0.0
