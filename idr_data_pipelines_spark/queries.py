@@ -6929,6 +6929,102 @@ def q_evt_bot_regularity(spark, sf_dir):
     ).withColumn("is_regular", F.col("cv_r") < 0.5)
 
 
+def q_mix_curriculum(spark, sf_dir):
+    """Epoch-annealed mixture CURRICULUM (the schedule, not one
+    epoch's shares): α interpolates 1.0 → 0.55 over four epochs, so
+    training starts on the natural distribution and progressively
+    up-weights small high-quality sources (the T5/PaLM α<1 recipe,
+    staged). One corpus count shuffle total; the 4-epoch expansion is
+    a unionAll of literal-tagged projections of the COLLAPSED
+    |sources| frame (no crossJoin, no waiver) and every share rides a
+    per-epoch window over |sources|·4 rows. Shares and boosts rounded
+    to 6 (pow libm ulp differs across engines)."""
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("nd")
+    )
+    epochs = [(1, 1.0), (2, 0.85), (3, 0.7), (4, 0.55)]
+    x = None
+    for ep, alpha in epochs:
+        f = c.select(
+            F.lit(ep).alias("epoch"),
+            F.lit(alpha).alias("alpha"),
+            "source",
+            "nd",
+            F.pow("nd", F.lit(alpha)).alias("w"),
+        )
+        x = f if x is None else x.unionAll(f)
+    we = Window.partitionBy("epoch")
+    share = F.col("w") / F.sum("w").over(we)
+    nat = F.col("nd") / F.sum("nd").over(we)
+    return x.select(
+        "epoch",
+        "source",
+        F.col("nd").cast("bigint").alias("n"),
+        "alpha",
+        F.round(share, 6).alias("share_r"),
+        F.round(share / nat, 6).alias("boost_r"),
+    )
+
+
+def q_emb_ivf_stats(spark, sf_dir):
+    """IVF index HEALTH report — the per-cell audit you publish
+    before trusting an IVF ANN index: vectors per cell, cell share
+    (imbalance = hot cells = slow probes), and the mean/min cosine of
+    members to their own centroid (low mean = the centroid does not
+    represent its cell; raise n_clusters). Assignment is the
+    fold-path `assign_fixed_clusters` (oracle-replayable); per-vector
+    cosines round to e6 INTEGERS before the cell mean so the sum is
+    order-exact; shares ride a window over the collapsed 16-row cell
+    frame (no crossJoin)."""
+    from idr_data_pipelines_spark.llmdata.similarity import (
+        _as_double,
+        assign_fixed_clusters,
+        dot,
+        norm,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = assign_fixed_clusters(emb, n_clusters=16, vectorized=False)
+    cents = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cluster_id"),
+        _as_double("embedding").alias("cvec"),
+    )
+    cos = dot(F.col("vec"), F.col("cvec")) / (
+        F.col("nrm") * norm(F.col("cvec"))
+    )
+    e = a.join(F.broadcast(cents), "cluster_id").select(
+        "cluster_id",
+        F.floor(cos * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("ce6"),
+    )
+    m = e.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("ce6").alias("s"),
+        F.min("ce6").alias("mn"),
+    )
+    w = Window.partitionBy()
+    return m.select(
+        "cluster_id",
+        "n_vectors",
+        F.round(
+            F.col("n_vectors").cast("double")
+            / F.sum("n_vectors").over(w).cast("double"),
+            6,
+        ).alias("share_r"),
+        F.round(
+            F.col("s").cast("double")
+            / F.col("n_vectors").cast("double")
+            / F.lit(1000000.0),
+            6,
+        ).alias("mean_cos_r"),
+        F.round(
+            F.col("mn").cast("double") / F.lit(1000000.0), 6
+        ).alias("min_cos_r"),
+    )
+
+
 # ===================================================================
 # registry
 # ===================================================================
@@ -7101,6 +7197,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_estimate": q_dedup_minhash_estimate,
     "graph_triangles": q_graph_triangles,
     "evt_bot_regularity": q_evt_bot_regularity,
+    "mix_curriculum": q_mix_curriculum,
+    "emb_ivf_stats": q_emb_ivf_stats,
     # -- last green r03 — next r08 picks after the deferrals
     "emb_cosine_near_dup": q_emb_cosine_near_dup,
     "join_asof": q_join_asof,
@@ -11893,6 +11991,59 @@ ORACLES["graph_triangles"] = """
         )
         SELECT t[1] AS pa, t[2] AS pb, t[3] AS pc
         FROM (SELECT list_sort([x, y, z]) AS t FROM c)
+"""
+ORACLES["mix_curriculum"] = """
+        WITH c AS (
+            SELECT source, CAST(COUNT(*) AS DOUBLE) AS nd
+            FROM documents GROUP BY source
+        ), e AS (
+            SELECT * FROM (VALUES (1, CAST(1.0 AS DOUBLE)),
+                                  (2, CAST(0.85 AS DOUBLE)),
+                                  (3, CAST(0.7 AS DOUBLE)),
+                                  (4, CAST(0.55 AS DOUBLE)))
+                AS t(epoch, alpha)
+        ), x AS (
+            SELECT epoch, alpha, source, nd, POW(nd, alpha) AS w
+            FROM c CROSS JOIN e
+        )
+        SELECT epoch, source, CAST(nd AS BIGINT) AS n, alpha,
+               ROUND(w / SUM(w) OVER (PARTITION BY epoch), 6) AS share_r,
+               ROUND((w / SUM(w) OVER (PARTITION BY epoch))
+                     / (nd / SUM(nd) OVER (PARTITION BY epoch)), 6)
+                   AS boost_r
+        FROM x
+"""
+ORACLES["emb_ivf_stats"] = f"""
+        WITH cents AS (
+            SELECT vec_id AS cluster_id, embedding FROM embeddings
+            WHERE vec_id < 16
+        ), a AS (
+            SELECT id, cluster_id, cos FROM (
+                SELECT l.vec_id AS id, r.cluster_id,
+                       {_COS_LR} AS cos,
+                       row_number() OVER (
+                           PARTITION BY l.vec_id
+                           ORDER BY {_COS_LR} DESC, r.cluster_id ASC
+                       ) AS rn
+                FROM embeddings l CROSS JOIN cents r
+            ) WHERE rn = 1
+        ), ee AS (
+            SELECT cluster_id,
+                   CAST(FLOOR(cos * 1000000.0 + 0.5) AS BIGINT) AS ce6
+            FROM a
+        ), m AS (
+            SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+                   SUM(ce6) AS s, MIN(ce6) AS mn
+            FROM ee GROUP BY cluster_id
+        )
+        SELECT cluster_id, n_vectors,
+               ROUND(CAST(n_vectors AS DOUBLE)
+                     / CAST(SUM(n_vectors) OVER () AS DOUBLE), 6)
+                   AS share_r,
+               ROUND(CAST(s AS DOUBLE) / CAST(n_vectors AS DOUBLE)
+                     / 1000000.0, 6) AS mean_cos_r,
+               ROUND(CAST(mn AS DOUBLE) / 1000000.0, 6) AS min_cos_r
+        FROM m
 """
 ORACLES["evt_bot_regularity"] = """
         WITH g AS (

@@ -121,6 +121,9 @@ NAMES = [
     "graph_triangles",
     # exact decimal moments + rounded-cv flag
     "evt_bot_regularity",
+    # pow-rounded epoch shares; e6-int cell means off fold cosines
+    "mix_curriculum",
+    "emb_ivf_stats",
 ]
 
 
