@@ -7025,6 +7025,99 @@ def q_emb_ivf_stats(spark, sf_dir):
     )
 
 
+def q_evt_late_arrival_audit(spark, sf_dir):
+    """Watermark-tuning audit — the number you need BEFORE choosing a
+    streaming watermark: treating event_id as arrival order within
+    each user's stream, how late does each event arrive relative to
+    the max event-time already seen (running max over the per-user
+    arrival window), and what fraction of events each candidate
+    watermark would drop? One per-user window + one 1-row rollup per
+    candidate (collapsed before the union). Lateness is exact integer
+    microseconds; shares ride exact counts."""
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    us = F.unix_micros(F.col("ts"))
+    late = ev.select(
+        (F.greatest(F.max(us).over(w) - us, F.lit(0))).alias("late_us")
+    ).select(F.coalesce("late_us", F.lit(0)).alias("late_us"))
+    out = None
+    for label, wm_us in [
+        ("1m", 60_000_000),
+        ("10m", 600_000_000),
+        ("1h", 3_600_000_000),
+        ("1d", 86_400_000_000),
+    ]:
+        row = late.agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("late_us") > wm_us).cast("bigint")).alias(
+                "n_dropped"
+            ),
+        ).select(
+            F.lit(label).alias("watermark"),
+            "n_events",
+            "n_dropped",
+            F.round(
+                F.col("n_dropped").cast("double")
+                / F.col("n_events").cast("double"),
+                6,
+            ).alias("drop_share"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def q_ivm_join_delta(spark, sf_dir):
+    """Incremental view maintenance of a JOIN view (the delta algebra
+    Δ(A⋈B) = ΔA⋈B⁰ ∪ A⁰⋈ΔB ∪ ΔA⋈ΔB): the orders⋈customer revenue
+    rollup is maintained from the old snapshot plus delta batches on
+    BOTH sides, and must equal the full recomputation — which is
+    exactly what the oracle computes, so the driver hash verifies the
+    algebra itself (the join sibling of `agg_incremental`'s
+    aggregate-merge). All three delta terms are delta-sized joins:
+    the old fact is never rescanned against the old dim. Exact cent
+    sums keep the equality portable."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    d_o = F.col("o_orderkey") % 13 == 0
+    d_c = F.col("c_custkey") % 11 == 0
+    o0, do = orders.filter(~d_o), orders.filter(d_o)
+    c0, dc = customer.filter(~d_c), customer.filter(d_c)
+
+    def rollup(o, c):
+        return (
+            o.join(c, o["o_custkey"] == c["c_custkey"])
+            .select(
+                "c_nationkey",
+                F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+                .cast("bigint")
+                .alias("cents"),
+            )
+            .groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("cents"),
+            )
+        )
+
+    merged = (
+        rollup(o0, c0)
+        .unionAll(rollup(do, c0))
+        .unionAll(rollup(o0, dc))
+        .unionAll(rollup(do, dc))
+        .groupBy("c_nationkey")
+        .agg(F.sum("n").alias("n_orders"), F.sum("cents").alias("__c"))
+    )
+    return merged.select(
+        "c_nationkey",
+        "n_orders",
+        (F.col("__c").cast("double") / F.lit(100.0)).alias("revenue"),
+    )
+
+
 # ===================================================================
 # registry
 # ===================================================================
@@ -7199,6 +7292,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "evt_bot_regularity": q_evt_bot_regularity,
     "mix_curriculum": q_mix_curriculum,
     "emb_ivf_stats": q_emb_ivf_stats,
+    "evt_late_arrival_audit": q_evt_late_arrival_audit,
+    "ivm_join_delta": q_ivm_join_delta,
     # -- last green r03 — next r08 picks after the deferrals
     "emb_cosine_near_dup": q_emb_cosine_near_dup,
     "join_asof": q_join_asof,
@@ -11991,6 +12086,40 @@ ORACLES["graph_triangles"] = """
         )
         SELECT t[1] AS pa, t[2] AS pb, t[3] AS pc
         FROM (SELECT list_sort([x, y, z]) AS t FROM c)
+"""
+ORACLES["evt_late_arrival_audit"] = """
+        WITH late AS (
+            SELECT COALESCE(greatest(
+                       MAX(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING
+                       ) - epoch_us(ts), 0), 0) AS late_us
+            FROM events
+        ), wm AS (
+            SELECT * FROM (VALUES ('1m', 60000000),
+                                  ('10m', 600000000),
+                                  ('1h', 3600000000),
+                                  ('1d', 86400000000))
+                AS t(watermark, wm_us)
+        )
+        SELECT watermark,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN late_us > wm_us THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dropped,
+               ROUND(CAST(SUM(CASE WHEN late_us > wm_us
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS drop_share
+        FROM late CROSS JOIN wm
+        GROUP BY watermark
+"""
+ORACLES["ivm_join_delta"] = """
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+                             AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c_nationkey
 """
 ORACLES["mix_curriculum"] = """
         WITH c AS (

@@ -124,6 +124,9 @@ NAMES = [
     # pow-rounded epoch shares; e6-int cell means off fold cosines
     "mix_curriculum",
     "emb_ivf_stats",
+    # per-user running-max lateness; delta-algebra exact cent sums
+    "evt_late_arrival_audit",
+    "ivm_join_delta",
 ]
 
 

@@ -533,3 +533,73 @@ def test_emb_ivf_stats_cell_accounting(spark, sf_dir):
     }
     for cid in range(16):
         assert a[cid] == cid, "centroid must be nearest to itself"
+
+
+def test_late_arrival_audit_matches_pure_python(spark, sf_dir):
+    """Per-user running-max lateness replayed in pure Python over the
+    event_id arrival order; drop shares must be non-increasing in the
+    watermark (a longer watermark never drops more)."""
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", "ts")
+        .collect()
+    )
+    by_user: dict = {}
+    for r in sorted(ev, key=lambda r: (r["user_id"], r["event_id"])):
+        by_user.setdefault(r["user_id"], []).append(
+            int(r["ts"].timestamp() * 1_000_000)
+        )
+    lates = []
+    for times in by_user.values():
+        run = None
+        for t in times:
+            lates.append(max(run - t, 0) if run is not None else 0)
+            run = t if run is None else max(run, t)
+    out = {
+        r["watermark"]: r
+        for r in QUERIES["evt_late_arrival_audit"](spark, sf_dir).collect()
+    }
+    wm = {"1m": 60_000_000, "10m": 600_000_000,
+          "1h": 3_600_000_000, "1d": 86_400_000_000}
+    assert set(out) == set(wm)
+    for label, us in wm.items():
+        dropped = sum(1 for v in lates if v > us)
+        assert out[label]["n_events"] == len(lates)
+        assert out[label]["n_dropped"] == dropped, label
+    shares = [out[k]["drop_share"] for k in ("1m", "10m", "1h", "1d")]
+    assert shares == sorted(shares, reverse=True)
+
+
+def test_ivm_join_delta_equals_full_recompute(spark, sf_dir):
+    """The delta algebra Δ(A⋈B) = ΔA⋈B⁰ ∪ A⁰⋈ΔB ∪ ΔA⋈ΔB, verified
+    INSIDE Spark: the incrementally-maintained rollup must equal the
+    direct full join-rollup row for row."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    direct = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .select(
+            "c_nationkey",
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("cents").alias("c"))
+        .select(
+            "c_nationkey",
+            "n_orders",
+            (F.col("c").cast("double") / F.lit(100.0)).alias("revenue"),
+        )
+    )
+    got = {
+        r["c_nationkey"]: (r["n_orders"], r["revenue"])
+        for r in QUERIES["ivm_join_delta"](spark, sf_dir).collect()
+    }
+    want = {
+        r["c_nationkey"]: (r["n_orders"], r["revenue"])
+        for r in direct.collect()
+    }
+    assert got == want
