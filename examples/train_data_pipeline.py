@@ -103,6 +103,36 @@ def _pack(df: DataFrame) -> DataFrame:
     )
 
 
+def audit_reports(clean: DataFrame) -> dict[str, DataFrame]:
+    """The governance artifacts a curation run publishes ALONGSIDE the
+    corpus (run them on the post-decontamination frame):
+
+    - ``leakage``: near-dup pairs straddling the holdout/train split
+      (banded md5-MinHash probe of the train side by the holdout
+      side) — the number you check before trusting holdout loss;
+    - ``curriculum``: temperature-scaled source shares (α=0.7) for
+      the mixing stage — what the mix SHOULD converge to.
+    Both are audit-sized outputs; neither re-shuffles the corpus
+    beyond its own probe."""
+    from idr_data_pipelines_spark.llmdata.dedup import (
+        minhash_md5_incremental_pairs,
+    )
+    from idr_data_pipelines_spark.llmdata.sampling import (
+        temperature_mix_shares,
+    )
+
+    s = split_train_holdout(clean, key_col="doc_id", holdout_fraction=0.05)
+    train = s.filter(F.col("split") == "train")
+    holdout = s.filter(F.col("split") == "holdout")
+    return {
+        "leakage": minhash_md5_incremental_pairs(
+            holdout, train, num_perm=16, bands=4, shingle_k=3,
+            jaccard_threshold=0.5,
+        ),
+        "curriculum": temperature_mix_shares(train, "source", alpha=0.7),
+    }
+
+
 def build_pipeline(sf_dir: str) -> Pipeline:
     p = Pipeline(
         "train_data",
@@ -134,6 +164,11 @@ def main(sf_dir: str, out_dir: str) -> None:
         order_col="order_key",
     )
     print(p.stage_metrics())
+    # column-level provenance of the export — the catalog answer to
+    # "where did pack_id come from?" (plan-only; nothing executes)
+    from idr_data_pipelines_spark.plans import lineage_report
+
+    print(lineage_report(packed))
 
 
 if __name__ == "__main__":

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "examples"))
 
-from train_data_pipeline import build_pipeline  # noqa: E402
+from train_data_pipeline import audit_reports, build_pipeline  # noqa: E402
 
 
 def test_example_pipeline_builds_lints_and_shards(spark, sf_dir, tmp_path):
@@ -51,3 +51,39 @@ def test_example_pipeline_builds_lints_and_shards(spark, sf_dir, tmp_path):
     # contiguous global ids
     ids = [r["example_id"] for r in shards.select("example_id").collect()]
     assert sorted(ids) == list(range(rows))
+
+
+def test_example_audit_reports_and_lineage(spark, sf_dir):
+    """The governance side-products: the leakage probe only ever
+    pairs holdout docs with train docs (verified against the split
+    assignment), the curriculum shares sum to 1, and column lineage
+    traces the packed export's key columns back to the documents
+    scan."""
+    from idr_data_pipelines_spark.llmdata.sampling import hash_bucket
+    from idr_data_pipelines_spark.plans import column_lineage
+    from idr_data_pipelines_spark.sources.parquet import read_parquet_dir
+
+    docs = read_parquet_dir(spark, f"{sf_dir}/documents.parquet")
+    reports = audit_reports(docs)
+    buckets = {
+        r["doc_id"]: r["b"]
+        for r in docs.select(
+            "doc_id",
+            hash_bucket("doc_id", buckets=1_000_000, salt="split").alias("b"),
+        ).collect()
+    }
+    threshold = int(0.05 * 1_000_000)
+    for r in reports["leakage"].collect():
+        assert buckets[r["id_new"]] < threshold  # holdout side
+        assert buckets[r["id_old"]] >= threshold  # train side
+        assert r["jaccard_r"] >= 0.5
+    shares = reports["curriculum"].collect()
+    assert abs(sum(r["temp_share"] for r in shares) - 1.0) < 1e-4
+
+    p = build_pipeline(sf_dir)
+    packed = p.build(spark, lint=False)
+    lin = column_lineage(packed)
+    assert lin["doc_id"] == [("documents", "doc_id")]
+    assert ("documents", "text") in lin["n_tokens"]
+    # pack_id derives from the token budget and the shard/order keys
+    assert ("documents", "text") in lin["pack_id"]
