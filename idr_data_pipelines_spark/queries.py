@@ -7143,15 +7143,19 @@ def q_ivm_join_delta(spark, sf_dir):
 # at the dict's very end. Entries after the window are still swept
 # every CI run by tests/test_oracle_parity.py.
 #
-# r09 staging: the 23 new r07 session-2/3/4/5 entries (dup-chunk
+# r09 staging: the 35 new r07 session-2/3/4/5/6 entries (dup-chunk
 # removal, bigram perplexity, bucketed join, shuffle-sharding,
 # temperature mix, vocab coverage, keep-best dedup, decontamination
 # report, basket lift, incremental minhash probe, Matryoshka
 # truncation, sign-Hamming compression, ANN recall eval, cell-local
 # k-NN graph, scaled-int covariance, balanced downsampling, n-gram
 # novelty, DSIR weights, kNN label agreement, Zipf/lexical profile,
-# norm outliers, hard-negative mining, power-iteration top eig) queue
-# with whatever the r08 window (9 deferred + 10 new-r07 + 33 stale =
+# norm outliers, hard-negative mining, power-iteration top eig, DQ
+# expectations, EWMA smoothing, cross-split leakage, langid audit,
+# length outliers, BPE merge round, audio windows, PCA projection,
+# minhash calibration, triangles, bot regularity, curriculum, IVF
+# stats, late-arrival audit, IVM join delta) queue with whatever the
+# r08 window (9 deferred + 10 new-r07-session-1 + 33 stale =
 # 52-for-50) spills.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- driver window: r06 session-3, never driver-checked — TPC-H completion
