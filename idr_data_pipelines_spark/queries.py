@@ -6803,21 +6803,14 @@ def q_dedup_minhash_estimate(spark, sf_dir):
     )
 
 
-def q_graph_triangles(spark, sf_dir):
-    """Triangle enumeration over the basket co-occurrence graph with
-    the published DEGREE-ORDERED orientation (compact-forward /
-    Latapy): each undirected edge points from its lower-(degree, id)
-    endpoint to the higher, every triangle is found exactly once at
-    its lowest-key vertex, and — the 100 TB point — wedge fan-out per
-    vertex is bounded by out-degree ≤ O(√m) instead of the raw degree
-    of a hot node, so a celebrity part cannot quadratically explode
-    the wedge join the way it would under naive a<b orientation.
-    Edges are the support≥2 capped basket pairs (the ≤32-parts skew
-    guard applies BEFORE pair generation, as in basket_pairs).
-    Output: one row per triangle, part ids sorted ascending.
-    key = deg·10¹¹ + id is exact long arithmetic in both engines
-    (ids < 10¹¹, degrees < 9·10⁷ by construction here; at larger
-    scales widen to a struct comparison)."""
+def _basket_edges(spark, sf_dir):
+    """The support≥2 capped basket co-occurrence graph — the shared
+    edge set of `graph_triangles` and `graph_link_prediction` (a<b
+    canonical, ≤32-parts skew guard BEFORE pair generation as in
+    basket_pairs). Lazy-localCheckpointed: both consumers reference
+    the frame several times (degrees, wedge sides, closing joins) and
+    the truncation stops the basket pair-agg from being re-planned
+    per reference (the graph_khop pattern)."""
     li = _t(spark, sf_dir, "lineitem")
     d0 = li.select("l_orderkey", "l_partkey").distinct()
     small = (
@@ -6827,7 +6820,7 @@ def q_graph_triangles(spark, sf_dir):
         .select("l_orderkey")
     )
     d = d0.join(small, "l_orderkey")
-    e = (
+    return (
         d.alias("x")
         .join(
             d.alias("y"),
@@ -6840,14 +6833,25 @@ def q_graph_triangles(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("sup"))
         .filter(F.col("sup") >= 2)
         .select("a", "b")
-        # the edge frame feeds degrees AND both wedge sides AND the
-        # closing semi-join: lazy localCheckpoint truncates the shared
-        # lineage (same pattern as graph_khop) so the basket pair-agg
-        # is not re-planned 5× — AQE would reuse the exchanges at
-        # runtime, but the 5× plan blowup costs optimizer time and
-        # hides the real exchange count from plan review
         .localCheckpoint(eager=False)
     )
+
+
+def q_graph_triangles(spark, sf_dir):
+    """Triangle enumeration over the basket co-occurrence graph with
+    the published DEGREE-ORDERED orientation (compact-forward /
+    Latapy): each undirected edge points from its lower-(degree, id)
+    endpoint to the higher, every triangle is found exactly once at
+    its lowest-key vertex, and — the 100 TB point — wedge fan-out per
+    vertex is bounded by out-degree ≤ O(√m) instead of the raw degree
+    of a hot node, so a celebrity part cannot quadratically explode
+    the wedge join the way it would under naive a<b orientation.
+    Edges are the support≥2 capped basket pairs (`_basket_edges`).
+    Output: one row per triangle, part ids sorted ascending.
+    key = deg·10¹¹ + id is exact long arithmetic in both engines
+    (ids < 10¹¹, degrees < 9·10⁷ by construction here; at larger
+    scales widen to a struct comparison)."""
+    e = _basket_edges(spark, sf_dir)
     deg = (
         e.select(F.col("a").alias("v"))
         .unionAll(e.select(F.col("b").alias("v")))
@@ -7118,6 +7122,94 @@ def q_ivm_join_delta(spark, sf_dir):
     )
 
 
+def q_graph_link_prediction(spark, sf_dir):
+    """Common-neighbor link prediction over the basket graph — the
+    classic "parts frequently co-bought with both of these" candidate
+    generator for recommendations/graph curation: for every
+    NON-edge pair sharing ≥2 neighbors, the common-neighbor count and
+    neighborhood Jaccard (cn / (deg_a + deg_b − cn)). Candidates come
+    from a center-keyed wedge join on the symmetrized adjacency (the
+    same degree-bounded shape as `graph_triangles`' wedges — the ≤32
+    basket cap bounds degrees upstream), existing edges drop out via
+    anti-join, top-20 by (cn desc, a, b) via TakeOrdered."""
+    e = _basket_edges(spark, sf_dir)
+    adj = e.select(F.col("a").alias("ctr"), F.col("b").alias("leaf")).unionAll(
+        e.select(F.col("b").alias("ctr"), F.col("a").alias("leaf"))
+    )
+    deg = adj.groupBy("ctr").agg(F.count(F.lit(1)).alias("dg"))
+    cn = (
+        adj.alias("l")
+        .join(
+            adj.alias("r"),
+            (F.col("l.ctr") == F.col("r.ctr"))
+            & (F.col("l.leaf") < F.col("r.leaf")),
+        )
+        .groupBy(
+            F.col("l.leaf").alias("a"), F.col("r.leaf").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .filter(F.col("cn") >= 2)
+        .join(e, ["a", "b"], "left_anti")
+    )
+    return (
+        cn.join(deg.withColumnsRenamed({"ctr": "a", "dg": "da"}), "a")
+        .join(deg.withColumnsRenamed({"ctr": "b", "dg": "db"}), "b")
+        .select(
+            "a",
+            "b",
+            "cn",
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("da") + F.col("db") - F.col("cn")).cast("double"),
+                6,
+            ).alias("jaccard_r"),
+        )
+        .orderBy(F.desc("cn"), F.asc("a"), F.asc("b"))
+        .limit(20)
+    )
+
+
+def q_emb_pq_error(spark, sf_dir):
+    """PQ reconstruction-error report — the calibration sibling of
+    `emb_ivf_stats` for the PQ codes (`emb_pq_assign`): per subspace,
+    the mean and max L2 distance to the assigned codeword — the
+    quantization loss that decides whether 4 codes can stand in for
+    64 floats. Per-row distances floor to e6 INTEGERS before the
+    mean so the sum is order-exact; everything upstream is the
+    map-only fold assignment."""
+    from idr_data_pipelines_spark.llmdata.similarity import pq_assign_fixed
+
+    emb = _t(spark, sf_dir, "embeddings")
+    codes = pq_assign_fixed(emb, n_centroids=16, n_subspaces=4, dim=64)
+    # dist_r is already the 6-rounded distance both engines emit, so
+    # flooring it to e6 integers is the identical double on both sides
+    e6 = F.floor(
+        F.col("dist_r") * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        codes.select("subspace", e6.alias("d6"))
+        .groupBy("subspace")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("d6").alias("s"),
+            F.max("d6").alias("mx"),
+        )
+        .select(
+            "subspace",
+            "n_vectors",
+            F.round(
+                F.col("s").cast("double")
+                / F.col("n_vectors").cast("double")
+                / F.lit(1000000.0),
+                6,
+            ).alias("mean_dist_r"),
+            F.round(
+                F.col("mx").cast("double") / F.lit(1000000.0), 6
+            ).alias("max_dist_r"),
+        )
+    )
+
+
 # ===================================================================
 # registry
 # ===================================================================
@@ -7298,6 +7390,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_ivf_stats": q_emb_ivf_stats,
     "evt_late_arrival_audit": q_evt_late_arrival_audit,
     "ivm_join_delta": q_ivm_join_delta,
+    "graph_link_prediction": q_graph_link_prediction,
+    "emb_pq_error": q_emb_pq_error,
     # -- last green r03 — next r08 picks after the deferrals
     "emb_cosine_near_dup": q_emb_cosine_near_dup,
     "join_asof": q_join_asof,
@@ -12056,8 +12150,10 @@ ORACLES["dedup_minhash_estimate"] = f"""
             JOIN hs nb ON p.id_b = nb.doc_id
         )
 """
-ORACLES["graph_triangles"] = """
-        WITH d0 AS (
+# the support≥2 capped basket edge set — shared WITH-body of the
+# graph_triangles and graph_link_prediction oracles (mirrors
+# _basket_edges)
+_BASKET_EDGES_CTE = """d0 AS (
             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
         ), small AS (
             SELECT l_orderkey FROM d0 GROUP BY l_orderkey
@@ -12070,7 +12166,10 @@ ORACLES["graph_triangles"] = """
               ON x.l_orderkey = y.l_orderkey
              AND x.l_partkey < y.l_partkey
             GROUP BY 1, 2 HAVING COUNT(*) >= 2
-        ), deg AS (
+        )"""
+
+ORACLES["graph_triangles"] = f"""
+        WITH {_BASKET_EDGES_CTE}, deg AS (
             SELECT v, CAST(COUNT(*) AS BIGINT) * 100000000000 + v AS k
             FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
             GROUP BY v
@@ -12090,6 +12189,51 @@ ORACLES["graph_triangles"] = """
         )
         SELECT t[1] AS pa, t[2] AS pb, t[3] AS pc
         FROM (SELECT list_sort([x, y, z]) AS t FROM c)
+"""
+ORACLES["graph_link_prediction"] = f"""
+        WITH {_BASKET_EDGES_CTE}, adj AS (
+            SELECT a AS ctr, b AS leaf FROM e
+            UNION ALL
+            SELECT b AS ctr, a AS leaf FROM e
+        ), deg AS (
+            SELECT ctr, CAST(COUNT(*) AS BIGINT) AS dg
+            FROM adj GROUP BY ctr
+        ), cn AS (
+            SELECT l.leaf AS a, r.leaf AS b,
+                   CAST(COUNT(*) AS BIGINT) AS cn
+            FROM adj l JOIN adj r
+              ON l.ctr = r.ctr AND l.leaf < r.leaf
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ), cand AS (
+            SELECT cn.* FROM cn
+            WHERE NOT EXISTS (SELECT 1 FROM e
+                              WHERE e.a = cn.a AND e.b = cn.b)
+        )
+        SELECT cand.a, cand.b, cand.cn,
+               ROUND(CAST(cand.cn AS DOUBLE)
+                     / CAST(da.dg + db.dg - cand.cn AS DOUBLE), 6)
+                   AS jaccard_r
+        FROM cand
+        JOIN deg da ON da.ctr = cand.a
+        JOIN deg db ON db.ctr = cand.b
+        ORDER BY cand.cn DESC, cand.a ASC, cand.b ASC
+        LIMIT 20
+"""
+# composed AFTER dict creation: the codes CTE is the emb_pq_assign
+# oracle VERBATIM (its dist_r is the 6-rounded distance both engines
+# floor to e6 integers — dist ≥ 0, so HALF_UP == half-away)
+_PQ_ERROR_SQL_TEMPLATE = """
+        WITH codes AS ({pq}), e6 AS (
+            SELECT subspace,
+                   CAST(FLOOR(dist_r * 1000000.0 + 0.5) AS BIGINT) AS d6
+            FROM codes
+        )
+        SELECT subspace, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               ROUND(CAST(SUM(d6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                     / 1000000.0, 6) AS mean_dist_r,
+               ROUND(CAST(MAX(d6) AS DOUBLE) / 1000000.0, 6)
+                   AS max_dist_r
+        FROM e6 GROUP BY subspace
 """
 ORACLES["evt_late_arrival_audit"] = """
         WITH late AS (
@@ -12231,6 +12375,9 @@ ORACLES["docs_langid_audit"] = _langid_audit_sql()
 # by construction the one emb_power_iteration verifies), collapsed to
 # one ordered list and dotted against each embedding with the same
 # left-fold ordering as _dot_sql.
+ORACLES["emb_pq_error"] = _PQ_ERROR_SQL_TEMPLATE.format(
+    pq=ORACLES["emb_pq_assign"]
+)
 ORACLES["emb_pca_project"] = (
     "WITH pit AS (" + ORACLES["emb_power_iteration"] + "),\n"
     "vv AS (SELECT list(v_r ORDER BY dim) AS v FROM pit)\n"

@@ -127,6 +127,9 @@ NAMES = [
     # per-user running-max lateness; delta-algebra exact cent sums
     "evt_late_arrival_audit",
     "ivm_join_delta",
+    # integer common-neighbor counts + rank cut; e6-int PQ error means
+    "graph_link_prediction",
+    "emb_pq_error",
 ]
 
 

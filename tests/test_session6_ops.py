@@ -603,3 +603,67 @@ def test_ivm_join_delta_equals_full_recompute(spark, sf_dir):
         for r in direct.collect()
     }
     assert got == want
+
+
+def test_link_prediction_matches_pure_python(spark, sf_dir):
+    """Top-20 common-neighbor candidates replayed in pure Python over
+    the same support>=2 capped basket edges — identical (a, b, cn)
+    triples and Jaccard scores; no candidate may be an existing
+    edge."""
+    from collections import Counter
+    from itertools import combinations
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    baskets: dict = {}
+    for r in li:
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    pair_counts: Counter = Counter()
+    for parts in baskets.values():
+        if len(parts) > 32:
+            continue
+        for a, b in combinations(sorted(parts), 2):
+            pair_counts[(a, b)] += 1
+    edges = {p for p, n in pair_counts.items() if n >= 2}
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    cand = {}
+    for a in adj:
+        for b in adj:
+            if a >= b or (a, b) in edges:
+                continue
+            cn = len(adj[a] & adj[b])
+            if cn >= 2:
+                cand[(a, b)] = cn
+    expected = sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = QUERIES["graph_link_prediction"](spark, sf_dir).collect()
+    assert [((r["a"], r["b"]), r["cn"]) for r in got] == expected
+    for r in got:
+        assert (r["a"], r["b"]) not in edges
+        ja = round(
+            r["cn"] / (len(adj[r["a"]]) + len(adj[r["b"]]) - r["cn"]), 6
+        )
+        assert abs(r["jaccard_r"] - ja) < 1e-9
+
+
+def test_pq_error_aggregates_the_code_table(spark, sf_dir):
+    """The error report must aggregate exactly the dist_r column of
+    the PQ code table: per-subspace mean/max recomputed from
+    emb_pq_assign's own output agree; one row per subspace."""
+    codes = QUERIES["emb_pq_assign"](spark, sf_dir).collect()
+    by_sub: dict = {}
+    for r in codes:
+        by_sub.setdefault(r["subspace"], []).append(r["dist_r"])
+    out = {r["subspace"]: r for r in QUERIES["emb_pq_error"](spark, sf_dir).collect()}
+    assert set(out) == set(by_sub)
+    for sub, dists in by_sub.items():
+        e6 = [int(d * 1_000_000 + 0.5) for d in dists]
+        assert out[sub]["n_vectors"] == len(dists)
+        assert abs(out[sub]["mean_dist_r"] - round(sum(e6) / len(e6) / 1e6, 6)) < 2e-6
+        assert abs(out[sub]["max_dist_r"] - round(max(e6) / 1e6, 6)) < 2e-6
