@@ -7122,6 +7122,39 @@ def q_ivm_join_delta(spark, sf_dir):
     )
 
 
+def q_dedup_minhash_clusters(spark, sf_dir):
+    """The production dedup story END-TO-END with a full value-hash
+    oracle: real banded-MinHash near-dup pairs (the md5-32 family) →
+    transitive closure via pointer-doubling label propagation →
+    (doc_id, cluster_id, cluster_size) for every clustered doc.
+    Unlike `dedup_clusters` (whose synthetic edge rule exists so the
+    closure itself is verifiable), the edges here are the REAL
+    similarity candidates — the oracle replays the entire chain:
+    signatures, band join, Jaccard verify, then a recursive-CTE
+    closure. Scale shape: pair generation is the bucketed LSH path
+    (never all-pairs); propagation converges in O(log diameter)
+    doubling rounds, each two shuffles over the (small) clustered
+    vertex set only."""
+    from idr_data_pipelines_spark.llmdata.dedup import (
+        connected_components,
+        minhash_md5_lsh_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_md5_lsh_pairs(
+        docs, num_perm=16, bands=4, shingle_k=3, jaccard_threshold=0.5
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return comp.join(F.broadcast(sizes), "component").select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        "cluster_size",
+    )
+
+
 def q_graph_link_prediction(spark, sf_dir):
     """Common-neighbor link prediction over the basket graph — the
     classic "parts frequently co-bought with both of these" candidate
@@ -7392,6 +7425,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivm_join_delta": q_ivm_join_delta,
     "graph_link_prediction": q_graph_link_prediction,
     "emb_pq_error": q_emb_pq_error,
+    "dedup_minhash_clusters": q_dedup_minhash_clusters,
     # -- last green r03 — next r08 picks after the deferrals
     "emb_cosine_near_dup": q_emb_cosine_near_dup,
     "join_asof": q_join_asof,
@@ -12189,6 +12223,25 @@ ORACLES["graph_triangles"] = f"""
         )
         SELECT t[1] AS pa, t[2] AS pb, t[3] AS pc
         FROM (SELECT list_sort([x, y, z]) AS t FROM c)
+"""
+ORACLES["dedup_minhash_clusters"] = f"""
+        WITH RECURSIVE mh AS ({_minhash_md5_sql(16, 4, 3, 0.5)}),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM mh
+            UNION ALL
+            SELECT id_b AS a, id_a AS b FROM mh
+        ), reach(id, r) AS (
+            SELECT a, a FROM edges GROUP BY a
+            UNION
+            SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+        ), comp AS (
+            SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+        ), sizes AS (
+            SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+            FROM comp GROUP BY cluster_id
+        )
+        SELECT comp.id AS doc_id, comp.cluster_id, sizes.cluster_size
+        FROM comp JOIN sizes USING (cluster_id)
 """
 ORACLES["graph_link_prediction"] = f"""
         WITH {_BASKET_EDGES_CTE}, adj AS (

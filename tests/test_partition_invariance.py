@@ -130,6 +130,8 @@ NAMES = [
     # integer common-neighbor counts + rank cut; e6-int PQ error means
     "graph_link_prediction",
     "emb_pq_error",
+    # min-label closure over real LSH pairs
+    "dedup_minhash_clusters",
 ]
 
 

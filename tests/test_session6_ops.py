@@ -667,3 +667,43 @@ def test_pq_error_aggregates_the_code_table(spark, sf_dir):
         assert out[sub]["n_vectors"] == len(dists)
         assert abs(out[sub]["mean_dist_r"] - round(sum(e6) / len(e6) / 1e6, 6)) < 2e-6
         assert abs(out[sub]["max_dist_r"] - round(max(e6) / 1e6, 6)) < 2e-6
+
+
+def test_minhash_clusters_consistent_with_pairs(spark, sf_dir):
+    """The clusters must be exactly the connected components of the
+    real pair set: replayed in pure Python (union-find over the
+    collected pairs), every doc's min-reachable-id label and cluster
+    size agree; every clustered doc appears in >= 1 pair."""
+    from idr_data_pipelines_spark.llmdata.dedup import minhash_md5_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_md5_lsh_pairs(
+        docs, num_perm=16, bands=4, shingle_k=3, jaccard_threshold=0.5
+    ).collect()
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for p in pairs:
+        for v in (p["id_a"], p["id_b"]):
+            parent.setdefault(v, v)
+        ra, rb = find(p["id_a"]), find(p["id_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict = {}
+    for v in parent:
+        comps.setdefault(find(v), set()).add(v)
+    expected = {}
+    for members in comps.values():
+        label = min(members)
+        for v in members:
+            expected[v] = (label, len(members))
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"])
+        for r in QUERIES["dedup_minhash_clusters"](spark, sf_dir).collect()
+    }
+    assert got == expected
