@@ -6438,10 +6438,13 @@ def q_dq_expectations(spark, sf_dir):
     primary-key uniqueness, referential integrity (orders→customer,
     an anti-join count), value-range violations, null counts, and
     freshness vs a fixed as-of date. Every check collapses its table
-    scan to a single row BEFORE the union, so the report costs one
-    pass per table regardless of scale; the anti-join's dim side is
-    broadcast. Failures are data, not exceptions: `passed` is a
-    column, so the report can be sunk and alerted on."""
+    scan to a single row BEFORE the union; the anti-join's dim side
+    is broadcast. Failures are data, not exceptions: `passed` is a
+    column, so the report can be sunk and alerted on. Each check
+    scans independently (orders feeds three of them) — the deliberate
+    trade for multi-table coverage and a uniform report schema; for
+    many rules on ONE table, `operators` `validate_warehouse`
+    compiles the whole rule set into a single pass."""
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
     lineitem = _t(spark, sf_dir, "lineitem")
@@ -7048,30 +7051,47 @@ def q_evt_late_arrival_audit(spark, sf_dir):
     late = ev.select(
         (F.greatest(F.max(us).over(w) - us, F.lit(0))).alias("late_us")
     ).select(F.coalesce("late_us", F.lit(0)).alias("late_us"))
-    out = None
-    for label, wm_us in [
+    candidates = [
         ("1m", 60_000_000),
         ("10m", 600_000_000),
         ("1h", 3_600_000_000),
         ("1d", 86_400_000_000),
-    ]:
-        row = late.agg(
-            F.count(F.lit(1)).alias("n_events"),
+    ]
+    # ONE window pass: all candidate drop counts in a single agg, then
+    # an exploded struct array fans the 1-row frame to one row per
+    # candidate (a per-candidate union would recompute the lateness
+    # window 4×)
+    one = late.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
             F.sum((F.col("late_us") > wm_us).cast("bigint")).alias(
-                "n_dropped"
-            ),
-        ).select(
-            F.lit(label).alias("watermark"),
-            "n_events",
-            "n_dropped",
+                f"__d_{label}"
+            )
+            for label, wm_us in candidates
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(label).alias("watermark"),
+                F.col("__n").alias("n_events"),
+                F.col(f"__d_{label}").alias("n_dropped"),
+            )
+            for label, _ in candidates
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("r"))
+        .select("r.watermark", "r.n_events", "r.n_dropped")
+        .withColumn(
+            "drop_share",
             F.round(
                 F.col("n_dropped").cast("double")
                 / F.col("n_events").cast("double"),
                 6,
-            ).alias("drop_share"),
+            ),
         )
-        out = row if out is None else out.unionAll(row)
-    return out
+    )
 
 
 def q_ivm_join_delta(spark, sf_dir):
