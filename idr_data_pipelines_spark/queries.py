@@ -6495,6 +6495,33 @@ def q_dq_expectations(spark, sf_dir):
     )
 
 
+# exact DECIMAL-LITERAL weights, not 0.7**j: Python's power
+# (0.7**2 = 0.48999…94) differs from the parsed literal 0.49 in the
+# last ulp — both engines must parse the SAME decimal strings
+_EWMA_WEIGHTS = [
+    1.0, 0.7, 0.49, 0.343, 0.2401,
+    0.16807, 0.117649, 0.0823543,
+]
+
+
+def _ewma_lag_algebra(w, value_col: str):
+    """The EWMA recurrence as closed-form LAG algebra over window
+    ``w`` (adjust=True form, decay 0.7, last 8 observations): num =
+    Σ rʲ·x₍ᵢ₋ⱼ₎ over PRESENT terms, den = Σ rʲ over the same — one
+    window shuffle, no stateful recursion. Null when no present
+    terms. Property-tested against a pure-Python replay over
+    generated streams (tests/test_session6_property.py)."""
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j, wt in enumerate(_EWMA_WEIGHTS):
+        lagged = (
+            F.col(value_col) if j == 0 else F.lag(value_col, j).over(w)
+        )
+        num = num + F.lit(wt) * F.coalesce(lagged, F.lit(0.0))
+        den = den + F.lit(wt) * lagged.isNotNull().cast("double")
+    return F.when(den > 0, F.round(num / den, 6))
+
+
 def q_evt_ewma_rolling(spark, sf_dir):
     """Per-user exponentially-weighted moving average of event values
     (the smoothing step of an anomaly/trend monitor), decay 0.7 over
@@ -6507,24 +6534,11 @@ def q_evt_ewma_rolling(spark, sf_dir):
     are deterministic in both engines."""
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # exact DECIMAL-LITERAL weights, not 0.7**j: Python's power
-    # (0.7**2 = 0.48999…94) differs from the parsed literal 0.49 in
-    # the last ulp — both engines must parse the SAME decimal strings
-    weights = [
-        1.0, 0.7, 0.49, 0.343, 0.2401,
-        0.16807, 0.117649, 0.0823543,
-    ]
-    num = F.lit(0.0)
-    den = F.lit(0.0)
-    for j, wt in enumerate(weights):
-        lagged = F.col("value") if j == 0 else F.lag("value", j).over(w)
-        num = num + F.lit(wt) * F.coalesce(lagged, F.lit(0.0))
-        den = den + F.lit(wt) * lagged.isNotNull().cast("double")
     return ev.select(
         "event_id",
         "user_id",
         "value",
-        F.when(den > 0, F.round(num / den, 6)).alias("ewma"),
+        _ewma_lag_algebra(w, "value").alias("ewma"),
     )
 
 
@@ -6645,6 +6659,30 @@ def q_docs_length_outliers(spark, sf_dir):
     )
 
 
+def _bpe_reseg(word_col: str, bp_col: str):
+    """Greedy left-to-right BPE re-segmentation of a single-merge
+    round as pure string algebra: chars joined by '|', then a literal
+    replace of 'a|b' → 'ab'. replace-all scans left-to-right
+    non-overlapping in both Spark and DuckDB — exactly BPE's greedy
+    pairing ('aaaa' → (aa)(aa)). Returns the symbol array.
+    Property-tested against a pure-Python greedy merger over
+    generated words (tests/test_session6_property.py)."""
+    return F.split(
+        F.replace(
+            # 'hello' -> 'h|e|l|l|o' (insert | at every char
+            # boundary), then merge the elected pair
+            F.regexp_replace(word_col, "(?<=.)(?=.)", "|"),
+            F.concat(
+                F.substring(bp_col, 1, 1),
+                F.lit("|"),
+                F.substring(bp_col, 2, 1),
+            ),
+            F.col(bp_col),
+        ),
+        r"\|",
+    )
+
+
 def q_text_bpe_merge_round(spark, sf_dir):
     """One FULL BPE training iteration (Sennrich et al. 2016), not
     just the pair statistics: elect the corpus-wide most frequent
@@ -6688,23 +6726,7 @@ def q_text_bpe_merge_round(spark, sf_dir):
     )
     seg = (
         words.crossJoin(F.broadcast(best))
-        .withColumn(
-            "syms",
-            F.split(
-                F.replace(
-                    # 'hello' -> 'h|e|l|l|o' (insert | at every
-                    # char boundary), then merge the elected pair
-                    F.regexp_replace("word", "(?<=.)(?=.)", "|"),
-                    F.concat(
-                        F.substring("bp", 1, 1),
-                        F.lit("|"),
-                        F.substring("bp", 2, 1),
-                    ),
-                    F.col("bp"),
-                ),
-                r"\|",
-            ),
-        )
+        .withColumn("syms", _bpe_reseg("word", "bp"))
         .filter(F.size("syms") >= 2)
     )
     return (
