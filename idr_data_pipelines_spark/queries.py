@@ -7197,6 +7197,72 @@ def q_dedup_minhash_clusters(spark, sf_dir):
     )
 
 
+def q_docs_source_overlap(spark, sf_dir):
+    """Cross-source duplication matrix — the provenance question a
+    multi-source corpus audit answers ('which feeds copy from each
+    other?'): real banded-MinHash near-dup pairs rolled up to
+    (source_a, source_b) cell counts, sources ordered so each
+    unordered source pair lands in ONE cell (diagonal = within-source
+    duplication). Pair generation is the bucketed LSH path; the
+    rollup adds one |sources|²-bounded aggregate and two broadcast
+    doc→source joins."""
+    from idr_data_pipelines_spark.llmdata.dedup import minhash_md5_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_md5_lsh_pairs(
+        docs, num_perm=16, bands=4, shingle_k=3, jaccard_threshold=0.5
+    )
+    src = docs.select("doc_id", "source")
+    tagged = (
+        pairs.join(
+            src.withColumnsRenamed({"doc_id": "id_a", "source": "sa"}),
+            "id_a",
+        )
+        .join(
+            src.withColumnsRenamed({"doc_id": "id_b", "source": "sb"}),
+            "id_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    return tagged.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+def q_evt_user_activity_entropy(spark, sf_dir):
+    """Behavioral-diversity screen (the bot screen's second axis —
+    `evt_bot_regularity` looks at WHEN, this looks at WHAT): Shannon
+    entropy of each user's event-type distribution; a user who only
+    ever fires one event type has entropy 0 and reads as a scripted
+    client. Entropy via log2(n) − Σ c·log2(c) / n — exact integer
+    counts through one (user, type) shuffle + one user rollup, a
+    single fixed-order divide at the end."""
+    ev = _events(spark, sf_dir)
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    m = c.groupBy("user_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(
+            F.col("c").cast("double") * F.log2(F.col("c").cast("double"))
+        ).alias("__clogc"),
+    )
+    return m.select(
+        "user_id",
+        "n",
+        "n_types",
+        F.round(
+            F.log2(F.col("n").cast("double"))
+            - F.col("__clogc") / F.col("n").cast("double"),
+            6,
+        ).alias("entropy_r"),
+    )
+
+
 def q_graph_link_prediction(spark, sf_dir):
     """Common-neighbor link prediction over the basket graph — the
     classic "parts frequently co-bought with both of these" candidate
@@ -7477,6 +7543,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_link_prediction": q_graph_link_prediction,
     "emb_pq_error": q_emb_pq_error,
     "dedup_minhash_clusters": q_dedup_minhash_clusters,
+    "docs_source_overlap": q_docs_source_overlap,
+    "evt_user_activity_entropy": q_evt_user_activity_entropy,
     # -- last green r03 — next r08 picks after the deferrals
     "emb_cosine_near_dup": q_emb_cosine_near_dup,
     "join_asof": q_join_asof,
@@ -12274,6 +12342,33 @@ ORACLES["graph_triangles"] = f"""
         )
         SELECT t[1] AS pa, t[2] AS pb, t[3] AS pc
         FROM (SELECT list_sort([x, y, z]) AS t FROM c)
+"""
+ORACLES["docs_source_overlap"] = f"""
+        WITH mh AS ({_minhash_md5_sql(16, 4, 3, 0.5)})
+        SELECT least(sa.source, sb.source) AS source_a,
+               greatest(sa.source, sb.source) AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM mh
+        JOIN documents sa ON mh.id_a = sa.doc_id
+        JOIN documents sb ON mh.id_b = sb.doc_id
+        GROUP BY 1, 2
+"""
+ORACLES["evt_user_activity_entropy"] = """
+        WITH c AS (
+            SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY user_id, event_type
+        ), m AS (
+            SELECT user_id,
+                   CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+                       AS clogc
+            FROM c GROUP BY user_id
+        )
+        SELECT user_id, n, n_types,
+               ROUND(log2(CAST(n AS DOUBLE))
+                     - clogc / CAST(n AS DOUBLE), 6) AS entropy_r
+        FROM m
 """
 ORACLES["dedup_minhash_clusters"] = f"""
         WITH RECURSIVE mh AS ({_minhash_md5_sql(16, 4, 3, 0.5)}),

@@ -132,6 +132,9 @@ NAMES = [
     "emb_pq_error",
     # min-label closure over real LSH pairs
     "dedup_minhash_clusters",
+    # pair rollup over LSH candidates; rounded entropy from sums
+    "docs_source_overlap",
+    "evt_user_activity_entropy",
 ]
 
 

@@ -710,3 +710,48 @@ def test_minhash_clusters_consistent_with_pairs(spark, sf_dir):
         for r in QUERIES["dedup_minhash_clusters"](spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_source_overlap_accounts_every_pair(spark, sf_dir):
+    """Every near-dup pair lands in exactly one (source_a <=
+    source_b) cell, and the matrix total equals the pair count."""
+    from idr_data_pipelines_spark.llmdata.dedup import minhash_md5_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_pairs = minhash_md5_lsh_pairs(
+        docs, num_perm=16, bands=4, shingle_k=3, jaccard_threshold=0.5
+    ).count()
+    rows = QUERIES["docs_source_overlap"](spark, sf_dir).collect()
+    assert sum(r["n_pairs"] for r in rows) == n_pairs
+    for r in rows:
+        assert r["source_a"] <= r["source_b"]
+
+
+def test_activity_entropy_matches_pure_python(spark, sf_dir):
+    """Entropy replayed in pure Python; a single-type user must have
+    entropy exactly 0 and entropy is bounded by log2(n_types)."""
+    import math
+    from collections import Counter
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_type")
+        .collect()
+    )
+    counts: dict = {}
+    for r in ev:
+        counts.setdefault(r["user_id"], Counter())[r["event_type"]] += 1
+    out = {
+        r["user_id"]: r
+        for r in QUERIES["evt_user_activity_entropy"](spark, sf_dir).collect()
+    }
+    assert set(out) == set(counts)
+    for u, cnt in counts.items():
+        n = sum(cnt.values())
+        clogc = sum(c * math.log2(c) for c in cnt.values())
+        want = round(math.log2(n) - clogc / n, 6)
+        assert abs(out[u]["entropy_r"] - want) < 5e-6, u
+        assert out[u]["n_types"] == len(cnt)
+        if len(cnt) == 1:
+            assert out[u]["entropy_r"] == 0.0
+        assert out[u]["entropy_r"] <= math.log2(len(cnt)) + 1e-6
