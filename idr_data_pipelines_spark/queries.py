@@ -7197,6 +7197,94 @@ def q_dedup_minhash_clusters(spark, sf_dir):
     )
 
 
+def q_evt_ab_cuped(spark, sf_dir):
+    """CUPED variance-reduced experiment readout (Deng et al. 2013,
+    the industry-standard pre-experiment covariate adjustment):
+    per-user pre-period value (ts < 2024-01-16) is the covariate for
+    the post-period metric; θ = cov(pre, post)/var(pre) is fit POOLED
+    across arms (the published recipe — fitting per-arm biases the
+    contrast), and each arm reports its raw and adjusted means plus
+    the theoretical variance-reduction ρ². Every moment is an EXACT
+    integer/decimal sum of e6-scaled values (user sums of doubles
+    would vary with partition order); θ/ρ²/means are fixed-order
+    double expressions over the COLLAPSED 2-row arm frame with pooled
+    moments as window sums — no crossJoin, no waiver."""
+    e = _events(spark, sf_dir)
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    v6 = F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    per_user = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts") < cutoff, v6).otherwise(0)).alias(
+                "pre6"
+            ),
+            F.sum(F.when(F.col("ts") >= cutoff, v6).otherwise(0)).alias(
+                "post6"
+            ),
+        )
+        .withColumn(
+            "arm",
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("ab:"),
+                                F.col("user_id").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+                == 0,
+                F.lit("A"),
+            ).otherwise(F.lit("B")),
+        )
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(d("pre6")).alias("sp"),
+        F.sum(d("post6")).alias("so"),
+        F.sum(d("pre6") * d("pre6")).alias("spp"),
+        F.sum(d("post6") * d("post6")).alias("soo"),
+        F.sum(d("pre6") * d("post6")).alias("spo"),
+    )
+    w = Window.partitionBy()
+    n = F.sum("n_users").over(w).cast("double")
+    Sp = F.sum("sp").over(w).cast("double")
+    So = F.sum("so").over(w).cast("double")
+    Spp = F.sum("spp").over(w).cast("double")
+    Soo = F.sum("soo").over(w).cast("double")
+    Spo = F.sum("spo").over(w).cast("double")
+    mpre = Sp / n
+    mpost = So / n
+    cov = Spo / n - mpre * mpost
+    varp = Spp / n - mpre * mpre
+    varo = Soo / n - mpost * mpost
+    theta = F.when(varp > 0, cov / varp)
+    rho2 = F.when((varp > 0) & (varo > 0), cov * cov / (varp * varo))
+    na = F.col("n_users").cast("double")
+    mean_post = F.col("so").cast("double") / na
+    mean_pre = F.col("sp").cast("double") / na
+    return arms.select(
+        "arm",
+        "n_users",
+        F.round(mean_post / F.lit(1000000.0), 6).alias("mean_post_r"),
+        F.round(
+            (mean_post - theta * (mean_pre - mpre)) / F.lit(1000000.0), 6
+        ).alias("mean_adj_r"),
+        F.round(theta, 6).alias("theta_r"),
+        F.round(rho2, 6).alias("rho2_r"),
+    )
+
+
 def q_docs_source_overlap(spark, sf_dir):
     """Cross-source duplication matrix — the provenance question a
     multi-source corpus audit answers ('which feeds copy from each
@@ -7545,6 +7633,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_clusters": q_dedup_minhash_clusters,
     "docs_source_overlap": q_docs_source_overlap,
     "evt_user_activity_entropy": q_evt_user_activity_entropy,
+    "evt_ab_cuped": q_evt_ab_cuped,
     # -- last green r03 — next r08 picks after the deferrals
     "emb_cosine_near_dup": q_emb_cosine_near_dup,
     "join_asof": q_join_asof,
@@ -12342,6 +12431,68 @@ ORACLES["graph_triangles"] = f"""
         )
         SELECT t[1] AS pa, t[2] AS pb, t[3] AS pc
         FROM (SELECT list_sort([x, y, z]) AS t FROM c)
+"""
+ORACLES["evt_ab_cuped"] = """
+        WITH pu AS (
+            SELECT user_id,
+                   SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                            THEN CAST(FLOOR(value * 1000000.0 + 0.5)
+                                      AS BIGINT) ELSE 0 END) AS pre6,
+                   SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                            THEN CAST(FLOOR(value * 1000000.0 + 0.5)
+                                      AS BIGINT) ELSE 0 END) AS post6
+            FROM events GROUP BY user_id
+        ), tagged AS (
+            SELECT *,
+                   CASE WHEN ('0x' || substr(md5('ab:' ||
+                              CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                             % 2 = 0
+                        THEN 'A' ELSE 'B' END AS arm
+            FROM pu
+        ), arms AS (
+            SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+                   SUM(pre6::HUGEINT) AS sp,
+                   SUM(post6::HUGEINT) AS so,
+                   SUM(pre6::HUGEINT * pre6::HUGEINT) AS spp,
+                   SUM(post6::HUGEINT * post6::HUGEINT) AS soo,
+                   SUM(pre6::HUGEINT * post6::HUGEINT) AS spo
+            FROM tagged GROUP BY arm
+        ), pooled AS (
+            -- pooled aliases must NOT collide case-insensitively with
+            -- the arm-level sp/so (DuckDB identifiers are
+            -- case-insensitive: 'Sp' IS 'sp')
+            SELECT arm, n_users, sp, so,
+                   CAST(SUM(n_users) OVER () AS DOUBLE) AS pn,
+                   CAST(SUM(sp) OVER () AS DOUBLE) AS psp,
+                   CAST(SUM(so) OVER () AS DOUBLE) AS pso,
+                   CAST(SUM(spp) OVER () AS DOUBLE) AS pspp,
+                   CAST(SUM(soo) OVER () AS DOUBLE) AS psoo,
+                   CAST(SUM(spo) OVER () AS DOUBLE) AS pspo
+            FROM arms
+        ), st AS (
+            SELECT arm, n_users,
+                   CAST(so AS DOUBLE) / CAST(n_users AS DOUBLE)
+                       AS mean_post,
+                   CAST(sp AS DOUBLE) / CAST(n_users AS DOUBLE)
+                       AS mean_pre,
+                   psp / pn AS mpre, pso / pn AS mpost,
+                   pspo / pn - (psp / pn) * (pso / pn) AS cov,
+                   pspp / pn - (psp / pn) * (psp / pn) AS varp,
+                   psoo / pn - (pso / pn) * (pso / pn) AS varo
+            FROM pooled
+        )
+        SELECT arm, n_users,
+               ROUND(mean_post / 1000000.0, 6) AS mean_post_r,
+               ROUND((mean_post
+                      - (CASE WHEN varp > 0 THEN cov / varp END)
+                        * (mean_pre - mpre)) / 1000000.0, 6)
+                   AS mean_adj_r,
+               ROUND(CASE WHEN varp > 0 THEN cov / varp END, 6)
+                   AS theta_r,
+               ROUND(CASE WHEN varp > 0 AND varo > 0
+                          THEN cov * cov / (varp * varo) END, 6)
+                   AS rho2_r
+        FROM st
 """
 ORACLES["docs_source_overlap"] = f"""
         WITH mh AS ({_minhash_md5_sql(16, 4, 3, 0.5)})

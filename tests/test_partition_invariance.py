@@ -135,6 +135,8 @@ NAMES = [
     # pair rollup over LSH candidates; rounded entropy from sums
     "docs_source_overlap",
     "evt_user_activity_entropy",
+    # exact decimal CUPED moments, fixed-order theta/rho algebra
+    "evt_ab_cuped",
 ]
 
 

@@ -755,3 +755,55 @@ def test_activity_entropy_matches_pure_python(spark, sf_dir):
         if len(cnt) == 1:
             assert out[u]["entropy_r"] == 0.0
         assert out[u]["entropy_r"] <= math.log2(len(cnt)) + 1e-6
+
+
+def test_cuped_matches_numpy_and_reduces_variance(spark, sf_dir):
+    """θ and the adjusted means replayed with numpy over the same
+    per-user e6 sums and arm assignment; CUPED's defining property on
+    this data: the adjusted per-user metric has LOWER pooled variance
+    than the raw one (ρ² > 0 guarantees it at the optimal θ)."""
+    import hashlib
+
+    import numpy as np
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "ts", "value")
+        .collect()
+    )
+    import datetime as dt
+
+    cutoff = dt.datetime(2024, 1, 16)
+    pre: dict = {}
+    post: dict = {}
+    for r in ev:
+        v6 = int(np.floor(r["value"] * 1_000_000.0 + 0.5))
+        d = pre if r["ts"] < cutoff else post
+        d[r["user_id"]] = d.get(r["user_id"], 0) + v6
+    users = sorted(set(pre) | set(post))
+    p = np.array([pre.get(u, 0) for u in users], dtype=np.float64)
+    q = np.array([post.get(u, 0) for u in users], dtype=np.float64)
+    n = len(users)
+    cov = (p * q).sum() / n - p.mean() * q.mean()
+    varp = (p * p).sum() / n - p.mean() ** 2
+    theta = cov / varp
+    arms = {
+        u: "A"
+        if int(hashlib.md5(f"ab:{u}".encode()).hexdigest()[:8], 16) % 2 == 0
+        else "B"
+        for u in users
+    }
+    out = {r["arm"]: r for r in QUERIES["evt_ab_cuped"](spark, sf_dir).collect()}
+    assert set(out) == {"A", "B"}
+    for arm in ("A", "B"):
+        idx = [i for i, u in enumerate(users) if arms[u] == arm]
+        mean_post = q[idx].mean() / 1e6
+        mean_adj = (q[idx].mean() - theta * (p[idx].mean() - p.mean())) / 1e6
+        assert out[arm]["n_users"] == len(idx)
+        assert abs(out[arm]["mean_post_r"] - round(mean_post, 6)) < 1e-4
+        assert abs(out[arm]["mean_adj_r"] - round(mean_adj, 6)) < 1e-4
+        assert abs(out[arm]["theta_r"] - round(theta, 6)) < 1e-4
+    # variance reduction: adjusted user metric strictly less variable
+    adj = q - theta * (p - p.mean())
+    assert adj.var() < q.var()
+    assert out["A"]["rho2_r"] > 0
