@@ -128,6 +128,61 @@ def _uncollapsed_global_windows(plan: str) -> list[str]:
     return offenders
 
 
+def _bnlj_all_scalar_broadcast(plan: str) -> bool:
+    """True iff every ``BroadcastNestedLoopJoin`` in the plan builds
+    from a GLOBAL aggregate (``keys=[]``) — a 1-row broadcast side,
+    so the "nested loop" is really "append scalar columns to every
+    row": O(n), not O(n·m). This is the accepted grand-total /
+    threshold-scalar pattern (TPC-H q11/q22, TF-IDF corpus totals);
+    it must not trip the cartesian-product fatal, while a genuine
+    lost-equi-condition join (non-aggregated build side) still does.
+
+    The build side is read from the node's ``BuildLeft``/``BuildRight``
+    tag; the matching child subtree is located by tree indentation
+    (children print strictly deeper; the second child's root is the
+    next line returning to the first child's depth). Conservative on
+    anything unparseable: returns False, keeping the fatal."""
+    lines = plan.splitlines()
+    found_any = False
+    for i, line in enumerate(lines):
+        if "BroadcastNestedLoopJoin" not in line:
+            continue
+        found_any = True
+        build_right = "BuildRight" in line
+        if not build_right and "BuildLeft" not in line:
+            return False
+        indent = _tree_indent(line)
+        child_roots: list[int] = []
+        child_indent = None
+        j = i + 1
+        while j < len(lines) and lines[j].strip():
+            d = _tree_indent(lines[j])
+            if d <= indent:
+                break
+            if child_indent is None:
+                child_indent = d
+            if d == child_indent:
+                child_roots.append(j)
+            j += 1
+        if len(child_roots) != 2:
+            return False
+        start = child_roots[1] if build_right else child_roots[0]
+        end = j if build_right else child_roots[1]
+        subtree = "\n".join(lines[start:end])
+        scalar_agg = re.search(
+            r"(?:HashAggregate|SortAggregate|ObjectHashAggregate)\(keys=\[\]",
+            subtree,
+        )
+        # GlobalLimit with a small constant is the other ≤k-row build
+        # shape (e.g. a top-1 eigenvalue row); constant-bounded build
+        # side → O(n·k) with k fixed, still linear in the data
+        limit = re.search(r"GlobalLimit (\d+)", subtree)
+        small_limit = limit is not None and int(limit.group(1)) <= 10000
+        if not (scalar_agg or small_limit):
+            return False
+    return found_any
+
+
 def count_shuffles(df: DataFrame) -> int:
     """Shuffle exchanges only (broadcast exchanges are cheap by
     design and not counted)."""
@@ -173,13 +228,31 @@ def lint_plan(
     plan = _plan_str(df)
     findings: list[PlanFinding] = []
 
-    for node in ("CartesianProduct", "BroadcastNestedLoopJoin"):
-        if node in plan:
+    if "CartesianProduct" in plan:
+        findings.append(
+            PlanFinding(
+                "cartesian-product",
+                _FATAL,
+                "CartesianProduct in plan — join lost its equi-condition?",
+            )
+        )
+    if "BroadcastNestedLoopJoin" in plan:
+        if _bnlj_all_scalar_broadcast(plan):
+            findings.append(
+                PlanFinding(
+                    "scalar-broadcast-join",
+                    _WARN,
+                    "BroadcastNestedLoopJoin over a 1-row global-aggregate "
+                    "broadcast side — O(n) scalar append, scale-safe",
+                )
+            )
+        else:
             findings.append(
                 PlanFinding(
                     "cartesian-product",
                     _FATAL,
-                    f"{node} in plan — join lost its equi-condition?",
+                    "BroadcastNestedLoopJoin in plan — join lost its "
+                    "equi-condition?",
                 )
             )
     if "BatchEvalPython" in plan:

@@ -4077,7 +4077,10 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """Per-doc 64-bit SimHash signatures (deterministic; rows-only)."""
+    """Per-doc 64-bit SimHash signatures (xxhash64-seeded →
+    deterministic but not SQL-portable; rows-only). The same pipeline
+    with the portable md5-32 token hash IS value-hash oracled — see
+    dedup_simhash_md5."""
     df = _t(spark, sf_dir, "documents")
     return simhash_signatures(df)
 
@@ -4551,12 +4554,19 @@ def q_emb_random_project(spark, sf_dir):
     """Johnson-Lindenstrauss 64→8 random projection of the embeddings
     table (fixed-seed Gaussian directions baked in as literals): the
     pre-ANN bandwidth shrink, computed as a pure JVM projection whose
-    sequential folds replay bit-for-bit in SQL — no rounding
-    needed."""
+    sequential folds replay bit-for-bit in SQL — no rounding needed.
+    Emits the 8 components as scalar DOUBLE columns ``proj_1..proj_8``
+    (not one array column) so the result is hashable by any
+    pandas-canonicalizing differential harness — r07 showed array
+    outputs die in ``sort_values`` (``unhashable type: 'list'``)."""
     from idr_data_pipelines_spark.llmdata.similarity import random_project
 
     emb = _t(spark, sf_dir, "embeddings")
-    return random_project(emb, d_in=64, d_out=8).select("vec_id", "proj")
+    proj = random_project(emb, d_in=64, d_out=8)
+    return proj.select(
+        "vec_id",
+        *[F.col("proj")[i].alias(f"proj_{i + 1}") for i in range(8)],
+    )
 
 
 def q_join_bloom(spark, sf_dir):
@@ -10184,8 +10194,8 @@ ORACLES: dict[str, str] = {
         ), p AS (
             SELECT g.doc_id,
                    COUNT(*) AS n_grams,
-                   SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
-                       AS n_novel
+                   CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel
             FROM g JOIN f USING (gram) GROUP BY g.doc_id
         )
         SELECT doc_id, n_grams, n_novel,
@@ -10722,7 +10732,8 @@ ORACLES: dict[str, str] = {
         ), per_doc AS (
             SELECT g.doc_id,
                    COUNT(*) AS n_grams,
-                   SUM(CASE WHEN freq.doc_freq >= 2 THEN 1 ELSE 0 END) AS n_shared
+                   CAST(SUM(CASE WHEN freq.doc_freq >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_shared
             FROM g JOIN freq USING (gram) GROUP BY g.doc_id
         )
         SELECT doc_id, n_grams, n_shared,
@@ -10772,8 +10783,13 @@ ORACLES: dict[str, str] = {
         ) WHERE rn <= 20
     """,
     "emb_random_project": f"""
-        SELECT vec_id, {_rp_proj_sql('embedding')} AS proj
-        FROM embeddings
+        WITH p AS (
+            SELECT vec_id, {_rp_proj_sql('embedding')} AS proj
+            FROM embeddings
+        )
+        SELECT vec_id,
+               {', '.join(f'proj[{i + 1}] AS proj_{i + 1}' for i in range(8))}
+        FROM p
     """,
     # A-ES weighted sample: rank by ln(u)/w desc (u from the md5 hash,
     # w = n_chars); selection is ordering-only so libm 1-ulp noise
@@ -10849,7 +10865,7 @@ ORACLES: dict[str, str] = {
     "q9_product_profit": """
         SELECT n.n_name AS nation,
                CAST(EXTRACT(year FROM CAST(o.o_orderdate AS DATE)) AS INT) AS o_year,
-               SUM(CAST(ROUND(l.l_extendedprice * 100 * (1.0 - l.l_discount)) AS BIGINT)) AS profit_cents
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100 * (1.0 - l.l_discount)) AS BIGINT)) AS BIGINT) AS profit_cents
         FROM lineitem l
         JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%bolt%'
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -10904,7 +10920,8 @@ ORACLES: dict[str, str] = {
             SELECT o_custkey,
                    date_diff('day', MAX(CAST(o_orderdate AS DATE)), DATE '{AS_OF}') AS recency_days,
                    COUNT(*) AS frequency,
-                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS monetary_c
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS monetary_c
             FROM orders GROUP BY o_custkey
         ), cuts AS (
             SELECT

@@ -1,18 +1,37 @@
 """Local mirror of the driver's DuckDB-oracle differential check.
 
 Runs a Spark query and its DuckDB oracle on the same parquet tables,
-then compares row count, column-name schema, and an order-insensitive
-canonical value comparison. Used by tests/test_oracle_parity.py so
-oracle breakage is caught before the driver runs.
+then compares row count, column-name schema, and a DRIVER-FAITHFUL
+canonical value hash. The value path deliberately reproduces the
+driver's pandas canonicalization, not a numerically tolerant compare:
+
+- both results become pandas frames (``toPandas()`` / duckdb
+  ``.df()``), so engine→pandas dtype coercions (DuckDB HUGEINT →
+  float64, nullable int → float64) are visible exactly as the driver
+  sees them;
+- columns sort by name, rows sort by ALL columns via pandas
+  ``sort_values`` — whose per-column factorize step raises
+  ``TypeError: unhashable type`` on array/struct cells, exactly the
+  driver ``err`` mode r07 hit on ``emb_random_project``;
+- every cell is stringified per its pandas dtype before hashing, so
+  ``5`` (int64) vs ``5.0`` (float64) MISMATCH — the driver failure
+  mode r07 hit on ``text_shared_ngrams`` — even though they compare
+  numerically equal.
+
+r07 proved local-green ≠ driver-green when the local compare is more
+forgiving than the driver's representation hash; this harness is
+strictly at-least-as-picky, so oracle dtype drift and unhashable
+output shapes fail in CI before they burn a driver window slot. Used
+by tests/test_oracle_parity.py.
 """
 
 from __future__ import annotations
 
-import math
+import hashlib
 from datetime import date, datetime
-from decimal import Decimal
 
 import duckdb
+import pandas as pd
 
 TABLES = [
     "region",
@@ -49,54 +68,89 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _canon(v: object) -> object:
-    """Canonicalize a cell for cross-engine comparison."""
-    if v is None:
-        return None
-    if isinstance(v, Decimal):
-        return float(v)
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    if isinstance(v, datetime):
-        return v.isoformat()
-    if isinstance(v, date):
-        return v.isoformat()
-    if isinstance(v, (bytes, bytearray)):
-        return bytes(v).hex()
-    if isinstance(v, list):
-        return tuple(_canon(x) for x in v)
-    return v
+def canonical_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Driver-style canonicalization: columns sorted by name, rows
+    sorted by every column. Multi-column ``sort_values`` factorizes
+    each column through a hash table, so an array/struct/map cell
+    raises ``TypeError: unhashable type: 'list'`` here — the same
+    point the driver dies, which is the point: such schemas must fail
+    locally too."""
+    pdf = pdf[sorted(pdf.columns)]
+    if len(pdf.columns) and len(pdf):
+        pdf = pdf.sort_values(list(pdf.columns), kind="mergesort")
+    return pdf.reset_index(drop=True)
 
 
-def _sorted_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    projected = [tuple(_canon(r[i]) for i in order) for r in rows]
-    return sorted(projected, key=lambda t: tuple((x is None, str(x)) for x in t))
+def _cell_str(v: object) -> str:
+    """Dtype-faithful cell rendering: no numeric normalization, so an
+    int64 5 and a float64 5.0 render differently (as they do in the
+    driver's representation hash — r07 ``text_shared_ngrams`` failed
+    on exactly that while every numeric value was equal). Two
+    deliberate normalizations, calibrated against driver history:
+
+    - null flavors (None / NaN / NaT) collapse to one token — both
+      engines already agree on null *placement* per pandas dtype;
+    - date/datetime-likes render as one canonical timestamp string:
+      Spark DATE reaches pandas as ``datetime.date`` objects while
+      DuckDB DATE arrives as ``datetime64[us]``, and every
+      date-emitting query the driver has hashed is green (r04/r06),
+      so the driver demonstrably does NOT distinguish these two
+      renderings. Without this, the harness would false-fail ~every
+      date column.
+    """
+    isna = pd.isna(v)
+    if isna is True:
+        return "NULL"
+    if isinstance(v, (pd.Timestamp, datetime, date)):
+        return str(pd.Timestamp(v))
+    return str(v)
+
+
+def frame_rows(pdf: pd.DataFrame) -> list[tuple[str, ...]]:
+    """Canonicalized, stringified rows (column-sorted, row-sorted)."""
+    canon = canonical_frame(pdf)
+    return [
+        tuple(_cell_str(v) for v in row)
+        for row in canon.itertuples(index=False, name=None)
+    ]
+
+
+def driver_hash(pdf: pd.DataFrame) -> str:
+    """Order-insensitive representation hash of a result frame, as
+    the driver computes it: canonical frame → stringified rows →
+    md5 over the row stream."""
+    h = hashlib.md5()
+    for row in frame_rows(pdf):
+        h.update(("\x1f".join(row) + "\x1e").encode("utf-8"))
+    return h.hexdigest()
 
 
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
-    s_rows = [tuple(r) for r in spark_df.collect()]
-    s_cols = list(spark_df.columns)
-    rel = con.execute(sql)
-    d_cols = [d[0] for d in rel.description]
-    d_rows = [tuple(r) for r in rel.fetchall()]
+    s_pdf = spark_df.toPandas()
+    d_pdf = con.execute(sql).df()
+    s_cols = list(s_pdf.columns)
+    d_cols = list(d_pdf.columns)
 
     result = {
-        "rows_spark": len(s_rows),
-        "rows_oracle": len(d_rows),
+        "rows_spark": len(s_pdf),
+        "rows_oracle": len(d_pdf),
         "cols_spark": sorted(s_cols),
         "cols_oracle": sorted(d_cols),
-        "rowcount_match": len(s_rows) == len(d_rows),
+        "rowcount_match": len(s_pdf) == len(d_pdf),
         "schema_match": sorted(s_cols) == sorted(d_cols),
         "values_match": False,
         "first_diff": None,
     }
     if not (result["rowcount_match"] and result["schema_match"]):
         return result
-    a = _sorted_rows(s_cols, s_rows)
-    b = _sorted_rows(d_cols, d_rows)
+    try:
+        a = frame_rows(s_pdf)
+        b = frame_rows(d_pdf)
+    except TypeError as e:
+        # unhashable array/struct cell — the driver records this as an
+        # err row; surface it as a value mismatch with the cause
+        result["first_diff"] = {"canonicalize_error": repr(e)}
+        return result
     if a == b:
         result["values_match"] = True
         return result

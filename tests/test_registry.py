@@ -1,0 +1,67 @@
+"""Registry hygiene: keep the README's coverage claims and the
+NO_ORACLE verification policy mechanically honest as the query
+catalog grows (VERDICT r07 item 8).
+
+Three invariants:
+
+1. The registry partitions exactly: every ``QUERIES`` key is oracled
+   XOR rows-only, with no dangling ``ORACLES`` entries.
+2. The README's headline counts (total / oracled) match the code —
+   docs cannot silently drift from the registry.
+3. Every ``NO_ORACLE`` entry's docstring states its verification
+   story: either it names its value-hash-oracled portable twin
+   (``see <name>`` where ``<name>`` is an ``ORACLES`` key) or it
+   explicitly says its bounds/invariants are pinned by tests. A
+   rows-only entry with neither is unverifiable surface — exactly
+   what the round-6 portable-twin strategy exists to prevent.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from idr_data_pipelines_spark.queries import NO_ORACLE, ORACLES, QUERIES
+
+README = os.path.join(os.path.dirname(os.path.dirname(__file__)), "README.md")
+
+
+def test_registry_partitions_exactly():
+    assert set(ORACLES) | set(NO_ORACLE) == set(QUERIES)
+    assert not (set(ORACLES) & set(NO_ORACLE))
+    assert set(ORACLES) <= set(QUERIES)
+
+
+def test_readme_counts_match_registry():
+    text = open(README).read()
+    m = re.search(
+        r"\((\d+) `queries\(\)` entries total, (\d+)\s*\n?oracle-checked", text
+    )
+    assert m, "README registry-count claim not found"
+    assert int(m.group(1)) == len(QUERIES), (
+        f"README claims {m.group(1)} entries, registry has {len(QUERIES)} — "
+        "update README.md"
+    )
+    assert int(m.group(2)) == len(ORACLES), (
+        f"README claims {m.group(2)} oracled, registry has {len(ORACLES)} — "
+        "update README.md"
+    )
+
+
+def test_no_oracle_docstrings_state_verification():
+    oracled = set(ORACLES)
+    for name in sorted(NO_ORACLE):
+        doc = QUERIES[name].__doc__ or ""
+        twins = [
+            t
+            for t in re.findall(r"see\s+`{0,2}(\w+)`{0,2}", doc)
+            if t in oracled
+        ]
+        pinned = re.search(r"(pinned|asserted|invariants?).{0,60}test", doc, re.S) or re.search(
+            r"test.{0,60}(pinned|asserted|bound)", doc, re.S
+        )
+        assert twins or pinned, (
+            f"{name}: rows-only entry must name its oracled twin "
+            f"('see <name>') or state that its bounds are test-pinned; "
+            f"docstring: {doc[:200]!r}"
+        )
