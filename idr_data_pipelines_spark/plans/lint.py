@@ -173,11 +173,16 @@ def _bnlj_all_scalar_broadcast(plan: str) -> bool:
             r"(?:HashAggregate|SortAggregate|ObjectHashAggregate)\(keys=\[\]",
             subtree,
         )
-        # GlobalLimit with a small constant is the other ≤k-row build
-        # shape (e.g. a top-1 eigenvalue row); constant-bounded build
-        # side → O(n·k) with k fixed, still linear in the data
-        limit = re.search(r"GlobalLimit (\d+)", subtree)
-        small_limit = limit is not None and int(limit.group(1)) <= 10000
+        # GlobalLimit / TakeOrderedAndProject with a small constant is
+        # the other ≤k-row build shape (a top-1 eigenvalue row, the
+        # elected BPE merge pair); constant-bounded build side →
+        # O(n·k) with k fixed, still linear in the data
+        limit = re.search(
+            r"(?:GlobalLimit (\d+)|TakeOrderedAndProject\(limit=(\d+))", subtree
+        )
+        small_limit = limit is not None and int(
+            limit.group(1) or limit.group(2)
+        ) <= 10000
         if not (scalar_agg or small_limit):
             return False
     return found_any

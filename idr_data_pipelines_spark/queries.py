@@ -12819,3 +12819,66 @@ NO_ORACLE: frozenset[str] = frozenset(
         "pack_bestfit",
     }
 )
+
+
+# --- driver-window rotation epilogue (tools/rotate_window.py)
+# r08: promote the staged picks into the driver window;
+# every other entry keeps its literal order below them.
+_WINDOW_R08 = [
+    "text_shared_ngrams",
+    "emb_random_project",
+    "src_parquet_dir",
+    "expr_datediff",
+    "agg_pivot_sum_case",
+    "evt_trigger_audit",
+    "emb_pq_assign",
+    "emb_pq_error",
+    "emb_covariance",
+    "emb_power_iteration",
+    "emb_pca_project",
+    "emb_matryoshka_truncate",
+    "emb_sign_hamming",
+    "emb_knn_graph",
+    "emb_hard_negatives",
+    "emb_label_agreement",
+    "emb_norm_outliers",
+    "emb_ivf_stats",
+    "ann_recall_eval",
+    "dedup_keep_best",
+    "dedup_minhash_incremental",
+    "dedup_minhash_estimate",
+    "dedup_minhash_clusters",
+    "dedup_cross_split_leakage",
+    "graph_triangles",
+    "graph_link_prediction",
+    "text_bpe_merge_round",
+    "text_vocab_coverage",
+    "text_perplexity_bigram",
+    "docs_gopher_rules",
+    "docs_remove_dup_chunks",
+    "docs_ngram_novelty",
+    "docs_dsir_weights",
+    "docs_zipf_lexical",
+    "docs_langid_audit",
+    "docs_length_outliers",
+    "docs_source_overlap",
+    "decontaminate_report",
+    "orders_basket_lift",
+    "mm_audio_windows",
+    "mix_curriculum",
+    "sample_balanced_labels",
+    "dq_expectations",
+    "evt_ewma_rolling",
+    "evt_bot_regularity",
+    "evt_late_arrival_audit",
+    "evt_user_activity_entropy",
+    "evt_ab_cuped",
+    "ivm_join_delta",
+    "sink_bucketed_join",
+]
+QUERIES = {
+    n: QUERIES[n]
+    for n in _WINDOW_R08
+    + [k for k in QUERIES if k not in set(_WINDOW_R08)]
+}
+# --- end rotation epilogue

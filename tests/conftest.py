@@ -34,3 +34,11 @@ def sf_dir() -> str:
 @pytest.fixture(scope="session")
 def sf_med() -> str:
     return SF_MED
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "plan_gate: registry-wide physical-plan lint sweep (slow; "
+        "deselect with -m 'not plan_gate')",
+    )
