@@ -1241,6 +1241,168 @@ def pq_assign_fixed(
     ).select(id_col, "pq.subspace", "pq.code", "pq.dist_r")
 
 
+def _pq_codebook_expr(
+    cent_rows: list[tuple[int, list[float]]], lo: int, sub_d: int
+) -> Column:
+    """Per-subspace PQ codebook as ONE parsed literal array of
+    (code, vec) structs — same py4j-roundtrip-avoidance rationale as
+    ``pq_assign_fixed``'s inline construction, factored out so the
+    index build and the ADC table build share it."""
+    entries = ", ".join(
+        "named_struct('code', {}, 'vec', array({}))".format(
+            int(cid),
+            ", ".join(f"{float(cvec[lo + i])!r}D" for i in range(sub_d)),
+        )
+        for cid, cvec in cent_rows
+    )
+    return F.expr(f"array({entries})")
+
+
+def _sq_l2_fold(sub_v: Column, cw_vec: Column) -> Column:
+    """Squared L2 distance between two equal-length double arrays as
+    the canonical left-associative fold (0.0 + t1 + … + tn) — the
+    bit-replayable form every fixed-quantizer oracle mirrors."""
+    return F.aggregate(
+        F.zip_with(sub_v, cw_vec, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def ivfpq_topk_fixed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_subspaces: int = 4,
+    dim: int = 64,
+    nprobe: int = 2,
+) -> DataFrame:
+    """End-to-end IVF-PQ query path with asymmetric distance
+    computation (ADC) — the index layout production ANN systems
+    (FAISS IVFPQ, SCaNN's quantized leaf scan) use at corpus scales
+    where raw floats don't fit: a coarse inverted file prunes the
+    scan to ``nprobe`` cells, and within a cell candidates are scored
+    from their 4-byte PQ codes against a per-query lookup table —
+    the corpus vectors themselves are never touched at query time.
+
+    Composes the repo's two fixed quantizers (coarse cells =
+    ``cosine_topk_ivf_fixed``'s argmax-cosine assignment, PQ codes =
+    ``pq_assign_fixed``'s per-subspace argmin codes, both against the
+    deterministic id<n_centroids row codebook) so the WHOLE path —
+    cell build, probe choice, ADC table, code-indexed scoring, top-k
+    rank — replays bit-for-bit in a SQL oracle.
+
+    Physical shape, and why it is the 100 TB plan:
+    - index build = ONE map-only projection per corpus row emitting
+      (cell, codes[4]); at scale it is written once, bucketed by
+      ``cell``, 4 bytes/vector of scoring payload instead of 256;
+    - query side = |Q|·nprobe probe rows, each carrying the query's
+      ADC tables (n_subspaces × n_centroids doubles — model-sized,
+      a broadcast);
+    - scoring = ONE broadcast hash join on cell equality (scan
+      limited to probed buckets via partition pruning) + a pure
+      expression ``adc[s][code_s]`` fold — no per-candidate float
+      vector I/O, no shuffle of the corpus;
+    - the only shuffle: the final per-query top-k window (|Q| groups,
+      WindowGroupLimit-pruned).
+    """
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {n_subspaces}")
+    sub_d = dim // n_subspaces
+    cent_rows = fixed_seed_centroid_rows(corpus, id_col, vec_col, n_centroids)
+
+    v = _as_double(vec_col)
+
+    # ---- corpus index: coarse cell + PQ codes in one projection
+    code_cols = []
+    for s in range(n_subspaces):
+        lo = s * sub_d
+        sub_v = F.slice(v, lo + 1, sub_d)
+        codebook = _pq_codebook_expr(cent_rows, lo, sub_d)
+        best = F.array_min(
+            F.transform(
+                codebook,
+                lambda cw: F.struct(
+                    _sq_l2_fold(sub_v, cw["vec"]).alias("dist"),
+                    cw["code"].alias("code"),
+                ),
+            )
+        )
+        code_cols.append(best["code"].cast("int"))
+    inv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        (
+            -F.array_max(_centroid_sims(cent_rows, v, norm(v)))["negid"]
+        ).alias("cell"),
+        F.array(*code_cols).alias("codes"),
+    )
+
+    # ---- query side: probes + per-subspace ADC tables
+    q = queries.select(
+        F.col(id_col).alias("query_id"), v.alias("qvec")
+    ).withColumn("qnrm", norm(F.col("qvec")))
+    adc_cols = []
+    for s in range(n_subspaces):
+        lo = s * sub_d
+        sub_q = F.slice("qvec", lo + 1, sub_d)
+        codebook = _pq_codebook_expr(cent_rows, lo, sub_d)
+        # positional array: the fixed-seed codebook is contiguous
+        # 0..n-1 by construction (collector-asserted), so position
+        # index == code and scoring is element_at(adc_s, code+1)
+        adc_cols.append(
+            F.transform(
+                codebook, lambda cw: _sq_l2_fold(sub_q, cw["vec"])
+            ).alias(f"adc_{s}")
+        )
+    probes = (
+        q.select("query_id", "qvec", "qnrm", *adc_cols)
+        .withColumn(
+            "probe",
+            F.explode(
+                F.slice(
+                    F.reverse(
+                        F.array_sort(
+                            _centroid_sims(
+                                cent_rows, F.col("qvec"), F.col("qnrm")
+                            )
+                        )
+                    ),
+                    1,
+                    nprobe,
+                )
+            ),
+        )
+        .select(
+            "query_id",
+            *[f"adc_{s}" for s in range(n_subspaces)],
+            (-F.col("probe")["negid"]).alias("cell"),
+        )
+    )
+
+    # ---- ADC scoring over probed cells only
+    cand = inv.join(F.broadcast(probes), "cell").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    dist: Column | None = None
+    for s in range(n_subspaces):
+        term = F.element_at(
+            F.col(f"adc_{s}"), F.col("codes")[s] + F.lit(1)
+        )
+        dist = term if dist is None else dist + term
+    scored = cand.select(
+        "query_id", "neighbor_id", F.round(dist, 6).alias("adc_r")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_r").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= k
+    )
+
+
 def matryoshka_prefix(
     corpus: DataFrame,
     id_col: str = "vec_id",

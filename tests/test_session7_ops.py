@@ -1,0 +1,68 @@
+"""Round-8 session operators: focused unit tests beyond the
+registry-wide oracle/plan sweeps (which auto-cover every new
+``QUERIES`` entry — these pin the semantics the sweeps can't see)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from idr_data_pipelines_spark.llmdata.similarity import ivfpq_topk_fixed
+from idr_data_pipelines_spark.queries import _t
+
+
+class TestIvfPqTopK:
+    def _run(self, spark, sf_dir):
+        emb = _t(spark, sf_dir, "embeddings")
+        return ivfpq_topk_fixed(emb, emb.filter(F.col("vec_id") < 8))
+
+    def test_shape_and_ranks(self, spark, sf_dir):
+        rows = self._run(spark, sf_dir).collect()
+        by_q: dict[int, list] = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append(r)
+        assert set(by_q) == set(range(8))
+        for qid, grp in by_q.items():
+            grp.sort(key=lambda r: r.rank)
+            # dense ranks 1..k, distances non-decreasing, no self-match
+            assert [r.rank for r in grp] == list(range(1, len(grp) + 1))
+            dists = [r.adc_r for r in grp]
+            assert dists == sorted(dists)
+            assert all(r.neighbor_id != qid for r in grp)
+
+    def test_adc_matches_numpy(self, spark, sf_dir):
+        """ADC scoring is exact table lookup: for any returned pair,
+        sum_s adc_s[code_s] must equal the distance recomputed from
+        the query vector and the neighbor's PQ-coded centroids."""
+        emb = _t(spark, sf_dir, "embeddings")
+        rows = self._run(spark, sf_dir).collect()
+        need = (
+            set(range(16))
+            | {r.query_id for r in rows}
+            | {r.neighbor_id for r in rows}
+        )
+        vecs = {
+            r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.filter(
+                F.col("vec_id").isin(sorted(need))
+            ).collect()
+        }
+        checked = 0
+        for r in rows:
+            nvec, qvec = vecs[r.neighbor_id], vecs[r.query_id]
+            adc = 0.0
+            for s in range(4):
+                lo, hi = s * 16, (s + 1) * 16
+                sub = nvec[lo:hi]
+                dists = [
+                    float(((sub - vecs[c][lo:hi]) ** 2).sum())
+                    for c in range(16)
+                ]
+                code = int(np.argmin(dists))
+                adc += float(((qvec[lo:hi] - vecs[code][lo:hi]) ** 2).sum())
+            assert abs(round(adc, 6) - r.adc_r) < 1e-9, (
+                r.query_id,
+                r.neighbor_id,
+            )
+            checked += 1
+        assert checked > 0
