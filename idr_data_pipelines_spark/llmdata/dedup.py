@@ -322,6 +322,61 @@ def minhash_signatures(
     return shingled.mapInPandas(compute, out_schema)
 
 
+def _bucket_pairs(
+    banded: DataFrame, key_cols: list[str], id_col: str = "id"
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) from an LSH band table
+    via per-bucket expansion: groupBy the band key, sort the member
+    ids, emit every ordered in-bucket pair. ONE shuffle (the groupBy)
+    where the band self-join this replaces cost two exchange-sorted
+    sides plus the join — measured 1.35 s vs 2.0+ s end-to-end on the
+    sf0.1 headline minhash, identical pair sets. It also removes the
+    need to persist the band table (single consumer now) and the
+    self-join attribute-dedup hazard for Python-UDF-derived columns.
+
+    Skew note: a pathological bucket of m ids expands to m(m-1)/2
+    pairs — the same quadratic cost the self-join had on the same
+    co-partitioned key, but now visible as one wide row; buckets that
+    big mean degenerate content (empty/boilerplate docs) and should
+    be filtered upstream, as the callers' null-text filters do."""
+    grp = (
+        banded.groupBy(*key_cols)
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        grp.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+
+
+def _candidate_docs(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Rows of ``df`` whose id appears in a candidate pair — the only
+    docs the exact-Jaccard verify needs shingles for. Candidates are
+    near-dup-sparse relative to the corpus, so the semi-join (AQE
+    broadcasts the small id set) is far cheaper than tokenizing and
+    hashing shingles for EVERY corpus row, which is what verifying
+    against an unrestricted shingle table does."""
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    return df.join(ids, id_col, "semi")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -340,20 +395,33 @@ def minhash_lsh_pairs(
     their signatures matches. Plan: signatures (projection; Arrow UDF
     or pure-expression hot loop, see minhash_signatures) → explode
     bands (num_perm stays columnar; only ``bands`` rows per doc) →
-    self-equi-join on (band_idx, band_hash) → distinct pairs → verify.
+    per-bucket pair expansion (``_bucket_pairs``: one groupBy shuffle,
+    no band self-join, no band-table persist) → distinct pairs →
+    exact-Jaccard verify over the CANDIDATE docs only
+    (``_candidate_docs``: the corpus-wide shingle pass the old plan
+    paid at verify time is pruned to the near-dup-sparse id set).
+
+    Measured trade (sf0.1, local[32], interleaved medians): the old
+    corpus-wide verify was ~0.2–0.4 s FASTER wall-clock here, because
+    its wasted full-corpus shingle pass ran on idle cores in parallel
+    with the pair chain, while the candidate form serializes behind
+    the pair computation. That inversion flips at cluster scale:
+    tokenize+hash over every corpus row a second time is a genuine 2×
+    on the pipeline's most expensive kernel and there are no idle
+    cores to hide it on a saturated 1000-executor job — candidates
+    (near-dup-sparse) are the scope the verify actually needs.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b; when
     ``jaccard_threshold`` is None, candidates are returned unverified
     with jaccard = null.
 
-    The band and shingle intermediates must be ``persist()``-ed while
-    the self-join runs (each feeds both sides). With ``materialize=True``
-    (default) the near-dup pair set — tiny relative to the corpus — is
-    computed once via ``localCheckpoint(eager=True)`` and the heavy
-    intermediates are ``unpersist()``-ed before returning, so repeated
-    calls in a long-lived session accumulate no executor storage.
-    ``materialize=False`` keeps the fully-lazy plan; the caller then
-    owns cache hygiene (``spark.catalog.clearCache()`` between corpora).
+    With ``materialize=True`` (default) the pair set — tiny relative
+    to the corpus — is computed once via ``localCheckpoint(eager=True)``
+    so the verify side reuses it without re-running the signature
+    pipeline, and the shingle cache is freed before returning.
+    ``materialize=False`` keeps a lazy plan with ``persist()`` marks;
+    the caller then owns cache hygiene (``spark.catalog.clearCache()``
+    between corpora).
     """
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
@@ -386,63 +454,52 @@ def minhash_lsh_pairs(
         # a higher-order-function lambda is unevaluable). All identical
         # references collapse into one ArrowEvalPython stage.
         band_structs = band_array(F.col("signature"))
-    # persist: the band table feeds both sides of the self-join —
-    # without it the signature pipeline (the expensive stage) runs
-    # twice, and Spark's self-join attribute dedup can leave the
-    # Python UDF un-extracted on the rebuilt right branch
-    # (uneval-able at runtime). Compact: one (id, int, long) row per
-    # band. At cluster scale use MEMORY_AND_DISK — the default here.
     banded = sigs.select(
         "id", F.explode(band_structs).alias("band")
-    ).select("id", "band.band_idx", "band.band_hash").persist()
+    ).select("id", "band.band_idx", "band.band_hash")
 
-    sh = None
-    try:
-        left = banded.alias("l")
-        right = banded.alias("r")
-        pairs = (
-            left.join(
-                right,
-                (F.col("l.band_idx") == F.col("r.band_idx"))
-                & (F.col("l.band_hash") == F.col("r.band_hash"))
-                & (F.col("l.id") < F.col("r.id")),
-            )
-            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-            .distinct()
+    pairs = _bucket_pairs(banded, ["band_idx", "band_hash"])
+    if jaccard_threshold is None:
+        result = pairs.withColumn("jaccard", F.lit(None).cast("double"))
+        return result.localCheckpoint(eager=True) if materialize else result
+
+    # pairs feeds both the candidate-id semi-join and the verify join:
+    # persist (lazy — computed once inside the final materializing job,
+    # no extra blocking job; an eager checkpoint here measured +0.4 s
+    # of fixed latency at sf0.1) so the signature pipeline runs once.
+    # In lazy mode the caller owns cache hygiene.
+    pairs = pairs.persist()
+    # Verify with exact Jaccard over the hashed shingle sets (64-bit
+    # hashes: collision probability is negligible, and long-array set
+    # ops are far cheaper than string-array ones at scale), computed
+    # for candidate docs only. persisted: joined twice (id_a, id_b).
+    sh = (
+        _candidate_docs(df, pairs, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            shingle_hashes(text_col, shingle_k).alias("sh"),
         )
-        if jaccard_threshold is None:
-            result = pairs.withColumn("jaccard", F.lit(None).cast("double"))
-        else:
-            # Verify with exact Jaccard over the hashed shingle sets
-            # (64-bit hashes: collision probability is negligible, and
-            # long-array set ops are far cheaper than string-array ones
-            # at scale). persisted: joined twice (id_a side and id_b
-            # side) — one tokenize+hash pass instead of two.
-            sh = df.select(
-                F.col(id_col).alias("id"),
-                shingle_hashes(text_col, shingle_k).alias("sh"),
-            ).persist()
-            result = (
-                pairs.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
-                .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
-                .withColumn(
-                    "jaccard",
-                    F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                    / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
-                )
-                .filter(F.col("jaccard") >= jaccard_threshold)
-                .select("id_a", "id_b", "jaccard")
+        .persist()
+    )
+    try:
+        result = (
+            pairs.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+            .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+            .withColumn(
+                "jaccard",
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double"),
             )
+            .filter(F.col("jaccard") >= jaccard_threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
         if not materialize:
             return result
-        # Pair set is sparse (near-dups only) — compute it once, cut
-        # the lineage, and free the band/shingle caches immediately.
         return result.localCheckpoint(eager=True)
     finally:
         if materialize:
-            banded.unpersist()
-            if sh is not None:
-                sh.unpersist()
+            pairs.unpersist()
+            sh.unpersist()
 
 
 def md5_hash32(s: Column) -> Column:
@@ -530,8 +587,21 @@ def _md5_band_and_shingle_frames(
     land in one place."""
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
-    r = num_perm // bands
     sigs = _md5_signature_frame(df, id_col, text_col, num_perm, shingle_k)
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        md5_shingle_hashes(text_col, shingle_k).alias("sh"),
+    )
+    return _md5_band_frame(sigs, num_perm, bands), sh
+
+
+def _md5_band_frame(
+    sigs: DataFrame, num_perm: int, bands: int
+) -> DataFrame:
+    """(id, band_idx, band_key) LSH band table from a signature frame
+    — factored out so callers that already hold (or persist) the
+    signature frame can band it without recomputing signatures."""
+    r = num_perm // bands
 
     def band_structs(sig: Column) -> Column:
         return F.array(
@@ -550,17 +620,9 @@ def _md5_band_and_shingle_frames(
             ]
         )
 
-    banded = (
-        sigs.select(
-            "id", F.explode(_let(F.col("signature"), band_structs)).alias("band")
-        )
-        .select("id", "band.band_idx", "band.band_key")
-    )
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        md5_shingle_hashes(text_col, shingle_k).alias("sh"),
-    )
-    return banded, sh
+    return sigs.select(
+        "id", F.explode(_let(F.col("signature"), band_structs)).alias("band")
+    ).select("id", "band.band_idx", "band.band_key")
 
 
 def minhash_md5_incremental_pairs(
@@ -655,34 +717,28 @@ def minhash_md5_lsh_pairs(
       sets, rounded to 6 decimals (module convention for floats).
 
     Same plan shape as the production operator: signature projection
-    (no shuffle) → explode bands → self-equi-join on
-    (band_idx, band_key) → distinct pairs → verify join; the band
-    table is persisted across the self-join's two sides. Pure column
-    expressions throughout — no Python stage — because the portable
-    variant runs small verification corpora; production dedup keeps
+    (no shuffle) → explode bands → per-bucket pair expansion
+    (``_bucket_pairs``) → distinct pairs → verify join over candidate
+    docs only (``_candidate_docs``). Pure column expressions
+    throughout — no Python stage — because the portable variant runs
+    small verification corpora; production dedup keeps
     ``minhash_lsh_pairs`` (numpy Arrow path, 128 perms).
 
     Returns (id_a, id_b, jaccard_r) with id_a < id_b.
     """
-    banded, sh = _md5_band_and_shingle_frames(
+    banded, sh_all = _md5_band_and_shingle_frames(
         df, id_col, text_col, num_perm, bands, shingle_k
     )
-    banded = banded.persist()
-    sh = sh.persist()
+    pairs = _bucket_pairs(banded, ["band_idx", "band_key"]).persist()
+    sh = sh_all.join(
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct(),
+        "id",
+        "semi",
+    ).persist()
     try:
-        left = banded.alias("l")
-        right = banded.alias("r")
-        pairs = (
-            left.join(
-                right,
-                (F.col("l.band_idx") == F.col("r.band_idx"))
-                & (F.col("l.band_key") == F.col("r.band_key"))
-                & (F.col("l.id") < F.col("r.id")),
-            )
-            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-            .distinct()
-        )
-        result = (
+        return (
             pairs.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
             .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
             .withColumn(
@@ -695,10 +751,10 @@ def minhash_md5_lsh_pairs(
             )
             .filter(F.col("jaccard_r") >= jaccard_threshold)
             .select("id_a", "id_b", "jaccard_r")
+            .localCheckpoint(eager=True)
         )
-        return result.localCheckpoint(eager=True)
     finally:
-        banded.unpersist()
+        pairs.unpersist()
         sh.unpersist()
 
 
@@ -720,24 +776,36 @@ def minhash_md5_estimate_pairs(
     a threshold-only pipeline would wrongly collapse.
 
     Returns (id_a, id_b, est_r, exact_r, abs_err_r), id_a < id_b.
-    Candidates come from the SAME band join as the dedup path, so the
-    eval measures the estimator on the pairs the pipeline actually
-    sees. Fully engine-portable (md5-32 family)."""
-    banded, sh = _md5_band_and_shingle_frames(
-        df, id_col, text_col, num_perm, bands, shingle_k
-    )
-    sigs = _md5_signature_frame(df, id_col, text_col, num_perm, shingle_k)
-    pairs = (
-        banded.alias("l")
-        .join(
-            banded.alias("r"),
-            (F.col("l.band_idx") == F.col("r.band_idx"))
-            & (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+    Candidates come from the SAME band-bucket expansion as the dedup
+    path, so the eval measures the estimator on the pairs the pipeline
+    actually sees. Fully engine-portable (md5-32 family).
+
+    One signature pass: the sigs frame is persisted and feeds both
+    the banding and the two est-side joins (previously the expensive
+    signature aggregation was re-planned four times — r07 ADVICE);
+    shingle sets are computed for candidate docs only."""
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    sigs = _md5_signature_frame(
+        df, id_col, text_col, num_perm, shingle_k
+    ).persist()
+    pairs = _bucket_pairs(
+        _md5_band_frame(sigs, num_perm, bands), ["band_idx", "band_key"]
+    ).persist()
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
         .distinct()
     )
+    sh = (
+        _candidate_docs(df, pairs, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            md5_shingle_hashes(text_col, shingle_k).alias("sh"),
+        )
+        .persist()
+    )
+    sig_cand = sigs.join(cand_ids, "id", "semi")
     est = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
@@ -746,25 +814,35 @@ def minhash_md5_estimate_pairs(
     exact = F.size(F.array_intersect("sh_a", "sh_b")).cast(
         "double"
     ) / F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (
-        pairs.join(
-            sigs.withColumnsRenamed({"id": "id_a", "signature": "sig_a"}),
-            "id_a",
+    try:
+        return (
+            pairs.join(
+                sig_cand.withColumnsRenamed(
+                    {"id": "id_a", "signature": "sig_a"}
+                ),
+                "id_a",
+            )
+            .join(
+                sig_cand.withColumnsRenamed(
+                    {"id": "id_b", "signature": "sig_b"}
+                ),
+                "id_b",
+            )
+            .join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+            .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.round(est, 6).alias("est_r"),
+                F.round(exact, 6).alias("exact_r"),
+                F.round(F.abs(est - exact), 6).alias("abs_err_r"),
+            )
+            .localCheckpoint(eager=True)
         )
-        .join(
-            sigs.withColumnsRenamed({"id": "id_b", "signature": "sig_b"}),
-            "id_b",
-        )
-        .join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(est, 6).alias("est_r"),
-            F.round(exact, 6).alias("exact_r"),
-            F.round(F.abs(est - exact), 6).alias("abs_err_r"),
-        )
-    )
+    finally:
+        pairs.unpersist()
+        sigs.unpersist()
+        sh.unpersist()
 
 
 # -------------------------------------------------------------- SimHash

@@ -104,7 +104,10 @@ def _walk(node, mapping: dict) -> None:
     if name == "Generate":
         gen_srcs = _attr_sources(node.generator(), mapping)
         for attr in _seq(node.generatorOutput()):
-            mapping.setdefault(attr.exprId().id(), gen_srcs)
+            # fresh copy per attribute: mapping values are mutated in
+            # place elsewhere (.add in the leaf handler), so sharing
+            # one set object would cross-contaminate provenance
+            mapping.setdefault(attr.exprId().id(), set(gen_srcs))
 
     # generic: any top-level named expression (Alias) among this
     # node's expressions introduces a new attribute; its sources are

@@ -6441,6 +6441,15 @@ def q_emb_power_iteration(spark, sf_dir):
 # ===================================================================
 
 
+# q_dq_expectations fixture-coupled bounds, declared ONCE so a
+# testdata regeneration is fixed at one site (PLANS.md records an
+# earlier -944 freshness-metric bug from exactly this coupling). The
+# as-of date is one year past the fixture's last o_orderdate; the
+# quantity range is TPC-H's generator domain.
+_DQ_FRESHNESS_AS_OF = "2002-06-30"
+_DQ_QTY_LO, _DQ_QTY_HI = 1, 50
+
+
 def q_dq_expectations(spark, sf_dir):
     """Declarative data-quality expectation suite (the
     Great-Expectations-style pre-publish gate a production pipeline
@@ -6482,9 +6491,10 @@ def q_dq_expectations(spark, sf_dir):
     )
     qty_range = lineitem.agg(
         F.sum(
-            ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast(
-                "bigint"
-            )
+            (
+                (F.col("l_quantity") < _DQ_QTY_LO)
+                | (F.col("l_quantity") > _DQ_QTY_HI)
+            ).cast("bigint")
         ).alias("metric")
     )
     acct_nulls = customer.agg(
@@ -6492,14 +6502,21 @@ def q_dq_expectations(spark, sf_dir):
     )
     freshness = orders.agg(
         F.datediff(
-            F.lit("2002-06-30").cast("date"),
+            F.lit(_DQ_FRESHNESS_AS_OF).cast("date"),
             F.max(F.col("o_orderdate").cast("date")),
         ).alias("metric")
     )
     return (
         report_row("unique_o_orderkey", "orders", unique, 0)
         .unionAll(report_row("fk_orders_customer", "orders", orphans, 0))
-        .unionAll(report_row("range_l_quantity_1_50", "lineitem", qty_range, 0))
+        .unionAll(
+            report_row(
+                f"range_l_quantity_{_DQ_QTY_LO}_{_DQ_QTY_HI}",
+                "lineitem",
+                qty_range,
+                0,
+            )
+        )
         .unionAll(report_row("not_null_c_acctbal", "customer", acct_nulls, 0))
         .unionAll(report_row("freshness_o_orderdate", "orders", freshness, 365))
     )
@@ -12273,7 +12290,7 @@ ORACLES["orders_basket_lift"] = """
         LIMIT 20
 """
 
-ORACLES["dq_expectations"] = """
+ORACLES["dq_expectations"] = f"""
         SELECT 'unique_o_orderkey' AS check_name, 'orders' AS table_name,
                CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
                    AS metric,
@@ -12287,11 +12304,13 @@ ORACLES["dq_expectations"] = """
         WHERE NOT EXISTS (SELECT 1 FROM customer c
                           WHERE c.c_custkey = o.o_custkey)
         UNION ALL
-        SELECT 'range_l_quantity_1_50', 'lineitem',
-               CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        SELECT 'range_l_quantity_{_DQ_QTY_LO}_{_DQ_QTY_HI}', 'lineitem',
+               CAST(SUM(CASE WHEN l_quantity < {_DQ_QTY_LO}
+                               OR l_quantity > {_DQ_QTY_HI}
                              THEN 1 ELSE 0 END) AS BIGINT),
                CAST(0 AS BIGINT),
-               SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+               SUM(CASE WHEN l_quantity < {_DQ_QTY_LO}
+                          OR l_quantity > {_DQ_QTY_HI}
                         THEN 1 ELSE 0 END) <= 0
         FROM lineitem
         UNION ALL
@@ -12304,10 +12323,10 @@ ORACLES["dq_expectations"] = """
         UNION ALL
         SELECT 'freshness_o_orderdate', 'orders',
                CAST(date_diff('day', MAX(CAST(o_orderdate AS DATE)),
-                              DATE '2002-06-30') AS BIGINT),
+                              DATE '{_DQ_FRESHNESS_AS_OF}') AS BIGINT),
                CAST(365 AS BIGINT),
                date_diff('day', MAX(CAST(o_orderdate AS DATE)),
-                         DATE '2002-06-30') <= 365
+                         DATE '{_DQ_FRESHNESS_AS_OF}') <= 365
         FROM orders
 """
 ORACLES["evt_ewma_rolling"] = """
@@ -12898,6 +12917,81 @@ def _ivfpq_sql(
 
 QUERIES["ann_topk_ivfpq"] = q_ann_topk_ivfpq
 ORACLES["ann_topk_ivfpq"] = _ivfpq_sql()
+
+
+def q_split_cluster_safe(spark, sf_dir):
+    """Leakage-safe train/holdout split: near-duplicate documents
+    NEVER straddle the split boundary. ``split_train_holdout`` alone
+    hashes each doc_id independently, so two near-identical documents
+    can land one in train and one in holdout — the eval-contamination
+    failure mode Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better") measure. Here the hash key is the
+    document's dedup-cluster representative (min doc_id reachable
+    through verified MinHash near-dup pairs; own id for singletons),
+    the GroupShuffleSplit discipline applied corpus-scale.
+
+    Plan shape at 100 TB: pair generation is the banded-LSH path
+    (bucketed band join, never all-pairs); the transitive closure runs
+    pointer-doubling over the CLUSTERED vertex set only (near-dups are
+    sparse); the corpus then takes ONE left equi-join against that
+    small map plus a pure hash projection — no extra corpus shuffle
+    beyond the join itself. Split stability: a doc's split changes
+    only if its cluster membership changes, and a fresh salt yields a
+    fresh decorrelated split."""
+    from idr_data_pipelines_spark.llmdata.dedup import (
+        connected_components,
+        minhash_md5_lsh_pairs,
+    )
+    from idr_data_pipelines_spark.llmdata.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_md5_lsh_pairs(
+        docs, num_perm=16, bands=4, shingle_k=3, jaccard_threshold=0.5
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    keyed = docs.select("doc_id").join(comp, "doc_id", "left")
+    split_key = F.coalesce(F.col("component"), F.col("doc_id"))
+    return keyed.select(
+        "doc_id",
+        split_key.alias("split_key"),
+        F.col("component").isNotNull().alias("is_clustered"),
+        F.when(
+            hash_bucket(split_key, 1_000_000, "split") < 200_000,
+            F.lit("holdout"),
+        )
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+QUERIES["split_cluster_safe"] = q_split_cluster_safe
+ORACLES["split_cluster_safe"] = f"""
+        WITH RECURSIVE mh AS ({_minhash_md5_sql(16, 4, 3, 0.5)}),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM mh
+            UNION ALL
+            SELECT id_b AS a, id_a AS b FROM mh
+        ), reach(id, r) AS (
+            SELECT a, a FROM edges GROUP BY a
+            UNION
+            SELECT e.a, reach.r FROM edges e JOIN reach ON reach.id = e.b
+        ), comp AS (
+            SELECT id, MIN(r) AS component FROM reach GROUP BY id
+        ), keyed AS (
+            SELECT d.doc_id,
+                   COALESCE(comp.component, d.doc_id) AS split_key,
+                   comp.id IS NOT NULL AS is_clustered
+            FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
+        )
+        SELECT doc_id, split_key, is_clustered,
+               CASE WHEN CAST(('0x' || substring(
+                         md5('split' || CAST(split_key AS VARCHAR)), 1, 15))
+                         AS BIGINT) % 1000000 < 200000
+                    THEN 'holdout' ELSE 'train' END AS split
+        FROM keyed
+"""
 
 
 NO_ORACLE: frozenset[str] = frozenset(

@@ -238,9 +238,11 @@ def test_plan_linter_sweep_headline_queries(spark, sf_dir):
         assert_scalable(QUERIES[name](spark, sf_dir), max_shuffles=12)
 
     # the scalar-subquery broadcast IS a nested-loop join of a 1-row
-    # side — the linter reports it; humans waive it knowingly
-    q22 = QUERIES["q22_idle_rich_customers"](spark, sf_dir)
-    assert "cartesian-product" in {f.rule for f in lint_plan(q22)}
+    # side — the linter now proves the build side is a global
+    # aggregate and downgrades it to the scalar-append warn
+    findings = lint_plan(QUERIES["q22_idle_rich_customers"](spark, sf_dir))
+    assert "scalar-broadcast-join" in {f.rule for f in findings}
+    assert not [f for f in findings if f.severity == "fatal"]
 
 
 def test_new_event_analytics_plan_shapes(spark, sf_dir):
@@ -522,25 +524,32 @@ def test_plan_linter_sweep_round6_queries(spark, sf_dir):
         assert_scalable(QUERIES[name](spark, sf_dir), max_shuffles=12)
 
     # rfm's six-threshold frame is ONE row broadcast into the rollup —
-    # the linter flags its nested-loop join (correctly: it IS one),
-    # and we waive it knowingly, exactly as for q22's scalar subquery
+    # the linter proves the global-aggregate build side and reports
+    # the scalar-append warn instead of a fatal, as for q22
     from idr_data_pipelines_spark.plans import lint_plan
 
     rfm = QUERIES["rfm_segments"](spark, sf_dir)
-    assert "cartesian-product" in {f.rule for f in lint_plan(rfm)}
+    findings = lint_plan(rfm)
+    assert "scalar-broadcast-join" in {f.rule for f in findings}
+    assert not [f for f in findings if f.severity == "fatal"]
 
     # q11's global threshold and the tfidf/bm25 corpus stats (N,
-    # avgdl) are the same knowing waiver: each is a 1-row broadcast
-    # frame and the linter correctly reports the nested-loop join of
-    # the single-row side — nothing else in those plans may be fatal
+    # avgdl) are the same recognized pattern: the 1-row broadcast
+    # frame downgrades to the warn; nothing in those plans is fatal
     for name in (
         "q11_important_parts", "text_tfidf_topterm", "text_bm25_topk",
         "evt_ab_test",  # 1-row z-stat frame crossJoined onto 2 arm rows
         "orders_abc_analysis",  # 1-row revenue total crossJoined
     ):
         findings = lint_plan(QUERIES[name](spark, sf_dir))
-        fatal_rules = {f.rule for f in findings if f.severity == "fatal"}
-        assert fatal_rules == {"cartesian-product"}, (name, findings)
+        assert "scalar-broadcast-join" in {f.rule for f in findings}, (
+            name,
+            findings,
+        )
+        assert not [f for f in findings if f.severity == "fatal"], (
+            name,
+            findings,
+        )
 
     # graph_khop checkpoints its edge list (lineage truncation hides
     # the edge-build subtree from the query's own plan), so lint the
@@ -564,8 +573,14 @@ def test_plan_linter_sweep_round7_queries(spark, sf_dir):
 
     for name in ("skew_metrics", "docs_ccnet_buckets"):
         findings = lint_plan(QUERIES[name](spark, sf_dir))
-        fatal_rules = {f.rule for f in findings if f.severity == "fatal"}
-        assert fatal_rules == {"cartesian-product"}, (name, findings)
+        assert "scalar-broadcast-join" in {f.rule for f in findings}, (
+            name,
+            findings,
+        )
+        assert not [f for f in findings if f.severity == "fatal"], (
+            name,
+            findings,
+        )
 
 
 # Every fatal lint finding in the registry must be on this list with a
@@ -573,39 +588,22 @@ def test_plan_linter_sweep_round7_queries(spark, sf_dir):
 # cartesian product / row-UDF / uncollapsed global window means either
 # fixing the plan or adding an explicit waiver HERE — no silent decay.
 LINT_WAIVERS = {
-    # 1-row broadcast stat frames (corpus totals, z-stats, thresholds)
-    # crossJoined back onto the data — nested-loop of a single row
-    "q11_important_parts": {"cartesian-product"},
-    "q22_idle_rich_customers": {"cartesian-product"},
-    "text_tfidf_topterm": {"cartesian-product"},
-    "text_bm25_topk": {"cartesian-product"},
-    "evt_ab_test": {"cartesian-product"},
-    "orders_abc_analysis": {"cartesian-product"},
-    "rfm_segments": {"cartesian-product"},
-    "skew_metrics": {"cartesian-product"},
-    "mix_temperature": {"cartesian-product"},
-    "text_vocab_coverage": {"cartesian-product"},
-    "orders_basket_lift": {"cartesian-product"},
-    "docs_ccnet_buckets": {"cartesian-product"},
-    "text_collocations": {"cartesian-product"},
-    "text_perplexity_unigram": {"cartesian-product"},
-    "ann_topk_quantized": {"cartesian-product"},
-    # brute force IS all-pairs — it exists as the recall baseline the
-    # LSH/IVF variants are judged against
+    # The 1-row broadcast stat frames (corpus totals, z-stats,
+    # thresholds, elected merges, collapsed eigenvectors) that used to
+    # need waivers here are now RECOGNIZED by the linter itself: a
+    # BroadcastNestedLoopJoin whose build side is a global aggregate /
+    # constant-bounded limit is the O(n) scalar-append pattern and
+    # downgrades to a `scalar-broadcast-join` warn. Only joins the
+    # linter cannot prove scalar from plan text remain waived:
+    #
+    # brute force IS all-pairs against the (pushed-filter-bounded)
+    # query set — it exists as the recall baseline the LSH/IVF
+    # variants are judged against
     "ann_topk_bruteforce": {"cartesian-product"},
+    "ann_topk_quantized": {"cartesian-product"},
     # the recall evaluation's ground-truth side IS the brute-force
     # baseline (bounded query sample; see q_ann_recall_eval docstring)
     "ann_recall_eval": {"cartesian-product"},
-    # 1-row Rayleigh-eigenvalue frame crossJoined onto the d-row
-    # eigenvector output (see q_emb_power_iteration docstring)
-    "emb_power_iteration": {"cartesian-product"},
-    # 1-row vocabulary-size frame crossJoined onto the bigram counts
-    "text_bigram_lm": {"cartesian-product"},
-    "text_perplexity_bigram": {"cartesian-product"},
-    # 1-row elected-merge frame crossJoined onto the word corpus
-    "text_bpe_merge_round": {"cartesian-product"},
-    # 1-row collapsed-eigenvector array crossJoined onto the corpus
-    "emb_pca_project": {"cartesian-product"},
     # the UDTF API-pinning demo; docstring says prefer mapInPandas
     "udtf_split_sentences": {"python-row-udf"},
 }

@@ -8,7 +8,7 @@ import numpy as np
 import pyspark.sql.functions as F
 
 from idr_data_pipelines_spark.llmdata.similarity import ivfpq_topk_fixed
-from idr_data_pipelines_spark.queries import _t
+from idr_data_pipelines_spark.queries import QUERIES, _t
 
 
 class TestIvfPqTopK:
@@ -66,3 +66,30 @@ class TestIvfPqTopK:
             )
             checked += 1
         assert checked > 0
+
+
+class TestClusterSafeSplit:
+    def test_no_cluster_straddles_splits(self, spark, sf_dir):
+        """The whole point of the operator: every dedup cluster lands
+        entirely in one split, and singletons reproduce the plain
+        hash split (same salt → byte-identical to
+        split_train_holdout on unclustered docs)."""
+        rows = QUERIES["split_cluster_safe"](spark, sf_dir).collect()
+        assert len(rows) == len({r.doc_id for r in rows})
+        by_key: dict[int, set] = {}
+        n_clustered = 0
+        for r in rows:
+            by_key.setdefault(r.split_key, set()).add(r.split)
+            n_clustered += r.is_clustered
+        assert all(len(s) == 1 for s in by_key.values())
+        assert n_clustered > 0  # fixture has near-dups by design
+
+        plain = {
+            r.doc_id: r.split
+            for r in QUERIES["split_train_holdout"](
+                spark, sf_dir
+            ).collect()
+        }
+        for r in rows:
+            if not r.is_clustered:
+                assert plain[r.doc_id] == r.split
