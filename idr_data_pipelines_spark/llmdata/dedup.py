@@ -548,7 +548,17 @@ def _md5_signature_frame(
     old fold form kept it with an all-null signature that could never
     survive the exact-Jaccard verify, so pair OUTPUTS are unchanged
     (md5_shingle_hashes emits ≥1 shingle for any non-null tokenized
-    text, so the case is theoretical)."""
+    text, so the case is theoretical).
+
+    A tiny/compacted input (one parquet file) would run the expensive
+    map side — shingle strings, md5, explode, num_perm partial MINs —
+    on ONE task; rebalance first when input parallelism is far below
+    the cluster's, exactly as ``minhash_signatures``' arrow path does.
+    No-op at real scale (inputs already have many partitions), and
+    value-neutral (MIN is order-insensitive exact long arithmetic)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        df = df.repartition(target)
     coeffs = _perm_coefficients(num_perm)
     exploded = df.select(
         F.col(id_col).alias("id"),
@@ -653,10 +663,10 @@ def minhash_md5_incremental_pairs(
     probe replayable by a SQL oracle. Callers must pass disjoint id
     sets (a shared id would pair with itself on every band).
     """
-    b_band, b_sh = _md5_band_and_shingle_frames(
+    b_band, _ = _md5_band_and_shingle_frames(
         batch, id_col, text_col, num_perm, bands, shingle_k
     )
-    c_band, c_sh = _md5_band_and_shingle_frames(
+    c_band, _ = _md5_band_and_shingle_frames(
         corpus, id_col, text_col, num_perm, bands, shingle_k
     )
     pairs = (
@@ -668,25 +678,49 @@ def minhash_md5_incremental_pairs(
         )
         .select(F.col("b.id").alias("id_new"), F.col("c.id").alias("id_old"))
         .distinct()
+        .persist()
     )
-    return (
-        pairs.join(
-            b_sh.withColumnsRenamed({"id": "id_new", "sh": "sh_n"}), "id_new"
+
+    # verify shingles for COLLIDING docs only, filtering each side
+    # before the projection (see minhash_md5_lsh_pairs: a semi-join on
+    # the projected frame is not pushed below the projection, leaving
+    # a full-side shingle pass) — on the corpus side especially, the
+    # index is huge and collisions are batch-bounded
+    def _sh_for(side: DataFrame, key: str) -> DataFrame:
+        ids = pairs.select(F.col(key).alias(id_col)).distinct()
+        return side.join(ids, id_col, "semi").select(
+            F.col(id_col).alias("id"),
+            md5_shingle_hashes(text_col, shingle_k).alias("sh"),
         )
-        .join(
-            c_sh.withColumnsRenamed({"id": "id_old", "sh": "sh_o"}), "id_old"
+
+    try:
+        return (
+            pairs.join(
+                _sh_for(batch, "id_new").withColumnsRenamed(
+                    {"id": "id_new", "sh": "sh_n"}
+                ),
+                "id_new",
+            )
+            .join(
+                _sh_for(corpus, "id_old").withColumnsRenamed(
+                    {"id": "id_old", "sh": "sh_o"}
+                ),
+                "id_old",
+            )
+            .withColumn(
+                "jaccard_r",
+                F.round(
+                    F.size(F.array_intersect("sh_n", "sh_o")).cast("double")
+                    / F.size(F.array_union("sh_n", "sh_o")).cast("double"),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard_r") >= jaccard_threshold)
+            .select("id_new", "id_old", "jaccard_r")
+            .localCheckpoint(eager=True)
         )
-        .withColumn(
-            "jaccard_r",
-            F.round(
-                F.size(F.array_intersect("sh_n", "sh_o")).cast("double")
-                / F.size(F.array_union("sh_n", "sh_o")).cast("double"),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard_r") >= jaccard_threshold)
-        .select("id_new", "id_old", "jaccard_r")
-    )
+    finally:
+        pairs.unpersist()
 
 
 def minhash_md5_lsh_pairs(
@@ -726,17 +760,22 @@ def minhash_md5_lsh_pairs(
 
     Returns (id_a, id_b, jaccard_r) with id_a < id_b.
     """
-    banded, sh_all = _md5_band_and_shingle_frames(
+    banded, _ = _md5_band_and_shingle_frames(
         df, id_col, text_col, num_perm, bands, shingle_k
     )
     pairs = _bucket_pairs(banded, ["band_idx", "band_key"]).persist()
-    sh = sh_all.join(
-        pairs.select(F.col("id_a").alias("id"))
-        .union(pairs.select(F.col("id_b").alias("id")))
-        .distinct(),
-        "id",
-        "semi",
-    ).persist()
+    # filter docs BEFORE projecting shingles (not a semi-join on the
+    # projected frame: Catalyst did not push that join below the
+    # projection, leaving a full-corpus shingle pass — measured 3.5 s
+    # serial at sf0.1 for rows the verify never reads)
+    sh = (
+        _candidate_docs(df, pairs, id_col)
+        .select(
+            F.col(id_col).alias("id"),
+            md5_shingle_hashes(text_col, shingle_k).alias("sh"),
+        )
+        .persist()
+    )
     try:
         return (
             pairs.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")

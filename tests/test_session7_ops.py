@@ -68,6 +68,19 @@ class TestIvfPqTopK:
         assert checked > 0
 
 
+class TestIvfPqPaths:
+    def test_arrow_and_expression_paths_bit_identical(self, spark, sf_dir):
+        """The Arrow index build accumulates every fold dim-by-dim in
+        the JVM expressions' left-associative order — results must be
+        BIT-identical (same cells, codes, rounded ADC distances, same
+        top-k), not merely close."""
+        emb = _t(spark, sf_dir, "embeddings")
+        q = emb.filter(F.col("vec_id") < 8)
+        a = sorted(map(tuple, ivfpq_topk_fixed(emb, q, vectorized=True).collect()))
+        b = sorted(map(tuple, ivfpq_topk_fixed(emb, q, vectorized=False).collect()))
+        assert a == b and len(a) > 0
+
+
 class TestClusterSafeSplit:
     def test_no_cluster_straddles_splits(self, spark, sf_dir):
         """The whole point of the operator: every dedup cluster lands
