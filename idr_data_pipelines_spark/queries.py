@@ -12966,6 +12966,61 @@ def q_split_cluster_safe(spark, sf_dir):
     )
 
 
+def q_ann_ivfpq_recall(spark, sf_dir):
+    """Recall@5 of the IVF-PQ ADC path against exact brute-force
+    ground truth — the eval that closes the ANN quality matrix
+    (`ann_recall_eval` scores the float IVF probe; this scores the
+    further loss from 4-byte PQ quantization on top of the same
+    coarse pruning). You don't ship a quantized index without this
+    number: ADC distance error can reorder near neighbors even when the
+    probe finds the right cells. Same scale shape as
+    `ann_recall_eval`: bounded query sample, brute-force side is the
+    one justified all-pairs baseline, index side is the production
+    probe plan; hit counting is an exact integer left-join aggregate."""
+    from idr_data_pipelines_spark.llmdata.similarity import ivfpq_topk_fixed
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    gt = cosine_topk_bruteforce(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    ap = ivfpq_topk_fixed(emb, queries, k=5).select(
+        "query_id", "neighbor_id", F.lit(1).alias("__hit")
+    )
+    return (
+        gt.join(ap, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hits"))
+        .select(
+            "query_id",
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            F.round(F.col("n_hits") / F.lit(5.0), 6).alias("recall_r"),
+        )
+    )
+
+
+QUERIES["ann_ivfpq_recall"] = q_ann_ivfpq_recall
+ORACLES["ann_ivfpq_recall"] = f"""
+        WITH exact AS (
+            SELECT l.vec_id AS query_id, r.vec_id AS neighbor_id
+            FROM embeddings l JOIN embeddings r ON l.vec_id != r.vec_id
+            WHERE l.vec_id < 8
+            QUALIFY row_number() OVER (
+                PARTITION BY l.vec_id
+                ORDER BY {{cos}} DESC, r.vec_id ASC
+            ) <= 5
+        ), ap AS (
+            {_ivfpq_sql()}
+        )
+        SELECT e.query_id,
+               CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+               ROUND(COUNT(a.neighbor_id) / 5.0, 6) AS recall_r
+        FROM exact e LEFT JOIN ap a
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY e.query_id
+""".replace("{cos}", _COS_LR)
+
+
 QUERIES["split_cluster_safe"] = q_split_cluster_safe
 ORACLES["split_cluster_safe"] = f"""
         WITH RECURSIVE mh AS ({_minhash_md5_sql(16, 4, 3, 0.5)}),

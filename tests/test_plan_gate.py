@@ -32,6 +32,7 @@ WAIVERS: dict[str, str] = {
     "ann_topk_bruteforce": "cartesian-product",
     "ann_topk_quantized": "cartesian-product",
     "ann_recall_eval": "cartesian-product",
+    "ann_ivfpq_recall": "cartesian-product",
     # Deliberate demo of the Python UDTF API surface (SURVEY §2.9);
     # the hot-path text operators use JVM expressions instead.
     "udtf_split_sentences": "python-row-udf",

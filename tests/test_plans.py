@@ -601,9 +601,10 @@ LINT_WAIVERS = {
     # variants are judged against
     "ann_topk_bruteforce": {"cartesian-product"},
     "ann_topk_quantized": {"cartesian-product"},
-    # the recall evaluation's ground-truth side IS the brute-force
+    # the recall evaluations' ground-truth side IS the brute-force
     # baseline (bounded query sample; see q_ann_recall_eval docstring)
     "ann_recall_eval": {"cartesian-product"},
+    "ann_ivfpq_recall": {"cartesian-product"},
     # the UDTF API-pinning demo; docstring says prefer mapInPandas
     "udtf_split_sentences": {"python-row-udf"},
 }
