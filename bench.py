@@ -48,6 +48,10 @@ EXTENDED = [
     # signature term) and the double-explode BPE merge round
     "dedup_cross_split_leakage",
     "text_bpe_merge_round",
+    # round-8: the ADC-scored IVF-PQ query path (numpy index build)
+    # and the cluster-keyed leakage-safe split (signature + closure)
+    "ann_topk_ivfpq",
+    "split_cluster_safe",
 ]
 
 HEADLINE = [

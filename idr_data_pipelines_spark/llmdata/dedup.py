@@ -341,7 +341,12 @@ def _bucket_pairs(
     be filtered upstream, as the callers' null-text filters do."""
     grp = (
         banded.groupBy(*key_cols)
-        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        # collect_SET: a duplicate (id, band) row must not yield a
+        # degenerate (id, id) self-pair — the l.id < r.id self-join
+        # this replaces excluded those (hypothesis-pinned); callers'
+        # band tables are (id, band_idx)-unique so this is belt-and-
+        # braces, and for distinct ids set ≡ list
+        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
     pair_arr = F.flatten(
