@@ -26,6 +26,13 @@ or import `build_pipeline` and call `.build(spark, lint=True)` yourself
 
 from __future__ import annotations
 
+import os
+import sys
+
+# runnable directly (`python examples/train_data_pipeline.py …`)
+# without installing the package
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
