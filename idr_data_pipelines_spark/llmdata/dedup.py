@@ -379,7 +379,16 @@ def _candidate_docs(
         .union(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    return df.join(ids, id_col, "semi")
+    cand = df.join(ids, id_col, "semi")
+    # the caller computes expensive per-doc arrays on this frame; a
+    # single-file input would leave that on ONE task (broadcast semi
+    # joins preserve input partitioning) — rebalance as the signature
+    # paths do. No-op at real scale; for sparse candidate sets the
+    # exchange is candidate-sized.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if cand.rdd.getNumPartitions() < max(2, target // 2):
+        cand = cand.repartition(target)
+    return cand
 
 
 def minhash_lsh_pairs(
@@ -1186,8 +1195,20 @@ def ngram_jaccard_pairs(
     k: int = 3,
 ) -> DataFrame:
     """Score given candidate pairs (id_a, id_b) with exact k-gram
-    Jaccard — the verify stage for any candidate generator."""
-    sh = df.select(F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh"))
+    Jaccard — the verify stage for any candidate generator.
+
+    Shingles are computed ONCE per candidate doc on an explicitly
+    pre-filtered frame (``_candidate_docs``: semi-join first, project
+    after — a projection below a join is evaluated for every corpus
+    row because Catalyst never defers it past the join; measured
+    3.5 s of wasted full-corpus shingling on the md5 verify). This is
+    optimal for both regimes: sparse candidate sets never shingle
+    non-candidates, and dense pair sets (every doc a candidate, e.g.
+    adjacent-id scoring) still amortize one shingle pass per doc
+    across all its pairs."""
+    sh = _candidate_docs(df, pairs, id_col).select(
+        F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh")
+    )
     return (
         pairs.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
@@ -1427,10 +1448,12 @@ def ngram_containment_pairs(
     (winnow_candidate_pairs is the natural one: winnowing guarantees
     shared fingerprints for sufficiently long shared substrings).
 
-    Scale: two id-key joins against the (id, shingle-set) projection —
-    candidate-driven, never all-pairs; the shingle arrays are computed
-    once per side per pair."""
-    sh = df.select(
+    Scale: shingle sets computed once per CANDIDATE doc on the
+    pre-filtered frame (``_candidate_docs`` — semi-join before the
+    projection, so non-candidate rows are never shingled; see
+    ngram_jaccard_pairs), then two id-key array joins — candidate-
+    driven, never all-pairs."""
+    sh = _candidate_docs(df, pairs, id_col).select(
         F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")

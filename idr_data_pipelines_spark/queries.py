@@ -4507,9 +4507,16 @@ def q_dedup_containment(spark, sf_dir):
     from idr_data_pipelines_spark.sources.parquet import spread_small_scan
 
     docs = spread_small_scan(_t(spark, sf_dir, "documents"))
-    cand = winnow_candidate_pairs(
-        docs, k=4, window=4, min_shared=2, max_fp_freq=10
-    ).select("id_a", "id_b")
+    # checkpoint the (sparse) candidate set: the containment verify
+    # references it three times (candidate-id derivation + both join
+    # sides) and the winnow fingerprint chain is the expensive part
+    cand = (
+        winnow_candidate_pairs(
+            docs, k=4, window=4, min_shared=2, max_fp_freq=10
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
     return ngram_containment_pairs(docs, cand, k=3)
 
 
