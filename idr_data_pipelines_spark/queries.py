@@ -13006,6 +13006,51 @@ def q_ann_ivfpq_recall(spark, sf_dir):
     )
 
 
+def q_privacy_k_anonymity(spark, sf_dir):
+    """k-anonymity / l-diversity audit over quasi-identifiers — the
+    privacy gate a dataset with person-level attributes passes before
+    release (Sweeney 2002; Machanavajjhala et al. 2007): every
+    (nation, market-segment) quasi-identifier group reports its
+    member count (k-anonymous iff ≥ 5 — a group of 2 means those two
+    customers are mutually re-identifiable from the published
+    attributes alone) and the number of distinct sensitive values it
+    contains (account-balance thousands-bucket; l-diverse iff ≥ 2 —
+    a k-anonymous group whose members all share one sensitive value
+    still leaks it). ONE groupBy shuffle on the QI key; both flags
+    are exact integer comparisons, so the audit is a trivially
+    parallel scan-agg at any corpus size."""
+    cust = _t(spark, sf_dir, "customer")
+    sens = F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("bigint")
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.countDistinct(sens).alias("n_sensitive"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.col("n_members").cast("bigint").alias("n_members"),
+            (F.col("n_members") >= 5).alias("k_anonymous"),
+            F.col("n_sensitive").cast("bigint").alias("n_sensitive"),
+            (F.col("n_sensitive") >= 2).alias("l_diverse"),
+        )
+    )
+
+
+QUERIES["privacy_k_anonymity"] = q_privacy_k_anonymity
+ORACLES["privacy_k_anonymity"] = """
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               COUNT(*) >= 5 AS k_anonymous,
+               CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT))
+                    AS BIGINT) AS n_sensitive,
+               COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)) >= 2
+                   AS l_diverse
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+"""
+
+
 QUERIES["ann_ivfpq_recall"] = q_ann_ivfpq_recall
 ORACLES["ann_ivfpq_recall"] = f"""
         WITH exact AS (
