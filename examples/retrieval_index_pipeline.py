@@ -76,11 +76,19 @@ def _semantic_dedup(df: DataFrame) -> DataFrame:
     """SemDeDup prune: near-identical vectors (cosine ≥ 0.95 within a
     coarse cell) collapse to their lowest-id representative BEFORE
     indexing — duplicate index entries waste probe budget and skew
-    recall evals."""
+    recall evals.
+
+    The fixed-seed quantizers downstream take rows with id < 16 as
+    their codebook, so those seed rows are PINNED through the prune —
+    if the prune dropped one (two near-identical vectors among ids
+    0..15), every later stage would find a short codebook and raise.
+    Production trains codebooks first and prunes second; pinning
+    reproduces that ordering with the fixture's deterministic seed."""
     keep = semdedup_prune(df, n_clusters=16, threshold=0.95).select(
         "vec_id"
     )
-    return df.join(keep, "vec_id", "semi")
+    seeds = df.select("vec_id").filter(F.col("vec_id") < 16)
+    return df.join(keep.union(seeds).distinct(), "vec_id", "semi")
 
 
 def _build_index(df: DataFrame) -> DataFrame:

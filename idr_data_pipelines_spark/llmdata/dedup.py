@@ -310,9 +310,13 @@ def minhash_signatures(
     # the numpy stage onto one core; rebalance only when input
     # parallelism is far below the cluster's — at real scale inputs
     # already have many partitions and this is a no-op (no shuffle).
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if shingled.rdd.getNumPartitions() < max(2, target // 2):
-        shingled = shingled.repartition(target)
+    # Probe only exchange-free plans: .rdd on a frame with exchanges
+    # executes its upstream stages under AQE at construction time.
+    n_scan = _scan_partitions_or_none(shingled)
+    if n_scan is not None:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if n_scan < max(2, target // 2):
+            shingled = shingled.repartition(target)
     out_schema = StructType(
         [
             StructField("id", df.schema[id_col].dataType),
@@ -335,10 +339,12 @@ def _bucket_pairs(
     self-join attribute-dedup hazard for Python-UDF-derived columns.
 
     Skew note: a pathological bucket of m ids expands to m(m-1)/2
-    pairs — the same quadratic cost the self-join had on the same
-    co-partitioned key, but now visible as one wide row; buckets that
-    big mean degenerate content (empty/boilerplate docs) and should
-    be filtered upstream, as the callers' null-text filters do."""
+    pairs — the same quadratic OUTPUT the self-join emitted on the
+    same co-partitioned key. The expansion streams (see the generate
+    comment below); only the bucket's member array itself is single-
+    row state, and that is O(m). Buckets that big mean degenerate
+    content (empty/boilerplate docs) and should be filtered upstream,
+    as the callers' null-text filters do."""
     grp = (
         banded.groupBy(*key_cols)
         # collect_SET: a duplicate (id, band) row must not yield a
@@ -349,45 +355,106 @@ def _bucket_pairs(
         .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
+    # two chained generates, NOT one flattened m(m-1)/2 pair array:
+    # a degenerate bucket (100k identical boilerplate docs colliding
+    # on every band) must stream its quadratic pair OUTPUT row by row
+    # — a single flatten would build the whole m²-struct array inside
+    # ONE row (~80 GB at m=100k) and OOM the executor. posexplode →
+    # per-member suffix explode keeps live memory O(m) per row while
+    # emitting the identical ordered pairs.
     return (
-        grp.select(F.explode(pair_arr).alias("p"))
-        .select("p.id_a", "p.id_b")
+        grp.select(F.posexplode("ids").alias("__i", "id_a"), "ids")
+        .select(
+            "id_a",
+            F.explode(
+                F.slice("ids", F.col("__i") + F.lit(2), F.size("ids"))
+            ).alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+_EXCHANGE_NODES = (
+    "Repartition",
+    "Join",
+    "Aggregate",
+    "Window",
+    "Sort",
+    "Deduplicate",
+    "Generate",  # conservative: often sits above rebalanced frames
+)
+
+
+def _scan_partitions_or_none(df: DataFrame) -> int | None:
+    """Input-split count of an EXCHANGE-FREE frame, else None.
+
+    ``df.rdd.getNumPartitions()`` is plan-only for a scan/filter/
+    project chain, but under AQE it finalizes the adaptive plan of
+    any frame containing exchanges — executing every upstream query
+    stage as real Spark jobs at what callers believe is
+    plan-construction time. Inspecting the ANALYZED logical plan
+    (a string, never executed) for exchange-inducing nodes keeps the
+    probe safe; frames downstream of a shuffle are
+    shuffle.partitions-wide and need no rebalance anyway. Returns
+    None (no probe, no rebalance) on Spark Connect too, which has no
+    RDD surface."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        if any(node in plan for node in _EXCHANGE_NODES):
+            return None
+        return df.rdd.getNumPartitions()
+    except Exception:
+        return None
+
+
+def _candidate_ids(pairs: DataFrame, id_col: str) -> DataFrame:
+    """Distinct ids appearing on either side of a candidate-pair
+    frame, as a single ``id_col`` column."""
+    return (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
 
 
 def _candidate_docs(
-    df: DataFrame, pairs: DataFrame, id_col: str
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    ids: DataFrame | None = None,
 ) -> DataFrame:
     """Rows of ``df`` whose id appears in a candidate pair — the only
     docs the exact-Jaccard verify needs shingles for. Candidates are
     near-dup-sparse relative to the corpus, so the semi-join (AQE
     broadcasts the small id set) is far cheaper than tokenizing and
     hashing shingles for EVERY corpus row, which is what verifying
-    against an unrestricted shingle table does."""
-    ids = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .union(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
+    against an unrestricted shingle table does. Pass ``ids`` when the
+    caller already holds the candidate-id frame (so the union-distinct
+    is planned once).
+
+    The rebalance decision never touches ``.rdd`` of a frame with
+    exchanges: under AQE that finalizes the adaptive plan and
+    EXECUTES every upstream query stage at DataFrame-construction
+    time (measured: 7 jobs launched while merely building the lazy
+    verify plan). Only an exchange-free input (plain scan / filter /
+    project) can be under-partitioned in the first place — anything
+    downstream of a shuffle arrives shuffle.partitions-wide — so the
+    probe runs exactly when it is plan-only."""
+    cand = df.join(
+        ids if ids is not None else _candidate_ids(pairs, id_col),
+        id_col,
+        "semi",
     )
-    cand = df.join(ids, id_col, "semi")
     # the caller computes expensive per-doc arrays on this frame; a
     # single-file input would leave that on ONE task (broadcast semi
     # joins preserve input partitioning) — rebalance as the signature
     # paths do. No-op at real scale; for sparse candidate sets the
     # exchange is candidate-sized.
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if cand.rdd.getNumPartitions() < max(2, target // 2):
-        cand = cand.repartition(target)
+    n_scan = _scan_partitions_or_none(df)
+    if n_scan is not None:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if n_scan < max(2, target // 2):
+            cand = cand.repartition(target)
     return cand
 
 
@@ -569,10 +636,14 @@ def _md5_signature_frame(
     on ONE task; rebalance first when input parallelism is far below
     the cluster's, exactly as ``minhash_signatures``' arrow path does.
     No-op at real scale (inputs already have many partitions), and
-    value-neutral (MIN is order-insensitive exact long arithmetic)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
-        df = df.repartition(target)
+    value-neutral (MIN is order-insensitive exact long arithmetic).
+    The probe is exchange-free-only (``_scan_partitions_or_none``) so
+    plan construction never executes upstream stages under AQE."""
+    n_scan = _scan_partitions_or_none(df)
+    if n_scan is not None:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if n_scan < max(2, target // 2):
+            df = df.repartition(target)
     coeffs = _perm_coefficients(num_perm)
     exploded = df.select(
         F.col(id_col).alias("id"),
@@ -594,29 +665,25 @@ def _md5_signature_frame(
     )
 
 
-def _md5_band_and_shingle_frames(
+def _md5_bands_for(
     df: DataFrame,
     id_col: str,
     text_col: str,
     num_perm: int,
     bands: int,
     shingle_k: int,
-) -> tuple[DataFrame, DataFrame]:
-    """Shared signature machinery of the portable MinHash family:
-    ``(banded, sh)`` — the (id, band_idx, band_key) LSH band table and
-    the (id, sh) distinct-shingle-hash table — for one input frame.
-    Both the batch-vs-itself (``minhash_md5_lsh_pairs``) and the
-    batch-vs-index (``minhash_md5_incremental_pairs``) shapes build
-    their sides from this one implementation, so hash-family fixes
-    land in one place."""
+) -> DataFrame:
+    """(id, band_idx, band_key) LSH band table of the portable MinHash
+    family for one input frame — signatures then banding. Both the
+    batch-vs-itself (``minhash_md5_lsh_pairs``) and the batch-vs-index
+    (``minhash_md5_incremental_pairs``) shapes build their sides here,
+    so hash-family fixes land in one place. (The shingle table this
+    helper used to return alongside is gone: every verify now shingles
+    CANDIDATE docs only, via ``_candidate_docs``.)"""
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
     sigs = _md5_signature_frame(df, id_col, text_col, num_perm, shingle_k)
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        md5_shingle_hashes(text_col, shingle_k).alias("sh"),
-    )
-    return _md5_band_frame(sigs, num_perm, bands), sh
+    return _md5_band_frame(sigs, num_perm, bands)
 
 
 def _md5_band_frame(
@@ -673,14 +740,14 @@ def minhash_md5_incremental_pairs(
     bucketed by ``band_key`` (``sink_table_bucketed``) so each probe
     shuffles only the batch's bands, never the index. Here both sides
     derive from the same portable md5-32 machinery
-    (``_md5_band_and_shingle_frames``), which is what makes the whole
+    (``_md5_bands_for``), which is what makes the whole
     probe replayable by a SQL oracle. Callers must pass disjoint id
     sets (a shared id would pair with itself on every band).
     """
-    b_band, _ = _md5_band_and_shingle_frames(
+    b_band = _md5_bands_for(
         batch, id_col, text_col, num_perm, bands, shingle_k
     )
-    c_band, _ = _md5_band_and_shingle_frames(
+    c_band = _md5_bands_for(
         corpus, id_col, text_col, num_perm, bands, shingle_k
     )
     pairs = (
@@ -774,7 +841,7 @@ def minhash_md5_lsh_pairs(
 
     Returns (id_a, id_b, jaccard_r) with id_a < id_b.
     """
-    banded, _ = _md5_band_and_shingle_frames(
+    banded = _md5_bands_for(
         df, id_col, text_col, num_perm, bands, shingle_k
     )
     pairs = _bucket_pairs(banded, ["band_idx", "band_key"]).persist()
@@ -845,13 +912,11 @@ def minhash_md5_estimate_pairs(
     pairs = _bucket_pairs(
         _md5_band_frame(sigs, num_perm, bands), ["band_idx", "band_key"]
     ).persist()
-    cand_ids = (
-        pairs.select(F.col("id_a").alias("id"))
-        .union(pairs.select(F.col("id_b").alias("id")))
-        .distinct()
-    )
+    cand_ids = _candidate_ids(pairs, "id")
     sh = (
-        _candidate_docs(df, pairs, id_col)
+        _candidate_docs(
+            df, pairs, id_col, ids=cand_ids.withColumnRenamed("id", id_col)
+        )
         .select(
             F.col(id_col).alias("id"),
             md5_shingle_hashes(text_col, shingle_k).alias("sh"),

@@ -4507,16 +4507,17 @@ def q_dedup_containment(spark, sf_dir):
     from idr_data_pipelines_spark.sources.parquet import spread_small_scan
 
     docs = spread_small_scan(_t(spark, sf_dir, "documents"))
-    # checkpoint the (sparse) candidate set: the containment verify
-    # references it three times (candidate-id derivation + both join
-    # sides) and the winnow fingerprint chain is the expensive part
-    cand = (
-        winnow_candidate_pairs(
-            docs, k=4, window=4, min_shared=2, max_fp_freq=10
-        )
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
-    )
+    # deliberately NOT checkpointed: the verify references the winnow
+    # candidate chain three times (id derivation + both join sides),
+    # but an eager localCheckpoint would (a) run Spark jobs during
+    # plan-only sweeps (the registry lint gate) and (b) truncate the
+    # lineage the gate exists to inspect — a future scale-killer in
+    # the fingerprint chain would hide behind an opaque RDD scan. The
+    # re-evaluation is bounded: winnow candidates are fingerprint-
+    # sparse and the chain is one window + one join.
+    cand = winnow_candidate_pairs(
+        docs, k=4, window=4, min_shared=2, max_fp_freq=10
+    ).select("id_a", "id_b")
     return ngram_containment_pairs(docs, cand, k=3)
 
 
@@ -7996,7 +7997,7 @@ def _minhash_md5_sql(num_perm: int, bands: int, k: int, threshold: float) -> str
 
 def _minhash_md5_cte_prefix(num_perm: int, bands: int, k: int) -> str:
     """The shared hs/sig/banded WITH-body of the portable md5 MinHash
-    oracles (mirrors ``_md5_band_and_shingle_frames``)."""
+    oracles (mirrors ``_md5_bands_for``)."""
     from idr_data_pipelines_spark.llmdata.dedup import (
         _MERSENNE_P,
         _perm_coefficients,
