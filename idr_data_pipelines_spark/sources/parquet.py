@@ -106,14 +106,28 @@ def spread_small_scan(df: DataFrame, min_partitions: int | None = None) -> DataF
     is of input bytes, not of computed features.
 
     On classic PySpark the current split count comes from
-    ``df.rdd.getNumPartitions()`` (plan-only, no job); Spark Connect
-    has no RDD surface, so there we conservatively repartition —
-    an always-no-op guard would silently lose the protection."""
+    ``df.rdd.getNumPartitions()`` — plan-only for the scan/filter/
+    project inputs this guard exists for. The probe is SKIPPED (frame
+    returned unchanged) when the plan already contains an
+    exchange-inducing node: under AQE, ``.rdd`` on such a frame
+    finalizes the adaptive plan and EXECUTES every upstream stage at
+    what the caller believes is construction time — and a
+    post-shuffle frame is already shuffle.partitions-wide, so the
+    guard has nothing to fix there anyway. Spark Connect has no RDD
+    surface, so there we conservatively repartition — an always-no-op
+    guard would silently lose the protection."""
+    plan_nodes = (
+        "Repartition", "Join", "Aggregate", "Window", "Sort",
+        "Deduplicate", "Generate",
+    )
     try:
         sc = df.sparkSession.sparkContext
         target = min_partitions or sc.defaultParallelism
+        plan = df._jdf.queryExecution().analyzed().toString()
+        if any(node in plan for node in plan_nodes):
+            return df
         current = df.rdd.getNumPartitions()
-    except Exception:  # Spark Connect: no sparkContext / .rdd
+    except Exception:  # Spark Connect: no sparkContext / .rdd / _jdf
         n = min_partitions or int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
         )
