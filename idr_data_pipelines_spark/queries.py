@@ -10899,7 +10899,7 @@ ORACLES: dict[str, str] = {
         GROUP BY 1, 2
     """,
     "evt_transitions": """
-        WITH seq AS (
+        WITH seq AS MATERIALIZED (
             SELECT event_type,
                    lead(event_type) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
@@ -10914,7 +10914,7 @@ ORACLES: dict[str, str] = {
         FROM c
     """,
     "evt_user_perplexity": """
-        WITH seq AS (
+        WITH seq AS MATERIALIZED (
             SELECT user_id, event_type,
                    lead(event_type) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
@@ -11358,7 +11358,7 @@ ORACLES: dict[str, str] = {
         SELECT id, CAST(MIN(hop) AS INT) AS hop FROM r GROUP BY 1
     """,
     "evt_path_analysis": """
-        WITH seq AS (
+        WITH seq AS MATERIALIZED (
             SELECT event_type AS e1,
                    lead(event_type, 1) OVER w AS e2,
                    lead(event_type, 2) OVER w AS e3
@@ -13005,6 +13005,121 @@ def q_ann_ivfpq_recall(spark, sf_dir):
             F.round(F.col("n_hits") / F.lit(5.0), 6).alias("recall_r"),
         )
     )
+
+
+def q_evt_attribution_markov(spark, sf_dir):
+    """Markov removal-effect attribution (Anderl et al. 2016): per
+    channel, how much total conversion probability disappears when
+    the channel is removed from the first-order journey chain — the
+    data-driven credit model beside `evt_attribution`'s last-touch
+    rule. One user-key window + one bounded |states|² count; the
+    absorption iterations run on the collected (model-sized)
+    transition matrix in integer e6 fixed-point, so the SQL oracle
+    replays every value exactly with unrolled iteration CTEs."""
+    from idr_data_pipelines_spark.streaming.events import (
+        markov_removal_attribution,
+    )
+
+    e = _events(spark, sf_dir)
+    return markov_removal_attribution(e, n_iter=32)
+
+
+def _markov_attr_sql(n_iter: int = 32, conversion: str = "purchase") -> str:
+    """SQL replay of markov_removal_attribution: identical journey
+    construction (row_number ties on event_id, first-conversion cut,
+    START/CONV/NULL sentinels), identical integer e6 fixed-point —
+    transition probs (n·1e6 + tot//2)//tot, per-iteration re-round
+    (Σ + 5e5)//1e6 — iterated as ``n_iter`` unrolled CTEs over a
+    (removal-scenario × state) grid. Integer sums are order-free, so
+    no float-fold order can diverge; the two final ratios are the
+    same ROUND(double/double, 6) both engines share."""
+    its = []
+    prev = "it0"
+    for i in range(1, n_iter + 1):
+        its.append(f"""it{i} AS MATERIALIZED (
+            SELECT g.rm, g.state,
+                   CAST((SUM(p.pe6 * CASE
+                         WHEN p.t = 'CONV' THEN 1000000
+                         WHEN p.t = 'NULL' OR p.t = g.rm THEN 0
+                         ELSE COALESCE(pb.p, 0) END) + 500000)
+                        // 1000000 AS BIGINT) AS p
+            FROM grid g
+            JOIN p ON p.f = g.state
+            LEFT JOIN {prev} pb ON pb.rm = g.rm AND pb.state = p.t
+            GROUP BY g.rm, g.state
+        )""")
+        prev = f"it{i}"
+    iter_ctes = ",\n".join(its)
+    return f"""
+        WITH seq AS MATERIALIZED (
+            SELECT user_id AS u, event_type AS state,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS pos
+            FROM events
+        ), conv AS MATERIALIZED (
+            SELECT u, MIN(pos) AS cpos FROM seq
+            WHERE state = '{conversion}' GROUP BY u
+        ), users AS MATERIALIZED (
+            SELECT DISTINCT u FROM seq
+        ), states AS MATERIALIZED (
+            SELECT s.u, s.pos, s.state
+            FROM seq s LEFT JOIN conv c USING (u)
+            WHERE c.cpos IS NULL OR s.pos < c.cpos
+            UNION ALL
+            SELECT u, 0, 'START' FROM users
+            UNION ALL
+            SELECT us.u, 4611686018427387904,
+                   CASE WHEN c.u IS NULL THEN 'NULL' ELSE 'CONV' END
+            FROM users us LEFT JOIN conv c USING (u)
+        ), tr AS MATERIALIZED (
+            SELECT state AS f,
+                   lead(state) OVER (PARTITION BY u ORDER BY pos) AS t
+            FROM states
+        ), cnt AS MATERIALIZED (
+            SELECT f, t, CAST(COUNT(*) AS BIGINT) AS n
+            FROM tr WHERE t IS NOT NULL GROUP BY 1, 2
+        ), tot AS MATERIALIZED (
+            SELECT f, CAST(SUM(n) AS BIGINT) AS tot FROM cnt GROUP BY f
+        ), p AS MATERIALIZED (
+            SELECT c.f, c.t,
+                   (c.n * 1000000 + tot.tot // 2) // tot.tot AS pe6
+            FROM cnt c JOIN tot USING (f)
+        ), chan AS MATERIALIZED (
+            SELECT f AS ch FROM tot WHERE f <> 'START'
+        ), grid AS MATERIALIZED (
+            SELECT r.rm, s.state
+            FROM (SELECT '__none__' AS rm UNION ALL SELECT ch FROM chan) r
+            CROSS JOIN (SELECT ch AS state FROM chan
+                        UNION ALL SELECT 'START') s
+        ), it0 AS MATERIALIZED (
+            SELECT rm, state, CAST(0 AS BIGINT) AS p FROM grid
+        ),
+        {iter_ctes},
+        base AS MATERIALIZED (
+            SELECT p FROM {prev} WHERE rm = '__none__' AND state = 'START'
+        ), drops AS MATERIALIZED (
+            SELECT c.ch, (SELECT p FROM base) - i.p AS dr
+            FROM chan c JOIN {prev} i ON i.rm = c.ch AND i.state = 'START'
+        ), td AS (
+            SELECT CAST(SUM(dr) AS BIGINT) AS td FROM drops
+        )
+        SELECT d.ch AS channel,
+               t.tot AS n_touches,
+               CASE WHEN b.p > 0 THEN
+                   ROUND(CAST(d.dr AS DOUBLE) / CAST(b.p AS DOUBLE), 6)
+               END AS removal_effect_r,
+               CASE WHEN td.td > 0 THEN
+                   ROUND(CAST(d.dr AS DOUBLE) / CAST(td.td AS DOUBLE), 6)
+               END AS attribution_share_r
+        FROM drops d
+        JOIN tot t ON t.f = d.ch
+        CROSS JOIN base b CROSS JOIN td
+    """
+
+
+QUERIES["evt_attribution_markov"] = q_evt_attribution_markov
+ORACLES["evt_attribution_markov"] = _markov_attr_sql()
 
 
 def q_privacy_k_anonymity(spark, sf_dir):

@@ -1039,3 +1039,147 @@ def event_transitions(
     return counts.withColumn(
         "prob", F.col("n").cast("double") / F.sum("n").over(row).cast("double")
     )
+
+
+def markov_removal_attribution(
+    events: "DataFrame",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    conversion: str = "purchase",
+    n_iter: int = 32,
+) -> "DataFrame":
+    """Markov removal-effect attribution (Anderl et al. 2016, the
+    data-driven alternative to last-touch/position rules): model each
+    user's touch journey START → touches → CONV/NULL as a first-order
+    Markov chain, compute the chain's conversion-absorption
+    probability, then for every channel recompute it with that
+    channel REMOVED (its incoming transitions redirect to
+    non-conversion, outgoing mass unreferenced — the published
+    non-renormalizing removal). A channel's credit is how much total
+    conversion probability disappears without it.
+
+    Returns one row per channel:
+    (channel, n_touches, removal_effect_r, attribution_share_r) —
+    removal_effect = (p_base − p_removed)/p_base, share = each
+    channel's absolute drop over the sum of drops.
+
+    Determinism / replayability: the distributed part is ONE user-key
+    window (journey positions) + ONE bounded |states|² counting
+    aggregate, exactly the `event_transitions` shape. Everything
+    after runs on the collected transition-count matrix — a
+    model-sized driver transfer, same class as centroid seeds — in
+    PURE INTEGER e6 fixed-point: transition probs are
+    (n·1e6 + tot//2)//tot, each absorption iteration re-rounds to e6
+    via (Σ + 5e5)//1e6, and both removal drops and their sum stay
+    integers, so a SQL oracle replays every value bit-for-bit with
+    unrolled iteration CTEs (integer sums are order-free, unlike the
+    float folds this avoids). Fixed horizon ``n_iter`` = truncated
+    absorption — journeys longer than it contribute their residual
+    mass to neither outcome, identically in both engines. Removal can
+    only zero non-negative contributions and the per-iteration
+    rounding is monotone, so drops are provably ≥ 0.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    START, CONV, NULL = "START", "CONV", "NULL"
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    seq = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("state"),
+        F.row_number().over(w).alias("pos"),
+    )
+    conv = (
+        seq.filter(F.col("state") == conversion)
+        .groupBy("u")
+        .agg(F.min("pos").alias("cpos"))
+    )
+    users = seq.select("u").distinct()
+    touches = (
+        seq.join(conv, "u", "left")
+        .filter(F.col("cpos").isNull() | (F.col("pos") < F.col("cpos")))
+        .select("u", "pos", "state")
+    )
+    terminals = users.join(conv, "u", "left").select(
+        "u",
+        F.lit(2**62).alias("pos"),
+        F.when(F.col("cpos").isNotNull(), F.lit(CONV))
+        .otherwise(F.lit(NULL))
+        .alias("state"),
+    )
+    starts = users.select("u", F.lit(0).alias("pos"), F.lit(START).alias("state"))
+    states = touches.unionByName(starts).unionByName(terminals)
+    w2 = Window.partitionBy("u").orderBy("pos")
+    counts = (
+        states.withColumn("t", F.lead("state").over(w2))
+        .filter(F.col("t").isNotNull())
+        .groupBy(F.col("state").alias("f"), "t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # bounded at (|event types| + 1)² rows
+    )
+
+    out_tot: dict[str, int] = {}
+    for r in counts:
+        out_tot[r.f] = out_tot.get(r.f, 0) + r.n
+    p_e6: dict[str, list[tuple[str, int]]] = {}
+    for r in counts:
+        tot = out_tot[r.f]
+        p_e6.setdefault(r.f, []).append(
+            (r.t, (r.n * 1_000_000 + tot // 2) // tot)
+        )
+    channels = sorted(f for f in out_tot if f != START)
+
+    def absorb(removed: str | None) -> int:
+        p = {s: 0 for s in [START, *channels]}
+        for _ in range(n_iter):
+            nxt = {}
+            for s in p:
+                acc = 0
+                for t, pe6 in p_e6.get(s, ()):
+                    if t == CONV:
+                        v = 1_000_000
+                    elif t == NULL or t == removed:
+                        v = 0
+                    else:
+                        v = p.get(t, 0)
+                    acc += pe6 * v
+                nxt[s] = (acc + 500_000) // 1_000_000
+            p = nxt
+        return p[START]
+
+    base = absorb(None)
+    drops = {c: base - absorb(c) for c in channels}
+    tot_drop = sum(drops.values())
+    schema = StructType(
+        [
+            StructField("channel", StringType()),
+            StructField("n_touches", LongType()),
+            StructField("drop_e6", LongType()),
+        ]
+    )
+    ints = events.sparkSession.createDataFrame(
+        [(c, out_tot[c], drops[c]) for c in channels], schema
+    )
+    # final ratios as JVM expressions, NOT Python round(): F.round is
+    # HALF_UP like the SQL oracles' ROUND, Python's round is half-even
+    return ints.select(
+        "channel",
+        "n_touches",
+        F.when(
+            F.lit(base) > 0,
+            F.round(F.col("drop_e6").cast("double") / F.lit(float(base)), 6),
+        ).alias("removal_effect_r"),
+        F.when(
+            F.lit(tot_drop) > 0,
+            F.round(
+                F.col("drop_e6").cast("double") / F.lit(float(tot_drop)), 6
+            ),
+        ).alias("attribution_share_r"),
+    )

@@ -81,6 +81,50 @@ class TestIvfPqPaths:
         assert a == b and len(a) > 0
 
 
+class TestMarkovAttribution:
+    def test_single_gateway_channel_gets_full_credit(self, spark):
+        """If every conversion flows through one channel, removing it
+        kills ALL conversion probability: removal effect 1.0, share
+        1.0; a channel never on a converting path gets drop 0."""
+        from idr_data_pipelines_spark.streaming.events import (
+            markov_removal_attribution,
+        )
+
+        rows = []
+        eid = 0
+        for u in range(6):  # view -> click -> purchase
+            for t, typ in enumerate(["view", "click", "purchase"]):
+                rows.append((eid, u, typ, t))
+                eid += 1
+        for u in range(6, 9):  # error -> nothing (never converts)
+            rows.append((eid, u, "error", 0))
+            eid += 1
+        df = spark.createDataFrame(
+            [(e, u, t, float(p)) for e, u, t, p in rows],
+            "event_id long, user_id long, event_type string, ts double",
+        )
+        out = {
+            r.channel: r
+            for r in markov_removal_attribution(df, n_iter=32).collect()
+        }
+        assert set(out) == {"view", "click", "error"}
+        for ch in ("view", "click"):
+            assert out[ch].removal_effect_r == 1.0
+            assert out[ch].attribution_share_r == 0.5
+        assert out["error"].removal_effect_r == 0.0
+        assert out["error"].attribution_share_r == 0.0
+
+    def test_fixture_invariants(self, spark, sf_dir):
+        rows = QUERIES["evt_attribution_markov"](spark, sf_dir).collect()
+        assert rows
+        share = sum(r.attribution_share_r for r in rows)
+        assert abs(share - 1.0) < 1e-5  # rounding of 4-6 terms
+        for r in rows:
+            assert 0.0 <= r.removal_effect_r <= 1.0
+            assert 0.0 <= r.attribution_share_r <= 1.0
+            assert r.n_touches > 0
+
+
 class TestClusterSafeSplit:
     def test_no_cluster_straddles_splits(self, spark, sf_dir):
         """The whole point of the operator: every dedup cluster lands
