@@ -13007,6 +13007,178 @@ def q_ann_ivfpq_recall(spark, sf_dir):
     )
 
 
+def q_evt_did_readout(spark, sf_dir):
+    """Difference-in-differences experiment readout: the causal
+    contrast when treatment and control differ BEFORE the
+    intervention — DiD = (treat_post − treat_pre) − (ctrl_post −
+    ctrl_pre) nets out both the stable arm gap and the common time
+    trend (Card & Krueger 1994's design). Arms reuse evt_ab_test's
+    deterministic md5 assignment, the period cutoff is evt_ab_cuped's
+    as-of; every cell moment is an exact e6-integer sum (order-free),
+    so the whole readout is ONE pass over events collapsing to a
+    single row of eight conditional aggregates — no shuffle beyond
+    the global agg, trivially parallel at any scale."""
+    e = _events(spark, sf_dir)
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    v6 = F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    treat = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+        == 1
+    )
+    pre = F.col("ts") < cutoff
+
+    def cell(p, t):
+        cond = (pre if p else ~pre) & (treat if t else ~treat)
+        return (
+            F.sum(F.when(cond, v6).otherwise(0)),
+            F.sum(F.when(cond, 1).otherwise(0)).cast("bigint"),
+        )
+
+    (s_cp, n_cp), (s_co, n_co) = cell(True, False), cell(False, False)
+    (s_tp, n_tp), (s_to, n_to) = cell(True, True), cell(False, True)
+    agg = e.agg(
+        s_cp.alias("s_cp"), n_cp.alias("n_ctrl_pre"),
+        s_co.alias("s_co"), n_co.alias("n_ctrl_post"),
+        s_tp.alias("s_tp"), n_tp.alias("n_treat_pre"),
+        s_to.alias("s_to"), n_to.alias("n_treat_post"),
+    )
+
+    def mean(s, n):
+        return F.col(s).cast("double") / F.col(n).cast("double") / 1000000.0
+
+    m_cp, m_co = mean("s_cp", "n_ctrl_pre"), mean("s_co", "n_ctrl_post")
+    m_tp, m_to = mean("s_tp", "n_treat_pre"), mean("s_to", "n_treat_post")
+    return agg.select(
+        "n_ctrl_pre", "n_ctrl_post", "n_treat_pre", "n_treat_post",
+        F.round(m_cp, 6).alias("mean_ctrl_pre_r"),
+        F.round(m_co, 6).alias("mean_ctrl_post_r"),
+        F.round(m_tp, 6).alias("mean_treat_pre_r"),
+        F.round(m_to, 6).alias("mean_treat_post_r"),
+        F.round((m_to - m_tp) - (m_co - m_cp), 6).alias("did_r"),
+    )
+
+
+QUERIES["evt_did_readout"] = q_evt_did_readout
+ORACLES["evt_did_readout"] = """
+        WITH base AS (
+            SELECT CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS v6,
+                   ts < TIMESTAMP '2024-01-16' AS pre,
+                   CAST(('0x' || substring(
+                       md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 2 = 1 AS treat
+            FROM events
+        ), a AS (
+            SELECT
+                SUM(CASE WHEN pre AND NOT treat THEN v6 ELSE 0 END) AS s_cp,
+                CAST(SUM(CASE WHEN pre AND NOT treat THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_ctrl_pre,
+                SUM(CASE WHEN NOT pre AND NOT treat THEN v6 ELSE 0 END) AS s_co,
+                CAST(SUM(CASE WHEN NOT pre AND NOT treat THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_ctrl_post,
+                SUM(CASE WHEN pre AND treat THEN v6 ELSE 0 END) AS s_tp,
+                CAST(SUM(CASE WHEN pre AND treat THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_treat_pre,
+                SUM(CASE WHEN NOT pre AND treat THEN v6 ELSE 0 END) AS s_to,
+                CAST(SUM(CASE WHEN NOT pre AND treat THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_treat_post
+            FROM base
+        )
+        SELECT n_ctrl_pre, n_ctrl_post, n_treat_pre, n_treat_post,
+               ROUND(CAST(s_cp AS DOUBLE) / CAST(n_ctrl_pre AS DOUBLE)
+                     / 1000000.0, 6) AS mean_ctrl_pre_r,
+               ROUND(CAST(s_co AS DOUBLE) / CAST(n_ctrl_post AS DOUBLE)
+                     / 1000000.0, 6) AS mean_ctrl_post_r,
+               ROUND(CAST(s_tp AS DOUBLE) / CAST(n_treat_pre AS DOUBLE)
+                     / 1000000.0, 6) AS mean_treat_pre_r,
+               ROUND(CAST(s_to AS DOUBLE) / CAST(n_treat_post AS DOUBLE)
+                     / 1000000.0, 6) AS mean_treat_post_r,
+               ROUND((CAST(s_to AS DOUBLE) / CAST(n_treat_post AS DOUBLE)
+                      / 1000000.0
+                      - CAST(s_tp AS DOUBLE) / CAST(n_treat_pre AS DOUBLE)
+                        / 1000000.0)
+                     - (CAST(s_co AS DOUBLE) / CAST(n_ctrl_post AS DOUBLE)
+                        / 1000000.0
+                        - CAST(s_cp AS DOUBLE) / CAST(n_ctrl_pre AS DOUBLE)
+                          / 1000000.0), 6) AS did_r
+        FROM a
+"""
+
+
+# Benford expected first-digit shares, computed ONCE driver-side and
+# injected as identical literals into the Spark query and the SQL
+# oracle — engine libm log10 could differ in the last ulp at a 6dp
+# rounding boundary, a divergence literals cannot have.
+_BENFORD_E6: dict[int, float] = {
+    d: round(__import__("math").log10(1.0 + 1.0 / d), 6) for d in range(1, 10)
+}
+
+
+def q_orders_benford_audit(spark, sf_dir):
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-numbers screen (Benford 1938; standard in fraud and
+    data-quality review): naturally occurring multiplicative amounts
+    put ~30.1% of leading digits at 1, falling to 4.6% at 9, and a
+    synthetic or truncated feed shows up as deviation from that
+    curve. One scan-agg to 9 digit rows; shares ride a window over
+    the COLLAPSED 9-row frame; expected shares are injected literals
+    (identical in the oracle, see _BENFORD_E6)."""
+    o = _t(spark, sf_dir, "orders")
+    digit = F.regexp_extract(
+        F.col("o_totalprice").cast("string"), "[1-9]", 0
+    ).cast("int")
+    counts = (
+        o.filter(F.col("o_totalprice") > 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = Window.partitionBy()
+    expected = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_E6.items() for x in kv]
+    )[F.col("digit")]
+    share = F.col("n").cast("double") / F.sum("n").over(total).cast("double")
+    return counts.select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(share, 6).alias("share_r"),
+        expected.alias("expected_r"),
+        F.round(F.abs(F.round(share, 6) - expected), 6).alias("abs_dev_r"),
+    )
+
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {_BENFORD_E6[d]!r}" for d in range(1, 10)
+)
+QUERIES["orders_benford_audit"] = q_orders_benford_audit
+ORACLES["orders_benford_audit"] = f"""
+        WITH c AS (
+            SELECT CAST(regexp_extract(
+                       CAST(o_totalprice AS VARCHAR), '[1-9]') AS INT)
+                       AS digit,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders WHERE o_totalprice > 0 GROUP BY 1
+        )
+        SELECT digit, n,
+               ROUND(CAST(n AS DOUBLE)
+                     / CAST(SUM(n) OVER () AS DOUBLE), 6) AS share_r,
+               CASE digit {_BENFORD_CASE} END AS expected_r,
+               ROUND(ABS(ROUND(CAST(n AS DOUBLE)
+                               / CAST(SUM(n) OVER () AS DOUBLE), 6)
+                         - CASE digit {_BENFORD_CASE} END), 6) AS abs_dev_r
+        FROM c
+"""
+
+
 def q_evt_attribution_markov(spark, sf_dir):
     """Markov removal-effect attribution (Anderl et al. 2016): per
     channel, how much total conversion probability disappears when
