@@ -374,37 +374,17 @@ def _bucket_pairs(
     )
 
 
-_EXCHANGE_NODES = (
-    "Repartition",
-    "Join",
-    "Aggregate",
-    "Window",
-    "Sort",
-    "Deduplicate",
-    "Generate",  # conservative: often sits above rebalanced frames
-)
-
-
 def _scan_partitions_or_none(df: DataFrame) -> int | None:
-    """Input-split count of an EXCHANGE-FREE frame, else None.
+    """Input-split count of an EXCHANGE-FREE frame, else None — the
+    shared AQE-safe probe (see ``sources.parquet``: the analyzed-plan
+    check runs before any ``.rdd`` access, because under AQE that
+    executes every upstream stage of an exchange-bearing frame at
+    plan-construction time)."""
+    from idr_data_pipelines_spark.sources.parquet import (
+        scan_partitions_or_none,
+    )
 
-    ``df.rdd.getNumPartitions()`` is plan-only for a scan/filter/
-    project chain, but under AQE it finalizes the adaptive plan of
-    any frame containing exchanges — executing every upstream query
-    stage as real Spark jobs at what callers believe is
-    plan-construction time. Inspecting the ANALYZED logical plan
-    (a string, never executed) for exchange-inducing nodes keeps the
-    probe safe; frames downstream of a shuffle are
-    shuffle.partitions-wide and need no rebalance anyway. Returns
-    None (no probe, no rebalance) on Spark Connect too, which has no
-    RDD surface."""
-    try:
-        plan = df._jdf.queryExecution().analyzed().toString()
-        if any(node in plan for node in _EXCHANGE_NODES):
-            return None
-        return df.rdd.getNumPartitions()
-    except Exception:
-        return None
+    return scan_partitions_or_none(df)
 
 
 def _candidate_ids(pairs: DataFrame, id_col: str) -> DataFrame:

@@ -26,6 +26,7 @@ bit-for-bit):
 
 from __future__ import annotations
 
+import math
 import tempfile
 import uuid
 from collections.abc import Callable
@@ -131,6 +132,27 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         pass
     return _ts_utc(read_parquet_dir(spark, f"{sf_dir}/events.parquet"))
+
+
+def _ab_parity(user_col: str = "user_id") -> F.Column:
+    """The experiment-assignment parity shared by EVERY arm-keyed
+    readout (`evt_ab_test`, `evt_ab_cuped`, `evt_did_readout`):
+    first 8 md5 hex chars of 'ab:'||user as a bigint, mod 2. One
+    definition so the queries stay assignment-consistent — the SQL
+    twin is ``('0x' || substring(md5('ab:' || user), 1, 8))::BIGINT
+    % 2``. Parity 0 = arm A / control, 1 = arm B / treatment."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ab:"), F.col(user_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
 
 
 def _toks(col: str = "text") -> F.Column:
@@ -2731,12 +2753,7 @@ def q_evt_ab_test(spark, sf_dir):
         )
         .withColumn(
             "arm",
-            F.when(
-                F.conv(F.substring(F.md5(F.concat(F.lit("ab:"),
-                    F.col("user_id").cast("string"))), 1, 8), 16, 10)
-                .cast("bigint") % 2 == 0,
-                F.lit("A"),
-            ).otherwise(F.lit("B")),
+            F.when(_ab_parity() == 0, F.lit("A")).otherwise(F.lit("B")),
         )
     )
     arms = users.groupBy("arm").agg(
@@ -7262,22 +7279,7 @@ def q_evt_ab_cuped(spark, sf_dir):
         .withColumn(
             "arm",
             F.when(
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat(
-                                F.lit("ab:"),
-                                F.col("user_id").cast("string"),
-                            )
-                        ),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("bigint")
-                % 2
-                == 0,
+                _ab_parity() == 0,
                 F.lit("A"),
             ).otherwise(F.lit("B")),
         )
@@ -13023,19 +13025,7 @@ def q_evt_did_readout(spark, sf_dir):
     v6 = F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast(
         "bigint"
     )
-    treat = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 2
-        == 1
-    )
+    treat = _ab_parity() == 1
     pre = F.col("ts") < cutoff
 
     def cell(p, t):
@@ -13120,7 +13110,7 @@ ORACLES["evt_did_readout"] = """
 # oracle — engine libm log10 could differ in the last ulp at a 6dp
 # rounding boundary, a divergence literals cannot have.
 _BENFORD_E6: dict[int, float] = {
-    d: round(__import__("math").log10(1.0 + 1.0 / d), 6) for d in range(1, 10)
+    d: round(math.log10(1.0 + 1.0 / d), 6) for d in range(1, 10)
 }
 
 
@@ -13187,7 +13177,15 @@ def q_evt_attribution_markov(spark, sf_dir):
     rule. One user-key window + one bounded |states|² count; the
     absorption iterations run on the collected (model-sized)
     transition matrix in integer e6 fixed-point, so the SQL oracle
-    replays every value exactly with unrolled iteration CTEs."""
+    replays every value exactly with unrolled iteration CTEs.
+
+    NOTE: like the fixed-seed centroid family, building this query
+    EXECUTES the distributed part (window + count + bounded collect)
+    — the returned frame is the driver-fit report, so plan-only
+    sweeps (the lint gate) see a LocalRelation, not the window
+    shuffle. The scale contract is therefore documented here and
+    measured in BENCH_SCALE.md (~1.3× wall at 10× events) rather
+    than linted."""
     from idr_data_pipelines_spark.streaming.events import (
         markov_removal_attribution,
     )

@@ -93,6 +93,73 @@ def read_parquet_evolved(spark, path: str):
     return spark.read.option("mergeSchema", "true").parquet(path)
 
 
+# Logical nodes that plan a shuffle exchange (or force a singleton
+# stage). A frame containing any of these is already
+# shuffle.partitions-wide — AND probing its `.rdd` under AQE finalizes
+# the adaptive plan, EXECUTING every upstream stage at what callers
+# believe is plan-construction time. Map-only nodes (Project, Filter,
+# Generate/explode, MapInPandas) are deliberately absent: they create
+# no query stages, so probing them is plan-only.
+_EXCHANGE_NODES = frozenset(
+    {
+        "Repartition",
+        "RepartitionByExpression",
+        "Join",
+        "Aggregate",
+        "Window",
+        "Sort",
+        "Deduplicate",
+        "Intersect",
+        "Except",
+        "GlobalLimit",
+        "FlatMapGroupsInPandas",
+        "FlatMapGroupsInPandasWithState",
+        "FlatMapCoGroupsInPandas",
+        "CoGroup",
+    }
+)
+
+_NODE_RE = None
+
+
+def _plan_has_exchange(df: DataFrame) -> bool:
+    """True iff the ANALYZED logical plan (a string — never executed)
+    contains an exchange-inducing node. Node names are matched as the
+    leading identifier token of each tree line (after the ``+-``/
+    ``:-`` scaffolding), NOT by raw substring: a column aliased
+    ``SortKey`` prints inside a Project line and must not match."""
+    global _NODE_RE
+    import re
+
+    if _NODE_RE is None:
+        _NODE_RE = re.compile(r"^[\s:+*-]*'?([A-Za-z]+)")
+    plan = df._jdf.queryExecution().analyzed().toString()
+    for line in plan.splitlines():
+        m = _NODE_RE.match(line)
+        if m and m.group(1) in _EXCHANGE_NODES:
+            return True
+    return False
+
+
+def scan_partitions_or_none(df: DataFrame) -> int | None:
+    """Input-split count of an EXCHANGE-FREE frame, else None.
+
+    The single shared probe behind every rebalance heuristic in the
+    repo (``spread_small_scan``, the llmdata signature/candidate
+    paths): inspect the analyzed plan first (string-only), and call
+    ``.rdd.getNumPartitions()`` — plan-only for scan/filter/project
+    chains — exactly when no exchange-inducing node is present.
+    Returns None for exchange-bearing frames (already
+    shuffle.partitions-wide; no rebalance needed) and on Spark
+    Connect (no RDD surface)."""
+    try:
+        if _plan_has_exchange(df):
+            return None
+        return df.rdd.getNumPartitions()
+    except Exception:
+        return None
+
+
 def spread_small_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Layout guard for compute-heavy map stages: when the scan has
     fewer splits than executor slots (a single test file; a few giant
@@ -116,22 +183,22 @@ def spread_small_scan(df: DataFrame, min_partitions: int | None = None) -> DataF
     guard has nothing to fix there anyway. Spark Connect has no RDD
     surface, so there we conservatively repartition — an always-no-op
     guard would silently lose the protection."""
-    plan_nodes = (
-        "Repartition", "Join", "Aggregate", "Window", "Sort",
-        "Deduplicate", "Generate",
-    )
     try:
-        sc = df.sparkSession.sparkContext
-        target = min_partitions or sc.defaultParallelism
-        plan = df._jdf.queryExecution().analyzed().toString()
-        if any(node in plan for node in plan_nodes):
-            return df
-        current = df.rdd.getNumPartitions()
-    except Exception:  # Spark Connect: no sparkContext / .rdd / _jdf
+        target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no sparkContext
         n = min_partitions or int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
         )
         return df.repartition(n)
+    try:
+        if _plan_has_exchange(df):
+            return df
+        current = df.rdd.getNumPartitions()
+    except Exception:
+        # no plan/RDD surface despite a sparkContext: conservatively
+        # repartition — an always-no-op guard would silently lose the
+        # protection
+        return df.repartition(target)
     if current >= target:
         return df
     return df.repartition(target)

@@ -1080,14 +1080,14 @@ def markov_removal_attribution(
     mass to neither outcome, identically in both engines. Removal can
     only zero non-negative contributions and the per-iteration
     rounding is monotone, so drops are provably ≥ 0.
+
+    Reserved names: the sentinels ``START``/``CONV``/``NULL`` (and the
+    oracle's ``__none__`` base-scenario tag) cannot also be real
+    ``type_col`` values — a literal 'NULL' event type would silently
+    absorb as non-conversion, 'CONV' would invent conversion credit.
+    The collected transition matrix is checked and a collision raises.
     """
-    from pyspark.sql import Window
-    from pyspark.sql.types import (
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-    )
+    from pyspark.sql.types import LongType, StringType, StructField
 
     START, CONV, NULL = "START", "CONV", "NULL"
     w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
@@ -1124,6 +1124,20 @@ def markov_removal_attribution(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()  # bounded at (|event types| + 1)² rows
     )
+
+    # sentinel-collision guard: a real event type named like a
+    # sentinel appears where the sentinel never does — as an
+    # f (CONV/NULL are terminal-only) or as a non-terminal t (START
+    # is source-only) — so the collected matrix exposes it exactly
+    real_states = {r.f for r in counts if r.f != START} | {
+        r.t for r in counts if r.t not in (CONV, NULL)
+    }
+    clash = real_states & {START, CONV, NULL, "__none__"}
+    if clash:
+        raise ValueError(
+            f"event types collide with reserved attribution states: "
+            f"{sorted(clash)} — rename them upstream"
+        )
 
     out_tot: dict[str, int] = {}
     for r in counts:
