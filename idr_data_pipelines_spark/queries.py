@@ -7842,16 +7842,35 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # ===================================================================
 
 def _dot_sql(a: str, b: str, dim: int = 64) -> str:
-    """Left-associative double dot product — matches Spark's fold."""
-    return "(" + " + ".join(
-        f"CAST({a}[{i}] AS DOUBLE)*CAST({b}[{i}] AS DOUBLE)" for i in range(1, dim + 1)
-    ) + ")"
+    """Left-associative double dot product — matches Spark's fold.
+
+    COMPACT ``list_reduce`` form, not an unrolled ``+`` chain. The
+    fold order is identical (list_reduce seeds with element 1 and
+    folds left, exactly the old ``((a1*b1 + a2*b2) + ...)`` chain and
+    Spark's ``F.aggregate`` sequence), so results are bit-for-bit
+    unchanged — verified old-vs-new driver_hash equality on all 14
+    affected oracles at sf0.01. The POINT of the compact form is the
+    r08 post-mortem: 64-term unrolled expressions inside
+    window-over-join sorts made DuckDB's buffer manager retain
+    10k–30k 256 KB blocks (one mmap each) per oracle, exhausting the
+    kernel's vm.max_map_count (65,530) mid-window and OOM-killing 30
+    of the round's 50 correctness slots. The list form keeps the
+    expression tree ~200× smaller; measured fresh-connection map
+    deltas drop from ~29,000 to <1,000 (tools/oracle_map_profile.py).
+    """
+    return (
+        f"list_reduce(list_transform(range(1, {dim + 1}), i -> "
+        f"CAST({a}[CAST(i AS INT)] AS DOUBLE)"
+        f" * CAST({b}[CAST(i AS INT)] AS DOUBLE)), (acc, x) -> acc + x)"
+    )
 
 
 def _norm_sql(a: str, dim: int = 64) -> str:
-    return "sqrt(" + " + ".join(
-        f"CAST({a}[{i}] AS DOUBLE)*CAST({a}[{i}] AS DOUBLE)" for i in range(1, dim + 1)
-    ) + ")"
+    return (
+        f"sqrt(list_reduce(list_transform(range(1, {dim + 1}), i -> "
+        f"CAST({a}[CAST(i AS INT)] AS DOUBLE)"
+        f" * CAST({a}[CAST(i AS INT)] AS DOUBLE)), (acc, x) -> acc + x))"
+    )
 
 
 _COS_LR = f"({_dot_sql('l.embedding', 'r.embedding')} / ({_norm_sql('l.embedding')} * {_norm_sql('r.embedding')}))"
@@ -12843,11 +12862,15 @@ def _ivfpq_sql(
     sub_d = dim // n_subspaces
 
     def sq(lo: int) -> str:
-        return "(" + " + ".join(
-            f"(CAST(l.embedding[{lo + i}] AS DOUBLE) - CAST(r.embedding[{lo + i}] AS DOUBLE))"
-            f" * (CAST(l.embedding[{lo + i}] AS DOUBLE) - CAST(r.embedding[{lo + i}] AS DOUBLE))"
-            for i in range(1, sub_d + 1)
-        ) + ")"
+        # compact list_reduce fold, same left-assoc order as the old
+        # unrolled chain — see _dot_sql's r08 map-bomb note
+        return (
+            f"list_reduce(list_transform(range({lo + 1}, {lo + sub_d + 1}), i -> "
+            f"(CAST(l.embedding[CAST(i AS INT)] AS DOUBLE)"
+            f" - CAST(r.embedding[CAST(i AS INT)] AS DOUBLE))"
+            f" * (CAST(l.embedding[CAST(i AS INT)] AS DOUBLE)"
+            f" - CAST(r.embedding[CAST(i AS INT)] AS DOUBLE))), (acc, x) -> acc + x)"
+        )
 
     # Every CTE here is AS MATERIALIZED: DuckDB inlines plain CTEs, and
     # inlining 8 window-over-cross-join CTEs into the 10-way `scored`

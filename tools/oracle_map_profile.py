@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Profile the memory-mapping cost of DuckDB oracles, driver-style.
+
+r08 post-mortem (VERDICT r08 "What's wrong"): the driver runs each
+round's 50 oracles sequentially in ONE process with NO DuckDB
+``memory_limit``. DuckDB's buffer manager allocates 256 KB blocks that
+glibc serves as one mmap each, and several oracle shapes (64-term
+unrolled dot products inside window functions) RETAIN tens of
+thousands of those blocks after the query completes. The kernel's
+``vm.max_map_count`` (65,530 here) is then exhausted mid-window and
+every later allocation — DuckDB's or pandas' — dies with
+"bad allocation", regardless of how small it is. 30 of r08's 50
+correctness slots were lost this way.
+
+This tool measures each oracle's FRESH-CONNECTION map delta exactly
+the way the judge did: fork a clean subprocess per oracle, connect an
+UNCAPPED DuckDB, register the sf views, ``execute(sql).df()``, then
+read ``/proc/self/maps`` line count before/after. The delta is the
+number of mappings the oracle retains while its connection lives —
+the quantity that accumulates across a driver window.
+
+Usage:
+    python tools/oracle_map_profile.py NAME [NAME ...]
+    python tools/oracle_map_profile.py --window tools/r09_window_names.txt
+    python tools/oracle_map_profile.py --all          # every oracle
+    python tools/oracle_map_profile.py --sf /root/testdata/sf0.01
+
+Budget doctrine (enforced by tools/rotate_window.py --map-budget):
+a single oracle over ~2,000 maps is a staging defect; a window whose
+cumulative delta estimate crosses ~30,000 (half of max_map_count)
+must be re-ordered light->heavy or have its heavy entries rewritten.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_CHILD = r"""
+import json, sys
+import duckdb
+
+sf_dir, sql = sys.argv[1], sys.stdin.read()
+
+
+def n_maps():
+    with open("/proc/self/maps") as fh:
+        return sum(1 for _ in fh)
+
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+con = duckdb.connect()  # deliberately UNCAPPED: driver-faithful
+for t in TABLES:
+    con.execute(
+        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+    )
+before = n_maps()
+df = con.execute(sql).df()
+after = n_maps()
+print(json.dumps({"maps_before": before, "maps_after": after,
+                  "delta": after - before, "rows": len(df)}))
+"""
+
+
+def profile_one(name: str, sql: str, sf_dir: str, timeout: int = 300) -> dict:
+    """Fresh-subprocess map delta for one oracle (judge's method)."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", _CHILD, sf_dir],
+            input=sql.encode(),
+            capture_output=True,
+            timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        return {"name": name, "err": "timeout"}
+    if proc.returncode != 0:
+        tail = proc.stderr.decode(errors="replace").strip().splitlines()[-1:]
+        return {"name": name, "err": tail[0] if tail else "nonzero exit"}
+    out = json.loads(proc.stdout.decode().strip().splitlines()[-1])
+    out["name"] = name
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*")
+    ap.add_argument("--window", help="file with one oracle name per line")
+    ap.add_argument("--all", action="store_true")
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--json", action="store_true", help="one JSON line out")
+    args = ap.parse_args()
+
+    from idr_data_pipelines_spark.queries import ORACLES
+
+    if args.window:
+        with open(args.window) as fh:
+            names = [ln.strip() for ln in fh if ln.strip()]
+    elif args.all:
+        names = list(ORACLES)
+    else:
+        names = args.names
+    if not names:
+        ap.error("give NAMEs, --window FILE, or --all")
+
+    results = []
+    for n in names:
+        if n not in ORACLES:
+            results.append({"name": n, "err": "no oracle"})
+            continue
+        r = profile_one(n, ORACLES[n], args.sf)
+        results.append(r)
+        if not args.json:
+            if "err" in r:
+                print(f"{n:36s}  ERR {r['err']}")
+            else:
+                flag = "  <-- MAP BOMB" if r["delta"] > 2000 else ""
+                print(f"{n:36s}  delta {r['delta']:>7d}  rows {r['rows']:>7d}{flag}")
+            sys.stdout.flush()
+    if args.json:
+        print(json.dumps({r["name"]: r for r in results}))
+    total = sum(r.get("delta", 0) for r in results)
+    print(f"# cumulative delta estimate: {total}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
