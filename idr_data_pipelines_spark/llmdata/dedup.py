@@ -705,6 +705,7 @@ def minhash_md5_incremental_pairs(
     bands: int = 4,
     shingle_k: int = 3,
     jaccard_threshold: float = 0.5,
+    materialize: bool = True,
 ) -> DataFrame:
     """Incremental NEAR-dup: candidate pairs between a new ``batch``
     and an existing ``corpus`` via the LSH band index — the near-dup
@@ -723,6 +724,14 @@ def minhash_md5_incremental_pairs(
     (``_md5_bands_for``), which is what makes the whole
     probe replayable by a SQL oracle. Callers must pass disjoint id
     sets (a shared id would pair with itself on every band).
+
+    ``materialize`` mirrors ``minhash_lsh_pairs``: True (default)
+    eagerly computes the probe once via ``localCheckpoint`` and frees
+    the pair cache; False keeps the fully LAZY plan with ``persist()``
+    marks so plan-only sweeps (the registry lint gate) inspect the
+    band-join chain instead of an opaque post-checkpoint LogicalRDD —
+    and merely CONSTRUCTING the query runs zero jobs (ADVICE r08).
+    Lazy callers own cache hygiene.
     """
     b_band = _md5_bands_for(
         batch, id_col, text_col, num_perm, bands, shingle_k
@@ -755,7 +764,7 @@ def minhash_md5_incremental_pairs(
         )
 
     try:
-        return (
+        result = (
             pairs.join(
                 _sh_for(batch, "id_new").withColumnsRenamed(
                     {"id": "id_new", "sh": "sh_n"}
@@ -778,10 +787,13 @@ def minhash_md5_incremental_pairs(
             )
             .filter(F.col("jaccard_r") >= jaccard_threshold)
             .select("id_new", "id_old", "jaccard_r")
-            .localCheckpoint(eager=True)
         )
+        if not materialize:
+            return result
+        return result.localCheckpoint(eager=True)
     finally:
-        pairs.unpersist()
+        if materialize:
+            pairs.unpersist()
 
 
 def minhash_md5_lsh_pairs(

@@ -168,24 +168,77 @@ def _bnlj_all_scalar_broadcast(plan: str) -> bool:
             return False
         start = child_roots[1] if build_right else child_roots[0]
         end = j if build_right else child_roots[1]
-        subtree = "\n".join(lines[start:end])
-        scalar_agg = re.search(
-            r"(?:HashAggregate|SortAggregate|ObjectHashAggregate)\(keys=\[\]",
-            subtree,
-        )
-        # GlobalLimit / TakeOrderedAndProject with a small constant is
-        # the other ≤k-row build shape (a top-1 eigenvalue row, the
-        # elected BPE merge pair); constant-bounded build side →
-        # O(n·k) with k fixed, still linear in the data
-        limit = re.search(
-            r"(?:GlobalLimit (\d+)|TakeOrderedAndProject\(limit=(\d+))", subtree
-        )
-        small_limit = limit is not None and int(
-            limit.group(1) or limit.group(2)
-        ) <= 10000
-        if not (scalar_agg or small_limit):
+        if not _scalar_dominates_spine(lines, start, end):
             return False
     return found_any
+
+
+_SCALAR_AGG_RE = re.compile(
+    r"(?:HashAggregate|SortAggregate|ObjectHashAggregate)\(keys=\[\]"
+)
+# GlobalLimit / TakeOrderedAndProject with a small constant is the
+# other ≤k-row build shape (a top-1 eigenvalue row, the elected BPE
+# merge pair); constant-bounded build side → O(n·k) with k fixed,
+# still linear in the data
+_SMALL_LIMIT_RE = re.compile(
+    r"(?:GlobalLimit (\d+)|TakeOrderedAndProject\(limit=(\d+))"
+)
+# nodes that mean the spine has widened back to data scale: a join or
+# union fans in more than one input; a scan IS an input. Any of these
+# ABOVE the scalar aggregate means the aggregate does not bound the
+# build side's row count.
+_SPINE_WIDE_RE = re.compile(
+    r"Join\b|CartesianProduct|Union|FileScan|BatchScan|LocalTableScan|"
+    r"InMemoryTableScan|ExistingRDD|Range \(|ReusedExchange"
+)
+
+
+def _scalar_dominates_spine(lines: list[str], start: int, end: int) -> bool:
+    """True iff a scalar aggregate / small constant limit DOMINATES
+    the build subtree: walking the single-child spine down from the
+    subtree root, the aggregate or limit appears BEFORE any join,
+    union, or scan node. A `re.search` over the whole subtree text
+    (the pre-r09 form) accepted a LARGE build side that merely
+    *contained* a nested global aggregate (e.g. corpus joined to a
+    scalar threshold, then broadcast into a BNLJ) — exactly the
+    O(n·m) shape the cartesian fatal exists to catch. Once the
+    aggregate is found on the spine, anything below it is irrelevant:
+    its output is ≤1 row (or ≤k for a limit) by construction.
+    Conservative on unparseable shapes: returns False, keeping the
+    fatal."""
+    idx = start
+    while idx < end:
+        line = lines[idx]
+        if _SCALAR_AGG_RE.search(line):
+            return True
+        m = _SMALL_LIMIT_RE.search(line)
+        if m is not None:
+            # group(1) may be the falsy string '0' — `or` would fall
+            # through to group(2)=None and TypeError on 'GlobalLimit 0'
+            g = m.group(1) if m.group(1) is not None else m.group(2)
+            if int(g) <= 10000:
+                return True
+        if _SPINE_WIDE_RE.search(line):
+            return False
+        indent = _tree_indent(line)
+        children: list[int] = []
+        child_indent = None
+        j = idx + 1
+        while j < end and lines[j].strip():
+            d = _tree_indent(lines[j])
+            if d <= indent:
+                break
+            if child_indent is None:
+                child_indent = d
+            if d == child_indent:
+                children.append(j)
+            j += 1
+        if len(children) != 1:
+            # leaf (no bounding node found) or multi-child node the
+            # wide-regex didn't name — not a dominated spine
+            return False
+        idx = children[0]
+    return False
 
 
 def count_shuffles(df: DataFrame) -> int:

@@ -8420,7 +8420,17 @@ ORACLES: dict[str, str] = {
                CAST(year(l_shipdate) - year(o_orderdate) AS INT) AS diff_year
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     """,
+    # r09 EXPERIMENT (VERDICT r08 item 5): a multi-statement oracle
+    # that self-caps DuckDB's buffer manager. duckdb 1.0's
+    # ``execute(sql).df()`` runs semicolon-separated statements
+    # serially and returns the last result (verified locally), so IF
+    # the driver's harness does the same, prefixing a SET makes every
+    # oracle self-bounding against the r08 vm.max_map_count failure
+    # class. Tested on exactly ONE already-green cheap entry so a
+    # rejection costs one slot, not thirty; this entry sits FIRST in
+    # the r09 window so the outcome is unambiguous either way.
     "expr_extract": """
+        SET memory_limit='2GB';
         SELECT o_orderkey,
                CAST(year(o_orderdate) AS BIGINT) AS y,
                CAST(quarter(o_orderdate) AS BIGINT) AS q,
@@ -13450,31 +13460,12 @@ NO_ORACLE: frozenset[str] = frozenset(
 
 
 # --- driver-window rotation epilogue (tools/rotate_window.py)
-# r08: promote the staged picks into the driver window;
+# r09: promote the staged picks into the driver window;
 # every other entry keeps its literal order below them.
-_WINDOW_R08 = [
-    "text_shared_ngrams",
-    "emb_random_project",
-    "src_parquet_dir",
-    "expr_datediff",
-    "agg_pivot_sum_case",
-    "evt_trigger_audit",
-    "emb_pq_assign",
-    "emb_pq_error",
-    "emb_covariance",
-    "emb_power_iteration",
-    "emb_pca_project",
-    "emb_matryoshka_truncate",
-    "emb_sign_hamming",
-    "emb_knn_graph",
-    "emb_hard_negatives",
-    "emb_label_agreement",
-    "emb_norm_outliers",
-    "emb_ivf_stats",
-    "ann_recall_eval",
+_WINDOW_R09 = [
+    "expr_extract",
     "dedup_keep_best",
     "dedup_minhash_incremental",
-    "dedup_minhash_estimate",
     "dedup_minhash_clusters",
     "dedup_cross_split_leakage",
     "graph_triangles",
@@ -13503,10 +13494,29 @@ _WINDOW_R08 = [
     "evt_ab_cuped",
     "ivm_join_delta",
     "sink_bucketed_join",
+    "sample_kfold",
+    "sample_topk_per_group",
+    "mix_temperature",
+    "text_bigram_lm",
+    "text_char_stats",
+    "text_hashed_features",
+    "docs_ccnet_buckets",
+    "corpus_shuffle_shards",
+    "evt_transitions",
+    "evt_user_perplexity",
+    "evt_survival_retention",
+    "orders_dup_invoice_pairs",
+    "orders_benford_audit",
+    "privacy_k_anonymity",
+    "evt_attribution_markov",
+    "evt_did_readout",
+    "split_cluster_safe",
+    "ann_ivfpq_recall",
+    "ann_topk_ivfpq",
 ]
 QUERIES = {
     n: QUERIES[n]
-    for n in _WINDOW_R08
-    + [k for k in QUERIES if k not in set(_WINDOW_R08)]
+    for n in _WINDOW_R09
+    + [k for k in QUERIES if k not in set(_WINDOW_R09)]
 }
 # --- end rotation epilogue

@@ -88,8 +88,13 @@ def _cell_str(v: object) -> str:
     on exactly that while every numeric value was equal). Two
     deliberate normalizations, calibrated against driver history:
 
-    - null flavors (None / NaN / NaT) collapse to one token — both
-      engines already agree on null *placement* per pandas dtype;
+    - true-missing flavors (None / NaT) collapse to one ``NULL``
+      token, but float NaN renders as a DISTINCT ``NaN`` token
+      (ADVICE r08): in float64 columns both engines map SQL NULL to
+      pandas NaN so the rendering stays symmetric, but in object
+      columns a Spark ``NaN`` vs oracle ``None`` divergence must NOT
+      pass locally — the driver's stringification distinguishes them
+      (``str(nan) == 'nan' != 'None'``);
     - date/datetime-likes render as one canonical timestamp string:
       Spark DATE reaches pandas as ``datetime.date`` objects while
       DuckDB DATE arrives as ``datetime64[us]``, and every
@@ -100,6 +105,8 @@ def _cell_str(v: object) -> str:
     """
     isna = pd.isna(v)
     if isna is True:
+        if isinstance(v, float):  # NaN, not missing — see docstring
+            return "NaN"
         return "NULL"
     if isinstance(v, (pd.Timestamp, datetime, date)):
         return str(pd.Timestamp(v))

@@ -52,7 +52,20 @@ def test_no_fatal_plan_findings(name, spark, sf_dir):
     )
 
 
-def test_waivers_are_live():
-    """A waiver whose query no longer trips its fatal is stale —
-    delete it so the gate stays tight."""
+def test_waivers_are_known():
     assert set(WAIVERS) <= set(QUERIES)
+
+
+@pytest.mark.plan_gate
+@pytest.mark.parametrize("name", sorted(WAIVERS))
+def test_waivers_are_live(name, spark, sf_dir):
+    """A waiver whose query no longer trips its waived fatal is stale
+    — the gate must fail it so the list shrinks with the code (ADVICE
+    r08: the old form only checked the keys existed, so a stale
+    waiver would pass forever, eroding the gate's tightness)."""
+    df = QUERIES[name](spark, sf_dir)
+    rules = {f.rule for f in lint_plan(df) if f.severity == "fatal"}
+    assert WAIVERS[name] in rules, (
+        f"stale waiver: {name} no longer trips '{WAIVERS[name]}' "
+        f"(fatals now: {sorted(rules) or 'none'}) — delete the waiver"
+    )

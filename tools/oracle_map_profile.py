@@ -25,10 +25,18 @@ Usage:
     python tools/oracle_map_profile.py --all          # every oracle
     python tools/oracle_map_profile.py --sf /root/testdata/sf0.01
 
-Budget doctrine (enforced by tools/rotate_window.py --map-budget):
-a single oracle over ~2,000 maps is a staging defect; a window whose
-cumulative delta estimate crosses ~30,000 (half of max_map_count)
-must be re-ordered light->heavy or have its heavy entries rewritten.
+Budget doctrine (enforced by tools/rotate_window.py): a single oracle
+whose fresh-connection delta exceeds ~2,000 maps is a staging defect
+and must be REWRITTEN (unrolled expression chains -> list_reduce
+folds / narrow MATERIALIZED CTEs). Calibration on this host: every
+healthy oracle lands at ~650-1,000 (per-connection buffer-pool churn,
+released on close); the r08 bombs measured 8,900-29,900 here and
+their retention accumulated across the driver window's SHARED
+connection. Because the ~700 baseline is per-connection and
+transient, do NOT sum these deltas as a window estimate — the
+shared-connection sweep (tools/window_sweep.py: r09 window peaks at
+~2,600 live maps; the pre-fix r08 window hits the 65,530 kernel
+limit at position 21) is the cumulative metric.
 """
 
 from __future__ import annotations

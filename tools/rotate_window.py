@@ -53,11 +53,89 @@ def staged_window(names: list[str], oracles: set[str]) -> list[str]:
     return batch + tail
 
 
+# Map-budget doctrine (r08 post-mortem): the driver runs the window's
+# 50 oracles in ONE uncapped process, and retained mmap'd buffer
+# blocks accumulate toward the kernel's vm.max_map_count (65,530).
+# r08 lost 30/50 slots to two oracles that retained +30k/+13.6k
+# mappings at positions 14-15. No single staged oracle may retain
+# more than PER_ORACLE_BUDGET mappings, and the window's cumulative
+# estimate must stay under WINDOW_BUDGET (~half of max_map_count).
+PER_ORACLE_BUDGET = 2000
+WINDOW_BUDGET = 30000
+
+
+def enforce_map_budget(window: list[str], oracles: dict, sf_dir: str) -> None:
+    """Two-level refusal gate (VERDICT r08 items 3-4):
+
+    1. per-oracle: fresh-connection map delta (the judge's
+       measurement, tools/oracle_map_profile.py) must stay under
+       PER_ORACLE_BUDGET. Healthy oracles land at ~650-1,000 of
+       per-connection churn; the r08 bombs measured 8,900-29,900.
+       A heavy entry must be REWRITTEN (unrolled expression chains ->
+       list_reduce folds), not re-ordered — ordering only chooses
+       which slots die first.
+    2. window-cumulative: a single-process, window-ordered, UNCAPPED
+       sweep (tools/window_sweep.py — exactly what the driver's
+       process experiences) must keep live mappings under
+       WINDOW_BUDGET at every position. Fresh-connection deltas do
+       NOT sum to this (the ~700 baseline is transient per
+       connection); only the sweep's residual accumulation is real.
+    """
+    from oracle_map_profile import profile_one  # same directory
+
+    heavy: dict[str, int] = {}
+    for n in window:
+        r = profile_one(n, oracles[n], sf_dir)
+        if "err" in r:
+            sys.exit(f"map-budget profile failed for {n}: {r['err']}")
+        flag = "  <-- HEAVY" if r["delta"] > PER_ORACLE_BUDGET else ""
+        print(f"  map-budget {n:36s} {r['delta']:>6d}{flag}")
+        if r["delta"] > PER_ORACLE_BUDGET:
+            heavy[n] = r["delta"]
+    if heavy:
+        sys.exit(
+            f"REFUSING to stage: oracle map delta over {PER_ORACLE_BUDGET} "
+            f"for {heavy} — rewrite these (unrolled expression chains -> "
+            "list_reduce folds / narrow MATERIALIZED CTEs) before staging"
+        )
+    import subprocess
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".txt", delete=False) as fh:
+        fh.write("\n".join(window) + "\n")
+        tmp = fh.name
+    sweep = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "window_sweep.py"),
+            "--window", tmp, "--sf", sf_dir,
+            "--limit-abs", str(WINDOW_BUDGET),
+        ],
+        capture_output=True,
+        text=True,
+    )
+    os.unlink(tmp)
+    print(sweep.stdout.rstrip())
+    if sweep.returncode != 0:
+        sys.exit(
+            f"REFUSING to stage: single-process sweep failed "
+            f"(budget {WINDOW_BUDGET} live maps)\n{sweep.stderr.rstrip()}"
+        )
+    print(f"  map-budget OK: sweep peak under {WINDOW_BUDGET}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--round", default="rNN", help="label for the epilogue")
     ap.add_argument("--names-file", help="file with one window name per line")
     ap.add_argument("--dry-run", action="store_true")
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--skip-map-budget",
+        action="store_true",
+        help="skip the per-oracle map-delta gate (profiling takes "
+        "~5s/oracle; never skip for a window that will actually ship)",
+    )
     args = ap.parse_args()
 
     from idr_data_pipelines_spark.queries import NO_ORACLE, ORACLES, QUERIES
@@ -87,6 +165,9 @@ def main() -> None:
     assert not unknown, f"not in QUERIES: {unknown}"
     rowsonly = [n for n in window if n in NO_ORACLE]
     assert not rowsonly, f"NO_ORACLE entries can't be window picks: {rowsonly}"
+
+    if not args.skip_map_budget:
+        enforce_map_budget(window, ORACLES, args.sf)
 
     print(f"# planned {args.round} window ({WINDOW} entries):")
     for i in range(0, WINDOW, 5):
