@@ -42,3 +42,8 @@ def pytest_configure(config):
         "plan_gate: registry-wide physical-plan lint sweep (slow; "
         "deselect with -m 'not plan_gate')",
     )
+    config.addinivalue_line(
+        "markers",
+        "map_sweep: uncapped single-process oracle memory sweep of the "
+        "staged driver window (slow; deselect with -m 'not map_sweep')",
+    )

@@ -88,13 +88,17 @@ def _cell_str(v: object) -> str:
     on exactly that while every numeric value was equal). Two
     deliberate normalizations, calibrated against driver history:
 
-    - true-missing flavors (None / NaT) collapse to one ``NULL``
-      token, but float NaN renders as a DISTINCT ``NaN`` token
-      (ADVICE r08): in float64 columns both engines map SQL NULL to
-      pandas NaN so the rendering stays symmetric, but in object
-      columns a Spark ``NaN`` vs oracle ``None`` divergence must NOT
-      pass locally — the driver's stringification distinguishes them
-      (``str(nan) == 'nan' != 'None'``);
+    - null flavors (None / NaN / NaT) collapse to one token. ADVICE
+      r08 asked for NaN to render distinctly unless there was
+      evidence the driver also collapses them; the evidence exists
+      and is specific: ``evt_anomaly_stream``'s boolean ``anomaly``
+      column reaches pandas as object-dtype ``None`` from Spark but
+      object-dtype float ``NaN`` from DuckDB ``.df()`` on the 6
+      zero-variance rows at sf0.01, and the driver hash-matched that
+      exact frame in r07 (CORRECTNESS_r07, 150 rows, hash_match
+      true). A distinct-NaN token here false-fails that green query
+      (measured: re-splitting the tokens flipped only
+      evt_anomaly_stream across the whole 266-oracle registry);
     - date/datetime-likes render as one canonical timestamp string:
       Spark DATE reaches pandas as ``datetime.date`` objects while
       DuckDB DATE arrives as ``datetime64[us]``, and every
@@ -105,8 +109,6 @@ def _cell_str(v: object) -> str:
     """
     isna = pd.isna(v)
     if isna is True:
-        if isinstance(v, float):  # NaN, not missing — see docstring
-            return "NaN"
         return "NULL"
     if isinstance(v, (pd.Timestamp, datetime, date)):
         return str(pd.Timestamp(v))

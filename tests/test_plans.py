@@ -790,3 +790,88 @@ def test_column_lineage_flagship_spot_checks(spark, sf_dir):
     assert lin["customer_name"] == [("customer", "c_name")]
     assert lin["nation"] == [("nation", "n_name")]
     assert lin["recency"] == [("orders", "o_orderdate")]
+
+
+def test_bnlj_scalar_spine_classifier():
+    """Pure-text checks of the BNLJ build-side classifier (ADVICE
+    r08): the scalar aggregate must DOMINATE the build spine, not
+    merely appear somewhere inside it, and 'GlobalLimit 0' must not
+    crash the int() parse."""
+    from idr_data_pipelines_spark.plans.lint import (
+        _bnlj_all_scalar_broadcast,
+    )
+
+    safe = "\n".join([
+        "BroadcastNestedLoopJoin BuildRight, Inner",
+        ":- Project [x#1]",
+        ":  +- FileScan parquet corpus",
+        "+- BroadcastExchange IdentityBroadcastMode",
+        "   +- HashAggregate(keys=[], functions=[max(y#2)])",
+        "      +- FileScan parquet dims",
+    ])
+    assert _bnlj_all_scalar_broadcast(safe) is True
+
+    # the ADVICE shape: a LARGE build side (corpus joined to a scalar
+    # threshold) that merely CONTAINS a nested global aggregate — the
+    # old whole-subtree re.search classified this O(n*m) join as the
+    # safe scalar-append pattern
+    poison = "\n".join([
+        "BroadcastNestedLoopJoin BuildRight, Inner",
+        ":- FileScan parquet probe",
+        "+- BroadcastExchange IdentityBroadcastMode",
+        "   +- Project [big#1, thr#2]",
+        "      +- SortMergeJoin [k#3], [k#4], Inner",
+        "         :- FileScan parquet corpus",
+        "         +- HashAggregate(keys=[], functions=[avg(v#5)])",
+        "            +- FileScan parquet stats",
+    ])
+    assert _bnlj_all_scalar_broadcast(poison) is False
+
+    # ADVICE low: 'GlobalLimit 0' — group(1) is the falsy string '0';
+    # the old `group(1) or group(2)` fell through to None and raised
+    # TypeError inside lint_plan
+    limit0 = "\n".join([
+        "BroadcastNestedLoopJoin BuildRight, Inner",
+        ":- FileScan parquet probe",
+        "+- BroadcastExchange IdentityBroadcastMode",
+        "   +- GlobalLimit 0",
+        "      +- LocalLimit 0",
+        "         +- FileScan parquet dims",
+    ])
+    assert _bnlj_all_scalar_broadcast(limit0) is True
+
+    topk = "\n".join([
+        "BroadcastNestedLoopJoin BuildLeft, Inner",
+        ":- BroadcastExchange IdentityBroadcastMode",
+        ":  +- TakeOrderedAndProject(limit=5, orderBy=[v#1 DESC])",
+        ":     +- FileScan parquet dims",
+        "+- FileScan parquet probe",
+    ])
+    assert _bnlj_all_scalar_broadcast(topk) is True
+
+    # build side is a bare corpus scan: never safe
+    bare = "\n".join([
+        "BroadcastNestedLoopJoin BuildRight, Inner",
+        ":- FileScan parquet probe",
+        "+- BroadcastExchange IdentityBroadcastMode",
+        "   +- FileScan parquet corpus",
+    ])
+    assert _bnlj_all_scalar_broadcast(bare) is False
+
+
+def test_cell_str_collapses_null_flavors():
+    """ADVICE r08 asked for NaN to render distinctly from NULL unless
+    the driver demonstrably collapses them. It does: Spark hands
+    evt_anomaly_stream's null booleans to pandas as object None,
+    DuckDB as object float NaN, and the driver hash-matched that
+    exact frame in r07 — so the local mirror must collapse too, or
+    it false-fails a driver-green query (verified: the distinct-NaN
+    variant flipped exactly that one query across the registry)."""
+    import numpy as np
+
+    from .oracle_harness import _cell_str
+
+    assert _cell_str(float("nan")) == "NULL"
+    assert _cell_str(np.float64("nan")) == "NULL"
+    assert _cell_str(None) == "NULL"
+    assert _cell_str(1.5) == "1.5"

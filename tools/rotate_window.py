@@ -131,6 +131,11 @@ def main() -> None:
     ap.add_argument("--dry-run", action="store_true")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument(
+        "--allow-rows-only",
+        action="store_true",
+        help="permit NO_ORACLE picks (driver records a rows-only row)",
+    )
+    ap.add_argument(
         "--skip-map-budget",
         action="store_true",
         help="skip the per-oracle map-delta gate (profiling takes "
@@ -164,10 +169,21 @@ def main() -> None:
     unknown = [n for n in window if n not in QUERIES]
     assert not unknown, f"not in QUERIES: {unknown}"
     rowsonly = [n for n in window if n in NO_ORACLE]
-    assert not rowsonly, f"NO_ORACLE entries can't be window picks: {rowsonly}"
+    if args.allow_rows_only:
+        # a rows-only driver row is weaker than a hash row but better
+        # than NO row at all: pack_bestfit (greedy bin packing, no SQL
+        # form) is the one entry that can never do better (r10 pick)
+        print(f"# rows-only picks (weaker driver check): {rowsonly}")
+    else:
+        assert not rowsonly, (
+            f"NO_ORACLE entries can't be window picks: {rowsonly} "
+            "(pass --allow-rows-only for a deliberate rows-only row)"
+        )
 
     if not args.skip_map_budget:
-        enforce_map_budget(window, ORACLES, args.sf)
+        enforce_map_budget(
+            [n for n in window if n not in NO_ORACLE], ORACLES, args.sf
+        )
 
     print(f"# planned {args.round} window ({WINDOW} entries):")
     for i in range(0, WINDOW, 5):
