@@ -213,8 +213,12 @@ def _scalar_dominates_spine(lines: list[str], start: int, end: int) -> bool:
             return True
         m = _SMALL_LIMIT_RE.search(line)
         if m is not None:
-            # group(1) may be the falsy string '0' — `or` would fall
-            # through to group(2)=None and TypeError on 'GlobalLimit 0'
+            # explicit None-check, not `group(1) or group(2)`: exactly
+            # one alternative matched, and the is-None form says so
+            # without leaning on string truthiness. (ADVICE r08 feared
+            # 'GlobalLimit 0' would TypeError via the `or` chain; it
+            # would not — '0' is a truthy string — but the explicit
+            # form removes the need to reason about it at all.)
             g = m.group(1) if m.group(1) is not None else m.group(2)
             if int(g) <= 10000:
                 return True

@@ -33,18 +33,7 @@ from datetime import date, datetime
 import duckdb
 import pandas as pd
 
-TABLES = [
-    "region",
-    "nation",
-    "customer",
-    "supplier",
-    "part",
-    "orders",
-    "lineitem",
-    "events",
-    "documents",
-    "embeddings",
-]
+from idr_data_pipelines_spark.driver_contract import create_views
 
 
 def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
@@ -61,10 +50,7 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # operators for the same reason.
     con.execute("SET memory_limit='4GB'")
     con.execute("SET threads=8")
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    create_views(con, sf_dir)
     return con
 
 
@@ -136,6 +122,11 @@ def driver_hash(pdf: pd.DataFrame) -> str:
 
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
     s_pdf = spark_df.toPandas()
+    # re-assert the calibrated cap: a multi-statement oracle that SETs
+    # its own memory_limit (the r09 expr_extract self-cap experiment)
+    # would otherwise leak connection state into every later compare
+    # on this shared connection
+    con.execute("SET memory_limit='4GB'")
     d_pdf = con.execute(sql).df()
     s_cols = list(s_pdf.columns)
     d_cols = list(d_pdf.columns)

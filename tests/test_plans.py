@@ -827,9 +827,10 @@ def test_bnlj_scalar_spine_classifier():
     ])
     assert _bnlj_all_scalar_broadcast(poison) is False
 
-    # ADVICE low: 'GlobalLimit 0' — group(1) is the falsy string '0';
-    # the old `group(1) or group(2)` fell through to None and raised
-    # TypeError inside lint_plan
+    # ADVICE r08 feared 'GlobalLimit 0' would TypeError through the
+    # old `group(1) or group(2)` chain; it would not ('0' is a truthy
+    # string) — this pins that the constant-zero limit parses and
+    # classifies either way
     limit0 = "\n".join([
         "BroadcastNestedLoopJoin BuildRight, Inner",
         ":- FileScan parquet probe",

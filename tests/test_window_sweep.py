@@ -30,6 +30,7 @@ import sys
 
 import pytest
 
+from idr_data_pipelines_spark.driver_contract import WINDOW_MAP_BUDGET
 from idr_data_pipelines_spark.queries import NO_ORACLE, QUERIES
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -46,7 +47,7 @@ def test_staged_window_stays_under_map_budget(tmp_path, sf_med):
             os.path.join(REPO, "tools", "window_sweep.py"),
             "--window", str(names),
             "--sf", sf_med,
-            "--limit-abs", "30000",
+            "--limit-abs", str(WINDOW_MAP_BUDGET),
         ],
         capture_output=True,
         text=True,

@@ -53,7 +53,11 @@ _CHILD = r"""
 import json, sys
 import duckdb
 
-sf_dir, sql = sys.argv[1], sys.stdin.read()
+sf_dir, repo = sys.argv[1], sys.argv[2]
+sys.path.insert(0, repo)
+sql = sys.stdin.read()
+
+from idr_data_pipelines_spark.driver_contract import create_views
 
 
 def n_maps():
@@ -61,13 +65,8 @@ def n_maps():
         return sum(1 for _ in fh)
 
 
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
 con = duckdb.connect()  # deliberately UNCAPPED: driver-faithful
-for t in TABLES:
-    con.execute(
-        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-    )
+create_views(con, sf_dir)
 before = n_maps()
 df = con.execute(sql).df()
 after = n_maps()
@@ -78,9 +77,10 @@ print(json.dumps({"maps_before": before, "maps_after": after,
 
 def profile_one(name: str, sql: str, sf_dir: str, timeout: int = 300) -> dict:
     """Fresh-subprocess map delta for one oracle (judge's method)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     try:
         proc = subprocess.run(
-            [sys.executable, "-c", _CHILD, sf_dir],
+            [sys.executable, "-c", _CHILD, sf_dir, repo],
             input=sql.encode(),
             capture_output=True,
             timeout=timeout,

@@ -57,11 +57,9 @@ def staged_window(names: list[str], oracles: set[str]) -> list[str]:
 # 50 oracles in ONE uncapped process, and retained mmap'd buffer
 # blocks accumulate toward the kernel's vm.max_map_count (65,530).
 # r08 lost 30/50 slots to two oracles that retained +30k/+13.6k
-# mappings at positions 14-15. No single staged oracle may retain
-# more than PER_ORACLE_BUDGET mappings, and the window's cumulative
-# estimate must stay under WINDOW_BUDGET (~half of max_map_count).
-PER_ORACLE_BUDGET = 2000
-WINDOW_BUDGET = 30000
+# mappings at positions 14-15. Budgets live in driver_contract so the
+# staging gate and the CI sweep (tests/test_window_sweep.py) cannot
+# drift apart.
 
 
 def enforce_map_budget(window: list[str], oracles: dict, sf_dir: str) -> None:
@@ -69,7 +67,7 @@ def enforce_map_budget(window: list[str], oracles: dict, sf_dir: str) -> None:
 
     1. per-oracle: fresh-connection map delta (the judge's
        measurement, tools/oracle_map_profile.py) must stay under
-       PER_ORACLE_BUDGET. Healthy oracles land at ~650-1,000 of
+       PER_ORACLE_MAP_BUDGET. Healthy oracles land at ~650-1,000 of
        per-connection churn; the r08 bombs measured 8,900-29,900.
        A heavy entry must be REWRITTEN (unrolled expression chains ->
        list_reduce folds), not re-ordered — ordering only chooses
@@ -77,10 +75,14 @@ def enforce_map_budget(window: list[str], oracles: dict, sf_dir: str) -> None:
     2. window-cumulative: a single-process, window-ordered, UNCAPPED
        sweep (tools/window_sweep.py — exactly what the driver's
        process experiences) must keep live mappings under
-       WINDOW_BUDGET at every position. Fresh-connection deltas do
+       WINDOW_MAP_BUDGET at every position. Fresh-connection deltas do
        NOT sum to this (the ~700 baseline is transient per
        connection); only the sweep's residual accumulation is real.
     """
+    from idr_data_pipelines_spark.driver_contract import (
+        PER_ORACLE_MAP_BUDGET,
+        WINDOW_MAP_BUDGET,
+    )
     from oracle_map_profile import profile_one  # same directory
 
     heavy: dict[str, int] = {}
@@ -88,13 +90,13 @@ def enforce_map_budget(window: list[str], oracles: dict, sf_dir: str) -> None:
         r = profile_one(n, oracles[n], sf_dir)
         if "err" in r:
             sys.exit(f"map-budget profile failed for {n}: {r['err']}")
-        flag = "  <-- HEAVY" if r["delta"] > PER_ORACLE_BUDGET else ""
+        flag = "  <-- HEAVY" if r["delta"] > PER_ORACLE_MAP_BUDGET else ""
         print(f"  map-budget {n:36s} {r['delta']:>6d}{flag}")
-        if r["delta"] > PER_ORACLE_BUDGET:
+        if r["delta"] > PER_ORACLE_MAP_BUDGET:
             heavy[n] = r["delta"]
     if heavy:
         sys.exit(
-            f"REFUSING to stage: oracle map delta over {PER_ORACLE_BUDGET} "
+            f"REFUSING to stage: oracle map delta over {PER_ORACLE_MAP_BUDGET} "
             f"for {heavy} — rewrite these (unrolled expression chains -> "
             "list_reduce folds / narrow MATERIALIZED CTEs) before staging"
         )
@@ -109,7 +111,7 @@ def enforce_map_budget(window: list[str], oracles: dict, sf_dir: str) -> None:
             sys.executable,
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "window_sweep.py"),
             "--window", tmp, "--sf", sf_dir,
-            "--limit-abs", str(WINDOW_BUDGET),
+            "--limit-abs", str(WINDOW_MAP_BUDGET),
         ],
         capture_output=True,
         text=True,
@@ -119,9 +121,9 @@ def enforce_map_budget(window: list[str], oracles: dict, sf_dir: str) -> None:
     if sweep.returncode != 0:
         sys.exit(
             f"REFUSING to stage: single-process sweep failed "
-            f"(budget {WINDOW_BUDGET} live maps)\n{sweep.stderr.rstrip()}"
+            f"(budget {WINDOW_MAP_BUDGET} live maps)\n{sweep.stderr.rstrip()}"
         )
-    print(f"  map-budget OK: sweep peak under {WINDOW_BUDGET}")
+    print(f"  map-budget OK: sweep peak under {WINDOW_MAP_BUDGET}")
 
 
 def main() -> None:
@@ -180,7 +182,9 @@ def main() -> None:
             "(pass --allow-rows-only for a deliberate rows-only row)"
         )
 
-    if not args.skip_map_budget:
+    # dry-run is the documented fast preview — the ~5 min profiling
+    # gate runs only for a rotation that will actually be written
+    if not args.skip_map_budget and not args.dry_run:
         enforce_map_budget(
             [n for n in window if n not in NO_ORACLE], ORACLES, args.sf
         )
@@ -189,6 +193,7 @@ def main() -> None:
     for i in range(0, WINDOW, 5):
         print("  ", window[i : i + 5])
     if args.dry_run:
+        print("# dry-run: map-budget gate SKIPPED (runs on real rotation)")
         return
 
     body = (

@@ -31,7 +31,15 @@ Calibration, measured on this host (max_map_count 65,530):
   allocate block of 32768 bytes (bad allocation)") — the failure
   mode reproduces under this sweep.
 - post-rewrite (list_reduce folds): the full 50-query r09 window
-  peaks at ~2,600 live mappings — 25× under the kernel limit.
+  peaks at ~2,400 live mappings (re-measured after the RESET fix
+  below) — 27× under the kernel limit.
+
+A self-capping oracle (the r09 expr_extract ``SET memory_limit``
+experiment) would leak its cap into every later position on the
+shared connection, quietly re-creating the cap-hides-bombs condition
+this gate exists to remove — so the sweep RESETs memory_limit after
+each oracle, keeping the measurement worst-case uncapped regardless
+of what any one oracle sets.
 
 Usage:
     python tools/window_sweep.py --window tools/r09_window_names.txt
@@ -45,11 +53,6 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
 
 
 def n_maps() -> int:
@@ -80,23 +83,23 @@ def main() -> None:
 
     import duckdb
 
+    from idr_data_pipelines_spark.driver_contract import create_views
     from idr_data_pipelines_spark.queries import ORACLES
 
     with open(args.window) as fh:
         names = [ln.strip() for ln in fh if ln.strip()]
 
-    budget = args.limit_abs or int(max_map_count() * args.limit_frac)
+    if args.limit_abs is not None:
+        budget, basis = args.limit_abs, "absolute"
+    else:
+        budget = int(max_map_count() * args.limit_frac)
+        basis = f"{args.limit_frac:.0%} of {max_map_count()}"
     peak = 0
     failed = False
     con = duckdb.connect()  # ONE uncapped connection: driver-faithful
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{args.sf}/{t}.parquet')"
-        )
+    create_views(con, args.sf)
     print(f"# sweep: {len(names)} oracles, ONE uncapped connection, "
-          f"map budget {budget} "
-          f"({args.limit_frac:.0%} of {max_map_count()}), start {n_maps()}")
+          f"map budget {budget} ({basis}), start {n_maps()}")
     for pos, name in enumerate(names, 1):
         if name not in ORACLES:
             print(f"{pos:3d} {name:36s} SKIP (no oracle)")
@@ -106,6 +109,12 @@ def main() -> None:
             err = None
         except Exception as e:  # noqa: BLE001 — report, keep sweeping
             rows, err = None, repr(e)[:120]
+        # a multi-statement oracle that SETs its own memory_limit (the
+        # r09 expr_extract self-cap experiment) would otherwise leak
+        # connection state and cap every LATER position — turning this
+        # deliberately-uncapped gate into exactly the cap-hides-bombs
+        # condition it exists to remove
+        con.execute("RESET memory_limit")
         live = n_maps()
         peak = max(peak, live)
         over = live > budget
