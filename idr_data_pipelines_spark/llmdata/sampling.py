@@ -35,6 +35,18 @@ from pyspark.sql import functions as F
 _HEX_CHARS = 15
 
 
+def _bucket_from_md5(h: Column, buckets: int) -> Column:
+    """[0, buckets) from an md5 hex column: 60-bit prefix, pmod.
+    The ONE definition of the portable-hash bucket arithmetic —
+    hash_bucket and shuffle_shards both compose it, so the oracle
+    contract (`('0x' || substring(md5(...),1,15))::BIGINT % n`) has a
+    single place to change."""
+    return F.pmod(
+        F.conv(F.substring(h, 1, _HEX_CHARS), 16, 10).cast("bigint"),
+        F.lit(buckets),
+    )
+
+
 def hash_bucket(key: Column | str, buckets: int = 1_000_000, salt: str = "") -> Column:
     """Uniform deterministic bucket in [0, buckets) from md5(salt‖key).
 
@@ -44,10 +56,7 @@ def hash_bucket(key: Column | str, buckets: int = 1_000_000, salt: str = "") -> 
     """
     c = F.col(key) if isinstance(key, str) else key
     h = F.md5(F.concat(F.lit(salt), c.cast("string")))
-    return F.pmod(
-        F.conv(F.substring(h, 1, _HEX_CHARS), 16, 10).cast("bigint"),
-        F.lit(buckets),
-    )
+    return _bucket_from_md5(h, buckets)
 
 
 def sample_hash_mod(
@@ -81,6 +90,11 @@ def split_train_holdout(
     split NEVER changes as the corpus grows, shrinks, or is
     reprocessed — no train/test leakage across runs. (A fresh salt
     defines a fresh, decorrelated split.)"""
+    if not 0.0 <= holdout_fraction <= 1.0:
+        # the siblings (sample_hash_mod, mix_weighted) validate their
+        # fractions; a typo'd 1.5 here would silently label the WHOLE
+        # corpus holdout — the one split error that leaks everything
+        raise ValueError("holdout_fraction must be in [0, 1]")
     threshold = int(holdout_fraction * buckets)
     return df.withColumn(
         split_col,
@@ -316,14 +330,22 @@ def assign_global_ids(
             seen += len(pdf)
             yield pdf
 
-    seqd = parts.mapInPandas(add_seq, seq_schema)
+    # LAZY local checkpoint (no job at construction — the AQE-probe
+    # doctrine) so the counts branch and the final join read the SAME
+    # materialized partitioning. Without it, correctness would hinge
+    # on shuffle-stage reuse: the two consumers re-planning the range
+    # exchange independently can sample DIFFERENT range bounds
+    # (RangePartitioner's reservoir seed derives from the RDD id), and
+    # offsets computed against one partitioning joined to rows from
+    # another silently duplicate/skip ids (r09 review finding). The
+    # checkpoint pins one set of bounds and one sequence pass; its
+    # executor-side footprint is the same order as the shuffle files
+    # the reuse path would have written.
+    seqd = parts.mapInPandas(add_seq, seq_schema).localCheckpoint(eager=False)
 
     # partition sizes come from the SAME mapInPandas frame (max local
-    # seq + 1), not from a separate aggregate over `parts`: column
-    # pruning would give a parts-based counts branch a narrower scan,
-    # a non-identical exchange subtree, and therefore NO shuffle-stage
-    # reuse — this way both branches are canonically equal below the
-    # exchange and AQE shuffles the table once.
+    # seq + 1): both branches now share the checkpointed RDD, so the
+    # table is shuffled and sequenced exactly once.
     counts = seqd.groupBy("__pid").agg((F.max("__seq") + 1).alias("__n"))
     w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
@@ -530,6 +552,18 @@ def pack_sequences_bestfit(
     )
 
     def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n_null = int(pdf[token_col].isna().sum())
+        if n_null:
+            # Arrow hands a nullable long over as float64 + NaN, and
+            # astype('int64') below would die with pandas' opaque
+            # "cannot convert non-finite values" — fail with the
+            # actionable version instead. Silently dropping documents
+            # from a PACKING operator is data loss, not grace.
+            raise ValueError(
+                f"pack_sequences_bestfit: {n_null} rows have null "
+                f"{token_col!r}; every document needs a token count — "
+                "filter or impute upstream"
+            )
         pdf = pdf.sort_values(
             [token_col, id_col], ascending=[False, True]
         ).reset_index(drop=True)
@@ -590,11 +624,11 @@ def shuffle_shards(
         raise ValueError("n_shards must be positive")
     seed = f"{salt}:{epoch}:"
     key = F.col(key_col)
+    # the md5 is computed once and feeds BOTH the shard bucket and the
+    # within-shard order, so compose _bucket_from_md5 on the shared h
+    # rather than calling hash_bucket (which would embed a second md5)
     h = F.md5(F.concat(F.lit(seed), key.cast("string")))
-    shard = F.pmod(
-        F.conv(F.substring(h, 1, _HEX_CHARS), 16, 10).cast("bigint"),
-        F.lit(n_shards),
-    )
+    shard = _bucket_from_md5(h, n_shards)
     out = df.withColumn(shard_col, shard).withColumn("__h", h)
     w = Window.partitionBy(shard_col).orderBy(F.col("__h"), key)
     return out.withColumn(pos_col, F.row_number().over(w)).drop("__h")
@@ -706,13 +740,18 @@ def dsir_logratio_weights(
     order + libm log ulp differ across engines, same discipline as
     ``bigram_logprob_scores``.
 
-    Scale shape: one shingle scan feeds a ``n_buckets``-row
-    conditional aggregate (map-side combined — the ONLY corpus-wide
-    shuffle is by bucket id, bounded by n_buckets keys); totals are a
-    global window over that aggregation-collapsed frame; the
-    log-ratio table (≤ n_buckets rows) broadcasts onto the gram scan,
-    and the per-doc rollup rides the doc key. The corpus text is read
-    once.
+    Scale shape: the classic fit/score TWO-PASS design — pass one
+    shingles the corpus into a ``n_buckets``-row conditional
+    aggregate (map-side combined; the only corpus-wide shuffle is by
+    bucket id, bounded by n_buckets keys) with totals as a global
+    window over that aggregation-collapsed frame; pass two re-scans
+    and re-shingles the corpus, broadcasts the ≤ n_buckets log-ratio
+    table onto it, and rolls up per doc. Two corpus scans is the
+    DELIBERATE trade (r09 review: an earlier docstring claimed "read
+    once", which was wrong): the alternative — persisting the
+    exploded gram frame between passes — caches something LARGER than
+    the input corpus, which loses at 100 TB; re-tokenizing is a map
+    stage that costs no shuffle and no storage.
     """
     from idr_data_pipelines_spark.llmdata.dedup import (
         md5_hash32,

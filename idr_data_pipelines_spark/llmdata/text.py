@@ -47,10 +47,28 @@ _LANG_MARKERS: dict[str, list[str]] = {
 
 
 def _word_hits(c: Column, words: list[str]) -> Column:
-    """Number of marker-word occurrences (word-bounded regex count)."""
+    """Number of marker-word occurrences (word-bounded regex count).
+
+    Words are ``re.escape``d before interpolation: quality_score takes
+    CALLER-supplied stopwords, and an unescaped ``'c++'`` compiles as
+    a possessive quantifier (silently counting runs of 'c') while
+    ``'('`` fails regex compilation at execution time (r09 review).
+    The ``\\b`` anchors are CONDITIONAL on the word's edge characters:
+    ``\\b`` only exists between a word char and a non-word char, so
+    ``\\bc\\+\\+\\b`` can never match "c++ " — a word ending in a
+    non-word char drops the trailing anchor. Plain-alpha words (every
+    built-in ``_LANG_MARKERS`` entry, i.e. every oracle-replayed
+    pattern) produce byte-identical regexes to before."""
+    import re
+
+    def pat(w: str) -> str:
+        lead = r"\b" if w[:1] and (w[0].isalnum() or w[0] == "_") else ""
+        trail = r"\b" if w[-1:] and (w[-1].isalnum() or w[-1] == "_") else ""
+        return lead + re.escape(w) + trail
+
     total = F.lit(0)
     for w in words:
-        total = total + F.size(F.regexp_extract_all(c, F.lit(rf"\b{w}\b"), 0))
+        total = total + F.size(F.regexp_extract_all(c, F.lit(pat(w)), 0))
     return total
 
 

@@ -29,12 +29,46 @@ from pyspark.sql.types import StructType
 def _is_missing_path_error(exc: Exception) -> bool:
     """True iff ``exc`` is Spark's missing-input-path AnalysisException.
 
-    Spark >= 3.4 raises the ``PATH_NOT_FOUND`` error class; older
-    Sparks phrase the same condition as "Path does not exist" (r4/r5
-    ADVICE). Matched on the message because the error-class accessor
-    does not exist on the older exceptions."""
+    Matched on the MESSAGE, not the error-class accessor: Spark 3.4+
+    tags the condition ``PATH_NOT_FOUND`` while some DSv2/file-index
+    paths still phrase it "Path does not exist", and the message check
+    covers both. (This module requires pyspark >= 3.4 regardless —
+    the ``pyspark.errors`` import below does not exist earlier — so
+    the second pattern is message-format robustness, not an
+    old-version compatibility path.)"""
     msg = str(exc)
     return "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+
+
+def _drain_foreach_batch(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    checkpoint_dir: str,
+    apply_fn,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """THE availableNow drain: read every currently-available file
+    under ``path``, run ``apply_fn(batch_df, batch_id)`` per
+    micro-batch via ``foreachBatch``, checkpoint as the ack ledger,
+    stop when drained. One definition (r09 review: this block was
+    previously copy-pasted across six drains — a fix to the
+    reader/trigger plumbing had six places to miss).
+    ``max_files_per_trigger`` forces genuinely multiple micro-batches
+    under availableNow, which is how the stateful drains exercise
+    (and their oracles then prove) batching-independence."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.load(path)
+        .writeStream.foreachBatch(apply_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
 
 def drain_available_now(
@@ -52,11 +86,6 @@ def drain_available_now(
     processed twice, even across restarts — stronger than the
     reference's at-least-once pull loop).
     """
-    stream = (
-        spark.readStream.format(fmt)
-        .schema(schema)
-        .load(path)
-    )
     # foreachBatch (not the memory sink) because only it supports
     # resuming from an existing checkpoint — the ack-ledger semantics
     # this operator exists for. Batches land in a per-drain staging
@@ -72,13 +101,7 @@ def drain_available_now(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 
-    q = (
-        stream.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    _drain_foreach_batch(spark, path, schema, checkpoint_dir, _sink, fmt)
     # "never wrote anything" (an inbox with zero messages) must yield
     # the empty view; any other read error propagates. Probed by
     # attempting the read and catching PATH_NOT_FOUND — public API
@@ -117,18 +140,11 @@ def republish(
     batch_id-deterministic subdirectory of ``dest_path``, so a batch
     replayed after a failure between write and checkpoint commit
     replaces its previous output rather than appending a duplicate."""
-    stream = spark.readStream.format(fmt).schema(schema).load(path)
 
     def _publish(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(f"{dest_path}/batch={batch_id}")
 
-    q = (
-        stream.writeStream.foreachBatch(_publish)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    _drain_foreach_batch(spark, path, schema, checkpoint_dir, _publish, fmt)
 
 
 def handle_event(
@@ -166,7 +182,14 @@ def handle_event(
     import base64
     import json
 
-    raw = base64.b64decode(payload_b64).decode("utf-8")
+    try:
+        raw = base64.b64decode(payload_b64).decode("utf-8")
+    except (ValueError, UnicodeDecodeError):
+        # binascii.Error (a ValueError) on malformed base64; raw bytes
+        # that aren't UTF-8 fail the decode — the never-crash contract
+        # below starts at the TRANSPORT layer, not just literal_eval,
+        # so both degrade to an audit row wrapping the b64 input
+        raw = payload_b64
     try:
         event = ast.literal_eval(raw)
         if not isinstance(event, dict):
@@ -255,6 +278,8 @@ def sessionize_stream(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_minutes: int = 30,
+    idle_timeout_minutes: int | None = None,
+    watermark_delay: str = "10 minutes",
 ) -> DataFrame:
     """Streaming gap-based sessionization — the stateful form of
     ``sessionize`` (applyInPandasWithState).
@@ -264,20 +289,35 @@ def sessionize_stream(
     events are folded into it in timestamp order, and every session
     *closed* by a later event is emitted. The open session stays in
     state across micro-batches — exactly-once session emission without
-    re-reading history, which is what makes this run forever on an
-    unbounded stream (state size = O(active users), not O(events)).
+    re-reading history.
 
-    Determinism contract: when events arrive in event-time order
-    ACROSS micro-batches (within a batch any order is fine — the fold
-    sorts), the emitted rows are precisely "every session except each
-    user's currently-open (last) one", with the same numbering as
-    batch ``sessionize`` — so a SQL oracle exists even though the
-    operator is stateful. A cross-batch straggler that lands within
-    ``gap_minutes`` of the open session's max joins it (end time never
-    moves backwards); one older than that is treated as session-less
-    history and merged rather than re-splitting already-emitted
-    sessions — bound straggler age upstream (e.g. drop rows older than
-    a watermark before calling) if that matters.
+    State-size contract (be precise, this is the 100 TB axis): with
+    the default ``idle_timeout_minutes=None`` the state is
+    O(distinct users EVER SEEN), not O(active users) — no eviction,
+    and a departed user's final session is never emitted. That is the
+    right mode for drains and for the oracle below, and wrong for a
+    forever-running production stream over a churning key space.
+    Passing ``idle_timeout_minutes`` switches to EventTimeTimeout: a
+    watermark (``watermark_delay``) is attached to ``ts_col``, and a
+    user idle past ``gap_minutes + idle_timeout_minutes`` of event
+    time has their open session EMITTED (it is genuinely closed — no
+    in-gap event can still arrive once the watermark passed the gap)
+    and their state REMOVED. State becomes O(users active within the
+    timeout horizon) and every session is eventually emitted exactly
+    once.
+
+    Determinism contract (default mode): when events arrive in
+    event-time order ACROSS micro-batches (within a batch any order is
+    fine — the fold sorts), the emitted rows are precisely "every
+    session except each user's currently-open (last) one", with the
+    same numbering as batch ``sessionize`` — so a SQL oracle exists
+    even though the operator is stateful. In timeout mode the emitted
+    set additionally includes timed-out final sessions, whose timing
+    depends on watermark advancement (batch boundaries) — parity
+    checks should use the default mode. A cross-batch straggler that
+    lands within ``gap_minutes`` of the open session's max joins it
+    (end time never moves backwards); one older than that is merged
+    rather than re-splitting already-emitted sessions.
 
     Returns (user, session_id, start_us, end_us, n_events) with
     timestamps as epoch-microsecond BIGINTs.
@@ -306,7 +346,22 @@ def sessionize_stream(
         ]
     )
 
+    idle_us = (
+        idle_timeout_minutes * 60 * 1_000_000
+        if idle_timeout_minutes is not None
+        else None
+    )
+    cols = [user_col, "session_id", "start_us", "end_us", "n_events"]
+
     def fold(key, pdfs, state: "GroupState"):
+        if idle_us is not None and state.hasTimedOut:
+            # the watermark passed last + gap (+ idle): no event can
+            # legally extend this session any more — flush it and free
+            # the user's state slot
+            last, start, n, seq = state.get
+            state.remove()
+            yield pd.DataFrame([(key[0], seq, start, last, n)], columns=cols)
+            return
         ts = []
         for pdf in pdfs:
             # null timestamps carry no event-time information — skip
@@ -341,16 +396,33 @@ def sessionize_stream(
             # upstream watermark if stragglers can be arbitrarily old.
             last = t if last is None else max(last, t)
         state.update((last, start, n, seq))
-        yield pd.DataFrame(
-            closed,
-            columns=[user_col, "session_id", "start_us", "end_us", "n_events"],
-        )
+        if idle_us is not None and last is not None:
+            # epoch-ms deadline: fires once the WATERMARK (not wall
+            # clock) passes it, so replays are deterministic
+            state.setTimeoutTimestamp((last + gap_us + idle_us) // 1000)
+        yield pd.DataFrame(closed, columns=cols)
 
-    prepped = events.select(
-        F.col(user_col), F.unix_micros(F.col(ts_col)).alias("__ts_us")
+    if idle_us is not None:
+        events = events.withWatermark(ts_col, watermark_delay)
+        # the WATERMARKED column itself must survive the projection —
+        # Spark rejects EventTimeTimeout if the event-time attribute
+        # was projected away before the stateful operator
+        prepped = events.select(
+            F.col(user_col),
+            F.unix_micros(F.col(ts_col)).alias("__ts_us"),
+            F.col(ts_col),
+        )
+    else:
+        prepped = events.select(
+            F.col(user_col), F.unix_micros(F.col(ts_col)).alias("__ts_us")
+        )
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout
+        if idle_us is not None
+        else GroupStateTimeout.NoTimeout
     )
     return prepped.groupBy(user_col).applyInPandasWithState(
-        fold, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        fold, out_schema, state_schema, "append", timeout
     )
 
 
@@ -692,20 +764,10 @@ def cdc_upsert_drain(
             merged = _latest(existing.unionByName(merged))
         _state_commit(merged, dim_dir)
 
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        # force genuinely multiple micro-batches under availableNow —
-        # exercises (and the oracle then proves) the merge's
-        # batching-independence
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    q = (
-        reader.parquet(path)
-        .writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    _drain_foreach_batch(
+        spark, path, schema, checkpoint_dir, _apply,
+        max_files_per_trigger=max_files_per_trigger,
     )
-    q.awaitTermination()
     out = _state_read(spark, dim_dir, schema)
     if out is None:  # zero-message inbox: empty dimension
         return spark.createDataFrame([], schema)
@@ -806,17 +868,10 @@ def topk_stream_drain(
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         _topk_merge_batch(batch_df, batch_id, state_dir, state_schema, key_cols)
 
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    q = (
-        reader.parquet(path)
-        .writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    _drain_foreach_batch(
+        spark, path, schema, checkpoint_dir, _apply,
+        max_files_per_trigger=max_files_per_trigger,
     )
-    q.awaitTermination()
     counts = _state_read(spark, state_dir, state_schema)
     if counts is None:  # zero-message inbox
         counts = spark.createDataFrame([], state_schema)
@@ -879,17 +934,10 @@ def distinct_stream_drain(
             )
         _state_commit(partial, state_dir)
 
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    q = (
-        reader.parquet(path)
-        .writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    _drain_foreach_batch(
+        spark, path, schema, checkpoint_dir, _apply,
+        max_files_per_trigger=max_files_per_trigger,
     )
-    q.awaitTermination()
     state = _state_read(spark, state_dir, state_schema)
     if state is None:  # zero-message inbox
         state = spark.createDataFrame([], state_schema)
@@ -952,17 +1000,10 @@ def distinct_stream_drain_md5(
             )
         _state_commit(partial, state_dir)
 
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger is not None:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    q = (
-        reader.parquet(path)
-        .writeStream.foreachBatch(_apply)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    _drain_foreach_batch(
+        spark, path, schema, checkpoint_dir, _apply,
+        max_files_per_trigger=max_files_per_trigger,
     )
-    q.awaitTermination()
     state = _state_read(spark, state_dir, state_schema)
     if state is None:  # zero-message inbox
         state = spark.createDataFrame([], state_schema)

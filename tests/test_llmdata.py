@@ -396,8 +396,12 @@ def test_count_min_topk_finds_heavy_hitters(spark):
 
 def test_assign_global_ids_contiguous_and_partition_invariant(spark):
     """Ids are exactly 0..N−1, ordered by the key, and identical
-    whatever the input partitioning; the table is range-shuffled once
-    (the counts branch reuses the data branch's exchange)."""
+    whatever the input partitioning; the table is range-shuffled and
+    sequenced exactly once — both branches read the CHECKPOINTED
+    frame (r09 review: the previous design relied on AQE shuffle
+    reuse, and two independent executions of repartitionByRange can
+    sample different range bounds — RangePartitioner's seed derives
+    from the RDD id — silently corrupting ids)."""
     from idr_data_pipelines_spark.llmdata.sampling import assign_global_ids
 
     df = spark.range(0, 5000).select((F.col("id") * 7 % 10007).alias("k"))
@@ -408,11 +412,13 @@ def test_assign_global_ids_contiguous_and_partition_invariant(spark):
     assert [r["global_id"] for r in by_key] == list(range(5000))
     out2 = assign_global_ids(df.repartition(13), "k", num_partitions=8)
     assert sorted(map(tuple, out2.collect())) == sorted(map(tuple, rows))
-    # one table shuffle: the counts branch's range exchange must be a
-    # runtime ReusedExchange of the data branch's (AQE stage reuse)
+    # both consumers read the one materialized partitioning: the final
+    # plan scans the checkpoint RDD and contains NO range exchange of
+    # its own (the range shuffle ran once, inside the checkpoint)
     plan = out._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
-    assert "ReusedExchange" in final, final
+    assert "Scan ExistingRDD" in final, final
+    assert "rangepartitioning" not in final, final
 
 
 def test_misra_gries_bounds_and_hitters(spark):
@@ -1786,3 +1792,51 @@ def test_matryoshka_prefix_unit_norm(spark):
     assert got[0].val_r == 0.6 and got[1].val_r == 0.8
     assert abs(got[0].norm_frac_r - 5.0 / 13.0) < 1e-6
     assert set(got) == {0, 1}
+
+
+def test_split_train_holdout_rejects_bad_fraction(spark):
+    """r09 review: a typo'd fraction (1.5, -0.1) must raise, not
+    silently label the whole corpus holdout/train."""
+    import pytest as _pytest
+
+    from idr_data_pipelines_spark.llmdata.sampling import split_train_holdout
+
+    df = spark.range(5).withColumnRenamed("id", "k")
+    for bad in (1.5, -0.1):
+        with _pytest.raises(ValueError, match="holdout_fraction"):
+            split_train_holdout(df, "k", holdout_fraction=bad)
+
+
+def test_quality_score_escapes_stopword_metachars(spark):
+    """r09 review: caller-supplied stopwords are regex-escaped — 'c++'
+    must count literal occurrences (not compile as a quantifier) and
+    '(' must not break pattern compilation."""
+    from idr_data_pipelines_spark.llmdata.text import quality_score
+
+    df = spark.createDataFrame(
+        [("we love c++ and c++ but not ccc ( really",)], ["text"]
+    )
+    cols = quality_score("text", stopwords=["c++", "("])
+    row = df.select(
+        *[v.alias(k) for k, v in cols.items()]
+    ).collect()[0]
+    # 10 whitespace tokens; hits = 2 literal 'c++' + 1 literal '('
+    # (non-word edge chars drop the \b anchor that could never match)
+    assert row["n_tokens"] == 10
+    assert abs(row["stopword_ratio"] - 0.3) < 1e-9
+
+
+def test_pack_bestfit_null_tokens_loud_error(spark):
+    """r09 review: a null token count must fail with an actionable
+    message, not pandas' opaque non-finite cast error."""
+    import pytest as _pytest
+
+    from idr_data_pipelines_spark.llmdata.sampling import pack_sequences_bestfit
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, None)], "doc_id long, n_tokens long"
+    )
+    with _pytest.raises(Exception, match="null 'n_tokens'"):
+        pack_sequences_bestfit(
+            df, "n_tokens", "doc_id", max_tokens=100
+        ).collect()

@@ -137,6 +137,15 @@ NAMES = [
     "evt_user_activity_entropy",
     # exact decimal CUPED moments, fixed-order theta/rho algebra
     "evt_ab_cuped",
+    # r09 window additions (first driver exposure): rounded ADC fold
+    # sums + recall ratios (ivfpq pair), e6 fixed-point absorption
+    # (markov), exact e6 cell moments (did), LSH-cluster min-label
+    # closure feeding the split hash (cluster-safe split)
+    "ann_ivfpq_recall",
+    "ann_topk_ivfpq",
+    "evt_attribution_markov",
+    "evt_did_readout",
+    "split_cluster_safe",
 ]
 
 

@@ -754,3 +754,95 @@ def test_event_transitions_counts_and_probs(spark):
     assert got[("b", "a")] == (1, 0.5)
     assert got[("b", "b")] == (1, 0.5)
     assert ("b", None) not in got and len(got) == 3
+
+
+def test_sessionize_stream_idle_timeout_flushes_and_evicts(spark, tmp_path):
+    """EventTimeTimeout mode (review r09): a user idle past
+    gap+idle_timeout of EVENT time gets their open session emitted
+    (it is genuinely closed — the watermark passed the gap) and their
+    state evicted, making state O(users active within the horizon)
+    instead of O(users ever seen). Default mode must NOT emit it."""
+    import os
+    import time as _time
+
+    inbox = str(tmp_path / "inbox")
+    os.makedirs(inbox)
+
+    def write_file(rows):
+        df = spark.createDataFrame(rows, ["user_id", "ts_str"]).select(
+            "user_id", F.to_timestamp("ts_str").alias("ts")
+        )
+        df.coalesce(1).write.mode("append").parquet(inbox)
+        _time.sleep(1.1)  # distinct mtimes → deterministic file order
+
+    # user 1: two events, then gone forever. user 9: keeps the stream
+    # (and the watermark) moving, hours past user 1's gap+idle.
+    write_file([(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:05:00"),
+                (9, "2024-01-01 10:00:00")])
+    write_file([(9, "2024-01-01 20:00:00")])   # watermark -> ~19:59
+    write_file([(9, "2024-01-01 20:01:00")])   # timeout fires here
+
+    schema = spark.read.parquet(inbox).schema
+
+    def drain(name, **kw):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inbox)
+        )
+        out = sessionize_stream(stream, "user_id", "ts", gap_minutes=30, **kw)
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(name).collect()
+
+    flushed = drain(
+        "sess_idle", idle_timeout_minutes=30, watermark_delay="1 minutes"
+    )
+    by_user = {(r["user_id"], r["session_id"]): r for r in flushed}
+    # user 1's single (open) session was flushed by the timeout with
+    # the exact fold numbers
+    r = by_user[(1, 1)]
+    us = lambda s: int(  # noqa: E731
+        spark.sql(f"SELECT unix_micros(TIMESTAMP '{s}')").collect()[0][0]
+    )
+    assert r["start_us"] == us("2024-01-01 10:00:00")
+    assert r["end_us"] == us("2024-01-01 10:05:00")
+    assert r["n_events"] == 2
+    # user 9's second session (20:00-20:01) is still open and its
+    # timeout deadline (last+gap+idle) is beyond the final watermark:
+    # not emitted — eviction only fires when the session is provably
+    # closed. Session 1 (closed by the 20:00 event) was emitted.
+    assert (9, 1) in by_user
+    assert (9, 2) not in by_user
+
+    # default (drain-parity) mode: user 1's open session is NOT
+    # emitted — only sessions closed by a later event are
+    plain = drain("sess_plain")
+    assert (1, 1) not in {(r["user_id"], r["session_id"]) for r in plain}
+
+
+def test_handle_event_transport_layer_never_crashes(spark):
+    """r09 review: the never-crash contract starts at the TRANSPORT
+    layer — malformed base64 and valid-base64-but-not-UTF-8 payloads
+    must degrade to an audit row, not raise out of the handler."""
+    import base64
+
+    from idr_data_pipelines_spark.streaming import handle_event
+
+    spark.sql("DROP TABLE IF EXISTS evt_audit_t")
+    # invalid base64 (odd length, non-alphabet chars)
+    ev1 = handle_event(spark, "a!!!@", "evt_audit_t")
+    assert ev1 == {"raw": "a!!!@"}
+    # valid base64 of bytes that are not UTF-8
+    bad_utf8 = base64.b64encode(b"\xff\xfe\xfd").decode()
+    ev2 = handle_event(spark, bad_utf8, "evt_audit_t")
+    assert ev2 == {"raw": bad_utf8}
+    assert len(spark.table("evt_audit_t").collect()) == 2
+    spark.sql("DROP TABLE IF EXISTS evt_audit_t")
