@@ -45,6 +45,38 @@ def benchmark_ngrams(
     )
 
 
+def _exploded_ngrams(corpus, id_col, text_col, k):
+    """(id, n_ngrams, ngram) — one row per document n-gram, each row
+    carrying its document's total. The ONE corpus-side explode both
+    scorers run (r09 review: previously copy-pasted in exact + bloom,
+    where the documented "final counts are IDENTICAL" contract was
+    enforced by nothing structural)."""
+    return corpus.select(
+        F.col(id_col), word_shingles(text_col, k).alias("__ngrams")
+    ).select(
+        id_col,
+        F.size("__ngrams").alias("n_ngrams"),
+        F.explode_outer("__ngrams").alias("ngram"),
+    )
+
+
+def _contam_rollup(marked: DataFrame, id_col: str) -> DataFrame:
+    """Doc-keyed contamination rollup over hit-marked n-gram rows
+    (``__hit`` non-null on benchmark matches) — the shared scoring
+    contract of the exact and bloom operators."""
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.max("n_ngrams").alias("n_ngrams"),
+            F.count("__hit").alias("n_matched"),
+        )
+        .withColumn(
+            "contam_ratio",
+            F.col("n_matched").cast("double") / F.col("n_ngrams").cast("double"),
+        )
+    )
+
+
 def contamination_scores(
     corpus: DataFrame,
     bench: DataFrame,
@@ -75,25 +107,8 @@ def contamination_scores(
     if broadcast_bench:
         ngrams = F.broadcast(ngrams)
 
-    exploded = corpus.select(
-        F.col(id_col), word_shingles(text_col, k).alias("__ngrams")
-    ).select(
-        id_col,
-        F.size("__ngrams").alias("n_ngrams"),
-        F.explode_outer("__ngrams").alias("ngram"),
-    )
-    return (
-        exploded.join(ngrams, "ngram", "left")
-        .groupBy(id_col)
-        .agg(
-            F.max("n_ngrams").alias("n_ngrams"),
-            F.count("__hit").alias("n_matched"),
-        )
-        .withColumn(
-            "contam_ratio",
-            F.col("n_matched").cast("double") / F.col("n_ngrams").cast("double"),
-        )
-    )
+    exploded = _exploded_ngrams(corpus, id_col, text_col, k)
+    return _contam_rollup(exploded.join(ngrams, "ngram", "left"), id_col)
 
 
 def decontaminate(
@@ -116,7 +131,11 @@ def decontaminate(
         corpus, bench, id_col, text_col, k, broadcast_bench
     )
     bad = scores.filter(F.col("contam_ratio") > F.lit(max_ratio)).select(id_col)
-    return corpus.join(F.broadcast(bad) if broadcast_bench else bad, id_col, "left_anti")
+    # the contaminated id set is corpus-derived and small no matter
+    # how big the BENCHMARK is (broadcast_bench only governs the
+    # n-gram join) — hint it unconditionally so the surviving 99%+ of
+    # the corpus never shuffles (r09 review)
+    return corpus.join(F.broadcast(bad), id_col, "left_anti")
 
 
 # ------------------------------------------------ Bloom-filter variant
@@ -159,6 +178,10 @@ def bloom_bitmap(
     ``n_bits = 2^30`` (≤ 16.7M word rows at full saturation — at that
     density grow n_bits instead). NULL inputs hash to NULL positions
     and are dropped: a NULL key never matches an exact join."""
+    if n_bits % 8:
+        # validate BEFORE the cluster-side aggregation: failing after
+        # the full explode/bit_or/collect wastes an entire Spark job
+        raise ValueError("n_bits must be a multiple of 8")
     words = (
         ngrams.select(
             F.explode(bloom_positions(F.col(col), n_bits, n_hashes)).alias("p")
@@ -172,8 +195,6 @@ def bloom_bitmap(
         .agg(F.expr("bit_or(b)").alias("bits"))
         .collect()
     )
-    if n_bits % 8:
-        raise ValueError("n_bits must be a multiple of 8")
     bm = np.zeros(n_bits >> 3, dtype=np.uint8)
     if words:
         idx = np.array([r["w"] for r in words], dtype=np.int64)
@@ -245,32 +266,17 @@ def contamination_scores_bloom(
     bbm = corpus.sparkSession.sparkContext.broadcast(bm)
     might_contain = make_bloom_probe(bbm)
 
-    exploded = corpus.select(
-        F.col(id_col), word_shingles(text_col, k).alias("__ngrams")
-    ).select(
-        id_col,
-        F.size("__ngrams").alias("n_ngrams"),
-        F.explode_outer("__ngrams").alias("ngram"),
-    )
-    flagged = exploded.withColumn(
+    flagged = _exploded_ngrams(corpus, id_col, text_col, k).withColumn(
         "__cand", might_contain(bloom_positions(F.col("ngram"), n_bits, n_hashes))
     )
     verify = F.broadcast(
         bench_ng.select(F.col("ngram").alias("__bng")).withColumn("__hit", F.lit(1))
     )
-    return (
+    return _contam_rollup(
         flagged.join(
             verify,
             (F.col("ngram") == F.col("__bng")) & F.col("__cand"),
             "left",
-        )
-        .groupBy(id_col)
-        .agg(
-            F.max("n_ngrams").alias("n_ngrams"),
-            F.count("__hit").alias("n_matched"),
-        )
-        .withColumn(
-            "contam_ratio",
-            F.col("n_matched").cast("double") / F.col("n_ngrams").cast("double"),
-        )
+        ),
+        id_col,
     )

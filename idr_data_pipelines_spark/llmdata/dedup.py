@@ -1067,8 +1067,15 @@ def simhash_signatures(
         F.col(id_col).alias("id"),
         F.transform(toks, lambda t: F.xxhash64(t)).alias("__th"),
     )
+    # AQE-safe probe (r09 review: this site still used the raw
+    # `.rdd.getNumPartitions()`, which finalizes the adaptive plan and
+    # EXECUTES upstream stages at plan-construction time — the exact
+    # pathology _candidate_docs documents — and has no Spark Connect
+    # surface). The shared probe only answers for exchange-free scans;
+    # an exchange-bearing input is already parallel enough.
+    n_scan = _scan_partitions_or_none(prepped)
     target = df.sparkSession.sparkContext.defaultParallelism
-    if prepped.rdd.getNumPartitions() < max(2, target // 2):
+    if n_scan is not None and n_scan < max(2, target // 2):
         prepped = prepped.repartition(target)
     out_schema = StructType(
         [
@@ -1304,9 +1311,14 @@ def connected_components(
     100 TB corpus with chain-shaped dup runs. Each iteration is two
     shuffles (neighbor-min aggregate, shortcut self-join); the label
     frame is ``localCheckpoint``-ed per round to cut the growing
-    lineage, and convergence is detected with a single-row sum action
-    (labels only decrease, so the sum strictly decreases iff anything
-    changed).
+    lineage, and convergence is detected by probing for ANY changed
+    label: each iteration carries its starting label alongside the
+    new one, so the probe is a shuffle-free limit-1 filter over the
+    just-checkpointed frame. A sum-of-labels probe (the pre-r09 form)
+    is wrong twice over: string vertex ids crash the cast under ANSI
+    (or, ANSI off, sum→null silently reports instant convergence =
+    no clustering at all), and xxhash64-derived long ids can overflow
+    the sum mid-run (r09 review, verified live on both).
 
     An iterative driver loop — NOT expressible as one Catalyst plan —
     but each step is a distributed DataFrame op; the driver only ever
@@ -1322,8 +1334,7 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("component")).first()[0]
-    if prev_sum is None:  # no edges → no vertices
+    if labels.isEmpty():  # no edges → no vertices
         return labels
     converged = False
     # max_iter bounds the label-CHANGING iterations; convergence is
@@ -1336,8 +1347,14 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("nbr_min"))
         )
+        # carry the iteration's STARTING label through as __prev so
+        # the convergence probe is a shuffle-free limit-1 filter scan
+        # of the checkpointed frame — no old⋈new join, and no sum()
+        # of label values (which crashes/overflows/no-ops on
+        # string-or-hash ids, r09 review)
         prop = labels.join(nbr_min, labels["id"] == nbr_min["a"], "left").select(
             labels["id"],
+            labels["component"].alias("__prev"),
             F.least(
                 F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
             ).alias("component"),
@@ -1347,14 +1364,19 @@ def connected_components(
         l, r = prop.alias("l"), prop.alias("r")
         doubled = l.join(r, F.col("l.component") == F.col("r.id"), "left").select(
             F.col("l.id").alias("id"),
+            F.col("l.__prev").alias("__prev"),
             F.coalesce(F.col("r.component"), F.col("l.component")).alias("component"),
         )
-        labels = doubled.localCheckpoint(eager=True)
-        new_sum = labels.agg(F.sum("component")).first()[0]
-        if new_sum == prev_sum:
+        stepped = doubled.localCheckpoint(eager=True)
+        labels = stepped.drop("__prev")
+        changed = (
+            stepped.filter(F.col("component") != F.col("__prev"))
+            .limit(1)
+            .count()
+        )
+        if not changed:
             converged = True
             break
-        prev_sum = new_sum
     if not converged:
         # partially-propagated labels would silently split true
         # clusters into multiple survivors downstream — refuse to

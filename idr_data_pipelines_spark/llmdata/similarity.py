@@ -155,7 +155,13 @@ def _lsh_bucket_table(
             StructField("bucket", LongType()),
         ]
     )
-    prepped = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("__vec"))
+    # null embeddings can't be bucketed/assigned and would crash the
+    # numpy batch (np.stack over a batch containing None — r09 review,
+    # verified live); exclude them, matching the minhash family's
+    # null-signature filter and covariance_scaled's existing guard
+    prepped = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("__vec")
+    )
     return prepped.mapInPandas(assign, schema)
 
 
@@ -296,7 +302,13 @@ def _int_lsh_bucket_table(
             StructField("bucket", LongType()),
         ]
     )
-    prepped = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("__vec"))
+    # null embeddings can't be bucketed/assigned and would crash the
+    # numpy batch (np.stack over a batch containing None — r09 review,
+    # verified live); exclude them, matching the minhash family's
+    # null-signature filter and covariance_scaled's existing guard
+    prepped = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("__vec")
+    )
     return prepped.mapInPandas(assign, schema)
 
 
@@ -392,7 +404,11 @@ def _assign_centroids(
             StructField("centroid_id", IntegerType()),
         ]
     )
-    prepped = df.select(
+    # null embeddings can't be bucketed/assigned and would crash the
+    # numpy batch (np.stack over a batch containing None — r09 review,
+    # verified live); exclude them, matching the minhash family's
+    # null-signature filter and covariance_scaled's existing guard
+    prepped = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("__vec")
     )
     return prepped.mapInPandas(assign, schema)
@@ -416,7 +432,8 @@ def ivf_centroids(
     from pyspark.sql.types import ArrayType, DoubleType, IntegerType, StructField, StructType
 
     seed_rows = (
-        corpus.select(
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(
             _as_double(vec_col).alias("v"),
             F.xxhash64(F.col(id_col).cast("string")).alias("h"),
         )
@@ -567,8 +584,13 @@ def embedding_near_dup_pairs_grouped(
             {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosine": cos[ia, ib][keep]}
         )
 
-    return df.select(id_col, vec_col, block_col).groupBy(block_col).applyInPandas(
-        block_pairs, out_schema
+    # null embeddings would crash np.stack in the block fold (r09
+    # review); they cannot be near anything — exclude
+    return (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col, block_col)
+        .groupBy(block_col)
+        .applyInPandas(block_pairs, out_schema)
     )
 
 
@@ -643,11 +665,21 @@ def fixed_seed_centroid_rows(
             .collect()
         ),
     )
-    if len(cent_rows) < n_centroids:
+    # the IVF-PQ ADC lookup is POSITIONAL (element_at(adc, code+1)),
+    # so the seed must be exactly the contiguous unique ids 0..n-1 —
+    # a row-count check alone lets duplicate or gapped ids through,
+    # silently mis-scoring (dup) or raising INVALID_ARRAY_INDEX (gap)
+    # at query time (r09 review)
+    ids = [cid for cid, _ in cent_rows]
+    if ids != list(range(n_centroids)):
         raise ValueError(
-            f"corpus has only {len(cent_rows)} rows with {id_col} < "
-            f"{n_centroids}; the fixed-centroid seed needs all of them"
+            f"fixed-centroid seed needs ids exactly 0..{n_centroids - 1}; "
+            f"got {ids[:8]}{'...' if len(ids) > 8 else ''} "
+            "(duplicate or gapped ids break the positional code lookup)"
         )
+    missing = [cid for cid, v in cent_rows if v is None]
+    if missing:
+        raise ValueError(f"seed rows {missing} have null {vec_col}")
     return cent_rows
 
 
@@ -929,11 +961,19 @@ def quantize_unit_vec(vec: Column, bits: int = 7) -> Column:
     4× smaller than float32 (16× vs float64) — at 100 TB of embeddings
     that is the difference between an in-memory scan and a disk-bound
     one; bandwidth, not FLOPs, bounds brute-force ANN."""
+    from idr_data_pipelines_spark.llmdata.dedup import _let
+
     scale = float((1 << bits) - 1)
-    n = norm(vec)
-    return F.transform(
-        vec,
-        lambda x: F.round(x.cast("double") / n * F.lit(scale)).cast("int"),
+    # _let-bind the norm: referenced inside the per-element transform
+    # lambda, an unbound norm fold is re-evaluated for EVERY component
+    # — O(d²) interpreted ops per row on the quantized-scan hot path
+    # (r09 review; _let's docstring describes exactly this pathology)
+    return _let(
+        norm(vec),
+        lambda n: F.transform(
+            vec,
+            lambda x: F.round(x.cast("double") / n * F.lit(scale)).cast("int"),
+        ),
     )
 
 
@@ -1178,9 +1218,11 @@ def pq_assign_fixed(
                     )
                 yield pd.concat(parts, ignore_index=True)
 
-        out = corpus.select(
-            F.col(id_col), _as_double(vec_col).alias("__v")
-        ).mapInPandas(assign, out_schema)
+        out = (
+            corpus.filter(F.col(vec_col).isNotNull())
+            .select(F.col(id_col), _as_double(vec_col).alias("__v"))
+            .mapInPandas(assign, out_schema)
+        )
         return out.select(
             id_col,
             "subspace",
@@ -1235,10 +1277,14 @@ def pq_assign_fixed(
             )
         )
     # all subspaces in ONE corpus scan: the 1→n_subspaces fan-out is a
-    # bounded explode of a projection, not n_subspaces input passes
-    return corpus.select(
-        F.col(id_col), F.explode(F.array(*per_sub)).alias("pq")
-    ).select(id_col, "pq.subspace", "pq.code", "pq.dist_r")
+    # bounded explode of a projection, not n_subspaces input passes.
+    # Same null contract as the Arrow twin (rows with null vectors are
+    # excluded, not emitted with null codes).
+    return (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col), F.explode(F.array(*per_sub)).alias("pq"))
+        .select(id_col, "pq.subspace", "pq.code", "pq.dist_r")
+    )
 
 
 def _pq_codebook_expr(
@@ -1389,9 +1435,11 @@ def ivfpq_topk_fixed(
                     }
                 )
 
-        inv = corpus.select(
-            F.col(id_col), v.alias("__v")
-        ).mapInPandas(build_index, out_schema)
+        inv = (
+            corpus.filter(F.col(vec_col).isNotNull())
+            .select(F.col(id_col), v.alias("__v"))
+            .mapInPandas(build_index, out_schema)
+        )
     else:
         # ---- corpus index: coarse cell + PQ codes in one projection
         code_cols = []
@@ -1409,7 +1457,9 @@ def ivfpq_topk_fixed(
                 )
             )
             code_cols.append(best["code"].cast("int"))
-        inv = corpus.select(
+        # same null contract as the Arrow twin above, so the two
+        # impls stay row-identical on any input
+        inv = corpus.filter(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias("neighbor_id"),
             (
                 -F.array_max(_centroid_sims(cent_rows, v, norm(v)))["negid"]

@@ -1840,3 +1840,36 @@ def test_pack_bestfit_null_tokens_loud_error(spark):
         pack_sequences_bestfit(
             df, "n_tokens", "doc_id", max_tokens=100
         ).collect()
+
+
+def test_connected_components_string_and_hash_ids(spark):
+    """r09 review: the old sum-of-labels convergence probe crashed on
+    string vertex ids under ANSI (or silently returned identity
+    components with ANSI off) and could overflow on xxhash64-scale
+    longs. The changed-label probe must cluster both."""
+    from idr_data_pipelines_spark.llmdata.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], ["id_a", "id_b"]
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+    big = 2**62
+    ledges = spark.createDataFrame(
+        [(big, big + 1), (big + 1, big + 2), (-big, -big + 1)],
+        ["id_a", "id_b"],
+    )
+    lgot = {
+        r["id"]: r["component"]
+        for r in connected_components(ledges).collect()
+    }
+    assert lgot == {
+        big: big, big + 1: big, big + 2: big, -big: -big, -big + 1: -big
+    }
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).count() == 0
