@@ -54,6 +54,20 @@ def extract_part(col: Column | str, part: str) -> Column:
     """BigQuery ``EXTRACT(part FROM d)`` → INT64."""
     c = _c(col)
     part = part.strip().upper()
+    if part == "WEEK":
+        # BQ WEEK is Sunday-based with week 0 before the year's first
+        # Sunday — NOT Spark's ISO weekofyear, which disagrees wildly
+        # (EXTRACT(WEEK FROM '2023-01-01') is 1 in BQ, 52 in ISO —
+        # r09 review; the old mapping shipped the ISO number under a
+        # BQ contract). Same Sunday-anchor arithmetic as bq_date_diff.
+        d = F.to_date(c)
+        jan1 = F.trunc(d, "year")
+        first_sunday = F.date_add(jan1, (F.lit(8) - F.dayofweek(jan1)) % 7)
+        return (
+            F.when(d < first_sunday, F.lit(0))
+            .otherwise(F.floor(F.datediff(d, first_sunday) / 7) + 1)
+            .cast("long")
+        )
     fns = {
         "YEAR": F.year,
         "QUARTER": F.quarter,
@@ -63,7 +77,6 @@ def extract_part(col: Column | str, part: str) -> Column:
         "MINUTE": F.minute,
         "SECOND": F.second,
         "DAYOFYEAR": F.dayofyear,
-        "WEEK": F.weekofyear,  # note: ISO week, BQ WEEK is Sunday-based
     }
     if part not in fns:
         raise ValueError(f"unsupported EXTRACT part: {part}")

@@ -95,11 +95,20 @@ def join_salted(
     n_salts: int = 16,
     how: str = "inner",
 ) -> DataFrame:
-    """Skew-resistant equi-join: the skewed side gets a deterministic
-    salt ∈ [0, n_salts) (hash of its whole row — stable, no rand()),
-    the other side is replicated across every salt, and the join runs
+    """Skew-resistant equi-join: the skewed side gets a salt
+    ∈ [0, n_salts) from a per-row monotonically increasing id, the
+    other side is replicated across every salt, and the join runs
     on (key, salt) — a hot key's rows spread over n_salts partitions
     instead of melting one reducer.
+
+    The salt is per-ROW, not a hash of the row's content (r09
+    review): the reference data is duplicate-heavy (every chain opens
+    with SELECT DISTINCT), and a content hash gives every exact
+    duplicate of a hot key the SAME salt — one reducer still takes
+    the whole hot key while the replication cost is paid anyway.
+    Row-id salts spread duplicates evenly; any salt value joins the
+    same replicated right row, so results are identical to a plain
+    equi-join regardless of which salt a row draws.
 
     Use when the non-skewed side is too big to broadcast but small
     enough to replicate n_salts×; otherwise prefer AQE skew-join
@@ -119,7 +128,7 @@ def join_salted(
         )
     salted = skewed.withColumn(
         "__salt",
-        F.pmod(F.xxhash64(F.struct(*skewed.columns)), F.lit(n_salts)).cast("int"),
+        F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int"),
     )
     replicated = other.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
@@ -237,12 +246,27 @@ def join_asof(
     engine-portable results should either ensure (key, ts) is unique
     on the right or project only tie-invariant columns (e.g. the
     timestamp itself).
+
+    Null timestamps (r09 review — ``merge_asof`` REJECTS null merge
+    keys, so these previously crashed the whole job): a left row with
+    null ``left_ts`` is emitted unmatched (the left-join contract —
+    it has no position on the time axis), and a right row with null
+    ``right_ts`` is excluded from matching (it cannot be "closest" to
+    anything).
     """
     import pandas as pd
     from pyspark.sql.types import StructField, StructType
 
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
+    clash = [c for c in right_cols if c in left.columns]
+    if clash:
+        # pandas would silently emit the LEFT values under the right
+        # column's name — refuse instead of corrupting (r09 review)
+        raise ValueError(
+            f"right_cols {clash} collide with left columns; rename on "
+            "one side before the as-of join"
+        )
     rsel_cols = [right_key, right_ts] + [
         c for c in right_cols if c not in (right_key, right_ts)
     ]
@@ -257,38 +281,59 @@ def join_asof(
     def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
         if l_pdf.empty:
             return pd.DataFrame(columns=out_names)
-        l_sorted = l_pdf.sort_values(left_ts, kind="mergesort")
-        if r_pdf.empty:
-            out = l_sorted.copy()
+
+        def unmatched(rows: pd.DataFrame) -> pd.DataFrame:
+            out = rows.copy()
             for c in right_cols:
                 out[c] = None
             return out[out_names]
-        r_sorted = r_pdf.drop(columns=[right_key]).sort_values(
-            right_ts, kind="mergesort"
+
+        null_ts = l_pdf[left_ts].isna()
+        l_null, l_pdf = l_pdf[null_ts], l_pdf[~null_ts]
+        # prefix-rename the right side so merge_asof never collapses
+        # equal-named on-keys into one column (the old suffixes=("",
+        # "__r") form raised KeyError whenever right_ts == left_ts and
+        # right_ts was projected — r09 review)
+        r_pdf = r_pdf.drop(columns=[right_key]).rename(
+            columns={c: f"__r_{c}" for c in r_pdf.columns if c != right_key}
         )
-        # merge_asof needs identical temporal dtypes on both on-keys
-        l_sorted = l_sorted.assign(
-            **{left_ts: l_sorted[left_ts].astype("datetime64[us]")}
-        )
-        r_sorted = r_sorted.assign(
-            **{right_ts: r_sorted[right_ts].astype("datetime64[us]")}
-        )
-        merged = pd.merge_asof(
-            l_sorted,
-            r_sorted,
-            left_on=left_ts,
-            right_on=right_ts,
-            direction=direction,
-            suffixes=("", "__r"),
-            tolerance=(
-                None
-                if tolerance_seconds is None
-                else pd.Timedelta(seconds=tolerance_seconds)
-            ),
-        )
-        if right_ts in right_cols and right_ts in l_pdf.columns:
-            merged[right_ts] = merged[f"{right_ts}__r"]
-        return merged[out_names]
+        r_pdf = r_pdf[r_pdf[f"__r_{right_ts}"].notna()]
+        parts = []
+        if len(l_pdf):
+            if r_pdf.empty:
+                parts.append(unmatched(l_pdf.sort_values(left_ts, kind="mergesort")))
+            else:
+                l_sorted = l_pdf.sort_values(left_ts, kind="mergesort")
+                r_sorted = r_pdf.sort_values(f"__r_{right_ts}", kind="mergesort")
+                # merge_asof needs identical temporal dtypes on both keys
+                l_sorted = l_sorted.assign(
+                    **{left_ts: l_sorted[left_ts].astype("datetime64[us]")}
+                )
+                r_sorted = r_sorted.assign(
+                    **{
+                        f"__r_{right_ts}": r_sorted[f"__r_{right_ts}"].astype(
+                            "datetime64[us]"
+                        )
+                    }
+                )
+                merged = pd.merge_asof(
+                    l_sorted,
+                    r_sorted,
+                    left_on=left_ts,
+                    right_on=f"__r_{right_ts}",
+                    direction=direction,
+                    tolerance=(
+                        None
+                        if tolerance_seconds is None
+                        else pd.Timedelta(seconds=tolerance_seconds)
+                    ),
+                )
+                for c in right_cols:
+                    merged[c] = merged[f"__r_{c}"]
+                parts.append(merged[out_names])
+        if len(l_null):
+            parts.append(unmatched(l_null))
+        return pd.concat(parts, ignore_index=True)
 
     return (
         left.groupBy(left_key)
@@ -322,6 +367,11 @@ def join_range(
     residual keeps results exact, and a fact row joins its bucket
     exactly once, so no dedup is needed. Inner join only.
     """
+    if not bucket_size > 0:
+        # bucket_size=0 divides by zero: null buckets on both sides,
+        # an empty sequence() explode, and a silently EMPTY result
+        # under non-ANSI Spark (r09 review)
+        raise ValueError("bucket_size must be > 0")
     fb = fact.withColumn(
         "__bucket", F.floor(F.col(value_col) / F.lit(bucket_size)).cast("long")
     )
@@ -373,6 +423,15 @@ def join_fuzzy_blocked(
     """
     if max_distance < 0:
         raise ValueError("max_distance must be >= 0")
+    if left_col == right_col:
+        # with equal names the post-join distance expression is an
+        # AMBIGUOUS_REFERENCE AnalysisException — and would compare a
+        # column to itself even if it resolved (r09 review; same
+        # precondition join_salted_hot_keys validates)
+        raise ValueError(
+            "left_col and right_col must be distinct column names — "
+            "alias one side before the fuzzy join"
+        )
     l = left.withColumn("__blk", block_fn(F.col(left_col)))
     r = right.withColumn("__blk", block_fn(F.col(right_col)))
     d = F.levenshtein(F.col(left_col), F.col(right_col), max_distance)

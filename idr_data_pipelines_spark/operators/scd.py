@@ -108,18 +108,25 @@ def scd2_merge(
     Update timestamps are assumed monotone (newer than the open row's
     ``valid_from``) — the normal shape of a daily/hourly batch feed.
     """
-    cur = history.filter(F.col(current_col))
+    cur = history.filter(F.col(current_col)).withColumn("__in_cur", F.lit(True))
     old = history.filter(~F.col(current_col))
 
     upd = updates.select(
         *key_cols,
         *[F.col(a).alias(f"__new_{a}") for a in attr_cols],
         F.col(ts_col).alias("__eff"),
+        F.lit(True).alias("__in_upd"),
     )
     j = cur.join(upd, key_cols, "full_outer")
 
-    cur_present = F.col(valid_from_col).isNotNull()
-    upd_present = F.col("__eff").isNotNull()
+    # presence via EXPLICIT markers, not value nullness (r09 review:
+    # the old `valid_from IS NOT NULL` / `__eff IS NOT NULL` probes
+    # silently DROPPED a current row whose valid_from was null
+    # ("since forever" histories, scd2_from_events over all-null ts)
+    # and discarded updates with a null effective ts — the
+    # snapshot_diff/scd3_update marker discipline, applied here too)
+    cur_present = F.col("__in_cur").isNotNull()
+    upd_present = F.col("__in_upd").isNotNull()
     changed = F.lit(False)
     for a in attr_cols:
         changed = changed | ~F.col(a).eqNullSafe(F.col(f"__new_{a}"))

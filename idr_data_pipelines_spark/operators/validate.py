@@ -133,6 +133,11 @@ def validate(df: DataFrame, rules: list[Rule], table: str = "df") -> DataFrame:
             passed = m <= F.lit(float(r.threshold))
         else:  # row_count_min
             passed = m >= F.lit(float(r.threshold))
+        # a null metric (min/max over an EMPTY or all-null table)
+        # must FAIL, not float through as passed=NULL — a null-unaware
+        # gate (`filter(~passed)`) reads NULL as not-failed and waves
+        # an empty load through, the one thing a data-quality checker
+        # exists to stop (r09 review)
         reports.append(
             F.struct(
                 F.lit(table).alias("table"),
@@ -140,7 +145,7 @@ def validate(df: DataFrame, rules: list[Rule], table: str = "df") -> DataFrame:
                 F.lit(r.column).cast("string").alias("column"),
                 m.alias("metric"),
                 F.lit(r.threshold).cast("double").alias("threshold"),
-                passed.alias("passed"),
+                F.coalesce(passed, F.lit(False)).alias("passed"),
             )
         )
     return row.select(

@@ -169,6 +169,14 @@ class PipelineRunner:
     retries: int = 2
     retry_delay_s: float = 0.0  # reference: 3 min; tests: 0
     on_failure: Callable[[str, Exception], None] | None = None
+    # a depends_on name not in the submitted list is treated as an
+    # EXTERNAL dependency, already satisfied (the reference's
+    # ExternalTaskSensor semantics — the upstream DAG ran in a prior
+    # invocation). That default makes a TYPO'd dependency silently
+    # satisfied too (r09 review), so every external dep is logged at
+    # WARNING, and strict_deps=True turns unknown names into errors
+    # for closed pipeline sets.
+    strict_deps: bool = False
     results: dict[str, DataFrame] = field(default_factory=dict)
 
     def run(self, spark, pipelines: list[Pipeline], **kwargs) -> dict[str, DataFrame]:
@@ -176,6 +184,20 @@ class PipelineRunner:
         done: set[str] = set()
         remaining = {p.name: p for p in pipelines}
         known = set(remaining)
+        external = {
+            d for p in remaining.values() for d in p.depends_on if d not in known
+        }
+        if external:
+            if self.strict_deps:
+                raise ValueError(
+                    f"unknown depends_on names {sorted(external)} with "
+                    "strict_deps=True — typo, or submit the upstream "
+                    "pipelines in the same run"
+                )
+            log.warning(
+                "treating depends_on %s as satisfied EXTERNAL deps "
+                "(not in this run's pipeline set)", sorted(external)
+            )
         while remaining:
             ready = [
                 p for p in remaining.values()

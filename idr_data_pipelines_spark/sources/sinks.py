@@ -238,6 +238,19 @@ def sink_parquet_with_manifest(
             "min": metrics[f"{c}__min"],
             "max": metrics[f"{c}__max"],
         }
-    with open(os.path.join(path, "_manifest.json"), "w") as fh:
-        json.dump(manifest, fh, indent=2, default=str)
+    # write through the Hadoop FileSystem, not a local open(): the
+    # parquet just landed on whatever filesystem `path` names (s3a://,
+    # hdfs://, gs://, file:), and a local open() would fail AFTER the
+    # expensive data write on any non-local scheme (r09 review). Same
+    # JVM-gateway pattern as compact_parquet_dir (classic deployments).
+    body = json.dumps(manifest, indent=2, default=str)
+    sc = df.sparkSession.sparkContext
+    jvm = sc._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/_manifest.json")
+    fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(body.encode("utf-8")))
+    finally:
+        out.close()
     return manifest

@@ -663,3 +663,79 @@ def test_join_salted_hot_keys_same_key_name_rejected(spark):
     df = spark.range(10).select(F.col("id").alias("k"))
     with _pytest.raises(ValueError, match="distinct names"):
         join_salted_hot_keys(df, df, "k", "k")
+
+
+def test_join_asof_null_timestamps_and_shared_ts_name(spark):
+    """r09 review: merge_asof rejects null merge keys — a null left ts
+    must yield an unmatched row (not a job crash), a null right ts is
+    unmatchable, and left_ts == right_ts must not KeyError."""
+    from idr_data_pipelines_spark.operators import join_asof
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, None), (2, "2024-01-01 09:00:00")],
+        ["k", "ts_s"],
+    ).select("k", F.to_timestamp("ts_s").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", 5.0), (1, None, -1.0),
+         (2, "2024-01-01 10:00:00", 7.0)],
+        ["rk", "ts_s", "price"],
+    ).select("rk", F.to_timestamp("ts_s").alias("ts"), "price")
+
+    rows = {
+        (r["k"], str(r["ts"])): r["price"]
+        for r in join_asof(left, right, "k", "rk", "ts", "ts", ["price"]).collect()
+    }
+    assert rows[(1, "2024-01-01 10:00:00")] == 5.0   # matched
+    assert rows[(1, "None")] is None                  # null left ts: unmatched
+    assert rows[(2, "2024-01-01 09:00:00")] is None   # backward: nothing before
+
+    # colliding right_cols refuse loudly instead of emitting left data
+    # under the right column's name
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="collide"):
+        join_asof(left, right.withColumnRenamed("price", "k"),
+                  "k", "rk", "ts", "ts", ["k"])
+
+
+def test_extract_week_is_bq_sunday_based(spark):
+    """r09 review: BQ EXTRACT(WEEK) is Sunday-based with week 0 before
+    the year's first Sunday; the old ISO weekofyear mapping returned
+    52 for 2023-01-01 where BigQuery returns 1."""
+    from idr_data_pipelines_spark.functions import extract_part
+
+    df = spark.createDataFrame(
+        [("2023-01-01",), ("2022-12-31",), ("2024-01-03",),
+         ("2024-01-07",), ("2024-12-31",)],
+        ["d"],
+    )
+    got = {
+        r["d"]: r["w"]
+        for r in df.select("d", extract_part("d", "WEEK").alias("w")).collect()
+    }
+    # BigQuery values: SELECT EXTRACT(WEEK FROM DATE '...')
+    assert got == {
+        "2023-01-01": 1,   # a Sunday: first Sunday of the year
+        "2022-12-31": 52,  # Saturday, 52 Sundays passed
+        "2024-01-03": 0,   # before 2024's first Sunday (Jan 7)
+        "2024-01-07": 1,   # 2024's first Sunday
+        "2024-12-31": 52,
+    }
+
+
+def test_validate_min_max_fail_on_empty_table(spark):
+    """r09 review: min/max over an empty table is a NULL metric; the
+    report must say passed=False, not NULL (which a ~passed gate
+    reads as not-failed — a silent pass from the DQ checker)."""
+    from idr_data_pipelines_spark.operators.validate import (
+        col_max,
+        col_min,
+        validate,
+    )
+
+    empty = spark.createDataFrame([], "v double")
+    rep = {r["rule"]: r for r in validate(
+        empty, [col_min("v", 0.0), col_max("v", 10.0)], table="t"
+    ).collect()}
+    for r in rep.values():
+        assert r["passed"] is False
+        assert r["metric"] is None
