@@ -138,19 +138,29 @@ def score_buckets(
     Scale shape: one exact-percentile aggregate collapses to |groups|
     threshold rows, broadcast back onto the corpus — the corpus never
     shuffles (the aggregate's exchange moves score values only). Ties
-    at a cut go to the lower bucket (``<=``), identically in SQL."""
+    at a cut go to the lower bucket (``<=``), identically in SQL.
+
+    Null handling (r09 review): a null ``group_col`` is its own group
+    (null-safe join — a plain inner join silently DROPPED every
+    null-group row), and a null score gets a null bucket (the old
+    ``otherwise`` chain landed null-perplexity docs in 'high', the
+    best CCNet bucket, surviving every tail filter)."""
     thr = df.groupBy(group_col).agg(
         F.percentile(score_col, F.lit(cuts[0])).alias("__p1"),
         F.percentile(score_col, F.lit(cuts[1])).alias("__p2"),
     )
+    thr = thr.withColumnRenamed(group_col, "__g")
     s = F.col(score_col)
     return (
-        df.join(F.broadcast(thr), group_col)
+        df.join(
+            F.broadcast(thr), F.col(group_col).eqNullSafe(F.col("__g"))
+        )
         .withColumn(
             bucket_col,
-            F.when(s <= F.col("__p1"), F.lit("low"))
+            F.when(s.isNull(), F.lit(None).cast("string"))
+            .when(s <= F.col("__p1"), F.lit("low"))
             .when(s <= F.col("__p2"), F.lit("mid"))
             .otherwise(F.lit("high")),
         )
-        .drop("__p1", "__p2")
+        .drop("__g", "__p1", "__p2")
     )

@@ -71,6 +71,7 @@ def extract_media_meta(
     id_col: str = "doc_id",
     payload_col: str = "payload",
     decoder=None,
+    media_type_col: str = "media_type",
 ) -> DataFrame:
     """Decode payloads and emit a typed metadata table via mapInPandas.
 
@@ -101,7 +102,7 @@ def extract_media_meta(
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
-                    "media_type": pdf["media_type"],
+                    "media_type": pdf[media_type_col],
                     "n_bytes": pd.Series(sizes, dtype="int64"),
                     "width": pd.Series(widths, dtype="int64"),
                     "height": pd.Series(heights, dtype="int64"),
@@ -109,7 +110,12 @@ def extract_media_meta(
                 }
             )
 
-    needed = df.select(id_col, "media_type", payload_col)
+    # null payloads cannot be decoded — bytes(None) is a TypeError
+    # that would poison the whole job from one bad row (r09 review);
+    # the null-exclusion contract matches count_min_build
+    needed = df.filter(F.col(payload_col).isNotNull()).select(
+        id_col, media_type_col, payload_col
+    )
     return needed.mapInPandas(_batches, MEDIA_META_SCHEMA)
 
 
@@ -190,6 +196,11 @@ def frame_sample_stub(
     deterministic fake 'frames' (byte slices) via mapInPandas —
     demonstrates the 1→N row fan-out shape a real ffmpeg sampler has.
     """
+    if every_n <= 0:
+        # validate on the DRIVER: range(step=0) inside the Python
+        # worker surfaces as an opaque wrapped task failure after the
+        # job launches (r09 review; resize validates factor the same way)
+        raise ValueError("every_n must be positive")
     schema = StructType(
         [
             StructField("doc_id", LongType()),
@@ -215,7 +226,12 @@ def frame_sample_stub(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(_batches, schema)
+    # null payloads excluded — see extract_media_meta's bytes(None) note
+    return (
+        df.filter(F.col(payload_col).isNotNull())
+        .select(id_col, payload_col)
+        .mapInPandas(_batches, schema)
+    )
 
 
 def embed_media_stub(
@@ -265,7 +281,12 @@ def embed_media_stub(
             yield pd.DataFrame({id_col: pd.Series(ids, dtype="int64"),
                                 "embedding": vecs})
 
-    return df.select(id_col, payload_col).mapInPandas(_batches, schema)
+    # null payloads excluded — see extract_media_meta's bytes(None) note
+    return (
+        df.filter(F.col(payload_col).isNotNull())
+        .select(id_col, payload_col)
+        .mapInPandas(_batches, schema)
+    )
 
 
 def resize_media_stub(
@@ -315,7 +336,12 @@ def resize_media_stub(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(_batches, schema)
+    # null payloads excluded — see extract_media_meta's bytes(None) note
+    return (
+        df.filter(F.col(payload_col).isNotNull())
+        .select(id_col, payload_col)
+        .mapInPandas(_batches, schema)
+    )
 
 
 AUDIO_WINDOW_SCHEMA = StructType(
@@ -351,6 +377,9 @@ def audio_window_features(
     librosa/torchaudio in production — the distributed plumbing
     (schema, batching, overlap arithmetic) is what this operator
     pins."""
+    if frame_len <= 0 or hop <= 0:
+        raise ValueError("frame_len and hop must be positive")
+
     import hashlib
 
     import numpy as np
@@ -380,6 +409,8 @@ def audio_window_features(
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(
+    return df.filter(F.col(payload_col).isNotNull()).select(
+        id_col, payload_col
+    ).mapInPandas(
         _batches, AUDIO_WINDOW_SCHEMA
     )

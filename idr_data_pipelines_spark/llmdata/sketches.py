@@ -99,8 +99,11 @@ def count_min_estimate(
     width: int = 256,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """Point-query the sketch for every row of ``keys``:
-    (key_col, est_count). ``depth``/``width`` must match the build.
+    """Point-query the sketch: (key_col, est_count), one row per
+    DISTINCT key in ``keys`` (the final min-over-rows groupBy
+    collapses duplicates — r09 review clarified the contract; pass a
+    pre-distinct frame or join the result back if per-row alignment
+    matters). ``depth``/``width`` must match the build.
 
     The sketch side is broadcast (≤ depth·width rows); an empty bucket
     never seen at build time counts as 0 (left join + coalesce), so
@@ -213,7 +216,14 @@ def misra_gries_topk(
 
     def merge_mg(batches):
         counters: dict = {}
-        rows = pd.concat(list(batches), ignore_index=True)
+        parts = list(batches)
+        if not parts:
+            # empty input: the merge task's batch iterator yields ZERO
+            # pandas frames and pd.concat([]) raises — return the
+            # empty sketch instead of crashing the job (r09 review)
+            yield pd.DataFrame({key_col: [], "est_count": []})
+            return
+        rows = pd.concat(parts, ignore_index=True)
         if len(rows):
             summed = rows.groupby(key_col, sort=True)["est_count"].sum()
             for key in summed.index.tolist():

@@ -58,8 +58,14 @@ def pagerank(
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # dangling-free contract ⇒ every node appears as a src
-    nodes = deg.select(F.col("src").alias("id"))
+    # dangling-free contract ⇒ every node appears as a src.
+    # Checkpointed ONCE: nodes feeds the dangling probe, the n count,
+    # and every iteration's left join — without the checkpoint each
+    # consumer re-executes the edge scan + outdegree aggregate
+    # (~iterations+2 redundant edge-sized shuffles, r09 review); this
+    # function is already executing (counts below), so an eager
+    # checkpoint adds no construction-time job that wasn't there.
+    nodes = deg.select(F.col("src").alias("id")).localCheckpoint(eager=True)
     if validate_dangling:
         # Contract violations must fail loudly, not return
         # plausible-looking ranks with leaked mass (r5 ADVICE): a

@@ -24,16 +24,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _glob(path_or_dir: str) -> str:
-    """Accept a directory, a glob, or a single file — passed through
-    verbatim: ``spark.read.parquet`` already handles flat directories,
-    Hive-partitioned layouts (partition discovery over ``k=v``
-    subdirectories) and metadata files. Rewriting a directory to
-    ``dir/*.parquet`` would break partitioned datasets, whose files
-    live in subdirectories."""
-    return path_or_dir
-
-
 def read_parquet_dir(
     spark: SparkSession,
     path: str,
@@ -50,7 +40,11 @@ def read_parquet_dir(
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    df = reader.parquet(_glob(path))
+    # path passed to the reader verbatim — a directory, glob, or
+    # single file all work natively, and rewriting a directory to
+    # dir/*.parquet would break Hive-partitioned layouts whose
+    # files live in k=v subdirectories
+    df = reader.parquet(path)
     if columns:
         df = df.select(*columns)
     return df
@@ -102,7 +96,13 @@ def read_parquet_evolved(spark, path: str):
 # no query stages, so probing them is plan-only.
 _EXCHANGE_NODES = frozenset(
     {
-        "Repartition",
+        # "Repartition" is handled specially below: the node prints
+        # for BOTH repartition(n) ("Repartition n, true" — a shuffle)
+        # and coalesce(n) ("Repartition n, false" — a NARROW node
+        # that creates no query stage and can leave the frame badly
+        # under-partitioned; r09 review: treating it as an exchange
+        # made spread_small_scan skip exactly the coalesced-to-1
+        # frames the guard exists to rescue)
         "RepartitionByExpression",
         "Join",
         "Aggregate",
@@ -136,7 +136,16 @@ def _plan_has_exchange(df: DataFrame) -> bool:
     plan = df._jdf.queryExecution().analyzed().toString()
     for line in plan.splitlines():
         m = _NODE_RE.match(line)
-        if m and m.group(1) in _EXCHANGE_NODES:
+        if not m:
+            continue
+        node = m.group(1)
+        if node == "Repartition":
+            # shuffle flag is the last argument: true = repartition()
+            # (an exchange), false = coalesce() (narrow — fall through)
+            if "true" in line.rsplit(",", 1)[-1]:
+                return True
+            continue
+        if node in _EXCHANGE_NODES:
             return True
     return False
 

@@ -1873,3 +1873,63 @@ def test_connected_components_string_and_hash_ids(spark):
 
     empty = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(empty).count() == 0
+
+
+def test_score_buckets_null_group_and_null_score(spark):
+    """r09 review: a null group must survive (its own group via the
+    null-safe join — the inner join silently dropped those rows), and
+    a null score must get a NULL bucket, not 'high'."""
+    from idr_data_pipelines_spark.llmdata.filters import score_buckets
+
+    df = spark.createDataFrame(
+        [(1, 1.0, "a"), (2, 2.0, "a"), (3, 3.0, "a"),
+         (4, 1.0, None), (5, 9.0, None), (6, None, "a")],
+        "id long, s double, g string",
+    )
+    rows = {r["id"]: r["bucket"] for r in score_buckets(df, "s", "g").collect()}
+    assert len(rows) == 6                      # nothing dropped
+    assert rows[4] == "low" and rows[5] == "high"  # null group bucketed
+    assert rows[6] is None                     # null score -> null bucket
+    assert rows[1] == "low" and rows[3] == "high"
+
+
+def test_misra_gries_empty_input(spark):
+    """r09 review: pd.concat over zero merge batches crashed on an
+    empty input frame; must return an empty top-k instead."""
+    from idr_data_pipelines_spark.llmdata.sketches import misra_gries_topk
+
+    empty = spark.createDataFrame([], "k string")
+    assert misra_gries_topk(empty, "k").count() == 0
+
+
+def test_media_stages_skip_null_payloads(spark):
+    """r09 review: bytes(None) poisoned every media mapInPandas job
+    from one null payload; null payloads are now excluded."""
+    from idr_data_pipelines_spark.llmdata.multimodal import (
+        extract_media_meta,
+        with_binary_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, None)], "doc_id long, text string"
+    )
+    out = extract_media_meta(with_binary_payload(docs))
+    assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+def test_spread_small_scan_rescues_coalesced_frame(spark, sf_dir):
+    """r09 review: coalesce() prints 'Repartition n, false' — a
+    NARROW node the probe must see through; treating it as an
+    exchange made the guard skip exactly the coalesced-to-1 frames
+    it exists to rescue."""
+    from idr_data_pipelines_spark.sources.parquet import (
+        scan_partitions_or_none,
+        spread_small_scan,
+    )
+
+    one = spark.read.parquet(f"{sf_dir}/documents.parquet").coalesce(1)
+    assert scan_partitions_or_none(one) == 1
+    assert spread_small_scan(one).rdd.getNumPartitions() > 1
+    # a genuinely shuffled frame still skips the probe
+    wide = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(4)
+    assert scan_partitions_or_none(wide) is None
