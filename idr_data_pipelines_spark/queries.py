@@ -13460,63 +13460,63 @@ NO_ORACLE: frozenset[str] = frozenset(
 
 
 # --- driver-window rotation epilogue (tools/rotate_window.py)
-# r09: promote the staged picks into the driver window;
+# r10: promote the staged picks into the driver window;
 # every other entry keeps its literal order below them.
-_WINDOW_R09 = [
-    "expr_extract",
-    "dedup_keep_best",
-    "dedup_minhash_incremental",
-    "dedup_minhash_clusters",
-    "dedup_cross_split_leakage",
-    "graph_triangles",
-    "graph_link_prediction",
-    "text_bpe_merge_round",
-    "text_vocab_coverage",
-    "text_perplexity_bigram",
-    "docs_gopher_rules",
-    "docs_remove_dup_chunks",
-    "docs_ngram_novelty",
-    "docs_dsir_weights",
-    "docs_zipf_lexical",
-    "docs_langid_audit",
-    "docs_length_outliers",
-    "docs_source_overlap",
-    "decontaminate_report",
-    "orders_basket_lift",
-    "mm_audio_windows",
-    "mix_curriculum",
-    "sample_balanced_labels",
-    "dq_expectations",
-    "evt_ewma_rolling",
-    "evt_bot_regularity",
-    "evt_late_arrival_audit",
-    "evt_user_activity_entropy",
-    "evt_ab_cuped",
-    "ivm_join_delta",
-    "sink_bucketed_join",
-    "sample_kfold",
-    "sample_topk_per_group",
-    "mix_temperature",
-    "text_bigram_lm",
-    "text_char_stats",
-    "text_hashed_features",
-    "docs_ccnet_buckets",
-    "corpus_shuffle_shards",
-    "evt_transitions",
-    "evt_user_perplexity",
-    "evt_survival_retention",
-    "orders_dup_invoice_pairs",
-    "orders_benford_audit",
-    "privacy_k_anonymity",
-    "evt_attribution_markov",
-    "evt_did_readout",
-    "split_cluster_safe",
-    "ann_ivfpq_recall",
-    "ann_topk_ivfpq",
+_WINDOW_R10 = [
+    "quality_buckets",
+    "q9_product_profit",
+    "src_text_lines",
+    "rfm_segments",
+    "evt_daily_fill",
+    "profile_table",
+    "skew_metrics",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_percentiles_exact",
+    "ann_topk_bruteforce",
+    "emb_cosine_near_dup",
+    "evt_pivot_user_counts",
+    "evt_rollup_daily",
+    "evt_windowed_counts",
+    "expr_json",
+    "join_asof",
+    "join_range",
+    "mm_media_meta",
+    "ngram_jaccard_adjacent",
+    "q19_disjunctive",
+    "q22_idle_rich_customers",
+    "q6_forecast_revenue",
+    "sample_hash_mod",
+    "src_csv_dir",
+    "src_json_dir",
+    "text_fingerprint",
+    "text_lang_bpe",
+    "text_quality",
+    "text_token_count",
+    "text_top_terms",
+    "topk_per_group",
+    "udtf_split_sentences",
+    "window_analytics",
+    "window_running",
+    "agg_rollup",
+    "dedup_latest_per_key",
+    "evt_funnel",
+    "evt_retention_cohorts",
+    "expr_case_map",
+    "flagship_warehouse",
+    "join_salted",
+    "join_semi",
+    "dedup_stream_watermark",
+    "evt_sessionize_stream",
+    "evt_stream_stream_join",
+    "evt_windowed_counts_stream",
+    "evt_cdc_upsert_stream",
+    "evt_topk_stream",
+    "pack_bestfit",
 ]
 QUERIES = {
     n: QUERIES[n]
-    for n in _WINDOW_R09
-    + [k for k in QUERIES if k not in set(_WINDOW_R09)]
+    for n in _WINDOW_R10
+    + [k for k in QUERIES if k not in set(_WINDOW_R10)]
 }
 # --- end rotation epilogue
