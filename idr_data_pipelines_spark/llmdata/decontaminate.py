@@ -124,18 +124,23 @@ def decontaminate(
     ``max_ratio`` (default 0.0 — any shared n-gram disqualifies).
     Returns the surviving corpus rows with their original columns.
 
-    The *contaminated* id set (small — contamination is the exception)
-    is broadcast and anti-joined, so the surviving 99%+ of the corpus
-    never shuffles."""
+    When ``broadcast_bench=True`` (the default) the *contaminated* id
+    set is broadcast-hinted for the anti-join, so the surviving 99%+
+    of the corpus never shuffles. That hint assumes contamination is
+    the exception: the flagged set is bounded by the CORPUS, not the
+    benchmark, and with ``max_ratio=0.0`` against a high-overlap
+    benchmark a large corpus fraction can be flagged — past Spark's
+    broadcast ceiling (ADVICE r09). ``broadcast_bench=False`` is the
+    escape hatch for that regime: both the n-gram join and the final
+    anti-join run as plain shuffles, which scale with the flagged
+    fraction instead of capping it."""
     scores = contamination_scores(
         corpus, bench, id_col, text_col, k, broadcast_bench
     )
     bad = scores.filter(F.col("contam_ratio") > F.lit(max_ratio)).select(id_col)
-    # the contaminated id set is corpus-derived and small no matter
-    # how big the BENCHMARK is (broadcast_bench only governs the
-    # n-gram join) — hint it unconditionally so the surviving 99%+ of
-    # the corpus never shuffles (r09 review)
-    return corpus.join(F.broadcast(bad), id_col, "left_anti")
+    if broadcast_bench:
+        bad = F.broadcast(bad)
+    return corpus.join(bad, id_col, "left_anti")
 
 
 # ------------------------------------------------ Bloom-filter variant

@@ -96,19 +96,37 @@ def join_salted(
     how: str = "inner",
 ) -> DataFrame:
     """Skew-resistant equi-join: the skewed side gets a salt
-    ∈ [0, n_salts) from a per-row monotonically increasing id, the
-    other side is replicated across every salt, and the join runs
-    on (key, salt) — a hot key's rows spread over n_salts partitions
-    instead of melting one reducer.
+    ∈ [0, n_salts) from a per-row position id, the other side is
+    replicated across every salt, and the join runs on (key, salt) —
+    a hot key's rows spread over n_salts partitions instead of
+    melting one reducer.
 
     The salt is per-ROW, not a hash of the row's content (r09
     review): the reference data is duplicate-heavy (every chain opens
     with SELECT DISTINCT), and a content hash gives every exact
     duplicate of a hot key the SAME salt — one reducer still takes
     the whole hot key while the replication cost is paid anyway.
-    Row-id salts spread duplicates evenly; any salt value joins the
-    same replicated right row, so results are identical to a plain
-    equi-join regardless of which salt a row draws.
+    Row-position salts spread duplicates evenly; any salt value joins
+    the same replicated right row, so results are identical to a
+    plain equi-join regardless of which salt a row draws.
+
+    Retry determinism (r10, ADVICE r09): a bare
+    ``monotonically_increasing_id()`` is nondeterministic under a
+    fetch-failure stage retry — a recomputed map task can see its
+    input rows in a different order, assign a row a different salt,
+    and send it to a different reducer while surviving reducers keep
+    the old attempt's output, silently duplicating or dropping rows.
+    The fix is the same one Spark itself applies to round-robin
+    repartition (``spark.sql.execution.sortBeforeRepartition``): sort
+    within partitions on every column BEFORE assigning the position
+    id, so the (partition → row → salt) mapping is a pure function of
+    the partition's CONTENTS, which hash shuffles and deterministic
+    scans reproduce exactly on retry. Duplicates sort adjacent and
+    draw consecutive salts, so the even spread is preserved. The one
+    remaining caveat (same as Spark's): an upstream whose partition
+    contents are themselves nondeterministic (e.g. a round-robin
+    repartition without that flag, or a sample()) reintroduces the
+    hazard — checkpoint such inputs first.
 
     Use when the non-skewed side is too big to broadcast but small
     enough to replicate n_salts×; otherwise prefer AQE skew-join
@@ -126,7 +144,7 @@ def join_salted(
             "join_salted supports how='inner'|'left' — outer joins would "
             "fan out unmatched rows of the replicated side"
         )
-    salted = skewed.withColumn(
+    salted = skewed.sortWithinPartitions(*skewed.columns).withColumn(
         "__salt",
         F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int"),
     )

@@ -306,6 +306,17 @@ def sessionize_stream(
     timeout horizon) and every session is eventually emitted exactly
     once.
 
+    Session-key contract (r10, ADVICE r09): eviction erases the
+    per-user sequence counter, so a user who returns after a timeout
+    would restart at ``session_id=1`` and duplicate earlier keys. In
+    timeout mode ``session_id`` is therefore the session's
+    ``start_us`` — unique per user by construction (a session
+    starting at an already-used microsecond would have merged into
+    that session), stable across evictions, and monotonically
+    ordered like the sequence it replaces. Only the default
+    (no-timeout) mode emits the 1-based per-user sequence, which is
+    what the batch-``sessionize`` parity oracle requires.
+
     Determinism contract (default mode): when events arrive in
     event-time order ACROSS micro-batches (within a batch any order is
     fine — the fold sorts), the emitted rows are precisely "every
@@ -360,7 +371,9 @@ def sessionize_stream(
             # the user's state slot
             last, start, n, seq = state.get
             state.remove()
-            yield pd.DataFrame([(key[0], seq, start, last, n)], columns=cols)
+            # timeout mode keys the session by start_us, not seq —
+            # seq restarts at 1 after eviction and would collide
+            yield pd.DataFrame([(key[0], start, start, last, n)], columns=cols)
             return
         ts = []
         for pdf in pdfs:
@@ -383,7 +396,8 @@ def sessionize_stream(
             if last is None:
                 seq, start, n = seq + 1, t, 1
             elif t - last > gap_us:
-                closed.append((key[0], seq, start, last, n))
+                sid = start if idle_us is not None else seq
+                closed.append((key[0], sid, start, last, n))
                 seq, start, n = seq + 1, t, 1
             else:
                 n += 1

@@ -775,12 +775,17 @@ def test_sessionize_stream_idle_timeout_flushes_and_evicts(spark, tmp_path):
         df.coalesce(1).write.mode("append").parquet(inbox)
         _time.sleep(1.1)  # distinct mtimes → deterministic file order
 
-    # user 1: two events, then gone forever. user 9: keeps the stream
-    # (and the watermark) moving, hours past user 1's gap+idle.
+    # user 1: two events, then idle past gap+idle (evicted), then
+    # RETURNS for a second session — the post-eviction key-collision
+    # case ADVICE r09 flagged. user 9: keeps the stream (and the
+    # watermark) moving, hours past user 1's gap+idle.
     write_file([(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:05:00"),
                 (9, "2024-01-01 10:00:00")])
     write_file([(9, "2024-01-01 20:00:00")])   # watermark -> ~19:59
-    write_file([(9, "2024-01-01 20:01:00")])   # timeout fires here
+    write_file([(9, "2024-01-01 20:01:00")])   # user 1 timeout fires
+    write_file([(1, "2024-01-01 22:00:00"),    # user 1 returns...
+                (1, "2024-01-01 23:30:00")])   # ...gap closes 22:00
+    write_file([(9, "2024-01-02 10:00:00")])   # advance watermark
 
     schema = spark.read.parquet(inbox).schema
 
@@ -805,27 +810,40 @@ def test_sessionize_stream_idle_timeout_flushes_and_evicts(spark, tmp_path):
     flushed = drain(
         "sess_idle", idle_timeout_minutes=30, watermark_delay="1 minutes"
     )
-    by_user = {(r["user_id"], r["session_id"]): r for r in flushed}
-    # user 1's single (open) session was flushed by the timeout with
-    # the exact fold numbers
-    r = by_user[(1, 1)]
     us = lambda s: int(  # noqa: E731
         spark.sql(f"SELECT unix_micros(TIMESTAMP '{s}')").collect()[0][0]
     )
+    # timeout mode keys sessions by start_us (ADVICE r09): eviction
+    # erases the seq counter, so seq-keyed output would collide when
+    # the user returns — start_us is unique per user and stable.
+    by_key = {(r["user_id"], r["session_id"]): r for r in flushed}
+    assert len(by_key) == len(flushed), "duplicate (user, session_id)"
+    # user 1's first (open) session was flushed by the timeout with
+    # the exact fold numbers, keyed by its start
+    r = by_key[(1, us("2024-01-01 10:00:00"))]
     assert r["start_us"] == us("2024-01-01 10:00:00")
     assert r["end_us"] == us("2024-01-01 10:05:00")
     assert r["n_events"] == 2
-    # user 9's second session (20:00-20:01) is still open and its
+    # user 1 returned after eviction: the post-return session closed
+    # by the 23:30 event is emitted under its OWN start key — no
+    # collision with the pre-eviction session
+    r2 = by_key[(1, us("2024-01-01 22:00:00"))]
+    assert r2["end_us"] == us("2024-01-01 22:00:00")
+    assert r2["n_events"] == 1
+    # user 9's final session (2024-01-02 10:00) is still open and its
     # timeout deadline (last+gap+idle) is beyond the final watermark:
     # not emitted — eviction only fires when the session is provably
-    # closed. Session 1 (closed by the 20:00 event) was emitted.
-    assert (9, 1) in by_user
-    assert (9, 2) not in by_user
+    # closed. Earlier closed sessions were emitted under start keys.
+    u9 = {r["session_id"] for r in flushed if r["user_id"] == 9}
+    assert us("2024-01-01 10:00:00") in u9
+    assert us("2024-01-02 10:00:00") not in u9
 
-    # default (drain-parity) mode: user 1's open session is NOT
-    # emitted — only sessions closed by a later event are
-    plain = drain("sess_plain")
-    assert (1, 1) not in {(r["user_id"], r["session_id"]) for r in plain}
+    # default (drain-parity) mode: seq numbering, no eviction — only
+    # sessions closed by a later event are emitted, so each user's
+    # open (last) session is absent: user 1's 23:30- (seq 3), user
+    # 9's 01-02 10:00- (seq 3)
+    plain = {(r["user_id"], r["session_id"]) for r in drain("sess_plain")}
+    assert plain == {(1, 1), (1, 2), (9, 1), (9, 2)}
 
 
 def test_handle_event_transport_layer_never_crashes(spark):
