@@ -18,40 +18,48 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-# Timed separately below (NOT in the frozen headline total, so
-# round-over-round comparability holds): the queries whose plans were
-# rewritten in round 5, plus the heaviest round-6 additions
-# (cluster-blocked semantic dedup and the corpus-wide shared-n-gram
-# scan — the two new ops whose cost grows with the corpus).
+# FROZEN since r10 (VERDICT r09 item 5): the 8 most expensive llmdata
+# shapes, which the 16-query headline never covered — regressions here
+# previously surfaced only via ad-hoc BENCH_SCALE reruns. Same
+# median-of-3-after-primer discipline as the headline so the series is
+# comparable round-over-round. The r09 extended section timed these
+# with min-of-3 (split_cluster_safe 3.475, flagship_data_recipe 1.917,
+# text_bpe_merge_round 2.614, dedup_cross_split_leakage 2.586,
+# ann_topk_ivfpq 1.593, basket_pairs 1.396, text_perplexity_bigram
+# 1.394, emb_semdedup 1.299 — sum 16.27 s); the frozen median series
+# re-bases at the r10 values, with those r09 minimums as context, not
+# the floor.
+HEAVY8 = [
+    "split_cluster_safe",
+    "flagship_data_recipe",
+    "text_bpe_merge_round",
+    "dedup_cross_split_leakage",
+    "ann_topk_ivfpq",
+    "basket_pairs",
+    "text_perplexity_bigram",
+    "emb_semdedup",
+]
+
+# Timed separately below (NOT in either frozen total, so round-over-
+# round comparability holds): the queries whose plans were rewritten
+# in round 5, plus later heavy additions that didn't make the frozen
+# heavy-8 cut.
 EXTENDED = [
     "flagship_event_analytics",
-    "flagship_data_recipe",
     "q21_waiting_supplier",
     "q15_top_supplier",
     "q17_small_quantity",
     "evt_retention_cohorts",
     "text_collocations",
-    "emb_semdedup",
     "text_shared_ngrams",
-    # session-3: fact-sized pair join + rolling anomaly window
-    "basket_pairs",
     "evt_anomaly_zscore",
     # round-7: char-explode stats (the widest row fan-out in the
     # catalog) and the map-only PQ code assignment
     "text_char_stats",
     "emb_pq_assign",
-    # round-7 session 3: corpus-LM scoring (bigram join) and the
-    # epoch shuffle-sharder (per-shard window sorts)
-    "text_perplexity_bigram",
+    # round-7 session 3: the epoch shuffle-sharder (per-shard window
+    # sorts)
     "corpus_shuffle_shards",
-    # round-7 session 6: the split-restricted minhash probe (linear
-    # signature term) and the double-explode BPE merge round
-    "dedup_cross_split_leakage",
-    "text_bpe_merge_round",
-    # round-8: the ADC-scored IVF-PQ query path (numpy index build)
-    # and the cluster-keyed leakage-safe split (signature + closure)
-    "ann_topk_ivfpq",
-    "split_cluster_safe",
 ]
 
 HEADLINE = [
@@ -109,7 +117,7 @@ def main() -> None:
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    for name in HEADLINE + EXTENDED:
+    for name in HEADLINE + HEAVY8 + EXTENDED:
         # EXTENDED queries get the same sf0.001 warm-up: the data
         # recipe's expression trees alone cost ~20s of codegen/JIT on
         # first compile, which otherwise lands in the timed runs
@@ -158,6 +166,27 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    heavy: dict[str, float] = {}
+    heavy_runs: dict[str, list[float]] = {}
+    heavy_total = 0.0
+    for name in HEAVY8:
+        fn = QUERIES[name]
+        runs = []
+        for _ in range(1 + N_TIMED):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        timed = runs[1:]
+        med = sorted(timed)[len(timed) // 2]
+        heavy[name] = round(med, 3)
+        heavy_runs[name] = [round(r, 3) for r in runs]
+        heavy_total += med
+        print(
+            f"# heavy {name}: median {med:.3f}s of {heavy_runs[name]} (run 0 = primer)",
+            file=sys.stderr,
+        )
+
     extended: dict[str, float] = {}
     for name in EXTENDED:
         fn = QUERIES[name]
@@ -179,6 +208,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "runs": raw_runs,
+                # second frozen series (since r10): the heaviest
+                # llmdata shapes, same median-of-3 discipline
+                "heavy_queries": heavy,
+                "heavy_runs": heavy_runs,
+                "heavy_total": round(heavy_total, 3),
+                "heavy_set_since": "r10",
                 "extended_queries": extended,
                 # the headline set is FROZEN at the round-1 16 queries
                 # so the round-over-round total stays comparable;
