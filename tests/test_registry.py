@@ -32,6 +32,24 @@ def test_registry_partitions_exactly():
     assert set(ORACLES) <= set(QUERIES)
 
 
+def test_every_oracle_self_caps():
+    """r10 policy (VERDICT r09 item 2): every oracle carries its own
+    ``SET memory_limit`` prefix, bounding DuckDB buffer-manager mmap
+    churn in any driver topology (the r08 vm.max_map_count OOM class)
+    and making shared-connection state leakage moot. A registry
+    addition that bypasses the policy block (e.g. a late
+    ``ORACLES[...] =`` after it) would silently reopen the class —
+    pin it here."""
+    for name, sql in ORACLES.items():
+        assert sql.lstrip().startswith("SET memory_limit="), (
+            f"{name} oracle is not self-capped — it was probably "
+            "assigned after the self-cap policy block in queries.py"
+        )
+        # exactly one cap: a second embedded SET would indicate the
+        # policy block wrapped an already hand-prefixed oracle
+        assert sql.count("SET memory_limit") == 1, name
+
+
 def test_readme_counts_match_registry():
     text = open(README).read()
     m = re.search(
