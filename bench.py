@@ -141,64 +141,45 @@ def main() -> None:
     # median damps one-off stalls both ways; the raw values (primer
     # first) let a reader judge whether a delta exceeds the spread.
     N_TIMED = 3
-    timings: dict[str, float] = {}
-    raw_runs: dict[str, list[float]] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        runs: list[float] = []
-        for _ in range(1 + N_TIMED):
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            # noop sink: evaluates every projected expression without
-            # collecting — count() would let Catalyst prune projection
-            # work and under-measure pure-projection queries.
-            df.write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        timed = runs[1:]
-        med = sorted(timed)[len(timed) // 2]
-        timings[name] = round(med, 3)
-        raw_runs[name] = [round(r, 3) for r in runs]
-        total += med
-        print(
-            f"# {name}: median {med:.3f}s of {raw_runs[name]} (run 0 = primer)",
-            file=sys.stderr,
-        )
 
-    heavy: dict[str, float] = {}
-    heavy_runs: dict[str, list[float]] = {}
-    heavy_total = 0.0
-    for name in HEAVY8:
-        fn = QUERIES[name]
-        runs = []
-        for _ in range(1 + N_TIMED):
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        timed = runs[1:]
-        med = sorted(timed)[len(timed) // 2]
-        heavy[name] = round(med, 3)
-        heavy_runs[name] = [round(r, 3) for r in runs]
-        heavy_total += med
-        print(
-            f"# heavy {name}: median {med:.3f}s of {heavy_runs[name]} (run 0 = primer)",
-            file=sys.stderr,
-        )
+    def time_set(names: list[str], label: str, agg) -> tuple[
+        dict[str, float], dict[str, list[float]], float
+    ]:
+        """One timing discipline for every series (r10 review: three
+        hand-copied loops drift apart, and a frozen series that drifts
+        is no longer comparable): primer + N_TIMED timed runs, cache
+        cleared before each, noop sink (evaluates every projected
+        expression without collecting — count() would let Catalyst
+        prune projection work and under-measure pure-projection
+        queries), ``agg`` over the timed runs (median for the frozen
+        series, min for extended)."""
+        vals: dict[str, float] = {}
+        raws: dict[str, list[float]] = {}
+        total = 0.0
+        for name in names:
+            fn = QUERIES[name]
+            runs: list[float] = []
+            for _ in range(1 + N_TIMED):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(time.perf_counter() - t0)
+            a = agg(runs[1:])
+            vals[name] = round(a, 3)
+            raws[name] = [round(r, 3) for r in runs]
+            total += a
+            print(
+                f"# {label}{name}: {a:.3f}s of {raws[name]} (run 0 = primer)",
+                file=sys.stderr,
+            )
+        return vals, raws, round(total, 3)
 
-    extended: dict[str, float] = {}
-    for name in EXTENDED:
-        fn = QUERIES[name]
-        runs = []
-        for _ in range(4):  # primer + 3 timed
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        extended[name] = round(min(runs[1:]), 3)
-        print(f"# extended {name}: {extended[name]:.3f}s of {[round(r,3) for r in runs]}",
-              file=sys.stderr)
+    median = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
+    timings, raw_runs, total = time_set(HEADLINE, "", median)
+    heavy, heavy_runs, heavy_total = time_set(HEAVY8, "heavy ", median)
+    extended, _, _ = time_set(EXTENDED, "extended ", min)
 
     print(
         json.dumps(

@@ -119,26 +119,33 @@ def decontaminate(
     k: int = 8,
     max_ratio: float = 0.0,
     broadcast_bench: bool = True,
+    broadcast_flagged: bool = True,
 ) -> DataFrame:
     """Drop every corpus document whose contamination ratio exceeds
     ``max_ratio`` (default 0.0 — any shared n-gram disqualifies).
     Returns the surviving corpus rows with their original columns.
 
-    When ``broadcast_bench=True`` (the default) the *contaminated* id
-    set is broadcast-hinted for the anti-join, so the surviving 99%+
-    of the corpus never shuffles. That hint assumes contamination is
-    the exception: the flagged set is bounded by the CORPUS, not the
-    benchmark, and with ``max_ratio=0.0`` against a high-overlap
-    benchmark a large corpus fraction can be flagged — past Spark's
-    broadcast ceiling (ADVICE r09). ``broadcast_bench=False`` is the
-    escape hatch for that regime: both the n-gram join and the final
-    anti-join run as plain shuffles, which scale with the flagged
-    fraction instead of capping it."""
+    Two INDEPENDENT broadcast decisions, driven by different sizes
+    (r10 review — one flag coupling them penalized the common
+    huge-benchmark/low-contamination regime):
+
+    - ``broadcast_bench`` governs the n-gram probe join and is sized
+      by the BENCHMARK's distinct k-grams — pass False when the
+      benchmark n-gram set exceeds the broadcast ceiling.
+    - ``broadcast_flagged`` governs the final anti-join and is sized
+      by the FLAGGED id set, which is corpus-bounded: contamination
+      is normally the exception (ids broadcast, the surviving 99%+
+      of the corpus never shuffles — keep the default True even with
+      a huge benchmark), but with ``max_ratio=0.0`` against a
+      high-overlap benchmark a large corpus fraction can be flagged
+      past the ceiling (ADVICE r09) — pass False to run the
+      anti-join as a plain shuffle that scales with the flagged
+      fraction instead of capping it."""
     scores = contamination_scores(
         corpus, bench, id_col, text_col, k, broadcast_bench
     )
     bad = scores.filter(F.col("contam_ratio") > F.lit(max_ratio)).select(id_col)
-    if broadcast_bench:
+    if broadcast_flagged:
         bad = F.broadcast(bad)
     return corpus.join(bad, id_col, "left_anti")
 

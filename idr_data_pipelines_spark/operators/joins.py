@@ -87,6 +87,21 @@ def join_anti(
     return left.join(right, cond, "left_anti")
 
 
+def _orderable(dt) -> bool:
+    """Whether a type can feed a Spark sort: maps (and anything
+    nesting one) are not orderable and fail sortWithinPartitions at
+    analysis time."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
+
+
 def join_salted(
     skewed: DataFrame,
     other: DataFrame,
@@ -122,11 +137,17 @@ def join_salted(
     id, so the (partition → row → salt) mapping is a pure function of
     the partition's CONTENTS, which hash shuffles and deterministic
     scans reproduce exactly on retry. Duplicates sort adjacent and
-    draw consecutive salts, so the even spread is preserved. The one
-    remaining caveat (same as Spark's): an upstream whose partition
-    contents are themselves nondeterministic (e.g. a round-robin
-    repartition without that flag, or a sample()) reintroduces the
-    hazard — checkpoint such inputs first.
+    draw consecutive salts, so the even spread is preserved. Two
+    caveats: (a) an upstream whose partition contents are themselves
+    nondeterministic (e.g. a round-robin repartition without that
+    flag, or a sample()) reintroduces the hazard — checkpoint such
+    inputs first; (b) non-ORDERABLE columns (maps, and anything
+    nesting one) can't participate in the sort, so rows that tie on
+    every orderable column but differ in a map payload may still swap
+    salts on retry — add any unique key column to the frame to
+    restore full determinism. Rows identical on ALL observable
+    columns swapping salts is harmless (the multiset of outputs is
+    unchanged).
 
     Use when the non-skewed side is too big to broadcast but small
     enough to replicate n_salts×; otherwise prefer AQE skew-join
@@ -144,7 +165,12 @@ def join_salted(
             "join_salted supports how='inner'|'left' — outer joins would "
             "fan out unmatched rows of the replicated side"
         )
-    salted = skewed.sortWithinPartitions(*skewed.columns).withColumn(
+    sortable = [
+        f.name for f in skewed.schema.fields if _orderable(f.dataType)
+    ]
+    salted = (
+        skewed.sortWithinPartitions(*sortable) if sortable else skewed
+    ).withColumn(
         "__salt",
         F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int"),
     )

@@ -122,10 +122,11 @@ def driver_hash(pdf: pd.DataFrame) -> str:
 
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
     s_pdf = spark_df.toPandas()
-    # re-assert the calibrated cap: a multi-statement oracle that SETs
-    # its own memory_limit (the r09 expr_extract self-cap experiment)
-    # would otherwise leak connection state into every later compare
-    # on this shared connection
+    # re-assert the calibrated cap between compares. Since the r10
+    # self-cap policy every oracle's own SQL immediately re-SETs 2GB,
+    # so for registry oracles this line is a no-op by the time the
+    # query runs — it remains load-bearing for ad-hoc SQL passed to
+    # compare() without an embedded cap (goldens, experiments)
     con.execute("SET memory_limit='4GB'")
     d_pdf = con.execute(sql).df()
     s_cols = list(s_pdf.columns)

@@ -149,6 +149,35 @@ def test_join_salted_rejects_outer(spark):
     assert sorted((r["k"], r["j"]) for r in out) == [(1, 1), (99, None)]
 
 
+def test_join_salted_tolerates_non_orderable_columns(spark):
+    """r10 review: the retry-determinism sort must skip non-orderable
+    columns (maps fail sortWithinPartitions at analysis time) instead
+    of crashing a join that previously worked — a skewed side carrying
+    a map payload still joins correctly."""
+    from pyspark.sql import functions as F
+
+    from idr_data_pipelines_spark.operators import join_salted
+
+    skewed = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")], ["k", "v"]).select(
+        "k", F.create_map(F.lit("key"), F.col("v")).alias("payload")
+    )
+    other = spark.createDataFrame([(1, "x"), (2, "y")], ["j", "name"])
+    out = join_salted(skewed, other, "k", "j", n_salts=4).collect()
+    assert sorted((r["k"], r["payload"]["key"], r["name"]) for r in out) == [
+        (1, "a", "x"),
+        (1, "b", "x"),
+        (2, "c", "y"),
+    ]
+    # all-map frame: no orderable columns at all — sort skipped entirely
+    only_map = skewed.select("payload", F.col("k").alias("kk")).select(
+        F.create_map(F.lit("k"), F.col("kk")).alias("m")
+    )
+    assert only_map.count() == 3  # construction sanity
+    from idr_data_pipelines_spark.operators.joins import _orderable
+
+    assert not _orderable(only_map.schema["m"].dataType)
+
+
 def test_null_normalize_only_touches_string_columns(spark):
     df = spark.createDataFrame(
         [("None", 1), ("ok", 2), ("", 3)], ["s", "n"]

@@ -8,16 +8,19 @@ limit, and oracles that retain mmap'd buffer blocks push the process
 into the kernel's ``vm.max_map_count``, after which every later
 allocation fails ("bad allocation"), including for trivially small
 queries. "Local-green must be at least as unforgiving as
-driver-green" therefore needs an UNCAPPED, window-ordered,
-shared-connection sweep in CI, not just as an optional tool.
+driver-green" therefore needs a window-ordered, shared-connection
+sweep in CI, not just as an optional tool.
 
 This test derives the CURRENT first-50 oracled window straight from
 ``QUERIES`` (the exact slice the driver will read), runs
 ``tools/window_sweep.py`` on it in a subprocess, and fails if live
 mappings ever cross half of ``vm.max_map_count`` or any oracle
-errors. On the pre-r09 oracles this reproduces the r08 driver OOMs
-byte-for-byte at window position 21; on the current registry the
-window peaks around 2,600 live maps.
+errors. On the pre-r09 oracles (run UNCAPPED — the pre-r10 contract)
+this reproduces the r08 driver OOMs byte-for-byte at window position
+21. Since the r10 self-cap policy every oracle embeds its own
+``SET memory_limit='2GB'``, so the sweep now measures capped runs —
+faithful to what any driver process executes in any topology; the
+r10 window peaks around 1,183 live maps.
 
 Runs at sf0.01 — the driver's correctness scale (~2-3 min).
 """

@@ -34,12 +34,17 @@ Calibration, measured on this host (max_map_count 65,530):
   peaks at ~2,400 live mappings (re-measured after the RESET fix
   below) — 27× under the kernel limit.
 
-A self-capping oracle (the r09 expr_extract ``SET memory_limit``
-experiment) would leak its cap into every later position on the
-shared connection, quietly re-creating the cap-hides-bombs condition
-this gate exists to remove — so the sweep RESETs memory_limit after
-each oracle, keeping the measurement worst-case uncapped regardless
-of what any one oracle sets.
+CONTRACT CHANGE with the r10 self-cap policy: since r10 every oracle
+embeds its own ``SET memory_limit='2GB'`` prefix (queries.py policy
+block), so the sweep measures CAPPED runs — which is exactly what any
+driver process now experiences, in any topology. The per-oracle RESET
+below is kept so the harness-level cap of an earlier position never
+leaks into a later one: after the RESET, each position's limit is
+precisely what its own SQL sets (the embedded 2 GB), nothing else.
+The "uncapped worst case" framing above describes the PRE-r10 gate
+(and remains how the r08 reproduction was measured); the calibration
+history stands, with the post-policy r10 window peaking at ~1,183
+live maps.
 
 Usage:
     python tools/window_sweep.py --window tools/r09_window_names.txt
