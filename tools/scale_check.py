@@ -211,14 +211,35 @@ def main() -> None:
             or ["graph_khop", "text_bm25_topk", "evt_path_analysis"]
         )
         for name in catalog:
-            if want(name):
-                build = lambda name=name, d=d: QUERIES[name](spark, d)
+            if not want(name):
+                continue
+            if "stream" in name:
+                # streaming entries run their drain INSIDE the query
+                # function (stage inbox -> availableNow -> memory
+                # sink) and return the sink as a batch frame, so the
+                # noop-write path would time only the memory-table
+                # projection. Time the full call instead (staging +
+                # drain + state maintenance — the axis that scales
+                # with users); exchange counts of the returned batch
+                # frame would be meaningless and are skipped.
+                runs = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    n = QUERIES[name](spark, d).count()
+                    runs.append(round(time.perf_counter() - t0, 2))
                 print(
-                    f"# {name} {scale}: shuffle exchanges = "
-                    f"{count_shuffles(build())}",
+                    f"{name} {scale}: {runs} rows={n} "
+                    "(full drain incl. staging; median-after-primer basis)",
                     flush=True,
                 )
-                timed(f"{name} {scale}", build)
+                continue
+            build = lambda name=name, d=d: QUERIES[name](spark, d)
+            print(
+                f"# {name} {scale}: shuffle exchanges = "
+                f"{count_shuffles(build())}",
+                flush=True,
+            )
+            timed(f"{name} {scale}", build)
 
     # explicit teardown: a nohup'd run has been observed hanging after
     # the last timed line on a lingering non-daemon JVM thread; stop
