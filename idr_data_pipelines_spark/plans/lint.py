@@ -245,15 +245,23 @@ def _scalar_dominates_spine(lines: list[str], start: int, end: int) -> bool:
     return False
 
 
-def count_shuffles(df: DataFrame) -> int:
-    """Shuffle exchanges only (broadcast exchanges are cheap by
-    design and not counted)."""
+def _count_shuffles_str(plan: str) -> int:
+    """Shuffle-exchange count over an already-captured plan string —
+    the ONE detection site (r10 review: lint_plan carried an inline
+    copy of this regex, so a new partitioning token added to one
+    would silently desynchronize the two counters)."""
     return len(
         re.findall(
             r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)",
-            _plan_str(df),
+            plan,
         )
     )
+
+
+def count_shuffles(df: DataFrame) -> int:
+    """Shuffle exchanges only (broadcast exchanges are cheap by
+    design and not counted)."""
+    return _count_shuffles_str(_plan_str(df))
 
 
 def lint_plan(
@@ -346,12 +354,7 @@ def lint_plan(
             )
         )
     if max_shuffles is not None:
-        n = len(
-            re.findall(
-                r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)",
-                plan,
-            )
-        )
+        n = _count_shuffles_str(plan)
         if n > max_shuffles:
             findings.append(
                 PlanFinding(

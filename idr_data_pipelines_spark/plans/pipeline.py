@@ -103,7 +103,14 @@ class Pipeline:
         Python UDF introduced by any stage fails the build here, at
         author time, instead of on the cluster at 2am
         (``plans.lint.assert_scalable``; ``max_shuffles`` adds a
-        shuffle budget).
+        shuffle budget). In materialize mode each stage's plan is
+        linted BEFORE its write executes (r10 review: the
+        write-then-swap read-back replaces the plan with a bare
+        parquet/table scan, so the final-frame lint alone would both
+        miss every stage's anti-patterns AND run only after the
+        cluster had already executed them); ``max_shuffles`` still
+        applies to the composed final frame only, since per-stage
+        plans never see the whole budget.
 
         ``observe=True`` attaches a ``CollectMetrics`` row counter to
         every stage boundary (Spark's Observation API): per-stage row
@@ -114,6 +121,9 @@ class Pipeline:
         """
         from pyspark.sql import Observation
         from pyspark.sql import functions as F
+
+        if lint:
+            from idr_data_pipelines_spark.plans.lint import assert_scalable
 
         self._observations = {}
         df = self.source(spark)
@@ -126,16 +136,19 @@ class Pipeline:
             if materialize == "parquet":
                 if workdir is None:
                     raise ValueError("workdir required for materialize='parquet'")
+                if lint:
+                    # gate BEFORE the write executes this stage's plan
+                    assert_scalable(df)
                 path = f"{workdir}/{self.name}/{st.name}"
                 df.write.mode("overwrite").parquet(path)
                 df = spark.read.parquet(path)
             elif materialize == "table":
                 tbl = f"{self.name}__{st.name}"
+                if lint:
+                    assert_scalable(df)
                 df.write.mode("overwrite").saveAsTable(tbl)
                 df = spark.table(tbl)
         if lint:
-            from idr_data_pipelines_spark.plans.lint import assert_scalable
-
             assert_scalable(df, max_shuffles=max_shuffles)
         return df
 

@@ -97,6 +97,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet_dir(spark, f"{sf_dir}/{name}.parquet")
 
 
+def _latest_order_status(df: DataFrame) -> DataFrame:
+    """Latest (odate desc, status desc as tie-break) order-status row
+    per customer — the ONE snapshot rule shared by every SCD/CDC
+    query (scd1/scd2_merge/scd3/scd4/snapshot_diff) and assumed by
+    their oracles (r10 review: five inline copies of this window let
+    a tie-break fix desynchronize the family)."""
+    return dedup_latest_per_key(
+        df,
+        ["o_custkey"],
+        [F.col("odate").desc(), F.col("o_orderstatus").desc()],
+    )
+
+
 def _ts_utc(df: DataFrame) -> DataFrame:
     """Normalize the events ``ts`` column to TIMESTAMP (a UTC instant).
 
@@ -336,14 +349,7 @@ def q_scd3_update(spark, sf_dir):
     cutoff = F.lit("1995-01-01").cast("date")
 
     def latest(df):
-        w = Window.partitionBy("o_custkey").orderBy(
-            F.col("odate").desc(), F.col("o_orderstatus").desc()
-        )
-        return (
-            df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn", "odate")
-        )
+        return _latest_order_status(df).drop("odate")
 
     base = latest(orders.filter(F.col("odate") <= cutoff)).withColumn(
         "prev_o_orderstatus", F.lit(None).cast("string")
@@ -404,18 +410,8 @@ def q_scd1_upsert(spark, sf_dir):
     )
     cutoff = F.lit("1995-01-01").cast("date")
 
-    def latest(df):
-        w = Window.partitionBy("o_custkey").orderBy(
-            F.col("odate").desc(), F.col("o_orderstatus").desc()
-        )
-        return (
-            df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-
-    base = latest(orders.filter(F.col("odate") <= cutoff))
-    upd = latest(orders.filter(F.col("odate") > cutoff))
+    base = _latest_order_status(orders.filter(F.col("odate") <= cutoff))
+    upd = _latest_order_status(orders.filter(F.col("odate") > cutoff))
     return scd1_upsert(base, upd, ["o_custkey"])
 
 
@@ -1959,15 +1955,7 @@ def q_scd2_merge_batch(spark, sf_dir):
         attr_cols=["o_orderstatus"],
         ts_col="odate",
     )
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("odate").desc(), F.col("o_orderstatus").desc()
-    )
-    upd = (
-        orders.filter(F.col("odate") > cutoff)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    upd = _latest_order_status(orders.filter(F.col("odate") > cutoff))
     return scd2_merge(hist, upd, ["o_custkey"], ["o_orderstatus"], "odate")
 
 
@@ -2323,6 +2311,7 @@ def q_src_python_datasource_stream(spark, sf_dir):
         .start()
     )
     deadline = time.time() + 120
+    drained = False
     while time.time() < deadline:
         if q.exception() is not None:
             q.stop()
@@ -2331,11 +2320,22 @@ def q_src_python_datasource_stream(spark, sf_dir):
         # batch, the raw count would hit 300 early and stop() would
         # kill the stream before the tail offsets drained
         if spark.table(name).select("doc_id").distinct().count() >= 300:
+            drained = True
             break
         if not q.isActive:
             break
         time.sleep(0.5)
     q.stop()
+    if not drained:
+        # fail LOUDLY (r10 review): a deadline lapse or a stream that
+        # died without raising would otherwise return a partial drain
+        # — the driver would record a hash mismatch that looks like a
+        # correctness bug when it's host-load / infra
+        n = spark.table(name).select("doc_id").distinct().count()
+        raise TimeoutError(
+            f"pydatasource stream drained {n}/300 distinct ids before "
+            "the 120s deadline — infra timeout, not a value mismatch"
+        )
     return spark.table(name).distinct()
 
 
@@ -2397,14 +2397,8 @@ def q_snapshot_diff(spark, sf_dir):
     )
 
     def snap(cutoff):
-        w = Window.partitionBy("o_custkey").orderBy(
-            F.col("odate").desc(), F.col("o_orderstatus").desc()
-        )
-        return (
+        return _latest_order_status(
             orders.filter(F.col("odate") <= F.lit(cutoff).cast("date"))
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
         )
 
     return snapshot_diff(
@@ -3513,19 +3507,9 @@ def q_graph_pagerank(spark, sf_dir):
     to ~1e-15 relative, not bit-for-bit."""
     from idr_data_pipelines_spark.operators.graph import pagerank
 
-    orders = _t(spark, sf_dir, "orders")
-    lineitem = _t(spark, sf_dir, "lineitem")
-    pairs = (
-        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
-        )
-        .distinct()
-    )
-    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
+    # shared construction with q_graph_khop (r10 review: an inline
+    # copy here let the edge rule desynchronize from khop's)
+    edges = _cs_edges(spark, sf_dir)
     r = pagerank(edges, iterations=3, damping=0.85)
     return r.select("id", F.round("rank", 6).alias("rank"))
 
@@ -5295,9 +5279,10 @@ def q_evt_anomaly_stream(spark, sf_dir):
 
 
 def _cs_edges(spark, sf_dir):
-    """Symmetrized customer–supplier order graph (same construction as
-    q_graph_pagerank): one undirected edge per distinct (cust, supp)
-    pair co-occurring in an order."""
+    """Symmetrized customer–supplier order graph — the SINGLE
+    construction site (used by q_graph_pagerank and q_graph_khop, and
+    assumed by their oracles): one undirected edge per distinct
+    (cust, supp) pair co-occurring in an order."""
     orders = _t(spark, sf_dir, "orders")
     lineitem = _t(spark, sf_dir, "lineitem")
     pairs = (
@@ -5399,18 +5384,8 @@ def q_scd4_current_history(spark, sf_dir):
     )
     cutoff = F.lit("1995-01-01").cast("date")
 
-    def latest(df):
-        w = Window.partitionBy("o_custkey").orderBy(
-            F.col("odate").desc(), F.col("o_orderstatus").desc()
-        )
-        return (
-            df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-        )
-
-    base = latest(orders.filter(F.col("odate") <= cutoff))
-    upd = latest(orders.filter(F.col("odate") > cutoff))
+    base = _latest_order_status(orders.filter(F.col("odate") <= cutoff))
+    upd = _latest_order_status(orders.filter(F.col("odate") > cutoff))
     current, history = scd4_upsert(base, upd, ["o_custkey"])
     return current.withColumn("tbl", F.lit("current")).unionByName(
         history.withColumn("tbl", F.lit("history"))

@@ -117,6 +117,38 @@ def test_pipeline_build_lint_gate(spark):
     assert good.build(spark, lint=True, max_shuffles=0).count() == 5
 
 
+def test_materialize_lint_gates_before_stage_write(spark, tmp_path):
+    """In materialize mode the lint must fire BEFORE a scale-killer
+    stage's write executes (r10 review: the write-then-swap read-back
+    replaced the plan with a bare parquet scan, so the final-frame
+    lint both missed every stage's anti-patterns and ran only after
+    the cluster had already executed them)."""
+    import os
+
+    import pytest
+
+    from idr_data_pipelines_spark.plans import Pipeline
+
+    other = spark.range(5).withColumnRenamed("id", "j")
+    bad = Pipeline("matbad", source=lambda s: s.range(5)).stage(
+        "explode_pairs", lambda df: df.crossJoin(other)
+    )
+    with pytest.raises(AssertionError, match="cartesian-product"):
+        bad.build(
+            spark, materialize="parquet", workdir=str(tmp_path), lint=True
+        )
+    # pre-flight: the offending stage never landed on disk
+    assert not os.path.exists(tmp_path / "matbad" / "explode_pairs")
+
+    good = Pipeline("matgood", source=lambda s: s.range(5)).stage(
+        "double", lambda df: df.withColumn("x", F.col("id") * 2)
+    )
+    out = good.build(
+        spark, materialize="parquet", workdir=str(tmp_path), lint=True
+    )
+    assert out.count() == 5
+
+
 def test_stage_metrics_via_observe(spark):
     """observe=True yields per-stage row counts from the ONE action
     that executes the plan (CollectMetrics piggyback, no re-runs):

@@ -65,7 +65,12 @@ def n_maps():
         return sum(1 for _ in fh)
 
 
-con = duckdb.connect()  # deliberately UNCAPPED: driver-faithful
+# No harness-level cap: since the r10 self-cap policy every oracle's
+# own SQL asserts SET memory_limit='2GB', so this connection runs at
+# exactly the limit any driver process would apply — the measurement
+# is capped BY THE ORACLE, not by this tool (ad-hoc SQL without an
+# embedded SET runs uncapped here).
+con = duckdb.connect()
 create_views(con, sf_dir)
 before = n_maps()
 df = con.execute(sql).df()
@@ -104,6 +109,9 @@ def main() -> None:
     ap.add_argument("--json", action="store_true", help="one JSON line out")
     args = ap.parse_args()
 
+    from idr_data_pipelines_spark.driver_contract import (
+        PER_ORACLE_MAP_BUDGET,
+    )
     from idr_data_pipelines_spark.queries import ORACLES
 
     if args.window:
@@ -127,7 +135,13 @@ def main() -> None:
             if "err" in r:
                 print(f"{n:36s}  ERR {r['err']}")
             else:
-                flag = "  <-- MAP BOMB" if r["delta"] > 2000 else ""
+                # same budget the staging gate refuses on — imported,
+                # not a literal, so the tools can't drift (r10 review)
+                flag = (
+                    "  <-- MAP BOMB"
+                    if r["delta"] > PER_ORACLE_MAP_BUDGET
+                    else ""
+                )
                 print(f"{n:36s}  delta {r['delta']:>7d}  rows {r['rows']:>7d}{flag}")
             sys.stdout.flush()
     if args.json:

@@ -145,6 +145,15 @@ def main() -> None:
     )
     args = ap.parse_args()
 
+    # the label is interpolated into a Python identifier in the
+    # epilogue (r10 review: "r10-retry" would write `_WINDOW_R10-RETRY
+    # = [` and break every later `import queries` with a SyntaxError)
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", args.round):
+        sys.exit(
+            f"--round {args.round!r} must be a valid Python identifier "
+            "fragment (letters/digits/underscore, no leading digit)"
+        )
+
     from idr_data_pipelines_spark.queries import NO_ORACLE, ORACLES, QUERIES
 
     names = list(QUERIES)
@@ -219,7 +228,14 @@ def main() -> None:
         src = pat.sub(body, src)
     else:
         src = src.rstrip("\n") + "\n\n\n" + body
-    open(QUERIES_PY, "w").write(src)
+    # crash-safe rewrite (r10 review: open(path, "w") truncates the
+    # 13.5k-line registry source before writing — an interrupt or
+    # disk-full mid-write would leave it empty). Write a sibling temp
+    # file and os.replace, which is atomic on POSIX.
+    tmp_py = QUERIES_PY + ".rotate.tmp"
+    with open(tmp_py, "w") as fh:
+        fh.write(src)
+    os.replace(tmp_py, QUERIES_PY)
     print(f"wrote rotation epilogue to {QUERIES_PY}")
     print("next: python -m pytest tests/test_oracle_parity.py -q")
 

@@ -131,12 +131,19 @@ def generate_relational(out_dir: str, n_replicas: int = 10) -> None:
 
 def main() -> None:
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/scale10"
-    if not os.path.exists(f"{out_dir}/documents.parquet"):
+    # completion sentinel, written only after BOTH generators finish
+    # (r10 review: keying on individual parquet files left a crash
+    # partway through generation as a permanently half-built dir that
+    # every later run skipped and then died reading). Both generators
+    # are idempotent overwrites, so re-running on a partial dir heals.
+    marker = f"{out_dir}/_SCALE10_COMPLETE"
+    if not os.path.exists(marker):
         print(f"# generating 10x data in {out_dir}", flush=True)
         generate(out_dir)
-    if not os.path.exists(f"{out_dir}/events.parquet"):
         print(f"# generating 10x relational data in {out_dir}", flush=True)
         generate_relational(out_dir)
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F

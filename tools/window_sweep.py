@@ -101,9 +101,15 @@ def main() -> None:
         basis = f"{args.limit_frac:.0%} of {max_map_count()}"
     peak = 0
     failed = False
-    con = duckdb.connect()  # ONE uncapped connection: driver-faithful
+    # ONE shared connection: driver-faithful. No harness-level cap —
+    # since the r10 self-cap policy each oracle's own SQL re-asserts
+    # SET memory_limit='2GB', so positions run capped BY THEIR ORACLE
+    # (an oracle whose SET prefix were dropped would run uncapped
+    # here and its regression would show in the map counts).
+    con = duckdb.connect()
     create_views(con, args.sf)
-    print(f"# sweep: {len(names)} oracles, ONE uncapped connection, "
+    print(f"# sweep: {len(names)} oracles, ONE shared connection "
+          "(no harness cap; each oracle self-caps since r10), "
           f"map budget {budget} ({basis}), start {n_maps()}")
     for pos, name in enumerate(names, 1):
         if name not in ORACLES:
@@ -114,11 +120,9 @@ def main() -> None:
             err = None
         except Exception as e:  # noqa: BLE001 — report, keep sweeping
             rows, err = None, repr(e)[:120]
-        # a multi-statement oracle that SETs its own memory_limit (the
-        # r09 expr_extract self-cap experiment) would otherwise leak
-        # connection state and cap every LATER position — turning this
-        # deliberately-uncapped gate into exactly the cap-hides-bombs
-        # condition it exists to remove
+        # RESET so no position inherits an earlier oracle's SET: after
+        # this, each position's limit is exactly what its own SQL sets
+        # (the embedded 2 GB since r10; nothing, for ad-hoc SQL)
         con.execute("RESET memory_limit")
         live = n_maps()
         peak = max(peak, live)
