@@ -6720,10 +6720,21 @@ def q_text_bpe_merge_round(spark, sf_dir):
     in any engine: chars joined by '|', then a literal replace of
     'a|b' → 'ab' (replace-all scans left-to-right non-overlapping in
     both Spark and DuckDB — exactly BPE's greedy pairing, e.g.
-    'aaaa' → (aa)(aa)). Two counting shuffles over a bounded
-    symbol-pair key space (map-side combine both times) + the 1-row
-    elected-merge broadcast (waived crossJoin). Iterating = re-running
-    this shape with the merge list grown by one."""
+    'aaaa' → (aa)(aa)). Iterating = re-running this shape with the
+    merge list grown by one.
+
+    Scale shape (r10): all pair statistics aggregate over the
+    DISTINCT-WORD FREQUENCY TABLE, weighted by word count — Sennrich's
+    own formulation — not the raw token stream. The token stream is
+    O(corpus); the vocabulary is Zipf-bounded (sf0.1: 601k tokens →
+    16k distinct words), so after ONE word-count shuffle (map-side
+    combine collapses each partition to its local vocab) every later
+    stage — pair election, re-segmentation, round-2 statistics — runs
+    on vocab-sized input, and the two plan branches reuse that one
+    exchange (ReusedExchange; the pre-r10 form tokenized the corpus
+    twice and exploded pairs over the full stream). Counts are
+    identical by construction: sum of word frequencies = token count.
+    The 1-row elected-merge broadcast is the waived crossJoin."""
     docs = _t(spark, sf_dir, "documents")
     words = (
         docs.filter(F.col("text").isNotNull())
@@ -6733,6 +6744,8 @@ def q_text_bpe_merge_round(spark, sf_dir):
             ).alias("word")
         )
         .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wn"))
     )
     p1 = (
         words.select(
@@ -6741,10 +6754,11 @@ def q_text_bpe_merge_round(spark, sf_dir):
                     F.sequence(F.lit(1), F.length("word") - 1),
                     lambda i: F.col("word").substr(i, F.lit(2)),
                 )
-            ).alias("pair")
+            ).alias("pair"),
+            "wn",
         )
         .groupBy("pair")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("wn").alias("n"))
     )
     best = (
         p1.orderBy(F.desc("n"), F.asc("pair"))
@@ -6766,9 +6780,10 @@ def q_text_bpe_merge_round(spark, sf_dir):
                     lambda x, y: F.concat(x, F.lit("+"), y),
                 )
             ).alias("pair"),
+            "wn",
         )
         .groupBy("bp", "pair")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("wn").alias("n"))
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(20)
         .select(F.col("bp").alias("merge_pair"), "pair", "n")
