@@ -264,6 +264,7 @@ def join_asof(
     right_cols: list[str],
     direction: str = "backward",
     tolerance_seconds: float | None = None,
+    n_buckets: int = 256,
 ) -> DataFrame:
     """As-of join: enrich each left row with ``right_cols`` from the
     temporally closest right row of the same key (``backward`` = most
@@ -278,25 +279,31 @@ def join_asof(
     Spark has no native as-of join, and expressing it as a range join
     + argmax explodes (every left row matches every earlier right
     row before the aggregate prunes them). Instead: co-partition both
-    sides by key with ``groupBy(...).cogroup`` and run pandas
-    ``merge_asof`` per key group — one shuffle of each input, zero
-    row explosion, Arrow-batched. This is the standard scalable plan:
-    state per task is one key group's rows, so at cluster scale it
-    holds as long as single-key history fits in a task (salt the key
-    with a coarse time bucket if it doesn't).
+    sides by a HASH BUCKET of the key (``pmod(xxhash64(key),
+    n_buckets)``; the right key is cast to the left key's type first
+    so equal values hash identically) and run ONE vectorized pandas
+    ``merge_asof(by=key)`` per bucket. Cogrouping by the raw key (the
+    pre-r10 form) called pandas once per DISTINCT key — ~15k
+    interpreter round-trips at sf0.1, 24 s of pure call overhead for
+    a ~2 s join; bucketing cuts the call count to ``n_buckets`` while
+    ``by=`` keeps the per-key matching exact. State per task is one
+    bucket's rows (~corpus/n_buckets): size ``n_buckets`` to at least
+    the cluster's parallelism, and raise it (or salt with a coarse
+    time bucket) if a bucket's history outgrows a task.
 
-    Tie semantics: among right rows sharing the boundary timestamp,
-    pandas keeps the last after a stable sort — callers needing
-    engine-portable results should either ensure (key, ts) is unique
-    on the right or project only tie-invariant columns (e.g. the
-    timestamp itself).
+    Tie semantics: among right rows sharing the boundary timestamp
+    within a key, pandas keeps the last after a stable sort — callers
+    needing engine-portable results should either ensure (key, ts) is
+    unique on the right or project only tie-invariant columns (e.g.
+    the timestamp itself).
 
-    Null timestamps (r09 review — ``merge_asof`` REJECTS null merge
-    keys, so these previously crashed the whole job): a left row with
-    null ``left_ts`` is emitted unmatched (the left-join contract —
-    it has no position on the time axis), and a right row with null
-    ``right_ts`` is excluded from matching (it cannot be "closest" to
-    anything).
+    Null handling: a left row with null ``left_ts`` OR null
+    ``left_key`` is emitted unmatched (SQL equality semantics — null
+    keys join nothing, matching DuckDB's ASOF JOIN; the pre-r10
+    per-key cogroup quietly matched null to null, which no SQL replay
+    agrees with), and right rows with null key or null ``right_ts``
+    are excluded from matching. (``merge_asof`` itself REJECTS null
+    merge keys — r09 review — so these also must never reach it.)
     """
     import pandas as pd
     from pyspark.sql.types import StructField, StructType
@@ -311,18 +318,29 @@ def join_asof(
             f"right_cols {clash} collide with left columns; rename on "
             "one side before the as-of join"
         )
+    if "__b" in left.columns or "__b" in right.columns:
+        raise ValueError("join_asof reserves the column name '__b'")
     rsel_cols = [right_key, right_ts] + [
         c for c in right_cols if c not in (right_key, right_ts)
     ]
-    rsel = right.select(*rsel_cols)
+    # cast the right key to the left key's type: xxhash64 hashes by
+    # type, so bucket alignment of equal values REQUIRES equal types
+    # (and merge_asof's by= needs equal dtypes anyway)
+    key_type = left.schema[left_key].dataType
+    rsel = right.select(*rsel_cols).withColumn(
+        right_key, F.col(right_key).cast(key_type)
+    )
     out_names = list(left.columns) + list(right_cols)
     rfields = {f.name: f for f in rsel.schema.fields}
     schema = StructType(
         list(left.schema.fields)
         + [StructField(c, rfields[c].dataType, True) for c in right_cols]
     )
+    rkey = f"__r_{right_key}"
+    rts = f"__r_{right_ts}"
 
     def merge(l_pdf: pd.DataFrame, r_pdf: pd.DataFrame) -> pd.DataFrame:
+        l_pdf = l_pdf.drop(columns=["__b"])
         if l_pdf.empty:
             return pd.DataFrame(columns=out_names)
 
@@ -332,39 +350,45 @@ def join_asof(
                 out[c] = None
             return out[out_names]
 
-        null_ts = l_pdf[left_ts].isna()
-        l_null, l_pdf = l_pdf[null_ts], l_pdf[~null_ts]
+        no_pos = l_pdf[left_ts].isna() | l_pdf[left_key].isna()
+        l_null, l_pdf = l_pdf[no_pos], l_pdf[~no_pos]
         # prefix-rename the right side so merge_asof never collapses
         # equal-named on-keys into one column (the old suffixes=("",
         # "__r") form raised KeyError whenever right_ts == left_ts and
         # right_ts was projected — r09 review)
-        r_pdf = r_pdf.drop(columns=[right_key]).rename(
-            columns={c: f"__r_{c}" for c in r_pdf.columns if c != right_key}
+        r_pdf = r_pdf.drop(columns=["__b"]).rename(
+            columns={c: f"__r_{c}" for c in r_pdf.columns}
         )
-        r_pdf = r_pdf[r_pdf[f"__r_{right_ts}"].notna()]
+        r_pdf = r_pdf[r_pdf[rts].notna() & r_pdf[rkey].notna()]
         parts = []
         if len(l_pdf):
             if r_pdf.empty:
-                parts.append(unmatched(l_pdf.sort_values(left_ts, kind="mergesort")))
+                parts.append(
+                    unmatched(l_pdf.sort_values(left_ts, kind="mergesort"))
+                )
             else:
                 l_sorted = l_pdf.sort_values(left_ts, kind="mergesort")
-                r_sorted = r_pdf.sort_values(f"__r_{right_ts}", kind="mergesort")
-                # merge_asof needs identical temporal dtypes on both keys
+                r_sorted = r_pdf.sort_values(rts, kind="mergesort")
+                # merge_asof needs identical temporal dtypes on both
+                # on-keys and identical dtypes on the by-keys
                 l_sorted = l_sorted.assign(
                     **{left_ts: l_sorted[left_ts].astype("datetime64[us]")}
                 )
                 r_sorted = r_sorted.assign(
                     **{
-                        f"__r_{right_ts}": r_sorted[f"__r_{right_ts}"].astype(
-                            "datetime64[us]"
-                        )
+                        rts: r_sorted[rts].astype("datetime64[us]"),
+                        rkey: r_sorted[rkey].astype(
+                            l_sorted[left_key].dtype, copy=False
+                        ),
                     }
                 )
                 merged = pd.merge_asof(
                     l_sorted,
                     r_sorted,
                     left_on=left_ts,
-                    right_on=f"__r_{right_ts}",
+                    right_on=rts,
+                    left_by=left_key,
+                    right_by=rkey,
                     direction=direction,
                     tolerance=(
                         None
@@ -379,9 +403,11 @@ def join_asof(
             parts.append(unmatched(l_null))
         return pd.concat(parts, ignore_index=True)
 
+    bucket = lambda c: F.pmod(F.xxhash64(F.col(c)), F.lit(n_buckets))  # noqa: E731
     return (
-        left.groupBy(left_key)
-        .cogroup(rsel.groupBy(right_key))
+        left.withColumn("__b", bucket(left_key))
+        .groupBy("__b")
+        .cogroup(rsel.withColumn("__b", bucket(right_key)).groupBy("__b"))
         .applyInPandas(merge, schema)
     )
 

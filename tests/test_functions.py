@@ -726,6 +726,32 @@ def test_join_asof_null_timestamps_and_shared_ts_name(spark):
                   "k", "rk", "ts", "ts", ["k"])
 
 
+def test_join_asof_null_keys_join_nothing(spark):
+    """r10 bucket rewrite: null KEYS follow SQL equality semantics —
+    a null-key left row is emitted unmatched and a null-key right row
+    matches nothing (the pre-r10 per-key cogroup quietly matched null
+    to null, which no SQL replay agrees with). Also pins that keys of
+    different Spark integer widths still join (the right key is cast
+    to the left key's type so xxhash64 buckets align)."""
+    from datetime import datetime
+
+    from idr_data_pipelines_spark.operators import join_asof
+
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 2), "a"), (None, datetime(2024, 1, 2), "b")],
+        ["k", "ts", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1), 5.0), (None, datetime(2024, 1, 1), -1.0)],
+        ["rk", "rts", "price"],
+    ).withColumn("rk", F.col("rk").cast("int"))  # narrower than left's bigint
+    rows = {
+        r["tag"]: r["price"]
+        for r in join_asof(left, right, "k", "rk", "ts", "rts", ["price"]).collect()
+    }
+    assert rows == {"a": 5.0, "b": None}
+
+
 def test_extract_week_is_bq_sunday_based(spark):
     """r09 review: BQ EXTRACT(WEEK) is Sunday-based with week 0 before
     the year's first Sunday; the old ISO weekofyear mapping returned
