@@ -5158,41 +5158,52 @@ def q_sink_compact_files(spark, sf_dir):
 
 def q_basket_pairs(spark, sf_dir):
     """Market-basket co-occurrence: top-20 part pairs by the number of
-    orders containing both. The pair generation is a self-equi-join on
-    the order key — co-partitioned, so pair blowup is bounded by
-    lines-per-order — and the support count is exact integers, so
-    ranking needs only the (support desc, part_a, part_b) tiebreak.
-    Top-k rides TakeOrdered.
+    orders containing both. Each basket collapses to its SORTED
+    distinct part array in one order-keyed shuffle (collect_set —
+    dedup and basket assembly in the same aggregation), pairs are the
+    in-array combinations (a pure projection: sortedness gives
+    part_a < part_b for free), and the support count is exact
+    integers, so ranking needs only the (support desc, part_a,
+    part_b) tiebreak. Top-k rides TakeOrdered.
+
+    The r10 rewrite removed the order-key SELF-JOIN (distinct →
+    basket-size semi-join → co-partitioned self-join was three
+    corpus-sized exchanges; this is two — basket assembly and pair
+    count — with the quadratic pair fan-out now a capped in-row array
+    expression instead of join output).
 
     Scale guard: baskets larger than 32 distinct parts are dropped
     BEFORE pair generation (the standard market-basket practice — a
     bot/bulk order with 10k parts would emit 50M pairs from one key
-    and skew the join). Deterministic filter ⇒ still exactly
-    oracle-able; no basket in the synthetic data comes near the cap."""
-    d0 = (
+    and skew the plan; the cap also bounds the per-row pair array at
+    C(32,2) = 496). Deterministic filter ⇒ still exactly oracle-able;
+    no basket in the synthetic data comes near the cap."""
+    baskets = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") <= 32)
     )
-    small = (
-        d0.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") <= 32)
-        .select("l_orderkey")
-    )
-    d = d0.join(small, "l_orderkey", "left_semi")
-    a = d.alias("a")
-    b = d.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("parts"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("parts"), i + 2, F.size("parts")
+                            ),
+                            lambda y: F.struct(
+                                x.alias("part_a"), y.alias("part_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+        .groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
         .agg(F.count(F.lit(1)).alias("support"))
     )
     return pairs.orderBy(
