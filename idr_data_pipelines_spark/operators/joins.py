@@ -20,7 +20,6 @@ Physical strategy:
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -88,12 +87,25 @@ def join_anti(
 
 
 def _orderable(dt) -> bool:
-    """Whether a type can feed a Spark sort: maps (and anything
-    nesting one) are not orderable and fail sortWithinPartitions at
-    analysis time."""
+    """Whether a type can feed a Spark sort: maps and variants (and
+    anything nesting one) are not orderable and fail
+    sortWithinPartitions at analysis time. The unorderable leaf types
+    are looked up defensively (r10 review: a plain MapType deny-list
+    let Spark 4's VariantType through to an AnalysisException —
+    exactly the failure the skip-unorderable machinery exists to
+    avoid; geo types are guarded the same way for Spark versions that
+    ship them)."""
     from pyspark.sql import types as T
 
-    if isinstance(dt, T.MapType):
+    deny = tuple(
+        t
+        for t in (
+            getattr(T, name, None)
+            for name in ("MapType", "VariantType", "GeometryType", "GeographyType")
+        )
+        if t is not None
+    )
+    if isinstance(dt, deny):
         return False
     if isinstance(dt, T.ArrayType):
         return _orderable(dt.elementType)
@@ -165,6 +177,18 @@ def join_salted(
             "join_salted supports how='inner'|'left' — outer joins would "
             "fan out unmatched rows of the replicated side"
         )
+    if n_salts < 1:
+        # n_salts=0 makes every skewed salt pmod-by-zero (NULL or a
+        # DIVIDE_BY_ZERO mid-job under ANSI) while the replication
+        # explode emits garbage salts — silently empty/unmatched
+        # output instead of a loud API-boundary error (r10 review;
+        # same class as join_range's bucket_size guard)
+        raise ValueError("n_salts must be >= 1")
+    if "__salt" in skewed.columns or "__salt" in other.columns:
+        # withColumn would silently REPLACE the caller's column and
+        # the final drop would delete it (r10 review; same reservation
+        # contract as join_asof's '__b')
+        raise ValueError("join_salted reserves the column name '__salt'")
     sortable = [
         f.name for f in skewed.schema.fields if _orderable(f.dataType)
     ]
@@ -198,10 +222,10 @@ def join_salted_hot_keys(
     """Partial salting — the production form of ``join_salted``: only
     the HOT keys (>= ``hot_frac`` of the skewed side's rows, detected
     with one extra counting pass) take the salted path; the long tail
-    joins plainly. ``skewed_key`` and ``other_key`` must be DISTINCT
-    column names (checked): with equal names the cold branch would
-    emit two identically-named key columns and the final
-    ``unionByName`` becomes ambiguous — alias one side before calling. Uniform salting replicates the entire other side
+    joins plainly. The two sides must have fully DISJOINT column
+    names (checked — not just the keys, r10 review): any shared name
+    survives the plain join as a duplicate but makes the final
+    ``unionByName`` unresolvable — alias before calling. Uniform salting replicates the entire other side
     ``n_salts``×; here only the hot keys' other-side rows replicate —
     at 100 TB with a handful of mega-keys that is the difference
     between replicating gigabytes and replicating kilobytes.
@@ -222,6 +246,22 @@ def join_salted_hot_keys(
             f"distinct names (both {skewed_key!r}); alias one side "
             "first, e.g. other.withColumnRenamed(k, k + '_r')"
         )
+    if not 0.0 < hot_frac <= 1.0:
+        # hot_frac<=0 classifies EVERY key as hot, voiding the
+        # '<= 1/hot_frac keys, driver-safe' bound that justifies the
+        # checkpoint+broadcast below — at scale that is a broadcast of
+        # the full distinct-key set (r10 review)
+        raise ValueError("hot_frac must be in (0, 1]")
+    shared = sorted(set(skewed.columns) & set(other.columns))
+    if shared:
+        # the plain equi-join tolerates duplicate column names, but
+        # the final unionByName cannot resolve them — fail loudly at
+        # the API boundary instead of as a late AnalysisException
+        # (r10 review)
+        raise ValueError(
+            "join_salted_hot_keys requires disjoint column names on "
+            f"the two sides (shared: {shared}); rename before calling"
+        )
     hot = (
         skewed.groupBy(skewed_key)
         .agg(F.count(F.lit(1)).alias("__n"))
@@ -232,7 +272,14 @@ def join_salted_hot_keys(
         )
         .filter(F.col("__n") >= F.col("__total") * hot_frac)
         .select(F.col(skewed_key).alias("__hot_key"))
-        .localCheckpoint(eager=True)  # tiny; reused by four branches
+        # tiny (<= 1/hot_frac keys); reused by four branches.
+        # localCheckpoint keeps the set executor-side with truncated
+        # lineage — losing the holding executor mid-job forfeits the
+        # checkpoint (no lineage to replay), a deliberate trade vs
+        # collecting arbitrary key types through the driver; on
+        # preemptible clusters collect the hot set yourself and pass
+        # the two paths explicitly (see docstring)
+        .localCheckpoint(eager=True)
     )
     hot_b = F.broadcast(hot)
 
@@ -442,6 +489,10 @@ def join_range(
         # an empty sequence() explode, and a silently EMPTY result
         # under non-ANSI Spark (r09 review)
         raise ValueError("bucket_size must be > 0")
+    if "__bucket" in fact.columns or "__bucket" in bands.columns:
+        # withColumn would silently replace and then drop the
+        # caller's column (r10 review)
+        raise ValueError("join_range reserves the column name '__bucket'")
     fb = fact.withColumn(
         "__bucket", F.floor(F.col(value_col) / F.lit(bucket_size)).cast("long")
     )
@@ -458,9 +509,12 @@ def join_range(
         bb = F.broadcast(bb)
     out = fb.join(
         bb,
+        # frame-qualified residual (r10 review: bare F.col() turns
+        # AMBIGUOUS_REFERENCE whenever the two frames share one of
+        # these names, e.g. a leftover 'lo' on the fact side)
         (fb["__bucket"] == bb["__bucket"])
-        & (F.col(value_col) >= F.col(lo_col))
-        & (F.col(value_col) < F.col(hi_col)),
+        & (fb[value_col] >= bb[lo_col])
+        & (fb[value_col] < bb[hi_col]),
     )
     return out.drop(fb["__bucket"]).drop(bb["__bucket"])
 
@@ -501,6 +555,23 @@ def join_fuzzy_blocked(
         raise ValueError(
             "left_col and right_col must be distinct column names — "
             "alias one side before the fuzzy join"
+        )
+    if left_col in right.columns or right_col in left.columns:
+        # the bare-name distance expression would go ambiguous, or —
+        # worse — resolve both refs to the SAME side (r10 review)
+        raise ValueError(
+            "the compare columns must each exist on exactly one side "
+            f"({left_col!r} also on right or {right_col!r} also on left)"
+        )
+    if "__blk" in left.columns or "__blk" in right.columns:
+        raise ValueError(
+            "join_fuzzy_blocked reserves the column name '__blk'"
+        )
+    if dist_col in left.columns or dist_col in right.columns:
+        # withColumn would silently replace the caller's column
+        raise ValueError(
+            f"dist_col {dist_col!r} collides with an input column; "
+            "pass a fresh name"
         )
     l = left.withColumn("__blk", block_fn(F.col(left_col)))
     r = right.withColumn("__blk", block_fn(F.col(right_col)))

@@ -694,6 +694,71 @@ def test_join_salted_hot_keys_same_key_name_rejected(spark):
         join_salted_hot_keys(df, df, "k", "k")
 
 
+def test_join_guards_refuse_silent_corruption(spark):
+    """r10 review hardening: every salted/range/fuzzy entry point must
+    refuse — loudly, at the API boundary — the parameter and column
+    classes that previously corrupted silently or died mid-job:
+    n_salts<1 (empty/unmatched output), reserved internal column
+    names (caller's column replaced then dropped), hot_frac<=0 (every
+    key 'hot' → unbounded broadcast), shared column names into the
+    final unionByName, and compare/dist columns that exist on both
+    fuzzy-join sides (ambiguous or self-comparing)."""
+    import pytest as _pytest
+
+    from idr_data_pipelines_spark.operators.joins import (
+        join_fuzzy_blocked,
+        join_range,
+        join_salted,
+        join_salted_hot_keys,
+    )
+
+    l = spark.range(5).select(F.col("id").alias("k"), F.lit("x").alias("a"))
+    r = spark.range(5).select(F.col("id").alias("rk"), F.lit("y").alias("b"))
+    with _pytest.raises(ValueError, match="n_salts"):
+        join_salted(l, r, "k", "rk", n_salts=0)
+    with _pytest.raises(ValueError, match="__salt"):
+        join_salted(l.withColumn("__salt", F.lit(1)), r, "k", "rk")
+    with _pytest.raises(ValueError, match="hot_frac"):
+        join_salted_hot_keys(l, r, "k", "rk", hot_frac=0.0)
+    with _pytest.raises(ValueError, match="disjoint"):
+        join_salted_hot_keys(
+            l, r.withColumnRenamed("b", "a"), "k", "rk"
+        )
+    bands = spark.createDataFrame([("x", 0.0, 5.0)], ["lbl", "lo", "hi"])
+    with _pytest.raises(ValueError, match="__bucket"):
+        join_range(
+            l.withColumn("__bucket", F.lit(1)).withColumn(
+                "v", F.col("k").cast("double")
+            ),
+            bands, "v", "lo", "hi", bucket_size=1.0,
+        )
+    first = lambda c: F.split(c, " ")[0]  # noqa: E731
+    la = l.withColumn("na", F.lit("ann"))
+    rb = r.withColumn("nb", F.lit("anne"))
+    with _pytest.raises(ValueError, match="exactly one side"):
+        join_fuzzy_blocked(la, rb.withColumn("na", F.lit("z")), "na", "nb", first, 2)
+    with _pytest.raises(ValueError, match="dist_col"):
+        join_fuzzy_blocked(la, rb, "na", "nb", first, 2, dist_col="a")
+
+
+def test_join_range_residual_is_frame_qualified(spark):
+    """r10 review: a fact-side column coincidentally named like a
+    band bound ('lo') must not make the residual predicate ambiguous
+    — the join condition qualifies every residual reference."""
+    from idr_data_pipelines_spark.operators.joins import join_range
+
+    fact = spark.range(10).select(
+        (F.col("id").cast("double") * 10).alias("v"),
+        F.lit(0.0).alias("lo"),  # the collision
+    )
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("high", 50.0, 100.0)], ["lbl", "lo_b", "hi_b"]
+    )
+    out = join_range(fact, bands, "v", "lo_b", "hi_b", bucket_size=50.0)
+    got = {(r["v"], r["lbl"]) for r in out.collect()}
+    assert got == {(float(i * 10), "low" if i * 10 < 50 else "high") for i in range(10)}
+
+
 def test_join_asof_null_timestamps_and_shared_ts_name(spark):
     """r09 review: merge_asof rejects null merge keys — a null left ts
     must yield an unmatched row (not a job crash), a null right ts is
