@@ -87,21 +87,24 @@ def join_anti(
 
 
 def _orderable(dt) -> bool:
-    """Whether a type can feed a Spark sort: maps and variants (and
-    anything nesting one) are not orderable and fail
-    sortWithinPartitions at analysis time. The unorderable leaf types
-    are looked up defensively (r10 review: a plain MapType deny-list
-    let Spark 4's VariantType through to an AnalysisException —
-    exactly the failure the skip-unorderable machinery exists to
-    avoid; geo types are guarded the same way for Spark versions that
-    ship them)."""
+    """Whether a type can feed a Spark sort — mirrors the JVM's
+    ``RowOrdering.isOrderable`` as an ALLOW-list (r10 review, twice:
+    a MapType-only deny-list let VariantType through, and a widened
+    deny-list still let CalendarIntervalType through — any list of
+    known-bad types re-breaks on the next Spark release; only
+    known-GOOD falls safe): atomic and null types are orderable,
+    arrays/structs/UDTs recurse, everything else — maps, calendar
+    intervals, variants, geo, whatever comes next — is not. Variant
+    and geo need an explicit exclusion because PySpark's Python class
+    hierarchy makes them AtomicType even though the JVM side refuses
+    to sort them."""
     from pyspark.sql import types as T
 
     deny = tuple(
         t
         for t in (
             getattr(T, name, None)
-            for name in ("MapType", "VariantType", "GeometryType", "GeographyType")
+            for name in ("VariantType", "GeometryType", "GeographyType")
         )
         if t is not None
     )
@@ -111,7 +114,41 @@ def _orderable(dt) -> bool:
         return _orderable(dt.elementType)
     if isinstance(dt, T.StructType):
         return all(_orderable(f.dataType) for f in dt.fields)
-    return True
+    if isinstance(dt, T.UserDefinedType):
+        return _orderable(dt.sqlType())
+    return isinstance(dt, (T.AtomicType, T.NullType))
+
+
+def _reserve(name: str, op: str, *frames: DataFrame) -> None:
+    """Refuse frames that already carry an operator-internal column
+    name: withColumn would silently REPLACE the caller's column and
+    the internal drop would then delete it (r09/r10 reviews). One
+    site for the check and the message, so new internal columns
+    can't drift per-operator."""
+    if any(name in f.columns for f in frames):
+        raise ValueError(f"{op} reserves the column name {name!r}")
+
+
+def _validate_salted_args(
+    skewed: DataFrame, other: DataFrame, n_salts: int, how: str, op: str
+) -> None:
+    """Shared entry guards for both salted joins — hoisted so
+    join_salted_hot_keys rejects bad parameters BEFORE its eager
+    hot-key counting job runs over the full skewed side (r10 review:
+    'fail at the API boundary' must mean before the first scan)."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"{op} supports how='inner'|'left' — outer joins would "
+            "fan out unmatched rows of the replicated side"
+        )
+    if n_salts < 1:
+        # n_salts=0 makes every skewed salt pmod-by-zero (NULL or a
+        # DIVIDE_BY_ZERO mid-job under ANSI) while the replication
+        # explode emits garbage salts — silently empty/unmatched
+        # output instead of a loud API-boundary error (r10 review;
+        # same class as join_range's bucket_size guard)
+        raise ValueError("n_salts must be >= 1")
+    _reserve("__salt", op, skewed, other)
 
 
 def join_salted(
@@ -172,23 +209,7 @@ def join_salted(
     Health-facility data is the reference's skew case: a handful of
     large sites dominate (SiteCode keys, SURVEY.md §4).
     """
-    if how not in ("inner", "left"):
-        raise ValueError(
-            "join_salted supports how='inner'|'left' — outer joins would "
-            "fan out unmatched rows of the replicated side"
-        )
-    if n_salts < 1:
-        # n_salts=0 makes every skewed salt pmod-by-zero (NULL or a
-        # DIVIDE_BY_ZERO mid-job under ANSI) while the replication
-        # explode emits garbage salts — silently empty/unmatched
-        # output instead of a loud API-boundary error (r10 review;
-        # same class as join_range's bucket_size guard)
-        raise ValueError("n_salts must be >= 1")
-    if "__salt" in skewed.columns or "__salt" in other.columns:
-        # withColumn would silently REPLACE the caller's column and
-        # the final drop would delete it (r10 review; same reservation
-        # contract as join_asof's '__b')
-        raise ValueError("join_salted reserves the column name '__salt'")
+    _validate_salted_args(skewed, other, n_salts, how, "join_salted")
     sortable = [
         f.name for f in skewed.schema.fields if _orderable(f.dataType)
     ]
@@ -240,6 +261,9 @@ def join_salted_hot_keys(
     enough (e.g. the downstream aggregation itself keys on the hot
     column).
     """
+    _validate_salted_args(
+        skewed, other, n_salts, how, "join_salted_hot_keys"
+    )
     if skewed_key == other_key:
         raise ValueError(
             "join_salted_hot_keys: skewed_key and other_key must have "
@@ -365,8 +389,7 @@ def join_asof(
             f"right_cols {clash} collide with left columns; rename on "
             "one side before the as-of join"
         )
-    if "__b" in left.columns or "__b" in right.columns:
-        raise ValueError("join_asof reserves the column name '__b'")
+    _reserve("__b", "join_asof", left, right)
     rsel_cols = [right_key, right_ts] + [
         c for c in right_cols if c not in (right_key, right_ts)
     ]
@@ -489,10 +512,7 @@ def join_range(
         # an empty sequence() explode, and a silently EMPTY result
         # under non-ANSI Spark (r09 review)
         raise ValueError("bucket_size must be > 0")
-    if "__bucket" in fact.columns or "__bucket" in bands.columns:
-        # withColumn would silently replace and then drop the
-        # caller's column (r10 review)
-        raise ValueError("join_range reserves the column name '__bucket'")
+    _reserve("__bucket", "join_range", fact, bands)
     fb = fact.withColumn(
         "__bucket", F.floor(F.col(value_col) / F.lit(bucket_size)).cast("long")
     )
@@ -563,10 +583,7 @@ def join_fuzzy_blocked(
             "the compare columns must each exist on exactly one side "
             f"({left_col!r} also on right or {right_col!r} also on left)"
         )
-    if "__blk" in left.columns or "__blk" in right.columns:
-        raise ValueError(
-            "join_fuzzy_blocked reserves the column name '__blk'"
-        )
+    _reserve("__blk", "join_fuzzy_blocked", left, right)
     if dist_col in left.columns or dist_col in right.columns:
         # withColumn would silently replace the caller's column
         raise ValueError(

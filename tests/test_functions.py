@@ -173,9 +173,22 @@ def test_join_salted_tolerates_non_orderable_columns(spark):
         F.create_map(F.lit("k"), F.col("kk")).alias("m")
     )
     assert only_map.count() == 3  # construction sanity
+    from pyspark.sql import types as T
+
     from idr_data_pipelines_spark.operators.joins import _orderable
 
     assert not _orderable(only_map.schema["m"].dataType)
+    # allow-list semantics (r10 review, second pass): anything the JVM
+    # refuses to sort must be excluded by CONSTRUCTION, not by naming
+    # each bad type — calendar intervals and variants never made any
+    # deny-list yet both fail sortWithinPartitions
+    assert not _orderable(T.CalendarIntervalType())
+    if hasattr(T, "VariantType"):
+        assert not _orderable(T.VariantType())
+    assert _orderable(T.DayTimeIntervalType())  # ANSI intervals sort fine
+    assert _orderable(
+        T.ArrayType(T.StructType([T.StructField("x", T.LongType())]))
+    )
 
 
 def test_null_normalize_only_touches_string_columns(spark):
@@ -703,8 +716,6 @@ def test_join_guards_refuse_silent_corruption(spark):
     key 'hot' → unbounded broadcast), shared column names into the
     final unionByName, and compare/dist columns that exist on both
     fuzzy-join sides (ambiguous or self-comparing)."""
-    import pytest as _pytest
-
     from idr_data_pipelines_spark.operators.joins import (
         join_fuzzy_blocked,
         join_range,
@@ -714,18 +725,21 @@ def test_join_guards_refuse_silent_corruption(spark):
 
     l = spark.range(5).select(F.col("id").alias("k"), F.lit("x").alias("a"))
     r = spark.range(5).select(F.col("id").alias("rk"), F.lit("y").alias("b"))
-    with _pytest.raises(ValueError, match="n_salts"):
+    with pytest.raises(ValueError, match="n_salts"):
         join_salted(l, r, "k", "rk", n_salts=0)
-    with _pytest.raises(ValueError, match="__salt"):
+    with pytest.raises(ValueError, match="__salt"):
         join_salted(l.withColumn("__salt", F.lit(1)), r, "k", "rk")
-    with _pytest.raises(ValueError, match="hot_frac"):
+    # hot_keys rejects bad salted params BEFORE its counting job
+    with pytest.raises(ValueError, match="n_salts"):
+        join_salted_hot_keys(l, r, "k", "rk", n_salts=0)
+    with pytest.raises(ValueError, match="hot_frac"):
         join_salted_hot_keys(l, r, "k", "rk", hot_frac=0.0)
-    with _pytest.raises(ValueError, match="disjoint"):
+    with pytest.raises(ValueError, match="disjoint"):
         join_salted_hot_keys(
             l, r.withColumnRenamed("b", "a"), "k", "rk"
         )
     bands = spark.createDataFrame([("x", 0.0, 5.0)], ["lbl", "lo", "hi"])
-    with _pytest.raises(ValueError, match="__bucket"):
+    with pytest.raises(ValueError, match="__bucket"):
         join_range(
             l.withColumn("__bucket", F.lit(1)).withColumn(
                 "v", F.col("k").cast("double")
@@ -735,28 +749,35 @@ def test_join_guards_refuse_silent_corruption(spark):
     first = lambda c: F.split(c, " ")[0]  # noqa: E731
     la = l.withColumn("na", F.lit("ann"))
     rb = r.withColumn("nb", F.lit("anne"))
-    with _pytest.raises(ValueError, match="exactly one side"):
+    with pytest.raises(ValueError, match="exactly one side"):
         join_fuzzy_blocked(la, rb.withColumn("na", F.lit("z")), "na", "nb", first, 2)
-    with _pytest.raises(ValueError, match="dist_col"):
+    with pytest.raises(ValueError, match="dist_col"):
         join_fuzzy_blocked(la, rb, "na", "nb", first, 2, dist_col="a")
 
 
 def test_join_range_residual_is_frame_qualified(spark):
-    """r10 review: a fact-side column coincidentally named like a
-    band bound ('lo') must not make the residual predicate ambiguous
-    — the join condition qualifies every residual reference."""
+    """r10 review: the residual's bound columns collide by NAME with
+    fact-side columns here ('lo'/'hi' exist on BOTH frames, and the
+    fact-side copies carry garbage values) — a bare F.col() residual
+    either raises AMBIGUOUS_REFERENCE or resolves against the wrong
+    side; frame qualification must give the exact banding. (An
+    earlier form of this test named the band bounds uniquely, which
+    the pre-fix code also passed — the collision is the point.)"""
     from idr_data_pipelines_spark.operators.joins import join_range
 
     fact = spark.range(10).select(
         (F.col("id").cast("double") * 10).alias("v"),
-        F.lit(0.0).alias("lo"),  # the collision
+        F.lit(-1e9).alias("lo"),  # garbage same-name columns: a bare
+        F.lit(1e9).alias("hi"),   # residual matching these keeps ALL
     )
     bands = spark.createDataFrame(
-        [("low", 0.0, 50.0), ("high", 50.0, 100.0)], ["lbl", "lo_b", "hi_b"]
+        [("low", 0.0, 50.0), ("high", 50.0, 100.0)], ["lbl", "lo", "hi"]
     )
-    out = join_range(fact, bands, "v", "lo_b", "hi_b", bucket_size=50.0)
+    out = join_range(fact, bands, "v", "lo", "hi", bucket_size=50.0)
     got = {(r["v"], r["lbl"]) for r in out.collect()}
-    assert got == {(float(i * 10), "low" if i * 10 < 50 else "high") for i in range(10)}
+    assert got == {
+        (float(i * 10), "low" if i * 10 < 50 else "high") for i in range(10)
+    }
 
 
 def test_join_asof_null_timestamps_and_shared_ts_name(spark):
