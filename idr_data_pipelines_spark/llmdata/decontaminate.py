@@ -265,30 +265,60 @@ def contamination_scores_bloom(
     100 TB shape when the benchmark n-gram set itself is too large to
     broadcast as strings: corpus n-grams first probe a broadcast
     bitmap (no false negatives, so final counts are IDENTICAL to the
-    exact operator — the oracle is the exact SQL), and only the tiny
-    bloom-candidate subset reaches the exact string verify join.
+    exact operator — the oracle is the exact SQL), and ONLY the
+    bloom-candidate subset reaches the exact verify, which runs as a
+    plain SHUFFLE semi-join against the benchmark n-grams. (r10
+    review: the old plan broadcast the full benchmark string set as
+    the verify side and left-joined every corpus n-gram against it —
+    the exact OOM and per-row cost this operator exists to avoid, so
+    the prefilter saved nothing. The candidate FILTER is what a
+    left-join condition could never do: prune left rows before the
+    join.)
 
     The probe is the one justified Python stage: bitmap membership has
     no built-in, so it runs as an Arrow-batched pandas UDF over the
     JVM-computed position arrays (vectorized ``(bm[p>>3] >> (p&7)) & 1``
-    — never per-row Python). Everything else is the single-pass
-    explode → join → doc-keyed count of the exact operator."""
+    — never per-row Python). The price of the pruning is a second
+    doc-keyed aggregate (totals ride the pre-filter frame, matches the
+    post-verify one, re-joined on the id) — two candidate-sized
+    shuffles instead of an unbounded broadcast."""
     bench_ng = benchmark_ngrams(bench, text_col, k)
     bm = bloom_bitmap(bench_ng, "ngram", n_bits, n_hashes)
     bbm = corpus.sparkSession.sparkContext.broadcast(bm)
     might_contain = make_bloom_probe(bbm)
 
-    flagged = _exploded_ngrams(corpus, id_col, text_col, k).withColumn(
-        "__cand", might_contain(bloom_positions(F.col("ngram"), n_bits, n_hashes))
+    exploded = _exploded_ngrams(corpus, id_col, text_col, k)
+    # totals ride the RAW exploded frame — the probe lives only on
+    # the candidate branch, so the plan carries exactly ONE Arrow
+    # stage (the totals branch re-evaluates the cheap tokenize, not
+    # the bitmap probe)
+    totals = exploded.groupBy(id_col).agg(
+        F.max("n_ngrams").alias("n_ngrams")
     )
-    verify = F.broadcast(
-        bench_ng.select(F.col("ngram").alias("__bng")).withColumn("__hit", F.lit(1))
+    matched = (
+        exploded.withColumn(
+            "__cand",
+            might_contain(
+                bloom_positions(F.col("ngram"), n_bits, n_hashes)
+            ),
+        )
+        .filter(F.col("__cand"))
+        .join(bench_ng, "ngram", "semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_matched"))
     )
-    return _contam_rollup(
-        flagged.join(
-            verify,
-            (F.col("ngram") == F.col("__bng")) & F.col("__cand"),
-            "left",
-        ),
-        id_col,
+    return (
+        totals.join(matched, id_col, "left")
+        .select(
+            id_col,
+            "n_ngrams",
+            F.coalesce(F.col("n_matched"), F.lit(0).cast("bigint")).alias(
+                "n_matched"
+            ),
+        )
+        .withColumn(
+            "contam_ratio",
+            F.col("n_matched").cast("double")
+            / F.col("n_ngrams").cast("double"),
+        )
     )

@@ -16,7 +16,7 @@ partitions and cluster sizes.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -48,8 +48,14 @@ def dedup_incremental(
     batch side shuffles on the fingerprint key and the index side
     shuffles once per run (or not at all if the index is stored
     bucketed by ``fp`` — see sinks.sink_table_bucketed); the
-    within-batch survivor pass is one row_number window over the
-    already-filtered batch.
+    within-batch survivor pass is a min-id aggregate (map-side
+    combined — a mega-dup fingerprint collapses to one row per map
+    task) semi-joined back on the COMPOSITE (fp, id) key, which
+    hashes evenly even for a hot fingerprint — not a row_number
+    window, whose per-fp partitions get no AQE skew splitting (r10
+    review). Assumes ids are unique per row (the module-wide doc-id
+    contract): duplicate (fp, id) pairs would all survive where the
+    old window kept one arbitrarily.
 
     The output KEEPS the computed ``fp_col`` so the caller can append
     the survivors' fingerprints to the index for the next run without
@@ -58,8 +64,6 @@ def dedup_incremental(
     silently overwriting it would corrupt the caller's data.
     """
     from idr_data_pipelines_spark.llmdata.text import fingerprint
-
-    from pyspark.sql import Window
 
     if fp_col in new_docs.columns:
         raise ValueError(
@@ -70,12 +74,8 @@ def dedup_incremental(
         new_docs.withColumn(fp_col, fingerprint(text_col))
         .join(seen_fps.select(fp_col).distinct(), fp_col, "left_anti")
     )
-    w = Window.partitionBy(fp_col).orderBy(id_col)
-    return (
-        fresh.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    survivors = fresh.groupBy(fp_col).agg(F.min(id_col).alias(id_col))
+    return fresh.join(survivors, [fp_col, id_col], "semi")
 
 
 def dedup_exact_hash_groups(
@@ -757,8 +757,13 @@ def minhash_md5_incremental_pairs(
     # a full-side shingle pass) — on the corpus side especially, the
     # index is huge and collisions are batch-bounded
     def _sh_for(side: DataFrame, key: str) -> DataFrame:
+        # per-side candidate scoping through the ONE centralized
+        # helper (r10 review: a hand-rolled semi-join here silently
+        # dropped _candidate_docs' under-partitioned-input rebalance,
+        # leaving a single-file corpus side's shingle projection on
+        # one task)
         ids = pairs.select(F.col(key).alias(id_col)).distinct()
-        return side.join(ids, id_col, "semi").select(
+        return _candidate_docs(side, pairs, id_col, ids=ids).select(
             F.col(id_col).alias("id"),
             md5_shingle_hashes(text_col, shingle_k).alias("sh"),
         )
@@ -1430,21 +1435,29 @@ def cross_doc_ngram_stats(
 
     Scale shape: ``word_shingles`` is distinct-per-doc by
     construction, so (gram, doc) rows are unique and the gram
-    doc-frequency is a plain COUNT OVER (PARTITION BY gram) — one
-    explode feeding exactly TWO shuffles (gram key for the window,
-    doc key for the rollup), with the expensive shingle scan run
-    once; the join-back formulation would shuffle the gram table a
-    third time and evaluate the shingle regex chain twice. No
-    pairwise comparison anywhere; hot grams (stopword runs) are
-    exactly the shared ones — AQE skew handling covers them.
+    doc-frequency is one gram-keyed COUNT. It is computed as an
+    AGGREGATE + join-back, NOT a window (r10 review: the old
+    ``COUNT OVER (PARTITION BY gram)`` serialized every hot gram —
+    a stopword run present in 50M docs — onto ONE window task, and
+    AQE's skew handling splits skewed JOIN partitions only, never
+    window partitions; the old docstring's 'AQE covers them' claim
+    was wrong). Still exactly TWO corpus-sized exchanges: the
+    join's per-gram fan-out is m×1 (the freq side is aggregated) with
+    AQE skew-join splitting the hot grams. The measured price: the
+    shingle chain is evaluated on BOTH branches (the partial-agg
+    below the freq exchange makes the two exchanges non-identical, so
+    Catalyst cannot reuse one), ~2× local wall (0.8 s → 1.8 s at
+    sf0.1) — a parallel map-side tax, deliberately paid to remove the
+    single-task hot-gram straggler, which at 50M-doc stopword grams
+    is a job killer no amount of map parallelism helps.
     shared_frac is an IEEE double ratio of two ints, so the flag
     threshold replays exactly in SQL."""
     grams = docs.filter(F.col(text_col).isNotNull()).select(
         id_col, F.explode(word_shingles(text_col, k)).alias("gram")
     )
-    w = Window.partitionBy("gram")
+    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("doc_freq"))
     per_doc = (
-        grams.withColumn("doc_freq", F.count(F.lit(1)).over(w))
+        grams.join(freq, "gram")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
@@ -1492,12 +1505,18 @@ def winnow_candidate_pairs(
         F.col(id_col).alias("id"),
         F.explode(winnow_md5_fingerprints(text_col, k, window)).alias("fp"),
     )
-    w = Window.partitionBy("fp")
-    rare = (
-        fps.withColumn("__df", F.count(F.lit(1)).over(w))
-        .filter(F.col("__df") <= max_fp_freq)
-        .drop("__df")
+    # aggregate + anti-join, not COUNT OVER (PARTITION BY fp) (r10
+    # review: window partitions get no AQE skew splitting, so the
+    # boilerplate fingerprints this filter exists to remove would
+    # first serialize onto single window tasks); the aggregate reuses
+    # the anti-join's fp exchange, and the over-frequency set is tiny
+    common = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_fp_freq)
+        .select("fp")
     )
+    rare = fps.join(common, "fp", "anti")
     left = rare.select(F.col("id").alias("id_a"), "fp")
     right = rare.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"))
     return (
@@ -1622,18 +1641,21 @@ def ngram_novelty_stats(
     near-zero novelty = re-crawl/boilerplate (complements
     ``cross_doc_ngram_stats``'s order-free shared fraction).
 
-    Scale shape: identical to ``cross_doc_ngram_stats`` — the shingle
-    scan runs once, feeding exactly TWO shuffles: a gram-key window
-    (MIN(doc_id) OVER gram — map-side-combinable) and the per-doc
-    rollup. All counts are integers; the ratio is one IEEE divide,
-    rounded — partition-invariant by construction. Hot grams are the
-    shared ones; AQE skew handling covers them."""
+    Scale shape: identical to ``cross_doc_ngram_stats`` — a gram-keyed
+    MIN aggregate (map-side combined) joined back onto the gram
+    stream, then the per-doc rollup. An aggregate + join, NOT a
+    window over gram (r10 review: window partitions don't get AQE
+    skew splitting — a hot gram serialized onto one task; the join
+    form splits), at the same measured ~2× shingle-evaluation tax
+    documented on ``cross_doc_ngram_stats``. All counts are integers;
+    the ratio is one IEEE divide, rounded — partition-invariant by
+    construction."""
     grams = docs.filter(F.col(text_col).isNotNull()).select(
         id_col, F.explode(word_shingles(text_col, k)).alias("gram")
     )
-    w = Window.partitionBy("gram")
+    firsts = grams.groupBy("gram").agg(F.min(id_col).alias("first_doc"))
     per_doc = (
-        grams.withColumn("first_doc", F.min(id_col).over(w))
+        grams.join(firsts, "gram")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

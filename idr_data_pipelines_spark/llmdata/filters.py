@@ -98,15 +98,14 @@ def repetition_metrics(text_col: Column | str = "text") -> dict[str, Column]:
     }
 
 
-def gopher_repetition_pass(
-    text_col: Column | str = "text",
+def _gopher_pass_from(
+    m: dict[str, Column],
     max_dup_line_frac: float = 0.30,
     max_top_bigram_frac: float = 0.20,
     max_top_trigram_frac: float = 0.18,
 ) -> Column:
-    """Boolean pass flag for the Gopher repetition rules (thresholds
-    from Rae et al. 2021 table A1; tune per corpus)."""
-    m = repetition_metrics(text_col)
+    """The Gopher repetition rule over ALREADY-BUILT metric columns
+    (thresholds from Rae et al. 2021 table A1; tune per corpus)."""
     return (
         (m["dup_line_frac"] <= F.lit(max_dup_line_frac))
         & (m["top_bigram_frac"] <= F.lit(max_top_bigram_frac))
@@ -114,11 +113,37 @@ def gopher_repetition_pass(
     )
 
 
+def gopher_repetition_pass(
+    text_col: Column | str = "text",
+    max_dup_line_frac: float = 0.30,
+    max_top_bigram_frac: float = 0.20,
+    max_top_trigram_frac: float = 0.18,
+) -> Column:
+    """Boolean pass flag for the Gopher repetition rules, built from
+    fresh metric expressions — standalone-use form; composers that
+    already hold the metric columns should apply ``_gopher_pass_from``
+    over those instead of paying the n-gram machinery twice."""
+    return _gopher_pass_from(
+        repetition_metrics(text_col),
+        max_dup_line_frac,
+        max_top_bigram_frac,
+        max_top_trigram_frac,
+    )
+
+
 def add_repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Append every repetition metric plus the Gopher pass flag."""
-    feats = repetition_metrics(text_col)
-    feats["gopher_rep_pass"] = gopher_repetition_pass(text_col)
-    return df.withColumns(feats)
+    """Append every repetition metric plus the Gopher pass flag. The
+    flag compares the APPENDED columns (r10 review: building it from
+    fresh expressions ran the whole tokenize + n-gram + array_sort
+    machinery twice per row — bigram and trigram each — in the same
+    projection)."""
+    out = df.withColumns(repetition_metrics(text_col))
+    return out.withColumn(
+        "gopher_rep_pass",
+        _gopher_pass_from({k: F.col(k) for k in (
+            "dup_line_frac", "top_bigram_frac", "top_trigram_frac"
+        )}),
+    )
 
 
 def score_buckets(

@@ -28,7 +28,12 @@ PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
     "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
-    "phone": r"\b\+?\d{3}[-. ]\d{3,4}[-. ]\d{4}\b",
+    # leading '+' as an ALTERNATIVE to \b, not after it (r10 review:
+    # '\b\+?' can never take the '+' branch — there is no word
+    # boundary between a space and '+', so '+1 555-...' redacted to
+    # '+<PHONE>', leaking the prefix). (?:\+|\b) is RE2-safe, so the
+    # DuckDB oracle replays it exactly.
+    "phone": r"(?:\+|\b)\d{3}[-. ]\d{3,4}[-. ]\d{4}\b",
 }
 
 

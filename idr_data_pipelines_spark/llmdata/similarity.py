@@ -441,6 +441,13 @@ def ivf_centroids(
         .limit(n_centroids)
         .collect()
     )
+    if not seed_rows:
+        # an empty/all-null corpus otherwise surfaces as an opaque
+        # numpy AxisError inside _assign_centroids (r10 review; same
+        # empty-input contract as the fixed-seed collector)
+        raise ValueError(
+            "ivf_centroids: corpus has no non-null embeddings to seed from"
+        )
     C = np.array([r["v"] for r in seed_rows], dtype=np.float64)
 
     mean_schema = StructType(
@@ -1855,7 +1862,11 @@ def norm_outliers_scaled(
     norm2 = F.aggregate(
         e6, F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
     )
-    base = corpus.select(
+    # null embeddings out BEFORE the moments (r10 review: COUNT(*)
+    # counted them while SUM skipped their null norms, deflating every
+    # group mean/std and inflating real rows' z-scores — the module's
+    # isNotNull convention, mirrored in the oracle)
+    base = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col), F.col(label_col), norm2.alias("__n2")
     )
     d19 = F.col("__n2").cast("decimal(19,0)")

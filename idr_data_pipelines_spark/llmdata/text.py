@@ -74,16 +74,34 @@ def _word_hits(c: Column, words: list[str]) -> Column:
 
 def lang_id(col: Column | str = "text", min_hits: int = 1) -> Column:
     """Heuristic language ID: highest marker-stopword hit count wins;
-    below ``min_hits`` → 'und' (undetermined)."""
+    below ``min_hits`` → 'und' (undetermined).
+
+    The four 5-regex marker scores are let-bound into one array
+    (``_let``) and every comparison references the lambda variable
+    (r10 review: the old form referenced each score expression and
+    the greatest() of all of them once per when-branch, and Catalyst
+    projection inlining re-evaluated the regexes at every use site —
+    ~100+ ``regexp_extract_all`` per row on the advertised JVM hot
+    path; now each regex runs exactly once per row). Values are
+    unchanged: array_max ≡ greatest over the same ints, and the
+    first-max tie order is the same marker-dict order."""
+    from idr_data_pipelines_spark.llmdata.dedup import _let
+
     c = F.lower(_c(col))
-    scores = {lang: _word_hits(c, words) for lang, words in _LANG_MARKERS.items()}
-    # greatest(score...) then map back to the argmax language.
-    best = F.greatest(*scores.values())
-    expr = None
-    for lang, score in scores.items():  # first max wins: deterministic order
-        cond = (score == best) & (best >= F.lit(min_hits))
-        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
-    return expr.otherwise(F.lit("und"))
+    langs = list(_LANG_MARKERS)
+    score_arr = F.array(*[_word_hits(c, _LANG_MARKERS[g]) for g in langs])
+
+    def pick(arr: Column) -> Column:
+        best = F.array_max(arr)
+        expr = None
+        for i, lang in enumerate(langs):  # first max wins
+            cond = (F.element_at(arr, i + 1) == best) & (
+                best >= F.lit(min_hits)
+            )
+            expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+        return expr.otherwise(F.lit("und"))
+
+    return _let(score_arr, pick)
 
 
 def quality_score(
@@ -254,10 +272,15 @@ def unigram_logprob_scores(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
     ).filter(F.col("tok") != "")
+    # eager=False (r10 review): the checkpoint still materializes the
+    # vocab exactly once — at the FIRST action — for all consumers,
+    # but constructing the DataFrame (plan lint, composition) no
+    # longer launches a corpus-scan job, the assign_global_ids
+    # doctrine
     vocab = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n_tok"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     total = vocab.agg(F.sum("n_tok").alias("n_total"))
     return (
@@ -325,10 +348,12 @@ def bigram_logprob_scores(
         )
         .select(id_col, "p.w1", "p.w2")
     )
+    # eager=False: one materialization at first action, zero jobs at
+    # construction (r10 review; see unigram_logprob_scores)
     big = (
         pairs.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     c1 = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = base.select(F.explode("a").alias("tok")).agg(
@@ -538,7 +563,11 @@ def zipf_lexical_stats(
             ols.select(
                 F.col(group_col).alias("__g"), slope.alias("__slope")
             ),
-            F.col(group_col) == F.col("__g"),
+            # null-safe: a NULL group (unlabeled source) aggregates in
+            # both branches but a plain equality join would silently
+            # drop it from the report (r10 review; the score_buckets
+            # null-group class from r09)
+            F.col(group_col).eqNullSafe(F.col("__g")),
         )
         .select(
             group_col,

@@ -9065,7 +9065,7 @@ ORACLES: dict[str, str] = {
                            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                          '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IPV4>', 'g'),
                        '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
-                     '\\b\\+?\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}\\b', '<PHONE>', 'g') AS text,
+                     '(?:\\+|\\b)\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}\\b', '<PHONE>', 'g') AS text,
                    lang, source, n_chars
             FROM kept
         ), fp AS (
@@ -9840,7 +9840,7 @@ ORACLES: dict[str, str] = {
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                      '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IPV4>', 'g'),
                    '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
-                 '\\b\\+?\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}\\b', '<PHONE>', 'g')
+                 '(?:\\+|\\b)\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}\\b', '<PHONE>', 'g')
                    AS redacted,
                CAST(len(regexp_extract_all(text,
                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
@@ -9849,7 +9849,7 @@ ORACLES: dict[str, str] = {
                CAST(len(regexp_extract_all(text,
                    '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS BIGINT) AS n_ssn,
                CAST(len(regexp_extract_all(text,
-                   '\\b\\+?\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}\\b')) AS BIGINT) AS n_phone
+                   '(?:\\+|\\b)\\d{3}[-. ]\\d{3,4}[-. ]\\d{4}\\b')) AS BIGINT) AS n_phone
         FROM seeded
     """,
     "pack_sequences": """
@@ -10366,7 +10366,7 @@ ORACLES: dict[str, str] = {
                ROUND((ols.n * ols.sxy - ols.sx * ols.sy)
                      / (ols.n * ols.sxx - ols.sx * ols.sx), 6)
                    AS zipf_slope_r
-        FROM lex JOIN ols ON lex.source = ols.source
+        FROM lex JOIN ols ON lex.source IS NOT DISTINCT FROM ols.source
     """,
     # per-label norm outliers: e6 integer sums of squares per row,
     # exact HUGEINT group moments, fixed-order double divides
@@ -10378,7 +10378,7 @@ ORACLES: dict[str, str] = {
                            x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0
                                            + 0.5) AS BIGINT)),
                        v -> v * v))::BIGINT AS n2
-            FROM embeddings
+            FROM embeddings WHERE embedding IS NOT NULL
         ), m AS (
             SELECT label, CAST(COUNT(*) AS DOUBLE) AS n,
                    SUM(n2::HUGEINT) AS s,

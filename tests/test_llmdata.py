@@ -641,6 +641,21 @@ def test_redact_pii_classes_and_order(spark):
     assert (r["n_email"], r["n_ipv4"], r["n_ssn"], r["n_phone"]) == (1, 1, 1, 2)
 
 
+def test_redact_pii_international_phone_prefix(spark):
+    """r10 review: '\\b\\+?' could never consume a leading '+' (no
+    word boundary between space and '+'), leaving '+<PHONE>' in the
+    redacted text — the '+' must be swallowed by the match."""
+    from idr_data_pipelines_spark.llmdata.redact import scrub_documents
+
+    df = spark.createDataFrame(
+        [(1, "call me at +555-123-4567 ok")], ["doc_id", "text"]
+    )
+    r = scrub_documents(df).collect()[0]
+    assert "+<PHONE>" not in r["text"]
+    assert "<PHONE>" in r["text"] and "+" not in r["text"]
+    assert r["n_phone"] == 1
+
+
 # ---------------------------------------------- stratified / budget sampling
 
 def test_sample_stratified_exact_counts_and_stability(spark, sf_dir):

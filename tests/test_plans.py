@@ -484,14 +484,20 @@ def test_round6_bloom_sampling_projection_plan_shapes(spark, sf_dir):
     # window; rows beyond k die in the same stage
     plan = _plan(QUERIES["sample_topk_per_group"](spark, sf_dir))
     assert _n_shuffles(plan) == 1, plan
-    # bloom decontaminate: the bitmap probe is the ONE Arrow-batched
-    # Python stage; the verify join must broadcast and the corpus
-    # side must not shuffle before the doc-keyed count
+    # bloom decontaminate (r10 restructure): the probe lives on the
+    # CANDIDATE branch only and the verify is a semi-join that is NOT
+    # required to broadcast — the operator exists for benchmarks too
+    # big to broadcast, so the old "verify join must broadcast" pin
+    # contradicted its design. Catalyst may INFER the probe predicate
+    # onto the bench side through the semi-join equality (a bench
+    # gram always passes its own bloom — semantic no-op, bench-sized
+    # cost), so 1 or 2 Arrow stages are both correct; a row-path UDF
+    # never is. Shuffles: totals agg + matched agg + verify exchange.
     plan = _plan(QUERIES["decontaminate_bloom"](spark, sf_dir))
-    assert plan.count("ArrowEvalPython") == 1, plan
-    assert "BroadcastHashJoin" in plan, plan
+    assert 1 <= plan.count("ArrowEvalPython") <= 2, plan
+    assert "BatchEvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
-    assert _n_shuffles(plan) <= 2, plan
+    assert _n_shuffles(plan) <= 4, plan
 
 
 def test_plan_linter_sweep_round6_queries(spark, sf_dir):
