@@ -49,12 +49,12 @@ ENTRYPOINT_RECODE: dict[str, str] = {
 
 
 def _recode(col: Column, mapping: dict[str, str]) -> Column:
-    expr = None
-    for raw, clean in mapping.items():
-        cond = col == raw
-        expr = F.when(cond, clean) if expr is None else expr.when(cond, clean)
-    # null → null, unknown → passthrough (reference ELSE entrypoint)
-    return expr.otherwise(col)
+    """null → null, unknown → passthrough (reference ELSE entrypoint)
+    — exactly ``case_map(default_to_input=True)``; delegate so the
+    recode-chain builder has ONE implementation (r10 review)."""
+    from idr_data_pipelines_spark.functions import case_map
+
+    return case_map(col, mapping, default_to_input=True)
 
 
 def _join_mfl(catalog: Catalog):
@@ -105,8 +105,13 @@ def _dates_enrichment(df: DataFrame) -> DataFrame:
     """HTS_enriching_joined_table (hts_transforms.py:83-91): LinkageDays
     = DATE_DIFF(art_start_date, date_tested, DAY) + YEAR/QUARTER/MONTH
     extracts of both dates."""
-    tested = F.col("date_tested").cast("date")
-    art = F.col("art_start_date").cast("date")
+    # strict BQ CAST (r10 review: a tolerant .cast("date") silently
+    # nulls a malformed date string, misclassifying the patient as
+    # 'Not Linked' where the reference's BigQuery CAST fails the job)
+    from idr_data_pipelines_spark.functions import bq_cast
+
+    tested = bq_cast(F.col("date_tested"), "DATE")
+    art = bq_cast(F.col("art_start_date"), "DATE")
     return df.withColumns(
         {
             "LinkageDays": bq_date_diff(art, tested, "DAY"),

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from idr_data_pipelines_spark.functions import (
     as_of_date,
+    bq_cast,
     bq_date_diff,
     case_bucket,
     str_sentinel_decode,
@@ -57,7 +58,7 @@ def _single_patient_records(df: DataFrame) -> DataFrame:
     rd = (
         df.groupBy("Mfl_code", "ccc_number")
         .agg(
-            F.max(F.col("date_test_result_received").cast("date")).alias(
+            F.max(bq_cast(F.col("date_test_result_received"), "DATE")).alias(
                 "results_date"
             )
         )
@@ -68,7 +69,7 @@ def _single_patient_records(df: DataFrame) -> DataFrame:
         detail, F.col("rd.ccc_number") == F.col("detail.ccc_number"), "left"
     ).where(
         F.col("rd.results_date")
-        == F.col("detail.date_test_result_received").cast("date")
+        == bq_cast(F.col("detail.date_test_result_received"), "DATE")
     )
     return joined.select(
         F.col("rd.Mfl_code").alias("SiteCode"),

@@ -387,6 +387,13 @@ def sessionize_stream(
                 if t is not None and t == t
             )
         ts.sort()
+        if not ts and not state.exists:
+            # a batch of only null-ts events for an unseen user must
+            # not CREATE state: in timeout mode the (None,...) entry
+            # would register no timeout (guard below) and never be
+            # evicted or emitted — a permanent state leak breaking the
+            # documented O(active users) bound (r10 review)
+            return
         if state.exists:
             last, start, n, seq = state.get
         else:
@@ -462,7 +469,14 @@ def assign_sessions(
     folds all ride this ONE user shuffle — a per-branch re-shuffle of
     the raw log is the difference between 1 and 4 full-log exchanges
     at 100 TB.
+
+    Null timestamps are DROPPED (r10 review): an event with no
+    position on the time axis cannot belong to a time-gap session —
+    previously nulls sorted first and silently padded session 1's
+    event count, diverging from ``sessionize_stream``'s fold, which
+    has always skipped them (the join_asof null-ts contract).
     """
+    events = events.filter(F.col(ts_col).isNotNull())
     w = Window.partitionBy(user_col).orderBy(ts_col)
     gap_us = gap_minutes * 60 * 1_000_000
     ts_us = F.unix_micros(F.col(ts_col))
@@ -534,7 +548,14 @@ def funnel_depth(
     cap the folded prefix — see ``funnel_fold`` for the exact
     truncation semantics.
     """
-    ev = df.filter(F.col(type_col).isin(steps)).select(
+    # null timestamps out (r10 review): a null-ts step-1 event sorts
+    # FIRST (struct ordering is nulls-first), anchors the greedy chain
+    # with t0=null, and every later `ts > null` advance is NULL —
+    # depth stuck at 1. The recursive oracle's MIN(ts)/`ts > s_prev`
+    # chain already ignores null ts, so this is the parity-true side.
+    ev = df.filter(
+        F.col(type_col).isin(steps) & F.col(ts_col).isNotNull()
+    ).select(
         F.col(user_col),
         F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("t")).alias("e"),
     )
@@ -729,14 +750,21 @@ def cdc_upsert_drain(
     ``dim_dir``; returns the final dimension.
 
     Each micro-batch merges via **latest-per-key over (existing dim ∪
-    batch)**, ordering by ``order_cols`` (descending, ties broken by
-    the last column) — an associative, commutative merge, so the final
-    dimension is identical whatever the batching: one availableNow
-    batch, file-by-file trickle, or crash-and-resume from the
-    checkpoint ledger all converge to the same table (which is what
-    makes the operator exactly oracle-able as a single batch window
-    query). A blind "replace matching keys" upsert would NOT have this
-    property — a late-arriving old update would clobber newer state.
+    batch)**, ordering by ``order_cols`` (descending) with the row's
+    REMAINING orderable columns as a deterministic residual tie-break
+    (r10 review: rows tying on every order col otherwise picked a
+    partition-layout-dependent winner, so one-batch vs trickled
+    drains could converge to DIFFERENT dimensions — the
+    batching-independence the operator exists for; with the residual
+    order the winner is a pure function of the row multiset, and
+    rows identical on every orderable column are interchangeable) —
+    an associative, commutative merge, so the final dimension is
+    identical whatever the batching: one availableNow batch,
+    file-by-file trickle, or crash-and-resume from the checkpoint
+    ledger all converge to the same table (which is what makes the
+    operator exactly oracle-able as a single batch window query). A
+    blind "replace matching keys" upsert would NOT have this property
+    — a late-arriving old update would clobber newer state.
 
     The dim is rewritten per batch through the versioned two-phase
     state commit (``_state_commit``): merge reads the old version, the
@@ -751,12 +779,22 @@ def cdc_upsert_drain(
     from pyspark.sql import Window
 
     def _latest(df: DataFrame) -> DataFrame:
+        from idr_data_pipelines_spark.operators.joins import _orderable
+
         order = (
             [F.col(c).asc() for c in order_cols]
             if ascending
             else [F.col(c).desc() for c in order_cols]
         )
-        w = Window.partitionBy(*key_cols).orderBy(*order)
+        # residual content tie-break — see the docstring's
+        # batching-independence note
+        named = set(key_cols) | set(order_cols)
+        residual = [
+            F.col(f.name).asc()
+            for f in df.schema.fields
+            if f.name not in named and _orderable(f.dataType)
+        ]
+        w = Window.partitionBy(*key_cols).orderBy(*order, *residual)
         return (
             df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
@@ -827,7 +865,12 @@ def _topk_merge_batch(
     )
     existing = _state_read(s, state_dir, state_schema)
     if existing is not None:
-        applied = existing.select(F.max("last_batch_id")).first()[0]
+        # the fence is written as ONE literal per commit, so any row
+        # carries it — read one row instead of a full-state MAX scan
+        # (r10 review: the max() launched an extra whole-state job per
+        # micro-batch, doubling state I/O on the hot drain path)
+        row = existing.select("last_batch_id").limit(1).first()
+        applied = row[0] if row is not None else None
         if applied is not None and applied >= batch_id:
             return  # replayed batch: merge already committed
         partial = (
@@ -987,10 +1030,34 @@ def distinct_stream_drain_md5(
     independent of stream length and key cardinality; each batch
     collapses map-side to its own (group, bucket) rows before touching
     state.
+
+    The bucket width ``b`` is part of the state's GEOMETRY: it is
+    recorded in a ``_HLL_B`` sidecar on first use and re-draining the
+    same ``state_dir`` with a different ``b`` refuses (r10 review:
+    registers from two bucket splits would otherwise max-merge into
+    one table and estimate garbage, silently).
     """
+    import os
+
     from pyspark.sql.types import LongType, StringType, StructField
 
     from idr_data_pipelines_spark.llmdata.sketches import hll_md5_registers
+
+    meta = os.path.join(state_dir, "_HLL_B")
+    if os.path.exists(meta):
+        with open(meta) as fh:
+            stored = int(fh.read().strip())
+        if stored != b:
+            raise ValueError(
+                f"state_dir {state_dir!r} was built with b={stored}; "
+                f"re-draining with b={b} would merge registers from "
+                "incompatible bucket geometries — pass the original b "
+                "or a fresh state_dir"
+            )
+    else:
+        os.makedirs(state_dir, exist_ok=True)
+        with open(meta, "w") as fh:
+            fh.write(str(b))
 
     state_schema = StructType(
         [

@@ -864,3 +864,64 @@ def test_handle_event_transport_layer_never_crashes(spark):
     assert ev2 == {"raw": bad_utf8}
     assert len(spark.table("evt_audit_t").collect()) == 2
     spark.sql("DROP TABLE IF EXISTS evt_audit_t")
+
+
+def test_null_timestamp_contracts_r10(spark, tmp_path):
+    """r10 review: null timestamps have ONE contract across the
+    session/funnel family — an event with no position on the time
+    axis joins nothing. assign_sessions/sessionize drop them (they
+    previously padded session 1's count, diverging from the stream
+    fold, which always skipped them), and funnel_depth excludes them
+    (a null-ts step-1 event anchored the greedy chain at t0=null,
+    freezing depth at 1 where the recursive oracle ignores it)."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from idr_data_pipelines_spark.streaming.events import (
+        funnel_depth,
+        sessionize,
+    )
+
+    ts = datetime
+    ev = spark.createDataFrame(
+        [
+            (1, None, "view"),
+            (1, ts(2024, 1, 1, 10, 0), "view"),
+            (1, ts(2024, 1, 1, 10, 5), "cart"),
+            (1, ts(2024, 1, 1, 10, 6), "buy"),
+        ],
+        ["user_id", "ts", "event_type"],
+    )
+    s = sessionize(ev, gap_minutes=30).collect()
+    assert len(s) == 1 and s[0]["n_events"] == 3  # null row dropped
+
+    d = funnel_depth(ev, "user_id", "ts", "event_type",
+                     ["view", "cart", "buy"]).collect()
+    assert d[0]["depth"] == 3  # null-ts view no longer anchors t0=null
+
+
+def test_hll_stream_state_refuses_bucket_width_change(spark, tmp_path):
+    """r10 review: the register table's bucket width is state
+    geometry — re-draining a state_dir built with one b under another
+    must refuse instead of max-merging incompatible registers."""
+    import pytest
+
+    from idr_data_pipelines_spark.streaming.events import (
+        distinct_stream_drain_md5,
+    )
+
+    state = tmp_path / "hll_state"
+    state.mkdir()
+    (state / "_HLL_B").write_text("6")
+    with pytest.raises(ValueError, match="b=6"):
+        distinct_stream_drain_md5(
+            spark,
+            str(tmp_path / "inbox"),
+            None,  # the guard fires before the schema is used
+            str(tmp_path / "ckpt"),
+            str(state),
+            key_col="k",
+            group_col="g",
+            b=8,
+        )
