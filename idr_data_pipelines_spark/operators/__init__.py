@@ -19,6 +19,7 @@ from idr_data_pipelines_spark.operators.scd import (
     scd1_upsert,
     scd2_from_events,
     scd2_merge,
+    scd3_update,
     scd4_upsert,
     snapshot_diff,
 )
@@ -46,10 +47,12 @@ from idr_data_pipelines_spark.operators.layout import (
 from idr_data_pipelines_spark.operators.aggregate import (
     agg_cube,
     agg_groupby_max_all,
+    agg_incremental_merge,
     agg_mode,
     agg_rollup,
     agg_max_date,
     agg_pivot_sum_case,
+    collect_sorted_array,
 )
 
 __all__ = [
@@ -74,6 +77,7 @@ __all__ = [
     "scd1_upsert",
     "scd2_from_events",
     "scd2_merge",
+    "scd3_update",
     "scd4_upsert",
     "snapshot_diff",
     "referential_integrity",
@@ -84,8 +88,10 @@ __all__ = [
     "join_semi",
     "agg_cube",
     "agg_groupby_max_all",
+    "agg_incremental_merge",
     "agg_mode",
     "agg_rollup",
     "agg_max_date",
     "agg_pivot_sum_case",
+    "collect_sorted_array",
 ]

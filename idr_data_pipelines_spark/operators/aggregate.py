@@ -106,6 +106,11 @@ def agg_mode(
     ``F.mode`` whose tie winner is arbitrary (and therefore neither
     reproducible nor oracle-able).
 
+    Null contract (r10 review, previously unstated): null values are
+    excluded from the frequency count, so a group whose EVERY value is
+    null emits NO output row — callers joining modes back onto a
+    per-group frame should left-join and expect the gap.
+
     Two-level aggregation: count per (group, value) — the heavy
     shuffle, with map-side combine, cardinality |groups × values| —
     then a row_number window per group over those counts (second

@@ -46,14 +46,21 @@ def write_zordered(
     zcols: list[Column],
     n_files: int = 32,
     fmt: str = "parquet",
+    bits: int = 16,
 ) -> None:
     """Write ``df`` clustered by the Morton value of ``zcols``:
     range-repartition on the z-value (sampled range boundaries — the
     standard total-order exchange) and sort within each partition, so
     every output file covers a narrow hyper-rectangle of the z-space
     and its per-column min/max stats prune reads on ANY z-dimension.
-    One range exchange; the sort is per-file, not global."""
-    z = zorder_value(zcols)
+    One range exchange; the sort is per-file, not global.
+
+    ``bits`` is the per-column interleave width passed to
+    ``zorder_value`` (r10 review: without the pass-through, 4+
+    z-columns ALWAYS raised — 4×16 > 63 signed-long bits — with no
+    way through this write API to lower the width; pass bits=15 for
+    4 columns, 12 for 5)."""
+    z = zorder_value(zcols, bits=bits)
     (
         df.withColumn("__z", z)
         .repartitionByRange(n_files, "__z")

@@ -108,8 +108,13 @@ def scd2_merge(
     Update timestamps are assumed monotone (newer than the open row's
     ``valid_from``) — the normal shape of a daily/hourly batch feed.
     """
-    cur = history.filter(F.col(current_col)).withColumn("__in_cur", F.lit(True))
-    old = history.filter(~F.col(current_col))
+    # null-safe current split (r10 review: filter(col) and filter(~col)
+    # BOTH exclude NULL — a nullable is_current written as NULL for
+    # 'closed' silently vanished from the merge; NULL routes to the
+    # history/pass-through side, the only reading that loses no rows)
+    is_cur = F.coalesce(F.col(current_col), F.lit(False))
+    cur = history.filter(is_cur).withColumn("__in_cur", F.lit(True))
+    old = history.filter(~is_cur)
 
     upd = updates.select(
         *key_cols,
@@ -131,7 +136,7 @@ def scd2_merge(
     for a in attr_cols:
         changed = changed | ~F.col(a).eqNullSafe(F.col(f"__new_{a}"))
 
-    ts_type = dict(zip(updates.schema.names, updates.schema.fields))[ts_col].dataType
+    ts_type = updates.schema[ts_col].dataType
     out_cols = [*key_cols, *attr_cols, valid_from_col, valid_to_col, current_col]
 
     def emit(attrs_from_update: bool, vf: Column, vt: Column, cur_flag: Column) -> list[Column]:

@@ -98,6 +98,11 @@ def validate(df: DataFrame, rules: list[Rule], table: str = "df") -> DataFrame:
     """Evaluate every rule in ONE aggregation over ``df`` and return
     the tidy report frame. Uniqueness uses ``count - count_distinct``
     (exact; swap for approx_count_distinct at extreme cardinality)."""
+    if not rules:
+        # a dynamically-assembled empty rule set otherwise surfaces as
+        # a bare AssertionError from inside df.agg() (r10 review) —
+        # and nothing under `python -O`
+        raise ValueError("validate: rules must be non-empty")
     aggs: list[Column] = []
     for i, r in enumerate(rules):
         c = F.col(r.column) if r.column else None

@@ -84,7 +84,9 @@ def read_parquet_evolved(spark, path: str):
     (not a data scan); for very large tables turn it off after
     compaction or pin the schema explicitly.
     """
-    return spark.read.option("mergeSchema", "true").parquet(path)
+    # one reader implementation (r10 review: an inline duplicate of
+    # read_parquet_dir(merge_schema=True) drifted from its sibling)
+    return read_parquet_dir(spark, path, merge_schema=True)
 
 
 # Logical nodes that plan a shuffle exchange (or force a singleton
@@ -109,6 +111,13 @@ _EXCHANGE_NODES = frozenset(
         "Window",
         "Sort",
         "Deduplicate",
+        # SQL-authored `SELECT DISTINCT` / `UNION` print as a
+        # `Distinct` node in the ANALYZED plan (ReplaceDistinctWith-
+        # Aggregate runs later, in the optimizer) — r10 review,
+        # execution-confirmed: without this entry the guard
+        # misclassified SQL frames as exchange-free and the .rdd
+        # probe executed the full distinct shuffle at construction
+        "Distinct",
         "Intersect",
         "Except",
         "GlobalLimit",

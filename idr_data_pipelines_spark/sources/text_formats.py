@@ -156,8 +156,11 @@ def read_text_lines(
 def write_text_lines(df: DataFrame, col: str, path: str) -> None:
     """Write a single string column as plain-text lines (one row per
     line). The column must not contain newlines — Spark's text writer
-    would silently split such a row into multiple lines on read-back;
-    raise-by-construction is the caller's job (filter or escape
+    would silently split such a row into multiple lines on read-back —
+    and must not contain NULLs: the writer emits a null row as an
+    EMPTY LINE (r10 review, execution-confirmed), so null and
+    empty-string documents become indistinguishable on read-back.
+    Raise-by-construction is the caller's job (filter or escape
     first)."""
     df.select(F.col(col).cast("string").alias("value")).write.mode(
         "overwrite"

@@ -880,3 +880,48 @@ def test_validate_min_max_fail_on_empty_table(spark):
     for r in rep.values():
         assert r["passed"] is False
         assert r["metric"] is None
+
+
+def test_scd2_merge_null_is_current_routes_to_history(spark):
+    """r10 review: filter(col) and filter(~col) both exclude NULL, so
+    a nullable is_current written as NULL for 'closed' silently
+    vanished from the merge — NULL must route to the pass-through
+    history side, losing no rows."""
+    from datetime import date
+
+    from idr_data_pipelines_spark.operators.scd import scd2_merge
+
+    hist = spark.createDataFrame(
+        [
+            (1, "A", date(2020, 1, 1), date(2021, 1, 1), None),  # closed, NULL flag
+            (1, "B", date(2021, 1, 1), None, True),              # open
+        ],
+        "k int, v string, valid_from date, valid_to date, is_current boolean",
+    )
+    upd = spark.createDataFrame(
+        [(1, "C", date(2022, 1, 1))], "k int, v string, ts date"
+    )
+    out = scd2_merge(hist, upd, ["k"], ["v"], "ts").collect()
+    vals = sorted((r["v"], bool(r["is_current"])) for r in out)
+    # NULL-flag history row survives as non-current, B closes, C opens
+    assert vals == [("A", False), ("B", False), ("C", True)]
+
+
+def test_validate_empty_rules_and_zorder_bits_passthrough(spark, tmp_path):
+    """r10 review: validate([]) raised a bare AssertionError from
+    inside df.agg(); write_zordered had no bits parameter so 4+
+    z-columns always overflowed the signed-long interleave."""
+    from idr_data_pipelines_spark.operators.layout import write_zordered
+    from idr_data_pipelines_spark.operators.validate import validate
+
+    with pytest.raises(ValueError, match="non-empty"):
+        validate(spark.range(3), [])
+
+    df = spark.range(32).select(
+        *[(F.col("id") * (i + 1) % 16).alias(f"c{i}") for i in range(4)]
+    )
+    write_zordered(
+        df, str(tmp_path / "z4"), [F.col(f"c{i}") for i in range(4)],
+        n_files=2, bits=15,
+    )
+    assert spark.read.parquet(str(tmp_path / "z4")).count() == 32

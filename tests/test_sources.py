@@ -260,3 +260,38 @@ def test_python_datasource_partitions_and_determinism(spark):
     b = {r["doc_id"]: r["text"] for r in load(11).collect()}
     assert a == b and len(a) == 100
     assert a[42] == synth_text(42)
+
+
+def test_plan_exchange_probe_sees_sql_distinct(spark):
+    """r10 review (execution-confirmed): SQL DISTINCT/UNION print as a
+    `Distinct` node in the ANALYZED plan (the optimizer rewrites it to
+    Aggregate later), so the exchange probe must classify such frames
+    as exchange-bearing — probing their .rdd under AQE executes the
+    full distinct shuffle at plan-construction time."""
+    from idr_data_pipelines_spark.sources.parquet import _plan_has_exchange
+
+    spark.range(10).createOrReplaceTempView("__probe_t")
+    assert _plan_has_exchange(spark.sql("SELECT DISTINCT id FROM __probe_t"))
+    assert _plan_has_exchange(
+        spark.sql("SELECT id FROM __probe_t UNION SELECT id FROM __probe_t")
+    )
+    # narrow frames stay probe-safe
+    assert not _plan_has_exchange(spark.sql("SELECT id + 1 FROM __probe_t"))
+
+
+def test_pydatasource_zero_rows_yields_empty_frame(spark):
+    """r10 review (execution-confirmed): n_rows=0 returned an EMPTY
+    partition list, which Spark reads as 'no partitioning' and calls
+    read(None) — AttributeError in the worker; one empty range yields
+    a clean empty frame."""
+    from idr_data_pipelines_spark.sources.pydatasource import (
+        SyntheticCorpusDataSource,
+    )
+
+    spark.dataSource.register(SyntheticCorpusDataSource)
+    out = (
+        spark.read.format("synthetic_corpus")
+        .option("n_rows", 0)
+        .load()
+    )
+    assert out.count() == 0
