@@ -55,7 +55,11 @@ def dedup_incremental(
     window, whose per-fp partitions get no AQE skew splitting (r10
     review). Assumes ids are unique per row (the module-wide doc-id
     contract): duplicate (fp, id) pairs would all survive where the
-    old window kept one arbitrarily.
+    old window kept one arbitrarily. NULL ids are dropped at entry
+    (module isNotNull convention): the min-id aggregate ignores nulls
+    and an equality semi-join never matches them, so a null-id row
+    could never be a survivor anyway — the explicit filter makes the
+    contract visible instead of losing such rows inside the join.
 
     The output KEEPS the computed ``fp_col`` so the caller can append
     the survivors' fingerprints to the index for the next run without
@@ -71,7 +75,8 @@ def dedup_incremental(
             "different fp_col"
         )
     fresh = (
-        new_docs.withColumn(fp_col, fingerprint(text_col))
+        new_docs.filter(F.col(id_col).isNotNull())
+        .withColumn(fp_col, fingerprint(text_col))
         .join(seen_fps.select(fp_col).distinct(), fp_col, "left_anti")
     )
     survivors = fresh.groupBy(fp_col).agg(F.min(id_col).alias(id_col))

@@ -2312,6 +2312,7 @@ def q_src_python_datasource_stream(spark, sf_dir):
     )
     deadline = time.time() + 120
     drained = False
+    died_early = False
     while time.time() < deadline:
         if q.exception() is not None:
             q.stop()
@@ -2323,18 +2324,26 @@ def q_src_python_datasource_stream(spark, sf_dir):
             drained = True
             break
         if not q.isActive:
+            died_early = True
             break
         time.sleep(0.5)
     q.stop()
     if not drained:
-        # fail LOUDLY (r10 review): a deadline lapse or a stream that
-        # died without raising would otherwise return a partial drain
-        # — the driver would record a hash mismatch that looks like a
-        # correctness bug when it's host-load / infra
+        # fail LOUDLY (r10 review), and say WHICH failure it was (r10
+        # advice): a stream that terminated without an exception before
+        # draining is a datasource/connector bug, not host load — the
+        # old message blamed "infra timeout" for both exits.
         n = spark.table(name).select("doc_id").distinct().count()
+        if died_early:
+            raise RuntimeError(
+                f"pydatasource stream terminated early (isActive=False, "
+                f"no exception) after {n}/300 distinct ids — connector "
+                f"stopped producing; lastProgress={q.lastProgress}"
+            )
         raise TimeoutError(
             f"pydatasource stream drained {n}/300 distinct ids before "
-            "the 120s deadline — infra timeout, not a value mismatch"
+            "the 120s deadline (stream still active) — infra timeout, "
+            "not a value mismatch"
         )
     return spark.table(name).distinct()
 
@@ -7487,6 +7496,511 @@ def q_emb_pq_error(spark, sf_dir):
 
 
 # ===================================================================
+# invariant-summary forms of the formerly rows-only entries (r11)
+#
+# Seeded-hash / sketch / sequential operators have no SQL replay, but
+# their CONTRACTS do: every one of them guarantees facts an oracle can
+# compute from the INPUT alone (exact counts, exact-duplicate
+# collapse, accuracy bounds, packing feasibility). Each wrapper below
+# runs the full production operator, then reduces its output to a
+# summary row set of exact BIGINT counts plus 0/1 invariant flags —
+# the counts anchor the hash to input-derived quantities DuckDB
+# recomputes independently, and a flag goes 0 (hash mismatch → red
+# driver row) the moment the operator violates its contract. This
+# turns the driver's weaker rows-only check into a full
+# rows+schema+value-hash row (VERDICT r10 item 3) without weakening
+# anything: the original full-row forms remain module-level (bench
+# times the frozen headline against them — see bench.py
+# FROZEN_FORMS — and the accuracy/property tests still consume them),
+# and the deterministic md5 twins keep their complete value-hash
+# oracles. All flags are BIGINT 0/1, never boolean/float, so the
+# driver's dtype-faithful representation hash is stable cross-engine.
+# ===================================================================
+
+
+def _flag(cond) -> F.Column:
+    """A boolean invariant as a driver-hashable BIGINT 0/1."""
+    return F.when(cond, F.lit(1)).otherwise(F.lit(0)).cast("long")
+
+
+def q_pack_bestfit_invariants(spark, sf_dir):
+    """Best-fit-decreasing packing, reduced to its per-source packing
+    invariants (VERDICT r10 item 3 — the oracle validates the emitted
+    packing instead of replaying the sequential algorithm):
+    ``docs_packed``/``tokens_packed`` must equal the input's exact
+    count/token mass (every document packed, none invented),
+    ``over_capacity_bins`` counts multi-doc bins past capacity (0 by
+    the fit rule), ``shared_oversized_bins`` counts oversized docs
+    sharing a bin (0 — they are isolated), ``fill_bound_ok`` pins the
+    any-fit theorem that at most ONE bin per shard is ≤ half full,
+    and ``dup_docs`` is 0 iff no document landed in two packs."""
+    packs = q_pack_bestfit(spark, sf_dir)
+    cap = 1024
+    bins = packs.groupBy("source", "pack_id").agg(
+        F.sum("n_tok").alias("bin_tok"),
+        F.count(F.lit(1)).alias("bin_docs"),
+        F.max("n_tok").alias("bin_max"),
+    )
+    per_source = bins.groupBy("source").agg(
+        F.sum("bin_docs").cast("long").alias("docs_packed"),
+        F.sum("bin_tok").cast("long").alias("tokens_packed"),
+        F.sum(
+            F.when(
+                (F.col("bin_docs") >= 2) & (F.col("bin_tok") > cap), 1
+            ).otherwise(0)
+        ).cast("long").alias("over_capacity_bins"),
+        F.sum(
+            F.when(
+                (F.col("bin_max") > cap) & (F.col("bin_docs") >= 2), 1
+            ).otherwise(0)
+        ).cast("long").alias("shared_oversized_bins"),
+        _flag(
+            F.sum(
+                F.when(F.col("bin_tok") * 2 <= cap, 1).otherwise(0)
+            ) <= 1
+        ).alias("fill_bound_ok"),
+    )
+    dup = packs.groupBy("source").agg(
+        (F.count(F.lit(1)) - F.countDistinct("doc_id"))
+        .cast("long")
+        .alias("dup_docs")
+    )
+    return per_source.join(dup, "source").select(
+        "source",
+        "docs_packed",
+        "tokens_packed",
+        "over_capacity_bins",
+        "shared_oversized_bins",
+        "fill_bound_ok",
+        "dup_docs",
+    )
+
+
+def q_ann_topk_ivf_invariants(spark, sf_dir):
+    """k-means IVF ANN, reduced to its exact contracts: the probe-set
+    size anchors the hash to the input; per-query ranks are contiguous
+    1..n with n ≤ k and cosines sorted descending; cosines lie in
+    [-1, 1]; self never appears; and the IVF top-1 never exceeds the
+    exact brute-force top-1 (a probed subset's max cannot beat the
+    full corpus max — computed in-session with the same arithmetic,
+    1e-6 slack for pipeline-order float drift). Recall floors stay
+    pinned in tests; the fixed-quantizer twin (ann_topk_ivf_fixed)
+    keeps the complete value-hash oracle."""
+    from idr_data_pipelines_spark.llmdata.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    out = q_ann_topk_ivf(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+
+    w = Window.partitionBy("query_id").orderBy("rank")
+    per_q = (
+        out.withColumn("__prev_cos", F.lag("cosine_r").over(w))
+        .withColumn("__prev_rank", F.lag("rank").over(w))
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("rank").alias("rmin"),
+            F.max("rank").alias("rmax"),
+            F.countDistinct("rank").alias("rdist"),
+            F.min(
+                _flag(
+                    F.col("__prev_cos").isNull()
+                    | (F.col("cosine_r") <= F.col("__prev_cos"))
+                )
+            ).alias("sorted_ok"),
+            F.min(
+                _flag(
+                    F.col("__prev_rank").isNull()
+                    | (F.col("rank") == F.col("__prev_rank") + 1)
+                )
+            ).alias("contig_ok"),
+            F.min(
+                _flag(
+                    (F.col("cosine_r") >= -1.000001)
+                    & (F.col("cosine_r") <= 1.000001)
+                )
+            ).alias("range_ok"),
+            F.min(
+                _flag(F.col("query_id") != F.col("neighbor_id"))
+            ).alias("noself_ok"),
+            F.max(
+                F.when(F.col("rank") == 1, F.col("cosine_r"))
+            ).alias("ivf_top1"),
+        )
+    )
+    brute1 = (
+        cosine_topk_bruteforce(emb, queries, k=1)
+        .filter(F.col("rank") == 1)
+        .select(
+            "query_id",
+            F.round(F.col("cosine"), 6).alias("brute_top1"),
+        )
+    )
+    checked = per_q.join(brute1, "query_id", "left")
+    n_probe = queries.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probe_queries")
+    )
+    # coalesce: an empty result set (every probe alone in its probed
+    # cells — possible only at toy scale) reads as vacuous truth, not
+    # as nulls that would hash-mismatch the oracle's literals
+    flags = checked.agg(
+        F.coalesce(
+            F.min(
+                _flag((F.col("rmin") == 1) & (F.col("rmax") == F.col("n"))
+                      & (F.col("rdist") == F.col("n")) & (F.col("n") <= 5)
+                      & (F.col("contig_ok") == 1))
+            ),
+            F.lit(1),
+        ).cast("long").alias("rank_contract_ok"),
+        F.coalesce(F.min("sorted_ok"), F.lit(1)).cast("long")
+        .alias("cosine_sorted_ok"),
+        F.coalesce(F.min("range_ok"), F.lit(1)).cast("long")
+        .alias("cosine_range_ok"),
+        F.coalesce(F.min("noself_ok"), F.lit(1)).cast("long")
+        .alias("no_self_ok"),
+        F.coalesce(
+            F.min(
+                _flag(
+                    F.col("brute_top1").isNotNull()
+                    & (F.col("ivf_top1") <= F.col("brute_top1") + 1e-6)
+                )
+            ),
+            F.lit(1),
+        ).cast("long").alias("top1_bounded_ok"),
+    )
+    # broadcast-scalar cross join: two 1-row frames
+    return n_probe.crossJoin(F.broadcast(flags)).select(
+        "n_probe_queries",
+        "rank_contract_ok",
+        "cosine_sorted_ok",
+        "cosine_range_ok",
+        "no_self_ok",
+        "top1_bounded_ok",
+    )
+
+
+def q_dedup_minhash_lsh_invariants(spark, sf_dir):
+    """xxhash64 MinHash-LSH near-dup pairs, reduced to the guarantees
+    that hold for ANY correct banded-LSH implementation: exact
+    duplicates (identical normalized text) share every signature, so
+    they collide in every band and survive the Jaccard-1 verify —
+    ``exact_dup_pairs_found`` must therefore equal the input's
+    Σ C(n,2) over fingerprint groups, which DuckDB computes
+    independently. Plus output discipline: canonical id_a < id_b,
+    no duplicate pairs, verified jaccard within (0, 1]. Probabilistic
+    near-dup recall stays pinned in tests; dedup_minhash_md5 keeps
+    the complete value-hash oracle for the full pipeline."""
+    from idr_data_pipelines_spark.llmdata.dedup import minhash_lsh_pairs
+    from idr_data_pipelines_spark.llmdata.text import fingerprint
+
+    # Plant exact duplicates: the raw table has none (measured), which
+    # would make the recall invariant vacuously 0==0. Re-keyed copies
+    # of every 10th document give a KNOWN set of identical-text pairs
+    # the LSH is guaranteed to find (identical text -> identical
+    # signature -> collision in every band -> Jaccard 1 verify), and
+    # the oracle counts the same pairs from the same SQL construction.
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    planted = base.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    corpus = base.unionByName(planted)
+    pairs = minhash_lsh_pairs(
+        corpus, num_perm=64, bands=16, shingle_k=3, jaccard_threshold=0.5
+    )
+    docs = corpus.select("doc_id", fingerprint("text").alias("__fp"))
+    tagged = (
+        pairs.join(
+            docs.select(
+                F.col("doc_id").alias("id_a"), F.col("__fp").alias("fp_a")
+            ),
+            "id_a",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("id_b"), F.col("__fp").alias("fp_b")
+            ),
+            "id_b",
+        )
+    )
+    # coalesce: aggregates over an EMPTY pair set must read as
+    # vacuous truth (0 exact-dup pairs found, no flag violated), not
+    # as nulls that would hash-mismatch the oracle's literals
+    return tagged.agg(
+        F.coalesce(
+            F.sum(_flag(F.col("fp_a") == F.col("fp_b"))), F.lit(0)
+        ).cast("long").alias("exact_dup_pairs_found"),
+        F.coalesce(
+            F.min(_flag(F.col("id_a") < F.col("id_b"))), F.lit(1)
+        ).cast("long").alias("canonical_ok"),
+        _flag(
+            F.count(F.lit(1))
+            == F.countDistinct(F.col("id_a"), F.col("id_b"))
+        ).alias("pairs_unique_ok"),
+        F.coalesce(
+            F.min(
+                _flag((F.col("jaccard") > 0.0) & (F.col("jaccard") <= 1.0))
+            ),
+            F.lit(1),
+        ).cast("long").alias("jaccard_range_ok"),
+    )
+
+
+def q_dedup_simhash_invariants(spark, sf_dir):
+    """xxhash64 SimHash signatures, reduced to exact contracts: one
+    output row per input row (``n_rows`` anchors the hash), a null
+    signature exactly for null text (``null_sigs``), and the
+    determinism theorem that identical normalized text yields an
+    identical signature (``consistent_ok`` — grouped by content
+    fingerprint, each group has exactly one distinct signature).
+    Hamming-similarity properties stay pinned in tests;
+    dedup_simhash_md5 keeps the complete value-hash oracle."""
+    from idr_data_pipelines_spark.llmdata.dedup import simhash_signatures
+    from idr_data_pipelines_spark.llmdata.text import fingerprint
+
+    # Same planted-duplicate construction as the minhash invariants:
+    # without it every fingerprint group has one member and the
+    # consistency check is vacuous. With re-keyed copies, 1-in-10
+    # groups have two members whose signatures MUST be bit-identical.
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = base.filter(
+        F.col("text").isNotNull() & (F.col("doc_id") % 10 == 0)
+    ).withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+    corpus = base.unionByName(planted)
+    sigs = simhash_signatures(corpus)  # (id, simhash)
+    docs = corpus.select(
+        F.col("doc_id").alias("id"),
+        "text",
+        F.when(
+            F.col("text").isNotNull(), fingerprint("text")
+        ).alias("__fp"),
+    )
+    joined = sigs.join(docs, "id")
+    per_fp = (
+        joined.filter(F.col("__fp").isNotNull())
+        .groupBy("__fp")
+        .agg(F.countDistinct("simhash").alias("nsig"))
+    )
+    counts = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(_flag(F.col("simhash").isNull()))
+        .cast("long")
+        .alias("null_sigs"),
+        F.min(
+            _flag(F.col("text").isNull() == F.col("simhash").isNull())
+        ).alias("null_iff_null_text_ok"),
+    )
+    consistent = per_fp.agg(
+        F.min(_flag(F.col("nsig") == 1)).alias("consistent_ok")
+    )
+    return counts.crossJoin(F.broadcast(consistent)).select(
+        "n_rows", "null_sigs", "null_iff_null_text_ok", "consistent_ok"
+    )
+
+
+def q_text_winnow_fingerprint_invariants(spark, sf_dir):
+    """xxhash64 winnowing fingerprints, reduced to the SIGMOD'03
+    guarantees an oracle can check from the input: one output row per
+    document (``n_rows``); every non-null-text document keeps at
+    least one fingerprint (short texts hash whole — so
+    ``docs_fingerprinted`` equals the exact non-null count); and per
+    document the distinct-fingerprint count never exceeds the k-gram
+    count max(1, T-k+1) (``fp_bound_ok``). Window-coverage and
+    overlap-detection properties stay pinned in tests;
+    text_winnow_md5 keeps the complete value-hash oracle."""
+    from idr_data_pipelines_spark.llmdata.text import token_count
+
+    out = q_text_winnow_fingerprint(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.col("text").isNotNull().alias("__has_text"),
+        F.greatest(
+            F.lit(1), token_count("text") - F.lit(4) + F.lit(1)
+        ).alias("__max_fps"),
+    )
+    joined = out.join(docs, "id")
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(
+            _flag(F.col("__has_text") & (F.col("n_fingerprints") >= 1))
+        ).cast("long").alias("docs_fingerprinted"),
+        F.min(
+            _flag(
+                ~F.col("__has_text")
+                | (F.col("n_fingerprints") <= F.col("__max_fps"))
+            )
+        ).alias("fp_bound_ok"),
+    )
+
+
+def q_sketch_approx_distinct_invariants(spark, sf_dir):
+    """HLL++ distinct-user sketch per event type, checked against the
+    exact distinct count computed in the same query: ``exact_users``
+    anchors the hash to an input-derived exact quantity, and
+    ``within_5pct`` pins the rsd=2% sketch inside the ±max(2, 5%)
+    envelope the unit test uses. A broken sketch (or a sketch fed the
+    wrong column) flips the flag and the driver row goes red."""
+    approx = q_sketch_approx_distinct(spark, sf_dir)
+    exact = _events(spark, sf_dir).groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    return (
+        approx.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            _flag(
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.greatest(
+                    F.lit(2.0), F.col("exact_users") * F.lit(0.05)
+                )
+            ).alias("within_5pct"),
+        )
+    )
+
+
+def q_sketch_quantiles_invariants(spark, sf_dir):
+    """GK-sketch order-value quantiles per priority, checked by rank:
+    a percentile_approx result is an actual data value, so its true
+    rank is exact — for each of p50/p95/p99 the flag pins
+    |rank(approx) − q·n| ≤ max(2, 1%·n) (the unit-test bound;
+    accuracy=10000 is ~1e-4 rank error). ``n_orders`` anchors the
+    hash; the rank recomputation is one broadcast join of the 5
+    summary rows back over orders."""
+    approx = q_sketch_quantiles(spark, sf_dir)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    joined = orders.join(F.broadcast(approx), "o_orderpriority")
+    ranks = joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(_flag(F.col("o_totalprice") <= F.col("p50")))
+        .alias("r50"),
+        F.sum(_flag(F.col("o_totalprice") <= F.col("p95")))
+        .alias("r95"),
+        F.sum(_flag(F.col("o_totalprice") <= F.col("p99")))
+        .alias("r99"),
+    )
+
+    def _rank_ok(rank_col: str, q: float) -> F.Column:
+        tol = F.greatest(F.lit(2.0), F.col("n_orders") * F.lit(0.01))
+        return _flag(
+            F.abs(F.col(rank_col) - F.col("n_orders") * F.lit(q)) <= tol
+        )
+
+    return ranks.select(
+        "o_orderpriority",
+        "n_orders",
+        _rank_ok("r50", 0.5).alias("p50_ok"),
+        _rank_ok("r95", 0.95).alias("p95_ok"),
+        _rank_ok("r99", 0.99).alias("p99_ok"),
+    )
+
+
+def q_sketch_hll_union_invariants(spark, sf_dir):
+    """DataSketches HLL per-type sketches + hll_union_agg merge,
+    checked against exact distinct counts computed in the same query
+    — including the union row, whose exact counterpart is the overall
+    distinct user count (the merge property the operator exists for).
+    ``exact_users`` anchors each group's hash; ``within_5pct`` pins
+    the test's accuracy envelope. sketch_hll_md5 exposes actual HLL
+    registers to a complete value-hash oracle."""
+    approx = q_sketch_hll_union(spark, sf_dir)
+    ev = _events(spark, sf_dir)
+    per = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    overall = ev.agg(
+        F.lit("ALL").alias("event_type"),
+        F.countDistinct("user_id").cast("long").alias("exact_users"),
+    )
+    exact = per.unionByName(overall)
+    return approx.join(exact, "event_type").select(
+        "event_type",
+        "exact_users",
+        _flag(
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.greatest(F.lit(2.0), F.col("exact_users") * F.lit(0.05))
+        ).alias("within_5pct"),
+    )
+
+
+def q_sketch_topk_mg_invariants(spark, sf_dir):
+    """Misra-Gries top-k heavy hitters, checked against exact counts
+    computed in the same query: every estimate is an under-estimate
+    (``underestimate_ok``) within N/m of truth (``bound_ok`` — the
+    classic MG guarantee, mergeable form), and ``k_returned`` must
+    equal min(k, distinct keys) — all three facts DuckDB derives from
+    the input alone. Fold-order estimate VALUES are deliberately not
+    hashed (partition-order dependent); the exact bounds are the
+    portable contract."""
+    mg = q_sketch_topk_mg(spark, sf_dir)  # (user_id, est_count)
+    ev = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    true_counts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("true_count")
+    )
+    n_total = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.countDistinct("user_id").cast("long").alias("__nkeys"),
+    )
+    joined = mg.join(true_counts, "user_id").crossJoin(
+        F.broadcast(n_total)
+    )
+    return joined.agg(
+        # exact input anchors keep the hash non-trivial: the oracle
+        # recomputes both from the events table
+        F.first("__n").cast("long").alias("n_events"),
+        F.first("__nkeys").cast("long").alias("n_keys"),
+        _flag(
+            F.count(F.lit(1))
+            == F.least(F.lit(20), F.first("__nkeys"))
+        ).alias("k_returned_ok"),
+        F.min(
+            _flag(F.col("est_count") <= F.col("true_count"))
+        ).alias("underestimate_ok"),
+        F.min(
+            _flag(
+                F.col("est_count")
+                >= F.col("true_count") - (F.col("__n") / F.lit(64))
+            )
+        ).alias("bound_ok"),
+    )
+
+
+def q_evt_distinct_stream_invariants(spark, sf_dir):
+    """The streamed DataSketches HLL drain, checked against exact
+    per-type distinct counts: the stream (4 files, 2 per micro-batch,
+    real checkpointed micro-batches) must land within the batch
+    sketch's ±max(2, 5%) envelope of the exact count for every event
+    type, and cover exactly the input's event types. Streamed==batch
+    sketch equality stays pinned in tests/test_streaming.py;
+    evt_distinct_stream_md5 keeps the full register-table oracle."""
+    streamed = q_evt_distinct_stream(spark, sf_dir)
+    exact = _events(spark, sf_dir).groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    return streamed.join(exact, "event_type", "full").select(
+        "event_type",
+        "exact_users",
+        _flag(
+            F.col("approx_distinct").isNotNull()
+            & F.col("exact_users").isNotNull()
+            & (
+                F.abs(F.col("approx_distinct") - F.col("exact_users"))
+                <= F.greatest(
+                    F.lit(2.0), F.col("exact_users") * F.lit(0.05)
+                )
+            )
+        ).alias("within_5pct"),
+    )
+
+
+# ===================================================================
 # registry
 # ===================================================================
 
@@ -7821,20 +8335,37 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "src_stream_drain": q_src_stream_drain,
     "sink_stream_republish": q_sink_stream_republish,
     "evt_distinct_stream_md5": q_evt_distinct_stream_md5,
-    # -- NO_ORACLE members: rows-only by design (hash/approx ops with no
-    # portable SQL equivalent; bounds pinned in pytest). NEVER rotate
-    # these into the driver window — their driver rows cannot improve
-    # on err:no_oracle.
-    "ann_topk_ivf": q_ann_topk_ivf,
+    # -- formerly rows-only entries, registered since r11 through their
+    # invariant-summary forms (VERDICT r10 item 3): the seeded/sketch/
+    # sequential algorithm runs in full, then reduces to exact BIGINT
+    # counts + 0/1 contract flags that a DuckDB oracle derives from the
+    # input alone — every registry entry now carries a value-hash
+    # oracle. The full-row forms stay module-level for bench
+    # (FROZEN_FORMS) and the accuracy/property tests.
+    "ann_topk_ivf": q_ann_topk_ivf_invariants,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh_invariants,
+    "dedup_simhash": q_dedup_simhash_invariants,
+    "evt_distinct_stream": q_evt_distinct_stream_invariants,
+    "sketch_approx_distinct": q_sketch_approx_distinct_invariants,
+    "sketch_hll_union": q_sketch_hll_union_invariants,
+    "sketch_quantiles": q_sketch_quantiles_invariants,
+    "sketch_topk_mg": q_sketch_topk_mg_invariants,
+    "text_winnow_fingerprint": q_text_winnow_fingerprint_invariants,
+    "pack_bestfit": q_pack_bestfit_invariants,
+}
+
+# Frozen bench forms (r11): three of the formerly rows-only entries sit
+# in bench.py's FROZEN-since-r01 headline. Their registry slots now
+# point at the invariant-summary wrappers (above), which add a
+# verification aggregation the headline never timed — timing the
+# wrapper would silently inflate the frozen series and break
+# round-over-round comparability (the 2x gate). bench.py therefore
+# times THESE original full-row callables for exactly those names;
+# everything else times its registry entry.
+FROZEN_FORMS: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_winnow_fingerprint": q_text_winnow_fingerprint,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
-    "evt_distinct_stream": q_evt_distinct_stream,
-    "sketch_approx_distinct": q_sketch_approx_distinct,
-    "sketch_hll_union": q_sketch_hll_union,
-    "sketch_quantiles": q_sketch_quantiles,
-    "sketch_topk_mg": q_sketch_topk_mg,
-    "text_winnow_fingerprint": q_text_winnow_fingerprint,
-    "pack_bestfit": q_pack_bestfit,
 }
 
 
@@ -13417,43 +13948,23 @@ ORACLES["split_cluster_safe"] = f"""
 """
 
 
-NO_ORACLE: frozenset[str] = frozenset(
-    {
-        # xxhash64 production forms; their md5-32 twins
-        # (dedup_minhash_md5 / dedup_simhash_md5 / text_winnow_md5)
-        # carry full value-hash oracles proving the same pipelines
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        # ann_topk_lsh graduated in r6: its integer-exact bucket form
-        # (floor-scaled ±1 projections) IS portable SQL, so it now
-        # carries a full value-hash oracle below.
-        "ann_topk_ivf",
-        "text_winnow_fingerprint",
-        "sketch_approx_distinct",
-        "sketch_quantiles",
-        # sketch_count_min graduated in r6: the md5-derived hash family
-        # is portable SQL, so the whole sketch is value-hash checked.
-        # DataSketches HLL bytes are engine-specific; ±5% accuracy
-        # vs exact distinct pinned in tests; the md5-register twin
-        # (sketch_hll_md5) carries the full value-hash oracle
-        "sketch_hll_union",
-        # ann_topk_quantized graduated in r6: round(x/norm*127) over
-        # the left-fold norm is bit-deterministic IEEE arithmetic and
-        # both engines round half-away-from-zero, so quantization,
-        # integer-dot candidates and the float re-rank all replay.
-        # Misra-Gries estimates depend on partition fold order (not
-        # SQL-expressible); N/m under-estimate bound pinned in tests
-        "sketch_topk_mg",
-        # DataSketches HLL bytes aren't portable SQL; streamed==batch
-        # equality + ±5% accuracy pinned in tests/test_streaming.py;
-        # the md5-register twin (evt_distinct_stream_md5) carries the
-        # full value-hash oracle
-        "evt_distinct_stream",
-        # bin packing is a sequential greedy — no SQL form; capacity /
-        # determinism / fill invariants pinned in pytest
-        "pack_bestfit",
-    }
-)
+NO_ORACLE: frozenset[str] = frozenset()
+# EMPTY since r11: every registry entry now carries a value-hash
+# oracle. The ten formerly rows-only entries (xxhash64 minhash/simhash/
+# winnowing, DataSketches HLL x3, GK quantiles, Misra-Gries, k-means
+# IVF, best-fit packing) are registered through invariant-summary
+# forms — the full algorithm runs, then reduces to exact BIGINT counts
+# plus 0/1 contract flags whose expected values DuckDB derives from
+# the input alone (see the "invariant-summary forms" section above).
+# Their deterministic md5/fixed twins (dedup_minhash_md5,
+# dedup_simhash_md5, text_winnow_md5, sketch_hll_md5,
+# evt_distinct_stream_md5, ann_topk_ivf_fixed, sketch_count_min,
+# ann_topk_quantized) continue to value-hash-verify the complete row
+# sets of the same pipelines, and the fold-order/accuracy properties
+# stay pinned in pytest. The set object survives (empty) because the
+# registry partition contract — ORACLES | NO_ORACLE == QUERIES,
+# disjoint — is pinned by tests/test_registry.py and the rotation
+# tool consults it.
 
 
 # ------------------------------------------------------------------ r10
@@ -13480,6 +13991,120 @@ NO_ORACLE: frozenset[str] = frozenset(
 # The CI gates stay honest: tools/window_sweep.py RESETs per oracle
 # and then executes the oracle, whose embedded SET re-applies — so
 # the sweep measures exactly what any driver process experiences.
+# ------------------------------------------------------------------ r11
+# Invariant-summary oracles for the formerly rows-only entries: the
+# Spark side runs the full seeded/sketch/sequential algorithm and
+# reduces to exact counts + contract flags; the oracle derives the
+# SAME values from the input alone. A flag literal CAST(1 AS BIGINT)
+# is only trivially matchable in isolation — every oracle below also
+# recomputes at least one exact input-derived anchor (counts, token
+# mass, planted-duplicate pair totals), so a broken operator flips a
+# flag OR shifts an anchor and the driver row goes red either way.
+ORACLES["pack_bestfit"] = """
+    WITH toks AS (
+        SELECT source,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+                    AS BIGINT) AS n_tok
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS docs_packed,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_packed,
+           CAST(0 AS BIGINT) AS over_capacity_bins,
+           CAST(0 AS BIGINT) AS shared_oversized_bins,
+           CAST(1 AS BIGINT) AS fill_bound_ok,
+           CAST(0 AS BIGINT) AS dup_docs
+    FROM toks GROUP BY source
+"""
+ORACLES["ann_topk_ivf"] = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probe_queries,
+           CAST(1 AS BIGINT) AS rank_contract_ok,
+           CAST(1 AS BIGINT) AS cosine_sorted_ok,
+           CAST(1 AS BIGINT) AS cosine_range_ok,
+           CAST(1 AS BIGINT) AS no_self_ok,
+           CAST(1 AS BIGINT) AS top1_bounded_ok
+    FROM embeddings WHERE vec_id < 8
+"""
+ORACLES["dedup_minhash_lsh"] = """
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents
+        WHERE text IS NOT NULL AND doc_id % 10 = 0
+    ), grp AS (
+        SELECT COUNT(*) AS c FROM corpus
+        GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+    )
+    SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT)
+               AS exact_dup_pairs_found,
+           CAST(1 AS BIGINT) AS canonical_ok,
+           CAST(1 AS BIGINT) AS pairs_unique_ok,
+           CAST(1 AS BIGINT) AS jaccard_range_ok
+    FROM grp
+"""
+ORACLES["dedup_simhash"] = """
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents
+        WHERE text IS NOT NULL AND doc_id % 10 = 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_sigs,
+           CAST(1 AS BIGINT) AS null_iff_null_text_ok,
+           CAST(1 AS BIGINT) AS consistent_ok
+    FROM corpus
+"""
+ORACLES["text_winnow_fingerprint"] = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_fingerprinted,
+           CAST(1 AS BIGINT) AS fp_bound_ok
+    FROM documents
+"""
+ORACLES["sketch_approx_distinct"] = """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(1 AS BIGINT) AS within_5pct
+    FROM events GROUP BY event_type
+"""
+ORACLES["sketch_quantiles"] = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(1 AS BIGINT) AS p50_ok,
+           CAST(1 AS BIGINT) AS p95_ok,
+           CAST(1 AS BIGINT) AS p99_ok
+    FROM orders GROUP BY o_orderpriority
+"""
+ORACLES["sketch_hll_union"] = """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(1 AS BIGINT) AS within_5pct
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'ALL' AS event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(1 AS BIGINT) AS within_5pct
+    FROM events
+"""
+ORACLES["sketch_topk_mg"] = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
+           CAST(1 AS BIGINT) AS k_returned_ok,
+           CAST(1 AS BIGINT) AS underestimate_ok,
+           CAST(1 AS BIGINT) AS bound_ok
+    FROM events WHERE user_id IS NOT NULL
+"""
+ORACLES["evt_distinct_stream"] = """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(1 AS BIGINT) AS within_5pct
+    FROM events GROUP BY event_type
+"""
+
+
 _ORACLE_SELF_CAP = "SET memory_limit='2GB';"
 ORACLES = {
     name: f"{_ORACLE_SELF_CAP}\n{sql}" for name, sql in ORACLES.items()
@@ -13487,63 +14112,63 @@ ORACLES = {
 
 
 # --- driver-window rotation epilogue (tools/rotate_window.py)
-# r10: promote the staged picks into the driver window;
+# r11: promote the staged picks into the driver window;
 # every other entry keeps its literal order below them.
-_WINDOW_R10 = [
-    "quality_buckets",
-    "q9_product_profit",
-    "src_text_lines",
-    "rfm_segments",
-    "evt_daily_fill",
-    "profile_table",
-    "skew_metrics",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_percentiles_exact",
-    "ann_topk_bruteforce",
-    "emb_cosine_near_dup",
-    "evt_pivot_user_counts",
-    "evt_rollup_daily",
-    "evt_windowed_counts",
-    "expr_json",
-    "join_asof",
-    "join_range",
-    "mm_media_meta",
-    "ngram_jaccard_adjacent",
-    "q19_disjunctive",
-    "q22_idle_rich_customers",
-    "q6_forecast_revenue",
-    "sample_hash_mod",
-    "src_csv_dir",
-    "src_json_dir",
-    "text_fingerprint",
-    "text_lang_bpe",
-    "text_quality",
-    "text_token_count",
-    "text_top_terms",
-    "topk_per_group",
-    "udtf_split_sentences",
-    "window_analytics",
-    "window_running",
-    "agg_rollup",
-    "dedup_latest_per_key",
-    "evt_funnel",
-    "evt_retention_cohorts",
-    "expr_case_map",
-    "flagship_warehouse",
-    "join_salted",
-    "join_semi",
-    "dedup_stream_watermark",
-    "evt_sessionize_stream",
-    "evt_stream_stream_join",
-    "evt_windowed_counts_stream",
-    "evt_cdc_upsert_stream",
-    "evt_topk_stream",
+_WINDOW_R11 = [
+    "ann_topk_ivf",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sketch_approx_distinct",
+    "sketch_quantiles",
+    "text_winnow_fingerprint",
+    "q1_pricing_summary",
+    "q3_revenue_by_priority",
+    "q5_revenue_by_nation",
+    "set_ops",
+    "agg_collect_sorted",
+    "agg_histogram",
+    "agg_incremental",
+    "agg_mode",
+    "decontaminate",
+    "dedup_clusters",
+    "dedup_incremental",
+    "emb_label_centroids",
+    "evt_session_window_native",
+    "evt_sessionize",
+    "flagship_data_recipe",
+    "flagship_event_analytics",
+    "graph_pagerank",
+    "ids_global_contiguous",
+    "join_fuzzy_names",
+    "join_interval_overlap",
+    "join_null_safe",
+    "join_scd2_asof",
+    "mix_weighted",
+    "mix_weighted_repeat",
+    "mm_embed_stub",
+    "mm_frame_sample",
+    "pack_sequences",
+    "project_unpivot",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q21_waiting_supplier",
+    "sample_stratified",
+    "sample_token_budget",
+    "scd1_upsert",
     "pack_bestfit",
+    "scd2_merge_batch",
+    "scd3_update",
+    "sketch_hll_union",
+    "sketch_topk_mg",
+    "split_train_holdout",
+    "src_json_corrupt_routing",
+    "src_orc_roundtrip",
+    "evt_distinct_stream",
+    "evt_stream_static_join",
 ]
 QUERIES = {
     n: QUERIES[n]
-    for n in _WINDOW_R10
-    + [k for k in QUERIES if k not in set(_WINDOW_R10)]
+    for n in _WINDOW_R11
+    + [k for k in QUERIES if k not in set(_WINDOW_R11)]
 }
 # --- end rotation epilogue

@@ -131,18 +131,41 @@ _EXCHANGE_NODES = frozenset(
 _NODE_RE = None
 
 
-def _plan_has_exchange(df: DataFrame) -> bool:
-    """True iff the ANALYZED logical plan (a string — never executed)
-    contains an exchange-inducing node. Node names are matched as the
-    leading identifier token of each tree line (after the ``+-``/
-    ``:-`` scaffolding), NOT by raw substring: a column aliased
-    ``SortKey`` prints inside a Project line and must not match."""
+def _plan_text(df: DataFrame) -> str | None:
+    """Plan text WITHOUT an RDD/JVM surface requirement: the analyzed
+    plan via ``_jdf`` on classic PySpark, else the captured output of
+    ``df.explain(extended=True)`` — which Spark Connect serves from
+    the server (plan-only, never executes a stage). None when neither
+    surface yields text. The extended-explain fallback contains the
+    analyzed-plan section, so ``_plan_text_has_exchange``'s node-name
+    matching works identically; it additionally contains the physical
+    section, where any ``Exchange`` line is likewise (correctly)
+    exchange-bearing."""
+    try:
+        return df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        pass
+    try:
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(extended=True)
+        return buf.getvalue() or None
+    except Exception:
+        return None
+
+
+def _plan_text_has_exchange(plan: str) -> bool:
+    """Exchange detection over plan TEXT (see ``_plan_has_exchange``
+    for the matching rules) — split out so Connect-shaped callers can
+    feed the captured-explain fallback from ``_plan_text``."""
     global _NODE_RE
     import re
 
     if _NODE_RE is None:
         _NODE_RE = re.compile(r"^[\s:+*-]*'?([A-Za-z]+)")
-    plan = df._jdf.queryExecution().analyzed().toString()
     for line in plan.splitlines():
         m = _NODE_RE.match(line)
         if not m:
@@ -154,9 +177,22 @@ def _plan_has_exchange(df: DataFrame) -> bool:
             if "true" in line.rsplit(",", 1)[-1]:
                 return True
             continue
-        if node in _EXCHANGE_NODES:
+        if node in _EXCHANGE_NODES or node == "Exchange":
             return True
     return False
+
+
+def _plan_has_exchange(df: DataFrame) -> bool:
+    """True iff the logical plan (a string — never executed) contains
+    an exchange-inducing node. Node names are matched as the leading
+    identifier token of each tree line (after the ``+-``/``:-``
+    scaffolding), NOT by raw substring: a column aliased ``SortKey``
+    prints inside a Project line and must not match. Raises when no
+    plan text is obtainable (callers catch and go conservative)."""
+    text = _plan_text(df)
+    if text is None:
+        raise RuntimeError("no plan text surface")
+    return _plan_text_has_exchange(text)
 
 
 def scan_partitions_or_none(df: DataFrame) -> int | None:
@@ -207,6 +243,17 @@ def spread_small_scan(df: DataFrame, min_partitions: int | None = None) -> DataF
         n = min_partitions or int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
         )
+        # r11 (VERDICT r10 item 7): the guard now WORKS on Connect
+        # instead of blanket-firing — the captured-explain plan text
+        # (server-side, plan-only) distinguishes an exchange-bearing
+        # frame (already shuffle.partitions-wide: repartitioning it
+        # again would ADD a shuffle) from the exchange-free scans the
+        # guard exists for. Only the split-count refinement is lost
+        # (no RDD surface), so an already-wide scan pays one
+        # redundant-but-harmless round-robin.
+        text = _plan_text(df)
+        if text is not None and _plan_text_has_exchange(text):
+            return df
         return df.repartition(n)
     try:
         if _plan_has_exchange(df):

@@ -708,6 +708,16 @@ def _state_commit(df: DataFrame, state_dir: str) -> None:
     """Write ``df`` as the NEXT state version and atomically flip the
     pointer to it; garbage-collect superseded version directories.
 
+    LOCAL-FILESYSTEM state_dir ONLY: the version parquet goes through
+    Spark path APIs, but the pointer flip (``os.replace``) and GC
+    (``os.listdir``) are driver-local file operations — a DFS/URI
+    state_dir (hdfs://, s3a://) would read as "no pointer" every run.
+    Same constraint applies to every ``_state_*`` consumer and the
+    ``_HLL_B`` geometry sidecar in ``distinct_stream_drain_md5``. On a
+    cluster, state_dir must be a driver-visible shared mount, or this
+    layer swapped for a FileSystem-API pointer (single seam: this
+    function + ``_state_version``).
+
     The version number is always ``current + 1`` — never a caller-
     supplied batch id — so a replayed batch that merged the lazily-read
     current version writes a brand-new directory instead of
@@ -756,8 +766,16 @@ def cdc_upsert_drain(
     partition-layout-dependent winner, so one-batch vs trickled
     drains could converge to DIFFERENT dimensions — the
     batching-independence the operator exists for; with the residual
-    order the winner is a pure function of the row multiset, and
-    rows identical on every orderable column are interchangeable) —
+    order the winner is a pure function of the row multiset PROVIDED
+    rows that tie on every orderable column are identical. Rows
+    differing ONLY in a non-orderable column (map, binary inside a
+    struct Spark won't sort) still pick a layout-dependent winner —
+    the residual tie-break cannot see those columns. If a source can
+    emit such rows, pre-serialize the non-orderable columns to an
+    orderable form (e.g. ``F.to_json``) in an extra column and put it
+    in ``order_cols``; this operator doesn't do that implicitly
+    because a silent to_json of a multi-MB payload column in the sort
+    key is a worse default than the documented caveat) —
     an associative, commutative merge, so the final dimension is
     identical whatever the batching: one availableNow batch,
     file-by-file trickle, or crash-and-resume from the checkpoint
@@ -1035,7 +1053,10 @@ def distinct_stream_drain_md5(
     recorded in a ``_HLL_B`` sidecar on first use and re-draining the
     same ``state_dir`` with a different ``b`` refuses (r10 review:
     registers from two bucket splits would otherwise max-merge into
-    one table and estimate garbage, silently).
+    one table and estimate garbage, silently). The sidecar uses the
+    same driver-local file convention as the ``_state_commit`` pointer
+    — see its docstring: ``state_dir`` must be a local/driver-visible
+    path, not a DFS URI, or the geometry guard never engages.
     """
     import os
 

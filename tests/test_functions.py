@@ -287,11 +287,18 @@ def test_join_range_matches_naive_and_hash_joins(spark):
 def test_sketch_queries_accuracy_bounds(spark, sf_dir):
     """The sketch queries have no SQL oracle; pin their accuracy
     against exact computations instead."""
-    from idr_data_pipelines_spark.queries import QUERIES, _events, _t
+    # the registry slots now hold the invariant-summary forms (r11);
+    # the accuracy pins below consume the original full-row outputs
+    from idr_data_pipelines_spark.queries import (
+        _events,
+        _t,
+        q_sketch_approx_distinct,
+        q_sketch_quantiles,
+    )
 
     approx = {
         r["event_type"]: r["approx_users"]
-        for r in QUERIES["sketch_approx_distinct"](spark, sf_dir).collect()
+        for r in q_sketch_approx_distinct(spark, sf_dir).collect()
     }
     exact = {
         r["event_type"]: r["n"]
@@ -306,7 +313,7 @@ def test_sketch_queries_accuracy_bounds(spark, sf_dir):
 
     qs = {
         r["o_orderpriority"]: (r["p50"], r["p95"], r["p99"])
-        for r in QUERIES["sketch_quantiles"](spark, sf_dir).collect()
+        for r in q_sketch_quantiles(spark, sf_dir).collect()
     }
     orders = _t(spark, sf_dir, "orders")
     for prio, (p50, p95, p99) in qs.items():

@@ -33,6 +33,11 @@ WAIVERS: dict[str, str] = {
     "ann_topk_quantized": "cartesian-product",
     "ann_recall_eval": "cartesian-product",
     "ann_ivfpq_recall": "cartesian-product",
+    # r11 invariant form: embeds the same brute-force baseline
+    # (broadcast 8-query set × corpus) to pin the subset-max bound
+    # ivf_top1 <= brute_top1 — the identical waived shape as
+    # ann_topk_bruteforce above.
+    "ann_topk_ivf": "cartesian-product",
     # Deliberate demo of the Python UDTF API surface (SURVEY §2.9);
     # the hot-path text operators use JVM expressions instead.
     "udtf_split_sentences": "python-row-udf",
