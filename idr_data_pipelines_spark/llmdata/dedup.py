@@ -1429,6 +1429,7 @@ def cross_doc_ngram_stats(
     k: int = 5,
     min_docs: int = 2,
     flag_frac: float = 0.5,
+    materialize_grams: bool = False,
 ) -> DataFrame:
     """Cross-document repeated-n-gram analysis — the bucketed
     approximation of exact-substring dedup (Lee et al. 2022,
@@ -1456,10 +1457,22 @@ def cross_doc_ngram_stats(
     single-task hot-gram straggler, which at 50M-doc stopword grams
     is a job killer no amount of map parallelism helps.
     shared_frac is an IEEE double ratio of two ints, so the flag
-    threshold replays exactly in SQL."""
+    threshold replays exactly in SQL.
+
+    ``materialize_grams=True`` (r11, VERDICT r10 item 6) eagerly
+    localCheckpoints the exploded gram frame so both join branches
+    read ONE materialization instead of re-evaluating the shingle
+    chain — trading the ~2x map tax for an eager barrier + RDD cache
+    (which also blinds the plan linter to the chain above the
+    checkpoint, so the default stays False). Interleaved measurement
+    (BENCH_SCALE r11): the tax is cheaper than the barrier at sf0.1
+    AND at 10x on this host, so the flag is an escape hatch for
+    clusters where the shingle kernel dominates, not the default."""
     grams = docs.filter(F.col(text_col).isNotNull()).select(
         id_col, F.explode(word_shingles(text_col, k)).alias("gram")
     )
+    if materialize_grams:
+        grams = grams.localCheckpoint(eager=True)
     freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("doc_freq"))
     per_doc = (
         grams.join(freq, "gram")
