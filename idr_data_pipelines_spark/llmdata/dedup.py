@@ -1443,31 +1443,47 @@ def cross_doc_ngram_stats(
     construction, so (gram, doc) rows are unique and the gram
     doc-frequency is one gram-keyed COUNT. It is computed as an
     AGGREGATE + join-back, NOT a window (r10 review: the old
-    ``COUNT OVER (PARTITION BY gram)`` serialized every hot gram —
+    ``COUNT OVER (PARTITION BY gram)`` serializes every hot gram —
     a stopword run present in 50M docs — onto ONE window task, and
     AQE's skew handling splits skewed JOIN partitions only, never
-    window partitions; the old docstring's 'AQE covers them' claim
-    was wrong). Still exactly TWO corpus-sized exchanges: the
+    window partitions). Still exactly TWO corpus-sized exchanges: the
     join's per-gram fan-out is m×1 (the freq side is aggregated) with
-    AQE skew-join splitting the hot grams. The measured price: the
-    shingle chain is evaluated on BOTH branches (the partial-agg
-    below the freq exchange makes the two exchanges non-identical, so
-    Catalyst cannot reuse one), ~2× local wall (0.8 s → 1.8 s at
-    sf0.1) — a parallel map-side tax, deliberately paid to remove the
-    single-task hot-gram straggler, which at 50M-doc stopword grams
-    is a job killer no amount of map parallelism helps.
+    AQE skew-join splitting the hot grams.
+
+    Measured honestly (tools/hotgram_stress.py, BENCH_SCALE r11): on
+    ONE box the window form is FASTER at every reachable scale — a
+    synthetic 100%%-doc-frequency gram at 16.5× partition skew, 4M to
+    40M gram rows, 3g to 16g heaps, window wins 1.2–2.3× — because a
+    local straggler inherits the whole machine's cores-idle memory
+    bandwidth and a single-key count-over-partition does less per-row
+    work than hash-probe + the double shingle evaluation. The
+    join-back is kept anyway because the local experiment cannot
+    reproduce cluster geometry: the straggler term is
+    O(hot_rows) on ONE core while every other core idles — at 1000
+    executors that is hours against the join-back's minutes — and the
+    hot partition (hundreds of GB for a B-scale corpus) must fit ONE
+    task's sorter, a spill-storm/OOM cliff no conf survives. The
+    ~2× local tax (shingle chain evaluated on BOTH branches — the
+    partial-agg below the freq exchange makes the two exchanges
+    non-identical, so Catalyst cannot reuse one) is the insurance
+    premium; ``materialize_grams`` below refunds it where its terms
+    are acceptable.
     shared_frac is an IEEE double ratio of two ints, so the flag
     threshold replays exactly in SQL.
 
     ``materialize_grams=True`` (r11, VERDICT r10 item 6) eagerly
     localCheckpoints the exploded gram frame so both join branches
     read ONE materialization instead of re-evaluating the shingle
-    chain — trading the ~2x map tax for an eager barrier + RDD cache
-    (which also blinds the plan linter to the chain above the
-    checkpoint, so the default stays False). Interleaved measurement
-    (BENCH_SCALE r11): the tax is cheaper than the barrier at sf0.1
-    AND at 10x on this host, so the flag is an escape hatch for
-    clusters where the shingle kernel dominates, not the default."""
+    chain. Interleaved measurement (BENCH_SCALE r11): ~1.7× faster at
+    sf0.1 (8.4–9.1 s → 4.5–5.9 s) AND at 10× (76–92 s → 44–62 s).
+    The default stays False despite the win because the flag changes
+    SEMANTICS, not just speed: the eager checkpoint runs Spark jobs
+    at what callers believe is plan-construction time (breaking
+    plan-only linting/sweeps — the registry gate would execute 276
+    jobs), pins un-recomputable RDD blocks to executor storage (a
+    preempted executor kills the job instead of recomputing lineage),
+    and must fit the gram table in cluster storage. Opt in per job
+    where those terms hold."""
     grams = docs.filter(F.col(text_col).isNotNull()).select(
         id_col, F.explode(word_shingles(text_col, k)).alias("gram")
     )

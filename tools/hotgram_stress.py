@@ -48,6 +48,23 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=2_000_000)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument(
+        "--driver-mem",
+        default="16g",
+        help="JVM heap; shrink (e.g. 3g) to reproduce the production "
+        "failure mode locally — the hot WINDOW partition no longer "
+        "fits one task's sorter and spills, while the join-back's "
+        "AQE-split partitions stay in-memory per task",
+    )
+    ap.add_argument(
+        "--unique-grams",
+        type=int,
+        default=4,
+        help="doc-unique k-grams per document; 1 puts HALF of all gram "
+        "rows in the hot gram (the 50M-doc-stopword shape), 4 dilutes "
+        "the hot share to 20%% where the join-back's double shingle "
+        "evaluation can offset the window straggler locally",
+    )
     args = ap.parse_args()
 
     from idr_data_pipelines_spark.llmdata.dedup import word_shingles
@@ -60,7 +77,7 @@ def main() -> None:
         extra_conf={
             "spark.ui.enabled": "false",
             "spark.ui.showConsoleProgress": "false",
-            "spark.driver.memory": "16g",
+            "spark.driver.memory": args.driver_mem,
             "spark.sql.adaptive.enabled": "true",
             "spark.sql.adaptive.skewJoin.enabled": "true",
             # production defaults (factor 5, 256 MB) never trigger at
@@ -73,18 +90,20 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    tail_tokens = {
+        1: [F.lit(" w"), F.col("id")],
+        4: [
+            F.lit(" w"), F.col("id") % 99991,
+            F.lit(" x"), F.col("id"),
+            F.lit(" y"), (F.col("id") * 7) % 99989,
+            F.lit(" z"), F.col("id"),
+        ],
+    }[args.unique_grams]
     docs = spark.range(args.docs).select(
         F.col("id").alias("doc_id"),
-        F.concat(
-            F.lit("hot1 hot2 hot3 hot4 hot5 w"),
-            F.col("id") % 99991,
-            F.lit(" x"),
-            F.col("id"),
-            F.lit(" y"),
-            (F.col("id") * 7) % 99989,
-            F.lit(" z"),
-            F.col("id"),
-        ).alias("text"),
+        F.concat(F.lit("hot1 hot2 hot3 hot4 hot5"), *tail_tokens).alias(
+            "text"
+        ),
     )
     grams = docs.select(
         "doc_id", F.explode(word_shingles("text", 5)).alias("gram")
