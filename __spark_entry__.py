@@ -7,9 +7,12 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 All implementations live in ``idr_data_pipelines_spark.queries``; see
 SURVEY.md §2 for the operator inventory each entry corresponds to.
-Hash-based/approximate operators (MinHash-LSH, SimHash, LSH-ANN) have
-no portable SQL equivalent and intentionally omit an oracle entry
-(rows-only check).
+Since r11 EVERY entry carries an oracle: hash-based/approximate
+operators (MinHash-LSH, SimHash, LSH-ANN, DataSketches, best-fit
+packing) register invariant-summary forms — the full algorithm runs,
+then reduces to exact input-derived anchors + 0/1 contract flags the
+SQL oracle recomputes independently — while their deterministic
+md5/fixed twins keep full row-set oracles.
 """
 
 from __future__ import annotations
@@ -37,6 +40,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable oracle SQL for every SQL-expressible query."""
+    """DuckDB-runnable oracle SQL for EVERY query (since r11)."""
     assert set(ORACLES) | NO_ORACLE == set(QUERIES)
     return dict(ORACLES)
