@@ -83,3 +83,25 @@ def test_no_oracle_docstrings_state_verification():
             f"('see <name>') or state that its bounds are test-pinned; "
             f"docstring: {doc[:200]!r}"
         )
+
+
+def test_frozen_forms_contract():
+    """bench.py times queries.FROZEN_FORMS for the three frozen
+    headline names whose registry slots became invariant-summary
+    wrappers in r11. The frozen series stays honest only if (a) every
+    FROZEN_FORMS key is a live registry name, (b) the frozen callable
+    is NOT the registry callable (else the override is dead code and
+    the series silently re-times the wrapper), and (c) the frozen
+    names are exactly the headline-frozen trio — additions would
+    change what BENCH_r{N} measures without a visible diff in
+    bench.py."""
+    from idr_data_pipelines_spark.queries import FROZEN_FORMS, QUERIES
+
+    assert set(FROZEN_FORMS) == {
+        "text_winnow_fingerprint",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+    }
+    for name, fn in FROZEN_FORMS.items():
+        assert name in QUERIES
+        assert fn is not QUERIES[name], name
