@@ -1530,9 +1530,10 @@ def q_sketch_topk_mg(spark, sf_dir):
     independent of stream length AND key cardinality, the
     bounded-memory counterpart to ``evt_topk_stream``'s exact
     key-cardinality state. Estimates are fold-order dependent (not
-    SQL-expressible) → rows-only driver check; the true−N/m ≤ est ≤
-    true bound and the all-hitters-present guarantee are pinned in
-    tests/test_llmdata.py."""
+    SQL-expressible), so this full-row form carries no oracle of its
+    own; its registry slot is q_sketch_topk_mg_invariants (r11) and
+    the true−N/m ≤ est ≤ true bound and the all-hitters-present
+    guarantee are pinned in tests/test_llmdata.py."""
     from idr_data_pipelines_spark.llmdata.sketches import misra_gries_topk
 
     ev = _events(spark, sf_dir).filter(F.col("user_id").isNotNull())
@@ -1559,10 +1560,11 @@ def q_sketch_hll_union(spark, sf_dir):
     merged into the overall estimate with hll_union_agg — the
     re-aggregatable form a 100 TB rollup needs (union sketches across
     days/partitions instead of recounting raw data). Sketch bytes are
-    engine-specific → rows-only; the ±5% accuracy vs exact distinct is
-    pinned in tests. The same algorithm with the portable md5-32 hash
-    exposes its registers to a full value-hash oracle — see
-    sketch_hll_md5."""
+    engine-specific, so this full-row form has no oracle of its own;
+    its registry slot is q_sketch_hll_union_invariants (r11). The ±5%
+    accuracy vs exact distinct is pinned in tests, and the same
+    algorithm with the portable md5-32 hash exposes its registers to
+    a full value-hash oracle — see sketch_hll_md5."""
     ev = _events(spark, sf_dir)
     per = ev.groupBy("event_type").agg(F.hll_sketch_agg("user_id").alias("sk"))
     per_est = per.select(
@@ -1865,9 +1867,11 @@ def q_evt_distinct_stream(spark, sf_dir):
     is associative AND idempotent, so the streamed sketch equals the
     one-shot batch sketch exactly (pinned in tests/test_streaming.py)
     and a replayed batch cannot inflate the count. DataSketches bytes
-    aren't portable SQL → rows-only driver check; ±5% accuracy vs
-    exact distinct is asserted in tests. The register-table twin
-    (evt_distinct_stream_md5) carries a full value-hash oracle."""
+    aren't portable SQL, so this full-row form has no oracle of its
+    own; its registry slot is q_evt_distinct_stream_invariants (r11).
+    ±5% accuracy vs exact distinct is asserted in tests, and the
+    register-table twin (evt_distinct_stream_md5) carries a full
+    value-hash oracle."""
     import os
     import shutil
 
@@ -3906,7 +3910,9 @@ def q_text_fingerprint(spark, sf_dir):
 
 def q_text_winnow_fingerprint(spark, sf_dir):
     """Winnowing fingerprints (rolling k-gram hash + window minima,
-    SIGMOD'03). xxhash64-based → no portable SQL oracle; rows-only.
+    SIGMOD'03). xxhash64-based → no portable SQL oracle for the raw
+    rows; the registry slot is q_text_winnow_fingerprint_invariants
+    (r11) and bench's frozen headline times THIS full-row form.
     Guarantees + overlap properties are asserted in tests. The same
     algorithm with the portable md5-32 k-gram hash IS value-hash
     oracled — see text_winnow_md5."""
@@ -4067,15 +4073,17 @@ def q_ngram_jaccard_adjacent(spark, sf_dir):
 
 
 # ===================================================================
-# llmdata: near-dup / similarity (hash-based ops: rows-only checks)
+# llmdata: near-dup / similarity (hash-based full-row forms; since
+# r11 their registry slots are *_invariants wrappers with oracles)
 # ===================================================================
 
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pairs, verified with exact 3-gram Jaccard
-    ≥ 0.5. xxhash64-seeded → deterministic; no SQL oracle (hash
-    function not portable), driver records rows-only. The same
-    pipeline with the portable md5-32 hash IS value-hash oracled —
-    see dedup_minhash_md5."""
+    ≥ 0.5. xxhash64-seeded → deterministic; no SQL oracle for the raw
+    pairs (hash function not portable) — the registry slot is
+    q_dedup_minhash_lsh_invariants (r11), and bench's frozen headline
+    times THIS full-row form. The same pipeline with the portable
+    md5-32 hash IS value-hash oracled — see dedup_minhash_md5."""
     # NOTE: deliberately NOT spread_small_scan'd — the signature stage
     # is one numpy matmul per Arrow batch, so at bench scale one big
     # batch beats 32 tiny ones (measured 1.4s vs 2.8s); spreading is
@@ -4088,9 +4096,10 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 def q_dedup_simhash(spark, sf_dir):
     """Per-doc 64-bit SimHash signatures (xxhash64-seeded →
-    deterministic but not SQL-portable; rows-only). The same pipeline
-    with the portable md5-32 token hash IS value-hash oracled — see
-    dedup_simhash_md5."""
+    deterministic but not SQL-portable; registry slot:
+    q_dedup_simhash_invariants since r11, bench times this full-row
+    form). The same pipeline with the portable md5-32 token hash IS
+    value-hash oracled — see dedup_simhash_md5."""
     df = _t(spark, sf_dir, "documents")
     return simhash_signatures(df)
 
@@ -4205,7 +4214,9 @@ def q_ann_topk_lsh(spark, sf_dir):
 def q_ann_topk_ivf(spark, sf_dir):
     """Approximate top-5 via an IVF coarse quantizer (deterministic
     hash-seeded centroids + 2 Lloyd steps, nprobe=2 of 8 cells).
-    Approximate → rows-only; recall vs brute force asserted in tests."""
+    Approximate → no SQL replay of the raw neighbors; the registry
+    slot is q_ann_topk_ivf_invariants (r11). Recall vs brute force
+    asserted in tests."""
     from idr_data_pipelines_spark.llmdata.similarity import cosine_topk_ivf
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -4487,9 +4498,11 @@ def q_quality_buckets(spark, sf_dir):
 def q_pack_bestfit(spark, sf_dir):
     """Whole-document best-fit-decreasing packing per source (capacity
     1024 estimated tokens). Bin packing is inherently sequential — no
-    SQL form exists, so this entry is rows-only by design; its
-    invariants (capacity, determinism, fill bound, oversized-doc
-    isolation) are pinned in tests/test_llmdata.py."""
+    SQL form exists for the packing rows; the registry slot is
+    q_pack_bestfit_invariants (r11), which value-hash-checks the
+    capacity/coverage/fill invariants against input-derived oracle
+    quantities. Determinism and oversized-doc isolation stay pinned
+    in tests/test_llmdata.py."""
     from idr_data_pipelines_spark.llmdata.sampling import pack_sequences_bestfit
     from idr_data_pipelines_spark.llmdata.text import token_count
 
@@ -12320,8 +12333,10 @@ ORACLES["src_python_datasource_stream"] = ORACLES["src_python_datasource"].repla
     "generate_series(0, 499)", "generate_series(0, 299)"
 )
 
-# Hash-based / approximate operators: no portable SQL equivalent →
-# the driver records a rows-only check (documented in __spark_entry__).
+# Hash-based / approximate operators: the raw row sets have no
+# portable SQL equivalent; since r11 their registry slots are
+# invariant-summary wrappers with full oracles (see the r11 oracle
+# block before the self-cap policy).
 
 # round-7 additions (generated SQL where the Spark side also
 # generates its expression chain — identical term order both engines)
