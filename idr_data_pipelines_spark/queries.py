@@ -7547,8 +7547,16 @@ def q_pack_bestfit_invariants(spark, sf_dir):
     sharing a bin (0 — they are isolated), ``fill_bound_ok`` pins the
     any-fit theorem that at most ONE bin per shard is ≤ half full,
     and ``dup_docs`` is 0 iff no document landed in two packs."""
-    packs = q_pack_bestfit(spark, sf_dir)
-    cap = 1024
+    return _pack_invariant_summary(q_pack_bestfit(spark, sf_dir))
+
+
+def _pack_invariant_summary(packs, cap: int = 1024):
+    """The packing-invariant reduction behind q_pack_bestfit_invariants,
+    factored out so tests can prove the flags are NOT tautologies:
+    feeding a deliberately broken packing (over-capacity bin, shared
+    oversized doc, double-packed doc, two half-empty bins) must flip
+    the corresponding flag/count (tests/test_llmdata.py::
+    test_pack_invariant_summary_catches_violations)."""
     bins = packs.groupBy("source", "pack_id").agg(
         F.sum("n_tok").alias("bin_tok"),
         F.count(F.lit(1)).alias("bin_docs"),

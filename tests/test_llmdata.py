@@ -2014,3 +2014,49 @@ def test_spread_small_scan_works_without_rdd_surface(spark, sf_dir):
         "post-shuffle frame must NOT be re-shuffled on Connect"
     )
     assert res is shuffled
+
+
+def test_pack_invariant_summary_catches_violations(spark):
+    """The r11 invariant oracle for pack_bestfit is only worth its
+    green driver row if a BROKEN packing flips it red. Feed the
+    summary reduction hand-built packings violating each contract and
+    assert the corresponding count/flag moves off the oracle's
+    expected value (0/0/1/0); then a clean packing reproduces the
+    expected row exactly."""
+    from idr_data_pipelines_spark.queries import _pack_invariant_summary
+
+    cols = ["doc_id", "source", "n_tok", "pack_id"]
+
+    def summarize(rows):
+        r = _pack_invariant_summary(
+            spark.createDataFrame(rows, cols), cap=1024
+        ).collect()
+        assert len(r) == 1
+        return r[0]
+
+    # over-capacity multi-doc bin
+    r = summarize([(1, "s", 600, 0), (2, "s", 600, 0)])
+    assert r["over_capacity_bins"] == 1
+
+    # oversized doc sharing its bin
+    r = summarize([(1, "s", 2000, 0), (2, "s", 10, 0)])
+    assert r["shared_oversized_bins"] == 1
+
+    # the same doc packed twice
+    r = summarize([(1, "s", 10, 0), (1, "s", 10, 1)])
+    assert r["dup_docs"] == 1
+
+    # two half-empty bins (any-fit theorem violation)
+    r = summarize([(1, "s", 100, 0), (2, "s", 100, 1)])
+    assert r["fill_bound_ok"] == 0
+
+    # a clean packing reproduces the oracle row exactly
+    r = summarize([(1, "s", 900, 0), (2, "s", 124, 0), (3, "s", 700, 1)])
+    assert (
+        r["docs_packed"],
+        r["tokens_packed"],
+        r["over_capacity_bins"],
+        r["shared_oversized_bins"],
+        r["fill_bound_ok"],
+        r["dup_docs"],
+    ) == (3, 1724, 0, 0, 1, 0)
