@@ -619,6 +619,10 @@ LINT_WAIVERS = {
     # baseline (bounded query sample; see q_ann_recall_eval docstring)
     "ann_recall_eval": {"cartesian-product"},
     "ann_ivfpq_recall": {"cartesian-product"},
+    # r11 invariant form: embeds the same bounded brute-force baseline
+    # to pin ivf_top1 <= brute_top1 (subset max) — the identical
+    # waived shape as ann_topk_bruteforce
+    "ann_topk_ivf": {"cartesian-product"},
     # the UDTF API-pinning demo; docstring says prefer mapInPandas
     "udtf_split_sentences": {"python-row-udf"},
 }
