@@ -10,6 +10,7 @@ production lake) without code changes.
 from __future__ import annotations
 
 import os
+import posixpath
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -35,10 +36,30 @@ class Catalog:
         if name in self._frames:
             return self._frames[name]
         if self.root is not None:
-            path = os.path.join(self.root, f"{name}.parquet")
-            if os.path.exists(path):
+            path = posixpath.join(self.root, f"{name}.parquet")
+            if self._path_exists(path):
                 return read_parquet_dir(self.spark, path)
         return self.spark.table(name)
+
+    def _path_exists(self, path: str) -> bool:
+        """Existence probe on WHATEVER filesystem ``root`` names. A
+        plain ``os.path.exists`` is false for every hdfs://gs://s3a://
+        path, which would silently skip the parquet branch and
+        surface as a confusing "table not found" from the Spark
+        catalog (r11 review — the same driver-local-probe class as
+        the streaming ``_HLL_B`` sidecar). Classic deployments go
+        through the Hadoop FileSystem via the JVM gateway (the
+        sink_manifest pattern); Spark Connect has no gateway, so
+        there we fall back to the local probe — correct for the
+        local/driver-visible roots Connect clients pass."""
+        try:
+            sc = self.spark.sparkContext
+            jvm = sc._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+            return bool(fs.exists(jpath))
+        except Exception:
+            return os.path.exists(path)
 
     def register_views(self, names: list[str]) -> None:
         """Expose tables as temp views so ``spark.sql`` can see them."""
