@@ -54,6 +54,10 @@ def hash_bucket(key: Column | str, buckets: int = 1_000_000, salt: str = "") -> 
     ``CAST(('0x' || substring(md5(salt || key), 1, 15)) AS BIGINT)
     % buckets``.
     """
+    if buckets <= 0:
+        # pmod(x, 0) is NULL in Spark, not an error — a zero/negative
+        # bucket count would silently null every assignment
+        raise ValueError("buckets must be positive")
     c = F.col(key) if isinstance(key, str) else key
     h = F.md5(F.concat(F.lit(salt), c.cast("string")))
     return _bucket_from_md5(h, buckets)
@@ -654,6 +658,11 @@ def temperature_mix_shares(
     share normalizer rides a 1-row broadcast, so corpus size never
     touches a window.
     """
+    if alpha < 0:
+        # p_i ∝ n_i^alpha with alpha < 0 would give the SMALLEST
+        # source the LARGEST share without bound — never the mixing
+        # recipe; alpha=0 (uniform) is the sanctioned extreme
+        raise ValueError("alpha must be >= 0")
     n = (
         F.sum(count_col).cast("double")
         if count_col
@@ -699,7 +708,14 @@ def sample_balanced_labels(
     the same one-shuffle external sort as ``sample_exact_k_per_group``.
     The count frame broadcasts back — the corpus shuffles once.
     Rank + floor are integers and the md5 order is engine-portable,
-    so the selected id set is exact and partition-invariant."""
+    so the selected id set is exact and partition-invariant.
+
+    NULL labels are dropped at entry (module isNotNull convention —
+    r11 review): they can never survive the label equi-join anyway,
+    but without the filter a null-label class was still COUNTED, so
+    it could depress the min-class floor for every real label while
+    itself silently vanishing from the output."""
+    df = df.filter(F.col(label_col).isNotNull())
     counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("__n"))
     floor = counts.select(
         label_col,

@@ -2060,3 +2060,35 @@ def test_pack_invariant_summary_catches_violations(spark):
         r["fill_bound_ok"],
         r["dup_docs"],
     ) == (3, 1724, 0, 0, 1, 0)
+
+
+def test_sampling_api_guards_r11(spark):
+    """r11 review guards: zero buckets would silently null every
+    hash_bucket assignment (pmod(x,0) is NULL, not an error);
+    negative temperature alpha would hand the smallest source an
+    unbounded share; a null-label class must not depress the
+    balanced-sampling floor while silently vanishing from the
+    output."""
+    import pytest as _pytest
+
+    from idr_data_pipelines_spark.llmdata.sampling import (
+        hash_bucket,
+        sample_balanced_labels,
+        temperature_mix_shares,
+    )
+
+    with _pytest.raises(ValueError, match="buckets"):
+        hash_bucket("x", buckets=0)
+    df = spark.createDataFrame([("a",), ("b",)], ["source"])
+    with _pytest.raises(ValueError, match="alpha"):
+        temperature_mix_shares(df, "source", alpha=-0.5)
+
+    rows = [(1, "x"), (2, "x"), (3, "x"), (4, "y"), (5, "y"), (6, None)]
+    bal = spark.createDataFrame(rows, ["vec_id", "label"])
+    out = sample_balanced_labels(bal, label_col="label", key_col="vec_id")
+    per = {
+        r["label"]: r["n"]
+        for r in out.groupBy("label").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # floor = min over REAL classes (2), not the single-null class (1)
+    assert per == {"x": 2, "y": 2}
