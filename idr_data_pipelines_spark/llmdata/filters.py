@@ -47,6 +47,8 @@ def top_ngram_fraction(col: Column | str = "text", k: int = 2) -> Column:
     """Fraction of k-gram occurrences taken by the single most common
     k-gram (Gopher: drop if top-2-gram fraction > 0.20). Documents
     with < k tokens score 0.0."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
 
     def frac(toks: Column) -> Column:
         n = F.size(toks)

@@ -158,6 +158,11 @@ def winnow_fingerprints(
     """
     from idr_data_pipelines_spark.llmdata.dedup import _let, shingle_hashes_positional
 
+    if k < 1 or window < 1:
+        # window=0 would take array_min over EMPTY slices — every
+        # fingerprint silently null — and k=0 is not a k-gram
+        raise ValueError("k and window must be >= 1")
+
     def pick(hs: Column) -> Column:
         n = F.size(hs)
         mins = F.transform(
@@ -205,6 +210,8 @@ def winnow_md5_fingerprints(
         md5_hash32,
     )
 
+    if k < 1 or window < 1:
+        raise ValueError("k and window must be >= 1")
     toks = _tokens(col)
 
     def build(ts: Column) -> Column:

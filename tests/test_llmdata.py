@@ -2092,3 +2092,24 @@ def test_sampling_api_guards_r11(spark):
     }
     # floor = min over REAL classes (2), not the single-null class (1)
     assert per == {"x": 2, "y": 2}
+
+
+def test_text_api_guards_r11():
+    """r11 review: winnowing with window=0 would array_min EMPTY
+    slices — every fingerprint silently null; k=0 is not a k-gram.
+    Column builders raise at construction, before any job runs."""
+    import pytest as _pytest
+
+    from idr_data_pipelines_spark.llmdata.filters import top_ngram_fraction
+    from idr_data_pipelines_spark.llmdata.text import (
+        winnow_fingerprints,
+        winnow_md5_fingerprints,
+    )
+
+    for bad in ((0, 4), (4, 0)):
+        with _pytest.raises(ValueError):
+            winnow_fingerprints("text", k=bad[0], window=bad[1])
+        with _pytest.raises(ValueError):
+            winnow_md5_fingerprints("text", k=bad[0], window=bad[1])
+    with _pytest.raises(ValueError):
+        top_ngram_fraction("text", k=0)
