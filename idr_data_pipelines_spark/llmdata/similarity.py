@@ -504,6 +504,11 @@ def cosine_topk_ivf(
     all of it. Recall rises with nprobe; nprobe = n_centroids recovers
     brute force.
     """
+    if k < 1 or nprobe < 1:
+        # nprobe=0 probes no cells and k=0 keeps no ranks — both
+        # would return an empty frame that reads as "no neighbors"
+        # rather than as the caller's parameter bug (r11 review)
+        raise ValueError("k and nprobe must be >= 1")
     C = ivf_centroids(corpus, id_col, vec_col, n_centroids, iters)
     inv = _assign_centroids(corpus, C, id_col, vec_col, nprobe=1).select(
         F.col("id").alias("neighbor_id"),
@@ -768,6 +773,8 @@ def cosine_topk_ivf_fixed(
     only shuffles here: the broadcast probe join and the final
     per-query top-k window (|Q| groups).
     """
+    if k < 1 or nprobe < 1:
+        raise ValueError("k and nprobe must be >= 1")
     cent_rows = fixed_seed_centroid_rows(corpus, id_col, vec_col, n_centroids)
 
     def sims_to_cents(vec: Column, nrm: Column) -> Column:
