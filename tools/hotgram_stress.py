@@ -7,8 +7,16 @@ replaced ``COUNT OVER (PARTITION BY gram)`` with a gram-keyed
 aggregate + join-back, on the argument that AQE's skew handling
 splits skewed JOIN partitions but can never split a WINDOW partition
 — a stopword gram present in ~100% of documents serializes the whole
-corpus onto one window task. This script PROVES that with a
-controlled synthetic corpus instead of asserting it:
+corpus onto one window task. This script MEASURES that claim with a
+controlled synthetic corpus — and the honest result (BENCH_SCALE
+r11) is that on ONE box the window form wins at every reachable
+scale (1.2–2.3x across 4M–40M gram rows, 3g–16g heaps): a local
+straggler inherits the idle machine's bandwidth, and the join-back
+pays a double shingle evaluation. The rewrite's justification is
+cluster geometry this harness cannot reproduce (one core against an
+idle fleet; a hot partition that must fit ONE task's sorter), argued
+quantitatively in the BENCH_SCALE row. Keep this tool as the
+honest-local-baseline generator:
 
 - corpus: ``--docs`` synthetic documents, every one containing the
   same 5-token phrase (the hot gram — doc-frequency == corpus size)
