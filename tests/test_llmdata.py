@@ -2113,3 +2113,28 @@ def test_text_api_guards_r11():
             winnow_md5_fingerprints("text", k=bad[0], window=bad[1])
     with _pytest.raises(ValueError):
         top_ngram_fraction("text", k=0)
+
+
+def test_ann_invariant_flags_catch_violations(spark, sf_dir, monkeypatch):
+    """Like the pack_bestfit sensitivity pin: the ann_topk_ivf
+    invariant flags must flip on a BROKEN result set, or the green
+    driver row is a tautology. Patch the inner query to emit a frame
+    with a self-match, an unsorted cosine pair, and a rank gap, and
+    assert each contract flag reads 0."""
+    import idr_data_pipelines_spark.queries as Q
+
+    broken = spark.createDataFrame(
+        [
+            (1, 1, 0.5, 1),            # self-match
+            (2, 3, 0.2, 1), (2, 4, 0.9, 2),  # cosines ascending
+            (5, 6, 0.7, 2),            # ranks start at 2
+        ],
+        ["query_id", "neighbor_id", "cosine_r", "rank"],
+    )
+    monkeypatch.setattr(Q, "q_ann_topk_ivf", lambda s_, sf_: broken)
+    row = Q.q_ann_topk_ivf_invariants(spark, sf_dir).collect()[0]
+    assert row["no_self_ok"] == 0
+    assert row["cosine_sorted_ok"] == 0
+    assert row["rank_contract_ok"] == 0
+    # the probe-set anchor still reads from the real input
+    assert row["n_probe_queries"] == 8
