@@ -2138,3 +2138,37 @@ def test_ann_invariant_flags_catch_violations(spark, sf_dir, monkeypatch):
     assert row["rank_contract_ok"] == 0
     # the probe-set anchor still reads from the real input
     assert row["n_probe_queries"] == 8
+
+
+def test_sketch_invariant_flags_catch_violations(spark, sf_dir, monkeypatch):
+    """Sensitivity pins for the sketch-family invariant wrappers: an
+    estimate pushed outside its envelope must flip the flag."""
+    import idr_data_pipelines_spark.queries as Q
+    from idr_data_pipelines_spark.queries import _events
+
+    # HLL distinct: inflate one group's estimate 3x
+    real = Q.q_sketch_approx_distinct(spark, sf_dir)
+    rows = real.collect()
+    rows = [(r["event_type"], float(r["approx_users"]) * 3.0) for r in rows]
+    fake = spark.createDataFrame(rows, ["event_type", "approx_users"])
+    monkeypatch.setattr(Q, "q_sketch_approx_distinct", lambda s_, sf_: fake)
+    out = {
+        r["event_type"]: r["within_5pct"]
+        for r in Q.q_sketch_approx_distinct_invariants(spark, sf_dir).collect()
+    }
+    assert set(out.values()) == {0}, out
+
+    # Misra-Gries: an estimate ABOVE truth must flip underestimate_ok
+    ev = _events(spark, sf_dir)
+    top = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .count()
+        .orderBy(F.desc("count"))
+        .limit(20)
+        .select("user_id", (F.col("count") + 1).alias("est_count"))
+    )
+    monkeypatch.setattr(Q, "q_sketch_topk_mg", lambda s_, sf_: top)
+    row = Q.q_sketch_topk_mg_invariants(spark, sf_dir).collect()[0]
+    assert row["underestimate_ok"] == 0
+    assert row["k_returned_ok"] == 1  # still exactly min(20, n_keys) rows
