@@ -71,6 +71,11 @@ def count_min_build(
     Nulls are skipped (a null key has no frequency), matching
     ``groupBy(key).count()`` semantics under a not-null filter.
     """
+    if depth < 1 or width < 1:
+        # width=0 nulls every bucket (pmod(x,0) is NULL, not an
+        # error) and depth=0 explodes an empty probe array — both
+        # would surface as silently-empty/null estimates downstream
+        raise ValueError("depth and width must be >= 1")
     key = F.col(key_col)
     bucket = _bucket_fn(hash_fn)
     probes = df.filter(key.isNotNull()).select(
@@ -109,6 +114,8 @@ def count_min_estimate(
     never seen at build time counts as 0 (left join + coalesce), so
     ``min`` over rows stays an upper bound on the true frequency.
     """
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
     key = F.col(key_col)
     bucket = _bucket_fn(hash_fn)
     probes = keys.select(
@@ -254,7 +261,8 @@ def hll_md5_registers(
     visible).
 
     DataSketches/Spark-native HLL bytes are engine-specific, which is
-    why ``sketch_approx_distinct``/``sketch_hll_union`` are rows-only.
+    why ``sketch_approx_distinct``/``sketch_hll_union`` verify through
+    invariant summaries (r11) rather than sketch-byte replay.
     This variant exposes the algorithm's actual state instead: with
     hash = first 32 bits of md5(key), bucket = the top ``b`` bits and
     rho = leading-zero count of the remaining ``32-b`` bits + 1
@@ -274,6 +282,12 @@ def hll_md5_registers(
     """
     from idr_data_pipelines_spark.llmdata.dedup import md5_hash32
 
+    if not 1 <= b <= 26:
+        # b=0 is one bucket (no sketch), b>26 leaves < 6 bits of rho
+        # resolution and a >64M-row register table per group — both
+        # outside HLL's operating envelope; fail at build, not after
+        # a corpus-sized aggregation
+        raise ValueError("b must be in [1, 26]")
     rem_bits = 32 - b
     h = md5_hash32(F.col(key_col).cast("string"))
     bucket = (h / F.lit(1 << rem_bits)).cast("long")  # top b bits
