@@ -123,6 +123,10 @@ def _let(expr: Column, fn) -> Column:
 def word_shingles(col: Column | str, k: int = 3) -> Column:
     """Distinct word k-shingles as an array<string>. Documents shorter
     than k tokens yield their whole text as one shingle."""
+    if k < 1:
+        # k=0 would emit n+1 EMPTY-string shingles per document —
+        # every document suddenly "shares" the empty gram (r11 review)
+        raise ValueError("k must be >= 1")
     toks = _tokens(col)
     n = F.size(toks)
     joined = F.array_join(toks, " ")
@@ -150,6 +154,8 @@ def shingle_hashes_positional(text_col: Column | str, k: int = 3) -> Column:
     hashes — pure long arithmetic. Documents shorter than k tokens
     hash their whole token sequence as one shingle.
     """
+    if k < 1:
+        raise ValueError("k must be >= 1")
     toks = _tokens(text_col)
     th = F.transform(toks, lambda t: F.xxhash64(t))
 
