@@ -333,6 +333,12 @@ def sessionize_stream(
     Returns (user, session_id, start_us, end_us, n_events) with
     timestamps as epoch-microsecond BIGINTs.
     """
+    if gap_minutes <= 0 or (
+        idle_timeout_minutes is not None and idle_timeout_minutes <= 0
+    ):
+        raise ValueError(
+            "gap_minutes (and idle_timeout_minutes, if set) must be positive"
+        )
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import LongType, StructField, StructType
@@ -476,6 +482,10 @@ def assign_sessions(
     event count, diverging from ``sessionize_stream``'s fold, which
     has always skipped them (the join_asof null-ts contract).
     """
+    if gap_minutes <= 0:
+        # a zero/negative gap "closes" a session on every event —
+        # never the sessionization anyone means; fail at construction
+        raise ValueError("gap_minutes must be positive")
     events = events.filter(F.col(ts_col).isNotNull())
     w = Window.partitionBy(user_col).orderBy(ts_col)
     gap_us = gap_minutes * 60 * 1_000_000
