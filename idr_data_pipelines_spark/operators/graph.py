@@ -56,6 +56,14 @@ def pagerank(
     to ~1e-15 relative, not bit-for-bit — comparators should round
     (the catalog query rounds to 6 decimals).
     """
+    if iterations < 0:
+        # range(-n) is empty — a negative count would silently return
+        # the uniform start vector as if it were a converged rank
+        raise ValueError("iterations must be >= 0")
+    if not 0.0 <= damping <= 1.0:
+        # outside [0,1] the update leaves the probability simplex
+        # (negative or >1 "ranks") with no error anywhere downstream
+        raise ValueError("damping must be in [0, 1]")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # dangling-free contract ⇒ every node appears as a src.
