@@ -143,6 +143,14 @@ def main() -> None:
         help="skip the per-oracle map-delta gate (profiling takes "
         "~5s/oracle; never skip for a window that will actually ship)",
     )
+    ap.add_argument(
+        "--skip-spark-precheck",
+        action="store_true",
+        help="skip the Spark-vs-DuckDB full compare at --sf "
+        "(tools/window_precheck.py, ~4 min; never skip for a window "
+        "that will actually ship — it is the driver's actual t2 gate "
+        "and catches sf0.01-only drift the CI parity suite misses)",
+    )
     args = ap.parse_args()
 
     # the label is interpolated into a Python identifier in the
@@ -197,6 +205,40 @@ def main() -> None:
         enforce_map_budget(
             [n for n in window if n not in NO_ORACLE], ORACLES, args.sf
         )
+
+    if not args.skip_spark_precheck and not args.dry_run:
+        # the other half of the gate (r11): drive every window entry's
+        # SPARK query against its oracle with the driver-faithful
+        # compare at the driver's sf — window_sweep above only
+        # protects the DuckDB side
+        import subprocess
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(
+            "w", suffix=".txt", delete=False
+        ) as fh:
+            fh.write("\n".join(window) + "\n")
+            tmp = fh.name
+        pre = subprocess.run(
+            [
+                sys.executable,
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "window_precheck.py",
+                ),
+                "--window", tmp, "--sf", args.sf,
+            ],
+            capture_output=True,
+            text=True,
+        )
+        os.unlink(tmp)
+        print(pre.stdout.rstrip().splitlines()[-1] if pre.stdout else "")
+        if pre.returncode != 0:
+            sys.exit(
+                "REFUSING to stage: Spark-vs-DuckDB precheck failed\n"
+                + pre.stdout.rstrip()[-2000:]
+                + pre.stderr.rstrip()[-500:]
+            )
 
     print(f"# planned {args.round} window ({WINDOW} entries):")
     for i in range(0, WINDOW, 5):
