@@ -1672,6 +1672,7 @@ def ngram_novelty_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
+    materialize_grams: bool = False,
 ) -> DataFrame:
     """Per-document n-gram NOVELTY against everything that came
     before it in corpus order (doc_id as ingest time): the fraction
@@ -1689,10 +1690,15 @@ def ngram_novelty_stats(
     form splits), at the same measured ~2× shingle-evaluation tax
     documented on ``cross_doc_ngram_stats``. All counts are integers;
     the ratio is one IEEE divide, rounded — partition-invariant by
-    construction."""
+    construction. ``materialize_grams`` refunds the double-eval tax
+    under the same terms (and the same measured ~1.7x win shape) as
+    ``cross_doc_ngram_stats`` — see its docstring for why the default
+    stays False (plan-time jobs, un-recomputable pinned blocks)."""
     grams = docs.filter(F.col(text_col).isNotNull()).select(
         id_col, F.explode(word_shingles(text_col, k)).alias("gram")
     )
+    if materialize_grams:
+        grams = grams.localCheckpoint(eager=True)
     firsts = grams.groupBy("gram").agg(F.min(id_col).alias("first_doc"))
     per_doc = (
         grams.join(firsts, "gram")
