@@ -1523,6 +1523,7 @@ def winnow_candidate_pairs(
     window: int = 4,
     min_shared: int = 2,
     max_fp_freq: int = 10,
+    materialize_fps: bool = False,
 ) -> DataFrame:
     """MOSS-style near-dup candidate pairs (Schleimer et al.,
     SIGMOD'03): document pairs sharing ≥ ``min_shared`` winnowed
@@ -1538,13 +1539,24 @@ def winnow_candidate_pairs(
     fingerprint in m docs would emit m² pairs, and those pairs carry
     no dedup signal — the filter caps per-fp fan-out and removes the
     join's skew in the same step. Uses the engine-portable md5-32
-    fingerprint form so the whole pipeline is SQL-replayable."""
+    fingerprint form so the whole pipeline is SQL-replayable.
+
+    The fingerprint chain feeds FOUR plan branches (the frequency
+    aggregate, the anti-join probe, and both sides of the pair
+    self-join), so Catalyst re-evaluates the winnowing kernel up to
+    4x. ``materialize_fps`` checkpoints the (id, fp) frame once and
+    lets every branch scan the materialization — the same measured
+    trade (and the same reasons the default is False: plan-time jobs,
+    un-recomputable pinned blocks) as
+    ``cross_doc_ngram_stats.materialize_grams``."""
     from idr_data_pipelines_spark.llmdata.text import winnow_md5_fingerprints
 
     fps = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.explode(winnow_md5_fingerprints(text_col, k, window)).alias("fp"),
     )
+    if materialize_fps:
+        fps = fps.localCheckpoint(eager=True)
     # aggregate + anti-join, not COUNT OVER (PARTITION BY fp) (r10
     # review: window partitions get no AQE skew splitting, so the
     # boilerplate fingerprints this filter exists to remove would
