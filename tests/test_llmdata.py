@@ -2172,3 +2172,30 @@ def test_sketch_invariant_flags_catch_violations(spark, sf_dir, monkeypatch):
     row = Q.q_sketch_topk_mg_invariants(spark, sf_dir).collect()[0]
     assert row["underestimate_ok"] == 0
     assert row["k_returned_ok"] == 1  # still exactly min(20, n_keys) rows
+
+
+def test_materialize_flags_are_value_identical(spark, sf_dir):
+    """The r11 materialization escape hatches (materialize_grams /
+    materialize_fps) are pure evaluation-strategy knobs — any value
+    difference would mean the checkpoint captured a different frame
+    than the branches recompute. Pin equality on the real table."""
+    from idr_data_pipelines_spark.llmdata.dedup import (
+        cross_doc_ngram_stats,
+        ngram_novelty_stats,
+        winnow_candidate_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(cross_doc_ngram_stats(docs)) == rows(
+        cross_doc_ngram_stats(docs, materialize_grams=True)
+    )
+    assert rows(ngram_novelty_stats(docs)) == rows(
+        ngram_novelty_stats(docs, materialize_grams=True)
+    )
+    assert rows(winnow_candidate_pairs(docs)) == rows(
+        winnow_candidate_pairs(docs, materialize_fps=True)
+    )
