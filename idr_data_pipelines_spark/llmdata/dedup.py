@@ -1477,24 +1477,25 @@ def cross_doc_ngram_stats(
     shared_frac is an IEEE double ratio of two ints, so the flag
     threshold replays exactly in SQL.
 
-    ``materialize_grams=True`` (r11, VERDICT r10 item 6) eagerly
-    localCheckpoints the exploded gram frame so both join branches
-    read ONE materialization instead of re-evaluating the shingle
-    chain. Interleaved measurement (BENCH_SCALE r11): ~1.7× faster at
-    sf0.1 (8.4–9.1 s → 4.5–5.9 s) AND at 10× (76–92 s → 44–62 s).
-    The default stays False despite the win because the flag changes
-    SEMANTICS, not just speed: the eager checkpoint runs Spark jobs
-    at what callers believe is plan-construction time (breaking
-    plan-only linting/sweeps — the registry gate would execute 276
-    jobs), pins un-recomputable RDD blocks to executor storage (a
-    preempted executor kills the job instead of recomputing lineage),
-    and must fit the gram table in cluster storage. Opt in per job
-    where those terms hold."""
+    ``materialize_grams=True`` (r11, VERDICT r10 item 6) marks the
+    exploded gram frame with a LAZY ``persist()`` so both join
+    branches read one in-memory materialization instead of
+    re-evaluating the shingle chain — the same mechanism as
+    ``minhash_lsh_pairs``' pair/shingle caches. Interleaved
+    measurement (BENCH_SCALE r11): ~1.7× faster at sf0.1
+    (8.4–9.1 s → 4.5–5.9 s) AND at 10× (76–92 s → 44–62 s); lazy
+    persist captured the full win of an eager localCheckpoint
+    (4.5–5.5 s vs 4.3–5.2 s) with none of its costs — no plan-time
+    jobs, lineage intact (an evicted/preempted block recomputes).
+    The default stays False for the one cost that remains: the gram
+    frame is corpus×k-fan-out sized, and resident cache at that scale
+    is a deliberate capacity decision, not a default. The caller owns
+    cache hygiene (unpersist after the consuming action)."""
     grams = docs.filter(F.col(text_col).isNotNull()).select(
         id_col, F.explode(word_shingles(text_col, k)).alias("gram")
     )
     if materialize_grams:
-        grams = grams.localCheckpoint(eager=True)
+        grams = grams.persist()
     freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("doc_freq"))
     per_doc = (
         grams.join(freq, "gram")
@@ -1544,11 +1545,10 @@ def winnow_candidate_pairs(
     The fingerprint chain feeds FOUR plan branches (the frequency
     aggregate, the anti-join probe, and both sides of the pair
     self-join), so Catalyst re-evaluates the winnowing kernel up to
-    4x. ``materialize_fps`` checkpoints the (id, fp) frame once and
-    lets every branch scan the materialization — the same measured
-    trade (and the same reasons the default is False: plan-time jobs,
-    un-recomputable pinned blocks) as
-    ``cross_doc_ngram_stats.materialize_grams``."""
+    4x. ``materialize_fps`` marks the (id, fp) frame with a lazy
+    ``persist()`` so every branch scans one materialization — the
+    same mechanism, measured win, and residual cache-residency trade
+    as ``cross_doc_ngram_stats.materialize_grams``."""
     from idr_data_pipelines_spark.llmdata.text import winnow_md5_fingerprints
 
     fps = docs.filter(F.col(text_col).isNotNull()).select(
@@ -1556,7 +1556,7 @@ def winnow_candidate_pairs(
         F.explode(winnow_md5_fingerprints(text_col, k, window)).alias("fp"),
     )
     if materialize_fps:
-        fps = fps.localCheckpoint(eager=True)
+        fps = fps.persist()
     # aggregate + anti-join, not COUNT OVER (PARTITION BY fp) (r10
     # review: window partitions get no AQE skew splitting, so the
     # boilerplate fingerprints this filter exists to remove would
@@ -1703,14 +1703,15 @@ def ngram_novelty_stats(
     documented on ``cross_doc_ngram_stats``. All counts are integers;
     the ratio is one IEEE divide, rounded — partition-invariant by
     construction. ``materialize_grams`` refunds the double-eval tax
-    under the same terms (and the same measured ~1.7x win shape) as
-    ``cross_doc_ngram_stats`` — see its docstring for why the default
-    stays False (plan-time jobs, un-recomputable pinned blocks)."""
+    under the same terms (lazy persist, same measured ~1.7x win
+    shape) as ``cross_doc_ngram_stats`` — see its docstring for the
+    mechanism and why the default stays False (cache residency of a
+    corpus-sized gram frame)."""
     grams = docs.filter(F.col(text_col).isNotNull()).select(
         id_col, F.explode(word_shingles(text_col, k)).alias("gram")
     )
     if materialize_grams:
-        grams = grams.localCheckpoint(eager=True)
+        grams = grams.persist()
     firsts = grams.groupBy("gram").agg(F.min(id_col).alias("first_doc"))
     per_doc = (
         grams.join(firsts, "gram")
