@@ -2199,3 +2199,65 @@ def test_materialize_flags_are_value_identical(spark, sf_dir):
     assert rows(winnow_candidate_pairs(docs)) == rows(
         winnow_candidate_pairs(docs, materialize_fps=True)
     )
+
+
+def test_dedup_invariant_flags_catch_violations(spark, sf_dir, monkeypatch):
+    """Sensitivity pins for the minhash/simhash invariant wrappers:
+    a missing planted-duplicate pair shifts the exact-dup count off
+    the oracle's expected value, and a signature that differs between
+    identical texts flips the consistency flag."""
+    import idr_data_pipelines_spark.queries as Q
+    from idr_data_pipelines_spark.llmdata.dedup import minhash_lsh_pairs
+
+    # --- minhash: drop one KNOWN planted pair (doc 0 and its re-keyed
+    # copy 1000000 — guaranteed present: identical text collides in
+    # every band and Jaccard-1 survives the verify)
+    def broken_pairs(corpus, **kw):
+        out = minhash_lsh_pairs(corpus, **kw)
+        return out.filter(
+            ~((F.col("id_a") == 0) & (F.col("id_b") == 1000000))
+        )
+
+    import idr_data_pipelines_spark.llmdata.dedup as D
+
+    monkeypatch.setattr(D, "minhash_lsh_pairs", broken_pairs)
+    row = Q.q_dedup_minhash_lsh_invariants(spark, sf_dir).collect()[0]
+    import duckdb
+
+    con = duckdb.connect()
+    expected = con.execute(
+        f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM '{sf_dir}/documents.parquet'
+            WHERE text IS NOT NULL
+            UNION ALL
+            SELECT doc_id + 1000000, text FROM '{sf_dir}/documents.parquet'
+            WHERE text IS NOT NULL AND doc_id % 10 = 0
+        ), grp AS (
+            SELECT COUNT(*) AS c FROM corpus
+            GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        )
+        SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) FROM grp
+        """
+    ).fetchone()[0]
+    con.close()
+    assert row["exact_dup_pairs_found"] == expected - 1, (
+        row["exact_dup_pairs_found"],
+        expected,
+    )
+
+    # --- simhash: perturb one planted copy's signature
+    from idr_data_pipelines_spark.llmdata.dedup import simhash_signatures
+
+    def broken_sigs(corpus, **kw):
+        out = simhash_signatures(corpus, **kw)
+        return out.withColumn(
+            "simhash",
+            F.when(
+                F.col("id") >= 1000000, F.col("simhash") + F.lit(1)
+            ).otherwise(F.col("simhash")),
+        )
+
+    monkeypatch.setattr(D, "simhash_signatures", broken_sigs)
+    row2 = Q.q_dedup_simhash_invariants(spark, sf_dir).collect()[0]
+    assert row2["consistent_ok"] == 0
