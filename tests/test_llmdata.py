@@ -2261,3 +2261,44 @@ def test_dedup_invariant_flags_catch_violations(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(D, "simhash_signatures", broken_sigs)
     row2 = Q.q_dedup_simhash_invariants(spark, sf_dir).collect()[0]
     assert row2["consistent_ok"] == 0
+
+
+def test_remaining_invariant_flags_catch_violations(spark, sf_dir, monkeypatch):
+    """Sensitivity pins for the last three invariant wrappers:
+    quantile rank, winnow coverage, streamed-distinct envelope."""
+    import idr_data_pipelines_spark.queries as Q
+
+    # quantiles: report p99 as the median -> p50 rank lands far from n/2
+    real_q = Q.q_sketch_quantiles(spark, sf_dir)
+    fake_q = real_q.withColumn("p50", F.col("p99"))
+    monkeypatch.setattr(Q, "q_sketch_quantiles", lambda s_, sf_: fake_q)
+    rows = Q.q_sketch_quantiles_invariants(spark, sf_dir).collect()
+    assert all(r["p50_ok"] == 0 for r in rows), rows
+    assert all(r["p99_ok"] == 1 for r in rows)
+
+    # winnow: zero out one document's fingerprint count -> the
+    # coverage anchor shifts off the oracle's exact non-null count
+    real_w = Q.q_text_winnow_fingerprint(spark, sf_dir)
+    fake_w = real_w.withColumn(
+        "n_fingerprints",
+        F.when(F.col("id") == 0, F.lit(0)).otherwise(
+            F.col("n_fingerprints")
+        ),
+    )
+    monkeypatch.setattr(
+        Q, "q_text_winnow_fingerprint", lambda s_, sf_: fake_w
+    )
+    row = Q.q_text_winnow_fingerprint_invariants(spark, sf_dir).collect()[0]
+    assert row["docs_fingerprinted"] == row["n_rows"] - 1
+
+    # streamed distinct: triple one group's estimate -> envelope flag 0
+    from idr_data_pipelines_spark.queries import _events
+
+    base = (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg((F.countDistinct("user_id") * 3).alias("approx_distinct"))
+    )
+    monkeypatch.setattr(Q, "q_evt_distinct_stream", lambda s_, sf_: base)
+    out = Q.q_evt_distinct_stream_invariants(spark, sf_dir).collect()
+    assert all(r["within_5pct"] == 0 for r in out), out
