@@ -19,6 +19,38 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# ------------------------------------------------- materialize handles
+#
+# The three ``materialize_*`` escape hatches below (cross_doc_ngram_-
+# stats, winnow_candidate_pairs, ngram_novelty_stats) persist() an
+# INTERNAL frame the caller never receives; unpersist() on the
+# RETURNED frame does not release that block (r11 ADVICE). The
+# persisted handle therefore rides along on the returned DataFrame —
+# ``unpersist_materialized(result)`` is the engine-owned release, so a
+# long-lived session never needs spark.catalog.clearCache().
+
+_MATERIALIZED_ATTR = "_idr_materialized"
+
+
+def _attach_materialized(result: DataFrame, *frames: DataFrame) -> DataFrame:
+    """Record the internal persist()-marked frames on the frame the
+    caller gets back, so the caller can release them by handle."""
+    setattr(result, _MATERIALIZED_ATTR, list(frames))
+    return result
+
+
+def unpersist_materialized(df: DataFrame, blocking: bool = False) -> int:
+    """Release every internal block a ``materialize_*`` flag pinned
+    for ``df`` (no-op for frames built without the flag). Call after
+    the consuming action — the persist is lazy, so releasing before
+    any action simply costs the refund. Returns the number of handles
+    released. Idempotent."""
+    frames = getattr(df, _MATERIALIZED_ATTR, [])
+    for f in frames:
+        f.unpersist(blocking)
+    setattr(df, _MATERIALIZED_ATTR, [])
+    return len(frames)
+
 
 # ---------------------------------------------------------------- exact
 
@@ -1489,8 +1521,10 @@ def cross_doc_ngram_stats(
     jobs, lineage intact (an evicted/preempted block recomputes).
     The default stays False for the one cost that remains: the gram
     frame is corpus×k-fan-out sized, and resident cache at that scale
-    is a deliberate capacity decision, not a default. The caller owns
-    cache hygiene (unpersist after the consuming action)."""
+    is a deliberate capacity decision, not a default. The persisted
+    handle rides on the returned frame — release it after the
+    consuming action with ``unpersist_materialized(result)`` (plain
+    ``result.unpersist()`` would NOT free the internal block)."""
     grams = docs.filter(F.col(text_col).isNotNull()).select(
         id_col, F.explode(word_shingles(text_col, k)).alias("gram")
     )
@@ -1508,12 +1542,15 @@ def cross_doc_ngram_stats(
         )
     )
     frac = F.col("n_shared") / F.col("n_grams")
-    return per_doc.withColumns(
+    result = per_doc.withColumns(
         {
             "shared_frac": F.round(frac, 6),
             "flagged": frac >= F.lit(flag_frac),
         }
     )
+    if materialize_grams:
+        result = _attach_materialized(result, grams)
+    return result
 
 
 def winnow_candidate_pairs(
@@ -1571,7 +1608,7 @@ def winnow_candidate_pairs(
     rare = fps.join(common, "fp", "anti")
     left = rare.select(F.col("id").alias("id_a"), "fp")
     right = rare.select(F.col("id").alias("id_b"), F.col("fp").alias("fp_b"))
-    return (
+    result = (
         left.join(
             right,
             (F.col("fp") == F.col("fp_b")) & (F.col("id_a") < F.col("id_b")),
@@ -1580,6 +1617,9 @@ def winnow_candidate_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+    if materialize_fps:
+        result = _attach_materialized(result, fps)
+    return result
 
 
 def ngram_containment_pairs(
@@ -1723,9 +1763,12 @@ def ngram_novelty_stats(
             ).alias("n_novel"),
         )
     )
-    return per_doc.select(
+    result = per_doc.select(
         id_col,
         "n_grams",
         "n_novel",
         F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty_r"),
     )
+    if materialize_grams:
+        result = _attach_materialized(result, grams)
+    return result

@@ -14135,63 +14135,63 @@ ORACLES = {
 
 
 # --- driver-window rotation epilogue (tools/rotate_window.py)
-# r11: promote the staged picks into the driver window;
+# r12: promote the staged picks into the driver window;
 # every other entry keeps its literal order below them.
-_WINDOW_R11 = [
-    "ann_topk_ivf",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "sketch_approx_distinct",
-    "sketch_quantiles",
-    "text_winnow_fingerprint",
-    "q1_pricing_summary",
-    "q3_revenue_by_priority",
-    "q5_revenue_by_nation",
-    "set_ops",
-    "agg_collect_sorted",
-    "agg_histogram",
-    "agg_incremental",
-    "agg_mode",
-    "decontaminate",
-    "dedup_clusters",
-    "dedup_incremental",
-    "emb_label_centroids",
-    "evt_session_window_native",
-    "evt_sessionize",
-    "flagship_data_recipe",
-    "flagship_event_analytics",
-    "graph_pagerank",
-    "ids_global_contiguous",
-    "join_fuzzy_names",
-    "join_interval_overlap",
-    "join_null_safe",
-    "join_scd2_asof",
-    "mix_weighted",
-    "mix_weighted_repeat",
-    "mm_embed_stub",
-    "mm_frame_sample",
-    "pack_sequences",
-    "project_unpivot",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q21_waiting_supplier",
-    "sample_stratified",
-    "sample_token_budget",
-    "scd1_upsert",
-    "pack_bestfit",
-    "scd2_merge_batch",
-    "scd3_update",
-    "sketch_hll_union",
-    "sketch_topk_mg",
-    "split_train_holdout",
-    "src_json_corrupt_routing",
-    "src_orc_roundtrip",
-    "evt_distinct_stream",
-    "evt_stream_static_join",
+_WINDOW_R12 = [
+    "scd2_history",
+    "src_partitioned_prune",
+    "src_schema_evolution",
+    "text_collocations",
+    "text_perplexity_unigram",
+    "text_redact_pii",
+    "text_repetition",
+    "validate_warehouse",
+    "window_gap_islands",
+    "window_rolling_sum",
+    "agg_groupby_max_all",
+    "agg_max_date",
+    "ann_topk_ivf_fixed",
+    "ann_topk_lsh",
+    "ann_topk_quantized",
+    "dedup_distinct",
+    "dedup_exact_hash",
+    "dedup_groupby_max",
+    "dedup_join_back_on_max",
+    "dedup_minhash_md5",
+    "dedup_simhash_md5",
+    "expr_case_bucket",
+    "expr_case_flag",
+    "expr_cast",
+    "expr_current_date",
+    "expr_format_date",
+    "expr_null_default",
+    "expr_null_normalize",
+    "expr_str_sentinel",
+    "expr_string_funcs",
+    "filter_derived",
+    "filter_eq",
+    "filter_not_null",
+    "filter_on_join",
+    "flagship_corpus_clean",
+    "join_anti",
+    "join_inner_dim_cast",
+    "join_inner_hub",
+    "join_left_fact",
+    "project_rename",
+    "project_star_plus",
+    "q10_returned_items",
+    "q13_order_count_distribution",
+    "q14_promo_effect",
+    "q16_supplier_part_count",
+    "q18_large_volume",
+    "q4_priority_exists",
+    "q7_volume_shipping",
+    "evt_distinct_stream_md5",
+    "evt_windowed_quantiles",
 ]
 QUERIES = {
     n: QUERIES[n]
-    for n in _WINDOW_R11
-    + [k for k in QUERIES if k not in set(_WINDOW_R11)]
+    for n in _WINDOW_R12
+    + [k for k in QUERIES if k not in set(_WINDOW_R12)]
 }
 # --- end rotation epilogue

@@ -51,15 +51,28 @@ class Catalog:
         through the Hadoop FileSystem via the JVM gateway (the
         sink_manifest pattern); Spark Connect has no gateway, so
         there we fall back to the local probe — correct for the
-        local/driver-visible roots Connect clients pass."""
+        local/driver-visible roots Connect clients pass.
+
+        The local fallback triggers ONLY when the gateway itself is
+        unavailable (r11 ADVICE: a blanket ``except Exception`` made a
+        transient DFS error — auth, network — look like "path absent",
+        silently re-routing a ``hdfs://`` root to ``spark.table`` and
+        reintroducing the confusing failure this probe removes).
+        Genuine FileSystem errors propagate to the caller."""
         try:
             sc = self.spark.sparkContext
             jvm = sc._jvm
-            jpath = jvm.org.apache.hadoop.fs.Path(path)
-            fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
-            return bool(fs.exists(jpath))
+            jsc = sc._jsc
         except Exception:
+            # Spark Connect: accessing sparkContext raises
+            # (PySparkAttributeError); no JVM gateway exists, so the
+            # driver-local probe is the only — and intended — option.
             return os.path.exists(path)
+        if jvm is None or jsc is None:
+            return os.path.exists(path)
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(jsc.hadoopConfiguration())
+        return bool(fs.exists(jpath))
 
     def register_views(self, names: list[str]) -> None:
         """Expose tables as temp views so ``spark.sql`` can see them."""

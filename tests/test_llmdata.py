@@ -2201,6 +2201,52 @@ def test_materialize_flags_are_value_identical(spark, sf_dir):
     )
 
 
+def test_materialize_flags_release_via_handle(spark, sf_dir):
+    """The materialize_* flags persist() an INTERNAL frame the caller
+    never receives (r11 ADVICE): unpersist() on the returned frame
+    cannot free it, so the handle rides on the result and
+    unpersist_materialized(result) is the engine-owned release. Pin
+    (a) the handle exists and is persisted after the consuming
+    action, (b) the release actually drops the block (storage level
+    reverts to NONE and the RDD leaves the persistent set), (c) the
+    call is idempotent, (d) a flag-off result releases zero handles."""
+    from idr_data_pipelines_spark.llmdata.dedup import (
+        _MATERIALIZED_ATTR,
+        cross_doc_ngram_stats,
+        ngram_novelty_stats,
+        unpersist_materialized,
+        winnow_candidate_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def n_persistent():
+        # JavaSparkContext exposes the cached-RDD registry as a
+        # java.util.Map (the scala Map on sc() is awkward over py4j)
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    for fn, kw in [
+        (cross_doc_ngram_stats, {"materialize_grams": True}),
+        (ngram_novelty_stats, {"materialize_grams": True}),
+        (winnow_candidate_pairs, {"materialize_fps": True}),
+    ]:
+        result = fn(docs, **kw)
+        result.write.format("noop").mode("overwrite").save()  # consume
+        handles = getattr(result, _MATERIALIZED_ATTR)
+        assert len(handles) == 1
+        internal = handles[0]
+        assert internal.storageLevel.useMemory, fn.__name__
+        before = n_persistent()
+        assert before > 0, "consuming action should have pinned a block"
+        assert unpersist_materialized(result, blocking=True) == 1
+        assert not internal.storageLevel.useMemory, fn.__name__
+        assert n_persistent() < before, fn.__name__
+        assert unpersist_materialized(result) == 0  # idempotent
+
+    plain = cross_doc_ngram_stats(docs)  # flag off: nothing to free
+    assert unpersist_materialized(plain) == 0
+
+
 def test_dedup_invariant_flags_catch_violations(spark, sf_dir, monkeypatch):
     """Sensitivity pins for the minhash/simhash invariant wrappers:
     a missing planted-duplicate pair shifts the exact-dup count off
