@@ -7691,14 +7691,31 @@ def q_ann_topk_ivf_invariants(spark, sf_dir):
             F.lit(1),
         ).cast("long").alias("top1_bounded_ok"),
     )
-    # broadcast-scalar cross join: two 1-row frames
-    return n_probe.crossJoin(F.broadcast(flags)).select(
-        "n_probe_queries",
-        "rank_contract_ok",
-        "cosine_sorted_ok",
-        "cosine_range_ok",
-        "no_self_ok",
-        "top1_bounded_ok",
+    # Output-side anchor (r11 ADVICE): the flags above coalesce to
+    # vacuous 1 on an EMPTY result, so an IVF that returns zero rows
+    # for every query would still read green. Every probed cell
+    # contains at least the query's own cell minus self — non-trivial
+    # at driver scale — so "every probe query got >= 1 neighbor" is a
+    # contract the oracle can hard-code, and an empty output flips it
+    # to 0 instead of reading as vacuous truth.
+    answered = out.agg(
+        F.countDistinct("query_id").alias("__answered")
+    )
+    # broadcast-scalar cross joins: three 1-row frames
+    return (
+        n_probe.crossJoin(F.broadcast(flags))
+        .crossJoin(F.broadcast(answered))
+        .select(
+            "n_probe_queries",
+            "rank_contract_ok",
+            "cosine_sorted_ok",
+            "cosine_range_ok",
+            "no_self_ok",
+            "top1_bounded_ok",
+            _flag(F.col("__answered") == F.col("n_probe_queries")).alias(
+                "all_queries_answered_ok"
+            ),
+        )
     )
 
 
@@ -7727,8 +7744,21 @@ def q_dedup_minhash_lsh_invariants(spark, sf_dir):
         .filter(F.col("text").isNotNull())
         .select("doc_id", "text")
     )
-    planted = base.filter(F.col("doc_id") % 10 == 0).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(1000000)
+    # The re-key offset is max(doc_id)+1, NOT a fixed literal (r11
+    # ADVICE: at a scale factor where doc_id reaches a hard-coded
+    # offset the planted ids collide with real ids, the id joins fan
+    # out, and the invariant rows go red as a data artifact). Pure
+    # integer arithmetic over the same unfiltered table as the
+    # oracle's subquery, so both engines derive the identical offset;
+    # broadcast-scalar cross join (1-row frame), the house pattern.
+    off = _t(spark, sf_dir, "documents").agg(
+        (F.max("doc_id") + F.lit(1)).alias("__off")
+    )
+    planted = (
+        base.filter(F.col("doc_id") % 10 == 0)
+        .crossJoin(F.broadcast(off))
+        .withColumn("doc_id", F.col("doc_id") + F.col("__off"))
+        .drop("__off")
     )
     corpus = base.unionByName(planted)
     pairs = minhash_lsh_pairs(
@@ -7789,9 +7819,18 @@ def q_dedup_simhash_invariants(spark, sf_dir):
     # consistency check is vacuous. With re-keyed copies, 1-in-10
     # groups have two members whose signatures MUST be bit-identical.
     base = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    planted = base.filter(
-        F.col("text").isNotNull() & (F.col("doc_id") % 10 == 0)
-    ).withColumn("doc_id", F.col("doc_id") + F.lit(1000000))
+    # max(doc_id)+1 re-key offset, mirrored in the oracle's subquery —
+    # see q_dedup_minhash_lsh_invariants for why a fixed literal is a
+    # collision hazard at scale
+    off = _t(spark, sf_dir, "documents").agg(
+        (F.max("doc_id") + F.lit(1)).alias("__off")
+    )
+    planted = (
+        base.filter(F.col("text").isNotNull() & (F.col("doc_id") % 10 == 0))
+        .crossJoin(F.broadcast(off))
+        .withColumn("doc_id", F.col("doc_id") + F.col("__off"))
+        .drop("__off")
+    )
     corpus = base.unionByName(planted)
     sigs = simhash_signatures(corpus)  # (id, simhash)
     docs = corpus.select(
@@ -14046,14 +14085,22 @@ ORACLES["ann_topk_ivf"] = """
            CAST(1 AS BIGINT) AS cosine_sorted_ok,
            CAST(1 AS BIGINT) AS cosine_range_ok,
            CAST(1 AS BIGINT) AS no_self_ok,
-           CAST(1 AS BIGINT) AS top1_bounded_ok
+           CAST(1 AS BIGINT) AS top1_bounded_ok,
+           -- output-side anchor: every probe query returns >= 1
+           -- neighbor (its own cell minus self is non-empty at this
+           -- scale); an all-empty IVF output flips this to 0 on the
+           -- Spark side instead of coalescing to vacuous truth
+           CAST(1 AS BIGINT) AS all_queries_answered_ok
     FROM embeddings WHERE vec_id < 8
 """
 ORACLES["dedup_minhash_lsh"] = """
     WITH corpus AS (
         SELECT doc_id, text FROM documents WHERE text IS NOT NULL
         UNION ALL
-        SELECT doc_id + 1000000, text FROM documents
+        -- re-key offset = max(doc_id)+1, lockstep with the Spark
+        -- planting (a fixed literal collides with real ids at scale)
+        SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), text
+        FROM documents
         WHERE text IS NOT NULL AND doc_id % 10 = 0
     ), grp AS (
         SELECT COUNT(*) AS c FROM corpus
@@ -14070,7 +14117,10 @@ ORACLES["dedup_simhash"] = """
     WITH corpus AS (
         SELECT doc_id, text FROM documents
         UNION ALL
-        SELECT doc_id + 1000000, text FROM documents
+        -- re-key offset = max(doc_id)+1, lockstep with the Spark
+        -- planting (a fixed literal collides with real ids at scale)
+        SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents), text
+        FROM documents
         WHERE text IS NOT NULL AND doc_id % 10 = 0
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,

@@ -2255,29 +2255,35 @@ def test_dedup_invariant_flags_catch_violations(spark, sf_dir, monkeypatch):
     import idr_data_pipelines_spark.queries as Q
     from idr_data_pipelines_spark.llmdata.dedup import minhash_lsh_pairs
 
+    import duckdb
+
+    con = duckdb.connect()
+    # the planting re-key offset is max(doc_id)+1 in both engines
+    # (r12: a fixed 1000000 literal collides with real ids at scale)
+    off = con.execute(
+        f"SELECT MAX(doc_id) + 1 FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+
     # --- minhash: drop one KNOWN planted pair (doc 0 and its re-keyed
-    # copy 1000000 — guaranteed present: identical text collides in
+    # copy at id=off — guaranteed present: identical text collides in
     # every band and Jaccard-1 survives the verify)
     def broken_pairs(corpus, **kw):
         out = minhash_lsh_pairs(corpus, **kw)
         return out.filter(
-            ~((F.col("id_a") == 0) & (F.col("id_b") == 1000000))
+            ~((F.col("id_a") == 0) & (F.col("id_b") == off))
         )
 
     import idr_data_pipelines_spark.llmdata.dedup as D
 
     monkeypatch.setattr(D, "minhash_lsh_pairs", broken_pairs)
     row = Q.q_dedup_minhash_lsh_invariants(spark, sf_dir).collect()[0]
-    import duckdb
-
-    con = duckdb.connect()
     expected = con.execute(
         f"""
         WITH corpus AS (
             SELECT doc_id, text FROM '{sf_dir}/documents.parquet'
             WHERE text IS NOT NULL
             UNION ALL
-            SELECT doc_id + 1000000, text FROM '{sf_dir}/documents.parquet'
+            SELECT doc_id + {off}, text FROM '{sf_dir}/documents.parquet'
             WHERE text IS NOT NULL AND doc_id % 10 = 0
         ), grp AS (
             SELECT COUNT(*) AS c FROM corpus
@@ -2300,7 +2306,7 @@ def test_dedup_invariant_flags_catch_violations(spark, sf_dir, monkeypatch):
         return out.withColumn(
             "simhash",
             F.when(
-                F.col("id") >= 1000000, F.col("simhash") + F.lit(1)
+                F.col("id") >= off, F.col("simhash") + F.lit(1)
             ).otherwise(F.col("simhash")),
         )
 
@@ -2348,3 +2354,13 @@ def test_remaining_invariant_flags_catch_violations(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(Q, "q_evt_distinct_stream", lambda s_, sf_: base)
     out = Q.q_evt_distinct_stream_invariants(spark, sf_dir).collect()
     assert all(r["within_5pct"] == 0 for r in out), out
+
+    # ivf: an all-empty output flips the output-side anchor (r12) —
+    # the per-row contract flags coalesce to vacuous 1 on empty input,
+    # which is exactly the gap the anchor closes
+    real_ivf = Q.q_ann_topk_ivf(spark, sf_dir)
+    fake_ivf = real_ivf.filter(F.lit(False))
+    monkeypatch.setattr(Q, "q_ann_topk_ivf", lambda s_, sf_: fake_ivf)
+    row = Q.q_ann_topk_ivf_invariants(spark, sf_dir).collect()[0]
+    assert row["all_queries_answered_ok"] == 0, row
+    assert row["rank_contract_ok"] == 1  # vacuous by design, documented
