@@ -9,7 +9,6 @@ production lake) without code changes.
 
 from __future__ import annotations
 
-import os
 import posixpath
 
 from pyspark.sql import DataFrame, SparkSession
@@ -58,21 +57,13 @@ class Catalog:
         transient DFS error — auth, network — look like "path absent",
         silently re-routing a ``hdfs://`` root to ``spark.table`` and
         reintroducing the confusing failure this probe removes).
-        Genuine FileSystem errors propagate to the caller."""
-        try:
-            sc = self.spark.sparkContext
-            jvm = sc._jvm
-            jsc = sc._jsc
-        except Exception:
-            # Spark Connect: accessing sparkContext raises
-            # (PySparkAttributeError); no JVM gateway exists, so the
-            # driver-local probe is the only — and intended — option.
-            return os.path.exists(path)
-        if jvm is None or jsc is None:
-            return os.path.exists(path)
-        jpath = jvm.org.apache.hadoop.fs.Path(path)
-        fs = jpath.getFileSystem(jsc.hadoopConfiguration())
-        return bool(fs.exists(jpath))
+        Genuine FileSystem errors propagate to the caller. One
+        implementation for the whole driver-side-small-file class:
+        ``idr_data_pipelines_spark.fsio`` (shared with the streaming
+        ``_state_*`` pointer layer)."""
+        from idr_data_pipelines_spark import fsio
+
+        return fsio.exists(self.spark, path)
 
     def register_views(self, names: list[str]) -> None:
         """Expose tables as temp views so ``spark.sql`` can see them."""

@@ -673,16 +673,22 @@ def funnel_fold(
 # phases leaves the old pointer (old state) committed; the replayed
 # batch simply overwrites the orphaned version directory and re-flips.
 #
-# Pointer ops use the local filesystem API, matching the local[...]
-# deployment this repo tests on. On HDFS swap ``os.replace`` for
-# FileContext.rename(OVERWRITE); on S3 use a conditional PUT or a
-# commit log (the version-directory layout itself needs no change).
+# Pointer ops go through the Hadoop FileSystem via the JVM gateway
+# (idr_data_pipelines_spark.fsio — the r11 Catalog pattern), so
+# ``state_dir`` may be any URI Spark itself can write (hdfs://,
+# file://, a local path). The pointer flip is
+# FileContext.rename(OVERWRITE) — atomic on HDFS and local
+# filesystems, the direct analogue of ``os.replace``; object stores
+# without atomic rename (S3) keep the documented caveat: put state on
+# a real filesystem. Under Spark Connect (no gateway) fsio falls back
+# to the local API, correct for the driver-visible paths Connect
+# clients pass.
 # ---------------------------------------------------------------------------
 
 _STATE_POINTER = "CURRENT"
 
 
-def _state_version(state_dir: str) -> int | None:
+def _state_version(spark: SparkSession, state_dir: str) -> int | None:
     """The committed version number (the pointer's ``v{N}``), or None
     before any commit. The replay fence for ALL the drains: a replayed
     batch has ``batch_id <= _state_version`` and must be skipped —
@@ -690,27 +696,29 @@ def _state_version(state_dir: str) -> int | None:
     ``v{batch_id}`` would overwrite the very directory the merge plan
     lazily reads (Spark refuses: 'Cannot overwrite a path that is also
     being read from'), wedging the stream on every restart."""
-    import os
+    import posixpath
 
-    pointer = os.path.join(state_dir, _STATE_POINTER)
-    try:
-        with open(pointer) as fh:
-            return int(fh.read().strip().lstrip("v"))
-    except FileNotFoundError:
+    from idr_data_pipelines_spark import fsio
+
+    text = fsio.read_text(
+        spark, posixpath.join(state_dir, _STATE_POINTER)
+    )
+    if text is None:
         return None
+    return int(text.strip().lstrip("v"))
 
 
 def _state_read(
     spark: SparkSession, state_dir: str, schema: StructType
 ) -> DataFrame | None:
     """Read the last committed state version; None before any commit."""
-    import os
+    import posixpath
 
-    version = _state_version(state_dir)
+    version = _state_version(spark, state_dir)
     if version is None:
         return None
     return spark.read.schema(schema).parquet(
-        os.path.join(state_dir, f"v{version}")
+        posixpath.join(state_dir, f"v{version}")
     )
 
 
@@ -718,15 +726,12 @@ def _state_commit(df: DataFrame, state_dir: str) -> None:
     """Write ``df`` as the NEXT state version and atomically flip the
     pointer to it; garbage-collect superseded version directories.
 
-    LOCAL-FILESYSTEM state_dir ONLY: the version parquet goes through
-    Spark path APIs, but the pointer flip (``os.replace``) and GC
-    (``os.listdir``) are driver-local file operations — a DFS/URI
-    state_dir (hdfs://, s3a://) would read as "no pointer" every run.
-    Same constraint applies to every ``_state_*`` consumer and the
-    ``_HLL_B`` geometry sidecar in ``distinct_stream_drain_md5``. On a
-    cluster, state_dir must be a driver-visible shared mount, or this
-    layer swapped for a FileSystem-API pointer (single seam: this
-    function + ``_state_version``).
+    ``state_dir`` resolves through the Hadoop FileSystem (fsio), so
+    any URI Spark can write works — the version parquet, the pointer
+    flip and the GC listing all see the SAME filesystem (r12: the
+    pointer ops were previously driver-local ``os`` calls, so a DFS
+    state_dir silently read as "no pointer" every run and grew a
+    stray local directory).
 
     The version number is always ``current + 1`` — never a caller-
     supplied batch id — so a replayed batch that merged the lazily-read
@@ -738,20 +743,26 @@ def _state_commit(df: DataFrame, state_dir: str) -> None:
     one version later. Non-idempotent merges (the top-k SUM) carry
     their own batch-id fence IN the state data, which is independent
     of directory naming."""
-    import os
-    import shutil
+    import posixpath
 
-    current = _state_version(state_dir)
+    from idr_data_pipelines_spark import fsio
+
+    spark = df.sparkSession
+    current = _state_version(spark, state_dir)
     version_name = f"v{0 if current is None else current + 1}"
-    df.write.mode("overwrite").parquet(os.path.join(state_dir, version_name))
-    tmp = os.path.join(state_dir, f".{_STATE_POINTER}.tmp")
-    with open(tmp, "w") as fh:
-        fh.write(version_name)
-    os.replace(tmp, os.path.join(state_dir, _STATE_POINTER))
+    df.write.mode("overwrite").parquet(
+        posixpath.join(state_dir, version_name)
+    )
+    fsio.write_text_atomic(
+        spark, posixpath.join(state_dir, _STATE_POINTER), version_name
+    )
     # Best-effort GC: a crash here orphans old version dirs, never state.
-    for name in os.listdir(state_dir):
+    for name in fsio.list_names(spark, state_dir):
         if name.startswith("v") and name != version_name:
-            shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
+            try:
+                fsio.delete(spark, posixpath.join(state_dir, name))
+            except Exception:
+                pass  # orphaned dir, retried by the next commit's GC
 
 
 def cdc_upsert_drain(
@@ -1063,21 +1074,22 @@ def distinct_stream_drain_md5(
     recorded in a ``_HLL_B`` sidecar on first use and re-draining the
     same ``state_dir`` with a different ``b`` refuses (r10 review:
     registers from two bucket splits would otherwise max-merge into
-    one table and estimate garbage, silently). The sidecar uses the
-    same driver-local file convention as the ``_state_commit`` pointer
-    — see its docstring: ``state_dir`` must be a local/driver-visible
-    path, not a DFS URI, or the geometry guard never engages.
+    one table and estimate garbage, silently). The sidecar resolves
+    through the same Hadoop-FileSystem convention as the
+    ``_state_commit`` pointer (fsio), so a DFS ``state_dir`` engages
+    the geometry guard too.
     """
-    import os
+    import posixpath
 
     from pyspark.sql.types import LongType, StringType, StructField
 
+    from idr_data_pipelines_spark import fsio
     from idr_data_pipelines_spark.llmdata.sketches import hll_md5_registers
 
-    meta = os.path.join(state_dir, "_HLL_B")
-    if os.path.exists(meta):
-        with open(meta) as fh:
-            stored = int(fh.read().strip())
+    meta = posixpath.join(state_dir, "_HLL_B")
+    stored_text = fsio.read_text(spark, meta)
+    if stored_text is not None:
+        stored = int(stored_text.strip())
         if stored != b:
             raise ValueError(
                 f"state_dir {state_dir!r} was built with b={stored}; "
@@ -1086,9 +1098,8 @@ def distinct_stream_drain_md5(
                 "or a fresh state_dir"
             )
     else:
-        os.makedirs(state_dir, exist_ok=True)
-        with open(meta, "w") as fh:
-            fh.write(str(b))
+        fsio.mkdirs(spark, state_dir)
+        fsio.write_text_atomic(spark, meta, str(b))
 
     state_schema = StructType(
         [

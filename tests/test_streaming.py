@@ -537,8 +537,14 @@ def test_state_commit_survives_crash_before_pointer_flip(spark, tmp_path):
     }
     assert got == {"a": 4, "b": 2}
     # GC removed the superseded version; only v1 + pointer remain
+    # (".CURRENT.crc" is the Hadoop checksummed-LocalFileSystem
+    # sidecar of the pointer — hidden by Hadoop's own "_"/"." naming
+    # convention, kept consistent by the same rename that flips the
+    # pointer, and not part of the state layout)
     assert sorted(
-        n for n in os.listdir(state_dir) if not n.startswith("_")
+        n
+        for n in os.listdir(state_dir)
+        if not n.startswith("_") and not n.startswith(".")
     ) == ["CURRENT", "v1"]
 
 
@@ -560,11 +566,11 @@ def test_state_commit_never_overwrites_the_version_it_reads(spark, tmp_path):
     sd = str(tmp_path / "st")
     df = spark.createDataFrame([(1,)], "a int")
     _state_commit(df, sd)
-    assert _state_version(sd) == 0
+    assert _state_version(spark, sd) == 0
 
     existing = _state_read(spark, sd, df.schema)
     _state_commit(existing.unionByName(df), sd)  # reads v0, writes v1
-    assert _state_version(sd) == 1
+    assert _state_version(spark, sd) == 1
     assert _state_read(spark, sd, df.schema).count() == 2
 
 
@@ -899,6 +905,64 @@ def test_null_timestamp_contracts_r10(spark, tmp_path):
     d = funnel_depth(ev, "user_id", "ts", "event_type",
                      ["view", "cart", "buy"]).collect()
     assert d[0]["depth"] == 3  # null-ts view no longer anchors t0=null
+
+
+def test_state_layer_resolves_file_uri(spark, tmp_path):
+    """The _state_* pointer ops resolve through the Hadoop FileSystem
+    (r12, the Catalog-probe pattern): a ``file:``-prefixed state_dir —
+    the URI shape a DFS deployment passes — must commit versions, flip
+    the pointer atomically, replay-fence and GC exactly like a bare
+    local path. Before the fix the os.* pointer ops saw no pointer on
+    every run for any URI-form state_dir."""
+    from idr_data_pipelines_spark.streaming.events import (
+        _state_commit,
+        _state_read,
+        _state_version,
+    )
+
+    sd = "file://" + str(tmp_path / "st")
+    df = spark.createDataFrame([(1,)], "a int")
+    assert _state_version(spark, sd) is None
+    _state_commit(df, sd)
+    assert _state_version(spark, sd) == 0
+    existing = _state_read(spark, sd, df.schema)
+    _state_commit(existing.unionByName(df), sd)
+    assert _state_version(spark, sd) == 1
+    assert _state_read(spark, sd, df.schema).count() == 2
+    # the URI really resolved to this filesystem: pointer content and
+    # version GC are observable at the local mirror of the URI
+    local = tmp_path / "st"
+    assert (local / "CURRENT").read_text() == "v1"
+    assert not (local / "v0").exists()
+    assert (local / "v1").exists()
+
+
+def test_hll_sidecar_resolves_file_uri(spark, tmp_path):
+    """The _HLL_B geometry sidecar follows the same fsio convention:
+    a pre-existing sidecar behind a ``file:`` URI still engages the
+    bucket-width refusal (before r12 the guard silently never fired
+    for URI-form state dirs — exactly the dangerous case, since the
+    registers would max-merge across geometries)."""
+    import pytest
+
+    from idr_data_pipelines_spark.streaming.events import (
+        distinct_stream_drain_md5,
+    )
+
+    state = tmp_path / "hll_state"
+    state.mkdir()
+    (state / "_HLL_B").write_text("6")
+    with pytest.raises(ValueError, match="b=6"):
+        distinct_stream_drain_md5(
+            spark,
+            str(tmp_path / "inbox"),
+            None,
+            str(tmp_path / "ckpt"),
+            "file://" + str(state),
+            key_col="k",
+            group_col="g",
+            b=8,
+        )
 
 
 def test_hll_stream_state_refuses_bucket_width_change(spark, tmp_path):
