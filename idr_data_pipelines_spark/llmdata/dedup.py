@@ -524,8 +524,10 @@ def minhash_lsh_pairs(
     so the verify side reuses it without re-running the signature
     pipeline, and the shingle cache is freed before returning.
     ``materialize=False`` keeps a lazy plan with ``persist()`` marks;
-    the caller then owns cache hygiene (``spark.catalog.clearCache()``
-    between corpora).
+    the persisted handles ride on the returned frame — release them
+    after the consuming action with ``unpersist_materialized(result)``
+    (plain ``result.unpersist()`` would not free the internal
+    blocks).
     """
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
@@ -571,7 +573,7 @@ def minhash_lsh_pairs(
     # persist (lazy — computed once inside the final materializing job,
     # no extra blocking job; an eager checkpoint here measured +0.4 s
     # of fixed latency at sf0.1) so the signature pipeline runs once.
-    # In lazy mode the caller owns cache hygiene.
+    # In lazy mode the handle rides on the result (unpersist_materialized).
     pairs = pairs.persist()
     # Verify with exact Jaccard over the hashed shingle sets (64-bit
     # hashes: collision probability is negligible, and long-array set
@@ -598,7 +600,7 @@ def minhash_lsh_pairs(
             .select("id_a", "id_b", "jaccard")
         )
         if not materialize:
-            return result
+            return _attach_materialized(result, pairs, sh)
         return result.localCheckpoint(eager=True)
     finally:
         if materialize:
@@ -774,7 +776,8 @@ def minhash_md5_incremental_pairs(
     marks so plan-only sweeps (the registry lint gate) inspect the
     band-join chain instead of an opaque post-checkpoint LogicalRDD —
     and merely CONSTRUCTING the query runs zero jobs (ADVICE r08).
-    Lazy callers own cache hygiene.
+    Lazy callers release the riding handles with
+    ``unpersist_materialized(result)`` after the consuming action.
     """
     b_band = _md5_bands_for(
         batch, id_col, text_col, num_perm, bands, shingle_k
@@ -837,7 +840,7 @@ def minhash_md5_incremental_pairs(
             .select("id_new", "id_old", "jaccard_r")
         )
         if not materialize:
-            return result
+            return _attach_materialized(result, pairs)
         return result.localCheckpoint(eager=True)
     finally:
         if materialize:
@@ -1281,7 +1284,7 @@ def simhash_near_dup_pairs(
             .filter(F.col("hamming") <= max_hamming)
         )
         if not materialize:
-            return result
+            return _attach_materialized(result, chunks)
         return result.localCheckpoint(eager=True)
     finally:
         if materialize:

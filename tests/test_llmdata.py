@@ -2246,6 +2246,18 @@ def test_materialize_flags_release_via_handle(spark, sf_dir):
     plain = cross_doc_ngram_stats(docs)  # flag off: nothing to free
     assert unpersist_materialized(plain) == 0
 
+    # lazy-mode twin (r12): minhash_lsh_pairs(materialize=False)
+    # leaves its pair+shingle persist marks in the plan — the same
+    # internal-block class, so the same handles ride on the result
+    from idr_data_pipelines_spark.llmdata.dedup import minhash_lsh_pairs
+
+    lazy = minhash_lsh_pairs(docs, materialize=False)
+    lazy.write.format("noop").mode("overwrite").save()
+    lazy_handles = getattr(lazy, _MATERIALIZED_ATTR)
+    assert len(lazy_handles) == 2  # pairs + candidate shingles
+    assert unpersist_materialized(lazy, blocking=True) == 2
+    assert all(not h.storageLevel.useMemory for h in lazy_handles)
+
 
 def test_dedup_invariant_flags_catch_violations(spark, sf_dir, monkeypatch):
     """Sensitivity pins for the minhash/simhash invariant wrappers:
