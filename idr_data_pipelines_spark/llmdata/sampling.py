@@ -16,6 +16,18 @@ and filters on it, which is:
 - **compositional**: a 10% sample of a 50% split is itself
   deterministic (different salts decorrelate the two decisions).
 
+Null-key contract (r12, module-wide): ``md5(salt ‖ NULL)`` is NULL in
+every engine, so a null-key row has no stable identity to decide by.
+The SELECTORS therefore exclude null-key rows explicitly
+(``sample_hash_mod``/``mix_weighted`` by the bucket filter itself;
+``sample_exact_k``/``sample_exact_k_per_group``/``sample_weighted_k``
+by an explicit ``isNotNull`` filter — without it Spark's NULLS-FIRST
+ascending sort would hand null-key rows the winning ranks while
+DuckDB's NULLS-LAST hands them the losing ones), and the LABELERS
+(``split_train_holdout``, ``assign_kfold``, ``shuffle_shards``) keep
+the row but assign a NULL label/fold/shard — visible to the caller,
+never a silent 'train' or fold-0 masquerade.
+
 ``pack_sequences`` is the LLM-training sequence packer: assign each
 document a (pack_id, offset) in fixed-size token windows via a
 running-sum window function. Pack per shard (``shard_col``) at scale —
@@ -73,7 +85,9 @@ def sample_hash_mod(
     """Keep ~``fraction`` of rows, decided per key hash — reproducible
     across runs, clusters and engines, unlike ``df.sample`` (whose
     per-partition seeding changes the sample when partitioning does).
-    A pure filter: pushes down, no shuffle."""
+    A pure filter: pushes down, no shuffle. Null-key rows are
+    never kept (null bucket fails every comparison — see the module
+    null-key contract)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
     threshold = int(fraction * buckets)
@@ -93,17 +107,22 @@ def split_train_holdout(
     The property that matters for training pipelines: a document's
     split NEVER changes as the corpus grows, shrinks, or is
     reprocessed — no train/test leakage across runs. (A fresh salt
-    defines a fresh, decorrelated split.)"""
+    defines a fresh, decorrelated split.) A null-key row gets a NULL
+    split — it has no stable identity, so neither label would be
+    reproducible; a bare ``otherwise('train')`` would silently sweep
+    such rows into train (module null-key contract)."""
     if not 0.0 <= holdout_fraction <= 1.0:
         # the siblings (sample_hash_mod, mix_weighted) validate their
         # fractions; a typo'd 1.5 here would silently label the WHOLE
         # corpus holdout — the one split error that leaks everything
         raise ValueError("holdout_fraction must be in [0, 1]")
     threshold = int(holdout_fraction * buckets)
+    bucket = hash_bucket(key_col, buckets, salt)
     return df.withColumn(
         split_col,
-        F.when(hash_bucket(key_col, buckets, salt) < threshold, F.lit("holdout"))
-        .otherwise(F.lit("train")),
+        F.when(bucket < threshold, F.lit("holdout"))
+        .when(bucket >= threshold, F.lit("train")),
+        # null-key rows fall through both branches -> NULL split
     )
 
 
@@ -418,8 +437,12 @@ def sample_exact_k(
         raise ValueError("k must be >= 0")
     c = F.col(key_col)
     h = F.md5(F.concat(F.lit(salt), c.cast("string")))
+    # explicit: a null key has no rank (Spark would sort its NULL hash
+    # FIRST and hand it a winning slot; DuckDB sorts it LAST) — see
+    # the module null-key contract
     return (
-        df.withColumn("__h", h)
+        df.filter(c.isNotNull())
+        .withColumn("__h", h)
         .orderBy("__h", key_col)
         .limit(k)
         .drop("__h")
@@ -469,8 +492,10 @@ def sample_exact_k_per_group(
     c = F.col(key_col)
     h = F.md5(F.concat(F.lit(salt), c.cast("string")))
     w = Window.partitionBy(group_col).orderBy(h, c)
+    # null keys excluded for the same reason as sample_exact_k
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        df.filter(c.isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
@@ -508,8 +533,11 @@ def sample_weighted_k(
     ).cast("bigint")
     u = (h.cast("double") + F.lit(1.0)) / F.lit(float((1 << 60) + 1))
     es_key = F.log(u) / w.cast("double")
+    # null keys excluded like the other exact-k selectors (null u
+    # would rank engine-dependently); null/<=0 weights have zero
+    # inclusion probability in A-ES
     return (
-        df.filter(w.isNotNull() & (w > 0))
+        df.filter(kc.isNotNull() & w.isNotNull() & (w > 0))
         .withColumn("__es", es_key)
         .orderBy(F.desc("__es"), kc)
         .limit(k)

@@ -10101,11 +10101,17 @@ ORACLES: dict[str, str] = {
         WHERE cum_before < 20000
     """,
     "split_train_holdout": """
+        -- two explicit branches, no ELSE (lockstep with the Spark
+        -- side's r12 null-key contract: a null key falls through both
+        -- and gets a NULL split, never a silent 'train')
         SELECT doc_id,
-               CASE WHEN CAST(('0x' || substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-                         % 1000000 < 200000
-                    THEN 'holdout' ELSE 'train' END AS split
-        FROM documents
+               CASE WHEN b < 200000 THEN 'holdout'
+                    WHEN b >= 200000 THEN 'train' END AS split
+        FROM (
+            SELECT doc_id,
+                   CAST(('0x' || substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % 1000000 AS b
+            FROM documents)
     """,
     "mix_weighted_repeat": """
         WITH nums AS (SELECT CAST(i AS BIGINT) AS i FROM generate_series(1, 16) t(i)),
@@ -11337,6 +11343,7 @@ ORACLES: dict[str, str] = {
     "sample_exact_k": """
         SELECT doc_id, source, lang, n_chars
         FROM documents
+        WHERE doc_id IS NOT NULL  -- r12 null-key contract lockstep
         ORDER BY md5('topk' || CAST(doc_id AS VARCHAR)), doc_id
         LIMIT 100
     """,
@@ -11445,7 +11452,8 @@ ORACLES: dict[str, str] = {
                        + 1.0) / (POW(2.0, 60) + 1.0))
                    / CAST(n_chars AS DOUBLE) AS es_key
             FROM documents
-            WHERE n_chars IS NOT NULL AND n_chars > 0
+            WHERE doc_id IS NOT NULL  -- r12 null-key contract lockstep
+              AND n_chars IS NOT NULL AND n_chars > 0
         )
         ORDER BY es_key DESC, doc_id
         LIMIT 100
@@ -14002,10 +14010,17 @@ ORACLES["split_cluster_safe"] = f"""
             FROM documents d LEFT JOIN comp ON comp.id = d.doc_id
         )
         SELECT doc_id, split_key, is_clustered,
+               -- no-ELSE form, lockstep with split_train_holdout's
+               -- r12 null-key contract (split_key is non-null here by
+               -- the COALESCE, so values are unchanged)
                CASE WHEN CAST(('0x' || substring(
                          md5('split' || CAST(split_key AS VARCHAR)), 1, 15))
                          AS BIGINT) % 1000000 < 200000
-                    THEN 'holdout' ELSE 'train' END AS split
+                    THEN 'holdout'
+                    WHEN CAST(('0x' || substring(
+                         md5('split' || CAST(split_key AS VARCHAR)), 1, 15))
+                         AS BIGINT) % 1000000 >= 200000
+                    THEN 'train' END AS split
         FROM keyed
 """
 

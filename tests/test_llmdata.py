@@ -1822,6 +1822,57 @@ def test_split_train_holdout_rejects_bad_fraction(spark):
             split_train_holdout(df, "k", holdout_fraction=bad)
 
 
+def test_sampler_null_key_contract(spark):
+    """r12 module-wide null-key contract: md5(salt‖NULL) is NULL, so a
+    null-key row has no stable identity. Selectors EXCLUDE it
+    explicitly (before r12, Spark's NULLS-FIRST ascending sort handed
+    null-key rows the winning exact-k slots while DuckDB's NULLS-LAST
+    handed them the losing ones — an engine-dependent sample);
+    labelers keep the row with a NULL label (before r12,
+    split_train_holdout's bare otherwise() silently swept null-key
+    rows into 'train')."""
+    from idr_data_pipelines_spark.llmdata.sampling import (
+        assign_kfold,
+        mix_weighted,
+        sample_exact_k,
+        sample_exact_k_per_group,
+        sample_hash_mod,
+        sample_weighted_k,
+        shuffle_shards,
+        split_train_holdout,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (None, "a", 20), (2, "b", 30), (3, "b", 40)],
+        "k long, src string, w long",
+    )
+
+    # selectors: the null-key row is never selected, even at k/fraction
+    # large enough to take everything
+    assert sample_exact_k(df, "k", k=10).filter("k IS NULL").count() == 0
+    assert sample_exact_k(df, "k", k=10).count() == 3
+    per_g = sample_exact_k_per_group(df, "src", "k", k=10)
+    assert per_g.filter("k IS NULL").count() == 0
+    assert per_g.count() == 3
+    assert sample_weighted_k(df, "k", "w", k=10).count() == 3
+    assert sample_hash_mod(df, "k", fraction=1.0).count() == 3
+    assert (
+        mix_weighted(df, "src", "k", {"a": 1.0, "b": 1.0}).count() == 3
+    )
+
+    # labelers: row kept, label/fold/shard NULL — visible, never a
+    # silent 'train' / fold-0 masquerade
+    split = {r["k"]: r["split"] for r in split_train_holdout(df, "k").collect()}
+    assert split[None] is None
+    assert all(v in ("train", "holdout") for k_, v in split.items() if k_ is not None)
+    folds = {r["k"]: r["fold"] for r in assign_kfold(df, "k", n_folds=5).collect()}
+    assert folds[None] is None
+    assert all(v is not None for k_, v in folds.items() if k_ is not None)
+    shards = {r["k"]: r["shard"] for r in shuffle_shards(df, "k", n_shards=4).collect()}
+    assert shards[None] is None
+    assert all(v is not None for k_, v in shards.items() if k_ is not None)
+
+
 def test_quality_score_escapes_stopword_metachars(spark):
     """r09 review: caller-supplied stopwords are regex-escaped — 'c++'
     must count literal occurrences (not compile as a quantifier) and
