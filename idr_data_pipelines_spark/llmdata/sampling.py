@@ -222,8 +222,12 @@ def sample_stratified(
     w = Window.partitionBy(*strata_cols).orderBy(
         hash_bucket(key_col, buckets, salt).asc(), F.col(key_col).asc()
     )
-    out = df.withColumn("__rk", F.row_number().over(w)).filter(
-        F.col("__rk") <= n_per_stratum
+    # null keys excluded like the other selectors (module null-key
+    # contract): Spark's NULLS-FIRST would hand them winning ranks
+    out = (
+        df.filter(F.col(key_col).isNotNull())
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_stratum)
     )
     if rank_col:
         return out.withColumnRenamed("__rk", rank_col)
@@ -258,7 +262,13 @@ def sample_token_budget(
         hash_bucket(key_col, buckets, salt).asc(), F.col(key_col).asc()
     ).rowsBetween(Window.unboundedPreceding, -1)
     cum_before = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0)).cast("bigint")
-    out = df.withColumn("__cum", cum_before).filter(F.col("__cum") < F.lit(budget))
+    # null keys excluded (module null-key contract): NULLS-FIRST would
+    # let an identity-less row consume the budget ahead of everyone
+    out = (
+        df.filter(F.col(key_col).isNotNull())
+        .withColumn("__cum", cum_before)
+        .filter(F.col("__cum") < F.lit(budget))
+    )
     if cum_col:
         return out.withColumnRenamed("__cum", cum_col)
     return out.drop("__cum")
@@ -283,6 +293,12 @@ def mix_weighted_repeat(
     packing can treat epochs distinctly. Pure projection + explode of
     a ≤⌈w⌉-element sequence — no shuffle, no join, deterministic and
     engine-portable (same md5 bucket arithmetic as the other samplers).
+
+    Null keys fail CLOSED on the key-dependent half (module null-key
+    contract): the floor(w) full epochs are key-independent and still
+    emit, but a null-key row never wins the hash-chosen fractional
+    epoch — consistent with ``mix_weighted``, where a null key is
+    never kept.
     """
     if not weights:
         raise ValueError("empty weights")

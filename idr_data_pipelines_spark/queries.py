@@ -10085,7 +10085,9 @@ ORACLES: dict[str, str] = {
                        CAST(('0x' || substring(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
                            % 1000000 ASC,
                        doc_id ASC) AS rk
-            FROM documents)
+            FROM documents
+            WHERE doc_id IS NOT NULL  -- r12 null-key contract lockstep
+        )
         WHERE rk <= 40
     """,
     "sample_token_budget": """
@@ -10097,7 +10099,9 @@ ORACLES: dict[str, str] = {
                        doc_id ASC
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
                        AS cum_before
-            FROM documents)
+            FROM documents
+            WHERE doc_id IS NOT NULL  -- r12 null-key contract lockstep
+        )
         WHERE cum_before < 20000
     """,
     "split_train_holdout": """

@@ -1860,6 +1860,25 @@ def test_sampler_null_key_contract(spark):
         mix_weighted(df, "src", "k", {"a": 1.0, "b": 1.0}).count() == 3
     )
 
+    from idr_data_pipelines_spark.llmdata.sampling import (
+        mix_weighted_repeat,
+        sample_stratified,
+        sample_token_budget,
+    )
+
+    strat = sample_stratified(df, ["src"], n_per_stratum=10, key_col="k")
+    assert strat.filter("k IS NULL").count() == 0 and strat.count() == 3
+    tb = sample_token_budget(df, "w", budget=10**6, key_col="k", group_col="src")
+    assert tb.filter("k IS NULL").count() == 0 and tb.count() == 3
+    # mix_weighted_repeat: full epochs are key-independent (emit), the
+    # hash-chosen fractional epoch fails closed for a null key
+    rep = mix_weighted_repeat(df, "src", "k", {"a": 2.9, "b": 1.0})
+    by_k = {
+        (r["k"], r["repeat_idx"]) for r in rep.collect()
+    }
+    assert (None, 1) in by_k and (None, 2) in by_k  # floor(2.9) epochs
+    assert (None, 3) not in by_k  # never wins the fractional epoch
+
     # labelers: row kept, label/fold/shard NULL — visible, never a
     # silent 'train' / fold-0 masquerade
     split = {r["k"]: r["split"] for r in split_train_holdout(df, "k").collect()}
