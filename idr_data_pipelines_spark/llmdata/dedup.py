@@ -59,6 +59,13 @@ def dedup_exact(df: DataFrame, text_col: str = "text") -> DataFrame:
     left to the caller — use dedup_latest_per_key for a policy)."""
     from idr_data_pipelines_spark.llmdata.text import fingerprint
 
+    if "__fp" in df.columns:
+        # r12 API-boundary sweep: the working column would be silently
+        # overwritten and then dropped — destroying the caller's data
+        raise ValueError(
+            "input already has a column named '__fp', which this "
+            "operator uses internally and drops — rename it first"
+        )
     return df.withColumn("__fp", fingerprint(text_col)).dropDuplicates(["__fp"]).drop("__fp")
 
 

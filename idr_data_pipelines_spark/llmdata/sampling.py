@@ -75,6 +75,21 @@ def hash_bucket(key: Column | str, buckets: int = 1_000_000, salt: str = "") -> 
     return _bucket_from_md5(h, buckets)
 
 
+def _guard_internal_cols(df: DataFrame, *names: str) -> None:
+    """Refuse inputs that already carry one of this module's internal
+    working columns (r12 API-boundary sweep, the events.py
+    reserved-name precedent): the operator would silently overwrite
+    the user's column and then DROP it on the way out — data
+    destruction with no error. Renaming on the caller side is cheap;
+    recovering a dropped column is not."""
+    clash = [n for n in names if n in df.columns]
+    if clash:
+        raise ValueError(
+            f"input already has column(s) {clash}, which this operator "
+            "uses internally and drops — rename them before calling"
+        )
+
+
 def sample_hash_mod(
     df: DataFrame,
     key_col: str,
@@ -219,6 +234,7 @@ def sample_stratified(
     """
     if n_per_stratum <= 0:
         raise ValueError("n_per_stratum must be positive")
+    _guard_internal_cols(df, "__rk")
     w = Window.partitionBy(*strata_cols).orderBy(
         hash_bucket(key_col, buckets, salt).asc(), F.col(key_col).asc()
     )
@@ -257,6 +273,7 @@ def sample_token_budget(
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
+    _guard_internal_cols(df, "__cum")
     part = Window.partitionBy(group_col) if group_col else Window.partitionBy()
     w = part.orderBy(
         hash_bucket(key_col, buckets, salt).asc(), F.col(key_col).asc()
@@ -451,6 +468,7 @@ def sample_exact_k(
     """
     if k < 0:
         raise ValueError("k must be >= 0")
+    _guard_internal_cols(df, "__h")
     c = F.col(key_col)
     h = F.md5(F.concat(F.lit(salt), c.cast("string")))
     # explicit: a null key has no rank (Spark would sort its NULL hash
@@ -505,6 +523,7 @@ def sample_exact_k_per_group(
     beyond rank ``k`` are dropped before any downstream exchange."""
     if k < 0:
         raise ValueError("k must be >= 0")
+    _guard_internal_cols(df, "__rn")
     c = F.col(key_col)
     h = F.md5(F.concat(F.lit(salt), c.cast("string")))
     w = Window.partitionBy(group_col).orderBy(h, c)
@@ -539,6 +558,7 @@ def sample_weighted_k(
     have zero inclusion probability in A-ES)."""
     if k < 0:
         raise ValueError("k must be >= 0")
+    _guard_internal_cols(df, "__es")
     w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
     kc = F.col(key_col)
     # u in (0, 1): 60 md5 bits + 1 over 2^60 + 1 — never 0 or 1
@@ -670,6 +690,7 @@ def shuffle_shards(
     """
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
+    _guard_internal_cols(df, "__h")
     seed = f"{salt}:{epoch}:"
     key = F.col(key_col)
     # the md5 is computed once and feeds BOTH the shard bucket and the
@@ -760,6 +781,7 @@ def sample_balanced_labels(
     it could depress the min-class floor for every real label while
     itself silently vanishing from the output."""
     df = df.filter(F.col(label_col).isNotNull())
+    _guard_internal_cols(df, "__rn", "__m")
     counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("__n"))
     floor = counts.select(
         label_col,

@@ -1892,6 +1892,49 @@ def test_sampler_null_key_contract(spark):
     assert all(v is not None for k_, v in shards.items() if k_ is not None)
 
 
+def test_samplers_refuse_internal_column_collisions(spark):
+    """r12 API-boundary sweep: an input frame that already carries one
+    of the samplers' internal working columns must be refused — the
+    operator would otherwise silently overwrite it and then DROP it
+    on the way out (data destruction with no error)."""
+    import pytest as _pytest
+
+    from idr_data_pipelines_spark.llmdata.dedup import dedup_exact
+    from idr_data_pipelines_spark.llmdata.sampling import (
+        sample_balanced_labels,
+        sample_exact_k,
+        sample_exact_k_per_group,
+        sample_stratified,
+        sample_token_budget,
+        sample_weighted_k,
+        shuffle_shards,
+    )
+
+    def frame(*extra):
+        cols = "k long, src string, w long" + "".join(
+            f", {c} string" for c in extra
+        )
+        return spark.createDataFrame([(1, "a", 10) + ("x",) * len(extra)], cols)
+
+    cases = [
+        (lambda d: sample_exact_k(d, "k", k=1), "__h"),
+        (lambda d: shuffle_shards(d, "k", n_shards=2), "__h"),
+        (lambda d: sample_exact_k_per_group(d, "src", "k", k=1), "__rn"),
+        (lambda d: sample_stratified(d, ["src"], 1, "k"), "__rk"),
+        (lambda d: sample_token_budget(d, "w", 10, "k"), "__cum"),
+        (lambda d: sample_weighted_k(d, "k", "w", k=1), "__es"),
+        (lambda d: sample_balanced_labels(d, "src", "k"), "__rn"),
+    ]
+    for fn, col in cases:
+        with _pytest.raises(ValueError, match="rename"):
+            fn(frame(col))
+        fn(frame())  # clean frame constructs fine
+
+    with _pytest.raises(ValueError, match="__fp"):
+        dedup_exact(frame("__fp"), text_col="src")
+    dedup_exact(frame(), text_col="src")
+
+
 def test_quality_score_escapes_stopword_metachars(spark):
     """r09 review: caller-supplied stopwords are regex-escaped — 'c++'
     must count literal occurrences (not compile as a quantifier) and
