@@ -64,6 +64,9 @@ def dedup_latest_per_key(
     reference's group-max + join-back (dags/vls_transforms.py:84-117)
     without its tie fan-out: exactly one row per key, one shuffle.
     """
+    from idr_data_pipelines_spark.operators.joins import _reserve
+
+    _reserve("__rn", "dedup_latest_per_key", df)
     w = Window.partitionBy(*keys).orderBy(*order_by)
     return (
         df.withColumn("__rn", F.row_number().over(w))

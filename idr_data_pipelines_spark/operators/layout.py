@@ -60,6 +60,9 @@ def write_zordered(
     z-columns ALWAYS raised — 4×16 > 63 signed-long bits — with no
     way through this write API to lower the width; pass bits=15 for
     4 columns, 12 for 5)."""
+    from idr_data_pipelines_spark.operators.joins import _reserve
+
+    _reserve("__z", "write_zordered", df)
     z = zorder_value(zcols, bits=bits)
     (
         df.withColumn("__z", z)

@@ -47,6 +47,10 @@ def scd2_from_events(
     hash shuffle, one sort, both windows evaluated in a single Window
     node chain; no join, no second pass over the data.
     """
+    from idr_data_pipelines_spark.operators.joins import _reserve
+
+    _reserve("__new_run", "scd2_from_events", df)
+    _reserve("__run_id", "scd2_from_events", df)
     order = [F.col(ts_col).asc()] + [F.col(c).asc_nulls_first() for c in attr_cols]
     w = Window.partitionBy(*key_cols).orderBy(*order)
 
@@ -112,6 +116,9 @@ def scd2_merge(
     # BOTH exclude NULL — a nullable is_current written as NULL for
     # 'closed' silently vanished from the merge; NULL routes to the
     # history/pass-through side, the only reading that loses no rows)
+    from idr_data_pipelines_spark.operators.joins import _reserve
+
+    _reserve("__in_cur", "scd2_merge", history)
     is_cur = F.coalesce(F.col(current_col), F.lit(False))
     cur = history.filter(is_cur).withColumn("__in_cur", F.lit(True))
     old = history.filter(~is_cur)

@@ -817,6 +817,15 @@ def cdc_upsert_drain(
     """
     from pyspark.sql import Window
 
+    if "__rn" in schema.fieldNames():
+        # r12 API-boundary sweep (the joins._reserve precedent): the
+        # latest-per-key merge uses __rn as its working column — a dim
+        # schema carrying it would be silently overwritten and dropped
+        raise ValueError(
+            "cdc_upsert_drain reserves the column name '__rn'; rename "
+            "it in the update schema"
+        )
+
     def _latest(df: DataFrame) -> DataFrame:
         from idr_data_pipelines_spark.operators.joins import _orderable
 

@@ -932,3 +932,60 @@ def test_validate_empty_rules_and_zorder_bits_passthrough(spark, tmp_path):
         n_files=2, bits=15,
     )
     assert spark.read.parquet(str(tmp_path / "z4")).count() == 32
+
+
+def test_reserved_working_columns_refused(spark, tmp_path):
+    """r12 API-boundary sweep, extending the joins._reserve precedent
+    to the remaining user-frame operators: an input already carrying
+    an operator's internal working column must be refused — the
+    operator would silently overwrite it and then drop it on the way
+    out (the written/returned frame loses the caller's column with no
+    error)."""
+    from idr_data_pipelines_spark.operators.dedup import dedup_latest_per_key
+    from idr_data_pipelines_spark.operators.layout import write_zordered
+    from idr_data_pipelines_spark.operators.scd import scd2_from_events, scd2_merge
+    from idr_data_pipelines_spark.streaming.events import cdc_upsert_drain
+
+    with pytest.raises(ValueError, match="__rn"):
+        dedup_latest_per_key(
+            spark.createDataFrame([(1, 2, "x")], "k int, __rn int, v string"),
+            ["k"],
+            [F.col("v").desc()],
+        )
+
+    with pytest.raises(ValueError, match="__z"):
+        write_zordered(
+            spark.createDataFrame([(1, 2)], "a int, __z int"),
+            str(tmp_path / "never_written"),
+            [F.col("a")],
+            n_files=1,
+        )
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01", "a", 9)], "k int, ts string, attr string, __run_id int"
+    )
+    with pytest.raises(ValueError, match="__run_id"):
+        scd2_from_events(ev, ["k"], "ts", ["attr"])
+
+    hist = spark.createDataFrame(
+        [(1, "a", True, False)], "k int, attr string, is_current boolean, __in_cur boolean"
+    )
+    upd = spark.createDataFrame([(1, "b", "2024-01-02")], "k int, attr string, ts string")
+    with pytest.raises(ValueError, match="__in_cur"):
+        scd2_merge(hist, upd, ["k"], ["attr"], "ts")
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    bad_schema = StructType(
+        [StructField("k", IntegerType()), StructField("__rn", IntegerType())]
+    )
+    with pytest.raises(ValueError, match="__rn"):
+        cdc_upsert_drain(
+            spark,
+            str(tmp_path / "inbox"),
+            bad_schema,
+            str(tmp_path / "ckpt"),
+            str(tmp_path / "dim"),
+            key_cols=["k"],
+            order_cols=["k"],
+        )
