@@ -317,3 +317,34 @@ def test_catalog_probe_uses_hadoop_filesystem(spark, sf_dir, tmp_path):
 
     with _pytest.raises(Exception):
         cat.table("no_such_table_xyz").collect()
+
+
+def test_fsio_local_fallback_without_gateway(tmp_path):
+    """Spark Connect has no JVM gateway: every fsio op must fall back
+    to the local filesystem API (and ONLY then — with a live gateway,
+    FS errors propagate; see Catalog._path_exists). Simulated with a
+    stub whose sparkContext raises, the shape Connect presents."""
+    from idr_data_pipelines_spark import fsio
+
+    class _NoGateway:
+        @property
+        def sparkContext(self):
+            raise AttributeError("sparkContext is not supported on Connect")
+
+    s = _NoGateway()
+    d = tmp_path / "state"
+    assert fsio.exists(s, str(d)) is False
+    fsio.mkdirs(s, str(d))
+    assert fsio.exists(s, str(d)) is True
+    assert fsio.read_text(s, str(d / "CURRENT")) is None
+    fsio.write_text_atomic(s, str(d / "CURRENT"), "v0")
+    assert fsio.read_text(s, str(d / "CURRENT")) == "v0"
+    fsio.write_text_atomic(s, str(d / "CURRENT"), "v1")  # overwrite
+    assert fsio.read_text(s, str(d / "CURRENT")) == "v1"
+    (d / "v0").mkdir()
+    (d / "v1").mkdir()
+    assert sorted(fsio.list_names(s, str(d))) == ["CURRENT", "v0", "v1"]
+    fsio.delete(s, str(d / "v0"))
+    assert sorted(fsio.list_names(s, str(d))) == ["CURRENT", "v1"]
+    assert fsio.list_names(s, str(tmp_path / "absent")) == []
+    fsio.delete(s, str(tmp_path / "absent"))  # no-op, no raise
