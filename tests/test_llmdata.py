@@ -2489,3 +2489,86 @@ def test_remaining_invariant_flags_catch_violations(spark, sf_dir, monkeypatch):
     row = Q.q_ann_topk_ivf_invariants(spark, sf_dir).collect()[0]
     assert row["all_queries_answered_ok"] == 0, row
     assert row["rank_contract_ok"] == 1  # vacuous by design, documented
+
+
+def test_guard_boundaries_minimum_legal_params_run(spark):
+    """r12 guards-vs-domain lens: every r11/r12 parameter guard's
+    MINIMUM legal value must actually work end-to-end — a guard that
+    is one off from the operator's real domain either rejects valid
+    calls (too tight) or admits a degenerate one (too loose). Tiny
+    in-memory corpus; each call only needs to produce rows without
+    error and satisfy the obvious degenerate-case shape."""
+    from idr_data_pipelines_spark.llmdata.dedup import (
+        minhash_lsh_pairs,
+        simhash_near_dup_pairs,
+        word_shingles,
+    )
+    from idr_data_pipelines_spark.llmdata.sampling import (
+        mix_weighted,
+        pack_sequences,
+        sample_exact_k,
+        sample_hash_mod,
+        shuffle_shards,
+        split_train_holdout,
+    )
+    from idr_data_pipelines_spark.llmdata.sketches import (
+        count_min_build,
+        hll_md5_registers,
+    )
+    from idr_data_pipelines_spark.llmdata.text import winnow_md5_fingerprints
+    from idr_data_pipelines_spark.operators.graph import pagerank
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d", "s"), (1, "a b c d", "s"), (2, "x y z w", "t")],
+        "doc_id long, text string, source string",
+    )
+
+    # shingles/winnow at k=1 / window=1
+    assert docs.select(word_shingles("text", k=1).alias("s")).count() == 3
+    assert (
+        docs.select(
+            winnow_md5_fingerprints("text", k=1, window=1).alias("f")
+        ).count() == 3
+    )
+
+    # minhash at the smallest legal banding (num_perm=2, bands=2, r=1)
+    pairs = minhash_lsh_pairs(docs, num_perm=2, bands=2, shingle_k=1)
+    assert pairs.filter("id_a = 0 AND id_b = 1").count() == 1
+
+    # simhash at max_hamming=0 (exact-signature collisions only)
+    sp = simhash_near_dup_pairs(docs, max_hamming=0)
+    assert sp.filter("id_a = 0 AND id_b = 1").count() == 1
+
+    # count-min at depth=1, width=1: every key shares the one bucket,
+    # so each estimate is the total row count (upper bound holds)
+    cm = count_min_build(docs, "source", depth=1, width=1)
+    assert cm.count() >= 1
+
+    # HLL registers at both ends of the b domain
+    assert hll_md5_registers(docs, "doc_id", b=1).count() >= 1
+    assert hll_md5_registers(docs, "doc_id", b=26).count() >= 1
+
+    # samplers at the degenerate-but-legal edges
+    assert sample_exact_k(docs, "doc_id", k=0).count() == 0
+    assert sample_hash_mod(docs, "doc_id", fraction=0.0).count() == 0
+    assert sample_hash_mod(docs, "doc_id", fraction=1.0).count() == 3
+    assert mix_weighted(docs, "source", "doc_id", {"s": 0.0, "t": 1.0}).count() == 1
+    assert split_train_holdout(docs, "doc_id", holdout_fraction=0.0).filter(
+        "split = 'train'"
+    ).count() == 3
+    assert shuffle_shards(docs, "doc_id", n_shards=1).filter(
+        "shard = 0"
+    ).count() == 3
+    packed = pack_sequences(
+        docs.withColumn("n_tok", F.lit(2)), "n_tok", max_tokens=1, order_col="doc_id"
+    )
+    assert packed.count() == 3  # every doc opens its own pack
+
+    # pagerank at iterations=0 (uniform init returned) and damping edges
+    # symmetric (dangling-free contract)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 1)], "src long, dst long"
+    )
+    assert pagerank(edges, iterations=0).count() == 3
+    assert pagerank(edges, iterations=1, damping=0.0).count() == 3
+    assert pagerank(edges, iterations=1, damping=1.0).count() == 3
