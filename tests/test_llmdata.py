@@ -2572,3 +2572,56 @@ def test_guard_boundaries_minimum_legal_params_run(spark):
     assert pagerank(edges, iterations=0).count() == 3
     assert pagerank(edges, iterations=1, damping=0.0).count() == 3
     assert pagerank(edges, iterations=1, damping=1.0).count() == 3
+
+
+def test_empty_input_contracts(spark):
+    """r12 lens: an EMPTY corpus (a legal state for an incremental
+    pipeline's first run or a fully-filtered batch) must flow through
+    every major operator as an empty result — or raise the operator's
+    DOCUMENTED error (ivf_centroids) — never an opaque internal crash."""
+    import pytest as _pytest
+
+    from idr_data_pipelines_spark.llmdata.dedup import (
+        cross_doc_ngram_stats,
+        dedup_exact,
+        minhash_lsh_pairs,
+        ngram_novelty_stats,
+        simhash_near_dup_pairs,
+        winnow_candidate_pairs,
+    )
+    from idr_data_pipelines_spark.llmdata.sampling import (
+        mix_weighted,
+        sample_exact_k,
+        sample_stratified,
+        shuffle_shards,
+        split_train_holdout,
+    )
+    from idr_data_pipelines_spark.llmdata.similarity import ivf_centroids
+    from idr_data_pipelines_spark.llmdata.sketches import (
+        count_min_build,
+        hll_md5_registers,
+    )
+    from idr_data_pipelines_spark.llmdata.text import quality_score
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, source string"
+    )
+
+    assert dedup_exact(empty).count() == 0
+    assert minhash_lsh_pairs(empty, num_perm=4, bands=2).count() == 0
+    assert simhash_near_dup_pairs(empty).count() == 0
+    assert winnow_candidate_pairs(empty).count() == 0
+    assert cross_doc_ngram_stats(empty).count() == 0
+    assert ngram_novelty_stats(empty).count() == 0
+    assert sample_exact_k(empty, "doc_id", k=5).count() == 0
+    assert sample_stratified(empty, ["source"], 3, "doc_id").count() == 0
+    assert split_train_holdout(empty, "doc_id").count() == 0
+    assert shuffle_shards(empty, "doc_id", n_shards=4).count() == 0
+    assert mix_weighted(empty, "source", "doc_id", {"s": 1.0}).count() == 0
+    assert count_min_build(empty, "source").count() == 0
+    assert hll_md5_registers(empty, "doc_id").count() == 0
+    assert empty.withColumns(quality_score("text")).count() == 0
+
+    emb = spark.createDataFrame([], "vec_id long, vec array<double>")
+    with _pytest.raises(ValueError, match="no non-null embeddings"):
+        ivf_centroids(emb, "vec_id", "vec", n_centroids=2)
