@@ -322,3 +322,67 @@ def contamination_scores_bloom(
             / F.col("n_ngrams").cast("double"),
         )
     )
+
+
+def decontaminate_semantic(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """SEMANTIC decontamination: flag corpus embeddings whose cosine
+    against ANY benchmark embedding reaches ``threshold`` — the
+    embedding-space twin of the n-gram collision screen above, for
+    leakage that survives paraphrase (n-gram overlap near zero, cosine
+    near one). Returns one row per corpus vector:
+    ``(id_col, max_cos_r, n_bench_hits, contaminated)``.
+
+    Scale shape (100 TB corpus, benchmark ≪ corpus — the same
+    asymmetry contract as ``decontaminate``): the benchmark side is
+    BROADCAST, the corpus never shuffles its vectors, and the per-id
+    rollup map-side combines |bench| scored rows per document down to
+    one before the single exchange. Cost is |corpus|·|bench| JVM
+    array-fold cosines — exact by construction; for benchmark sets
+    too large to brute-force, pre-bucket both sides with
+    ``similarity.lsh_bucket`` and screen per bucket (the candidate
+    recall trade documented on ``cosine_topk_lsh``).
+
+    A LEFT broadcast join keeps every corpus row when the benchmark
+    is EMPTY (``max_cos_r`` null, zero hits, not contaminated) — a
+    vacuously-clean screen stays visible instead of returning zero
+    rows. Cosines are the module's sequential JVM folds (``dot`` /
+    ``norm``), so a SQL oracle replays every value bit-for-bit
+    (``list_reduce`` left fold); the flag compares the UNROUNDED max.
+    """
+    if not -1.0 <= threshold <= 1.0:
+        raise ValueError("threshold must be in [-1, 1] (a cosine)")
+    from idr_data_pipelines_spark.llmdata.similarity import (
+        _as_double,
+        dot,
+        norm,
+    )
+
+    c = corpus.select(
+        F.col(id_col), _as_double(vec_col).alias("__cv")
+    ).withColumn("__cn", norm(F.col("__cv")))
+    b = bench.filter(F.col(vec_col).isNotNull()).select(
+        _as_double(vec_col).alias("__bv")
+    ).withColumn("__bn", norm(F.col("__bv")))
+    scored = c.join(F.broadcast(b), F.lit(True), "left").withColumn(
+        "__cos",
+        dot(F.col("__cv"), F.col("__bv")) / (F.col("__cn") * F.col("__bn")),
+    )
+    hit = F.when(F.col("__cos") >= F.lit(threshold), 1).otherwise(0)
+    out = scored.groupBy(id_col).agg(
+        F.max("__cos").alias("__maxc"),
+        F.sum(hit).cast("long").alias("n_bench_hits"),
+    )
+    return out.select(
+        id_col,
+        F.round(F.col("__maxc"), 6).alias("max_cos_r"),
+        "n_bench_hits",
+        F.coalesce(
+            F.col("__maxc") >= F.lit(threshold), F.lit(False)
+        ).alias("contaminated"),
+    )

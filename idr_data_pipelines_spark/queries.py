@@ -3965,6 +3965,25 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_decontaminate_semantic(spark, sf_dir):
+    """SEMANTIC decontamination over the embeddings table: the ANN
+    probe set (vec_id < 8) plays the held-out benchmark; every other
+    vector is screened by max cosine against it (threshold 0.8).
+    Plan: benchmark side broadcast (LEFT broadcast nested-loop join),
+    corpus side one projection; the per-id rollup map-side combines
+    the |bench| scored rows per vector before the single exchange.
+    Cosines are sequential JVM array folds, so the DuckDB oracle
+    replays every value bit-for-bit (list_reduce left fold)."""
+    from idr_data_pipelines_spark.llmdata.decontaminate import (
+        decontaminate_semantic,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") < 8)
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    return decontaminate_semantic(corpus, bench, threshold=0.8)
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher-style repetition metrics (Rae et al. 2021 §A1.1):
     duplicate-word fraction, duplicate-line fraction, top-bigram /
@@ -8310,6 +8329,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ids_global_contiguous": q_ids_global_contiguous,
     "dedup_clusters": q_dedup_clusters,
     "decontaminate": q_decontaminate,
+    "decontaminate_semantic": q_decontaminate_semantic,
     "text_repetition": q_text_repetition,
     "text_redact_pii": q_text_redact_pii,
     "text_collocations": q_text_collocations,
@@ -14194,6 +14214,28 @@ ORACLES["evt_distinct_stream"] = """
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
            CAST(1 AS BIGINT) AS within_5pct
     FROM events GROUP BY event_type
+"""
+
+
+ORACLES["decontaminate_semantic"] = f"""
+    WITH bench AS (
+        SELECT embedding FROM embeddings
+        WHERE vec_id < 8 AND embedding IS NOT NULL
+    ), corpus AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8
+    ), scored AS (
+        SELECT c.vec_id,
+               {_dot_sql('c.embedding', 'b.embedding')}
+                   / ({_norm_sql('c.embedding')} * {_norm_sql('b.embedding')})
+                   AS cos
+        FROM corpus c LEFT JOIN bench b ON TRUE
+    )
+    SELECT vec_id,
+           ROUND(MAX(cos), 6) AS max_cos_r,
+           CAST(SUM(CASE WHEN cos >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bench_hits,
+           COALESCE(MAX(cos) >= 0.8, FALSE) AS contaminated
+    FROM scored GROUP BY vec_id
 """
 
 

@@ -2625,3 +2625,49 @@ def test_empty_input_contracts(spark):
     emb = spark.createDataFrame([], "vec_id long, vec array<double>")
     with _pytest.raises(ValueError, match="no non-null embeddings"):
         ivf_centroids(emb, "vec_id", "vec", n_centroids=2)
+
+
+def test_decontaminate_semantic_contract(spark):
+    """Planted semantic leak: a corpus vector equal to a benchmark
+    vector has cosine 1 and must be flagged; an orthogonal one must
+    not. Empty benchmark keeps every corpus row visible (null max,
+    zero hits, not contaminated) instead of returning zero rows; a
+    non-cosine threshold is refused."""
+    import pytest as _pytest
+
+    from idr_data_pipelines_spark.llmdata.decontaminate import (
+        decontaminate_semantic,
+    )
+
+    bench = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0]),   # exact copy -> cosine 1
+         (11, [0.0, 1.0, 0.0]),   # orthogonal -> cosine 0
+         (12, [0.9, 0.1, 0.0])],  # near-copy  -> cosine ~0.99
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in decontaminate_semantic(
+        corpus, bench, threshold=0.8
+    ).collect()}
+    assert out[10]["contaminated"] and out[10]["n_bench_hits"] == 1
+    assert out[10]["max_cos_r"] == 1.0
+    assert not out[11]["contaminated"] and out[11]["n_bench_hits"] == 0
+    assert out[12]["contaminated"]  # paraphrase-class leak caught
+
+    empty_bench = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    vac = {r["vec_id"]: r for r in decontaminate_semantic(
+        corpus, empty_bench
+    ).collect()}
+    assert len(vac) == 3  # every corpus row still visible
+    assert all(
+        (not r["contaminated"]) and r["n_bench_hits"] == 0
+        and r["max_cos_r"] is None
+        for r in vac.values()
+    )
+
+    with _pytest.raises(ValueError, match="cosine"):
+        decontaminate_semantic(corpus, bench, threshold=1.5)

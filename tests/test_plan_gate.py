@@ -41,6 +41,13 @@ WAIVERS: dict[str, str] = {
     # Deliberate demo of the Python UDTF API surface (SURVEY §2.9);
     # the hot-path text operators use JVM expressions instead.
     "udtf_split_sentences": "python-row-udf",
+    # r12 semantic decontamination: the broadcast side is the
+    # BENCHMARK embedding set (vec_id < 8 pushed to the scan) —
+    # O(corpus × |bench|) by design, the same exact-screen family as
+    # ann_topk_bruteforce; LEFT keeps corpus rows under an empty
+    # benchmark. The LSH-bucketed composition is the scale path for
+    # large benchmarks (operator docstring).
+    "decontaminate_semantic": "cartesian-product",
 }
 
 
