@@ -625,6 +625,14 @@ LINT_WAIVERS = {
     "ann_topk_ivf": {"cartesian-product"},
     # the UDTF API-pinning demo; docstring says prefer mapInPandas
     "udtf_split_sentences": {"python-row-udf"},
+    # semantic decontamination's EXACT screen: the broadcast side is
+    # the benchmark embedding set (vec_id < 8 pushed to the scan) —
+    # deliberately O(|corpus|·|bench|), the same exact-screen family
+    # as ann_topk_bruteforce, and the recall baseline the bucketed
+    # variant (decontaminate_semantic_bucketed, lint-clean equi-join
+    # on LSH bucket keys) is judged against. For benchmarks too large
+    # to broadcast-scan, the bucketed form is the scale path.
+    "decontaminate_semantic": {"cartesian-product"},
 }
 
 
