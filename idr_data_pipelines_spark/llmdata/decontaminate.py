@@ -386,3 +386,127 @@ def decontaminate_semantic(
             F.col("__maxc") >= F.lit(threshold), F.lit(False)
         ).alias("contaminated"),
     )
+
+
+def decontaminate_semantic_bucketed(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+    bands: int = 2,
+    planes_per_band: int = 3,
+    seed: int = 42,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """``decontaminate_semantic`` at scale: LSH-pre-bucketed candidate
+    generation instead of the exact |corpus|x|bench| broadcast scan.
+    Both sides get ``bands x planes_per_band`` integer-exact sign-LSH
+    bits (``similarity.int_lsh_bucket`` semantics, computed as one
+    int64 matmul per Arrow batch); each vector explodes into ``bands``
+    ``(band_idx, band_key)`` rows and candidates come from a broadcast
+    EQUI-join on the band key — never all pairs, lint-clean. Exact
+    cosine is computed on candidates only; the per-id rollup takes
+    ``max(cos)`` and counts DISTINCT benchmark hits (a pair seen in
+    two bands is scored twice but counted once).
+
+    Recall trade (documented, measured in tests against the exact
+    twin): a pair at cosine ``t`` collides in one r-plane band with
+    probability ``(1 - acos(t)/pi)^r`` and survives the OR over
+    ``bands`` bands — more/narrower bands raise recall at more
+    candidate volume. Flags are a SUBSET of the exact screen's
+    (candidates are a subset of all pairs), so this is the
+    high-recall-not-perfect screen a 100 TB corpus with a large
+    benchmark actually runs; the exact twin stays the recall baseline.
+
+    Scale shape: corpus vectors never shuffle (bucketing is a
+    projection, the band explode a generate, the bench side broadcast);
+    the single exchange is the per-id rollup's. A LEFT join keeps
+    every corpus row — no-candidate rows surface as
+    ``(max_cos_r null, 0 hits, not contaminated)`` — and corpus rows
+    with NULL embeddings (unbucketable) are unioned back as the same
+    vacuously-clean shape, matching the exact twin's contract.
+
+    Buckets are exact bigint arithmetic end to end, so a SQL oracle
+    replays candidate generation AND cosines bit-for-bit — the same
+    full value-hash contract as ``cosine_topk_lsh_exact_bucket``.
+    """
+    if not -1.0 <= threshold <= 1.0:
+        raise ValueError("threshold must be in [-1, 1] (a cosine)")
+    if bands < 1 or planes_per_band < 1:
+        raise ValueError("bands and planes_per_band must be >= 1")
+    from idr_data_pipelines_spark.llmdata.similarity import (
+        _int_lsh_bucket_table,
+        dot,
+        norm,
+    )
+
+    n_planes = bands * planes_per_band
+    mask = (1 << planes_per_band) - 1
+
+    def band_rows(tbl, id_alias, vec_alias, nrm_alias):
+        t = tbl.withColumn(nrm_alias, norm(F.col("__vec")))
+        bexpr = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    (
+                        F.shiftright(F.col("bucket"), b * planes_per_band)
+                        .bitwiseAND(F.lit(mask))
+                    ).alias("band_key"),
+                )
+                for b in range(bands)
+            ]
+        )
+        return t.select(
+            F.col("id").alias(id_alias),
+            F.col("__vec").alias(vec_alias),
+            nrm_alias,
+            F.explode(bexpr).alias("__band"),
+        ).select(
+            id_alias,
+            vec_alias,
+            nrm_alias,
+            F.col("__band.band_idx").alias("band_idx"),
+            F.col("__band.band_key").alias("band_key"),
+        )
+
+    c = band_rows(
+        _int_lsh_bucket_table(corpus, id_col, vec_col, n_planes, seed, scale),
+        "__cid",
+        "__cv",
+        "__cn",
+    )
+    b = band_rows(
+        _int_lsh_bucket_table(bench, id_col, vec_col, n_planes, seed, scale),
+        "__bid",
+        "__bv",
+        "__bn",
+    )
+    scored = c.join(
+        F.broadcast(b), ["band_idx", "band_key"], "left"
+    ).withColumn(
+        "__cos",
+        dot(F.col("__cv"), F.col("__bv")) / (F.col("__cn") * F.col("__bn")),
+    )
+    rollup = scored.groupBy("__cid").agg(
+        F.max("__cos").alias("__maxc"),
+        F.count_distinct(
+            F.when(F.col("__cos") >= F.lit(threshold), F.col("__bid"))
+        ).cast("long").alias("n_bench_hits"),
+    )
+    out = rollup.select(
+        F.col("__cid").alias(id_col),
+        F.round(F.col("__maxc"), 6).alias("max_cos_r"),
+        "n_bench_hits",
+        F.coalesce(
+            F.col("__maxc") >= F.lit(threshold), F.lit(False)
+        ).alias("contaminated"),
+    )
+    null_vec = corpus.filter(F.col(vec_col).isNull()).select(
+        F.col(id_col),
+        F.lit(None).cast("double").alias("max_cos_r"),
+        F.lit(0).cast("long").alias("n_bench_hits"),
+        F.lit(False).alias("contaminated"),
+    )
+    return out.unionByName(null_vec)

@@ -779,8 +779,15 @@ def sample_balanced_labels(
     r11 review): they can never survive the label equi-join anyway,
     but without the filter a null-label class was still COUNTED, so
     it could depress the min-class floor for every real label while
-    itself silently vanishing from the output."""
-    df = df.filter(F.col(label_col).isNotNull())
+    itself silently vanishing from the output. NULL keys are dropped
+    too (r12 module-wide null-key contract, extended here per r12
+    ADVICE): md5(salt‖NULL) is NULL, and Spark ranks a NULL hash
+    NULLS-FIRST (a winning slot) where DuckDB ranks it NULLS-LAST —
+    an engine-divergent selection no deterministic sampler should
+    make."""
+    df = df.filter(
+        F.col(label_col).isNotNull() & F.col(key_col).isNotNull()
+    )
     _guard_internal_cols(df, "__rn", "__m")
     counts = df.groupBy(label_col).agg(F.count(F.lit(1)).alias("__n"))
     floor = counts.select(

@@ -3984,6 +3984,27 @@ def q_decontaminate_semantic(spark, sf_dir):
     return decontaminate_semantic(corpus, bench, threshold=0.8)
 
 
+def q_decontaminate_semantic_bucketed(spark, sf_dir):
+    """LSH-bucketed semantic decontamination — the lint-clean scale
+    path the exact broadcast screen (``decontaminate_semantic``,
+    waived cartesian) is the recall baseline for. Same benchmark
+    split (vec_id < 8), threshold 0.8; candidates come from a
+    broadcast EQUI-join on 2 bands x 3 integer-exact sign-LSH bits
+    (never all pairs), exact cosine on candidates only, distinct-hit
+    rollup. Buckets are exact bigint arithmetic, so the DuckDB oracle
+    replays candidate generation AND every cosine bit-for-bit."""
+    from idr_data_pipelines_spark.llmdata.decontaminate import (
+        decontaminate_semantic_bucketed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") < 8)
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    return decontaminate_semantic_bucketed(
+        corpus, bench, threshold=0.8, bands=2, planes_per_band=3
+    )
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher-style repetition metrics (Rae et al. 2021 §A1.1):
     duplicate-word fraction, duplicate-line fraction, top-bigram /
@@ -8330,6 +8351,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "decontaminate": q_decontaminate,
     "decontaminate_semantic": q_decontaminate_semantic,
+    "decontaminate_semantic_bucketed": q_decontaminate_semantic_bucketed,
     "text_repetition": q_text_repetition,
     "text_redact_pii": q_text_redact_pii,
     "text_collocations": q_text_collocations,
@@ -10833,8 +10855,11 @@ ORACLES: dict[str, str] = {
     # balanced downsampling: min class count via a window over the
     # collapsed counts frame; md5 rank within label, integer cut
     "sample_balanced_labels": """
-        WITH c AS (
-            SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+        WITH base AS (
+            SELECT vec_id, label FROM embeddings
+            WHERE label IS NOT NULL AND vec_id IS NOT NULL
+        ), c AS (
+            SELECT label, COUNT(*) AS n FROM base GROUP BY label
         ), m AS (
             SELECT label, MIN(n) OVER () AS m FROM c
         ), r AS (
@@ -10844,7 +10869,7 @@ ORACLES: dict[str, str] = {
                        ORDER BY md5('balance' || CAST(vec_id AS VARCHAR)),
                                 vec_id
                    ) AS rn
-            FROM embeddings
+            FROM base
         )
         SELECT r.vec_id, r.label
         FROM r JOIN m USING (label)
@@ -14238,6 +14263,46 @@ ORACLES["decontaminate_semantic"] = f"""
     FROM scored GROUP BY vec_id
 """
 
+# The bucketed twin replays candidate generation too: the same
+# integer-exact 6-bit sign-LSH bucket split into 2 bands of 3 bits
+# (band 0 = bucket % 8, band 1 = (bucket // 8) % 8), LEFT equi-join
+# on the band key, exact cosine on candidates only, distinct-hit
+# rollup (a pair colliding in both bands scores twice, counts once).
+ORACLES["decontaminate_semantic_bucketed"] = f"""
+    WITH cb AS (
+        SELECT vec_id, embedding,
+               {_int_lsh_bucket_sql('embedding')} AS bucket
+        FROM embeddings WHERE vec_id >= 8 AND embedding IS NOT NULL
+    ), bb AS (
+        SELECT vec_id, embedding,
+               {_int_lsh_bucket_sql('embedding')} AS bucket
+        FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL
+    ), cbands AS (
+        SELECT vec_id, embedding, 0 AS band_idx, bucket % 8 AS band_key
+        FROM cb
+        UNION ALL
+        SELECT vec_id, embedding, 1, (bucket // 8) % 8 FROM cb
+    ), bbands AS (
+        SELECT vec_id, embedding, 0 AS band_idx, bucket % 8 AS band_key
+        FROM bb
+        UNION ALL
+        SELECT vec_id, embedding, 1, (bucket // 8) % 8 FROM bb
+    ), scored AS (
+        SELECT l.vec_id, r.vec_id AS bid, {_COS_LR} AS cos
+        FROM cbands l LEFT JOIN bbands r
+          ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+    )
+    SELECT vec_id,
+           ROUND(MAX(cos), 6) AS max_cos_r,
+           CAST(COUNT(DISTINCT CASE WHEN cos >= 0.8 THEN bid END)
+                AS BIGINT) AS n_bench_hits,
+           COALESCE(MAX(cos) >= 0.8, FALSE) AS contaminated
+    FROM scored GROUP BY vec_id
+    UNION ALL
+    SELECT vec_id, CAST(NULL AS DOUBLE), CAST(0 AS BIGINT), FALSE
+    FROM embeddings WHERE vec_id >= 8 AND embedding IS NULL
+"""
+
 
 _ORACLE_SELF_CAP = "SET memory_limit='2GB';"
 ORACLES = {
@@ -14246,63 +14311,63 @@ ORACLES = {
 
 
 # --- driver-window rotation epilogue (tools/rotate_window.py)
-# r12: promote the staged picks into the driver window;
+# r13: promote the staged picks into the driver window;
 # every other entry keeps its literal order below them.
-_WINDOW_R12 = [
-    "scd2_history",
-    "src_partitioned_prune",
-    "src_schema_evolution",
-    "text_collocations",
-    "text_perplexity_unigram",
-    "text_redact_pii",
-    "text_repetition",
-    "validate_warehouse",
-    "window_gap_islands",
-    "window_rolling_sum",
-    "agg_groupby_max_all",
-    "agg_max_date",
-    "ann_topk_ivf_fixed",
-    "ann_topk_lsh",
-    "ann_topk_quantized",
-    "dedup_distinct",
-    "dedup_exact_hash",
-    "dedup_groupby_max",
-    "dedup_join_back_on_max",
-    "dedup_minhash_md5",
-    "dedup_simhash_md5",
-    "expr_case_bucket",
-    "expr_case_flag",
-    "expr_cast",
-    "expr_current_date",
-    "expr_format_date",
-    "expr_null_default",
-    "expr_null_normalize",
-    "expr_str_sentinel",
-    "expr_string_funcs",
-    "filter_derived",
-    "filter_eq",
-    "filter_not_null",
-    "filter_on_join",
-    "flagship_corpus_clean",
-    "join_anti",
-    "join_inner_dim_cast",
-    "join_inner_hub",
-    "join_left_fact",
-    "project_rename",
-    "project_star_plus",
-    "q10_returned_items",
-    "q13_order_count_distribution",
-    "q14_promo_effect",
-    "q16_supplier_part_count",
-    "q18_large_volume",
-    "q4_priority_exists",
-    "q7_volume_shipping",
-    "evt_distinct_stream_md5",
-    "evt_windowed_quantiles",
+_WINDOW_R13 = [
+    "decontaminate_semantic",
+    "decontaminate_semantic_bucketed",
+    "q8_market_share",
+    "sink_rows_append",
+    "sink_table_overwrite",
+    "sketch_count_min",
+    "sketch_hll_md5",
+    "src_parquet_concat_str",
+    "text_winnow_md5",
+    "agg_cube",
+    "agg_rollup_grouping_id",
+    "basket_pairs",
+    "decontaminate_bloom",
+    "dedup_containment",
+    "dedup_winnow_pairs",
+    "emb_kmeans_step",
+    "emb_semdedup",
+    "emb_standardize",
+    "evt_ab_test",
+    "evt_anomaly_zscore",
+    "evt_attribution",
+    "evt_dau_stickiness",
+    "evt_new_vs_returning",
+    "evt_path_analysis",
+    "evt_time_to_convert",
+    "graph_khop",
+    "join_bloom",
+    "join_full_reconcile",
+    "layout_zorder",
+    "mm_resize",
+    "orders_abc_analysis",
+    "orders_backlog_sweep",
+    "orders_cohort_ltv",
+    "orders_mom_change",
+    "q11_important_parts",
+    "q12_late_shipments",
+    "q20_potential_promotion",
+    "q2_min_cost_supplier",
+    "quality_logreg",
+    "sample_exact_k",
+    "sample_weighted_k",
+    "scd4_current_history",
+    "sink_compact_files",
+    "snapshot_diff",
+    "src_python_datasource",
+    "sink_stream_republish",
+    "src_stream_drain",
+    "evt_anomaly_stream",
+    "evt_dedup_stream_index",
+    "src_python_datasource_stream",
 ]
 QUERIES = {
     n: QUERIES[n]
-    for n in _WINDOW_R12
-    + [k for k in QUERIES if k not in set(_WINDOW_R12)]
+    for n in _WINDOW_R13
+    + [k for k in QUERIES if k not in set(_WINDOW_R13)]
 }
 # --- end rotation epilogue

@@ -1870,6 +1870,16 @@ def test_sampler_null_key_contract(spark):
     assert strat.filter("k IS NULL").count() == 0 and strat.count() == 3
     tb = sample_token_budget(df, "w", budget=10**6, key_col="k", group_col="src")
     assert tb.filter("k IS NULL").count() == 0 and tb.count() == 3
+    # r12 ADVICE: the balanced sampler is a selector too — a null KEY
+    # must never take one of a label's floor slots
+    from idr_data_pipelines_spark.llmdata.sampling import (
+        sample_balanced_labels,
+    )
+
+    bal = sample_balanced_labels(df, label_col="src", key_col="k")
+    assert bal.filter("k IS NULL").count() == 0
+    # floor stays min over real-key class sizes: a=1 (null key gone)
+    assert bal.count() == 2
     # mix_weighted_repeat: full epochs are key-independent (emit), the
     # hash-chosen fractional epoch fails closed for a null key
     rep = mix_weighted_repeat(df, "src", "k", {"a": 2.9, "b": 1.0})
@@ -2671,3 +2681,79 @@ def test_decontaminate_semantic_contract(spark):
 
     with _pytest.raises(ValueError, match="cosine"):
         decontaminate_semantic(corpus, bench, threshold=1.5)
+
+
+def test_decontaminate_semantic_bucketed_contract(spark, sf_dir):
+    """The LSH-bucketed screen: an exact copy of a benchmark vector
+    lands in every band's same bucket (identical bits) and must be
+    flagged; empty benchmark keeps every corpus row (null max, zero
+    hits); null-embedding corpus rows surface as vacuously clean; bad
+    params refused. Against the exact twin at sf: flags are a SUBSET
+    (candidates are a subset of all pairs), every bucketed max_cos_r
+    equals the exact twin's where a candidate existed, and recall on
+    the twin's flagged set is positive."""
+    import pytest as _pytest
+
+    from idr_data_pipelines_spark.llmdata.decontaminate import (
+        decontaminate_semantic,
+        decontaminate_semantic_bucketed,
+    )
+
+    bench = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0]),    # exact copy -> same buckets, cos 1
+         (11, [0.0, 1.0, 0.0]),    # orthogonal
+         (13, None)],              # unbucketable -> vacuously clean
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in decontaminate_semantic_bucketed(
+        corpus, bench, threshold=0.8
+    ).collect()}
+    assert len(out) == 3
+    assert out[10]["contaminated"] and out[10]["n_bench_hits"] == 1
+    assert out[10]["max_cos_r"] == 1.0
+    assert not out[11]["contaminated"] and out[11]["n_bench_hits"] == 0
+    assert not out[13]["contaminated"] and out[13]["max_cos_r"] is None
+
+    empty_bench = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    vac = decontaminate_semantic_bucketed(corpus, empty_bench).collect()
+    assert len(vac) == 3
+    assert all(
+        (not r["contaminated"]) and r["n_bench_hits"] == 0
+        and r["max_cos_r"] is None
+        for r in vac
+    )
+
+    with _pytest.raises(ValueError, match="cosine"):
+        decontaminate_semantic_bucketed(corpus, bench, threshold=1.5)
+    with _pytest.raises(ValueError, match=">= 1"):
+        decontaminate_semantic_bucketed(corpus, bench, bands=0)
+
+    # vs the exact twin on the real embeddings table: subset property
+    # + candidate-exactness + positive recall on the flagged set
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b = emb.filter(F.col("vec_id") < 8)
+    c = emb.filter(F.col("vec_id") >= 8)
+    exact = {r["vec_id"]: r for r in decontaminate_semantic(
+        c, b, threshold=0.8
+    ).collect()}
+    buck = {r["vec_id"]: r for r in decontaminate_semantic_bucketed(
+        c, b, threshold=0.8, bands=2, planes_per_band=3
+    ).collect()}
+    assert set(buck) == set(exact)  # every corpus row surfaced
+    for vid, r in buck.items():
+        e = exact[vid]
+        assert r["n_bench_hits"] <= e["n_bench_hits"], vid
+        assert r["contaminated"] <= e["contaminated"], vid
+        if r["max_cos_r"] is not None:
+            # candidate cosines are EXACT -> bounded by the true max
+            assert r["max_cos_r"] <= e["max_cos_r"] + 1e-9, vid
+    exact_flagged = {v for v, r in exact.items() if r["contaminated"]}
+    buck_flagged = {v for v, r in buck.items() if r["contaminated"]}
+    assert buck_flagged <= exact_flagged
+    if exact_flagged:
+        assert len(buck_flagged) / len(exact_flagged) > 0
