@@ -55,7 +55,13 @@ def _fs_path(spark: SparkSession, path: str):
         return None
     jvm, gw, conf = g
     jpath = jvm.org.apache.hadoop.fs.Path(path)
-    return jpath.getFileSystem(conf), jpath, jvm, gw
+    fs = jpath.getFileSystem(conf)
+    # Qualify up front (r12 ADVICE): the atomic rename mixes
+    # FileSystem (create) with FileContext (rename), and for a
+    # RELATIVE path the two resolve against different working
+    # directories (FileSystem: process cwd; FileContext: user home).
+    # A qualified path is absolute in both stacks.
+    return fs, fs.makeQualified(jpath), jvm, gw
 
 
 def exists(spark: SparkSession, path: str) -> bool:
@@ -104,6 +110,9 @@ def write_text_atomic(spark: SparkSession, path: str, text: str) -> None:
     and local FS; object stores keep their documented caveat)."""
     r = _fs_path(spark, path)
     if r is None:
+        # same contract as the gateway path (fs.mkdirs(parent)
+        # below): the parent directory is created, not assumed
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         tmp = os.path.join(
             os.path.dirname(path), f".{os.path.basename(path)}.tmp"
         )
@@ -149,7 +158,16 @@ def delete(spark: SparkSession, path: str, recursive: bool = True) -> None:
     to the GC use: removing superseded state-version directories)."""
     r = _fs_path(spark, path)
     if r is None:
-        shutil.rmtree(path, ignore_errors=True)
+        # match the gateway path's semantics (fs.delete removes files
+        # AND directories): rmtree(ignore_errors) silently no-ops on a
+        # regular file (r12 ADVICE)
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        else:
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
         return
     fs, jpath, _, _ = r
     if fs.exists(jpath):

@@ -348,3 +348,12 @@ def test_fsio_local_fallback_without_gateway(tmp_path):
     assert sorted(fsio.list_names(s, str(d))) == ["CURRENT", "v1"]
     assert fsio.list_names(s, str(tmp_path / "absent")) == []
     fsio.delete(s, str(tmp_path / "absent"))  # no-op, no raise
+    # r12 ADVICE: delete must remove regular FILES too, like the
+    # gateway path's fs.delete (rmtree alone silently no-ops on one)
+    fsio.delete(s, str(d / "CURRENT"))
+    assert sorted(fsio.list_names(s, str(d))) == ["v1"]
+    # r12 ADVICE: write into a not-yet-created directory creates the
+    # parent, matching the gateway path's fs.mkdirs(parent)
+    deep = d / "nested" / "dir" / "CURRENT"
+    fsio.write_text_atomic(s, str(deep), "v2")
+    assert fsio.read_text(s, str(deep)) == "v2"
