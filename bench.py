@@ -259,6 +259,23 @@ def main() -> None:
                 "host_probe_s": host_probes,
                 "host_probe_median_s": round(median(host_probes), 3),
                 "sf": sf,
+                # --- compact trailer (r12 VERDICT item 4): the
+                # driver stores only a ~2000-char TAIL of this line,
+                # and BENCH_r12.json lost the headline total because
+                # "value" sits at the HEAD of the object. The official
+                # numbers are REPEATED here as the LAST keys so any
+                # tail window keeps them; scalars last of all so they
+                # survive even the tightest cut.
+                "trailer_queries": timings,
+                "trailer_heavy_queries": heavy,
+                "trailer_heavy_total_s": round(heavy_total, 3),
+                # frozen r01 floor = 7.95 s (BENCH_ADJUDICATION.md);
+                # walls comparable only at comparable probe medians
+                "trailer_floor_ratio_r01": round(total / 7.95, 3),
+                "trailer_host_probe_median_s": round(
+                    median(host_probes), 3
+                ),
+                "trailer_headline_total_s": round(total, 3),
             }
         )
     )
