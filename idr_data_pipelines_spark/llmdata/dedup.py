@@ -1782,3 +1782,98 @@ def ngram_novelty_stats(
     if materialize_grams:
         result = _attach_materialized(result, grams)
     return result
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_df: int = 2,
+) -> DataFrame:
+    """Exact duplicate-SPAN removal — the transform form of cross-doc
+    substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better": cut repeated substrings out of the
+    training text instead of dropping whole documents). A token
+    position is removed when ANY word ``k``-gram covering it occurs in
+    at least ``min_df`` distinct documents; the survivors are rejoined
+    into ``cleaned_text``. Adjacent duplicated grams merge into spans
+    for free (their cover sets overlap).
+
+    Contract: text is normalized to the module's canonical token form
+    (``_tokens``: lower + trim + whitespace split; rejoined with a
+    single space) — the same normalization every fingerprint/shingle
+    operator here applies. Documents shorter than ``k`` tokens carry
+    no k-gram and are returned untouched (normalized), matching the
+    paper's "too short to match" behavior. Gram identity is the full
+    md5 hex of the gram string — engine-portable (the SQL oracle
+    replays it), collision-free in practice at corpus scale; swap in
+    ``xxhash64`` over token hashes (``shingle_hashes_positional``)
+    when oracle replay is not required and scan width dominates.
+
+    Scale shape (100 TB): three shuffles, all standard —
+    (1) gram-df aggregate keyed by the md5 gram (map-side partial
+    count-distinct; never a window over a hot gram), (2) the semi-join
+    of positional grams against the duplicated-gram set rolled up to
+    one row per document (``collect_set`` of span starts, bounded by
+    tokens-per-doc), (3) the join-back onto the corpus by id. The
+    kept-token filter is a pure array HOF projection: token ``j``
+    survives iff no collected span start ``p`` has ``p <= j < p+k`` —
+    O(tokens x spans) per document, never corpus-quadratic.
+
+    Returns ``(id_col, cleaned_text, n_tokens, n_removed)``.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if min_df < 2:
+        # min_df=1 marks EVERY position (every gram occurs in its own
+        # document) — the whole corpus would clean to empty strings
+        raise ValueError("min_df must be >= 2 (grams repeated ACROSS documents)")
+    for col in ("__toks", "__gr", "__pos", "__rpos"):
+        if col in df.columns:
+            raise ValueError(
+                f"input already has a column named '{col}', which this "
+                "operator uses internally and drops — rename it first"
+            )
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    grams = F.when(n < F.lit(k), F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(k)),
+            lambda i: F.md5(F.array_join(F.slice(toks, i + 1, k), " ")),
+        )
+    )
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), toks.alias("__toks"), grams.alias("__gr")
+    )
+    pg = base.select(
+        id_col, F.posexplode("__gr").alias("__pos", "__g")
+    )
+    dup = (
+        pg.groupBy("__g")
+        .agg(F.count_distinct(id_col).alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select("__g")
+    )
+    rem = (
+        pg.join(dup, "__g", "semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("__pos").alias("__rpos"))
+    )
+    joined = base.drop("__gr").join(rem, id_col, "left")
+    kept = F.filter(
+        F.col("__toks"),
+        lambda tok, j: ~F.coalesce(
+            F.exists(
+                F.col("__rpos"),
+                lambda p: (p <= j) & (j < p + F.lit(k)),
+            ),
+            F.lit(False),
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.array_join(kept, " ").alias("cleaned_text"),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).cast("long").alias("n_removed"),
+    )

@@ -4584,6 +4584,20 @@ def q_dedup_containment(spark, sf_dir):
     return ngram_containment_pairs(docs, cand, k=3)
 
 
+def q_dedup_remove_spans(spark, sf_dir):
+    """Cross-doc duplicate-SPAN removal (Lee et al. 2022 substring
+    dedup, transform form): every token covered by a word 5-gram that
+    occurs in >= 2 distinct documents is cut; survivors rejoin into
+    cleaned_text. ~9% of this corpus's token positions sit under a
+    duplicated 5-gram, so the span-merge machinery is exercised
+    without degenerating. md5 gram identity -> the DuckDB oracle
+    replays the removal decision and the rebuilt strings exactly."""
+    from idr_data_pipelines_spark.llmdata.dedup import remove_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_duplicate_spans(docs, "doc_id", "text", k=5, min_df=2)
+
+
 def q_decontaminate_bloom(spark, sf_dir):
     """Bloom-prefiltered benchmark decontamination — the shape for a
     benchmark n-gram set too big to broadcast as strings: corpus
@@ -8181,6 +8195,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "emb_random_project": q_emb_random_project,
     "dedup_winnow_pairs": q_dedup_winnow_pairs,
     "dedup_containment": q_dedup_containment,
+    "dedup_remove_spans": q_dedup_remove_spans,
     "decontaminate_bloom": q_decontaminate_bloom,
     "text_bpe_pairs": q_text_bpe_pairs,
     "text_shared_ngrams": q_text_shared_ngrams,
@@ -14301,6 +14316,49 @@ ORACLES["decontaminate_semantic_bucketed"] = f"""
     UNION ALL
     SELECT vec_id, CAST(NULL AS DOUBLE), CAST(0 AS BIGINT), FALSE
     FROM embeddings WHERE vec_id >= 8 AND embedding IS NULL
+"""
+
+# duplicate-span removal: 1-based positional 5-grams (md5 identity),
+# df>=2 grams expand to covered token positions, anti-join keeps the
+# survivors, string_agg(ORDER BY position) rebuilds the text — the
+# same removal decision and rebuilt strings as the Spark HOF filter.
+ORACLES["dedup_remove_spans"] = """
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        FROM documents WHERE text IS NOT NULL
+    ), pg AS (
+        SELECT doc_id, unnest(list_transform(
+            range(1, greatest(len(t) - 5 + 2, 1)),
+            i -> struct_pack(p := i,
+                             g := md5(array_to_string(t[i:i+4], ' '))))) AS s
+        FROM toks
+    ), pge AS (
+        SELECT doc_id, s.p AS p, s.g AS g FROM pg
+    ), dup AS (
+        SELECT g FROM pge GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+    ), remtok AS (
+        SELECT DISTINCT doc_id, j FROM (
+            SELECT doc_id, unnest(range(p, p + 5)) AS j
+            FROM pge WHERE g IN (SELECT g FROM dup))
+    ), tp AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(t) + 1),
+            j -> struct_pack(j := j, tok := t[j]))) AS s
+        FROM toks
+    ), tpe AS (
+        SELECT doc_id, s.j AS j, s.tok AS tok FROM tp
+    ), kept AS (
+        SELECT tpe.doc_id,
+               string_agg(tpe.tok, ' ' ORDER BY tpe.j) AS cleaned_text,
+               COUNT(*) AS n_kept
+        FROM tpe ANTI JOIN remtok USING (doc_id, j)
+        GROUP BY tpe.doc_id
+    )
+    SELECT toks.doc_id,
+           COALESCE(kept.cleaned_text, '') AS cleaned_text,
+           CAST(len(toks.t) AS BIGINT) AS n_tokens,
+           CAST(len(toks.t) - COALESCE(kept.n_kept, 0) AS BIGINT)
+               AS n_removed
+    FROM toks LEFT JOIN kept USING (doc_id)
 """
 
 

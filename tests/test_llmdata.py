@@ -2757,3 +2757,57 @@ def test_decontaminate_semantic_bucketed_contract(spark, sf_dir):
     assert buck_flagged <= exact_flagged
     if exact_flagged:
         assert len(buck_flagged) / len(exact_flagged) > 0
+
+
+def test_remove_duplicate_spans(spark):
+    """Planted cross-doc duplicate: the shared 5-gram (and every token
+    it covers) is cut from BOTH docs, unique text survives, a doc
+    shorter than k comes back untouched (normalized), min_df=1 and
+    internal-column collisions are refused."""
+    import pytest as _pytest
+
+    from idr_data_pipelines_spark.llmdata.dedup import remove_duplicate_spans
+
+    shared = "alpha bravo charlie delta echo"  # the duplicated 5-gram
+    df = spark.createDataFrame(
+        [
+            (1, f"unique one two {shared} tail1"),
+            (2, f"{shared} other words here"),
+            (3, "tiny doc"),                       # < k tokens
+            (4, None),                             # dropped (no text)
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(
+        df, "doc_id", "text", k=5, min_df=2
+    ).collect()}
+    assert set(out) == {1, 2, 3}
+    # doc 1: 9 tokens, positions 3..7 (0-based) covered by the span
+    assert out[1]["cleaned_text"] == "unique one two tail1"
+    assert out[1]["n_tokens"] == 9 and out[1]["n_removed"] == 5
+    # doc 2: span at the head
+    assert out[2]["cleaned_text"] == "other words here"
+    assert out[2]["n_removed"] == 5
+    # short doc: untouched, canonical form
+    assert out[3]["cleaned_text"] == "tiny doc" and out[3]["n_removed"] == 0
+
+    # OVERLAPPING duplicated grams merge into one span: two docs
+    # sharing 6 consecutive tokens have two overlapping 5-grams;
+    # exactly those 6 tokens go, not 10
+    df2 = spark.createDataFrame(
+        [(1, "x1 a b c d e f y1"), (2, "x2 a b c d e f y2")],
+        "doc_id long, text string",
+    )
+    out2 = {r["doc_id"]: r for r in remove_duplicate_spans(
+        df2, k=5, min_df=2
+    ).collect()}
+    assert out2[1]["cleaned_text"] == "x1 y1"
+    assert out2[1]["n_removed"] == 6
+
+    with _pytest.raises(ValueError, match="min_df"):
+        remove_duplicate_spans(df, min_df=1)
+    with _pytest.raises(ValueError, match="k must"):
+        remove_duplicate_spans(df, k=0)
+    bad = df.withColumn("__rpos", F.lit(1))
+    with _pytest.raises(ValueError, match="__rpos"):
+        remove_duplicate_spans(bad)
