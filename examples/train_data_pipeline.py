@@ -5,6 +5,9 @@ user would wire it to build a pretraining corpus.
       → quality gate (C4/Gopher-style heuristic signals)
       → exact dedup (first occurrence wins)
       → MinHash-LSH near-dup collapse (keep lowest-id representative)
+      → duplicate-span trim (cut cross-doc repeated 8-gram spans from
+        the surviving text — Lee et al. 2022 substring dedup — and
+        drop docs the trim leaves too short)
       → benchmark decontamination (shared-n-gram anti-join, broadcast)
       → deterministic train/holdout split (never leaks across runs)
       → weighted source mixing (the "2 parts web, 1 part books" step)
@@ -68,6 +71,29 @@ def _near_dedup(df: DataFrame) -> DataFrame:
     lowest-id member of every near-dup cluster."""
     pairs = minhash_lsh_pairs(df, id_col="doc_id", text_col="text")
     return dedup_cluster_collapse(df, pairs, id_col="doc_id", keep="min")
+
+
+def _span_trim(df: DataFrame) -> DataFrame:
+    """Cut cross-doc duplicated 8-gram spans out of the surviving
+    text (whole-doc near-dups are already collapsed; this removes the
+    shared BOILERPLATE inside otherwise-unique docs), refresh
+    n_tokens to the post-trim count, and re-apply the quality gate's
+    length floor — a doc the trim hollowed out is no longer training
+    data. The join-back composes the summary-frame operator with the
+    carried columns (source etc.) without a second text scan."""
+    from idr_data_pipelines_spark.llmdata.dedup import remove_duplicate_spans
+
+    trimmed = remove_duplicate_spans(
+        df, id_col="doc_id", text_col="text", k=8, min_df=2
+    )
+    kept = trimmed.filter(
+        (F.col("n_tokens") - F.col("n_removed")) >= 5
+    ).select(
+        "doc_id",
+        F.col("cleaned_text").alias("text"),
+        (F.col("n_tokens") - F.col("n_removed")).alias("n_tokens"),
+    )
+    return df.drop("text", "n_tokens").join(kept, "doc_id")
 
 
 def _decontaminate(df: DataFrame) -> DataFrame:
@@ -150,6 +176,7 @@ def build_pipeline(sf_dir: str) -> Pipeline:
     p.stage("quality_gate", _quality_gate)
     p.stage("exact_dedup", lambda df: dedup_exact(df, text_col="text"))
     p.stage("near_dedup", _near_dedup)
+    p.stage("span_trim", _span_trim)
     p.stage("decontaminate", _decontaminate)
     p.stage("train_split", _train_split)
     p.stage("source_mix", _mix)

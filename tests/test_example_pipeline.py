@@ -28,14 +28,15 @@ def test_example_pipeline_builds_lints_and_shards(spark, sf_dir, tmp_path):
     assert rows < 500
     metrics = p.stage_metrics()
     assert set(metrics) == {
-        "quality_gate", "exact_dedup", "near_dedup", "decontaminate",
-        "train_split", "source_mix", "pack",
+        "quality_gate", "exact_dedup", "near_dedup", "span_trim",
+        "decontaminate", "train_split", "source_mix", "pack",
     }
     # monotone funnel on the doc-level stages (pack keeps row count
     # but its observation can tally a second plan pass — compare the
     # doc-level ones only)
     assert metrics["near_dedup"] <= metrics["exact_dedup"]
-    assert metrics["decontaminate"] <= metrics["near_dedup"]
+    assert metrics["span_trim"] <= metrics["near_dedup"]
+    assert metrics["decontaminate"] <= metrics["span_trim"]
     assert metrics["source_mix"] <= metrics["train_split"]
 
     out = str(tmp_path / "shards")
