@@ -60,6 +60,11 @@ EXTENDED = [
     # round-7 session 3: the epoch shuffle-sharder (per-shard window
     # sorts)
     "corpus_shuffle_shards",
+    # round-13 additions: the LSH-bucketed semantic-decontamination
+    # scale twin and the duplicate-span removal transform (string-gram
+    # df + join-back — the widest new shuffle chain this round)
+    "decontaminate_semantic_bucketed",
+    "dedup_remove_spans",
 ]
 
 HEADLINE = [
