@@ -166,14 +166,22 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
         # k=0 would emit n+1 EMPTY-string shingles per document —
         # every document suddenly "shares" the empty gram (r11 review)
         raise ValueError("k must be >= 1")
-    toks = _tokens(col)
-    n = F.size(toks)
-    joined = F.array_join(toks, " ")
-    shingled = F.transform(
-        F.sequence(F.lit(0), n - F.lit(k)),
-        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
-    )
-    return F.when(n < F.lit(k), F.array(joined)).otherwise(F.array_distinct(shingled))
+    # _let-bound: an unbound `toks` reference inside the transform
+    # lambda gets the split/lower/trim INLINED into every gram
+    # position by Catalyst's projection collapsing — one
+    # re-tokenization per position, O(n²·len) per document (the r13
+    # remove_duplicate_spans fix measured the same shape at 7× wall)
+    def _build(ts: Column) -> Column:
+        n = F.size(ts)
+        shingled = F.transform(
+            F.sequence(F.lit(0), n - F.lit(k)),
+            lambda i: F.array_join(F.slice(ts, i + 1, k), " "),
+        )
+        return F.when(n < F.lit(k), F.array(F.array_join(ts, " "))).otherwise(
+            F.array_distinct(shingled)
+        )
+
+    return _let(_tokens(col), _build)
 
 
 # -------------------------------------------------------------- MinHash
