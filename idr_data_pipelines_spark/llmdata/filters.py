@@ -23,11 +23,23 @@ from idr_data_pipelines_spark.llmdata.dedup import _let, _tokens
 
 
 def _dup_frac(arr: Column) -> Column:
-    """1 - distinct/total over a non-empty array; 0.0 for empty/size-1."""
-    n = F.size(arr)
-    return F.when(n <= 1, F.lit(0.0)).otherwise(
-        F.lit(1.0) - F.size(F.array_distinct(arr)).cast("double") / n.cast("double")
-    )
+    """1 - distinct/total over a non-empty array; 0.0 for empty/size-1.
+
+    ``arr`` is usually an inline split expression, which projection
+    collapsing would otherwise inline into all three references (two
+    sizes + array_distinct = three tokenizations per row) — bind it
+    once (the r13 word_shingles lens; constant-factor here, not the
+    O(n²) shape, but free to fix)."""
+    from idr_data_pipelines_spark.llmdata.dedup import _let
+
+    def frac(a: Column) -> Column:
+        n = F.size(a)
+        return F.when(n <= 1, F.lit(0.0)).otherwise(
+            F.lit(1.0)
+            - F.size(F.array_distinct(a)).cast("double") / n.cast("double")
+        )
+
+    return _let(arr, frac)
 
 
 def dup_word_fraction(col: Column | str = "text") -> Column:

@@ -235,20 +235,29 @@ def int_lsh_bucket(
     (``_lsh_bucket_table``) is the high-dim BLAS scale path, this is
     the low-dim fully-JVM form whose buckets an oracle can replay.
     Pure column expression — whole-stage codegen, no Python."""
+    from idr_data_pipelines_spark.llmdata.dedup import _let
+
     q = F.transform(
         _as_double(vec),
         lambda x: F.floor(x * F.lit(float(scale))).cast("long"),
     )
-    bucket = F.lit(0).cast("long")
-    for p, row in enumerate(signs):
-        sarr = F.array(*[F.lit(int(s)).cast("long") for s in row])
-        proj = F.aggregate(
-            F.zip_with(sarr, q, lambda s, x: s * x),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x,
-        )
-        bucket = bucket + (proj > 0).cast("long") * F.lit(1 << p).cast("long")
-    return bucket
+
+    # bind the quantized vector once: unbound, projection collapsing
+    # inlines the cast+scale+floor transform into every plane's fold
+    # (n_planes re-quantizations per row — the r13 word_shingles lens)
+    def _pack(qv: Column) -> Column:
+        bucket = F.lit(0).cast("long")
+        for p, row in enumerate(signs):
+            sarr = F.array(*[F.lit(int(s)).cast("long") for s in row])
+            proj = F.aggregate(
+                F.zip_with(sarr, qv, lambda s, x: s * x),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            )
+            bucket = bucket + (proj > 0).cast("long") * F.lit(1 << p).cast("long")
+        return bucket
+
+    return _let(q, _pack)
 
 
 def _int_lsh_bucket_table(
