@@ -894,3 +894,55 @@ def test_cell_str_collapses_null_flavors():
     assert _cell_str(np.float64("nan")) == "NULL"
     assert _cell_str(None) == "NULL"
     assert _cell_str(1.5) == "1.5"
+
+
+def test_single_evaluation_binding_in_hof_plans(spark):
+    """r13 lens pin: an expensive expression referenced from inside an
+    array-HOF lambda must be _let-bound, or Catalyst's projection
+    collapsing inlines it into every reference — word_shingles'
+    unbound form re-tokenized the document at every gram position
+    (O(n²·len) per doc; measured 27 s → 3.9 s on remove_duplicate_spans
+    and 4.2 s → 0.8 s on the shingle explode at sf0.1). The optimized
+    plan text shows the inlining directly: the tokenizing split( (or
+    the quantizing FLOOR() appears once when bound, once per
+    reference site when not."""
+    from pyspark.sql import functions as F
+
+    from idr_data_pipelines_spark.llmdata.dedup import (
+        remove_duplicate_spans,
+        word_shingles,
+    )
+    from idr_data_pipelines_spark.llmdata.similarity import (
+        int_lsh_bucket,
+        signed_projection_signs,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    plan = (
+        df.select(word_shingles("text").alias("s"))
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert plan.count("split(") == 1, plan
+
+    # the span-removal operator's gram PROJECTION is the bound form:
+    # its single-Project gram build carries one split for __toks and
+    # one inside the let-bound gram array — never one per position.
+    # (The full operator's plan repeats the base subtree across its
+    # three scans by design, so the whole-plan count is not the pin.)
+    base_plan = (
+        remove_duplicate_spans(df, "doc_id", "text", k=2)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    for project_line in [
+        ln for ln in base_plan.splitlines() if ln.lstrip().startswith(("Project", "+- Project"))
+    ]:
+        assert project_line.count("split(") <= 2, project_line
+
+    emb = spark.createDataFrame([(1, [0.1, 0.2, 0.3, 0.4])], "id long, v array<double>")
+    plan = (
+        emb.select(
+            int_lsh_bucket(F.col("v"), signed_projection_signs(4, 6)).alias("b")
+        )
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert plan.upper().count("FLOOR(") == 1, plan
