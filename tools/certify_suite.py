@@ -20,7 +20,7 @@ commit graph. This tool makes the tie explicit:
 
 Usage:
     python tools/certify_suite.py certify            # ~30 min
-    python tools/certify_suite.py certify --pytest-args "-x -q"
+    python tools/certify_suite.py certify --pytest-args='-x -q'
     python tools/certify_suite.py check
 """
 
@@ -149,7 +149,9 @@ def main() -> None:
     ap.add_argument(
         "--pytest-args",
         default="-q",
-        help="extra args for pytest (default: -q)",
+        help="extra args for pytest (default: -q). Values starting "
+        "with a dash need the equals form: --pytest-args='-x -q' "
+        "(argparse otherwise eats them as options)",
     )
     args = ap.parse_args()
     sys.exit(
