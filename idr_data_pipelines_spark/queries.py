@@ -4005,6 +4005,57 @@ def q_decontaminate_semantic_bucketed(spark, sf_dir):
     )
 
 
+def q_decontaminate_semantic_recall(spark, sf_dir):
+    """Recall eval of the LSH-bucketed semantic screen against its
+    exact twin — the ann_recall_eval pattern: the ground-truth side
+    embeds the (waived) brute-force scan, the candidate side is the
+    banded screen, and the eval emits the flagged counts + recall as
+    ONE driver-checkable row. Both sides are SQL-replayable, so this
+    carries a full value-hash oracle: the driver verifies the recall
+    NUMBER, not just that the eval ran. Flags are a subset by
+    construction (pinned in pytest). Threshold 0.3, NOT the twins'
+    0.8 screen setting: this corpus's max benchmark cosine is ~0.49,
+    so 0.8 flags nothing and the eval would compare 0/0 — 0.3 flags
+    ~10% of vectors and actually exercises the banding recall. The
+    measured ~0.19 recall at cosine 0.3 is the expected sign-LSH
+    math ((1 - acos(t)/pi)^3 per 3-bit band, OR over 2 bands ≈ 0.13
+    at t=0.3) — the banded screen is built for the near-duplicate
+    regime (~0.86 collision at t=0.9), which is exactly what the
+    number makes visible."""
+    from idr_data_pipelines_spark.llmdata.decontaminate import (
+        decontaminate_semantic,
+        decontaminate_semantic_bucketed,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") < 8)
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    exact = decontaminate_semantic(corpus, bench, threshold=0.3).select(
+        "vec_id", F.col("contaminated").alias("__e")
+    )
+    buck = decontaminate_semantic_bucketed(
+        corpus, bench, threshold=0.3, bands=2, planes_per_band=3
+    ).select("vec_id", F.col("contaminated").alias("__b"))
+    agg = exact.join(buck, "vec_id").agg(
+        F.sum(F.col("__e").cast("long")).alias("n_exact_flagged"),
+        F.sum(F.col("__b").cast("long")).alias("n_bucketed_flagged"),
+        F.sum((F.col("__e") & F.col("__b")).cast("long")).alias("n_caught"),
+    )
+    return agg.select(
+        "n_exact_flagged",
+        "n_bucketed_flagged",
+        "n_caught",
+        F.when(
+            F.col("n_exact_flagged") > 0,
+            F.round(
+                F.col("n_caught").cast("double")
+                / F.col("n_exact_flagged").cast("double"),
+                6,
+            ),
+        ).alias("recall_r"),
+    )
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher-style repetition metrics (Rae et al. 2021 §A1.1):
     duplicate-word fraction, duplicate-line fraction, top-bigram /
@@ -8367,6 +8418,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "decontaminate_semantic": q_decontaminate_semantic,
     "decontaminate_semantic_bucketed": q_decontaminate_semantic_bucketed,
+    "decontaminate_semantic_recall": q_decontaminate_semantic_recall,
     "text_repetition": q_text_repetition,
     "text_redact_pii": q_text_redact_pii,
     "text_collocations": q_text_collocations,
@@ -14257,7 +14309,11 @@ ORACLES["evt_distinct_stream"] = """
 """
 
 
-ORACLES["decontaminate_semantic"] = f"""
+def _sem_exact_oracle(th: float) -> str:
+    """Exact semantic-decontamination oracle at threshold ``th`` —
+    th=0.8 is the registry twin; the recall eval re-instantiates both
+    twins at a data-splitting threshold."""
+    return f"""
     WITH bench AS (
         SELECT embedding FROM embeddings
         WHERE vec_id < 8 AND embedding IS NOT NULL
@@ -14272,18 +14328,24 @@ ORACLES["decontaminate_semantic"] = f"""
     )
     SELECT vec_id,
            ROUND(MAX(cos), 6) AS max_cos_r,
-           CAST(SUM(CASE WHEN cos >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(SUM(CASE WHEN cos >= {th} THEN 1 ELSE 0 END) AS BIGINT)
                AS n_bench_hits,
-           COALESCE(MAX(cos) >= 0.8, FALSE) AS contaminated
+           COALESCE(MAX(cos) >= {th}, FALSE) AS contaminated
     FROM scored GROUP BY vec_id
 """
+
+
+ORACLES["decontaminate_semantic"] = _sem_exact_oracle(0.8)
 
 # The bucketed twin replays candidate generation too: the same
 # integer-exact 6-bit sign-LSH bucket split into 2 bands of 3 bits
 # (band 0 = bucket % 8, band 1 = (bucket // 8) % 8), LEFT equi-join
 # on the band key, exact cosine on candidates only, distinct-hit
 # rollup (a pair colliding in both bands scores twice, counts once).
-ORACLES["decontaminate_semantic_bucketed"] = f"""
+def _sem_bucketed_oracle(th: float) -> str:
+    """Bucketed semantic-decontamination oracle at threshold ``th``
+    (see _sem_exact_oracle)."""
+    return f"""
     WITH cb AS (
         SELECT vec_id, embedding,
                {_int_lsh_bucket_sql('embedding')} AS bucket
@@ -14309,14 +14371,17 @@ ORACLES["decontaminate_semantic_bucketed"] = f"""
     )
     SELECT vec_id,
            ROUND(MAX(cos), 6) AS max_cos_r,
-           CAST(COUNT(DISTINCT CASE WHEN cos >= 0.8 THEN bid END)
+           CAST(COUNT(DISTINCT CASE WHEN cos >= {th} THEN bid END)
                 AS BIGINT) AS n_bench_hits,
-           COALESCE(MAX(cos) >= 0.8, FALSE) AS contaminated
+           COALESCE(MAX(cos) >= {th}, FALSE) AS contaminated
     FROM scored GROUP BY vec_id
     UNION ALL
     SELECT vec_id, CAST(NULL AS DOUBLE), CAST(0 AS BIGINT), FALSE
     FROM embeddings WHERE vec_id >= 8 AND embedding IS NULL
 """
+
+
+ORACLES["decontaminate_semantic_bucketed"] = _sem_bucketed_oracle(0.8)
 
 # duplicate-span removal: 1-based positional 5-grams (md5 identity),
 # df>=2 grams expand to covered token positions, anti-join keeps the
@@ -14359,6 +14424,31 @@ ORACLES["dedup_remove_spans"] = """
            CAST(len(toks.t) - COALESCE(kept.n_kept, 0) AS BIGINT)
                AS n_removed
     FROM toks LEFT JOIN kept USING (doc_id)
+"""
+
+# recall eval composes the two twins' full oracle SQL (captured here
+# BEFORE the self-cap rewrite) — the driver verifies the recall value
+ORACLES["decontaminate_semantic_recall"] = f"""
+    WITH e AS ({_sem_exact_oracle(0.3)}),
+    b AS ({_sem_bucketed_oracle(0.3)}),
+    j AS (
+        SELECT e.contaminated AS ec, b.contaminated AS bc
+        FROM e JOIN b USING (vec_id)
+    ), a AS (
+        SELECT CAST(SUM(CASE WHEN ec THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_exact_flagged,
+               CAST(SUM(CASE WHEN bc THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bucketed_flagged,
+               CAST(SUM(CASE WHEN ec AND bc THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_caught
+        FROM j
+    )
+    SELECT n_exact_flagged, n_bucketed_flagged, n_caught,
+           CASE WHEN n_exact_flagged > 0
+                THEN ROUND(CAST(n_caught AS DOUBLE)
+                           / CAST(n_exact_flagged AS DOUBLE), 6)
+                END AS recall_r
+    FROM a
 """
 
 

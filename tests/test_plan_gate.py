@@ -48,6 +48,9 @@ WAIVERS: dict[str, str] = {
     # benchmark. The LSH-bucketed composition is the scale path for
     # large benchmarks (operator docstring).
     "decontaminate_semantic": "cartesian-product",
+    # r13 recall eval: embeds the exact twin as ground truth — the
+    # identical waived shape as ann_recall_eval.
+    "decontaminate_semantic_recall": "cartesian-product",
 }
 
 

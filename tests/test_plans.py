@@ -633,6 +633,9 @@ LINT_WAIVERS = {
     # on LSH bucket keys) is judged against. For benchmarks too large
     # to broadcast-scan, the bucketed form is the scale path.
     "decontaminate_semantic": {"cartesian-product"},
+    # the recall eval embeds the exact twin as its ground-truth side —
+    # the identical waived shape as ann_recall_eval
+    "decontaminate_semantic_recall": {"cartesian-product"},
 }
 
 
