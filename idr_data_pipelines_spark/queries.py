@@ -7119,9 +7119,11 @@ def q_evt_bot_regularity(spark, sf_dir):
         "user_id", (us - F.lag(us).over(w)).alias("gap_us")
     ).filter(F.col("gap_us").isNotNull())
     d = F.col("gap_us").cast("decimal(38,0)")
+    # s stays int64 (a per-user gap SUM is a time span, ~3e13 us max);
+    # only ss needs decimal headroom
     m = g.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_gaps"),
-        F.sum(d).alias("s"),
+        F.sum(F.col("gap_us")).alias("s"),
         F.sum(d * d).alias("ss"),
     ).filter(F.col("n_gaps") >= 5)
     n = F.col("n_gaps").cast("double")
@@ -7130,10 +7132,20 @@ def q_evt_bot_regularity(spark, sf_dir):
         F.col("ss").cast("double") / n - mean * mean, F.lit(0.0)
     )
     cv = F.when(mean > 0, F.round(F.sqrt(var) / mean, 6))
+    # r13 fix (caught by the r15-staging precheck at sf0.1, one row in
+    # 1500): ROUND(double, 6) on a ~3e4-magnitude mean needs 10
+    # significant digits and the engines' rounding paths split at a
+    # half-boundary (Spark 33374.061043 vs DuckDB 33374.061042).
+    # Round-half-up of the rational mean s/n microseconds is EXACT in
+    # int64 — (2s + n) div (2n) — and dividing that integer by 1e6 is
+    # one IEEE-correctly-rounded op, identical in both engines. cv_r
+    # keeps the double ROUND: at magnitude ~1 its 6-decimal boundary
+    # is not a realistic collision, where the mean's was.
+    mean_us_r = F.expr("(2 * s + n_gaps) div (2 * n_gaps)")
     return m.select(
         "user_id",
         "n_gaps",
-        F.round(mean / F.lit(1000000.0), 6).alias("mean_gap_s"),
+        (mean_us_r.cast("double") / F.lit(1000000.0)).alias("mean_gap_s"),
         cv.alias("cv_r"),
     ).withColumn("is_regular", F.col("cv_r") < 0.5)
 
@@ -13474,13 +13486,13 @@ ORACLES["evt_bot_regularity"] = """
         ), m AS (
             SELECT user_id,
                    CAST(COUNT(*) AS BIGINT) AS n_gaps,
-                   SUM(gap_us::HUGEINT) AS s,
+                   SUM(gap_us::BIGINT) AS s,
                    SUM(gap_us::HUGEINT * gap_us::HUGEINT) AS ss
             FROM g WHERE gap_us IS NOT NULL
             GROUP BY user_id
             HAVING COUNT(*) >= 5
         ), z AS (
-            SELECT user_id, n_gaps,
+            SELECT user_id, n_gaps, s,
                    CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean,
                    greatest(
                        CAST(ss AS DOUBLE) / CAST(n_gaps AS DOUBLE)
@@ -13490,7 +13502,10 @@ ORACLES["evt_bot_regularity"] = """
             FROM m
         )
         SELECT user_id, n_gaps,
-               ROUND(mean / 1000000.0, 6) AS mean_gap_s,
+               -- exact integer round-half-up of s/n microseconds,
+               -- then one IEEE division (r13 sf0.1 boundary fix)
+               CAST((2 * s + n_gaps) // (2 * n_gaps) AS DOUBLE)
+                   / 1000000.0 AS mean_gap_s,
                CASE WHEN mean > 0
                     THEN ROUND(sqrt(var) / mean, 6) END AS cv_r,
                (CASE WHEN mean > 0
