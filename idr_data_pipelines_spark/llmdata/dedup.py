@@ -1813,7 +1813,12 @@ def remove_duplicate_spans(
     single space) — the same normalization every fingerprint/shingle
     operator here applies. Documents shorter than ``k`` tokens carry
     no k-gram and are returned untouched (normalized), matching the
-    paper's "too short to match" behavior. Gram identity is the full
+    paper's "too short to match" behavior. Rows with NULL ``text``
+    PASS THROUGH with NULL ``cleaned_text``/``n_tokens``/``n_removed``
+    (r13 VERDICT item 6): a transform stage must not silently drop
+    corpus rows, and NULL-out keeps the choice visible downstream —
+    callers that want them gone filter explicitly. Gram identity is
+    the full
     md5 hex of the gram string — engine-portable (the SQL oracle
     replays it), collision-free in practice at corpus scale; swap in
     ``xxhash64`` over token hashes (``shingle_hashes_positional``)
@@ -1825,9 +1830,16 @@ def remove_duplicate_spans(
     of positional grams against the duplicated-gram set rolled up to
     one row per document (``collect_set`` of span starts, bounded by
     tokens-per-doc), (3) the join-back onto the corpus by id. The
-    kept-token filter is a pure array HOF projection: token ``j``
-    survives iff no collected span start ``p`` has ``p <= j < p+k`` —
-    O(tokens x spans) per document, never corpus-quadratic.
+    kept-token filter is a pure array HOF projection: the sorted span
+    starts are first folded into DISJOINT ``(s, e)`` intervals
+    (adjacent/overlapping ``[p, p+k)`` covers merge), then token ``j``
+    survives iff no interval holds ``s <= j < e`` — O(tokens x
+    disjoint_intervals) per document (r13 VERDICT item 2; the raw
+    per-start form scanned every marked position per token, which on
+    boilerplate-heavy docs is thousands of starts collapsing to a
+    handful of intervals). The fold itself allocates
+    O(starts x intervals) — bounded by the old filter's work and tiny
+    in the target case. Never corpus-quadratic either way.
 
     Returns ``(id_col, cleaned_text, n_tokens, n_removed)``.
     """
@@ -1860,7 +1872,10 @@ def remove_duplicate_spans(
             )
         )
 
-    base = df.filter(F.col(text_col).isNotNull()).select(
+    # NULL text rides through untouched: _tokens(NULL) is a NULL
+    # array, _grams propagates it, posexplode drops the row from the
+    # gram machinery, and the final projection yields NULL outputs.
+    base = df.select(
         F.col(id_col), toks.alias("__toks"), _let(toks, _grams).alias("__gr")
     )
     pg = base.select(
@@ -1878,14 +1893,38 @@ def remove_duplicate_spans(
         .agg(F.collect_set("__pos").alias("__rpos"))
     )
     joined = base.drop("__gr").join(rem, id_col, "left")
-    kept = F.filter(
-        F.col("__toks"),
-        lambda tok, j: ~F.coalesce(
-            F.exists(
-                F.col("__rpos"),
-                lambda p: (p <= j) & (j < p + F.lit(k)),
+
+    # Fold the sorted span starts into disjoint [s, e) intervals:
+    # starts are ascending, so a start p merges into the open interval
+    # iff p <= its end, and the merged end is always p + k (p is the
+    # largest start seen). _let-bound — an unbound fold closed over by
+    # the filter lambda would re-run the merge per TOKEN (the r13
+    # single-evaluation-binding lens).
+    def _step(acc: Column, p: Column) -> Column:
+        last = F.element_at(acc, -1)
+        ivl = lambda s: F.struct(
+            s.alias("s"), (p + F.lit(k)).alias("e")
+        )
+        return F.when(
+            (F.size(acc) > 0) & (p <= last["e"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(ivl(last["s"]))
             ),
-            F.lit(False),
+        ).otherwise(F.concat(acc, F.array(ivl(p))))
+
+    ivls = F.aggregate(
+        F.array_sort("__rpos"),
+        F.array().cast("array<struct<s:int,e:int>>"),
+        _step,
+    )
+    kept = _let(
+        ivls,
+        lambda iv: F.filter(
+            F.col("__toks"),
+            lambda tok, j: ~F.coalesce(
+                F.exists(iv, lambda t: (t["s"] <= j) & (j < t["e"])),
+                F.lit(False),
+            ),
         ),
     )
     return joined.select(

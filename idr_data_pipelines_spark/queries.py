@@ -8642,7 +8642,15 @@ def _int_lsh_bucket_sql(col: str, dim: int = 64, n_planes: int = 6,
     sign matrix (seeded, inlined as list literals) over floor-scaled
     bigint components — exact integer arithmetic in both engines, so
     the buckets agree bit-for-bit and sign-LSH becomes value-hash
-    oracle-able."""
+    oracle-able.
+
+    ``dim`` is baked into the inlined sign matrix at SQL-build time,
+    while the Spark side (``similarity._int_lsh_bucket_table``) infers
+    it per Arrow batch — so a dataset whose embedding length drifts
+    from ``dim`` would silently bucket with the WRONG matrix here. The
+    emitted SQL therefore guards every row: a length mismatch raises
+    via DuckDB ``error()`` instead of producing divergent buckets
+    (r13 ADVICE item 3)."""
     from idr_data_pipelines_spark.llmdata.similarity import (
         signed_projection_signs,
     )
@@ -8655,7 +8663,12 @@ def _int_lsh_bucket_sql(col: str, dim: int = 64, n_planes: int = 6,
             f"i -> ({slist})[i] * CAST(FLOOR(CAST(({col})[i] AS DOUBLE)"
             f" * {scale}.0) AS BIGINT))) > 0 THEN {1 << p} ELSE 0 END)"
         )
-    return "(" + " + ".join(parts) + ")"
+    guard = (
+        f"CASE WHEN len({col}) <> {dim} THEN "
+        f"CAST(error('int_lsh_bucket oracle built for dim={dim} but "
+        f"embedding has len=' || len({col})) AS BIGINT) ELSE 0 END"
+    )
+    return "(" + " + ".join(parts) + f" + ({guard}))"
 
 _SHINGLES_SQL = """
     list_distinct(list_transform(
@@ -14404,8 +14417,14 @@ ORACLES["decontaminate_semantic_bucketed"] = _sem_bucketed_oracle(0.8)
 # same removal decision and rebuilt strings as the Spark HOF filter.
 ORACLES["dedup_remove_spans"] = """
     WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
-        FROM documents WHERE text IS NOT NULL
+        -- NULL text passes through with NULL outputs (operator
+        -- contract, r14): t stays NULL, the unnest CTEs drop the row
+        -- from the gram machinery, and the final CASEs project NULLs
+        SELECT doc_id,
+               CASE WHEN text IS NULL THEN NULL
+                    ELSE regexp_split_to_array(lower(trim(text)), '\\s+')
+               END AS t
+        FROM documents
     ), pg AS (
         SELECT doc_id, unnest(list_transform(
             range(1, greatest(len(t) - 5 + 2, 1)),
@@ -14434,10 +14453,12 @@ ORACLES["dedup_remove_spans"] = """
         GROUP BY tpe.doc_id
     )
     SELECT toks.doc_id,
-           COALESCE(kept.cleaned_text, '') AS cleaned_text,
+           CASE WHEN toks.t IS NULL THEN NULL
+                ELSE COALESCE(kept.cleaned_text, '') END AS cleaned_text,
            CAST(len(toks.t) AS BIGINT) AS n_tokens,
-           CAST(len(toks.t) - COALESCE(kept.n_kept, 0) AS BIGINT)
-               AS n_removed
+           CASE WHEN toks.t IS NULL THEN NULL
+                ELSE CAST(len(toks.t) - COALESCE(kept.n_kept, 0) AS BIGINT)
+           END AS n_removed
     FROM toks LEFT JOIN kept USING (doc_id)
 """
 
@@ -14474,63 +14495,63 @@ ORACLES = {
 
 
 # --- driver-window rotation epilogue (tools/rotate_window.py)
-# r13: promote the staged picks into the driver window;
+# r14: promote the staged picks into the driver window;
 # every other entry keeps its literal order below them.
-_WINDOW_R13 = [
-    "decontaminate_semantic",
-    "decontaminate_semantic_bucketed",
-    "q8_market_share",
-    "sink_rows_append",
-    "sink_table_overwrite",
-    "sketch_count_min",
-    "sketch_hll_md5",
-    "src_parquet_concat_str",
-    "text_winnow_md5",
-    "agg_cube",
-    "agg_rollup_grouping_id",
-    "basket_pairs",
-    "decontaminate_bloom",
-    "dedup_containment",
-    "dedup_winnow_pairs",
-    "emb_kmeans_step",
-    "emb_semdedup",
-    "emb_standardize",
-    "evt_ab_test",
-    "evt_anomaly_zscore",
-    "evt_attribution",
-    "evt_dau_stickiness",
-    "evt_new_vs_returning",
-    "evt_path_analysis",
-    "evt_time_to_convert",
-    "graph_khop",
-    "join_bloom",
-    "join_full_reconcile",
-    "layout_zorder",
-    "mm_resize",
-    "orders_abc_analysis",
-    "orders_backlog_sweep",
-    "orders_cohort_ltv",
-    "orders_mom_change",
-    "q11_important_parts",
-    "q12_late_shipments",
-    "q20_potential_promotion",
-    "q2_min_cost_supplier",
-    "quality_logreg",
-    "sample_exact_k",
-    "sample_weighted_k",
-    "scd4_current_history",
-    "sink_compact_files",
-    "snapshot_diff",
-    "src_python_datasource",
-    "sink_stream_republish",
-    "src_stream_drain",
-    "evt_anomaly_stream",
-    "evt_dedup_stream_index",
-    "src_python_datasource_stream",
+_WINDOW_R14 = [
+    "dedup_remove_spans",
+    "decontaminate_semantic_recall",
+    "supplier_share_of_nation",
+    "text_bm25_topk",
+    "text_bpe_pairs",
+    "text_chunk_windows",
+    "text_dup_chunk_ratio",
+    "text_rake_keywords",
+    "text_tfidf_topterm",
+    "window_ffill",
+    "window_range_frame",
+    "agg_pivot_sum_case",
+    "ann_recall_eval",
+    "dedup_minhash_estimate",
+    "emb_covariance",
+    "emb_hard_negatives",
+    "emb_ivf_stats",
+    "emb_knn_graph",
+    "emb_label_agreement",
+    "emb_matryoshka_truncate",
+    "emb_norm_outliers",
+    "emb_pca_project",
+    "emb_power_iteration",
+    "emb_pq_assign",
+    "emb_pq_error",
+    "emb_random_project",
+    "emb_sign_hamming",
+    "evt_trigger_audit",
+    "expr_datediff",
+    "src_parquet_dir",
+    "text_shared_ngrams",
+    "ann_ivfpq_recall",
+    "ann_topk_ivfpq",
+    "corpus_shuffle_shards",
+    "decontaminate_report",
+    "dedup_cross_split_leakage",
+    "dedup_keep_best",
+    "dedup_minhash_clusters",
+    "dedup_minhash_incremental",
+    "docs_ccnet_buckets",
+    "docs_dsir_weights",
+    "docs_gopher_rules",
+    "docs_langid_audit",
+    "docs_length_outliers",
+    "docs_ngram_novelty",
+    "docs_remove_dup_chunks",
+    "docs_source_overlap",
+    "docs_zipf_lexical",
+    "dq_expectations",
+    "evt_ab_cuped",
 ]
 QUERIES = {
     n: QUERIES[n]
-    for n in _WINDOW_R13
-    + [k for k in QUERIES if k not in set(_WINDOW_R13)]
+    for n in _WINDOW_R14
+    + [k for k in QUERIES if k not in set(_WINDOW_R14)]
 }
 # --- end rotation epilogue

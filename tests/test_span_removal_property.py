@@ -20,25 +20,33 @@ from idr_data_pipelines_spark.llmdata.dedup import remove_duplicate_spans
 VOCAB = ["a", "b", "c", "d"]
 
 DOCS = st.lists(
-    st.lists(st.sampled_from(VOCAB), min_size=0, max_size=12).map(
-        lambda toks: " ".join(toks)
+    st.one_of(
+        st.none(),  # NULL text: pass-through contract (r14)
+        st.lists(st.sampled_from(VOCAB), min_size=0, max_size=12).map(
+            lambda toks: " ".join(toks)
+        ),
     ),
     min_size=1,
     max_size=8,
 )
 
 
-def _reference(texts: list[str], k: int, min_df: int):
-    # empty text splits to [''] like Spark's split on the empty string
+def _reference(texts: list[str | None], k: int, min_df: int):
+    # empty text splits to [''] like Spark's split on the empty string;
+    # None text yields all-None outputs and joins no gram
     toked = {
-        i: (t.strip().lower().split() or [""]) for i, t in enumerate(texts)
+        i: (t.strip().lower().split() or [""])
+        for i, t in enumerate(texts)
+        if t is not None
     }
     df_count: dict[tuple, set] = {}
     for i, toks in toked.items():
         for p in range(len(toks) - k + 1):
             df_count.setdefault(tuple(toks[p : p + k]), set()).add(i)
     dup = {g for g, ids in df_count.items() if len(ids) >= min_df}
-    out = {}
+    out = {
+        i: (None, None, None) for i, t in enumerate(texts) if t is None
+    }
     for i, toks in toked.items():
         removed = set()
         for p in range(len(toks) - k + 1):
