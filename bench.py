@@ -269,10 +269,11 @@ def main() -> None:
                 # and BENCH_r12.json lost the headline total because
                 # "value" sits at the HEAD of the object. The official
                 # numbers are REPEATED here as the LAST keys so any
-                # tail window keeps them; scalars last of all so they
-                # survive even the tightest cut.
-                "trailer_queries": timings,
-                "trailer_heavy_queries": heavy,
+                # tail window keeps them. Scalars only (r13 ADVICE
+                # item 4): repeating the per-query dicts roughly
+                # doubled the line and pushed the scalars toward the
+                # cut — the dicts already sit at the head as
+                # "queries"/"heavy_queries".
                 "trailer_heavy_total_s": round(heavy_total, 3),
                 # frozen r01 floor = 7.95 s (BENCH_ADJUDICATION.md);
                 # walls comparable only at comparable probe medians

@@ -30,7 +30,6 @@ def _dup_frac(arr: Column) -> Column:
     sizes + array_distinct = three tokenizations per row) — bind it
     once (the r13 word_shingles lens; constant-factor here, not the
     O(n²) shape, but free to fix)."""
-    from idr_data_pipelines_spark.llmdata.dedup import _let
 
     def frac(a: Column) -> Column:
         n = F.size(a)

@@ -41,6 +41,13 @@ def _no_lingering_streams(spark):
 def test_registry_consistency():
     assert set(ORACLES) | NO_ORACLE == set(QUERIES)
     assert not (set(ORACLES) & NO_ORACLE)
+    # NO_ORACLE has been empty since r11 — every registry entry is
+    # fully oracled. Pin that instead of parameterizing a rows-only
+    # test over the empty set, which reported a permanent "1 skipped"
+    # that would camouflage a future REAL skip (r13 VERDICT item 1).
+    # If a genuinely non-SQL-expressible entry ever lands, delete this
+    # assert and restore a rows-only test parameterized over NO_ORACLE.
+    assert not NO_ORACLE
 
 
 @pytest.mark.parametrize("name", ORACLE_KEYS)
@@ -52,7 +59,3 @@ def test_oracle_match(name, spark, sf_dir, duck):
     assert res["values_match"], f"{name}: first diff {res['first_diff']}"
 
 
-@pytest.mark.parametrize("name", sorted(NO_ORACLE))
-def test_rows_only_queries_run(name, spark, sf_dir):
-    df = QUERIES[name](spark, sf_dir)
-    assert df.count() >= 0

@@ -908,7 +908,16 @@ def test_single_evaluation_binding_in_hof_plans(spark):
     and 4.2 s → 0.8 s on the shingle explode at sf0.1). The optimized
     plan text shows the inlining directly: the tokenizing split( (or
     the quantizing FLOOR() appears once when bound, once per
-    reference site when not."""
+    reference site when not.
+
+    Pin style (r13 ADVICE item 5): exact substring counts proved
+    brittle across Spark minor versions' plan rendering, so each
+    assert is an UPPER BOUND sized far below the per-reference count
+    the unbound form would show (inputs sized so the gap is wide:
+    a 16-token doc makes the unbound shingle form carry ~14 splits;
+    6 planes × 8 dims make the unbound LSH form carry ~48 FLOORs).
+    Rendering may legitimately show a bound expression 1–2×; only
+    per-element inlining can reach the bound."""
     from pyspark.sql import functions as F
 
     from idr_data_pipelines_spark.llmdata.dedup import (
@@ -920,12 +929,16 @@ def test_single_evaluation_binding_in_hof_plans(spark):
         signed_projection_signs,
     )
 
-    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(16)))], ["doc_id", "text"]
+    )
     plan = (
         df.select(word_shingles("text").alias("s"))
         ._jdf.queryExecution().optimizedPlan().toString()
     )
-    assert plan.count("split(") == 1, plan
+    # bound: 1 (maybe 2 with alias rendering); unbound: ~one per of
+    # the ~14 shingle positions
+    assert 1 <= plan.count("split(") <= 3, plan
 
     # the span-removal operator's gram PROJECTION is the bound form:
     # its single-Project gram build carries one split for __toks and
@@ -941,11 +954,14 @@ def test_single_evaluation_binding_in_hof_plans(spark):
     ]:
         assert project_line.count("split(") <= 2, project_line
 
-    emb = spark.createDataFrame([(1, [0.1, 0.2, 0.3, 0.4])], "id long, v array<double>")
+    emb = spark.createDataFrame(
+        [(1, [0.1 * i for i in range(8)])], "id long, v array<double>"
+    )
     plan = (
         emb.select(
-            int_lsh_bucket(F.col("v"), signed_projection_signs(4, 6)).alias("b")
+            int_lsh_bucket(F.col("v"), signed_projection_signs(8, 6)).alias("b")
         )
         ._jdf.queryExecution().optimizedPlan().toString()
     )
-    assert plan.upper().count("FLOOR(") == 1, plan
+    # bound: 1; unbound: ~one per plane×dim reference (≈48 here)
+    assert 1 <= plan.upper().count("FLOOR(") <= 6, plan

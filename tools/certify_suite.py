@@ -30,6 +30,7 @@ import argparse
 import datetime
 import json
 import os
+import re
 import shlex
 import subprocess
 import sys
@@ -57,7 +58,34 @@ def _dirty_certified_paths() -> list[str]:
     return [ln for ln in out.splitlines() if ln.strip()]
 
 
+# Output-only pytest flags a certification run may carry. Anything else
+# (-k/-m expressions, paths, --ignore, --lf, ...) can NARROW collection,
+# which would let a partial run mint a cert that ``check`` treats as
+# full-suite coverage (r13 ADVICE item 2).
+_SAFE_PYTEST_ARGS = re.compile(
+    r"^(-q|-v|-x|-r[a-zA-Z]*|--tb=\w+|--color=\w+|--durations=\d+"
+    r"|--maxfail=\d+|-p|no:cacheprovider|no:randomly)$"
+)
+
+
+def _unsafe_pytest_args(pytest_args: str) -> list[str]:
+    return [
+        a
+        for a in shlex.split(pytest_args)
+        if not _SAFE_PYTEST_ARGS.match(a)
+    ]
+
+
 def certify(pytest_args: str) -> int:
+    unsafe = _unsafe_pytest_args(pytest_args)
+    if unsafe:
+        print(
+            "REFUSED: --pytest-args may only carry output-control flags "
+            f"(got {unsafe!r}); selection flags or paths would let a "
+            "narrowed run mint a full-suite certification",
+            file=sys.stderr,
+        )
+        return 1
     dirty = _dirty_certified_paths()
     if dirty:
         print(
@@ -83,8 +111,10 @@ def certify(pytest_args: str) -> int:
             file=sys.stderr,
         )
         return proc.returncode
+    m = re.search(r"(\d+) passed", summary)
     cert = {
         "commit": head,
+        "passed": int(m.group(1)) if m else None,
         "timestamp_utc": datetime.datetime.now(
             datetime.timezone.utc
         ).isoformat(timespec="seconds"),
