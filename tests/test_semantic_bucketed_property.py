@@ -119,3 +119,119 @@ def test_bucketed_semantic_matches_reference(spark, corpus, bench):
         else:
             # same fold order -> identical doubles -> identical rounds
             assert gm == wm, (vid, gm, wm)
+
+
+def test_band_geometry_sizing_rule():
+    """semantic_band_geometry: planes = ceil(log2(bands*n_bench/cpr)),
+    int64 bit budget enforced."""
+    import pytest
+
+    from idr_data_pipelines_spark.llmdata.decontaminate import (
+        semantic_band_geometry,
+    )
+
+    assert semantic_band_geometry(20, bands=4) == (4, 7)
+    assert semantic_band_geometry(1000, bands=4) == (4, 12)
+    # doubling the benchmark costs one plane
+    assert semantic_band_geometry(2000, bands=4) == (4, 13)
+    # looser candidate budget -> fewer planes
+    assert semantic_band_geometry(1000, bands=4, candidates_per_row=16.0) == (
+        4,
+        8,
+    )
+    assert semantic_band_geometry(1, bands=1) == (1, 1)
+    with pytest.raises(ValueError):
+        semantic_band_geometry(1 << 40, bands=16)  # 16*r > 63 bits
+    with pytest.raises(ValueError):
+        semantic_band_geometry(0)
+    with pytest.raises(ValueError):
+        semantic_band_geometry(10, candidates_per_row=0.0)
+
+
+def test_two_geometry_recall_candidate_trade(spark):
+    """The recall-vs-candidates trade is MEASURED, not asserted (r13
+    VERDICT item 3): on a clustered corpus (60 near-copies of bench
+    vectors at cos >= 0.97 + 140 random rows, all seeded), the demo
+    2x3 geometry and the sized semantic_band_geometry(|bench|=20) =
+    4x7 geometry both recover ~all exact-twin flags, while 4x7 cuts
+    candidate volume ~4x overall and to ~bands/2^r on RANDOM pairs —
+    the formula the sizing helper is built on. Flags are verified to
+    be SUBSETS of the exact screen's (candidates can only shrink the
+    flag set)."""
+    import numpy as np
+
+    from idr_data_pipelines_spark.llmdata.decontaminate import (
+        decontaminate_semantic,
+        decontaminate_semantic_bucketed,
+        semantic_band_geometry,
+    )
+    from idr_data_pipelines_spark.llmdata.similarity import (
+        signed_projection_signs,
+    )
+
+    dim, n_bench, n_contam, n_rand = 16, 20, 60, 140
+    rng = np.random.default_rng(7)
+    bench = rng.normal(size=(n_bench, dim))
+    bench /= np.linalg.norm(bench, axis=1, keepdims=True)
+    contam = bench[np.arange(n_contam) % n_bench] + rng.normal(
+        size=(n_contam, dim)
+    ) * 0.05
+    corpus = np.vstack([contam, rng.normal(size=(n_rand, dim))])
+
+    cdf = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(corpus)],
+        "vec_id long, embedding array<double>",
+    )
+    bdf = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(bench)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def flags(df):
+        return {
+            r["vec_id"] for r in df.collect() if r["contaminated"]
+        }
+
+    exact = flags(decontaminate_semantic(cdf, bdf, threshold=0.8))
+    assert len(exact) >= n_contam  # every planted near-copy flags
+
+    geoms = {"demo": (2, 3), "sized": semantic_band_geometry(n_bench, bands=4)}
+    assert geoms["sized"] == (4, 7)
+    got = {
+        name: flags(
+            decontaminate_semantic_bucketed(
+                cdf, bdf, threshold=0.8, bands=b, planes_per_band=r
+            )
+        )
+        for name, (b, r) in geoms.items()
+    }
+    for name, fl in got.items():
+        assert fl <= exact, name  # bucketed flags subset of exact
+        assert len(fl) / len(exact) >= 0.9, (name, len(fl), len(exact))
+
+    # candidate volume, replayed with the operator's own sign family
+    def cand_matrix(bands, r, scale=1_000_000):
+        signs = np.asarray(signed_projection_signs(dim, bands * r, 42))
+        keys = []
+        for vecs in (corpus, bench):
+            q = np.floor(vecs * scale).astype(np.int64)
+            bits = (q @ signs.T) > 0
+            w = (1 << np.arange(bands * r)).astype(np.int64)
+            full = (bits.astype(np.int64) * w[None, :]).sum(axis=1)
+            keys.append(
+                np.stack(
+                    [(full >> (b * r)) & ((1 << r) - 1) for b in range(bands)],
+                    axis=1,
+                )
+            )
+        ck, bk = keys
+        cand = np.zeros((len(corpus), len(bench)), bool)
+        for b in range(bands):
+            cand |= ck[:, b][:, None] == bk[:, b][None, :]
+        return cand
+
+    cands = {name: cand_matrix(b, r) for name, (b, r) in geoms.items()}
+    assert cands["sized"].sum() * 3 < cands["demo"].sum()
+    for name, (b, r) in geoms.items():
+        rand_frac = cands[name][n_contam:].mean()  # random rows only
+        assert rand_frac < 2.0 * b / 2**r, (name, rand_frac)
