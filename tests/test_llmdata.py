@@ -2762,7 +2762,9 @@ def test_decontaminate_semantic_bucketed_contract(spark, sf_dir):
 def test_remove_duplicate_spans(spark):
     """Planted cross-doc duplicate: the shared 5-gram (and every token
     it covers) is cut from BOTH docs, unique text survives, a doc
-    shorter than k comes back untouched (normalized), min_df=1 and
+    shorter than k comes back untouched (normalized), a NULL-text row
+    passes through with NULL outputs (the r14 contract — a transform
+    stage must not silently drop corpus rows), min_df=1 and
     internal-column collisions are refused."""
     import pytest as _pytest
 
@@ -2774,14 +2776,18 @@ def test_remove_duplicate_spans(spark):
             (1, f"unique one two {shared} tail1"),
             (2, f"{shared} other words here"),
             (3, "tiny doc"),                       # < k tokens
-            (4, None),                             # dropped (no text)
+            (4, None),                             # NULL text: passes through
         ],
         "doc_id long, text string",
     )
     out = {r["doc_id"]: r for r in remove_duplicate_spans(
         df, "doc_id", "text", k=5, min_df=2
     ).collect()}
-    assert set(out) == {1, 2, 3}
+    assert set(out) == {1, 2, 3, 4}
+    # NULL text: row kept, all derived outputs NULL (pass-through
+    # contract pinned by test_span_removal_property)
+    assert out[4]["cleaned_text"] is None
+    assert out[4]["n_tokens"] is None and out[4]["n_removed"] is None
     # doc 1: 9 tokens, positions 3..7 (0-based) covered by the span
     assert out[1]["cleaned_text"] == "unique one two tail1"
     assert out[1]["n_tokens"] == 9 and out[1]["n_removed"] == 5
