@@ -446,12 +446,14 @@ def _scan_partitions_or_none(df: DataFrame) -> int | None:
 
 
 def _candidate_ids(pairs: DataFrame, id_col: str) -> DataFrame:
-    """Distinct ids appearing on either side of a candidate-pair
-    frame, as a single ``id_col`` column."""
-    return (
-        pairs.select(F.col("id_a").alias(id_col))
-        .union(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
+    """Ids appearing on either side of a candidate-pair frame, as a
+    single ``id_col`` column. NOT deduplicated (r14): every consumer
+    feeds a LEFT-SEMI join, whose build side dedups for free — the
+    explicit ``.distinct()`` this used to carry was a whole extra
+    exchange per operator for rows the join hashes away anyway
+    (guide §2.4)."""
+    return pairs.select(F.col("id_a").alias(id_col)).union(
+        pairs.select(F.col("id_b").alias(id_col))
     )
 
 
@@ -822,8 +824,8 @@ def minhash_md5_incremental_pairs(
         # helper (r10 review: a hand-rolled semi-join here silently
         # dropped _candidate_docs' under-partitioned-input rebalance,
         # leaving a single-file corpus side's shingle projection on
-        # one task)
-        ids = pairs.select(F.col(key).alias(id_col)).distinct()
+        # one task). No .distinct(): the semi join dedups (r14).
+        ids = pairs.select(F.col(key).alias(id_col))
         return _candidate_docs(side, pairs, id_col, ids=ids).select(
             F.col(id_col).alias("id"),
             md5_shingle_hashes(text_col, shingle_k).alias("sh"),
@@ -934,6 +936,101 @@ def minhash_md5_lsh_pairs(
     finally:
         pairs.unpersist()
         sh.unpersist()
+
+
+def minhash_md5_split_probe(
+    df: DataFrame,
+    batch_pred,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+    materialize: bool = True,
+) -> DataFrame:
+    """``minhash_md5_incremental_pairs`` for the case where batch and
+    corpus are complementary SLICES of one frame (train/val splits,
+    shard audits): ``batch_pred`` is a callable mapping the id column
+    to a boolean — batch = rows where it holds, corpus = the rest.
+
+    Same output contract and values as calling the two-frame form on
+    ``df.filter(pred)`` / ``df.filter(~pred)`` — identical signatures
+    (per-doc projections), identical band join, identical verify —
+    but HALF the corpus passes (r14, guide §2.3/§2.4):
+
+    - the two-frame form signed each side separately: two full
+      shingle→md5→explode→num_perm-min aggregation chains over what
+      is one underlying corpus. Here the band table is built ONCE and
+      sliced by the predicate. The slice filters sit above the
+      signature aggregation, and Catalyst would happily push them
+      down to the scan — recreating the two-pass shape — so the band
+      table rides a lazy ``persist`` mark (at cluster scale this is
+      exactly the write-once band INDEX the incremental docstring
+      prescribes; bands are metadata — id + band key — never text).
+    - the verify used to build one candidate shingle table per side
+      (two semi-joins, two shingle projections). Batch and corpus ids
+      are disjoint by construction here, so ONE candidate table
+      serves both join probes.
+    """
+    all_bands = _md5_bands_for(
+        df, id_col, text_col, num_perm, bands, shingle_k
+    ).persist()
+    is_batch = batch_pred(F.col("id"))
+    b_band = all_bands.filter(is_batch)
+    c_band = all_bands.filter(~is_batch)
+    pairs = (
+        b_band.alias("b")
+        .join(
+            c_band.alias("c"),
+            (F.col("b.band_idx") == F.col("c.band_idx"))
+            & (F.col("b.band_key") == F.col("c.band_key")),
+        )
+        .select(F.col("b.id").alias("id_new"), F.col("c.id").alias("id_old"))
+        .distinct()
+        .persist()
+    )
+    # no .distinct(): the candidate scoping is a semi join (dedups)
+    ids = pairs.select(F.col("id_new").alias(id_col)).union(
+        pairs.select(F.col("id_old").alias(id_col))
+    )
+    sh = (
+        _candidate_docs(df, pairs, id_col, ids=ids)
+        .select(
+            F.col(id_col).alias("id"),
+            md5_shingle_hashes(text_col, shingle_k).alias("sh"),
+        )
+        .persist()
+    )
+    try:
+        result = (
+            pairs.join(
+                sh.withColumnsRenamed({"id": "id_new", "sh": "sh_n"}),
+                "id_new",
+            )
+            .join(
+                sh.withColumnsRenamed({"id": "id_old", "sh": "sh_o"}),
+                "id_old",
+            )
+            .withColumn(
+                "jaccard_r",
+                F.round(
+                    F.size(F.array_intersect("sh_n", "sh_o")).cast("double")
+                    / F.size(F.array_union("sh_n", "sh_o")).cast("double"),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard_r") >= jaccard_threshold)
+            .select("id_new", "id_old", "jaccard_r")
+        )
+        if not materialize:
+            return _attach_materialized(result, all_bands, pairs, sh)
+        return result.localCheckpoint(eager=True)
+    finally:
+        if materialize:
+            all_bands.unpersist()
+            pairs.unpersist()
+            sh.unpersist()
 
 
 def minhash_md5_estimate_pairs(
@@ -1374,86 +1471,140 @@ def connected_components(
     neighbors' labels, then (b) shortcuts ``label ← label[label]``.
     Doubling makes convergence O(log diameter) iterations instead of
     O(diameter) — the difference between ~40 and ~1e12 joins on a
-    100 TB corpus with chain-shaped dup runs. Each iteration is two
-    shuffles (neighbor-min aggregate, shortcut self-join); the label
-    frame is ``localCheckpoint``-ed per round to cut the growing
-    lineage, and convergence is detected by probing for ANY changed
-    label: each iteration carries its starting label alongside the
-    new one, so the probe is a shuffle-free limit-1 filter over the
+    100 TB corpus with chain-shaped dup runs. The label frame is
+    ``localCheckpoint``-ed per round to cut the growing lineage, and
+    convergence is detected by probing for ANY changed label: each
+    iteration carries its starting label alongside the new one, so
+    the probe is a shuffle-free limit-1 filter over the
     just-checkpointed frame. A sum-of-labels probe (the pre-r09 form)
     is wrong twice over: string vertex ids crash the cast under ANSI
     (or, ANSI off, sum→null silently reports instant convergence =
     no clustering at all), and xxhash64-derived long ids can overflow
     the sum mid-run (r09 review, verified live on both).
 
+    r14 iteration shape (guide §2.4 — remove shuffles outright): the
+    symmetric edge list is augmented with one SELF-LOOP per vertex —
+    all four directed forms of every edge ((a,b),(b,a),(a,a),(b,b))
+    come out of ONE explode + distinct, a single shuffle where the
+    old union-of-distincts paid two — and is built ONCE before the
+    loop, persisted pre-partitioned on the probe key ``b`` (persist
+    keeps the partitioning visible to the planner; a localCheckpoint
+    here would hide it behind an ExistingRDD and re-shuffle the edge
+    table every iteration). The self-loop makes the neighbor-min
+    aggregation see each vertex's own label, so the new label frame
+    is the aggregation output directly — the old per-iteration
+    ``labels ⋈ nbr_min`` left join is gone. The doubling lookup's two
+    references to the propagated frame ride one lazy ``persist``
+    (the two branches shuffle by different keys, so ReuseExchange
+    cannot collapse them; without the mark each branch re-runs the
+    neighbor-min aggregation). The convergence probe is a single
+    cached-scan max-aggregate (a filtered ``limit(1).count()``
+    launches 2+ incremental jobs), and iteration 0 skips it outright:
+    a non-empty edge set ALWAYS lowers at least one label (the larger
+    endpoint of any edge), so probing it buys nothing.
+
     An iterative driver loop — NOT expressible as one Catalyst plan —
     but each step is a distributed DataFrame op; the driver only ever
     sees the 1-row convergence aggregate.
     """
-    sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    n_part = edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    base = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src).alias("a"), F.col(dst).alias("b")
+                    ),
+                    F.struct(
+                        F.col(dst).alias("a"), F.col(src).alias("b")
+                    ),
+                    F.struct(
+                        F.col(src).alias("a"), F.col(src).alias("b")
+                    ),
+                    F.struct(
+                        F.col(dst).alias("a"), F.col(dst).alias("b")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .distinct()
+        .repartition(int(n_part), "b")
+        .persist()
     )
-    labels = (
-        sym.select(F.col("a").alias("id")).distinct()
-        .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=True)
+    labels = base.filter(F.col("a") == F.col("b")).select(
+        F.col("a").alias("id"), F.col("a").alias("component")
     )
-    if labels.isEmpty():  # no edges → no vertices
+    try:
+        if base.isEmpty():  # no edges → no vertices
+            return labels
+        converged = False
+        # max_iter bounds the label-CHANGING iterations; convergence
+        # is only observable as a no-change iteration, so run one
+        # extra confirmation pass — otherwise a run whose last change
+        # lands exactly on iteration max_iter would raise despite
+        # being final.
+        for it in range(max_iter + 1):
+            # neighbor-min over (neighbors ∪ self): min(component) is
+            # the propagated label, and the self-loop row (b == a)
+            # carries the iteration's STARTING label out as __prev
+            prop = (
+                base.join(labels, F.col("b") == F.col("id"))
+                .groupBy("a")
+                .agg(
+                    F.min("component").alias("component"),
+                    F.max(
+                        F.when(F.col("b") == F.col("a"), F.col("component"))
+                    ).alias("__prev"),
+                )
+                .persist()
+            )
+            # pointer doubling: label ← label[label]. Labels only
+            # decrease and component ≤ id, so the looked-up label is
+            # always ≤ ours.
+            look = prop.select(
+                F.col("a").alias("__la"), F.col("component").alias("__lc")
+            )
+            doubled = prop.join(
+                look, F.col("component") == F.col("__la"), "left"
+            ).select(
+                F.col("a").alias("id"),
+                F.col("__prev"),
+                F.coalesce(
+                    F.col("__lc"), F.col("component")
+                ).alias("component"),
+            )
+            stepped = doubled.localCheckpoint(eager=True)
+            prop.unpersist()
+            labels = stepped.drop("__prev")
+            if it == 0:
+                # a non-empty edge set always changes a label on the
+                # first pass — no probe needed (proof: for any edge
+                # (a, b) with a < b, vertex b's label drops to ≤ a)
+                continue
+            changed = stepped.select(
+                F.max(
+                    (F.col("component") != F.col("__prev")).cast("int")
+                )
+            ).first()[0]
+            if not changed:
+                converged = True
+                break
+        if not converged:
+            # partially-propagated labels would silently split true
+            # clusters into multiple survivors downstream — refuse to
+            # ship them (pointer doubling converges in O(log
+            # diameter), so hitting this means max_iter is badly
+            # undersized)
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "label-changing iterations (+1 confirmation pass); "
+                "raise max_iter (labels were still changing on the "
+                "final pass)"
+            )
         return labels
-    converged = False
-    # max_iter bounds the label-CHANGING iterations; convergence is
-    # only observable as a no-change iteration, so run one extra
-    # confirmation pass — otherwise a run whose last change lands
-    # exactly on iteration max_iter would raise despite being final.
-    for _ in range(max_iter + 1):
-        nbr_min = (
-            sym.join(labels, sym["b"] == labels["id"])
-            .groupBy("a")
-            .agg(F.min("component").alias("nbr_min"))
-        )
-        # carry the iteration's STARTING label through as __prev so
-        # the convergence probe is a shuffle-free limit-1 filter scan
-        # of the checkpointed frame — no old⋈new join, and no sum()
-        # of label values (which crashes/overflows/no-ops on
-        # string-or-hash ids, r09 review)
-        prop = labels.join(nbr_min, labels["id"] == nbr_min["a"], "left").select(
-            labels["id"],
-            labels["component"].alias("__prev"),
-            F.least(
-                F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-            ).alias("component"),
-        )
-        # pointer doubling: label ← label[label]. Labels only decrease
-        # and component ≤ id, so the looked-up label is always ≤ ours.
-        l, r = prop.alias("l"), prop.alias("r")
-        doubled = l.join(r, F.col("l.component") == F.col("r.id"), "left").select(
-            F.col("l.id").alias("id"),
-            F.col("l.__prev").alias("__prev"),
-            F.coalesce(F.col("r.component"), F.col("l.component")).alias("component"),
-        )
-        stepped = doubled.localCheckpoint(eager=True)
-        labels = stepped.drop("__prev")
-        changed = (
-            stepped.filter(F.col("component") != F.col("__prev"))
-            .limit(1)
-            .count()
-        )
-        if not changed:
-            converged = True
-            break
-    if not converged:
-        # partially-propagated labels would silently split true
-        # clusters into multiple survivors downstream — refuse to
-        # ship them (pointer doubling converges in O(log diameter),
-        # so hitting this means max_iter is badly undersized)
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iter} "
-            "label-changing iterations (+1 confirmation pass); raise "
-            "max_iter (labels were still changing on the final pass)"
-        )
-    return labels
+    finally:
+        base.unpersist()
 
 
 def dedup_cluster_collapse(
@@ -1878,9 +2029,19 @@ def remove_duplicate_spans(
     base = df.select(
         F.col(id_col), toks.alias("__toks"), _let(toks, _grams).alias("__gr")
     )
+    # The positional gram table feeds BOTH the gram-df aggregate and
+    # the semi-join probe; without a materialization mark the md5-gram
+    # projection runs twice (the probe side reaches the semi-join as a
+    # broadcast build, so no exchange exists for ReuseExchange to
+    # collapse — r14 profiling: the second pass was ~1.0 s of the
+    # 3.0 s sf0.1 wall). A lazy persist computes it once per action
+    # (guide §5: cache exactly what is reused AND expensive); the
+    # 100 TB analogue is writing the gram table out once — the
+    # materialize-the-intermediate shape Lee et al. 2022's suffix
+    # pipeline uses. Released via unpersist_materialized(result).
     pg = base.select(
         id_col, F.posexplode("__gr").alias("__pos", "__g")
-    )
+    ).persist()
     dup = (
         pg.groupBy("__g")
         .agg(F.count_distinct(id_col).alias("__df"))
@@ -1927,9 +2088,12 @@ def remove_duplicate_spans(
             ),
         ),
     )
-    return joined.select(
-        id_col,
-        F.array_join(kept, " ").alias("cleaned_text"),
-        F.size("__toks").cast("long").alias("n_tokens"),
-        (F.size("__toks") - F.size(kept)).cast("long").alias("n_removed"),
+    return _attach_materialized(
+        joined.select(
+            id_col,
+            F.array_join(kept, " ").alias("cleaned_text"),
+            F.size("__toks").cast("long").alias("n_tokens"),
+            (F.size("__toks") - F.size(kept)).cast("long").alias("n_removed"),
+        ),
+        pg,
     )

@@ -5288,16 +5288,28 @@ def q_basket_pairs(spark, sf_dir):
     orders containing both. Each basket collapses to its SORTED
     distinct part array in one order-keyed shuffle (collect_set —
     dedup and basket assembly in the same aggregation), pairs are the
-    in-array combinations (a pure projection: sortedness gives
-    part_a < part_b for free), and the support count is exact
-    integers, so ranking needs only the (support desc, part_a,
-    part_b) tiebreak. Top-k rides TakeOrdered.
+    in-array combinations (sortedness gives part_a < part_b for
+    free), and the support count is exact integers, so ranking needs
+    only the (support desc, part_a, part_b) tiebreak. Top-k rides
+    TakeOrdered.
 
     The r10 rewrite removed the order-key SELF-JOIN (distinct →
     basket-size semi-join → co-partitioned self-join was three
     corpus-sized exchanges; this is two — basket assembly and pair
-    count — with the quadratic pair fan-out now a capped in-row array
-    expression instead of join output).
+    count — with the quadratic pair fan-out now capped in-row work
+    instead of join output).
+
+    r14 (guide §4.1): the fan-out is the ``_bucket_pairs`` two-step
+    Generate chain — posexplode the basket, then explode the
+    per-member suffix slice — instead of the r10 nested
+    transform/flatten/struct array. Higher-order-function lambdas
+    evaluate INTERPRETED in Catalyst (outside whole-stage codegen);
+    at 600k lineitem rows the nested-transform projection was the
+    query's hot stage. posexplode/explode/slice are codegen'd
+    operators, pair identity and multiplicity are unchanged (A/B'd
+    row-identical, see OPTIMIZATION_r14.md for the interleaved
+    timings), and peak per-row memory drops from the full
+    C(n,2)-struct array to the basket array itself.
 
     Scale guard: baskets larger than 32 distinct parts are dropped
     BEFORE pair generation (the standard market-basket practice — a
@@ -5314,23 +5326,15 @@ def q_basket_pairs(spark, sf_dir):
     )
     pairs = (
         baskets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        F.col("parts"),
-                        lambda x, i: F.transform(
-                            F.slice(
-                                F.col("parts"), i + 2, F.size("parts")
-                            ),
-                            lambda y: F.struct(
-                                x.alias("part_a"), y.alias("part_b")
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
+            F.posexplode("parts").alias("__i", "part_a"), "parts"
         )
-        .groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
+        .select(
+            "part_a",
+            F.explode(
+                F.slice("parts", F.col("__i") + F.lit(2), F.size("parts"))
+            ).alias("part_b"),
+        )
+        .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("support"))
     )
     return pairs.orderBy(
@@ -6718,19 +6722,24 @@ def q_dedup_cross_split_leakage(spark, sf_dir):
     min train id on ties — a min_by-struct agg, no per-doc window).
     Scale shape is `dedup_minhash_incremental`'s: the val side is
     val-sized everywhere, the train band index is write-once and
-    bucketed by band_key in production."""
+    bucketed by band_key in production.
+
+    r14: both sides are slices of ONE corpus, so the probe runs
+    through ``minhash_md5_split_probe`` — one signature/band pass
+    sliced by the split predicate and one shared candidate-shingle
+    table, instead of the generic two-frame form's two full corpus
+    chains. Pair set, Jaccard values and the report are identical
+    (the split predicate is the same pure function of doc_id)."""
     from idr_data_pipelines_spark.llmdata.dedup import (
-        minhash_md5_incremental_pairs,
+        minhash_md5_split_probe,
     )
     from idr_data_pipelines_spark.llmdata.sampling import hash_bucket
 
     docs = _t(spark, sf_dir, "documents")
-    bucket = hash_bucket("doc_id", buckets=5, salt="split")
-    val = docs.filter(bucket == 0)
-    train = docs.filter(bucket != 0)
-    pairs = minhash_md5_incremental_pairs(
-        val, train, num_perm=16, bands=4, shingle_k=3,
-        jaccard_threshold=0.5,
+    pairs = minhash_md5_split_probe(
+        docs,
+        lambda c: hash_bucket(c, buckets=5, salt="split") == 0,
+        num_perm=16, bands=4, shingle_k=3, jaccard_threshold=0.5,
     )
     best = pairs.groupBy("id_new").agg(
         F.min(
