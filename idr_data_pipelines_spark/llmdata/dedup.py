@@ -39,6 +39,31 @@ def _attach_materialized(result: DataFrame, *frames: DataFrame) -> DataFrame:
     return result
 
 
+def carry_materialized(result: DataFrame, *sources: DataFrame) -> DataFrame:
+    """Transfer riding persist-handles onto ``result`` — for wrappers
+    that derive a new frame (``.select``/``.agg``) from an operator
+    result and would otherwise silently drop the handle the operator
+    attached (the attribute lives on the specific DataFrame object).
+    Each ``source`` contributes its riding handles if it has any,
+    else itself when it is persist()-marked (the
+    ``spread_small_scan(pin=True)`` case). Appends to any handles
+    already on ``result``."""
+    frames = list(getattr(result, _MATERIALIZED_ATTR, []))
+    for s in sources:
+        rode = getattr(s, _MATERIALIZED_ATTR, None)
+        if rode:
+            frames.extend(rode)
+        else:
+            try:
+                lvl = s.storageLevel
+            except Exception:  # Connect: no storageLevel surface
+                lvl = None
+            if lvl is not None and (lvl.useMemory or lvl.useDisk):
+                frames.append(s)
+    setattr(result, _MATERIALIZED_ATTR, frames)
+    return result
+
+
 def unpersist_materialized(df: DataFrame, blocking: bool = False) -> int:
     """Release every internal block a ``materialize_*`` flag pinned
     for ``df`` (no-op for frames built without the flag). Call after
@@ -2023,25 +2048,40 @@ def remove_duplicate_spans(
             )
         )
 
+    # A single-file input would run the tokenize+md5-gram projection
+    # — the operator's dominant per-row cost — on ONE task (r14 stage
+    # profile: 1.3 s serial at sf0.1, plus a second task blocked on
+    # the same persisted block); rebalance exactly as the signature
+    # paths do. No-op at real scale, value-neutral.
+    n_scan = _scan_partitions_or_none(df)
+    if n_scan is not None:
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if n_scan < max(2, target // 2):
+            df = df.repartition(target)
     # NULL text rides through untouched: _tokens(NULL) is a NULL
     # array, _grams propagates it, posexplode drops the row from the
     # gram machinery, and the final projection yields NULL outputs.
-    base = df.select(
-        F.col(id_col), toks.alias("__toks"), _let(toks, _grams).alias("__gr")
-    )
-    # The positional gram table feeds BOTH the gram-df aggregate and
-    # the semi-join probe; without a materialization mark the md5-gram
-    # projection runs twice (the probe side reaches the semi-join as a
+    #
+    # base feeds THREE consumers — the gram-df aggregate, the
+    # semi-join probe (both via pg), and the join-back — and without a
+    # materialization mark the tokenize+md5-gram projection runs once
+    # per consumer (the probe side reaches the semi-join as a
     # broadcast build, so no exchange exists for ReuseExchange to
-    # collapse — r14 profiling: the second pass was ~1.0 s of the
-    # 3.0 s sf0.1 wall). A lazy persist computes it once per action
-    # (guide §5: cache exactly what is reused AND expensive); the
-    # 100 TB analogue is writing the gram table out once — the
+    # collapse — r14 profiling: the recompute was ~1.0 s of the 3.0 s
+    # sf0.1 wall). A lazy persist computes it once per action (guide
+    # §5: cache exactly what is reused AND expensive); persisting BASE
+    # rather than the exploded pg (the r14 first cut) covers the
+    # join-back branch too and stores each gram hash once per
+    # position-ARRAY row instead of once per exploded row. The 100 TB
+    # analogue is writing the gram table out once — the
     # materialize-the-intermediate shape Lee et al. 2022's suffix
     # pipeline uses. Released via unpersist_materialized(result).
+    base = df.select(
+        F.col(id_col), toks.alias("__toks"), _let(toks, _grams).alias("__gr")
+    ).persist()
     pg = base.select(
         id_col, F.posexplode("__gr").alias("__pos", "__g")
-    ).persist()
+    )
     dup = (
         pg.groupBy("__g")
         .agg(F.count_distinct(id_col).alias("__df"))
@@ -2095,5 +2135,5 @@ def remove_duplicate_spans(
             F.size("__toks").cast("long").alias("n_tokens"),
             (F.size("__toks") - F.size(kept)).cast("long").alias("n_removed"),
         ),
-        pg,
+        base,
     )

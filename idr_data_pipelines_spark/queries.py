@@ -3736,8 +3736,14 @@ def q_flagship_data_recipe(spark, sf_dir):
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     # the corpus side carries all six per-doc regex/HOF stages —
     # spread it when the scan has fewer splits than cores (no-op on a
-    # real multi-file corpus; see spread_small_scan)
-    corpus = spread_small_scan(docs.filter(F.col("doc_id") % 97 != 0))
+    # real multi-file corpus; see spread_small_scan). pin=True (r14):
+    # the repetition/length stage is a FILTER, and Catalyst pushed it
+    # through the bare repartition onto the 1-task scan (plan showed
+    # Filter-over-Scan on the anti-join branch, 2×1.1 s serial WSCG);
+    # the lazy persist is the pushdown barrier that keeps the heavy
+    # filter above the spread — and collapses the two corpus-branch
+    # scans into one.
+    corpus = spread_small_scan(docs.filter(F.col("doc_id") % 97 != 0), pin=True)
 
     bad = (
         contamination_scores(corpus, bench, k=3)
@@ -3771,10 +3777,15 @@ def q_flagship_data_recipe(spark, sf_dir):
         key_col="doc_id",
         group_col="source",
     )
-    return sampled.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum("n_chars").alias("total_chars"),
-        F.count_distinct("lang").alias("n_langs"),
+    from idr_data_pipelines_spark.llmdata.dedup import carry_materialized
+
+    return carry_materialized(
+        sampled.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.count_distinct("lang").alias("n_langs"),
+        ),
+        corpus,
     )
 
 

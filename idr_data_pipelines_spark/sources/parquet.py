@@ -214,7 +214,11 @@ def scan_partitions_or_none(df: DataFrame) -> int | None:
         return None
 
 
-def spread_small_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def spread_small_scan(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    pin: bool = False,
+) -> DataFrame:
     """Layout guard for compute-heavy map stages: when the scan has
     fewer splits than executor slots (a single test file; a few giant
     single-row-group files in production), every per-document regex /
@@ -225,6 +229,22 @@ def spread_small_scan(df: DataFrame, min_partitions: int | None = None) -> DataF
     it never fires and never costs a shuffle. The repartition moves
     the raw rows BEFORE the expensive projections run, so the shuffle
     is of input bytes, not of computed features.
+
+    ``pin=True`` additionally ``persist()``-marks the spread frame
+    (lazy — materialized inside the first consuming action), for
+    callers whose downstream heavy work is a FILTER rather than a
+    projection. Catalyst pushes deterministic filters straight
+    through a Repartition onto the scan (r14: flagship_data_recipe's
+    repetition-metric filter ran as a 1-task Filter-over-Scan, 1.1 s
+    serial, with the spread exchange optimized away beneath it — the
+    plan-visible failure of the bare guard), and a cached relation is
+    the one plan boundary predicate pushdown does not cross, so the
+    filter runs over the spread partitions instead. The persist only
+    ever holds RAW INPUT rows of an under-partitioned scan, and only
+    in the regime where the guard fires at all (never on a real
+    multi-file corpus); release it with
+    ``llmdata.dedup.unpersist_materialized`` when the caller attaches
+    the handle, or session cache cleanup otherwise.
 
     On classic PySpark the current split count comes from
     ``df.rdd.getNumPartitions()`` — plan-only for the scan/filter/
@@ -254,7 +274,7 @@ def spread_small_scan(df: DataFrame, min_partitions: int | None = None) -> DataF
         text = _plan_text(df)
         if text is not None and _plan_text_has_exchange(text):
             return df
-        return df.repartition(n)
+        return _spread(df, n, pin)
     try:
         if _plan_has_exchange(df):
             return df
@@ -263,7 +283,12 @@ def spread_small_scan(df: DataFrame, min_partitions: int | None = None) -> DataF
         # no plan/RDD surface despite a sparkContext: conservatively
         # repartition — an always-no-op guard would silently lose the
         # protection
-        return df.repartition(target)
+        return _spread(df, target, pin)
     if current >= target:
         return df
-    return df.repartition(target)
+    return _spread(df, target, pin)
+
+
+def _spread(df: DataFrame, n: int, pin: bool) -> DataFrame:
+    out = df.repartition(n)
+    return out.persist() if pin else out
