@@ -281,6 +281,14 @@ def test_data_recipe_plan_shape(spark, sf_dir):
     window, token-budget window share the final agg's grain). The
     decontamination score is one corpus pass: totals and benchmark
     hits ride the same explode."""
+    # The corpus spread rides a persist mark (r14: pushdown barrier,
+    # see spread_small_scan(pin=True)). If an earlier test in the
+    # shared session MATERIALIZED that cache, explain() prints the
+    # cached subtree's adaptive plan (final + initial) at every
+    # reference and the textual FileScan count double-counts scans
+    # that run once. Clear the cache so the plan text is the
+    # order-independent unmaterialized form.
+    spark.catalog.clearCache()
     plan = _plan(QUERIES["flagship_data_recipe"](spark, sf_dir))
     assert len(re.findall(r"FileScan parquet", plan)) <= 3, plan
     assert _n_shuffles(plan) <= 5, plan
