@@ -729,8 +729,26 @@ def _py_norm(v: list) -> float:
     return math.sqrt(acc)
 
 
+def _fold_dot_sql(vec_sql: str, lit: list) -> str:
+    """SQL text of ``dot(vec, <literal array>)`` — the same
+    zip_with/aggregate sequential fold, identical expression tree and
+    therefore bit-identical IEEE results, but parsed from ONE string:
+    building the fold through the Python Column API costs 2 py4j
+    lambda constructions + a literal-array parse PER CENTROID, which
+    at n_centroids × dim puts the driver in the hot path (~0.5 s per
+    ``_centroid_sims`` build, measured r14). An UNROLLED chain was
+    rejected: 16×64 multiply-adds in one expression blows janino's
+    64 KB method limit, and the codegen-fallback retry makes every
+    action ~3× slower (r14 A/B)."""
+    lits = ", ".join(f"{float(c)!r}D" for c in lit)
+    return (
+        f"aggregate(zip_with({vec_sql}, array({lits}), (x, y) -> x * y), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def _centroid_sims(
-    cent_rows: list[tuple[int, list[float]]], vec: Column, nrm: Column
+    cent_rows: list[tuple[int, list[float]]], vec_sql: str, nrm_sql: str
 ) -> Column:
     """Array of (sim, -centroid_id) structs, one per centroid:
     ``array_max`` over it picks the highest cosine and breaks ties on
@@ -738,16 +756,19 @@ def _centroid_sims(
     ASC). Pure projection — the centroid matrix is folded into
     literal arrays, cosines are JVM array folds; centroid norms are
     constants, folded once on the driver (``_py_norm``) rather than
-    once per row per centroid."""
-    return F.array(
-        *[
-            F.struct(
-                (dot(vec, _lit_vec(v)) / (nrm * F.lit(_py_norm(v)))).alias("sim"),
-                F.lit(-cid).alias("negid"),
-            )
-            for cid, v in cent_rows
-        ]
+    once per row per centroid. ``vec_sql``/``nrm_sql`` are SQL
+    expression strings (usually column names) so the whole array is
+    ONE parsed expression — see ``_fold_dot_sql`` for why."""
+    entries = ", ".join(
+        "named_struct('sim', {d} / ({n} * {cn!r}D), 'negid', {neg})".format(
+            d=_fold_dot_sql(vec_sql, v),
+            n=nrm_sql,
+            cn=_py_norm(v),
+            neg=-int(cid),
+        )
+        for cid, v in cent_rows
     )
+    return F.expr(f"array({entries})")
 
 
 def cosine_topk_ivf_fixed(
@@ -786,15 +807,12 @@ def cosine_topk_ivf_fixed(
         raise ValueError("k and nprobe must be >= 1")
     cent_rows = fixed_seed_centroid_rows(corpus, id_col, vec_col, n_centroids)
 
-    def sims_to_cents(vec: Column, nrm: Column) -> Column:
-        return _centroid_sims(cent_rows, vec, nrm)
-
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cvec")
     ).withColumn("cnrm", norm(F.col("cvec")))
     inv = c.withColumn(
         "centroid_id",
-        -F.array_max(sims_to_cents(F.col("cvec"), F.col("cnrm")))["negid"],
+        -F.array_max(_centroid_sims(cent_rows, "cvec", "cnrm"))["negid"],
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qvec")
@@ -804,7 +822,7 @@ def cosine_topk_ivf_fixed(
         F.explode(
             F.slice(
                 F.reverse(
-                    F.array_sort(sims_to_cents(F.col("qvec"), F.col("qnrm")))
+                    F.array_sort(_centroid_sims(cent_rows, "qvec", "qnrm"))
                 ),
                 1,
                 nprobe,
@@ -880,9 +898,7 @@ def assign_fixed_clusters(
         .withColumn("nrm", norm(F.col("vec")))
         .withColumn(
             "cluster_id",
-            -F.array_max(_centroid_sims(cent_rows, F.col("vec"), F.col("nrm")))[
-                "negid"
-            ],
+            -F.array_max(_centroid_sims(cent_rows, "vec", "nrm"))["negid"],
         )
     )
 
@@ -1121,10 +1137,17 @@ def random_project(
     so the result replays bit-for-bit in SQL) — zero shuffle, zero
     Python at any scale."""
     M = random_projection_matrix(d_in, d_out, seed)
-    v = _as_double(vec_col)
+    # one parsed expression instead of d_out × (2 py4j lambda builds +
+    # a literal parse) — same fold tree, bit-identical results; see
+    # _fold_dot_sql
+    vec_sql = f"transform(`{vec_col}`, x -> cast(x as double))"
     return df.withColumn(
         out_col,
-        F.array(*[dot(v, _lit_vec(row)) for row in M.tolist()]),
+        F.expr(
+            "array({})".format(
+                ", ".join(_fold_dot_sql(vec_sql, row) for row in M.tolist())
+            )
+        ),
     )
 
 
@@ -1465,10 +1488,12 @@ def ivfpq_topk_fixed(
         )
     else:
         # ---- corpus index: coarse cell + PQ codes in one projection
+        # (named __v/__nrm so _centroid_sims gets plain column refs;
+        # the extra Project collapses in the optimizer)
         code_cols = []
         for s in range(n_subspaces):
             lo = s * sub_d
-            sub_v = F.slice(v, lo + 1, sub_d)
+            sub_v = F.slice(F.col("__v"), lo + 1, sub_d)
             codebook = _pq_codebook_expr(cent_rows, lo, sub_d)
             best = F.array_min(
                 F.transform(
@@ -1482,12 +1507,19 @@ def ivfpq_topk_fixed(
             code_cols.append(best["code"].cast("int"))
         # same null contract as the Arrow twin above, so the two
         # impls stay row-identical on any input
-        inv = corpus.filter(F.col(vec_col).isNotNull()).select(
-            F.col(id_col).alias("neighbor_id"),
-            (
-                -F.array_max(_centroid_sims(cent_rows, v, norm(v)))["negid"]
-            ).alias("cell"),
-            F.array(*code_cols).alias("codes"),
+        inv = (
+            corpus.filter(F.col(vec_col).isNotNull())
+            .select(F.col(id_col).alias("neighbor_id"), v.alias("__v"))
+            .withColumn("__nrm", norm(F.col("__v")))
+            .select(
+                "neighbor_id",
+                (
+                    -F.array_max(_centroid_sims(cent_rows, "__v", "__nrm"))[
+                        "negid"
+                    ]
+                ).alias("cell"),
+                F.array(*code_cols).alias("codes"),
+            )
         )
 
     # ---- query side: probes + per-subspace ADC tables
@@ -1515,9 +1547,7 @@ def ivfpq_topk_fixed(
                 F.slice(
                     F.reverse(
                         F.array_sort(
-                            _centroid_sims(
-                                cent_rows, F.col("qvec"), F.col("qnrm")
-                            )
+                            _centroid_sims(cent_rows, "qvec", "qnrm")
                         )
                     ),
                     1,

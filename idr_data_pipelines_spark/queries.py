@@ -6048,8 +6048,15 @@ def q_text_perplexity_bigram(spark, sf_dir):
     one doc-keyed average. Rounded to 6 decimals (summation order +
     libm log ulp differ across engines)."""
     from idr_data_pipelines_spark.llmdata.text import bigram_logprob_scores
+    from idr_data_pipelines_spark.sources.parquet import spread_small_scan
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    # single-file testdata scans as one split, serializing the three
+    # tokenize/explode map passes (pairs ×2 + vocab) onto one task —
+    # spread the raw rows first, as emb_semdedup/flagship do (no-op on
+    # a real multi-file corpus)
+    docs = spread_small_scan(
+        _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    )
     s = bigram_logprob_scores(docs)
     return s.select(
         "doc_id",
