@@ -1524,10 +1524,15 @@ def connected_components(
     (the two branches shuffle by different keys, so ReuseExchange
     cannot collapse them; without the mark each branch re-runs the
     neighbor-min aggregation). The convergence probe is a single
-    cached-scan max-aggregate (a filtered ``limit(1).count()``
-    launches 2+ incremental jobs), and iteration 0 skips it outright:
-    a non-empty edge set ALWAYS lowers at least one label (the larger
-    endpoint of any edge), so probing it buys nothing.
+    max-aggregate (a filtered ``limit(1).count()`` launches 2+
+    incremental jobs) and — r14 — is the SAME action that
+    materializes the iteration's lazy ``localCheckpoint``: the global
+    max scans every partition, so the checkpoint blocks are cached
+    and the lineage truncated inside the probe's own job, one
+    blocking step per iteration where eager-checkpoint-then-probe
+    paid two. Iteration 0 has no probe (a non-empty edge set ALWAYS
+    lowers at least one label — the larger endpoint of any edge), so
+    it keeps the eager checkpoint as its single blocking action.
 
     An iterative driver loop — NOT expressible as one Catalyst plan —
     but each step is a distributed DataFrame op; the driver only ever
@@ -1581,11 +1586,12 @@ def connected_components(
     )
     conf_restore: str | None = None
     try:
-        if base.isEmpty():  # no edges → no vertices
-            return labels
-        # size the loop's shuffle width from the measured edge count
-        # (cached scan — isEmpty above already started materializing)
+        # one action both materializes the persisted edge table and
+        # measures it (a separate isEmpty() probe first would pay an
+        # extra blocking job for information count() returns anyway)
         n_edges = base.count()
+        if not n_edges:  # no edges → no vertices
+            return labels
         loop_part = min(
             int(n_part), max(1, -(-n_edges // int(rows_per_partition)))
         )
@@ -1632,19 +1638,30 @@ def connected_components(
                     F.col("__lc"), F.col("component")
                 ).alias("component"),
             )
-            stepped = doubled.localCheckpoint(eager=True)
-            prop.unpersist()
-            labels = stepped.drop("__prev")
             if it == 0:
                 # a non-empty edge set always changes a label on the
                 # first pass — no probe needed (proof: for any edge
-                # (a, b) with a < b, vertex b's label drops to ≤ a)
+                # (a, b) with a < b, vertex b's label drops to ≤ a),
+                # so the eager checkpoint is the iteration's one
+                # blocking action
+                stepped = doubled.localCheckpoint(eager=True)
+                prop.unpersist()
+                labels = stepped.drop("__prev")
                 continue
+            # probing iterations: the checkpoint is LAZY and the
+            # convergence probe is the action that materializes it —
+            # the global max must scan every partition, which caches
+            # the checkpoint blocks and truncates lineage in the SAME
+            # job the probe needs anyway (one blocking step per
+            # iteration where eager-checkpoint-then-probe paid two)
+            stepped = doubled.localCheckpoint(eager=False)
             changed = stepped.select(
                 F.max(
                     (F.col("component") != F.col("__prev")).cast("int")
                 )
             ).first()[0]
+            prop.unpersist()
+            labels = stepped.drop("__prev")
             if not changed:
                 converged = True
                 break
