@@ -323,13 +323,14 @@ def _int_lsh_bucket_table(
 
 def cosine_topk_lsh_exact_bucket(
     corpus: DataFrame,
-    queries: DataFrame,
+    queries: DataFrame | None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
     n_planes: int = 6,
     seed: int = 42,
     scale: int = 1_000_000,
+    query_pred=None,
 ) -> DataFrame:
     """``cosine_topk_lsh`` with integer-exact buckets: identical
     join/re-rank shape (bucket equi-join, exact-cosine re-rank, window
@@ -340,20 +341,53 @@ def cosine_topk_lsh_exact_bucket(
     Same 100 TB story as the float form — candidates come from a
     bucket equi-join, never all pairs; persist the corpus
     ``bucketBy("bucket")`` so probes prune instead of shuffling the
-    corpus."""
-    c = _int_lsh_bucket_table(corpus, id_col, vec_col, n_planes, seed, scale).select(
+    corpus.
+
+    ``query_pred`` (r14, the ``minhash_md5_split_probe`` pattern):
+    when the query set is a SLICE of the corpus (self-kNN audits,
+    probe panels), pass the id predicate instead of a ``queries``
+    frame. The bucket table is then built ONCE over the corpus and
+    both join sides read it — one Arrow/Python stage (~one fixed
+    worker-startup + IPC floor) where the two-frame form paid two.
+    The table rides a lazy ``persist`` mark — the pushdown barrier
+    that stops Catalyst folding the query-side filter through
+    ``mapInPandas`` into a second full-corpus pass — and the handle
+    rides on the result (``llmdata.dedup.unpersist_materialized``;
+    under bench/driver the session ``clearCache`` releases it).
+    Buckets are exact int64 arithmetic, order-independent, so slicing
+    the shared table is value-identical to bucketing the slice."""
+    from idr_data_pipelines_spark.llmdata.dedup import _attach_materialized
+
+    shared = None
+    if query_pred is not None:
+        shared = _int_lsh_bucket_table(
+            corpus, id_col, vec_col, n_planes, seed, scale
+        ).persist()
+        c_tbl = shared
+        q_tbl = shared.filter(query_pred(F.col("id")))
+    else:
+        c_tbl = _int_lsh_bucket_table(
+            corpus, id_col, vec_col, n_planes, seed, scale
+        )
+        q_tbl = _int_lsh_bucket_table(
+            queries, id_col, vec_col, n_planes, seed, scale
+        )
+    # distinct bucket aliases (fresh exprIds) — in the shared-table
+    # form both sides are slices of ONE plan, where same-name column
+    # refs would hit self-join ambiguity
+    c = c_tbl.select(
         F.col("id").alias("neighbor_id"),
         F.col("__vec").alias("cvec"),
-        "bucket",
+        F.col("bucket").alias("cbucket"),
     ).withColumn("cnrm", norm(F.col("cvec")))
-    q = _int_lsh_bucket_table(queries, id_col, vec_col, n_planes, seed, scale).select(
+    q = q_tbl.select(
         F.col("id").alias("query_id"),
         F.col("__vec").alias("qvec"),
-        "bucket",
+        F.col("bucket").alias("qbucket"),
     ).withColumn("qnrm", norm(F.col("qvec")))
     scored = c.join(
         F.broadcast(q),
-        (c["bucket"] == q["bucket"])
+        (F.col("cbucket") == F.col("qbucket"))
         & (F.col("query_id") != F.col("neighbor_id")),
     ).withColumn(
         "cosine",
@@ -362,11 +396,14 @@ def cosine_topk_lsh_exact_bucket(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
-    return (
+    result = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+    if shared is not None:
+        return _attach_materialized(result, shared)
+    return result
 
 
 def _assign_centroids(

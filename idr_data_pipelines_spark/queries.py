@@ -4302,8 +4302,13 @@ def q_ann_topk_lsh(spark, sf_dir):
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 8)
-    out = cosine_topk_lsh_exact_bucket(emb, queries, k=5, n_planes=6)
+    # the probe panel is a SLICE of the corpus → split-probe form:
+    # one shared persisted bucket table, ONE Arrow stage instead of
+    # two (r14; values identical — exact int64 buckets are the same
+    # whether the slice is bucketed alone or cut from the shared pass)
+    out = cosine_topk_lsh_exact_bucket(
+        emb, None, k=5, n_planes=6, query_pred=lambda c: c < 8
+    )
     return out.select(
         "query_id", "neighbor_id", F.round(F.col("cosine"), 6).alias("cosine_r"), "rank"
     )

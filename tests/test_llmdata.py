@@ -905,6 +905,40 @@ def test_cosine_lsh_exact_bucket_recall_and_shape(spark):
     assert cosine_topk_lsh_exact_bucket(empty, empty, k=3).count() == 0
 
 
+def test_cosine_lsh_exact_bucket_query_pred_form(spark):
+    """The split-probe form (query_pred slicing ONE shared persisted
+    bucket table) must return exactly the rows of the two-frame form,
+    and its plan must carry a single Arrow/Python stage — the whole
+    point of the r14 rework (one mapInPandas worker-startup instead
+    of two when the query panel is a slice of the corpus)."""
+    from idr_data_pipelines_spark.llmdata.dedup import (
+        unpersist_materialized,
+    )
+    from idr_data_pipelines_spark.llmdata.similarity import (
+        cosine_topk_lsh_exact_bucket,
+    )
+
+    rng = np.random.RandomState(17)
+    rows = [(i, (rng.randn(16) * (1 + i % 4)).astype("float32").tolist())
+            for i in range(150)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    two = cosine_topk_lsh_exact_bucket(
+        df, df.filter(F.col("vec_id") < 6), k=4, n_planes=4
+    )
+    one = cosine_topk_lsh_exact_bucket(
+        df, None, k=4, n_planes=4, query_pred=lambda c: c < 6
+    )
+    # both join sides must read the ONE cached bucket table (the
+    # plan string re-prints the cached relation's child under each
+    # scan, so count the cache scans, not MapInPandas occurrences)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") == 2, plan
+    a = sorted(map(tuple, two.collect()))
+    b = sorted(map(tuple, one.collect()))
+    assert a == b and a
+    assert unpersist_materialized(one) == 1
+
+
 def test_int_lsh_bucket_numpy_matches_jvm_expression(spark):
     """The Arrow-batched int64-matmul bucket table must be
     bit-identical to the pure-JVM fold expression — both are exact
