@@ -1551,13 +1551,25 @@ def connected_components(
     width is applied by conf-scoping ``shuffle.partitions`` around
     the loop (restored in ``finally``) because groupBy/join take
     their width from the conf, and ``base`` is re-partitioned to
-    match so the probe join still reuses its layout. When the sized
-    width equals the session width (any genuinely large edge set)
-    this is a no-op — no extra shuffle, no conf churn.
+    match so the probe join still reuses its layout.
+
+    r14 s6 (guide §2.4 — fewer blocking steps): the width has to be
+    measured before the probe-keyed layout can be sized, but the
+    sizing count no longer materializes a session-width copy of the
+    edge table that an undersized edge set immediately re-shuffles
+    and drops (count wide → repartition narrow → count again → two
+    blocking jobs plus a throwaway width-``n_part`` exchange). The
+    distinct symmetric edge list is persisted and counted ONCE
+    un-repartitioned, the ``repartition(width, "b")`` layout is
+    planned directly at the measured width, and iteration 0's eager
+    checkpoint — the next blocking action anyway — materializes it;
+    the un-laid-out copy is dropped right after. Large edge sets
+    (width == session width) keep the identical exchange sequence
+    and simply save the second count.
     """
     sess = edges.sparkSession
     n_part = sess.conf.get("spark.sql.shuffle.partitions")
-    base = (
+    sym = (
         edges.select(
             F.explode(
                 F.array(
@@ -1578,30 +1590,33 @@ def connected_components(
         )
         .select("e.a", "e.b")
         .distinct()
-        .repartition(int(n_part), "b")
         .persist()
     )
-    labels = base.filter(F.col("a") == F.col("b")).select(
-        F.col("a").alias("id"), F.col("a").alias("component")
-    )
+    base = sym
     conf_restore: str | None = None
     try:
         # one action both materializes the persisted edge table and
         # measures it (a separate isEmpty() probe first would pay an
         # extra blocking job for information count() returns anyway)
-        n_edges = base.count()
+        n_edges = sym.count()
         if not n_edges:  # no edges → no vertices
-            return labels
+            return sym.select(
+                F.col("a").alias("id"), F.col("a").alias("component")
+            )
         loop_part = min(
             int(n_part), max(1, -(-n_edges // int(rows_per_partition)))
         )
+        # probe-keyed layout at the measured width; persist-marked so
+        # every iteration's join reuses it — materialized by iteration
+        # 0's eager checkpoint (the next blocking action), not by a
+        # dedicated count
+        base = sym.repartition(loop_part, "b").persist()
         if loop_part != int(n_part):
-            sized = base.repartition(loop_part, "b").persist()
-            sized.count()  # materialize before dropping the wide copy
-            base.unpersist()
-            base = sized
             conf_restore = n_part
             sess.conf.set("spark.sql.shuffle.partitions", str(loop_part))
+        labels = base.filter(F.col("a") == F.col("b")).select(
+            F.col("a").alias("id"), F.col("a").alias("component")
+        )
         converged = False
         # max_iter bounds the label-CHANGING iterations; convergence
         # is only observable as a no-change iteration, so run one
@@ -1643,9 +1658,12 @@ def connected_components(
                 # first pass — no probe needed (proof: for any edge
                 # (a, b) with a < b, vertex b's label drops to ≤ a),
                 # so the eager checkpoint is the iteration's one
-                # blocking action
+                # blocking action; it also materializes ``base``'s
+                # probe-keyed blocks, after which the un-laid-out
+                # ``sym`` copy is dead weight
                 stepped = doubled.localCheckpoint(eager=True)
                 prop.unpersist()
+                sym.unpersist()
                 labels = stepped.drop("__prev")
                 continue
             # probing iterations: the checkpoint is LAZY and the
@@ -1681,6 +1699,7 @@ def connected_components(
     finally:
         if conf_restore is not None:
             sess.conf.set("spark.sql.shuffle.partitions", conf_restore)
+        sym.unpersist()
         base.unpersist()
 
 
