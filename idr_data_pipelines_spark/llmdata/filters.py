@@ -22,6 +22,69 @@ from pyspark.sql import functions as F
 from idr_data_pipelines_spark.llmdata.dedup import _let, _tokens
 
 
+def _sql_ref(col: Column | str) -> str | None:
+    """Backtick-quoted SQL reference for a plain column NAME; ``None``
+    for a ``Column`` input, which keeps the general builder path.
+
+    Why a string path exists at all: building these metric trees
+    through the Python Column API costs one py4j round-trip per node —
+    ~0.33 s per ``repetition_metrics`` call and ~0.4 s per
+    ``gopher_repetition_pass`` call, measured r14 — which puts the
+    DRIVER in the hot path of every consumer (the flagship recipe and
+    the repetition query pay it on every build). Rendering the SAME
+    expression tree as one parsed SQL string costs ~1 ms. Both paths
+    are pinned value-identical by
+    ``test_repetition_metrics_sql_path_matches_column_path``."""
+    if isinstance(col, str):
+        return "`" + col.replace("`", "``") + "`"
+    return None
+
+
+def _tokens_sql(ref: str) -> str:
+    """SQL text of ``_tokens``: whitespace-split lowered trimmed text."""
+    return r"split(lower(trim(" + ref + r")), '\\s+')"
+
+
+def _dup_frac_sql(arr_sql: str) -> str:
+    """SQL text of ``_dup_frac`` over an array expression — the same
+    let-bound ``1 - distinct/total`` tree ``_dup_frac`` builds."""
+    return (
+        "element_at(transform(array(" + arr_sql + "), __a -> "
+        "CASE WHEN size(__a) <= 1 THEN 0.0D "
+        "ELSE 1.0D - CAST(size(array_distinct(__a)) AS DOUBLE)"
+        " / CAST(size(__a) AS DOUBLE) END), 1)"
+    )
+
+
+def _top_ngram_sql(ref: str, k: int) -> str:
+    """SQL text of ``top_ngram_fraction`` — the identical let-bound
+    grams + sorted-run-fold tree (the ``run`` subexpression appears
+    twice below because the Column form references the same Column
+    object twice, which inlines the subtree twice)."""
+    run = (
+        "CASE WHEN __acc.prev IS NULL OR __acc.prev != __x "
+        "THEN 1 ELSE __acc.run + 1 END"
+    )
+    agg = (
+        "aggregate(array_sort(__g), "
+        "named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0), "
+        f"(__acc, __x) -> named_struct('prev', __x, 'run', {run}, "
+        f"'best', greatest(__acc.best, {run}))).best"
+    )
+    grams = (
+        f"transform(sequence(0, size(__t) - {k}), "
+        f"__i -> array_join(slice(__t, __i + 1, {k}), ' '))"
+    )
+    inner = (
+        f"element_at(transform(array({grams}), __g -> "
+        f"CAST({agg} AS DOUBLE) / CAST(size(__g) AS DOUBLE)), 1)"
+    )
+    return (
+        f"element_at(transform(array({_tokens_sql(ref)}), __t -> "
+        f"CASE WHEN size(__t) < {k} THEN 0.0D ELSE {inner} END), 1)"
+    )
+
+
 def _dup_frac(arr: Column) -> Column:
     """1 - distinct/total over a non-empty array; 0.0 for empty/size-1.
 
@@ -44,12 +107,18 @@ def _dup_frac(arr: Column) -> Column:
 def dup_word_fraction(col: Column | str = "text") -> Column:
     """Fraction of word occurrences that are repeats of an earlier
     word: ``1 - distinct_words / words``."""
+    ref = _sql_ref(col)
+    if ref is not None:
+        return F.expr(_dup_frac_sql(_tokens_sql(ref)))
     return _dup_frac(_tokens(col))
 
 
 def dup_line_fraction(col: Column | str = "text") -> Column:
     """Fraction of duplicate lines (Gopher: drop if > 0.30). Lines are
     verbatim ``\\n`` splits — no normalization, matching the paper."""
+    ref = _sql_ref(col)
+    if ref is not None:
+        return F.expr(_dup_frac_sql(r"split(" + ref + r", '\\n')"))
     c = F.col(col) if isinstance(col, str) else col
     return _dup_frac(F.split(c, r"\n"))
 
@@ -60,6 +129,9 @@ def top_ngram_fraction(col: Column | str = "text", k: int = 2) -> Column:
     with < k tokens score 0.0."""
     if k < 1:
         raise ValueError("k must be >= 1")
+    ref = _sql_ref(col)
+    if ref is not None:
+        return F.expr(_top_ngram_sql(ref, k))
 
     def frac(toks: Column) -> Column:
         n = F.size(toks)

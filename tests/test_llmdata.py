@@ -623,6 +623,50 @@ def test_repetition_metrics_semantics(spark):
     assert got[4]["top_trigram_frac"] == 1 / 3  # 3 distinct trigrams, top=1
 
 
+def test_repetition_metrics_sql_path_matches_column_path(spark):
+    """r14: string-named columns take a parsed-SQL fast path (the
+    Column-API build cost ~0.33 s of py4j round-trips per call); a
+    ``Column`` input keeps the general builder. Both must stay
+    BITWISE-identical — doubles compared by struct packing, on texts
+    exercising every branch (empty, 1-token, < k tokens, dup-heavy,
+    newline dups, backtick in text)."""
+    import struct as _s
+
+    from pyspark.sql import functions as F
+
+    from idr_data_pipelines_spark.llmdata.filters import (
+        _gopher_pass_from,
+        gopher_repetition_pass,
+        repetition_metrics,
+    )
+
+    rows = [
+        (1, "a b a b a b"),
+        (2, "x\ny\nx\nz"),
+        (3, "single"),
+        (4, "all words here are unique"),
+        (5, ""),
+        (6, "  spaced   out   tokens  "),
+        (7, "tick ` mark ` tick"),
+        (8, "w w w w w w w w w w"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    m_sql = repetition_metrics("text")          # fast path
+    m_col = repetition_metrics(F.col("text"))   # builder path
+    got = df.select(
+        "doc_id",
+        *[v.alias(f"s_{k}") for k, v in m_sql.items()],
+        *[v.alias(f"c_{k}") for k, v in m_col.items()],
+        gopher_repetition_pass("text").alias("s_pass"),
+        _gopher_pass_from(m_col).alias("c_pass"),
+    ).collect()
+    for r in got:
+        for k in m_sql:
+            assert _s.pack("d", r[f"s_{k}"]) == _s.pack("d", r[f"c_{k}"]), (
+                r["doc_id"], k, r[f"s_{k}"], r[f"c_{k}"])
+        assert r["s_pass"] == r["c_pass"], r["doc_id"]
+
+
 def test_redact_pii_classes_and_order(spark):
     """Every PII class redacts to its typed token; IPv4 is not eaten
     by the phone pattern; counts audit the raw text."""
