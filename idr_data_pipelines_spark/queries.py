@@ -93,8 +93,28 @@ from idr_data_pipelines_spark.streaming.events import (
 AS_OF = "2026-01-01"  # injected CURRENT_DATE for deterministic runs
 
 
+# Resolved input-table HANDLES, per Spark application — the
+# programmatic analogue of registering the inputs in a catalog once
+# per session. ``spark.read.parquet`` re-lists the path and re-infers
+# the schema (a small executor job, ~0.1 s warm) on EVERY call, so a
+# query touching three tables paid ~0.3 s of driver/build time per
+# construction (measured r14). The cached object is an UNRESOLVED
+# scan plan: no rows, no results, no intermediates — every action
+# still reads the parquet files in full, exactly as an uncached
+# handle would; only the per-build listing + schema-inference job is
+# saved. Keyed by applicationId so a new session never sees another
+# session's resolution; the input dirs are immutable during a run
+# (nothing in the registry writes into ``sf_dir``).
+_TABLE_HANDLES: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return read_parquet_dir(spark, f"{sf_dir}/{name}.parquet")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _TABLE_HANDLES.get(key)
+    if df is None:
+        df = read_parquet_dir(spark, f"{sf_dir}/{name}.parquet")
+        _TABLE_HANDLES[key] = df
+    return df
 
 
 def _latest_order_status(df: DataFrame) -> DataFrame:
@@ -144,7 +164,11 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
-    return _ts_utc(read_parquet_dir(spark, f"{sf_dir}/events.parquet"))
+    # the handle cache is safe here BECAUSE the conf is set first on
+    # every call: all cached events resolutions happen under
+    # nanosAsLong=true, so the cached schema can never diverge from a
+    # fresh read's
+    return _ts_utc(_t(spark, sf_dir, "events"))
 
 
 def _ab_parity(user_col: str = "user_id") -> F.Column:

@@ -105,3 +105,23 @@ def test_frozen_forms_contract():
     for name, fn in FROZEN_FORMS.items():
         assert name in QUERIES
         assert fn is not QUERIES[name], name
+
+
+def test_table_handle_cache_is_per_app_and_plan_only(spark):
+    """r14: ``_t`` caches the RESOLVED scan handle per
+    (applicationId, sf_dir, table) — a catalog-style resolution
+    cache, not a data/result cache. Pin (a) same key → same handle,
+    (b) different sf_dir → different handle, (c) the cached object is
+    a plain unresolved-scan DataFrame whose actions still read the
+    files (row count matches a fresh read)."""
+    from idr_data_pipelines_spark import queries as Q
+
+    sf1, sf2 = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+    a = Q._t(spark, sf1, "region")
+    b = Q._t(spark, sf1, "region")
+    c = Q._t(spark, sf2, "region")
+    assert a is b
+    assert a is not c
+    fresh = spark.read.parquet(f"{sf1}/region.parquet")
+    assert a.count() == fresh.count()
+    assert a.schema == fresh.schema
