@@ -385,21 +385,31 @@ def minhash_signatures(
                 )
             yield pd.DataFrame({"id": pdf["id"], "signature": out})
 
-    shingled = df.select(
-        F.col(id_col).alias("id"),
-        shingle_hashes(text_col, shingle_k).alias("__sh"),
-    )
     # A tiny/compacted input (e.g. one parquet file) would serialize
     # the numpy stage onto one core; rebalance only when input
     # parallelism is far below the cluster's — at real scale inputs
     # already have many partitions and this is a no-op (no shuffle).
     # Probe only exchange-free plans: .rdd on a frame with exchanges
     # executes its upstream stages under AQE at construction time.
-    n_scan = _scan_partitions_or_none(shingled)
+    #
+    # Spread the RAW rows, then project (r14 s6): repartitioning the
+    # projected frame keeps the JVM shingle/tokenize projection
+    # upstream of the exchange — Catalyst does not push computed
+    # projections through a repartition — so the operator's dominant
+    # per-row cost ran on the scan's 1–2 tasks and the exchange moved
+    # already-computed shingle arrays (job trace: 1.7 s serial stage;
+    # interleaved A/B of the reorder: signature chain med 1.047 →
+    # 0.807 s). Values are per-row and partitioning-independent.
+    base = df
+    n_scan = _scan_partitions_or_none(df)
     if n_scan is not None:
         target = df.sparkSession.sparkContext.defaultParallelism
         if n_scan < max(2, target // 2):
-            shingled = shingled.repartition(target)
+            base = df.repartition(target)
+    shingled = base.select(
+        F.col(id_col).alias("id"),
+        shingle_hashes(text_col, shingle_k).alias("__sh"),
+    )
     out_schema = StructType(
         [
             StructField("id", df.schema[id_col].dataType),
@@ -1250,21 +1260,28 @@ def simhash_signatures(
                 {"id": pdf["id"], "simhash": pd.array(full, dtype="Int64")}
             )
 
-    toks = _tokens(text_col)
-    prepped = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(toks, lambda t: F.xxhash64(t)).alias("__th"),
-    )
     # AQE-safe probe (r09 review: this site still used the raw
     # `.rdd.getNumPartitions()`, which finalizes the adaptive plan and
     # EXECUTES upstream stages at plan-construction time — the exact
     # pathology _candidate_docs documents — and has no Spark Connect
     # surface). The shared probe only answers for exchange-free scans;
     # an exchange-bearing input is already parallel enough.
-    n_scan = _scan_partitions_or_none(prepped)
+    #
+    # Spread the RAW rows, then project (r14 s6, as in
+    # minhash_signatures): repartitioning the projected frame left the
+    # tokenize+xxhash64 projection upstream of the exchange, on the
+    # scan's 1–2 tasks. Values are per-row and partitioning-
+    # independent.
+    n_scan = _scan_partitions_or_none(df)
     target = df.sparkSession.sparkContext.defaultParallelism
+    base = df
     if n_scan is not None and n_scan < max(2, target // 2):
-        prepped = prepped.repartition(target)
+        base = df.repartition(target)
+    toks = _tokens(text_col)
+    prepped = base.select(
+        F.col(id_col).alias("id"),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("__th"),
+    )
     out_schema = StructType(
         [
             StructField("id", df.schema[id_col].dataType),
