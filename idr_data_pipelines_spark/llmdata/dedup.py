@@ -184,6 +184,57 @@ def _let(expr: Column, fn) -> Column:
     return F.element_at(F.transform(F.array(expr), fn), 1)
 
 
+def _sql_ref(col: Column | str) -> str | None:
+    """Backtick-quoted SQL reference for a plain column NAME; ``None``
+    for a ``Column`` input, which keeps the general builder path.
+
+    Same driver-cost rationale as ``filters._sql_ref`` (r14 s6):
+    building the shingle/hash trees through the Python Column API
+    costs 0.05–0.2 s of py4j round-trips per call, which lands on
+    every consumer's build (minhash verify, winnowing, n-gram
+    decontamination); one parsed SQL string costs ~1 ms. Each SQL
+    twin below is pinned bitwise-identical to its Column form by
+    ``test_shingle_sql_paths_match_column_paths``."""
+    if isinstance(col, str):
+        return "`" + col.replace("`", "``") + "`"
+    return None
+
+
+def _tokens_sql(ref: str) -> str:
+    """SQL text of ``_tokens``."""
+    return r"split(lower(trim(" + ref + r")), '\\s+')"
+
+
+def _word_shingles_sql(ref: str, k: int) -> str:
+    """SQL text of ``word_shingles`` — the identical let-bound tree."""
+    grams = (
+        f"transform(sequence(0, size(__t) - {k}), "
+        f"__i -> array_join(slice(__t, __i + 1, {k}), ' '))"
+    )
+    return (
+        f"element_at(transform(array({_tokens_sql(ref)}), __t -> "
+        f"CASE WHEN size(__t) < {k} THEN array(array_join(__t, ' ')) "
+        f"ELSE array_distinct({grams}) END), 1)"
+    )
+
+
+def _shingle_hashes_positional_sql(ref: str, k: int) -> str:
+    """SQL text of ``shingle_hashes_positional`` — token xxhash64 once,
+    k-gram identity hashed from the token hashes (same default seed
+    42 as ``F.xxhash64``)."""
+    th = f"transform({_tokens_sql(ref)}, __w -> xxhash64(__w))"
+    args = ", ".join(
+        f"element_at(__h, CAST(__i + {j} + 1 AS INT))" for j in range(k)
+    )
+    whole = "aggregate(__h, CAST(0 AS BIGINT), (__a, __x) -> xxhash64(__a, __x))"
+    return (
+        f"element_at(transform(array({th}), __h -> "
+        f"CASE WHEN size(__h) < {k} THEN array({whole}) "
+        f"ELSE transform(sequence(0, size(__h) - {k}), "
+        f"__i -> xxhash64({args})) END), 1)"
+    )
+
+
 def word_shingles(col: Column | str, k: int = 3) -> Column:
     """Distinct word k-shingles as an array<string>. Documents shorter
     than k tokens yield their whole text as one shingle."""
@@ -191,6 +242,9 @@ def word_shingles(col: Column | str, k: int = 3) -> Column:
         # k=0 would emit n+1 EMPTY-string shingles per document —
         # every document suddenly "shares" the empty gram (r11 review)
         raise ValueError("k must be >= 1")
+    ref = _sql_ref(col)
+    if ref is not None:
+        return F.expr(_word_shingles_sql(ref, k))
     # _let-bound: an unbound `toks` reference inside the transform
     # lambda gets the split/lower/trim INLINED into every gram
     # position by Catalyst's projection collapsing — one
@@ -228,6 +282,9 @@ def shingle_hashes_positional(text_col: Column | str, k: int = 3) -> Column:
     """
     if k < 1:
         raise ValueError("k must be >= 1")
+    ref = _sql_ref(text_col)
+    if ref is not None:
+        return F.expr(_shingle_hashes_positional_sql(ref, k))
     toks = _tokens(text_col)
     th = F.transform(toks, lambda t: F.xxhash64(t))
 
@@ -676,6 +733,15 @@ def md5_shingle_hashes(col: Column | str, k: int = 3) -> Column:
     xxhash64 form it materializes shingle strings (that IS the
     portable identity md5 consumes); acceptable for the verification
     variants, not the production hot path."""
+    ref = _sql_ref(col)
+    if ref is not None:
+        if k < 1:  # match word_shingles' validation on the SQL path
+            raise ValueError("k must be >= 1")
+        return F.expr(
+            f"array_distinct(transform({_word_shingles_sql(ref, k)}, "
+            "__s -> CAST(conv(substring(md5(__s), 1, 8), 16, 10)"
+            " AS BIGINT)))"
+        )
     return F.array_distinct(
         F.transform(word_shingles(col, k), lambda s: md5_hash32(s))
     )

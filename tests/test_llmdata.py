@@ -667,6 +667,58 @@ def test_repetition_metrics_sql_path_matches_column_path(spark):
         assert r["s_pass"] == r["c_pass"], r["doc_id"]
 
 
+def test_shingle_sql_paths_match_column_paths(spark):
+    """r14: string-named columns take a parsed-SQL fast path in the
+    shingle/hash builders (the Column-API build cost 0.05–0.2 s of
+    py4j round-trips per call); a ``Column`` input keeps the general
+    builder. Both must stay exactly identical (long/string arrays —
+    exact equality), on texts exercising every branch: empty,
+    1-token, exactly-k, < k, dup-heavy, whitespace runs."""
+    from pyspark.sql import functions as F
+
+    from idr_data_pipelines_spark.llmdata.dedup import (
+        md5_shingle_hashes,
+        shingle_hashes,
+        shingle_hashes_positional,
+        word_shingles,
+    )
+
+    rows = [
+        (1, "a b a b a b"),
+        (2, "one two"),
+        (3, "single"),
+        (4, ""),
+        (5, "  spaced   out   tokens here  "),
+        (6, "x y z"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    c = F.col("text")
+    forms = {
+        "ws2": (word_shingles("text", 2), word_shingles(c, 2)),
+        "ws3": (word_shingles("text", 3), word_shingles(c, 3)),
+        "shp3": (
+            shingle_hashes_positional("text", 3),
+            shingle_hashes_positional(c, 3),
+        ),
+        "sh3": (shingle_hashes("text", 3), shingle_hashes(c, 3)),
+        "md5sh3": (md5_shingle_hashes("text", 3), md5_shingle_hashes(c, 3)),
+    }
+    got = df.select(
+        "doc_id",
+        *[v[0].alias(f"s_{k}") for k, v in forms.items()],
+        *[v[1].alias(f"c_{k}") for k, v in forms.items()],
+    ).collect()
+    for r in got:
+        for k in forms:
+            assert r[f"s_{k}"] == r[f"c_{k}"], (r["doc_id"], k)
+    # validation parity: the SQL path must reject k<1 like the builder
+    import pytest as _pt
+
+    for fn in (word_shingles, shingle_hashes_positional, md5_shingle_hashes):
+        with _pt.raises(ValueError):
+            fn("text", 0)
+
+
 def test_redact_pii_classes_and_order(spark):
     """Every PII class redacts to its typed token; IPv4 is not eaten
     by the phone pattern; counts audit the raw text."""
