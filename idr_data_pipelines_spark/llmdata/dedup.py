@@ -16,6 +16,8 @@ partitions and cluster sizes.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -194,10 +196,39 @@ def _sql_ref(col: Column | str) -> str | None:
     every consumer's build (minhash verify, winnowing, n-gram
     decontamination); one parsed SQL string costs ~1 ms. Each SQL
     twin below is pinned bitwise-identical to its Column form by
-    ``test_shingle_sql_paths_match_column_paths``."""
-    if isinstance(col, str):
-        return "`" + col.replace("`", "``") + "`"
+    ``test_shingle_sql_paths_match_column_paths``.
+
+    Only SIMPLE identifiers take the fast path (r15, r14 advice):
+    a dotted name like ``meta.text`` resolves via ``F.col``'s
+    multi-part parsing on the builder path, but backtick-quoting the
+    whole string would make the parser look for a column literally
+    named ``meta.text``. Anything non-simple falls back to the
+    Column builder, which is always correct. The fast path is also
+    disabled under ``spark.sql.parser.escapedStringLiterals=true``,
+    which would re-interpret the twins' regex literals (``'\\\\s+'``)
+    as raw backslash-s and silently diverge from the Column path."""
+    if isinstance(col, str) and _SIMPLE_IDENT.match(col) and not _escaped_literals_on():
+        return "`" + col + "`"
     return None
+
+
+_SIMPLE_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _escaped_literals_on() -> bool:
+    """True when the active session parses string literals with
+    legacy backslash escaping (``spark.sql.parser.escapedStringLiterals``)
+    — the one conf under which a parsed-SQL twin is NOT the same tree
+    as its Column builder. No active session → assume default (off)."""
+    from pyspark.sql import SparkSession
+
+    sess = SparkSession.getActiveSession()
+    if sess is None:
+        return False
+    return (
+        sess.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+        == "true"
+    )
 
 
 def _tokens_sql(ref: str) -> str:
@@ -590,6 +621,83 @@ def _candidate_docs(
     return cand
 
 
+def _band_hash_structs(sig: Column, bands: int, r: int) -> Column:
+    """array<struct<band_idx,band_hash>> — xxhash64 of each band's
+    ``r`` signature slots. Column-API form; the hot path renders the
+    identical tree via ``_band_hash_structs_sql`` (one parse instead
+    of ~100 py4j round-trips at bands=16). Both pinned bitwise by
+    ``test_band_struct_sql_paths_match_column_paths``."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.xxhash64(
+                    *[F.element_at(sig, b * r + j + 1) for j in range(r)]
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def _band_hash_structs_sql(sig_ref: str, bands: int, r: int) -> str:
+    """SQL text of ``_band_hash_structs`` — the identical expression
+    tree (integer literals, element_at, default-seed xxhash64)."""
+    structs = ", ".join(
+        "named_struct('band_idx', {b}, 'band_hash', xxhash64({args}))".format(
+            b=b,
+            args=", ".join(
+                f"element_at({sig_ref}, {b * r + j + 1})" for j in range(r)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"array({structs})"
+
+
+def _md5_band_key_structs(sig: Column, bands: int, r: int) -> Column:
+    """array<struct<band_idx,band_key>> — the portable concat_ws('_')
+    band key per band. Column-API form of
+    ``_md5_band_key_structs_let_sql``'s lambda body (twin-pinned)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.element_at(sig, b * r + j + 1).cast("string")
+                        for j in range(r)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def _md5_band_key_structs_let_sql(sig_ref: str, bands: int, r: int) -> str:
+    """SQL text of ``_let(sig, _md5_band_key_structs)`` — the band-key
+    struct array with the signature bound ONCE as a lambda variable
+    (``sig_ref`` is an alias of the array(__m0…) construction in the
+    md5 signature frame; without the let-binding CollapseProject would
+    inline that construction into every element_at reference)."""
+    structs = ", ".join(
+        "named_struct('band_idx', {b}, 'band_key', concat_ws('_', {args}))".format(
+            b=b,
+            args=", ".join(
+                f"CAST(element_at(__s, {b * r + j + 1}) AS STRING)"
+                for j in range(r)
+            ),
+        )
+        for b in range(bands)
+    )
+    return (
+        f"element_at(transform(array({sig_ref}), __s -> "
+        f"array({structs})), 1)"
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -647,28 +755,22 @@ def minhash_lsh_pairs(
         df, id_col, text_col, num_perm, shingle_k, impl
     ).filter(F.col("signature").isNotNull())
 
-    def band_array(sig: Column) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band_idx"),
-                    F.xxhash64(
-                        *[F.element_at(sig, b * r + j + 1) for j in range(r)]
-                    ).alias("band_hash"),
-                )
-                for b in range(bands)
-            ]
-        )
-
     if impl == "expr":
         # CollapseProject would inline the signature expression into
         # every band-hash reference — re-bind with _let: one eval.
-        band_structs = _let(F.col("signature"), band_array)
+        band_structs = _let(
+            F.col("signature"), lambda s: _band_hash_structs(s, bands, r)
+        )
     else:
-        # Python UDF: must stay a plain column reference (a UDF inside
-        # a higher-order-function lambda is unevaluable). All identical
-        # references collapse into one ArrowEvalPython stage.
-        band_structs = band_array(F.col("signature"))
+        # Python UDF output: a plain materialized column, referenced
+        # by name — render the whole band-struct array as ONE parsed
+        # SQL string (r15, the r14 twin pattern: the Column build cost
+        # ~0.5 s of py4j round-trips per call at bands=16, measured
+        # with cProfile; the parse costs ~3 ms). Identical expression
+        # tree — pinned by test_band_struct_sql_paths_match_column_paths.
+        band_structs = F.expr(
+            _band_hash_structs_sql("`signature`", bands, r)
+        )
     banded = sigs.select(
         "id", F.explode(band_structs).alias("band")
     ).select("id", "band.band_idx", "band.band_hash")
@@ -836,26 +938,16 @@ def _md5_band_frame(
     — factored out so callers that already hold (or persist) the
     signature frame can band it without recomputing signatures."""
     r = num_perm // bands
-
-    def band_structs(sig: Column) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band_idx"),
-                    F.concat_ws(
-                        "_",
-                        *[
-                            F.element_at(sig, b * r + j + 1).cast("string")
-                            for j in range(r)
-                        ],
-                    ).alias("band_key"),
-                )
-                for b in range(bands)
-            ]
-        )
-
+    # the signature column is itself an alias of the array(__m0…)
+    # construction, so the _let binding (one eval, many element_at
+    # references) must survive in the SQL rendering too — the twin
+    # wraps the identical transform(array(sig), …) tree (r15; pinned
+    # by test_band_struct_sql_paths_match_column_paths)
     return sigs.select(
-        "id", F.explode(_let(F.col("signature"), band_structs)).alias("band")
+        "id",
+        F.explode(
+            F.expr(_md5_band_key_structs_let_sql("`signature`", bands, r))
+        ).alias("band"),
     ).select("id", "band.band_idx", "band.band_key")
 
 

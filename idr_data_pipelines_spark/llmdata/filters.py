@@ -34,10 +34,15 @@ def _sql_ref(col: Column | str) -> str | None:
     the repetition query pay it on every build). Rendering the SAME
     expression tree as one parsed SQL string costs ~1 ms. Both paths
     are pinned value-identical by
-    ``test_repetition_metrics_sql_path_matches_column_path``."""
-    if isinstance(col, str):
-        return "`" + col.replace("`", "``") + "`"
-    return None
+    ``test_repetition_metrics_sql_path_matches_column_path``.
+
+    Guards (r15, shared with ``dedup._sql_ref``): only simple
+    identifiers (dotted names resolve differently under backticks)
+    and only when ``spark.sql.parser.escapedStringLiterals`` is off
+    (that conf re-interprets the twins' regex literals)."""
+    from idr_data_pipelines_spark.llmdata.dedup import _sql_ref as _d
+
+    return _d(col)
 
 
 def _tokens_sql(ref: str) -> str:

@@ -719,6 +719,82 @@ def test_shingle_sql_paths_match_column_paths(spark):
             fn("text", 0)
 
 
+def test_band_struct_sql_paths_match_column_paths(spark):
+    """r15: the LSH band-struct arrays (xxhash64 band_hash form and
+    md5-family concat_ws band_key form) render as ONE parsed SQL
+    string on the hot path (the Column build cost ~0.5 s of py4j per
+    call at bands=16). Both trees must stay exactly identical."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from idr_data_pipelines_spark.llmdata.dedup import (
+        _band_hash_structs,
+        _band_hash_structs_sql,
+        _let,
+        _md5_band_key_structs,
+        _md5_band_key_structs_let_sql,
+    )
+
+    rng = random.Random(0xB00)
+    rows = [
+        (i, [rng.randrange(0, 1 << 40) for _ in range(16)])
+        for i in range(64)
+    ]
+    # negative / zero / max-long slots exercise cast+hash edge cases
+    rows.append((64, [0, -1, (1 << 63) - 1, -(1 << 63)] * 4))
+    df = spark.createDataFrame(rows, ["id", "signature"])
+    for bands, r in ((4, 4), (8, 2), (16, 1)):
+        got = df.select(
+            "id",
+            _band_hash_structs(F.col("signature"), bands, r).alias("c"),
+            F.expr(_band_hash_structs_sql("`signature`", bands, r)).alias(
+                "s"
+            ),
+            _let(
+                F.col("signature"),
+                lambda sig: _md5_band_key_structs(sig, bands, r),
+            ).alias("mc"),
+            F.expr(
+                _md5_band_key_structs_let_sql("`signature`", bands, r)
+            ).alias("ms"),
+        ).collect()
+        for row in got:
+            assert row["c"] == row["s"], (bands, r, row["id"])
+            assert row["mc"] == row["ms"], (bands, r, row["id"])
+
+
+def test_sql_ref_guards(spark):
+    """r15 (r14 advice): the parsed-SQL fast path only fires for
+    simple identifiers with default literal parsing. Dotted names
+    (struct fields) must fall back to the Column builder — and still
+    resolve — and ``spark.sql.parser.escapedStringLiterals=true``
+    must disable the fast path entirely (under it the twins' regex
+    literals would silently parse differently)."""
+    from pyspark.sql import functions as F
+
+    from idr_data_pipelines_spark.llmdata.dedup import _sql_ref, word_shingles
+
+    assert _sql_ref("text") == "`text`"
+    assert _sql_ref("meta.text") is None
+    assert _sql_ref("a b") is None
+    assert _sql_ref(F.col("text")) is None
+    # dotted struct-field name resolves via the Column-builder path
+    df = spark.createDataFrame([(1, ("x y z",))], "id int, meta struct<text:string>")
+    got = df.select(word_shingles("meta.text", 2).alias("ws")).collect()
+    assert got[0]["ws"] == ["x y", "y z"]
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try:
+        assert _sql_ref("text") is None
+        # operator output unchanged under the conf (Column path taken)
+        got2 = spark.createDataFrame([("a b c",)], ["text"]).select(
+            word_shingles("text", 2).alias("ws")
+        ).collect()
+        assert got2[0]["ws"] == ["a b", "b c"]
+    finally:
+        spark.conf.set("spark.sql.parser.escapedStringLiterals", "false")
+
+
 def test_redact_pii_classes_and_order(spark):
     """Every PII class redacts to its typed token; IPv4 is not eaten
     by the phone pattern; counts audit the raw text."""
