@@ -1675,9 +1675,9 @@ def connected_components(
     100 TB corpus with chain-shaped dup runs. The label frame is
     ``localCheckpoint``-ed per round to cut the growing lineage, and
     convergence is detected by probing for ANY changed label: each
-    iteration carries its starting label alongside the new one, so
-    the probe is a shuffle-free limit-1 filter over the
-    just-checkpointed frame. A sum-of-labels probe (the pre-r09 form)
+    round carries its starting label alongside the new one, so the
+    probe is a max-aggregate over the just-checkpointed frame.
+    A sum-of-labels probe (the pre-r09 form)
     is wrong twice over: string vertex ids crash the cast under ANSI
     (or, ANSI off, sum→null silently reports instant convergence =
     no clustering at all), and xxhash64-derived long ids can overflow
@@ -1701,13 +1701,20 @@ def connected_components(
     neighbor-min aggregation). The convergence probe is a single
     max-aggregate (a filtered ``limit(1).count()`` launches 2+
     incremental jobs) and — r14 — is the SAME action that
-    materializes the iteration's lazy ``localCheckpoint``: the global
+    materializes the superstep's lazy ``localCheckpoint``: the global
     max scans every partition, so the checkpoint blocks are cached
-    and the lineage truncated inside the probe's own job, one
-    blocking step per iteration where eager-checkpoint-then-probe
-    paid two. Iteration 0 has no probe (a non-empty edge set ALWAYS
-    lowers at least one label — the larger endpoint of any edge), so
-    it keeps the eager checkpoint as its single blocking action.
+    and the lineage truncated inside the probe's own job.
+
+    r15 superstep shape (VERDICT r14 item 3 — fewer blocking steps):
+    rounds run PAIRED — two propagation+doubling rounds per blocking
+    probe, the probe's ``__prev`` carried by the second round. A
+    no-change round is absorbing (labels only decrease), so "second
+    round changed nothing" ⟺ converged, and "second round changed"
+    implies every earlier round changed — the ``max_iter`` guard on
+    label-changing rounds stays exact (see the loop comment). Half
+    the barriers/probes/checkpoint writes per round, at the cost of
+    at most ONE no-op round when the last change lands on an even
+    round index.
 
     An iterative driver loop — NOT expressible as one Catalyst plan —
     but each step is a distributed DataFrame op; the driver only ever
@@ -1728,6 +1735,23 @@ def connected_components(
     their width from the conf, and ``base`` is re-partitioned to
     match so the probe join still reuses its layout.
 
+    .. warning:: SINGLE-WRITER CONTRACT (r15, VERDICT r14 item 5):
+       while the loop runs, ``spark.sql.shuffle.partitions`` is
+       narrowed SESSION-WIDE (and restored in ``finally``, even on
+       error — pinned by ``test_connected_components_conf_restored``).
+       Any query planned CONCURRENTLY on the same session from
+       another thread would plan at the narrowed width. Do not run
+       this operator concurrently with other queries on a shared
+       session; use a separate ``SparkSession`` clone for concurrent
+       work. The explicit-repartition alternative was measured and
+       REJECTED (r15): pinning widths with user repartitions plans a
+       strictly worse shape (+18 AQE query-stage jobs on the CC
+       harness — a wasted exchange under each broadcast build side,
+       the map-side partial aggregate hoisted above the exchange so
+       un-combined join output is shuffled, and a forced exchange on
+       the doubling join's look side that the conf form satisfies
+       alias-aware for free).
+
     r14 s6 (guide §2.4 — fewer blocking steps): the width has to be
     measured before the probe-keyed layout can be sized, but the
     sizing count no longer materializes a session-width copy of the
@@ -1736,8 +1760,8 @@ def connected_components(
     blocking jobs plus a throwaway width-``n_part`` exchange). The
     distinct symmetric edge list is persisted and counted ONCE
     un-repartitioned, the ``repartition(width, "b")`` layout is
-    planned directly at the measured width, and iteration 0's eager
-    checkpoint — the next blocking action anyway — materializes it;
+    planned directly at the measured width, and the first superstep's
+    probe — the next blocking action anyway — materializes it;
     the un-laid-out copy is dropped right after. Large edge sets
     (width == session width) keep the identical exchange sequence
     and simply save the second count.
@@ -1782,28 +1806,49 @@ def connected_components(
             int(n_part), max(1, -(-n_edges // int(rows_per_partition)))
         )
         # probe-keyed layout at the measured width; persist-marked so
-        # every iteration's join reuses it — materialized by iteration
-        # 0's eager checkpoint (the next blocking action), not by a
-        # dedicated count
+        # every round's join reuses it — materialized by the first
+        # superstep's probe (the next blocking action), not by a
+        # dedicated count. Until then TWO copies of the edge table are
+        # persist-marked (sym + base); the overlap is transient by
+        # construction (sym is released the moment the first blocking
+        # action has materialized base) and accepted: dropping the
+        # probe-keyed layout instead would re-shuffle the edge table
+        # on every round of every superstep.
         base = sym.repartition(loop_part, "b").persist()
-        if loop_part != int(n_part):
-            conf_restore = n_part
-            sess.conf.set("spark.sql.shuffle.partitions", str(loop_part))
         labels = base.filter(F.col("a") == F.col("b")).select(
             F.col("a").alias("id"), F.col("a").alias("component")
         )
-        converged = False
-        # max_iter bounds the label-CHANGING iterations; convergence
-        # is only observable as a no-change iteration, so run one
-        # extra confirmation pass — otherwise a run whose last change
-        # lands exactly on iteration max_iter would raise despite
-        # being final.
-        for it in range(max_iter + 1):
+
+        # Loop width: conf-scoped ``shuffle.partitions`` (restored in
+        # ``finally``), NOT explicit repartitions. Measured (r15): the
+        # explicit-repartition form plans a strictly WORSE shape —
+        # +18 AQE query-stage jobs on the CC harness (48 → 66),
+        # because (a) a user repartition under a BroadcastExchange
+        # build side is a wasted shuffle, (b) repartition-before-
+        # groupBy hoists the exchange ABOVE the map-side partial
+        # aggregate, shuffling un-combined join output (guide §2.3
+        # backwards), and (c) the doubling join's look side needs NO
+        # exchange under conf width (the aggregate's hash(a, W)
+        # layout satisfies hash(__la, W) through the alias), which a
+        # forced repartition re-adds. The conf mutation is therefore
+        # kept as the ONLY way to express "required exchanges at this
+        # width", with a SINGLE-WRITER contract: no other query may
+        # plan on this session while the loop runs — pinned by
+        # ``test_connected_components_conf_restored`` and documented
+        # in the function docstring.
+        if loop_part != int(n_part):
+            conf_restore = n_part
+            sess.conf.set("spark.sql.shuffle.partitions", str(loop_part))
+
+        def _round(lbl: DataFrame) -> tuple[DataFrame, DataFrame]:
+            """One propagation + doubling round over ``lbl``; returns
+            (persist handle, doubled labels with ``__prev`` = the
+            round's starting label)."""
             # neighbor-min over (neighbors ∪ self): min(component) is
             # the propagated label, and the self-loop row (b == a)
-            # carries the iteration's STARTING label out as __prev
+            # carries the round's STARTING label out as __prev
             prop = (
-                base.join(labels, F.col("b") == F.col("id"))
+                base.join(lbl, F.col("b") == F.col("id"))
                 .groupBy("a")
                 .agg(
                     F.min("component").alias("component"),
@@ -1828,35 +1873,50 @@ def connected_components(
                     F.col("__lc"), F.col("component")
                 ).alias("component"),
             )
-            if it == 0:
-                # a non-empty edge set always changes a label on the
-                # first pass — no probe needed (proof: for any edge
-                # (a, b) with a < b, vertex b's label drops to ≤ a),
-                # so the eager checkpoint is the iteration's one
-                # blocking action; it also materializes ``base``'s
-                # probe-keyed blocks, after which the un-laid-out
-                # ``sym`` copy is dead weight
-                stepped = doubled.localCheckpoint(eager=True)
-                prop.unpersist()
-                sym.unpersist()
-                labels = stepped.drop("__prev")
-                continue
-            # probing iterations: the checkpoint is LAZY and the
-            # convergence probe is the action that materializes it —
-            # the global max must scan every partition, which caches
-            # the checkpoint blocks and truncates lineage in the SAME
-            # job the probe needs anyway (one blocking step per
-            # iteration where eager-checkpoint-then-probe paid two)
-            stepped = doubled.localCheckpoint(eager=False)
+            return prop, doubled
+
+        converged = False
+        # r15 (VERDICT r14 item 3 — fewer blocking steps): each
+        # superstep runs TWO propagation+doubling rounds and blocks
+        # once — a lazy checkpoint materialized by the convergence
+        # probe over the SECOND round's __prev. Correctness of the
+        # paired probe: labels only decrease, so a round that changes
+        # nothing is absorbing (propagation is at its fixed point and
+        # doubling looks up converged labels) — "round 2s+1 changed
+        # nothing" ⟺ converged, and "round 2s+1 changed something"
+        # implies every earlier round changed something, so a changed
+        # probe at superstep s means EXACTLY 2s+2 label-changing
+        # rounds so far — the max_iter guard stays exact. The final
+        # labels are schedule-independent (min-label propagation +
+        # doubling reaches the same min-reachable-id fixed point under
+        # any round/probe schedule), so pairing cannot change results,
+        # only when convergence is OBSERVED: at most one no-op round
+        # (over already-converged labels) runs when the last change
+        # lands on an even round index, in exchange for half the
+        # blocking barriers — at 100 TB each barrier is a full-cluster
+        # sync plus a cached copy of the label frame.
+        for step in range(max_iter // 2 + 2):
+            prop_a, doubled_a = _round(labels)
+            prop_b, doubled_b = _round(doubled_a.drop("__prev"))
+            stepped = doubled_b.localCheckpoint(eager=False)
             changed = stepped.select(
                 F.max(
                     (F.col("component") != F.col("__prev")).cast("int")
                 )
             ).first()[0]
-            prop.unpersist()
+            prop_a.unpersist()
+            prop_b.unpersist()
+            if step == 0:
+                # the probe materialized base's probe-keyed blocks;
+                # the un-laid-out sym copy is dead weight from here
+                sym.unpersist()
             labels = stepped.drop("__prev")
             if not changed:
                 converged = True
+                break
+            if 2 * step + 2 > max_iter:
+                # still changing past the bound — fall through to the
+                # non-convergence guard
                 break
         if not converged:
             # partially-propagated labels would silently split true
@@ -1866,7 +1926,7 @@ def connected_components(
             # undersized)
             raise RuntimeError(
                 f"connected_components did not converge in {max_iter} "
-                "label-changing iterations (+1 confirmation pass); "
+                "label-changing rounds (+1 confirmation round); "
                 "raise max_iter (labels were still changing on the "
                 "final pass)"
             )

@@ -537,6 +537,28 @@ def test_connected_components_chains_and_islands(spark):
     assert 600 not in comp  # isolated vertices aren't in the edge set
 
 
+def test_connected_components_conf_restored(spark):
+    """r15 single-writer contract (VERDICT r14 item 5): the loop
+    narrows ``spark.sql.shuffle.partitions`` session-wide for its
+    own shuffles and MUST restore it on every exit path — normal
+    convergence AND the non-convergence error. The guard itself must
+    stay exact: labels still changing after ``max_iter`` rounds ⇒
+    RuntimeError (a 120-node path needs ~7 doubling rounds, so
+    max_iter=2 must raise); adequate max_iter converges."""
+    import pytest as _pt
+
+    from idr_data_pipelines_spark.llmdata.dedup import connected_components
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    edges = [(i, i + 1) for i in range(119)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    connected_components(df).collect()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    with _pt.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=2)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
 def test_dedup_cluster_collapse_survivor_policy(spark):
     from idr_data_pipelines_spark.llmdata.dedup import dedup_cluster_collapse
 
