@@ -359,7 +359,7 @@ def decontaminate_semantic(
         raise ValueError("threshold must be in [-1, 1] (a cosine)")
     from idr_data_pipelines_spark.llmdata.similarity import (
         _as_double,
-        dot,
+        dot_ref,
         norm,
     )
 
@@ -371,7 +371,7 @@ def decontaminate_semantic(
     ).withColumn("__bn", norm(F.col("__bv")))
     scored = c.join(F.broadcast(b), F.lit(True), "left").withColumn(
         "__cos",
-        dot(F.col("__cv"), F.col("__bv")) / (F.col("__cn") * F.col("__bn")),
+        dot_ref("__cv", "__bv") / (F.col("__cn") * F.col("__bn")),
     )
     hit = F.when(F.col("__cos") >= F.lit(threshold), 1).otherwise(0)
     out = scored.groupBy(id_col).agg(
@@ -495,7 +495,7 @@ def decontaminate_semantic_bucketed(
         raise ValueError("bands and planes_per_band must be >= 1")
     from idr_data_pipelines_spark.llmdata.similarity import (
         _int_lsh_bucket_table,
-        dot,
+        dot_ref,
         norm,
     )
 
@@ -545,7 +545,7 @@ def decontaminate_semantic_bucketed(
         F.broadcast(b), ["band_idx", "band_key"], "left"
     ).withColumn(
         "__cos",
-        dot(F.col("__cv"), F.col("__bv")) / (F.col("__cn") * F.col("__bn")),
+        dot_ref("__cv", "__bv") / (F.col("__cn") * F.col("__bn")),
     )
     rollup = scored.groupBy("__cid").agg(
         F.max("__cos").alias("__maxc"),

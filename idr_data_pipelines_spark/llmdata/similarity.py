@@ -46,6 +46,67 @@ def norm(a: Column) -> Column:
     )
 
 
+# Catalyst evaluates higher-order array folds INTERPRETED (HOF lambdas
+# never enter whole-stage codegen), so at 100 TB every per-PAIR cosine
+# pays interpreted eval per candidate pair. For the one dimension the
+# embedding tables actually carry, the fold unrolls into a literal
+# multiply-add chain that codegen compiles — measured 1.5× per-row
+# throughput at 4M pairs (interleaved noop A/B, every pass faster),
+# a wash at bench pair counts (overhead-bound). 64 terms is far below
+# the janino 64 KB method limit that killed the 16×64-terms-in-one-
+# projection unroll (r14, rejected); these helpers emit ONE dot/norm
+# per expression. The chain reproduces the fold's exact IEEE order —
+# 0.0D seed then left-associated adds — and a size() guard falls back
+# to the identical interpreted fold for any other dimension, so
+# results are bit-identical in all cases (pinned by
+# test_dot_norm_ref_match_fold_paths).
+#
+# Scope (r15, measured): only the per-PAIR dot sites unroll — the
+# quadratic term. Per-ROW norms stay folded: unrolling them too was
+# measured (interleaved, 5 rounds) as +0.1–0.2 s of plan/build
+# overhead per affected bench query for a linear-term payoff;
+# ``norm_ref`` is kept (twin-tested) for future wide-row sites.
+_UNROLL_DIM = 64
+
+
+def _fold_dot_ref_sql(a_ref: str, b_ref: str) -> str:
+    """SQL text of ``dot`` over two column references."""
+    return (
+        f"aggregate(zip_with({a_ref}, {b_ref}, (x, y) -> x * y), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def dot_ref(a_ref: str, b_ref: str, dim: int = _UNROLL_DIM) -> Column:
+    """``dot`` over SQL column references with the fixed common
+    dimension unrolled for codegen; other dims take the identical
+    interpreted fold (bit-identical either way)."""
+    terms = " + ".join(
+        f"element_at({a_ref}, {i}) * element_at({b_ref}, {i})"
+        for i in range(1, dim + 1)
+    )
+    return F.expr(
+        f"CASE WHEN size({a_ref}) = {dim} AND size({b_ref}) = {dim} "
+        f"THEN 0.0D + {terms} "
+        f"ELSE {_fold_dot_ref_sql(a_ref, b_ref)} END"
+    )
+
+
+def norm_ref(a_ref: str, dim: int = _UNROLL_DIM) -> Column:
+    """``norm`` over a SQL column reference with the fixed common
+    dimension unrolled for codegen (same guard/fallback as
+    ``dot_ref``)."""
+    terms = " + ".join(
+        f"element_at({a_ref}, {i}) * element_at({a_ref}, {i})"
+        for i in range(1, dim + 1)
+    )
+    fold = f"aggregate({a_ref}, 0.0D, (acc, x) -> acc + x * x)"
+    return F.expr(
+        f"sqrt(CASE WHEN size({a_ref}) = {dim} THEN 0.0D + {terms} "
+        f"ELSE {fold} END)"
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
@@ -77,7 +138,7 @@ def cosine_topk_bruteforce(
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
-            dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm")),
+            dot_ref("qvec", "cvec") / (F.col("qnrm") * F.col("cnrm")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -199,7 +260,7 @@ def cosine_topk_lsh(
         c.join(F.broadcast(q), (c.bucket == q.bucket) & (F.col("query_id") != F.col("neighbor_id")))
         .withColumn(
             "cosine",
-            dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm")),
+            dot_ref("qvec", "cvec") / (F.col("qnrm") * F.col("cnrm")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -391,7 +452,7 @@ def cosine_topk_lsh_exact_bucket(
         & (F.col("query_id") != F.col("neighbor_id")),
     ).withColumn(
         "cosine",
-        dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm")),
+        dot_ref("qvec", "cvec") / (F.col("qnrm") * F.col("cnrm")),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -574,7 +635,7 @@ def cosine_topk_ivf(
         )
         .withColumn(
             "cosine",
-            dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm")),
+            dot_ref("qvec", "cvec") / (F.col("qnrm") * F.col("cnrm")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -690,7 +751,7 @@ def embedding_near_dup_pairs(
         )
         .withColumn(
             "cosine",
-            dot(F.col("l.vec"), F.col("r.vec"))
+            dot_ref("l.vec", "r.vec")
             / (F.col("l.nrm") * F.col("r.nrm")),
         )
         .filter(F.col("cosine") >= threshold)
@@ -872,7 +933,7 @@ def cosine_topk_ivf_fixed(
         & (F.col("query_id") != F.col("neighbor_id")),
     ).withColumn(
         "cosine",
-        dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm")),
+        dot_ref("qvec", "cvec") / (F.col("qnrm") * F.col("cnrm")),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -1018,7 +1079,7 @@ def semdedup_prune(
             (left.cluster_id == right.cluster_j) & (F.col("i") < F.col("j")),
         )
         .filter(
-            dot(F.col("ivec"), F.col("jvec")) / (F.col("inrm") * F.col("jnrm"))
+            dot_ref("ivec", "jvec") / (F.col("inrm") * F.col("jnrm"))
             >= threshold
         )
         .select(F.col("j").alias("id"))
@@ -1109,7 +1170,7 @@ def cosine_topk_quantized(
         .join(F.broadcast(qf), "query_id")
         .withColumn(
             "cosine",
-            dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm")),
+            dot_ref("qvec", "cvec") / (F.col("qnrm") * F.col("cnrm")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -1768,7 +1829,7 @@ def knn_graph_fixed_cells(
         & (F.col("src_id") != F.col("dst_id")),
     ).withColumn(
         "cosine",
-        dot(F.col("svec"), F.col("dvec")) / (F.col("snrm") * F.col("dnrm")),
+        dot_ref("svec", "dvec") / (F.col("snrm") * F.col("dnrm")),
     )
     w = Window.partitionBy("src_id").orderBy(F.desc("cosine"), F.asc("dst_id"))
     return (
@@ -2098,7 +2159,7 @@ def hard_negatives_fixed_cells(
         & (F.col("anchor_label") != F.col("neg_label")),
     ).withColumn(
         "cosine",
-        dot(F.col("avec"), F.col("nvec")) / (F.col("anrm") * F.col("nnrm")),
+        dot_ref("avec", "nvec") / (F.col("anrm") * F.col("nnrm")),
     )
     w = Window.partitionBy("anchor_id").orderBy(
         F.desc("cosine"), F.asc("negative_id")

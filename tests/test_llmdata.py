@@ -128,6 +128,65 @@ def test_cosine_topk_matches_numpy(spark):
             assert abs(cos - sims[q, nid]) < 1e-6
 
 
+def test_dot_norm_ref_match_fold_paths(spark):
+    """r15: per-pair/per-row dots and norms unroll the fixed common
+    dimension (64) into a codegen'd multiply-add chain; any other
+    size falls back to the identical interpreted fold. Both paths
+    must be BIT-identical (struct-packed doubles) — including the
+    0.0D seed's IEEE placement, null elements, negative zeros, and
+    the non-64 fallback branch."""
+    import math
+    import random
+    import struct as _s
+
+    from pyspark.sql import functions as F
+
+    from idr_data_pipelines_spark.llmdata.similarity import (
+        _UNROLL_DIM,
+        dot,
+        dot_ref,
+        norm,
+        norm_ref,
+    )
+
+    assert _UNROLL_DIM == 64
+    rng = random.Random(0xD07)
+
+    def vec(n):
+        return [rng.uniform(-2, 2) for _ in range(n)]
+
+    rows = [(i, vec(64), vec(64)) for i in range(40)]
+    rows += [
+        (100, [0.0] * 64, [-0.0] * 64),            # signed zeros
+        (101, [-0.0] + vec(63), [1.0] * 64),       # -0.0 first slot
+        (102, vec(64), [None] + vec(63)),          # null element
+        (103, vec(16), vec(16)),                   # fallback branch
+        (104, vec(65), vec(65)),                   # fallback branch
+        (105, [], []),                             # empty arrays
+        (106, [float("nan")] + vec(63), vec(64)),  # NaN propagation
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, a array<double>, b array<double>"
+    )
+    got = df.select(
+        "id",
+        dot(F.col("a"), F.col("b")).alias("df"),
+        dot_ref("a", "b").alias("du"),
+        norm(F.col("a")).alias("nf"),
+        norm_ref("a").alias("nu"),
+    ).collect()
+
+    def pk(x):
+        return None if x is None else _s.pack("d", x)
+
+    for r in got:
+        assert pk(r["df"]) == pk(r["du"]), (r["id"], r["df"], r["du"])
+        if r["nf"] is not None and math.isnan(r["nf"]):
+            assert math.isnan(r["nu"]), r["id"]
+        else:
+            assert pk(r["nf"]) == pk(r["nu"]), (r["id"], r["nf"], r["nu"])
+
+
 def test_cosine_lsh_recall(spark):
     rng = np.random.RandomState(11)
     # clustered data so LSH buckets are meaningful
